@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.2–§2.6) re-expressed
+  * Spark-first over the TPC-H-ish testdata tables.
+  *
+  * Design notes for 100 TB scale:
+  *  - Every query is a single declarative DataFrame plan: Catalyst pushes
+  *    filters/column pruning into the parquet scan, plans partial+final
+  *    hash aggregation (map-side combine), and picks broadcast vs
+  *    sort-merge joins (AQE re-plans at runtime).
+  *  - Money aggregations go through DecimalType(18,2): decimal sums are
+  *    exact and order-independent, so results are bit-identical across
+  *    any partitioning / executor count — double sums would drift with
+  *    partition order at scale. The final value is cast back to double.
+  *  - Top-k is orderBy(...).limit(k): Catalyst plans TakeOrderedAndProject
+  *    (per-partition O(n log k) heaps + driver merge of k·P rows), never a
+  *    total sort. All orderings carry a unique tie-break key so results
+  *    are deterministic under any parallelism.
+  */
+object CoreOps {
+  private val Dec = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(Dec)
+
+  // ---------------------------------------------------------------- A1–A3
+  /** Flagship: TPC-H Q1-shaped pricing summary. [A1 sum, A2 count, A3 avg]
+    * Mirrors the reference's reduceByKey sum/count/avg pipelines
+    * (etherTransactionsAnalysis.py:47-54, ethergasguzzlers.py:61-63). */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  // ---------------------------------------------------------------- F2+F5
+  /** Numeric/range filter + projection; predicates push into the scan
+    * (PushedFilters in explain). [F2 numeric filter, F5 projection] */
+  def f2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 30 && col("l_discount") > lit(0.02) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+  // ---------------------------------------------------------------- F3+X5
+  /** String-prefix predicate, the reference's startswith('0x') filter
+    * (etherTop10Contracts.py:24). [F3, X5] */
+  def f3PrefixFilter(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").startsWith("small") && col("p_brand").startsWith("Brand#1"))
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+
+  // ---------------------------------------------------------------- J1+A4
+  /** Join of two aggregations on the same key — the reference's
+    * sum⋈count month join (etherTransactionsAnalysis.py:53). Kept as a
+    * literal join (not collapsed into one agg) to exercise the
+    * co-partitioned shuffle join path; both sides share the same
+    * grouping so AQE coalesces to one exchange per side. [J1, A4] */
+  def j1AggJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val sums = o.groupBy(date_format(col("o_orderdate"), "MM-yyyy").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).as("sum_price_dec"))
+    val counts = o.groupBy(date_format(col("o_orderdate"), "MM-yyyy").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+    sums.join(counts, Seq("month"))
+      .select(col("month"),
+        col("sum_price_dec").cast(DoubleType).as("sum_price"),
+        col("n_orders"),
+        (col("sum_price_dec").cast(DoubleType) / col("n_orders")).as("avg_price"))
+  }
+
+  // ---------------------------------------------------------------- J2 semi
+  /** Left-semi join: fact filtered by small dim — the reference's
+    * tx⋈contracts "(addr,1)" join (etherTop10Contracts.py:63-65). The dim
+    * side is broadcast (explicit hint; it is orders-of-magnitude smaller
+    * than the fact at every SF). [J2] */
+  def j2SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val richCust = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+    Tables.orders(s, d)
+      .join(broadcast(richCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- J2 anti
+  /** Left-anti join (NOT EXISTS): orders with no lineitem. Declared
+    * engine surface beyond the reference (SURVEY §2.3). */
+  def j2AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+
+  // ---------------------------------------------------------------- J3 inner fact⋈dim with payload
+  /** Inner equi-join where the dim carries payload columns — the
+    * scams-shaped join (etherscams.py:55) — then aggregated per dim
+    * attribute. [J3, A1] */
+  def j3FactDimJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d).select("p_partkey", "p_brand", "p_type")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ---------------------------------------------------------------- J4 top-k re-join
+  /** Re-join against own top-k output — the reference's
+    * contractsTop10 re-ingest (ethergasguzzlers.py:75-77). The top-10
+    * list is tiny → broadcast semi-join. [J4, T1] */
+  def j4TopkRejoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val top10 = o.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      .orderBy(col("spend").desc, col("o_custkey").asc)
+      .limit(10)
+      .select("o_custkey")
+    o.join(broadcast(top10), Seq("o_custkey"), "left_semi")
+      .groupBy(date_format(col("o_orderdate"), "MM-yyyy").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------- A5 global
+  /** Global (grand-total) aggregation, no grouping — the reference's
+    * key-by-literal-1 total (etheroverhead.py:48-49). [A5] */
+  def a5GlobalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity")).as("sum_qty"),
+      sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+
+  // ---------------------------------------------------------------- A6 composite key
+  /** Composite-key aggregation — the reference's (month, category) tuple
+    * key (etherscams.py:59). [A6, X3] */
+  def a6CompositeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "MM-yyyy").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+
+  // ---------------------------------------------------------------- A7 pivot
+  /** Pivot / wide reshape — graphs.ipynb cell 7 unstack. Pivot values are
+    * declared explicitly so no extra distinct-collect job runs. [A7] */
+  def a7Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+
+  // ---------------------------------------------------------------- A8 distinct
+  /** Distinct aggregation (declared built-in surface, SURVEY §2.4). */
+  def a8CountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  // ---------------------------------------------------------------- A9 rollup
+  /** Rollup (grouping-sets surface, SURVEY §2.4). */
+  def a9Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  // ---------------------------------------------------------------- T1 top-k
+  /** Top-k by aggregate desc — takeOrdered(10) (etherTop10Contracts.py:68,
+    * etherTopMiners.py:46). Plans TakeOrderedAndProject, not a total
+    * sort. Decimal agg ⇒ deterministic ordering; unique key tie-break. [T1] */
+  def t1TopK(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
+        .as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("l_partkey").asc)
+      .limit(10)
+      .select(col("l_partkey"), col("revenue_dec").cast(DoubleType).as("revenue"))
+
+  // ---------------------------------------------------------------- T2 top-1
+  /** Argmax — takeOrdered(1) (etherscams.py:57-58). [T2] */
+  def t2Top1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend_dec"))
+      .orderBy(col("spend_dec").desc, col("o_custkey").asc)
+      .limit(1)
+      .select(col("o_custkey"), col("spend_dec").cast(DoubleType).as("spend"))
+
+  // ---------------------------------------------------------------- T3 sort
+  /** Total sort ascending — sortByKey (ethergasguzzlers.py:72). Spark
+    * range-partitions (sampled bounds) so the sort scales out. [T3] */
+  def t3SortAsc(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+
+  // ---------------------------------------------------------------- T4 limit
+  /** Deterministic limit — reference take(100) (ethergasguzzlers.py:90).
+    * Ordered by unique key so any parallelism yields the same rows. [T4] */
+  def t4Limit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // ---------------------------------------------------------------- X3/X4 date formats
+  /** Epoch/timestamp → "MM-yyyy" and "MM/yyyy" UTC month buckets
+    * (etherTransactionsAnalysis.py:47, ethergasguzzlers.py:61). [X3, X4] */
+  def x3MonthFormat(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "MM-yyyy").as("month_dash"),
+        date_format(col("o_orderdate"), "MM/yyyy").as("month_slash"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+
+  // ---------------------------------------------------------------- X9/X10 JSON
+  /** JSON parse + field access over a string column — scams.json
+    * (etherscams.py:46-48). [X9, X10] */
+  def x9JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k_val")).as("sum_k"),
+        max(col("k_val")).as("max_k"))
+
+  // ---------------------------------------------------------------- X12 explode array
+  /** Array explode with position — addresses flatMap (etherscams.py:49).
+    * Floats cast elementwise to double (exact) for oracle parity. [X12] */
+  def x12ExplodeArray(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(col("vec_id"), col("pos"),
+        col("val").cast(DoubleType).as("val"))
+
+  // ---------------------------------------------------------------- X scalar suite
+  /** Scalar-function surface: length/substring/concat/cast/arithmetic
+    * (SURVEY §2.6 X2, X5–X8). All codegen'd Catalyst built-ins. */
+  def xScalarSuite(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 4).as("type_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") * 2 + 1).as("size_calc"),
+        col("p_size").cast(StringType).as("size_str"),
+        (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
+
+  // ---------------------------------------------------------------- W1 window rank
+  /** Window function: row_number per partition with full tie-break
+    * (declared surface; SURVEY §2.8 extension). */
+  def w1WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "rn")
+  }
+
+  // ---------------------------------------------------------------- W2 running sum
+  /** Running (cumulative) aggregate per key — declared window surface. */
+  def w2RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("run_spend_dec", sum(dec(col("o_totalprice"))).over(w))
+      .withColumn("order_seq", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
+        col("run_spend_dec").cast(DoubleType).as("run_spend"))
+  }
+}
