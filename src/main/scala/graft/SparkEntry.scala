@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.CoreOps
+import graft.operators.{CoreOps, EventOps}
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +45,21 @@ object SparkEntry {
     "x_scalar_suite"     -> CoreOps.xScalarSuite _,
     "w1_window_rank"     -> CoreOps.w1WindowRank _,
     "w2_running_sum"     -> CoreOps.w2RunningSum _,
+    // -------- training-data pipeline extensions (SURVEY §7.5) --------
+    "dedup_exact"        -> Dedup.exact _,
+    "dedup_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "text_tokens"        -> TextOps.tokenCount _,
+    "text_quality"       -> TextOps.qualityScore _,
+    "text_langid"        -> TextOps.langId _,
+    "text_fingerprint"   -> TextOps.fingerprint _,
+    "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "sim_lsh_topk"       -> ((s, d) => Similarity.lshTopK(s, d)),
+    "mm_decode"          -> Multimodal.decodeMeta _,
+    "ev_window"          -> EventOps.tumblingWindow _,
+    "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -188,5 +204,112 @@ object SparkEntry {
          |          ROWS UNBOUNDED PRECEDING) AS run_dec
          |      FROM orders
          |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""".stripMargin,
+    // -------- training-data pipeline extensions --------
+    // (dedup_simhash and sim_lsh_topk are hash-seed-dependent → no SQL
+    //  oracle; driver records the weaker rows-only check for them.)
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_jaccard" -> jaccardOracle,
+    // minhashLsh verifies every LSH candidate with the exact shingle
+    // Jaccard, and P(candidate miss at j>=0.6) = (1-0.6^2)^32 ~= 6e-7,
+    // so its output equals the exact-Jaccard oracle.
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "text_tokens" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct,
+        |  len(list_distinct(tk)) / len(tk) AS distinct_ratio,
+        |  len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) / len(tk) AS stop_ratio,
+        |  n_chars / len(tk) AS chars_per_token
+        |FROM t""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) / len(tk) AS en_score
+        |      FROM t)
+        |SELECT doc_id, lang, en_score,
+        |       CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+        |FROM s""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "sim_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, vec_id, $cosSql AS cos
+         |  FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, vec_id, round(cos, 6) AS cos, CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, vec_id) AS rn FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+    "sim_near_dup" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |             a.v AS qv, b.v AS v
+         |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos
+         |FROM (SELECT vec_a, vec_b, $cosSql AS cos FROM p)
+         |WHERE cos >= 0.45""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id, source AS fmt,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+    "ev_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_session" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM x),
+        |z AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM y)
+        |SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+        |       COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM z GROUP BY user_id, session_seq""".stripMargin,
   )
+
+  /** Sequential-fold dot product / norms — same left-to-right double
+    * summation order as Similarity.dot/norm, so values are bit-identical. */
+  private val cosSql =
+    """list_sum(list_transform(range(1, len(v)+1), i -> qv[i] * v[i])) /
+      |         (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+      |          sqrt(list_sum(list_transform(v, x -> x*x))))""".stripMargin
+
+  /** Exact word-3-gram-shingle Jaccard >= 0.6 pairs (mirrors
+    * Dedup.shingled + ngramJaccard). */
+  private val jaccardOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+2], ' ')
+      |                        for i in range(1, len(t)-1)]) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
+      |FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6""".stripMargin
 }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads as opaque BinaryType
+  * columns with typed metadata, "decoded" in batches via mapPartitions.
+  *
+  * The decode itself is a STUB (no image/audio libs in this container):
+  * `fakeDecode` derives deterministic metadata from the bytes. The
+  * Spark-side plumbing is real and what matters at 100 TB: binary
+  * columns travel in parquet, the decode runs partition-parallel with
+  * a typed Encoder boundary (the Scala analogue of mapInPandas batch
+  * UDFs), and downstream columns are plain Catalyst types.
+  */
+object Multimodal {
+  case class MediaIn(doc_id: Long, fmt: String, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, fmt: String, byte_len: Int,
+    width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder: a real implementation would hand `payload` to an
+    * image/audio codec here. Deterministic arithmetic stands in so the
+    * pipeline is testable end-to-end (and oracle-checkable). */
+  def fakeDecode(m: MediaIn): MediaMeta = {
+    val n = m.payload.length
+    MediaMeta(m.doc_id, m.fmt, n, n % 640, (n * 7) % 480, n % 30 + 1)
+  }
+
+  /** Build a binary media table from documents (payload = utf-8 bytes,
+    * fmt = source), then batch-decode via mapPartitions. */
+  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source").as("fmt"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions(_.map(fakeDecode)).toDF()
+  }
+}

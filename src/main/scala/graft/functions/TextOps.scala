@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * and document fingerprinting.
+  *
+  * All of it is row-local Catalyst expression work — no shuffle, no UDF:
+  * at 100 TB this runs map-only at scan parallelism with column pruning
+  * (only `doc_id`/`text` leave the parquet scan).
+  */
+object TextOps {
+  /** Whitespace tokens. The BPE-ish fallback `bpeTokens` splits on
+    * word/non-word boundaries like a byte-pair pre-tokenizer's regex. */
+  def tokens(c: Column): Column = split(c, " ")
+  def bpeTokens(c: Column): Column =
+    filter(split(c, """(?=\W)|(?<=\W)"""), t => t =!= "" && t =!= " ")
+
+  private val enStop = Seq("the", "a", "of", "and", "is", "to", "in")
+  private def isStop(t: Column): Column =
+    enStop.map(w => t === w).reduce(_ || _)
+
+  /** Token count per document (whitespace tokenizer). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      size(tokens(col("text"))).as("n_tokens"),
+      col("n_chars"))
+
+  /** Quality scoring: length stats, vocabulary diversity, stopword
+    * ratio. All exact integer ratios so the DuckDB oracle matches
+    * bit-for-bit. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      (size(array_distinct(t)) / size(t)).as("distinct_ratio"),
+      (size(filter(t, isStop(_))) / size(t)).as("stop_ratio"),
+      (col("n_chars") / size(t)).as("chars_per_token"))
+  }
+
+  /** Language ID by stopword-hit heuristic: fraction of tokens in a
+    * small English function-word list; `en` above threshold else `und`.
+    * (The corpus is synthetic — the heuristic and its oracle just have
+    * to agree exactly.) */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      (size(filter(t, isStop(_))) / size(t)).as("en_score"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= 0.05, lit("en")).otherwise(lit("und")))
+  }
+
+  /** Document fingerprint: md5 of whitespace-canonicalized text.
+    * Deterministic and engine-portable (same md5 in DuckDB), unlike
+    * JVM-specific hashes. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Event-time operators over the `events` table — the batch-side
+  * equivalents of the streaming queries in graft.streaming.Streams
+  * (SURVEY.md §2.7 extension). Timestamps are micros on both engine
+  * and oracle side (Tables.events floors parquet nanos the same way
+  * DuckDB's TIMESTAMP cast does).
+  */
+object EventOps {
+  private val Dec = DecimalType(18, 2)
+
+  /** Tumbling 1-hour event-time window aggregation per event type.
+    * Uses window() (not date_trunc) so the same expression carries to
+    * the streaming variant; epoch-aligned 1h windows ≡ date_trunc. */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sessionization (gaps-and-islands): a new session starts after a
+    * >10-minute silence per user. Batch mirror of session_window /
+    * flatMapGroupsWithState; windows are per-user partitioned so the
+    * shuffle key is user_id and state never crosses executors. */
+  def sessionize(s: SparkSession, d: String, gapMinutes: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"), col("session_seq").cast(IntegerType).as("session_seq"),
+        col("n_events"), col("start_us"), col("end_us"), col("sum_value"))
+  }
+}
