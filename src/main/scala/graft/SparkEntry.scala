@@ -43,6 +43,8 @@ object SparkEntry {
     "x9_json_extract"    -> CoreOps.x9JsonExtract _,
     "x12_explode_array"  -> CoreOps.x12ExplodeArray _,
     "x_scalar_suite"     -> CoreOps.xScalarSuite _,
+    "s1_csv_roundtrip"   -> CoreOps.s1CsvRoundtrip _,
+    "s2_json_map_explode" -> CoreOps.s2JsonMapExplode _,
     "w1_window_rank"     -> CoreOps.w1WindowRank _,
     "w2_running_sum"     -> CoreOps.w2RunningSum _,
     // -------- training-data pipeline extensions (SURVEY §7.5) --------
@@ -204,6 +206,15 @@ object SparkEntry {
          |          ROWS UNBOUNDED PRECEDING) AS run_dec
          |      FROM orders
          |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""".stripMargin,
+    "s1_csv_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+         |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
+         |       MAX(l_shipdate) AS max_shipdate
+         |FROM lineitem""".stripMargin,
+    "s2_json_map_explode" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       SUM(user_id) AS sum_user, MAX(event_id) AS max_event
+        |FROM events GROUP BY event_type""".stripMargin,
     // -------- training-data pipeline extensions --------
     // (dedup_simhash and sim_lsh_topk are hash-seed-dependent → no SQL
     //  oracle; driver records the weaker rows-only check for them.)

@@ -263,6 +263,52 @@ object CoreOps {
         col("p_size").cast(StringType).as("size_str"),
         (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
 
+  // ---------------------------------------------------------------- S1+S5+S6 CSV roundtrip
+  /** CSV sink + schema-typed CSV scan + re-ingest of own output — the
+    * reference's textFile CSV reads (etherTransactionsAnalysis.py:45),
+    * pandas to_csv (graphs.ipynb cell 16), and contractsTop10 re-read
+    * (ethergasguzzlers.py:55). Writes a projection of lineitem as CSV,
+    * reads it back with a declared schema, and aggregates — the oracle
+    * runs the same aggregate on the original parquet, so the whole
+    * write→read cycle must be lossless. [S1, S5, S6] */
+  def s1CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_shipdate", TimestampType)))
+    s.read.schema(schema).option("header", "true")
+      .option("mode", "DROPMALFORMED").csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+        max(col("l_shipdate")).as("max_shipdate"))
+  }
+
+  // ---------------------------------------------------------------- S2+X11 dynamic-key JSON map
+  /** JSON-lines scan where the object has DYNAMIC keys — the scams.json
+    * shape (etherscams.py:45-49): build a {"<event_type>": {...}} doc
+    * per event, parse with an explicit MapType (schema inference would
+    * wrongly make one struct field per key), explode the map, and
+    * aggregate. [S2, X9, X11] */
+  def s2JsonMapExplode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.events(s, d).select(
+      to_json(map(col("event_type"),
+        struct(col("user_id"), col("event_id")))).as("j"))
+    val mapType = MapType(StringType, StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType))))
+    docs.select(explode(from_json(col("j"), mapType)).as(Seq("event_type", "payload")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("payload.user_id")).as("sum_user"),
+        max(col("payload.event_id")).as("max_event"))
+  }
+
   // ---------------------------------------------------------------- W1 window rank
   /** Window function: row_number per partition with full tie-break
     * (declared surface; SURVEY §2.8 extension). */

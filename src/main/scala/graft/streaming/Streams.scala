@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream shape
+  * (SURVEY.md §2.7: the reference has no streaming; this is the
+  * declared extension). Every transform here takes a DataFrame that may
+  * be either a readStream source or a batch frame — the plans are
+  * identical, which is how the batch mirrors in
+  * [[graft.operators.EventOps]] stay oracle-checkable while these run
+  * incrementally with watermark-bounded state.
+  *
+  * Scale notes: state for windowed aggs is keyed by (window, type) /
+  * session key and pruned by the watermark, so executor state stays
+  * bounded no matter how long the stream runs; shuffle keys are the
+  * group keys, same as the batch plans.
+  */
+object Streams {
+  private val Dec = DecimalType(18, 2)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based stream source over an events directory (parquet parts
+    * appear atomically → each new file is a micro-batch). */
+  def readEventStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour window per event type; late rows beyond the
+    * watermark are dropped and their window state reclaimed. Streaming
+    * twin of EventOps.tumblingWindow. */
+  def tumblingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour window every 15 minutes — each event lands in 4
+    * overlapping windows. */
+  def slidingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"))
+
+  /** Native session windows: per-user sessions closed by a 10-minute
+    * gap — the streaming twin of EventOps.sessionize (which assigns the
+    * same sessions via lag/cumsum in batch). */
+  def sessionWindows(events: DataFrame, gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------- custom state
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, sum_value: Double,
+    last_us: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user
+    * totals — the escape hatch for session logic session_window can't
+    * express (SURVEY §2.7). State is one small row per active user.
+    * Pass idleTimeoutMs > 0 to evict idle users' state (emitting their
+    * final totals); note a processing-time timeout keeps the trigger
+    * firing empty batches, so leave it 0 for drain-and-stop jobs. */
+  def runningUserTotals(events: Dataset[EventRow],
+      idleTimeoutMs: Long = 0L): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](timeoutConf) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, 0L))
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              UserRunning(uid, acc.n_events + 1, acc.sum_value + e.value,
+                math.max(acc.last_us, e.ts.getTime * 1000))
+            }
+            state.update(next)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            next
+          }
+      }
+  }
+
+  /** End-to-end runner: file stream in → tumbling agg → parquet sink
+    * with checkpointing (exactly-once file output). */
+  def runTumblingToParquet(s: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = tumblingCounts(readEventStream(s, inDir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class DedupSpec extends SparkSpec {
+  /** Fixture corpus with known exact duplicates, written as a
+    * documents.parquet so the table-reading operators see it. */
+  private lazy val dupDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dedup").toString
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "src0", 22L),
+      (1L, "alpha beta gamma delta", "en", "src0", 22L), // exact dup of 0
+      (2L, "alpha beta gamma delta", "en", "src1", 22L), // exact dup of 0
+      (3L, "one two three four five six", "en", "src0", 27L),
+      (4L, "totally different words here now", "en", "src0", 32L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups duplicate texts and keeps the min doc_id") {
+    val groups = Dedup.exact(spark, dupDir).cache()
+    assert(groups.count() === 3)
+    assert(groups.agg(sum(col("n_copies"))).collect().head.getLong(0) === 5L)
+    val dup = groups.filter(col("n_copies") === 3).collect()
+    assert(dup.length === 1 && dup.head.getAs[Long]("keeper_id") === 0L)
+    groups.unpersist()
+  }
+
+  test("exact dedup at sf0.001 partitions all docs into groups") {
+    val total = Tables.documents(spark, sfDir).count()
+    val groups = Dedup.exact(spark, sfDir)
+    assert(groups.agg(sum(col("n_copies"))).collect().head.getLong(0) === total)
+  }
+
+  test("MinHash+LSH finds exactly the exact-Jaccard pairs") {
+    val exact = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact) // P(candidate miss at j>=0.6) ≈ 6e-7
+  }
+
+  test("SimHash pigeonhole blocking equals brute-force Hamming pairs") {
+    val sh = Dedup.simhash(spark, sfDir).cache()
+    val a = sh.select(col("doc_id").as("da"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("db"), col("simhash").as("hb"))
+    val brute = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+    sh.unpersist()
+  }
+}

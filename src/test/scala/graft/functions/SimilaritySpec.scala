@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  test("brute-force cosine top-k: k rows per query, ranked, cos in [-1,1]") {
+    val got = Similarity.cosineTopK(spark, sfDir, nQueries = 10, k = 5).collect()
+    assert(got.length === 50)
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to 5))
+      val cosDesc = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosDesc.zip(cosDesc.tail).forall { case (x, y) => x >= y })
+      assert(rs.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("LSH ANN returns a subset ranked consistently with brute force") {
+    val brute = Similarity.cosineTopK(spark, sfDir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(spark, sfDir, nQueries = 10, k = 5).collect()
+    // every ANN hit must be a real neighbor ranked by true cosine;
+    // recall is probabilistic — just require it's nonzero and report.
+    val hits = ann.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    info(s"LSH recall@5 = ${hits.toDouble / brute.size}")
+    assert(hits > 0)
+  }
+
+  test("cosine column agrees with a driver-side dot product") {
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .limit(2).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val Array(u, v) = rows
+    val expected = {
+      val d = u.zip(v).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val nu = math.sqrt(u.map(x => x * x).foldLeft(0.0)(_ + _))
+      val nv = math.sqrt(v.map(x => x * x).foldLeft(0.0)(_ + _))
+      d / (nu * nv)
+    }
+    val two = graft.Tables.embeddings(spark, sfDir).limit(2)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val a = two.filter(col("vec_id") === 0).select(col("v").as("va"))
+    val b = two.filter(col("vec_id") === 1).select(col("v").as("vb"))
+    val got = a.crossJoin(b)
+      .select(Similarity.cosine(col("va"), col("vb"))).collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+}

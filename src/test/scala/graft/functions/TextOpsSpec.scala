@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class TextOpsSpec extends SparkSpec {
+  test("token counts are positive and bounded by char counts") {
+    val bad = TextOps.tokenCount(spark, sfDir)
+      .filter(col("n_tokens") <= 0 || col("n_tokens") > col("n_chars") + 1)
+    assert(bad.count() === 0)
+  }
+
+  test("quality ratios live in [0,1]") {
+    val bad = TextOps.qualityScore(spark, sfDir)
+      .filter(col("distinct_ratio") < 0 || col("distinct_ratio") > 1 ||
+        col("stop_ratio") < 0 || col("stop_ratio") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("langId predicts a label for every doc") {
+    val df = TextOps.langId(spark, sfDir)
+    assert(df.filter(col("predicted_lang").isNull).count() === 0)
+    assert(df.select("predicted_lang").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("en", "und")))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("fp").toString
+    Seq(
+      (0L, "Hello  World", "en", "s", 12L),
+      (1L, "  hello world ", "en", "s", 14L),  // same after canon
+      (2L, "hello\tworld", "en", "s", 11L),    // same after canon
+      (3L, "different text", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val fps = TextOps.fingerprint(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) === fps(1L) && fps(1L) === fps(2L))
+    assert(fps(3L) !== fps(0L))
+  }
+
+  test("bpe-ish tokenizer splits punctuation off words") {
+    import spark.implicits._
+    val got = Seq("hello, world!").toDF("t")
+      .select(TextOps.bpeTokens(col("t")).as("tk"))
+      .collect().head.getSeq[String](0)
+    assert(got === Seq("hello", ",", "world", "!"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.EventOps
+
+/** Streaming transforms are the same plans as their batch mirrors —
+  * asserted by feeding identical rows through MemoryStream and the
+  * batch path and comparing results (complete output mode ⇒ watermark
+  * dropping can't hide rows at this scale). */
+class StreamsSpec extends SparkSpec {
+  import Streams.EventRow
+
+  private def mkEvents: Seq[EventRow] = {
+    val h = 3600000L
+    (0 until 40).map { i =>
+      EventRow(i.toLong, new Timestamp(1700000000000L + i * (h / 8)),
+        (i % 3).toLong, if (i % 2 == 0) "click" else "view", i * 1.5)
+    }
+  }
+
+  test("streaming tumbling window equals batch groupBy on same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(mkEvents)
+    val q = Streams.tumblingCounts(mem.toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = mkEvents.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .select(col("window.start"), col("event_type"), col("n"), col("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === batch && got.nonEmpty)
+  }
+
+  test("streaming session windows match batch sessionization boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one user, two sessions split by a >10min gap
+    val rows = Seq(
+      EventRow(1, new Timestamp(1700000000000L), 7, "click", 1.0),
+      EventRow(2, new Timestamp(1700000300000L), 7, "click", 2.0),  // +5m: same session
+      EventRow(3, new Timestamp(1700001200000L), 7, "click", 3.0))  // +15m: new session
+    val mem = MemoryStream[EventRow]
+    mem.addData(rows)
+    val q = Streams.sessionWindows(mem.toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((7L, 2L), (7L, 1L)))
+  }
+
+  test("mapGroupsWithState accumulates running per-user totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(mkEvents)
+    val q = Streams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("running")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = mkEvents.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(got === expected)
+  }
+
+  test("batch sessionize agrees with streaming session count per user") {
+    // EventOps.sessionize over testdata: session boundaries respect the gap
+    val sess = EventOps.sessionize(spark, sfDir)
+    val bad = sess.filter(col("start_us") > col("end_us"))
+    assert(bad.count() === 0)
+    assert(sess.count() > 0)
+  }
+}
