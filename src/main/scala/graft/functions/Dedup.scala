@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,14 +11,19 @@ import graft.Tables
   * the `documents` table.
   *
   * Scale design (100 TB):
-  *  - Exact dedup is a single hash-aggregate shuffle on the text hash.
-  *  - All-pairs Jaccard is quadratic and exists as the small-data oracle
-  *    path; the scale path is MinHash+LSH: per-doc signatures are
-  *    map-only, the band join shuffles only (band, bandHash) keys, and
-  *    exact Jaccard runs on surviving candidates only.
-  *  - Band width r=2 with 32 bands ⇒ P(miss) at j≥0.6 is (1−0.6²)³²≈6e−7,
-  *    so the LSH output equals the exact-Jaccard oracle with near
-  *    certainty while still pruning the pair space.
+  *  - Exact dedup is a single hash-aggregate shuffle on the text.
+  *  - Shingles are 64-bit FNV-1a hashes computed once per doc in a
+  *    primitive-array kernel (mapPartitions) — docs leave the scan as
+  *    one narrow (doc_id, n, sorted long[]) row, so every downstream
+  *    join/shuffle moves longs, never shingle strings. Collisions
+  *    (~n²/2⁶⁵) are the only deviation from string-set semantics.
+  *  - All-pairs Jaccard joins docs on shared shingle hash — quadratic
+  *    in per-shingle doc frequency; it is the small-data oracle path.
+  *  - The scale path is MinHash+LSH: 64 min-hashes from integer mixing
+  *    (map-only), band join shuffles only (band, bandHash) keys, and
+  *    every candidate is verified with the exact sorted-merge Jaccard,
+  *    so false positives cost compute, never correctness. Band width
+  *    r=2 × 32 bands ⇒ P(miss) at j≥0.6 is (1−0.6²)³²≈6e−7.
   */
 object Dedup {
   /** Exact duplicate groups by full text equality (hash-groupBy).
@@ -30,30 +35,67 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text")).as("text_md5"), col("keeper_id"), col("n_copies"))
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingles array). */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
-    val t = split(col("text"), " ")
-    Tables.documents(s, d)
-      .select(col("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("s"))
+  case class DocShingles(doc_id: Long, n: Int, sh: Array[Long])
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime  = 0x100000001b3L
+
+  /** Distinct word-3-gram shingles per doc as sorted 64-bit FNV-1a
+    * hashes; docs with <3 tokens are dropped (mirrors the reference
+    * corpus predicates and the DuckDB oracle's len(t)>=3). */
+  def shingleHashes(s: SparkSession, d: String): Dataset[DocShingles] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < 3) Iterator.empty
+        else {
+          val m = toks.length - 2
+          val hs = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            var h = FnvOffset
+            var j = i
+            while (j < i + 3) {
+              val t = toks(j)
+              var k = 0
+              while (k < t.length) { h ^= t.charAt(k); h *= FnvPrime; k += 1 }
+              h ^= ' '; h *= FnvPrime // token separator
+              j += 1
+            }
+            hs(i) = h
+            i += 1
+          }
+          java.util.Arrays.sort(hs)
+          var w = 0; var r = 0
+          while (r < m) { if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }; r += 1 }
+          Iterator.single(DocShingles(id, w, java.util.Arrays.copyOf(hs, w)))
+        }
+      })
+  }
+
+  /** Intersection size of two sorted long arrays (linear merge). */
+  private def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1 else j += 1
+    }
+    c
   }
 
   /** Exact n-gram Jaccard near-dup pairs: docs sharing ≥1 shingle,
     * J = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Integer-ratio math ⇒
     * bit-exact vs the SQL oracle. The shared-shingle join is the
-    * blocking step — disjoint docs never meet. */
+    * blocking step — disjoint docs never meet — and carries only
+    * (long, long, int) rows through the shuffle. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
-    val e = shingled(s, d)
-      .select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("sh"))
-    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
-    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh"))
-    a.join(b, Seq("sh"))
+    val e = shingleHashes(s, d).toDF()
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("shh"))
+    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shh"))
+    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shh"))
+    a.join(b, Seq("shh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
@@ -66,47 +108,68 @@ object Dedup {
   val MinhashK = 64   // signature length
   val BandR    = 2    // rows per band -> 32 bands
 
-  /** MinHash signatures: k independent min-hashes per doc. Each hash_i
-    * is xxhash64 seeded by the function index — map-side only, one
-    * narrow (doc_id, 64×long) row per doc regardless of doc length. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val e = shingled(s, d)
-      .select(col("doc_id"), col("s"), size(col("s")).as("n"))
-    val sigCols = (0 until MinhashK).map { i =>
-      array_min(transform(col("s"), sh => xxhash64(lit(i), sh))).as(s"h$i")
-    }
-    e.select(col("doc_id") +: col("n").as("n_shingles") +: sigCols: _*)
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. Candidates come
-    * from banded signature collisions (shuffle on band hash only); each
-    * candidate pair is then verified row-locally with the true shingle
-    * Jaccard, so false positives cost compute, never correctness. */
-  def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
-    val sig = minhashSignatures(s, d)
+  case class DocBand(doc_id: Long, band: Int, bh: Long)
+
+  /** LSH bucket keys: MinhashK integer-mixed min-hashes per doc,
+    * folded into MinhashK/BandR band hashes — all map-side, one
+    * (doc_id, band, bandHash) row per band per doc. */
+  def minhashBands(s: SparkSession, d: String): Dataset[DocBand] = {
+    import s.implicits._
     val nBands = MinhashK / BandR
-    val bandCols = (0 until nBands).map { bb =>
-      val parts = (0 until BandR).map(r => col(s"h${bb * BandR + r}"))
-      struct(lit(bb).as("band"), xxhash64(parts: _*).as("bh"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    shingleHashes(s, d).mapPartitions(_.flatMap { ds =>
+      val sig = Array.fill(MinhashK)(Long.MaxValue)
+      var i = 0
+      while (i < ds.sh.length) {
+        val h = ds.sh(i)
+        var f = 0
+        while (f < MinhashK) {
+          val v = mix64(h ^ (f * 0xd6e8feb86659fd93L))
+          if (v < sig(f)) sig(f) = v
+          f += 1
+        }
+        i += 1
+      }
+      (0 until nBands).iterator.map { bb =>
+        var bh = FnvOffset
+        var r = 0
+        while (r < BandR) { bh = mix64(bh ^ sig(bb * BandR + r)); r += 1 }
+        DocBand(ds.doc_id, bb, bh)
+      }
+    })
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. Candidates
+    * come from banded signature collisions (shuffle on band hash only);
+    * each candidate pair is then verified with the true shingle
+    * Jaccard via sorted-array merge. */
+  def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
+    import s.implicits._
+    val buckets = minhashBands(s, d).toDF()
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(s, d)
-    val withSets = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-    withSets
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("common") / (size(col("sa")) + size(col("sb")) - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sh = shingleHashes(s, d).toDF()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.flatMap { case (da, db, sa, sb) =>
+        val common = intersectSize(sa, sb)
+        val j = common.toDouble / (sa.length + sb.length - common).toDouble
+        if (j >= threshold) Iterator.single((da, db, j)) else Iterator.empty
+      })
+      .toDF("doc_a", "doc_b", "jaccard")
   }
 
   /** 64-bit SimHash per doc: token hashes vote per bit position,

@@ -32,16 +32,49 @@ object Similarity {
     graft.Tables.embeddings(s, d)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
 
+  /** Left-to-right primitive dot product — the same IEEE summation
+    * order as [[dot]]/the DuckDB oracle's list_sum, so results are
+    * bit-identical; a tight double[] loop instead of per-element boxed
+    * HigherOrderFunction evaluation (HOFs don't codegen). */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
+
+  /** Collect + broadcast one side as primitive arrays (norms
+    * precomputed) — the build side of a broadcast nested-loop join,
+    * viable whenever that side fits an executor (queries always;
+    * the corpus for the exact-all-pairs baseline only). */
+  private def broadcastVecs(s: SparkSession, df: DataFrame) = {
+    val arr = df.collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      (r.getLong(0), v, normArr(v))
+    }.sortBy(_._1)
+    s.sparkContext.broadcast(arr)
+  }
+
   /** Brute-force cosine top-k: query vectors vec_id < nQueries against
-    * the full corpus. The query side is tiny → broadcast, so the scan
-    * of the corpus is the only distributed pass (no shuffle). */
+    * the full corpus. Queries are broadcast; each corpus partition
+    * streams once through a primitive-array kernel keeping a per-query
+    * top-k heap — one distributed pass, no shuffle until the final
+    * k·|Q| merge. */
   def cosineTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val corpus  = vectors(s, d)
-    val queries = vectors(s, d).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+    import s.implicits._
+    val bc = broadcastVecs(s, vectors(s, d).filter(col("vec_id") < nQueries))
+    val scored = vectors(s, d)
+      .select(col("vec_id").as("_1"), col("v").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, v) =>
+          val n = normArr(v)
+          qs.iterator.filter(_._1 != id).map { case (qid, qv, qn) =>
+            (qid, id, dotArr(qv, v) / (qn * n))
+          }
+        }
+      }.toDF("query_id", "vec_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -51,18 +84,41 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Quadratic baseline (the oracle path); LSH below is the scale path. */
+    * Quadratic baseline (the oracle path) — corpus broadcast once,
+    * each partition scans its rows against the higher-id half. At a
+    * scale where the corpus no longer broadcasts, [[lshBuckets]]-style
+    * blocking + this kernel on candidates is the path. */
   def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame = {
-    val a = vectors(s, d).select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = vectors(s, d).select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= threshold)
+    import s.implicits._
+    val bc = broadcastVecs(s, vectors(s, d))
+    vectors(s, d)
+      .select(col("vec_id").as("_1"), col("v").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (id, v) =>
+          val n = normArr(v)
+          // all is vec_id-sorted: binary-search the strict upper half
+          var lo = 0; var hi = all.length
+          while (lo < hi) { val m = (lo + hi) >>> 1
+            if (all(m)._1 <= id) lo = m + 1 else hi = m }
+          all.iterator.drop(lo).map { case (bId, bV, bN) =>
+            (id, bId, dotArr(v, bV) / (n * bN))
+          }.filter(_._3 >= threshold)
+        }
+      }.toDF("vec_a", "vec_b", "cos")
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
-  val LshTables = 8
-  val LshBits   = 12
+  /** Hyperplane-LSH shape. Tuned for this corpus's similarity profile:
+    * true neighbors sit at cos≈0.3–0.4 (θ≈68°, per-bit agreement
+    * p=1−θ/π≈0.62), so recall per table is p^bits and overall
+    * 1−(1−p^b)^T ⇒ b=6, T=24 gives ≈0.75 recall while a random pair
+    * (p=0.5) collides in ≈30% of probes. At larger corpus scale raise
+    * bits with log₂|corpus| (buckets must stay small) and add
+    * multiprobe to recover the recall the extra bits cost. */
+  val LshTables = 24
+  val LshBits   = 6
   val Dim       = 64
 
   /** Deterministic random hyperplanes (seeded), built driver-side as
@@ -75,19 +131,28 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket ids: for each table, a LshBits-bit
-    * signature of sign(v·h). Map-only per vector. */
+    * signature of sign(v·h). Map-only per vector — the LshTables×LshBits
+    * dot products run in one primitive-array kernel pass. */
   def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val buckets = (0 until LshTables).map { t =>
-      val bits = (0 until LshBits).map { i =>
-        val h = lit(hyperplanes(t)(i))
-        when(dot(col("v"), h) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }
-    vectors(s, d).select(col("vec_id"), col("v"),
-      explode(array(buckets: _*)).as("b"))
-      .select(col("vec_id"), col("v"),
-        col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    import s.implicits._
+    val planes = s.sparkContext.broadcast(hyperplanes)
+    vectors(s, d)
+      .select(col("vec_id").as("_1"), col("v").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val hp = planes.value
+        it.flatMap { case (id, v) =>
+          (0 until LshTables).iterator.map { t =>
+            var bucket = 0L
+            var i = 0
+            while (i < LshBits) {
+              if (dotArr(v, hp(t)(i)) >= 0) bucket |= (1L << i)
+              i += 1
+            }
+            (id, v, t, bucket)
+          }
+        }
+      }.toDF("vec_id", "v", "tbl", "bucket")
   }
 
   /** ANN top-k via LSH: candidates = corpus vectors sharing any bucket

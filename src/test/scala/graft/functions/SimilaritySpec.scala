@@ -25,8 +25,9 @@ class SimilaritySpec extends SparkSpec {
     // every ANN hit must be a real neighbor ranked by true cosine;
     // recall is probabilistic — just require it's nonzero and report.
     val hits = ann.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
-    info(s"LSH recall@5 = ${hits.toDouble / brute.size}")
-    assert(hits > 0)
+    val recall = hits.toDouble / brute.size
+    info(s"LSH recall@5 = $recall")
+    assert(recall >= 0.4, s"LSH recall@5 degraded to $recall")
   }
 
   test("cosine column agrees with a driver-side dot product") {
