@@ -35,6 +35,9 @@ object SparkEntry {
     "a7_pivot"           -> CoreOps.a7Pivot _,
     "a8_count_distinct"  -> CoreOps.a8CountDistinct _,
     "a9_rollup"          -> CoreOps.a9Rollup _,
+    "a10_median"         -> CoreOps.a10Median _,
+    "x13_date_parse"     -> CoreOps.x13DateParse _,
+    "x14_vector_expr"    -> CoreOps.x14VectorExpr _,
     "t1_topk"            -> CoreOps.t1TopK _,
     "t2_top1"            -> CoreOps.t2Top1 _,
     "t3_sort_asc"        -> CoreOps.t3SortAsc _,
@@ -206,6 +209,23 @@ object SparkEntry {
          |          ROWS UNBOUNDED PRECEDING) AS run_dec
          |      FROM orders
          |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""".stripMargin,
+    "a10_median" ->
+      """SELECT o_orderpriority, median(o_totalprice) AS median_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "x13_date_parse" ->
+      """SELECT o_orderkey,
+        |  CAST(strptime(strftime(o_orderdate, '%m-%Y'), '%m-%Y') AS DATE) AS month_start,
+        |  CAST(year(strptime(strftime(o_orderdate, '%m-%Y'), '%m-%Y')) AS INTEGER) AS m_year,
+        |  CAST(month(strptime(strftime(o_orderdate, '%m-%Y'), '%m-%Y')) AS INTEGER) AS m_month
+        |FROM orders""".stripMargin,
+    "x14_vector_expr" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 50)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(v, x -> x*x)), 6) AS self_dot,
+        |  round(sqrt(list_sum(list_transform(v, x -> x*x))), 6) AS l2_norm
+        |FROM v""".stripMargin,
     "s1_csv_roundtrip" ->
       s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,

@@ -170,7 +170,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand.select(col("query_id"), col("vec_id"),
-      cosine(col("qv"), col("v")).as("cos"))
+      VectorExpressions.vecCosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"),

@@ -263,6 +263,41 @@ object CoreOps {
         col("p_size").cast(StringType).as("size_str"),
         (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
 
+  // ---------------------------------------------------------------- A10 custom Aggregator
+  /** Exact median via a typed Aggregator UDAF — the declared custom-
+    * aggregation surface (SURVEY §2.8). */
+  def a10Median(s: SparkSession, d: String): DataFrame = {
+    val med = udaf(new graft.functions.Aggs.MedianAgg())
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(med(col("o_totalprice")).as("median_price"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  // ---------------------------------------------------------------- X13 string→date parse
+  /** Month-string → date parse (graphs.ipynb to_datetime('%m-%Y')):
+    * format out and parse back, so both directions are exercised. [X13] */
+  def x13DateParse(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        to_date(date_format(col("o_orderdate"), "MM-yyyy"), "MM-yyyy").as("month_start"))
+      .select(col("o_orderkey"), col("month_start"),
+        year(col("month_start")).as("m_year"),
+        month(col("month_start")).as("m_month"))
+
+  // ---------------------------------------------------------------- X14 native vector expr
+  /** Codegen'd native Catalyst expressions vec_dot/vec_norm over the
+    * embeddings table — the custom-Expression surface, oracle-checked
+    * against DuckDB list arithmetic. */
+  def x14VectorExpr(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExpressions.{vecDot, vecNorm}
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        round(vecDot(col("embedding"), col("embedding")), 6).as("self_dot"),
+        round(vecNorm(col("embedding")), 6).as("l2_norm"))
+  }
+
   // ---------------------------------------------------------------- S1+S5+S6 CSV roundtrip
   /** CSV sink + schema-typed CSV scan + re-ingest of own output — the
     * reference's textFile CSV reads (etherTransactionsAnalysis.py:45),

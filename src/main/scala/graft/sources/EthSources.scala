@@ -18,6 +18,20 @@ import org.apache.spark.sql.types._
   * positional indices again.
   */
 object EthSources {
+  /** S3A connector config (S3 endpoint/keys/path-style), the hadoopConf
+    * block every reference job repeats (e.g.
+    * etherTransactionsAnalysis.py:37-42). Local-FS paths skip this. */
+  def configureS3a(s: SparkSession, endpoint: String, accessKey: String,
+      secretKey: String, pathStyleAccess: Boolean = true,
+      sslEnabled: Boolean = false): Unit = {
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", endpoint)
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    hc.set("fs.s3a.path.style.access", pathStyleAccess.toString)
+    hc.set("fs.s3a.connection.ssl.enabled", sslEnabled.toString)
+  }
+
   /** Raw line → fields array with exact-arity filter (good_line's
     * `len(fields) != n` check). split limit -1 keeps trailing empty
     * fields, matching Python str.split(','). */
