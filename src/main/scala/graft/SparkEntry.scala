@@ -36,6 +36,7 @@ object SparkEntry {
     "a8_count_distinct"  -> CoreOps.a8CountDistinct _,
     "a9_rollup"          -> CoreOps.a9Rollup _,
     "a10_median"         -> CoreOps.a10Median _,
+    "a11_two_phase_distinct" -> CoreOps.a11TwoPhaseDistinct _,
     "x13_date_parse"     -> CoreOps.x13DateParse _,
     "x14_vector_expr"    -> CoreOps.x14VectorExpr _,
     "t1_topk"            -> CoreOps.t1TopK _,
@@ -47,6 +48,7 @@ object SparkEntry {
     "x12_explode_array"  -> CoreOps.x12ExplodeArray _,
     "x_scalar_suite"     -> CoreOps.xScalarSuite _,
     "s1_csv_roundtrip"   -> CoreOps.s1CsvRoundtrip _,
+    "eth_csv_pipeline"   -> graft.queries.EthParity.csvPipelineOverTestdata _,
     "s2_json_map_explode" -> CoreOps.s2JsonMapExplode _,
     "w1_window_rank"     -> CoreOps.w1WindowRank _,
     "w2_running_sum"     -> CoreOps.w2RunningSum _,
@@ -213,6 +215,9 @@ object SparkEntry {
       """SELECT o_orderpriority, median(o_totalprice) AS median_price,
         |       COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a11_two_phase_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
     "x13_date_parse" ->
       """SELECT o_orderkey,
         |  CAST(strptime(strftime(o_orderdate, '%m-%Y'), '%m-%Y') AS DATE) AS month_start,
@@ -231,6 +236,12 @@ object SparkEntry {
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
          |       MAX(l_shipdate) AS max_shipdate
          |FROM lineitem""".stripMargin,
+    "eth_csv_pipeline" ->
+      s"""SELECT strftime(o_orderdate, '%m-%Y') AS month,
+         |       COUNT(*) AS n_tx,
+         |       CAST(SUM($decTotal) AS DOUBLE) AS sum_value
+         |FROM orders WHERE o_orderkey % 1000 <> 0
+         |GROUP BY 1""".stripMargin,
     "s2_json_map_explode" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       SUM(user_id) AS sum_user, MAX(event_id) AS max_event

@@ -263,6 +263,19 @@ object CoreOps {
         col("p_size").cast(StringType).as("size_str"),
         (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
 
+  // ---------------------------------------------------------------- A11 two-phase distinct
+  /** Exact count-distinct as a two-phase aggregation: dedupe on
+    * (group, value) first, then count per group. Same result as
+    * countDistinct, but the first shuffle spreads a hot group across
+    * partitions by value — the skew-safe formulation when one group
+    * holds a large share of all rows (COUNT(DISTINCT) in one agg must
+    * route every row of a group through one task's hash set). [A11] */
+  def a11TwoPhaseDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+
   // ---------------------------------------------------------------- A10 custom Aggregator
   /** Exact median via a typed Aggregator UDAF — the declared custom-
     * aggregation surface (SURVEY §2.8). */

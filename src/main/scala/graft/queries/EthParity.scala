@@ -124,6 +124,36 @@ object EthParity {
   }
 
   // ---------------------------------------------------------- runners
+  // ------------------------------------------ oracle-gated CSV pipeline
+  /** End-to-end exercise of the reference's text-scan path at testdata
+    * volume: derive a transactions.csv deterministically from `orders`
+    * (1 in 1000 rows written malformed), run it through the validated
+    * EthSources reader + the monthly aggregation, and return decimal-
+    * exact sums — the DuckDB oracle recomputes the same result from
+    * the original parquet, so the whole generate→write→scan→good_line→
+    * aggregate cycle is hash-checked. */
+  def csvPipelineOverTestdata(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val out = sys.props("java.io.tmpdir") + "/graft_eth_csv_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val o = Tables.orders(s, d)
+    val line = concat_ws(",",
+      lit("h"), lit("0"), lit("bh"), lit("1"), lit("0"), lit("0xfrom"),
+      concat(lit("0xc"), (col("o_custkey") % 500).cast(StringType)),
+      col("o_totalprice").cast(StringType),
+      lit("21000"), lit("50"), lit("0xin"),
+      unix_timestamp(col("o_orderdate")).cast(StringType),
+      lit(""), lit(""), lit("0"))
+    o.select(when(col("o_orderkey") % 1000 === 0, lit("malformed,line"))
+        .otherwise(line).as("value"))
+      .write.mode("overwrite").text(out)
+    val tx = EthSources.transactions(s, out,
+      needValue = true, needTimestamp = true)
+    tx.groupBy(monthOf(col("block_timestamp"), "MM-yyyy").as("month"))
+      .agg(count(lit(1)).as("n_tx"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+  }
+
   /** CLI drivers mirroring the six spark-submit jobs: read from inDir
     * (transactions.csv / contracts.csv / blocks.csv / scams.json /
     * contractsTop10.csv), write golden-shape JSON into outDir. */

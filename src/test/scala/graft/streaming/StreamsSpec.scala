@@ -84,6 +84,34 @@ class StreamsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("file stream end-to-end: events dir -> tumbling agg -> parquet sink") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("fstream")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    // two micro-batches: one file appears, then another
+    val h = 3600000L
+    def rows(offset: Int) = (0 until 20).map { i =>
+      EventRow(offset + i.toLong,
+        new Timestamp(1700000000000L + (offset + i) * (h / 4)),
+        (i % 2).toLong, "click", 1.0)
+    }
+    rows(0).toDF().write.mode("append").parquet(in)
+    Streams.runTumblingToParquet(spark, in, out, ckpt)
+    rows(20).toDF().write.mode("append").parquet(in)
+    Streams.runTumblingToParquet(spark, in, out, ckpt) // resumes from checkpoint
+    val got = spark.read.parquet(out)
+    // append mode with watermark only emits windows the watermark has
+    // passed; at least the early windows must be present and correct
+    assert(got.count() > 0)
+    val batch = rows(0).concat(rows(20)).toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+    val joined = got.select(col("win_start"), col("n_events"))
+      .join(batch, Seq("win_start"))
+    assert(joined.filter(col("n_events") =!= col("n")).count() === 0)
+  }
+
   test("batch sessionize agrees with streaming session count per user") {
     // EventOps.sessionize over testdata: session boundaries respect the gap
     val sess = EventOps.sessionize(spark, sfDir)
