@@ -30,6 +30,8 @@ object SparkEntry {
     "j2_anti_join"       -> CoreOps.j2AntiJoin _,
     "j3_fact_dim_join"   -> CoreOps.j3FactDimJoin _,
     "j4_topk_rejoin"     -> CoreOps.j4TopkRejoin _,
+    "q3_multi_join"      -> CoreOps.q3ShippingPriority _,
+    "q5_star_join"       -> CoreOps.q5StarJoin _,
     "a5_global_agg"      -> CoreOps.a5GlobalAgg _,
     "a6_composite_agg"   -> CoreOps.a6CompositeAgg _,
     "a7_pivot"           -> CoreOps.a7Pivot _,
@@ -127,6 +129,30 @@ object SparkEntry {
          |       CAST(SUM($decTotal) AS DOUBLE) AS sum_price
          |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM top10)
          |GROUP BY 1""".stripMargin,
+    "q3_multi_join" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         |  CAST(rev_dec AS DOUBLE) AS revenue FROM (
+         |  SELECT o_orderkey, o_orderdate,
+         |         SUM($decPrice * $decDisc) AS rev_dec
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1995-03-15'
+         |    AND l_shipdate > TIMESTAMP '1995-03-15'
+         |  GROUP BY o_orderkey, o_orderdate
+         |  ORDER BY rev_dec DESC, o_orderkey ASC LIMIT 10)""".stripMargin,
+    "q5_star_join" ->
+      s"""SELECT n_name,
+         |  CAST(SUM($decPrice * $decDisc) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
     "a5_global_agg" ->
       s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price

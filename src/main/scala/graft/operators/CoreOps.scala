@@ -263,6 +263,56 @@ object CoreOps {
         col("p_size").cast(StringType).as("size_str"),
         (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
 
+  // ---------------------------------------------------------------- Q3 multi-join
+  /** TPC-H Q3-shaped 3-way join: segment-filtered customers ⋈ orders ⋈
+    * lineitem, revenue per order, top-10. Exercises join planning
+    * across two fact-sized shuffles — both dim filters reach the scans,
+    * AQE picks broadcast for the filtered customer side. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast(TimestampType)
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
+        .as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("rev_dec").cast(DoubleType).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- Q5 star join
+  /** TPC-H Q5-shaped 5-way star join: lineitem ⋈ orders ⋈ supplier ⋈
+    * nation ⋈ region with a region filter — the dims chain down to a
+    * few broadcast-able rows, so the only big shuffles are the two
+    * fact joins. */
+  def q5StarJoin(s: SparkSession, d: String): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, d).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // ---------------------------------------------------------------- A11 two-phase distinct
   /** Exact count-distinct as a two-phase aggregation: dedupe on
     * (group, value) first, then count per group. Same result as
