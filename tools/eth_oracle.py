@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Independent oracle for the six EthParity pipelines: re-implements the
+reference jobs' semantics (good_line filters, positional fields, UTC
+month buckets, top-k) in plain Python over a fixture dir, then compares
+each golden JSON the Scala CLI wrote. Doubles compare with rel tol.
+
+Usage: eth_oracle.py <inDir> <outDir>
+"""
+import json, math, sys, time
+from collections import defaultdict
+
+def good(fields, n, floats=(), prefix=(), nonempty=()):
+    if len(fields) != n: return False
+    for i in floats:
+        try: float(fields[i])
+        except Exception: return False
+    for i in prefix:
+        if not fields[i].startswith("0x"): return False
+    for i in nonempty:
+        if fields[i] == "": return False
+    return True
+
+def month(ts, fmt): return time.strftime(fmt, time.gmtime(float(ts)))
+
+def close(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+def cmp(name, got_path, expected, ordered=False):
+    got = json.load(open(got_path))
+    def norm(rows):
+        return [tuple(str(x) if isinstance(x, str) else float(x) for x in r)
+                for r in rows]
+    g, e = norm(got), norm(expected)
+    if not ordered:
+        g, e = sorted(g, key=str), sorted(e, key=str)
+    ok = len(g) == len(e) and all(
+        len(x) == len(y) and all(close(a, b) for a, b in zip(x, y))
+        for x, y in zip(g, e))
+    print(("PASS " if ok else "FAIL ") + f"{name}: {len(g)} rows")
+    if not ok:
+        print("  got:", g[:3], "\n  exp:", e[:3])
+    return ok
+
+def main(in_dir, out_dir):
+    txl = open(f"{in_dir}/transactions.csv").read().splitlines()
+    ctl = open(f"{in_dir}/contracts.csv").read().splitlines()
+    bll = open(f"{in_dir}/blocks.csv").read().splitlines()
+    ok = True
+
+    # job A
+    cnt, tot = defaultdict(int), defaultdict(float)
+    for l in txl:
+        f = l.split(",")
+        if good(f, 15, floats=(11, 7)):
+            m = month(f[11], "%m-%Y")
+            cnt[m] += 1; tot[m] += float(f[7])
+    ok &= cmp("count_", f"{out_dir}/count_.txt", [[k, v] for k, v in cnt.items()])
+    ok &= cmp("avg_", f"{out_dir}/avg_.txt",
+              [[k, tot[k] / cnt[k]] for k in cnt])
+
+    # job B
+    caddr = {l.split(",")[0] for l in ctl
+             if good(l.split(","), 6, prefix=(0,))}
+    recv = defaultdict(float)
+    for l in txl:
+        f = l.split(",")
+        if good(f, 15, floats=(7,), prefix=(6,)) and f[6] in caddr:
+            recv[f[6]] += float(f[7])
+    top10 = sorted(recv.items(), key=lambda x: -x[1])[:10]
+    ok &= cmp("contractTop10", f"{out_dir}/contractTop10.txt",
+              [[k, v] for k, v in top10], ordered=True)
+
+    # job C
+    size = defaultdict(float)
+    for l in bll:
+        f = l.split(",")
+        if good(f, 19, floats=(12,)):
+            size[f[9]] += float(f[12])
+    ok &= cmp("minerTop", f"{out_dir}/minerTop.txt",
+              [[k, v] for k, v in sorted(size.items(), key=lambda x: -x[1])[:10]],
+              ordered=True)
+
+    # job D
+    scams = json.load(open(f"{in_dir}/scams.json"))["result"]
+    # multimap: an address shared by several scams joins once PER scam,
+    # duplicating the transaction row — reference join semantics
+    addr2scam = defaultdict(list)
+    for v in scams.values():
+        for a in v["addresses"]:
+            addr2scam[a].append((v["id"], v["status"], v["category"]))
+    by_id, by_cat, by_mc = defaultdict(float), defaultdict(float), defaultdict(float)
+    for l in txl:
+        f = l.split(",")
+        if good(f, 15, floats=(7, 11)):
+            for sid, _, cat in addr2scam.get(f[6], ()):
+                v = float(f[7])
+                by_id[sid] += v; by_cat[cat] += v
+                by_mc[(month(f[11], "%m-%Y"), cat)] += v
+    ok &= cmp("lucrativeID", f"{out_dir}/lucrativeID.txt",
+              [list(max(by_id.items(), key=lambda x: x[1]))], ordered=True)
+    ok &= cmp("lucrativeCategory", f"{out_dir}/lucrativeCategory.txt",
+              [list(max(by_cat.items(), key=lambda x: x[1]))], ordered=True)
+    ok &= cmp("changeWithTime", f"{out_dir}/changeWithTime.txt",
+              [[m, c, v] for (m, c), v in by_mc.items()])
+
+    # job E
+    gp_s, gp_n = defaultdict(float), defaultdict(int)
+    gu_s, gu_n = defaultdict(float), defaultdict(int)
+    tc_s, tc_n = defaultdict(float), defaultdict(int)
+    caddr_all = {l.split(",")[0] for l in ctl if len(l.split(",")) == 6}
+    top_addr = {l.split(",")[1] for l in open(f"{in_dir}/contractsTop10.csv")
+                .read().splitlines() if len(l.split(",")) >= 2}
+    for l in txl:
+        f = l.split(",")
+        if good(f, 15, floats=(9, 11)):
+            m = month(f[11], "%m/%Y")
+            gp_s[m] += float(f[9]); gp_n[m] += 1
+            if f[6] in caddr_all:
+                gu_s[m] += float(f[8]); gu_n[m] += 1
+                if f[6] in top_addr:
+                    tc_s[m] += float(f[8]); tc_n[m] += 1
+    ok &= cmp("avg_gasprice", f"{out_dir}/avg_gasprice.txt",
+              [[m, gp_s[m] / gp_n[m]] for m in gp_s])
+    ok &= cmp("avg_gasused", f"{out_dir}/avg_gasused.txt",
+              [[m, gu_s[m] / gu_n[m]] for m in sorted(gu_s)], ordered=True)
+    ok &= cmp("contractWithGas", f"{out_dir}/contractWithGas.txt",
+              [[m, tc_s[m] / tc_n[m]] for m in tc_s])
+
+    # job F
+    bits = 0
+    for l in bll:
+        f = l.split(",")
+        if good(f, 19, floats=(12,), nonempty=(9,)):
+            try: int(f[0])
+            except Exception: continue
+            bits += sum(len(f[i]) - 2 for i in range(4, 9)) * 4
+    ok &= cmp("dataoverhead", f"{out_dir}/dataoverhead.txt", [[1, bits]])
+
+    print("== ALL PASS ==" if ok else "== FAILURES ==")
+    return 0 if ok else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
