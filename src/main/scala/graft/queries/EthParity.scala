@@ -191,8 +191,11 @@ object EthParity {
   }
 
   def runGasGuzzlers(s: SparkSession, inDir: String, outDir: String): Unit = {
+    // tx feeds both the gas-price agg and the contract join → persist
+    // (the reference re-scanned the CSV per lineage, SURVEY §4.2)
     val tx = EthSources.transactions(s, s"$inDir/transactions.csv",
       needGasPrice = true, needTimestamp = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val c = EthSources.contracts(s, s"$inDir/contracts.csv")
     val top10 = EthSources.contractsTop10(s, s"$inDir/contractsTop10.csv")
     val joined = contractTx(tx, c).persist(StorageLevel.MEMORY_AND_DISK)
@@ -200,6 +203,7 @@ object EthParity {
     Sinks.writeGoldenJson(avgGasUsed(joined).limit(100), s"$outDir/avg_gasused.txt")
     Sinks.writeGoldenJson(top10ContractGas(joined, top10), s"$outDir/contractWithGas.txt")
     joined.unpersist()
+    tx.unpersist()
   }
 
   def runDataOverhead(s: SparkSession, inDir: String, outDir: String): Unit =
@@ -208,7 +212,7 @@ object EthParity {
         needNumber = true, needMiner = true)),
       s"$outDir/dataoverhead.txt")
 
-  val jobs: Map[String, (SparkSession, String, String) => Unit] = Map(
+  val jobs: Seq[(String, (SparkSession, String, String) => Unit)] = Seq(
     "transactionsAnalysis" -> runTransactionsAnalysis _,
     "top10Contracts"       -> runTop10Contracts _,
     "topMiners"            -> runTopMiners _,
@@ -222,10 +226,21 @@ object EthParity {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle width = cores (32 local; a cluster submit overrides);
+      // 16 MB scan splits so a single few-hundred-MB CSV still fans
+      // out across all cores instead of 128 MB ÷ file = 3 map tasks
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val selected = if (job == "all") jobs else jobs.filter(_._1 == job)
-    require(selected.nonEmpty, s"unknown job $job; have ${jobs.keys.mkString(",")}")
-    selected.foreach { case (_, run) => run(spark, inDir, outDir) }
+    require(selected.nonEmpty, s"unknown job $job; have ${jobs.map(_._1).mkString(",")}")
+    selected.foreach { case (name, run) =>
+      val t0 = System.nanoTime()
+      run(spark, inDir, outDir)
+      println(f"[ethparity] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

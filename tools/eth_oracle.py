@@ -68,7 +68,7 @@ def main(in_dir, out_dir):
         f = l.split(",")
         if good(f, 15, floats=(7,), prefix=(6,)) and f[6] in caddr:
             recv[f[6]] += float(f[7])
-    top10 = sorted(recv.items(), key=lambda x: -x[1])[:10]
+    top10 = sorted(recv.items(), key=lambda x: (-x[1], x[0]))[:10]  # ties: key asc (engine's deterministic choice; reference takeOrdered is tie-unstable)
     ok &= cmp("contractTop10", f"{out_dir}/contractTop10.txt",
               [[k, v] for k, v in top10], ordered=True)
 
@@ -79,7 +79,7 @@ def main(in_dir, out_dir):
         if good(f, 19, floats=(12,)):
             size[f[9]] += float(f[12])
     ok &= cmp("minerTop", f"{out_dir}/minerTop.txt",
-              [[k, v] for k, v in sorted(size.items(), key=lambda x: -x[1])[:10]],
+              [[k, v] for k, v in sorted(size.items(), key=lambda x: (-x[1], x[0]))[:10]],
               ordered=True)
 
     # job D

@@ -11,7 +11,7 @@ Usage:
 """
 import json, os, random, sys
 
-def main(base):
+def main(base, scale=1):
     random.seed(7)
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir, exist_ok=True)
@@ -21,7 +21,7 @@ def main(base):
                 "from_address,to_address,value,gas,gas_price,input,"
                 "block_timestamp,max_fee_per_gas,max_priority_fee_per_gas,"
                 "transaction_type\n")
-        for i in range(5000):
+        for i in range(5000 * scale):
             to = f"0xc{i%40}" if i % 5 else f"plain{i%7}"
             f.write(f"h,0,bh,1,0,0xf,{to},{random.uniform(1,1e6):.2f},"
                     f"{21000+i%100},{50+i%20},0xin,{ts[i%3]},,,0\n")
@@ -30,7 +30,7 @@ def main(base):
         for i in range(30):
             f.write(f"0xc{i},0xcode,sig,true,false,{i}\n")
     with open(f"{in_dir}/blocks.csv", "w") as f:
-        for i in range(2000):
+        for i in range(2000 * scale):
             hexv = "0x" + "a" * (40 + i % 8)
             miner = f"0xm{i%15}" if i % 11 else ""
             f.write(f"{i},bh,ph,n,{hexv},{hexv},{hexv},{hexv},{hexv},"
@@ -49,4 +49,4 @@ def main(base):
     print(f"fixtures written to {in_dir}")
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 1)
