@@ -31,6 +31,7 @@ object SparkEntry {
     "j3_fact_dim_join"   -> CoreOps.j3FactDimJoin _,
     "j4_topk_rejoin"     -> CoreOps.j4TopkRejoin _,
     "q3_multi_join"      -> CoreOps.q3ShippingPriority _,
+    "p1_partition_pruning" -> CoreOps.p1PartitionPruning _,
     "q5_star_join"       -> CoreOps.q5StarJoin _,
     "a5_global_agg"      -> CoreOps.a5GlobalAgg _,
     "a6_composite_agg"   -> CoreOps.a6CompositeAgg _,
@@ -129,6 +130,11 @@ object SparkEntry {
          |       CAST(SUM($decTotal) AS DOUBLE) AS sum_price
          |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM top10)
          |GROUP BY 1""".stripMargin,
+    "p1_partition_pruning" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |       CAST(SUM($decTotal) AS DOUBLE) AS sum_price
+         |FROM orders WHERE year(o_orderdate) = 1995
+         |GROUP BY o_orderpriority""".stripMargin,
     "q3_multi_join" ->
       s"""SELECT o_orderkey, o_orderdate,
          |  CAST(rev_dec AS DOUBLE) AS revenue FROM (

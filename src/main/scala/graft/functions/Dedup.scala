@@ -173,19 +173,32 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: token hashes vote per bit position,
-    * weighted by occurrence. One explode + one hash-agg shuffle. */
+    * weighted by occurrence. A document's text lives in one row, so the
+    * whole vote runs map-side in a primitive kernel — no token explode,
+    * no shuffle at all (the earlier formulation shuffled every token
+    * through a 64-column hash aggregate). */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val votes = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val assembled = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("doc_id"), assembled.as("simhash"))
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val votes = new Array[Int](64)
+        text.split(" ", -1).foreach { t =>
+          var h = FnvOffset
+          var k = 0
+          while (k < t.length) { h ^= t.charAt(k); h *= FnvPrime; k += 1 }
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+        var sh = 0L
+        var i = 0
+        while (i < 64) { if (votes(i) > 0) sh |= (1L << i); i += 1 }
+        (id, sh)
+      })
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.

@@ -263,6 +263,28 @@ object CoreOps {
         col("p_size").cast(StringType).as("size_str"),
         (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
 
+  // ---------------------------------------------------------------- P1 partition pruning
+  /** Partition-pruned scan: orders written once as parquet partitioned
+    * by order year, then read with a year predicate — the plan's scan
+    * shows PartitionFilters and touches only the matching directories.
+    * At 100 TB this is the difference between scanning one year and
+    * scanning the decade; testdata ships unpartitioned, so the
+    * partitioned copy is materialized (idempotently) per sf dir. [P1] */
+  def p1PartitionPruning(s: SparkSession, d: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_part_orders_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("o_year") === 1995)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+  }
+
   // ---------------------------------------------------------------- Q3 multi-join
   /** TPC-H Q3-shaped 3-way join: segment-filtered customers ⋈ orders ⋈
     * lineitem, revenue per order, top-10. Exercises join planning
