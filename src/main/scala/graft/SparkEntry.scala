@@ -64,6 +64,7 @@ object SparkEntry {
     "text_quality"       -> TextOps.qualityScore _,
     "text_langid"        -> TextOps.langId _,
     "text_fingerprint"   -> TextOps.fingerprint _,
+    "text_term_stats"    -> ((s, d) => TextOps.termStats(s, d)),
     "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "sim_lsh_topk"       -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -316,6 +317,13 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_term_stats" ->
+      """SELECT token, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

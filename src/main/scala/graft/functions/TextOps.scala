@@ -59,6 +59,20 @@ object TextOps {
         when(col("en_score") >= 0.05, lit("en")).otherwise(lit("und")))
   }
 
+  /** Corpus term statistics: per-token total occurrences and document
+    * frequency, top-k by occurrence. The one genuinely shuffling text
+    * op — explode to (doc, token), then a single hash aggregate keyed
+    * by token (partial agg combines map-side, so the shuffle carries
+    * one row per distinct token per partition, not per occurrence). */
+  def termStats(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprint: md5 of whitespace-canonicalized text.
     * Deterministic and engine-portable (same md5 in DuckDB), unlike
     * JVM-specific hashes. */
