@@ -157,10 +157,25 @@ object Similarity {
 
   /** ANN top-k via LSH: candidates = corpus vectors sharing any bucket
     * with the query, then exact cosine on candidates only. Probabilistic
-    * recall (measured against brute force in the spec) — no SQL oracle. */
-  def lshTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    * recall (measured against brute force in the spec) — no SQL oracle.
+    *
+    * `multiprobe`: also probe every bucket within Hamming distance 1 of
+    * each query signature (LshBits extra probes per table). Lifts
+    * per-table hit probability from p^b to p^b + b·p^(b-1)(1−p) at the
+    * cost of proportionally more candidates — the standard recall/cost
+    * knob when raising table count is too expensive. */
+  def lshTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5,
+      multiprobe: Int = 0): DataFrame = {
     val all = lshBuckets(s, d)
-    val queries = all.filter(col("vec_id") < nQueries)
+    val queryBuckets = all.filter(col("vec_id") < nQueries)
+    val probed =
+      if (multiprobe <= 0) queryBuckets
+      else {
+        val flips = (0 until LshBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+        queryBuckets.select(col("vec_id"), col("v"), col("tbl"),
+          explode(array((col("bucket") +: flips): _*)).as("bucket"))
+      }
+    val queries = probed
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("tbl"), col("bucket"))
     val cand = all.join(broadcast(queries), Seq("tbl", "bucket"))

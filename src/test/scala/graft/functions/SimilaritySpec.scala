@@ -28,6 +28,12 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / brute.size
     info(s"LSH recall@5 = $recall")
     assert(recall >= 0.4, s"LSH recall@5 degraded to $recall")
+    val mp = Similarity.lshTopK(spark, sfDir, nQueries = 10, k = 5, multiprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    val mpRecall = mp.toDouble / brute.size
+    info(s"LSH multiprobe recall@5 = $mpRecall")
+    assert(mpRecall >= recall, "multiprobe should not lower recall")
+    assert(mpRecall >= 0.8, s"multiprobe recall@5 only $mpRecall")
   }
 
   test("cosine column agrees with a driver-side dot product") {
