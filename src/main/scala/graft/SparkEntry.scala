@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{CoreOps, EventOps}
-import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.{Dedup, Ivf, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,7 @@ object SparkEntry {
     "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "sim_lsh_topk"       -> ((s, d) => Similarity.lshTopK(s, d)),
+    "sim_ivf_topk"       -> ((s, d) => Ivf.ivfTopK(s, d)),
     "mm_decode"          -> Multimodal.decodeMeta _,
     "ev_window"          -> EventOps.tumblingWindow _,
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) ANN over the embeddings table — the coarse-
+  * quantization alternative to hyperplane LSH ([[Similarity.lshTopK]]).
+  *
+  * Structure mirrors a production IVF index on Spark:
+  *  - centroids from a few Lloyd iterations of distributed k-means —
+  *    each iteration is ONE corpus pass emitting per-partition partial
+  *    (sum, count) rows per centroid (a map-side-combined aggregate;
+  *    only nlist×dim doubles per partition cross the wire), centroids
+  *    finalized driver-side and re-broadcast;
+  *  - assignment is a map-only kernel pass;
+  *  - queries probe the nprobe nearest lists, exact cosine runs on
+  *    candidates only.
+  * Everything is deterministic: init = lowest-vec_id vectors, fixed
+  * iteration count, primitive left-to-right math.
+  */
+object Ivf {
+  private def vectors(s: SparkSession, d: String): Dataset[(Long, Array[Double])] = {
+    import s.implicits._
+    graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("_1"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("_2"))
+      .as[(Long, Array[Double])]
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val dd = sqDist(v, cents(c))
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic distributed k-means (init = nlist lowest vec_ids). */
+  def trainCentroids(s: SparkSession, d: String, nlist: Int = 16,
+      iters: Int = 2): Array[Array[Double]] = {
+    import s.implicits._
+    val ds = vectors(s, d)
+    var cents = ds.filter(_._1 < nlist).collect().sortBy(_._1).map(_._2)
+    require(cents.length == nlist, s"need vec_ids 0..${nlist - 1} for init")
+    val dim = cents(0).length
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val partials = ds.mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val c = nearest(v, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        (0 until cs.length).iterator
+          .filter(counts(_) > 0)
+          .map(c => (c, sums(c), counts(c)))
+      }.collect()
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      // combine partials in deterministic centroid-then-arrival order
+      partials.sortBy(_._1).foreach { case (c, sv, n) =>
+        counts(c) += n
+        var i = 0
+        while (i < dim) { sums(c)(i) += sv(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else { val m = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }
+          m }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Corpus assignment: (vec_id, cid, v) — map-only. */
+  def assign(s: SparkSession, d: String, cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    vectors(s, d)
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, nearest(v, cs), v) }
+      }.toDF("vec_id", "cid", "v")
+  }
+
+  /** ANN top-k: queries (vec_id < nQueries) probe their nprobe nearest
+    * lists; one corpus pass scores candidates whose list is probed by
+    * any query. */
+  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val cents = trainCentroids(s, d, nlist, iters)
+    val queries = vectors(s, d).filter(_._1 < nQueries).collect()
+      .map { case (qid, qv) =>
+        val probes = cents.indices
+          .sortBy(c => (sqDist(qv, cents(c)), c)).take(nprobe).toSet
+        (qid, qv, math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _)), probes)
+      }
+    val bcQ = s.sparkContext.broadcast(queries)
+    val bcC = s.sparkContext.broadcast(cents)
+    val scored = vectors(s, d).mapPartitions { it =>
+      val qs = bcQ.value; val cs = bcC.value
+      it.flatMap { case (id, v) =>
+        val cid = nearest(v, cs)
+        var n = 0.0
+        var j = 0
+        while (j < v.length) { n += v(j) * v(j); j += 1 }
+        val nv = math.sqrt(n)
+        qs.iterator
+          .filter { case (qid, _, _, probes) => qid != id && probes.contains(cid) }
+          .map { case (qid, qv, qn, _) =>
+            var dot = 0.0; var i = 0
+            while (i < v.length) { dot += qv(i) * v(i); i += 1 }
+            (qid, id, dot / (qn * nv))
+          }
+      }
+    }.toDF("query_id", "vec_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+}

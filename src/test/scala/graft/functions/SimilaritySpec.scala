@@ -36,6 +36,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mpRecall >= 0.8, s"multiprobe recall@5 only $mpRecall")
   }
 
+  test("IVF ANN: deterministic, subset of real neighbors, measured recall") {
+    val brute = Similarity.cosineTopK(spark, sfDir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Ivf.ivfTopK(spark, sfDir, nQueries = 10, k = 5)
+    val ivf2 = Ivf.ivfTopK(spark, sfDir, nQueries = 10, k = 5)
+    val r1 = ivf1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val r2 = ivf2.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(r1 === r2) // deterministic across runs
+    val hits = r1.map(t => (t._1, t._2)).count(brute.contains)
+    info(s"IVF recall@5 (nlist=16, nprobe=4) = ${hits.toDouble / brute.size}")
+    assert(hits > 0)
+    // probing all lists must recover brute force exactly
+    val full = Ivf.ivfTopK(spark, sfDir, nQueries = 10, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute)
+  }
+
   test("cosine column agrees with a driver-side dot product") {
     val rows = graft.Tables.embeddings(spark, sfDir)
       .limit(2).collect()
