@@ -28,6 +28,8 @@ object SparkEntry {
     "j1_agg_join"        -> CoreOps.j1AggJoin _,
     "j2_semi_join"       -> CoreOps.j2SemiJoin _,
     "j2_anti_join"       -> CoreOps.j2AntiJoin _,
+    "j5_outer_join"      -> CoreOps.j5OuterJoin _,
+    "sql_scalar_subquery" -> CoreOps.sqlScalarSubquery _,
     "j3_fact_dim_join"   -> CoreOps.j3FactDimJoin _,
     "j4_topk_rejoin"     -> CoreOps.j4TopkRejoin _,
     "q3_multi_join"      -> CoreOps.q3ShippingPriority _,
@@ -132,6 +134,20 @@ object SparkEntry {
          |       CAST(SUM($decTotal) AS DOUBLE) AS sum_price
          |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM top10)
          |GROUP BY 1""".stripMargin,
+    "j5_outer_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       COUNT(l_orderkey) AS n_matched,
+        |       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+        |FROM orders LEFT OUTER JOIN
+        |     (SELECT l_orderkey, l_quantity FROM lineitem) li
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "sql_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg,
+        |       MIN(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
     "p1_partition_pruning" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |       CAST(SUM($decTotal) AS DOUBLE) AS sum_price

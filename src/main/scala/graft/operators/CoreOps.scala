@@ -263,6 +263,34 @@ object CoreOps {
         col("p_size").cast(StringType).as("size_str"),
         (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
 
+  // ---------------------------------------------------------------- J5 outer join
+  /** Left-outer join with null-aware aggregation: every order, its
+    * lineitem count (0 where unmatched — count(col) skips nulls) and
+    * a null-flag tally. Declared outer-join surface (SURVEY §2.3). */
+  def j5OuterJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("n_matched"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("n_unmatched"))
+
+  // ---------------------------------------------------------------- SQL string interface
+  /** The spark.sql(...) entry path: temp views + a scalar subquery
+    * (orders above the global average price). Shows SQL-string queries
+    * share the same Catalyst planning as the Column API. */
+  def sqlScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_above_avg,
+        |       MIN(o_orderkey) AS min_key
+        |FROM graft_orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM graft_orders)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- P1 partition pruning
   /** Partition-pruned scan: orders written once as parquet partitioned
     * by order year, then read with a year predicate — the plan's scan
