@@ -72,6 +72,7 @@ object SparkEntry {
     "sim_lsh_topk"       -> ((s, d) => Similarity.lshTopK(s, d)),
     "sim_ivf_topk"       -> ((s, d) => Ivf.ivfTopK(s, d)),
     "mm_decode"          -> Multimodal.decodeMeta _,
+    "mm_frame_sample"    -> Multimodal.frameSample _,
     "ev_window"          -> EventOps.tumblingWindow _,
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
   )
@@ -368,6 +369,15 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(f * 64 AS INTEGER) AS frame_off,
+        |  CAST(LEAST(64, n - f * 64) AS INTEGER) AS frame_len
+        |FROM (SELECT doc_id, n,
+        |        unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS f
+        |      FROM m)""".stripMargin,
     "ev_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |       COUNT(*) AS n_events,

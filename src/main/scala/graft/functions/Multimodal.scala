@@ -37,4 +37,27 @@ object Multimodal {
       .as[MediaIn]
     media.mapPartitions(_.map(fakeDecode)).toDF()
   }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int)
+
+  val FrameBytes = 64
+
+  /** Frame sampling: one media row fans out to ceil(len/FrameBytes)
+    * frame rows — the 1→N generator shape a video frame-sampler has.
+    * A real sampler would decode `payload` per window here; the stub
+    * emits the window geometry, keeping the fan-out plumbing (row
+    * explosion inside mapPartitions, no driver involvement) real. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val n = payload.length
+        val frames = (n + FrameBytes - 1) / FrameBytes
+        (0 until frames).iterator.map { i =>
+          Frame(id, i, i * FrameBytes, math.min(FrameBytes, n - i * FrameBytes))
+        }
+      }).toDF()
+  }
 }
