@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hot-key mitigation utilities (SURVEY §4.2: address-keyed joins on
+  * exchange hot-wallets are skew-prone). AQE's skew-join splitting
+  * handles the join side at runtime; these cover the aggregation and
+  * replicated-join patterns AQE doesn't:
+  *
+  *  - [[saltedAgg]]: two-phase aggregation for algebraic aggregates
+  *    whose per-key state is large or whose final-stage key is hot —
+  *    phase 1 aggregates (key, salt) so a hot key's rows spread over
+  *    `saltN` reducers; phase 2 merges the `saltN` partials per key.
+  *    (Plain sum/count already get map-side partial aggregation; the
+  *    salt matters for collect_list-like or high-cardinality-state
+  *    aggregates where one reducer would hold the whole hot key.)
+  *
+  *  - [[saltedJoin]]: fact⋈dim equi-join where the dim is small enough
+  *    to replicate `saltN`× but broadcast is off the table; each fact
+  *    row picks a random-but-deterministic salt, the dim is exploded
+  *    across all salts, and the join key becomes (key, salt) — a hot
+  *    key's rows land on `saltN` different reducers.
+  */
+object Skew {
+  /** Two-phase salted sum/count per key; equals the direct
+    * groupBy(key).agg(sum, count) for any saltN ≥ 1. */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+      saltN: Int = 16): DataFrame =
+    df.groupBy(key.as("k"), (pmod(hash(value, key), lit(saltN))).as("salt"))
+      .agg(sum(value).as("psum"), count(lit(1)).as("pcnt"))
+      .groupBy(col("k"))
+      .agg(sum(col("psum")).as("total"), sum(col("pcnt")).as("n"))
+
+  /** Salted equi-join: fact rows get salt = hash(row)%saltN, dim rows
+    * replicate across every salt; result equals the plain inner join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltN: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col): _*), lit(saltN)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltN - 1))))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("_salt") === saltedDim("_salt"))
+      .drop("_salt")
+  }
+}
