@@ -91,8 +91,11 @@ object Dedup {
     * blocking step — disjoint docs never meet — and carries only
     * (long, long, int) rows through the shuffle. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
-    val e = shingleHashes(s, d).toDF()
-      .select(col("doc_id"), col("n"), explode(col("sh")).as("shh"))
+    // both join sides come from this one frame; persist so the
+    // tokenize+hash kernel scans the corpus once, not per side
+    val sh = shingleHashes(s, d).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("shh"))
     val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shh"))
     val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shh"))
     a.join(b, Seq("shh"))
@@ -120,10 +123,15 @@ object Dedup {
   /** LSH bucket keys: MinhashK integer-mixed min-hashes per doc,
     * folded into MinhashK/BandR band hashes — all map-side, one
     * (doc_id, band, bandHash) row per band per doc. */
-  def minhashBands(s: SparkSession, d: String): Dataset[DocBand] = {
-    import s.implicits._
+  def minhashBands(s: SparkSession, d: String): Dataset[DocBand] =
+    minhashBandsOf(shingleHashes(s, d))
+
+  /** Band keys from an existing shingle frame (lets callers share one
+    * persisted corpus scan across banding and verification). */
+  def minhashBandsOf(shingles: Dataset[DocShingles]): Dataset[DocBand] = {
+    import shingles.sparkSession.implicits._
     val nBands = MinhashK / BandR
-    shingleHashes(s, d).mapPartitions(_.flatMap { ds =>
+    shingles.mapPartitions(_.flatMap { ds =>
       val sig = Array.fill(MinhashK)(Long.MaxValue)
       var i = 0
       while (i < ds.sh.length) {
@@ -151,14 +159,18 @@ object Dedup {
     * Jaccard via sorted-array merge. */
   def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
     import s.implicits._
-    val buckets = minhashBands(s, d).toDF()
+    // one persisted corpus scan feeds banding AND both verification
+    // joins — without it the tokenize+hash kernel would run 3×
+    val shingles = shingleHashes(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = minhashBandsOf(shingles).toDF()
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingleHashes(s, d).toDF()
+    val sh = shingles.toDF()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
@@ -202,14 +214,22 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
-    * Pigeonhole blocking: split the 64-bit hash into 4×16-bit blocks —
-    * any pair within Hamming 3 shares at least one exact block, so the
-    * block equi-join finds all of them without an all-pairs scan. */
+    * Pigeonhole blocking: split the 64-bit hash into maxHamming+1
+    * blocks — a pair differing in ≤ maxHamming bits must agree on at
+    * least one whole block, so the block equi-join finds every
+    * qualifying pair without an all-pairs scan (block count derives
+    * from maxHamming; a fixed split would silently lose pairs for
+    * larger distances). */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of range")
     val sh = simhash(s, d)
-    val blocks = (0 until 4).map { j =>
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(j => j * 64 / nBlocks) // even-ish split
+    val blocks = (0 until nBlocks).map { j =>
+      val lo = bounds(j); val width = bounds(j + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(j).as("blk"),
-        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bv"))
+        shiftright(col("simhash"), lo).bitwiseAND(mask).as("bv"))
     }
     val keyed = sh.select(col("doc_id"), col("simhash"),
       explode(array(blocks: _*)).as("b"))

@@ -166,7 +166,10 @@ object Similarity {
     * knob when raising table count is too expensive. */
   def lshTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5,
       multiprobe: Int = 0): DataFrame = {
+    // bucket pass feeds both the query side and the corpus side —
+    // persist so the hyperplane kernel scans the corpus once
     val all = lshBuckets(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryBuckets = all.filter(col("vec_id") < nQueries)
     val probed =
       if (multiprobe <= 0) queryBuckets

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,11 +20,27 @@ import org.apache.spark.sql.types._
   * list_sum, so results stay bit-identical to the oracle paths.
   */
 object VectorExpressions {
+  private def checkArrayDouble(name: String,
+      children: Seq[Expression]): TypeCheckResult = {
+    // match on element type only — containsNull varies by producer
+    val bad = children.find(c => c.dataType match {
+      case ArrayType(DoubleType, _) => false
+      case _ => true
+    })
+    bad match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<double> arguments, got ${c.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   /** Σᵢ aᵢ·bᵢ over two array<double> columns (length = min of the two). */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(left, right))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -60,6 +77,8 @@ object VectorExpressions {
       extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_norm"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayDouble(prettyName, Seq(child))
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

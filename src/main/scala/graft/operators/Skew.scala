@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
   /** Two-phase salted sum/count per key; equals the direct
-    * groupBy(key).agg(sum, count) for any saltN ≥ 1. */
+    * groupBy(key).agg(sum, count) for any saltN ≥ 1. The salt must be
+    * row-unique-ish, NOT value-derived — a hot key with a repeated
+    * value (the classic count-skew case) would otherwise land on one
+    * salt bucket and get no spread; monotonically_increasing_id is
+    * unique per row regardless of data. */
   def saltedAgg(df: DataFrame, key: Column, value: Column,
       saltN: Int = 16): DataFrame =
-    df.groupBy(key.as("k"), (pmod(hash(value, key), lit(saltN))).as("salt"))
+    df.groupBy(key.as("k"),
+        pmod(hash(monotonically_increasing_id()), lit(saltN)).as("salt"))
       .agg(sum(value).as("psum"), count(lit(1)).as("pcnt"))
       .groupBy(col("k"))
       .agg(sum(col("psum")).as("total"), sum(col("pcnt")).as("n"))

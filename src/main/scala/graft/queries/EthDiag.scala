@@ -9,11 +9,8 @@ import graft.sources.EthSources
 object EthDiag {
   def main(args: Array[String]): Unit = {
     val in = args(0)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.shuffle.partitions",
-        Runtime.getRuntime.availableProcessors.toString)
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = graft.GraftSession.builder()
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

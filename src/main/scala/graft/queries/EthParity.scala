@@ -223,14 +223,9 @@ object EthParity {
   /** spark-submit-style dispatcher: <job|all> <inDir> <outDir>. */
   def main(args: Array[String]): Unit = {
     val Array(job, inDir, outDir) = args
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.session.timeZone", "UTC")
-      // shuffle width = cores (32 local; a cluster submit overrides);
-      // 16 MB scan splits so a single few-hundred-MB CSV still fans
-      // out across all cores instead of 128 MB ÷ file = 3 map tasks
-      .config("spark.sql.shuffle.partitions",
-        Runtime.getRuntime.availableProcessors.toString)
+    // 16 MB scan splits: a single few-hundred-MB CSV still fans out
+    // across all cores instead of 128 MB ÷ file = 3 map tasks
+    val spark = graft.GraftSession.builder()
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
