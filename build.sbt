@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // bucketed-table writes (saveAsTable) land here, not in the repo cwd
+  "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
+  "-Dderby.system.home=/tmp/graft_derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -29,6 +29,7 @@ object SparkEntry {
     "j2_semi_join"       -> CoreOps.j2SemiJoin _,
     "j2_anti_join"       -> CoreOps.j2AntiJoin _,
     "j5_outer_join"      -> CoreOps.j5OuterJoin _,
+    "b1_bucketed_join"   -> CoreOps.b1BucketedJoin _,
     "sql_scalar_subquery" -> CoreOps.sqlScalarSubquery _,
     "j3_fact_dim_join"   -> CoreOps.j3FactDimJoin _,
     "j4_topk_rejoin"     -> CoreOps.j4TopkRejoin _,
@@ -135,6 +136,11 @@ object SparkEntry {
          |       CAST(SUM($decTotal) AS DOUBLE) AS sum_price
          |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM top10)
          |GROUP BY 1""".stripMargin,
+    "b1_bucketed_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  CAST(SUM($decPrice * $decDisc) AS DOUBLE) AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
     "j5_outer_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
         |       COUNT(l_orderkey) AS n_matched,

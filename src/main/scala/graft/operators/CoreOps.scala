@@ -263,6 +263,44 @@ object CoreOps {
         col("p_size").cast(StringType).as("size_str"),
         (dec(col("p_retailprice")) * lit(2).cast(Dec)).cast(DoubleType).as("price_x2"))
 
+  // ---------------------------------------------------------------- B1 bucketed join
+  /** Co-located (bucketed) fact⋈fact join: orders and lineitem written
+    * once bucketed+sorted by the join key into a local warehouse, then
+    * joined — both sides arrive pre-partitioned, so the plan has NO
+    * Exchange (verify with Explain: SortMergeJoin over two bucketed
+    * scans). At 100 TB this turns every repeated orderkey join from a
+    * full shuffle into a local merge. [B1] */
+  def b1BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+    val oTbl = s"graft_orders_b$suffix"
+    val lTbl = s"graft_lineitem_b$suffix"
+    if (!s.catalog.tableExists(oTbl)) {
+      // the in-memory catalog forgets tables across JVMs but their
+      // warehouse dirs persist — clear stale locations before CREATE
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      Seq(oTbl, lTbl).foreach { t =>
+        val p = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oTbl)
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lTbl)
+    }
+    s.table(oTbl)
+      .join(s.table(lTbl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(Dec) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+  }
+
   // ---------------------------------------------------------------- J5 outer join
   /** Left-outer join with null-aware aggregation: every order, its
     * lineitem count (0 where unmatched — count(col) skips nulls) and

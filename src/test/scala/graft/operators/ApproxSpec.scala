@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Sketch-based aggregates (declared built-in surface, SURVEY §2.4):
+  * approx_count_distinct's HLL++ must land within its rsd bound —
+  * at 100 TB it replaces exact distinct's full shuffle with a
+  * fixed-size mergeable sketch per partition. */
+class ApproxSpec extends SparkSpec {
+  test("approx_count_distinct within 5% of exact") {
+    val r = Tables.lineitem(spark, sfDir)
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile brackets the exact median") {
+    val r = Tables.orders(spark, sfDir)
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("ap"),
+        expr("median(o_totalprice)").as("ex"))
+      .collect().head
+    val ap = r.getDouble(0); val ex = r.getDouble(1)
+    assert(math.abs(ap - ex) / ex < 0.05, s"approx median $ap vs exact $ex")
+  }
+}
