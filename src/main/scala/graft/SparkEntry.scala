@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_corpus"       -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "text_tokens"        -> TextOps.tokenCount _,
     "text_quality"       -> TextOps.qualityScore _,
     "text_langid"        -> TextOps.langId _,
@@ -315,6 +316,34 @@ object SparkEntry {
     // Jaccard, and P(candidate miss at j>=0.6) = (1-0.6^2)^32 ~= 6e-7,
     // so its output equals the exact-Jaccard oracle.
     "dedup_minhash_lsh" -> jaccardOracle,
+    // LSH == exact-Jaccard pairs (verified candidates), so components
+    // over (jaccard ∪ exact-dup) edges are SQL-expressible recursively.
+    "dedup_corpus" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |                                     for i in range(1, len(t)-1)]) AS s
+        |       FROM toks WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh),
+        |jac AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6),
+        |exdup AS (
+        |  SELECT mn AS doc_a, b AS doc_b FROM (
+        |    SELECT MIN(doc_id) AS mn, unnest(list(doc_id)) AS b
+        |    FROM documents GROUP BY text) WHERE b > mn),
+        |p AS (SELECT * FROM jac UNION SELECT * FROM exdup),
+        |ed AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r(n, m) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM ed)
+        |  UNION
+        |  SELECT r.n, ed.t FROM r JOIN ed ON ed.s = r.m),
+        |comp AS (SELECT n AS doc_id, MIN(m) AS component FROM r GROUP BY n)
+        |SELECT d.doc_id,
+        |       (c.component IS NULL OR c.component = d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, lang,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -213,6 +213,59 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
+  /** Connected components over near-dup pairs by iterative label
+    * propagation: every doc starts labeled with its own id; each round
+    * joins labels across edges (both directions) and keeps the min —
+    * converges in O(component diameter) rounds, each one shuffle.
+    * Near-dup components are tiny (duplicate clusters), so this
+    * converges in 2-3 rounds; the iteration cap is a safety net. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.select(col("doc_id"), col("component"))
+        .union(viaEdges)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("doc_id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus dedup: exact + MinHash-LSH near-dup pairs →
+    * connected components → keep the min doc_id per component. Returns
+    * (doc_id, keep) for every document. */
+  def dedupCorpus(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
+    val nearDup = minhashLsh(s, d, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val exactDup = Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_a"), collect_list(col("doc_id")).as("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val comp = connectedComponents(nearDup.union(exactDup))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        (col("component").isNull || col("component") === col("doc_id")).as("keep"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Pigeonhole blocking: split the 64-bit hash into maxHamming+1
     * blocks — a pair differing in ≤ maxHamming bits must agree on at

@@ -46,6 +46,33 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact) // P(candidate miss at j>=0.6) ≈ 6e-7
   }
 
+  test("connected components: chain A-B, B-C, isolated D-E") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupCorpus keeps exactly one doc per duplicate cluster") {
+    val kept = Dedup.dedupCorpus(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // docs 0,1,2 identical -> keep only 0; docs 3,4 unique -> kept
+    assert(kept === Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> true, 4L -> true))
+  }
+
+  test("dedupCorpus at sf0.001: keepers ∪ dropped == corpus, near-dups resolved") {
+    val res = Dedup.dedupCorpus(spark, sfDir).cache()
+    assert(res.count() === Tables.documents(spark, sfDir).count())
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keep = res.collect().filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    // no near-dup pair survives with both members kept
+    assert(pairs.forall { case (a, b) => !(keep(a) && keep(b)) })
+    res.unpersist()
+  }
+
   test("SimHash pigeonhole blocking equals brute-force Hamming pairs") {
     val sh = Dedup.simhash(spark, sfDir).cache()
     val a = sh.select(col("doc_id").as("da"), col("simhash").as("ha"))
