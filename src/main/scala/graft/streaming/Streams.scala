@@ -64,6 +64,33 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * batch dim frame (re-read per batch if the dim's source updates —
+    * no state, no watermark needed; the dim broadcasts when small).
+    * The standard shape for enriching an event stream with reference
+    * data at scale. */
+  def enrichedByUser(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
+  /** Stream-stream join: views matched to clicks by the same user
+    * within [view, view+15min]. Both sides carry watermarks and the
+    * join condition bounds event time on both, so each side's buffered
+    * state is provably prunable — without the time bound the engine
+    * would have to keep every row forever. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    v.join(c,
+      v("user_id") === c("user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 15 MINUTES"))
+      .select(v("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   // ------------------------------------------------- custom state
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)

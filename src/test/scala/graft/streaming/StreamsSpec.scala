@@ -68,6 +68,44 @@ class StreamsSpec extends SparkSpec {
     assert(got === Set((7L, 2L), (7L, 1L)))
   }
 
+  test("stream-static join enriches events against a batch dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "gold"), (1L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[EventRow]
+    mem.addData(mkEvents) // user_ids 0,1,2 — user 2 has no dim row
+    val q = Streams.enrichedByUser(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched")
+      .groupBy("user_id", "tier").count()
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set((0L, Some("gold")), (1L, Some("silver")), (2L, None)))
+  }
+
+  test("stream-stream join matches clicks to views within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val views = MemoryStream[EventRow]
+    val clicks = MemoryStream[EventRow]
+    views.addData(Seq(
+      EventRow(100, new Timestamp(t0), 7, "view", 0),
+      EventRow(101, new Timestamp(t0), 8, "view", 0)))
+    clicks.addData(Seq(
+      EventRow(200, new Timestamp(t0 + 5 * 60000), 7, "click", 0),   // +5m: match
+      EventRow(201, new Timestamp(t0 + 20 * 60000), 7, "click", 0),  // +20m: outside bound
+      EventRow(202, new Timestamp(t0 + 60000), 9, "click", 0)))      // no view user
+    val q = Streams.viewClickJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("vc")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("vc").select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 200L)))
+  }
+
   test("mapGroupsWithState accumulates running per-user totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
