@@ -128,6 +128,43 @@ object Streams {
       }
   }
 
+  case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, sum_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState: events extend a
+    * per-user session; a gap larger than gapMs CLOSES the current
+    * session and emits it (0..n outputs per invocation — the shape
+    * mapGroupsWithState can't express). Batch-tested by feeding all
+    * events in one group; in production an event-time timeout would
+    * flush the final dangling session. */
+  def closedSessions(events: Dataset[EventRow],
+      gapMs: Long = 600000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            cur match {
+              case Some(st) if us - st.last_us <= gapMs * 1000 =>
+                cur = Some(SessionState(st.start_us, us, st.n + 1, st.sum + e.value))
+              case Some(st) =>
+                closed += ClosedSession(uid, st.start_us, st.last_us, st.n, st.sum)
+                cur = Some(SessionState(us, us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(us, us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** End-to-end runner: file stream in → tumbling agg → parquet sink
     * with checkpointing (exactly-once file output). */
   def runTumblingToParquet(s: SparkSession, inDir: String, outDir: String,

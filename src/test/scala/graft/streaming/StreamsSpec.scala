@@ -150,6 +150,28 @@ class StreamsSpec extends SparkSpec {
     assert(joined.filter(col("n_events") =!= col("n")).count() === 0)
   }
 
+  test("flatMapGroupsWithState closes sessions on gap and emits them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val rows = Seq(
+      EventRow(1, new Timestamp(t0), 7, "c", 1.0),
+      EventRow(2, new Timestamp(t0 + 300000), 7, "c", 2.0),   // +5m same session
+      EventRow(3, new Timestamp(t0 + 1200000), 7, "c", 3.0),  // +20m: closes first
+      EventRow(4, new Timestamp(t0 + 2400000), 7, "c", 4.0))  // +40m: closes second
+    val mem = MemoryStream[EventRow]
+    mem.addData(rows)
+    val q = Streams.closedSessions(mem.toDS())
+      .writeStream.format("memory").queryName("closed")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("closed")
+      .select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // sessions 1 (events 1,2) and 2 (event 3) closed; session 3 still open
+    assert(got === Set((7L, 2L, 3.0), (7L, 1L, 3.0)))
+  }
+
   test("batch sessionize agrees with streaming session count per user") {
     // EventOps.sessionize over testdata: session boundaries respect the gap
     val sess = EventOps.sessionize(spark, sfDir)
