@@ -319,17 +319,8 @@ object SparkEntry {
     // LSH == exact-Jaccard pairs (verified candidates), so components
     // over (jaccard ∪ exact-dup) edges are SQL-expressible recursively.
     "dedup_corpus" ->
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-        |                                     for i in range(1, len(t)-1)]) AS s
-        |       FROM toks WHERE len(t) >= 3),
-        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh),
-        |jac AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |  HAVING COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6),
+      s"""WITH RECURSIVE
+         |$shingleJaccardCte
         |exdup AS (
         |  SELECT mn AS doc_a, b AS doc_b FROM (
         |    SELECT MIN(doc_id) AS mn, unnest(list(doc_id)) AS b
@@ -442,18 +433,31 @@ object SparkEntry {
       |         (sqrt(list_sum(list_transform(qv, x -> x*x))) *
       |          sqrt(list_sum(list_transform(v, x -> x*x))))""".stripMargin
 
+  /** Shared 3-gram-shingle + Jaccard>=0.6 CTE block — the single
+    * definition backing dedup_jaccard, dedup_minhash_lsh, and
+    * dedup_corpus so the oracles can never drift apart. */
+  private val shingleJaccardCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+      |                                     for i in range(1, len(t)-1)]) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh),
+      |jac AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6),""".stripMargin
+
   /** Exact word-3-gram-shingle Jaccard >= 0.6 pairs (mirrors
     * Dedup.shingled + ngramJaccard). */
   private val jaccardOracle =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id,
-      |         list_distinct([array_to_string(t[i:i+2], ' ')
-      |                        for i in range(1, len(t)-1)]) AS s
-      |       FROM toks WHERE len(t) >= 3),
-      |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sh)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
-      |FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |GROUP BY a.doc_id, b.doc_id
-      |HAVING COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.6""".stripMargin
+    s"""WITH
+       |$shingleJaccardCte
+       |jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         COUNT(*) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
+       |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT jp.doc_a, jp.doc_b, jp.jaccard
+       |FROM jp JOIN jac ON jp.doc_a = jac.doc_a AND jp.doc_b = jac.doc_b""".stripMargin
 }

@@ -218,7 +218,10 @@ object Dedup {
     * joins labels across edges (both directions) and keeps the min —
     * converges in O(component diameter) rounds, each one shuffle.
     * Near-dup components are tiny (duplicate clusters), so this
-    * converges in 2-3 rounds; the iteration cap is a safety net. */
+    * converges in 2-3 rounds; the iteration cap is a safety net.
+    * The returned frame is persisted (its lineage spans every
+    * iteration) — callers owning a long-lived session should
+    * unpersist() it when done. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -274,21 +274,27 @@ object CoreOps {
     val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
     val oTbl = s"graft_orders_b$suffix"
     val lTbl = s"graft_lineitem_b$suffix"
-    if (!s.catalog.tableExists(oTbl)) {
-      // the in-memory catalog forgets tables across JVMs but their
-      // warehouse dirs persist — clear stale locations before CREATE
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      Seq(oTbl, lTbl).foreach { t =>
-        val p = java.nio.file.Paths.get(wh, t)
+    // per-table guard: a failure between the two writes must not leave
+    // a half-created pair that later calls skip over
+    def ensure(tbl: String)(write: => Unit): Unit =
+      if (!s.catalog.tableExists(tbl)) {
+        // the in-memory catalog forgets tables across JVMs but their
+        // warehouse dirs persist — clear the stale location first
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val p = java.nio.file.Paths.get(wh, tbl)
         if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
         }
+        write
       }
+    ensure(oTbl) {
       Tables.orders(s, d).write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oTbl)
+    }
+    ensure(lTbl) {
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lTbl)

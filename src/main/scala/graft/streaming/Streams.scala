@@ -66,11 +66,14 @@ object Streams {
 
   /** Stream-static enrichment join: each micro-batch joins against the
     * batch dim frame (re-read per batch if the dim's source updates —
-    * no state, no watermark needed; the dim broadcasts when small).
-    * The standard shape for enriching an event stream with reference
-    * data at scale. */
-  def enrichedByUser(events: DataFrame, userDim: DataFrame): DataFrame =
-    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+    * no state, no watermark needed). `broadcastDim = true` hints the
+    * dim broadcast (right for small reference data); pass false for a
+    * dim too big to broadcast and let Catalyst plan the join — a
+    * forced hint would OOM instead of falling back. */
+  def enrichedByUser(events: DataFrame, userDim: DataFrame,
+      broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(userDim) else userDim,
+      Seq("user_id"), "left_outer")
 
   /** Stream-stream join: views matched to clicks by the same user
     * within [view, view+15min]. Both sides carry watermarks and the
@@ -135,8 +138,12 @@ object Streams {
   /** Custom sessionization via flatMapGroupsWithState: events extend a
     * per-user session; a gap larger than gapMs CLOSES the current
     * session and emits it (0..n outputs per invocation — the shape
-    * mapGroupsWithState can't express). Batch-tested by feeding all
-    * events in one group; in production an event-time timeout would
+    * mapGroupsWithState can't express). Events are sorted within each
+    * invocation, and an event older than the session's last timestamp
+    * never moves it backwards (max-guard) — but true cross-batch
+    * late-data correctness needs the watermarked session_window path
+    * ([[sessionWindows]]); this exists for session logic that operator
+    * can't express. A production variant would add EventTimeTimeout to
     * flush the final dangling session. */
   def closedSessions(events: Dataset[EventRow],
       gapMs: Long = 600000L): Dataset[ClosedSession] = {
@@ -152,7 +159,8 @@ object Streams {
             val us = e.ts.getTime * 1000
             cur match {
               case Some(st) if us - st.last_us <= gapMs * 1000 =>
-                cur = Some(SessionState(st.start_us, us, st.n + 1, st.sum + e.value))
+                cur = Some(SessionState(st.start_us, math.max(st.last_us, us),
+                  st.n + 1, st.sum + e.value))
               case Some(st) =>
                 closed += ClosedSession(uid, st.start_us, st.last_us, st.n, st.sum)
                 cur = Some(SessionState(us, us, 1, e.value))

@@ -5,6 +5,7 @@ import graft.SparkSpec
 class BucketedJoinSpec extends SparkSpec {
   test("bucketed join needs no shuffle once broadcast is off the table") {
     // at tiny SF Catalyst rightly broadcasts; force the at-scale shape
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = CoreOps.b1BucketedJoin(spark, sfDir)
@@ -16,7 +17,7 @@ class BucketedJoinSpec extends SparkSpec {
       assert(!belowJoin.contains("Exchange"),
         s"bucketed join inputs were shuffled:\n$belowJoin")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
   }
 }

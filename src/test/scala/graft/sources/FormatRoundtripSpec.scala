@@ -8,16 +8,25 @@ import graft.{SparkSpec, Tables}
   * the same rows (CSV is covered by the oracle-gated s1_csv_roundtrip;
   * parquet by every table read). */
 class FormatRoundtripSpec extends SparkSpec {
+  private def deleteRecursively(dir: String): Unit = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
+  }
+
   private def roundtrip(fmt: String): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(s"rt_$fmt").toString
-    val src = Tables.supplier(spark, sfDir)
-    src.write.mode("overwrite").format(fmt).save(dir)
-    val back = spark.read.format(fmt)
-      .schema(src.schema) // json would otherwise infer; keep types fixed
-      .load(dir)
-    val a = src.orderBy("s_suppkey").collect().map(_.toSeq).toSeq
-    val b = back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq
-    assert(a === b, s"$fmt roundtrip changed rows")
+    try {
+      val src = Tables.supplier(spark, sfDir)
+      src.write.mode("overwrite").format(fmt).save(dir)
+      val back = spark.read.format(fmt)
+        .schema(src.schema) // json would otherwise infer; keep types fixed
+        .load(dir)
+      val a = src.orderBy("s_suppkey").collect().map(_.toSeq).toSeq
+      val b = back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq
+      assert(a === b, s"$fmt roundtrip changed rows")
+    } finally deleteRecursively(dir)
   }
 
   test("orc roundtrip preserves rows")  { roundtrip("orc") }
@@ -25,11 +34,13 @@ class FormatRoundtripSpec extends SparkSpec {
 
   test("json lines read back as text parse with from_json") {
     val dir = java.nio.file.Files.createTempDirectory("rt_jsontext").toString
-    Tables.region(spark, sfDir).write.mode("overwrite").json(dir)
-    val n = spark.read.text(dir)
-      .select(from_json(col("value"),
-        Tables.region(spark, sfDir).schema).as("r"))
-      .filter(col("r.r_regionkey").isNotNull).count()
-    assert(n === Tables.region(spark, sfDir).count())
+    try {
+      Tables.region(spark, sfDir).write.mode("overwrite").json(dir)
+      val n = spark.read.text(dir)
+        .select(from_json(col("value"),
+          Tables.region(spark, sfDir).schema).as("r"))
+        .filter(col("r.r_regionkey").isNotNull).count()
+      assert(n === Tables.region(spark, sfDir).count())
+    } finally deleteRecursively(dir)
   }
 }
