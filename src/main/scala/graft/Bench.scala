@@ -17,6 +17,10 @@ object Bench {
     SparkEntry.queries.get("a5_global_agg").foreach(_(spark, sfDir).count())
     // a failed query records -1, never a bogus elapsed time
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // queries that persist intermediates (dedup/LSH) must not leak
+      // cached blocks into later queries: a full storage pool evicts
+      // blocks mid-query and recompute cascades (round-1 dedup_corpus)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{CoreOps, EventOps}
-import graft.functions.{Dedup, Ivf, Multimodal, Similarity, TextOps}
+import graft.functions.{Dedup, Gates, Ivf, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,7 +62,7 @@ object SparkEntry {
     "dedup_exact"        -> Dedup.exact _,
     "dedup_jaccard"      -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
-    "dedup_simhash"      -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash"      -> ((s, d) => Gates.simhashGate(s, d)),
     "dedup_corpus"       -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "text_tokens"        -> TextOps.tokenCount _,
     "text_quality"       -> TextOps.qualityScore _,
@@ -70,9 +70,9 @@ object SparkEntry {
     "text_fingerprint"   -> TextOps.fingerprint _,
     "text_term_stats"    -> ((s, d) => TextOps.termStats(s, d)),
     "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
-    "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDup(s, d)),
-    "sim_lsh_topk"       -> ((s, d) => Similarity.lshTopK(s, d)),
-    "sim_ivf_topk"       -> ((s, d) => Ivf.ivfTopK(s, d)),
+    "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDupBlocked(s, d)),
+    "sim_lsh_topk"       -> ((s, d) => Gates.lshRecallGate(s, d)),
+    "sim_ivf_topk"       -> ((s, d) => Gates.ivfRecallGate(s, d)),
     "mm_decode"          -> Multimodal.decodeMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
     "ev_window"          -> EventOps.tumblingWindow _,
@@ -145,7 +145,7 @@ object SparkEntry {
     "j5_outer_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
         |       COUNT(l_orderkey) AS n_matched,
-        |       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+        |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
         |FROM orders LEFT OUTER JOIN
         |     (SELECT l_orderkey, l_quantity FROM lineitem) li
         |  ON o_orderkey = l_orderkey
@@ -233,7 +233,7 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "x9_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "x12_explode_array" ->
@@ -302,11 +302,21 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "s2_json_map_explode" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       SUM(user_id) AS sum_user, MAX(event_id) AS max_event
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(event_id) AS max_event
         |FROM events GROUP BY event_type""".stripMargin,
     // -------- training-data pipeline extensions --------
-    // (dedup_simhash and sim_lsh_topk are hash-seed-dependent → no SQL
-    //  oracle; driver records the weaker rows-only check for them.)
+    // Seed-dependent operators (SimHash pairs, LSH/IVF ANN) are gated
+    // through graft.functions.Gates: the Spark side computes the exact
+    // property (blocking completeness, full-probe==brute, recall floor)
+    // and returns constant-true booleans a literal oracle checks.
+    "dedup_simhash" ->
+      "SELECT CAST(1 AS BOOLEAN) AS blocking_complete",
+    "sim_lsh_topk" ->
+      """SELECT CAST(1 AS BOOLEAN) AS recall_ok,
+        |       CAST(1 AS BOOLEAN) AS rows_ok""".stripMargin,
+    "sim_ivf_topk" ->
+      """SELECT CAST(1 AS BOOLEAN) AS full_probe_exact,
+        |       CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies

@@ -158,11 +158,20 @@ object Dedup {
     * each candidate pair is then verified with the true shingle
     * Jaccard via sorted-array merge. */
   def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
-    import s.implicits._
     // one persisted corpus scan feeds banding AND both verification
-    // joins — without it the tokenize+hash kernel would run 3×
+    // joins — without it the tokenize+hash kernel would run 3×. The
+    // returned frame is lazy, so the persist outlives this call; a
+    // session running many queries should clearCache() between them
+    // (Bench does) or use minhashLshOf with a caller-owned persist.
     val shingles = shingleHashes(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshOf(shingles, threshold)
+  }
+
+  /** LSH near-dup pairs from a caller-provided (ideally persisted)
+    * shingle frame — lets the caller bound the cache lifetime. */
+  def minhashLshOf(shingles: Dataset[DocShingles], threshold: Double): DataFrame = {
+    import shingles.sparkSession.implicits._
     val buckets = minhashBandsOf(shingles).toDF()
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -239,6 +248,12 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize EVERY partition of next before unpersisting the
+      // previous generation — an early-exiting check (limit(1)) caches
+      // next only partially, and the uncached partitions then recompute
+      // through the whole unpersisted label lineage on later scans
+      // (observed as 3× run-to-run bench variance on dedup_corpus)
+      next.count()
       val changed = next.join(labels.withColumnRenamed("component", "old"),
         Seq("doc_id"))
         .filter(col("component") =!= col("old")).limit(1).count()
@@ -255,14 +270,24 @@ object Dedup {
     * connected components → keep the min doc_id per component. Returns
     * (doc_id, keep) for every document. */
   def dedupCorpus(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
-    val nearDup = minhashLsh(s, d, threshold)
+    // Own the shingle persist here so it can be released the moment the
+    // component labels are materialized — leaving it cached for the whole
+    // session fills the storage pool and, once blocks evict, every
+    // connected-components iteration re-runs the MinHash pipeline from
+    // the scan (the round-1 dedup_corpus 5 s → 52 s bench regression).
+    val shingles = shingleHashes(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearDup = minhashLshOf(shingles, threshold)
       .select(col("doc_a"), col("doc_b"))
     val exactDup = Tables.documents(s, d)
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_a"), collect_list(col("doc_id")).as("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+    // connectedComponents materializes its result (the convergence count
+    // scans the final labels), so upstream caches can be dropped now.
     val comp = connectedComponents(nearDup.union(exactDup))
+    shingles.unpersist()
     Tables.documents(s, d).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible correctness gates for the approximate / seed-dependent
+  * operators (SimHash pairs, LSH ANN, IVF ANN). Their raw outputs have
+  * no SQL oracle — DuckDB cannot re-derive hash-seeded buckets — so each
+  * gate instead computes, inside Spark, the property that MAKES the
+  * operator correct, and returns it as a 1-row boolean frame a trivial
+  * constant oracle can check:
+  *
+  *  - blocking/full-probe EXACTNESS: pigeonhole SimHash blocking must
+  *    equal brute-force Hamming pairs (a theorem, checked); IVF with
+  *    nprobe = nlist must equal brute-force top-k (ditto).
+  *  - RECALL floors: probabilistic ANN recall vs brute force, with
+  *    thresholds set from the corpus's measured similarity profile.
+  *
+  * Everything is declarative (anti-join emptiness + one cross join of
+  * 1-row aggregates), so a gate is a single Spark job, no driver-side
+  * set math. These double as the quality-gate pattern a production
+  * pipeline runs after re-tuning ANN parameters at a new data scale.
+  */
+object Gates {
+  /** (left ∆ right) is empty, as a Column-producing pair of anti joins:
+    * both directions must be empty for set equality. */
+  private def symDiffEmpty(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val lOnly = left.join(right, keys, "left_anti")
+      .agg(count(lit(1)).as("l_only"))
+    val rOnly = right.join(left, keys, "left_anti")
+      .agg(count(lit(1)).as("r_only"))
+    lOnly.crossJoin(rOnly)
+  }
+
+  /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs
+    * Hamming-distance pairs (exact set equality — the pigeonhole bound
+    * guarantees it; this checks the implementation, not the theorem). */
+  def simhashGate(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val sh = Dedup.simhash(s, d)
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val blocked = Dedup.simhashPairs(s, d, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    symDiffEmpty(blocked, brute, Seq("doc_a", "doc_b"))
+      .select((col("l_only") === 0 && col("r_only") === 0)
+        .as("blocking_complete"))
+  }
+
+  /** LSH ANN gate: multiprobe recall@k vs brute force ≥ floor, and the
+    * ANN result is well-formed (k rows per query). The floor is set
+    * below the measured recall (≈0.9+ with multiprobe=1 on this
+    * corpus profile) but high enough that a broken bucketing fails. */
+  def lshRecallGate(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5, floor: Double = 0.7): DataFrame = {
+    val brute = Similarity.cosineTopK(s, d, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = Similarity.lshTopK(s, d, nQueries, k, multiprobe = 1)
+      .select(col("query_id"), col("vec_id"))
+    val hits = ann.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val stats = brute.agg(count(lit(1)).as("total"))
+      .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+    hits.crossJoin(stats).select(
+      (col("hits") >= col("total") * floor).as("recall_ok"),
+      (col("n_ann") === nQueries.toLong * k).as("rows_ok"))
+  }
+
+  /** IVF ANN gate: probing every list must reproduce brute force
+    * EXACTLY (full scan through the index is lossless), and the
+    * configured partial probe keeps recall above the floor. */
+  def ivfRecallGate(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      floor: Double = 0.6): DataFrame = {
+    val brute = Similarity.cosineTopK(s, d, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val full = Ivf.ivfTopK(s, d, nQueries, k, nlist, nprobe = nlist)
+      .select(col("query_id"), col("vec_id"))
+    val part = Ivf.ivfTopK(s, d, nQueries, k, nlist, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val exact = symDiffEmpty(full, brute, Seq("query_id", "vec_id"))
+      .select((col("l_only") === 0 && col("r_only") === 0)
+        .as("full_probe_exact"))
+    val hits = part.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = brute.agg(count(lit(1)).as("total"))
+    exact.crossJoin(hits.crossJoin(tot)
+      .select((col("hits") >= col("total") * floor).as("recall_ok")))
+  }
+}

@@ -84,10 +84,11 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Quadratic baseline (the oracle path) — corpus broadcast once,
-    * each partition scans its rows against the higher-id half. At a
-    * scale where the corpus no longer broadcasts, [[lshBuckets]]-style
-    * blocking + this kernel on candidates is the path. */
+    * Quadratic BRUTE-FORCE baseline — corpus collected + broadcast,
+    * each partition scans its rows against the higher-id half. Only
+    * viable while the corpus fits the driver; kept as the spec's
+    * referee for [[embeddingNearDupBlocked]], which is the production
+    * entry (same exact output, no driver collect). */
   def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame = {
     import s.implicits._
     val bc = broadcastVecs(s, vectors(s, d))
@@ -107,6 +108,58 @@ object Similarity {
           }.filter(_._3 >= threshold)
         }
       }.toDF("vec_a", "vec_b", "cos")
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Threshold-complete near-dup pairs WITHOUT a driver collect or a
+    * full-corpus broadcast: block-partitioned all-pairs. Every vector
+    * is replicated to the `nBlocks` block-pairs its block belongs to,
+    * the self-join is co-partitioned on the block-pair id, and the
+    * codegen'd [[VectorExpressions.vecCosine]] filter streams through
+    * the join output — nothing quadratic is ever materialized.
+    *
+    * Why not LSH here: hyperplane LSH is probabilistic, and this
+    * corpus's qualifying pairs sit right at the threshold (cos
+    * 0.45–0.51, per-bit agreement p≈0.65) — at T=24/b=6 the expected
+    * miss count at sf0.01 is ≈2 of 14 pairs, which breaks the exact
+    * oracle. Enumerating EVERY pair above a cosine threshold is
+    * inherently Ω(candidate pairs); the right scale lever is the
+    * block-partitioned exact scan (shuffle = N·nBlocks rows, compute
+    * spread over nBlocks·(nBlocks+1)/2 co-partitioned tasks, one
+    * side of each task's block-pair buffered ≈ 2N/nBlocks rows).
+    * Approximate top-k — where misses are acceptable — is
+    * [[lshTopK]]/[[graft.functions.Ivf.ivfTopK]].
+    *
+    * At 100 TB: pick nBlocks ≈ corpus_bytes / executor_budget so one
+    * block fits an executor; replication grows as √tasks, compute is
+    * embarrassingly parallel. */
+  def embeddingNearDupBlocked(s: SparkSession, d: String,
+      threshold: Double = 0.45, nBlocks: Int = 8): DataFrame = {
+    // norm computed ONCE per vector (per replica row), never per pair —
+    // the O(N²) inner loop is a single codegen'd vec_dot + scalar math
+    val v = vectors(s, d)
+      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast(IntegerType))
+      .withColumn("nrm", VectorExpressions.vecNormD(col("v")))
+    // one row per (vector, block-pair containing its block): exactly
+    // nBlocks replicas per vector, each distinct pair met exactly once
+    val rep = v.select(col("vec_id"), col("v"), col("nrm"), col("blk"),
+      explode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        o => least(col("blk"), o) * nBlocks + greatest(col("blk"), o)))
+        .as("bp"))
+    val a = rep.select(col("bp"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"), col("blk").as("ba"))
+    val b = rep.select(col("bp"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("blk").as("bb"))
+    a.join(b, Seq("bp"))
+      .filter(col("vec_a") < col("vec_b") &&
+        // claim the pair in the block-pair that IS its block multiset,
+        // so (x,y) with blocks {p,p} counts once in (p,p), never in (p,q)
+        least(col("ba"), col("bb")) * nBlocks +
+          greatest(col("ba"), col("bb")) === col("bp"))
+      .select(col("vec_a"), col("vec_b"),
+        (VectorExpressions.vecDotD(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
@@ -142,6 +195,7 @@ object Similarity {
       .mapPartitions { it =>
         val hp = planes.value
         it.flatMap { case (id, v) =>
+          val nrm = normArr(v) // once per vector, reused by every probe
           (0 until LshTables).iterator.map { t =>
             var bucket = 0L
             var i = 0
@@ -149,10 +203,10 @@ object Similarity {
               if (dotArr(v, hp(t)(i)) >= 0) bucket |= (1L << i)
               i += 1
             }
-            (id, v, t, bucket)
+            (id, v, nrm, t, bucket)
           }
         }
-      }.toDF("vec_id", "v", "tbl", "bucket")
+      }.toDF("vec_id", "v", "nrm", "tbl", "bucket")
   }
 
   /** ANN top-k via LSH: candidates = corpus vectors sharing any bucket
@@ -175,20 +229,22 @@ object Similarity {
       if (multiprobe <= 0) queryBuckets
       else {
         val flips = (0 until LshBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-        queryBuckets.select(col("vec_id"), col("v"), col("tbl"),
+        queryBuckets.select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
           explode(array((col("bucket") +: flips): _*)).as("bucket"))
       }
     val queries = probed
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("tbl"), col("bucket"))
+        col("nrm").as("qn"), col("tbl"), col("bucket"))
     val cand = all.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id"), col("v"), col("nrm"))
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand.select(col("query_id"), col("vec_id"),
-      VectorExpressions.vecCosine(col("qv"), col("v")).as("cos"))
+      (VectorExpressions.vecDotD(col("qv"), col("v")) /
+        (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"),

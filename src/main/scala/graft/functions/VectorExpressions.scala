@@ -128,6 +128,20 @@ object VectorExpressions {
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
+  /** No-cast variants for columns that are ALREADY array<double>: the
+    * `arrD` elementwise cast is an interpreted HigherOrderFunction, so
+    * on a pairwise hot path (O(N²) evaluations) it dominates the
+    * codegen'd kernel it feeds. Callers guarantee the element type. */
+  def vecDotD(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
+
+  def vecNormD(a: Column): Column = {
+    register(SparkSession.active)
+    call_function("vec_norm", a)
+  }
+
   /** SQL registration: makes vec_dot/vec_norm usable from spark.sql
     * and the Column API. Inputs must be array<double> (the Column
     * wrappers cast elementwise). */

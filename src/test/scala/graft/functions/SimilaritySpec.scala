@@ -18,6 +18,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("blocked near-dup == brute-force near-dup, and never double-counts") {
+    // the brute-force broadcast kernel is the referee; the blocked
+    // variant must reproduce it exactly (it is exact, not approximate)
+    val brute = Similarity.embeddingNearDup(spark, sfDir, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "threshold 0.3 should yield pairs at this SF")
+    for (nb <- Seq(1, 3, 8)) {
+      val blocked = Similarity
+        .embeddingNearDupBlocked(spark, sfDir, threshold = 0.3, nBlocks = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(blocked.length === blocked.toSet.size,
+        s"nBlocks=$nb emitted a duplicate pair")
+      assert(blocked.toSet === brute, s"nBlocks=$nb diverged from brute force")
+    }
+  }
+
   test("LSH ANN returns a subset ranked consistently with brute force") {
     val brute = Similarity.cosineTopK(spark, sfDir, nQueries = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

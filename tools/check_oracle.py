@@ -60,6 +60,17 @@ def main():
             print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
             n_fail += 1
             continue
+        # Driver's compare hashes typed values, so a DuckDB HUGEINT SUM vs a
+        # Spark BIGINT mismatches even when the numbers are equal. Compare
+        # dtypes per column name so the local mirror catches that class.
+        gtypes = dict(zip(gcols, [str(t) for t in got.types]))
+        etypes = dict(zip(ecols, [str(t) for t in exp.types]))
+        tmis = {c: (gtypes[c], etypes[c]) for c in gtypes
+                if gtypes[c] != etypes[c]}
+        if tmis:
+            print(f"FAIL {name}: dtype mismatch {tmis}")
+            n_fail += 1
+            continue
         g, e = canon(grows, gcols), canon(erows, ecols)
         if g == e:
             print(f"PASS {name}: {len(g)} rows")
