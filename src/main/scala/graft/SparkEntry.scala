@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreOps, EventOps}
+import graft.operators.{CoreOps, EventOps, Skew}
 import graft.functions.{Dedup, Gates, Ivf, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,6 +30,7 @@ object SparkEntry {
     "j2_anti_join"       -> CoreOps.j2AntiJoin _,
     "j5_outer_join"      -> CoreOps.j5OuterJoin _,
     "b1_bucketed_join"   -> CoreOps.b1BucketedJoin _,
+    "skew_salted_join"   -> Skew.skewDemo _,
     "sql_scalar_subquery" -> CoreOps.sqlScalarSubquery _,
     "j3_fact_dim_join"   -> CoreOps.j3FactDimJoin _,
     "j4_topk_rejoin"     -> CoreOps.j4TopkRejoin _,
@@ -142,6 +143,16 @@ object SparkEntry {
          |  CAST(SUM($decPrice * $decDisc) AS DOUBLE) AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus""".stripMargin,
+    // the Spark side salts the hot key across 16 reducers; the oracle's
+    // plain join proves salting never changes the result
+    "skew_salted_join" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+        |                       ELSE l_orderkey END AS skew_key,
+        |                  l_quantity FROM lineitem),
+        |d AS (SELECT DISTINCT skew_key AS dim_key, skew_key % 7 AS grp FROM f)
+        |SELECT grp, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+        |FROM f JOIN d ON skew_key = dim_key
+        |GROUP BY grp""".stripMargin,
     "j5_outer_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
         |       COUNT(l_orderkey) AS n_matched,

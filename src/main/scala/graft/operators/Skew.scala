@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hot-key mitigation utilities (SURVEY §4.2: address-keyed joins on
@@ -36,6 +36,25 @@ object Skew {
       .agg(sum(value).as("psum"), count(lit(1)).as("pcnt"))
       .groupBy(col("k"))
       .agg(sum(col("psum")).as("total"), sum(col("pcnt")).as("n"))
+
+  /** Oracle-gated demonstration: a DELIBERATELY skewed join (75% of
+    * lineitem rows collapse onto one hot key) routed through
+    * [[saltedJoin]], then aggregated. The DuckDB oracle runs the plain
+    * unsalted join — passing proves the salt spread changes the
+    * physical distribution, never the result. This is the pattern for
+    * hot-wallet/hot-document keys where the dim replicates but the
+    * fact side must not hit a single reducer. */
+  def skewDemo(s: SparkSession, d: String): DataFrame = {
+    val fact = graft.Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 4 =!= 0, lit(0L))
+        .otherwise(col("l_orderkey")).as("skew_key"),
+      col("l_quantity"))
+    val dim = fact.select(col("skew_key").as("dim_key")).distinct()
+      .withColumn("grp", pmod(col("dim_key"), lit(7L)))
+    saltedJoin(fact, dim, "skew_key", "dim_key")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+  }
 
   /** Salted equi-join: fact rows get salt = hash(row)%saltN, dim rows
     * replicate across every salt; result equals the plain inner join. */

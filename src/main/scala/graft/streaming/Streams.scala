@@ -135,16 +135,42 @@ object Streams {
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, sum_value: Double)
 
+  /** One invocation's worth of session folding, shared by both
+    * sessionizers: events extend the prior session or close it when the
+    * gap is exceeded. Events are sorted within the invocation, and an
+    * event older than the session's last timestamp never moves it
+    * backwards (max-guard). Returns (still-open session, closed ones). */
+  private def foldSessions(uid: Long, rows: Iterator[EventRow],
+      prior: Option[SessionState], gapMs: Long)
+      : (Option[SessionState], Seq[ClosedSession]) = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = Seq.newBuilder[ClosedSession]
+    var cur = prior
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000
+      cur match {
+        case Some(st) if us - st.last_us <= gapMs * 1000 =>
+          cur = Some(SessionState(st.start_us, math.max(st.last_us, us),
+            st.n + 1, st.sum + e.value))
+        case Some(st) =>
+          closed += ClosedSession(uid, st.start_us, st.last_us, st.n, st.sum)
+          cur = Some(SessionState(us, us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(us, us, 1, e.value))
+      }
+    }
+    (cur, closed.result())
+  }
+
   /** Custom sessionization via flatMapGroupsWithState: events extend a
     * per-user session; a gap larger than gapMs CLOSES the current
     * session and emits it (0..n outputs per invocation — the shape
-    * mapGroupsWithState can't express). Events are sorted within each
-    * invocation, and an event older than the session's last timestamp
-    * never moves it backwards (max-guard) — but true cross-batch
-    * late-data correctness needs the watermarked session_window path
+    * mapGroupsWithState can't express). True cross-batch late-data
+    * correctness needs the watermarked session_window path
     * ([[sessionWindows]]); this exists for session logic that operator
-    * can't express. A production variant would add EventTimeTimeout to
-    * flush the final dangling session. */
+    * can't express. NoTimeout ⇒ the final open session per user is
+    * never emitted — use [[closedSessionsFlushed]] on watermarked
+    * streams where that matters (i.e. almost always in production). */
   def closedSessions(events: Dataset[EventRow],
       gapMs: Long = 600000L): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -152,24 +178,46 @@ object Streams {
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val closed = Seq.newBuilder[ClosedSession]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
-            cur match {
-              case Some(st) if us - st.last_us <= gapMs * 1000 =>
-                cur = Some(SessionState(st.start_us, math.max(st.last_us, us),
-                  st.n + 1, st.sum + e.value))
-              case Some(st) =>
-                closed += ClosedSession(uid, st.start_us, st.last_us, st.n, st.sum)
-                cur = Some(SessionState(us, us, 1, e.value))
-              case None =>
-                cur = Some(SessionState(us, us, 1, e.value))
-            }
-          }
+          val (cur, closed) = foldSessions(uid, rows, state.getOption, gapMs)
           cur.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
+      }
+  }
+
+  /** [[closedSessions]] + EventTimeTimeout: when the event-time
+    * watermark passes (session last event + gap), the session can never
+    * be extended again, so the timeout fires and emits it — the final
+    * dangling session per user is flushed instead of lost. Requires a
+    * watermark (applied here); state per user is one small row, pruned
+    * by its own timeout. */
+  def closedSessionsFlushed(events: Dataset[EventRow],
+      gapMs: Long = 600000L,
+      watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, st.start_us, st.last_us, st.n, st.sum))
+          } else {
+            val (cur, closed) = foldSessions(uid, rows, state.getOption, gapMs)
+            cur.foreach { st =>
+              state.update(st)
+              // fire once the watermark proves no extension is possible;
+              // clamp above the current watermark — a session already
+              // older than it (late data) must still get a future firing,
+              // setTimeoutTimestamp rejects past timestamps
+              state.setTimeoutTimestamp(
+                math.max(st.last_us / 1000 + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
       }
   }
 

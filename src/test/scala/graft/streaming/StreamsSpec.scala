@@ -172,6 +172,37 @@ class StreamsSpec extends SparkSpec {
     assert(got === Set((7L, 2L, 3.0), (7L, 1L, 3.0)))
   }
 
+  test("EventTimeTimeout flushes the final dangling session per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val mem = MemoryStream[EventRow]
+    mem.addData(Seq(
+      EventRow(1, new Timestamp(t0), 7, "c", 1.0),
+      EventRow(2, new Timestamp(t0 + 300000), 7, "c", 2.0),  // +5m same session
+      EventRow(3, new Timestamp(t0 + 1200000), 7, "c", 3.0))) // +20m: closes first
+    val q = Streams.closedSessionsFlushed(mem.toDS(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("flushed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past (last event + gap) with another
+      // user's event; the NEXT batch's timeout fires user 7's open
+      // session even though user 7 never sends another row
+      mem.addData(Seq(EventRow(9, new Timestamp(t0 + 7200000), 8, "c", 9.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(EventRow(10, new Timestamp(t0 + 7260000), 8, "c", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("flushed")
+      .select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // gap-closed session (events 1,2) AND the timeout-flushed dangler
+    // (event 3) — the NoTimeout variant loses the latter
+    assert(got.contains((7L, 2L, 3.0)), s"gap-closed session missing: $got")
+    assert(got.contains((7L, 1L, 3.0)), s"dangling session not flushed: $got")
+  }
+
   test("batch sessionize agrees with streaming session count per user") {
     // EventOps.sessionize over testdata: session boundaries respect the gap
     val sess = EventOps.sessionize(spark, sfDir)
