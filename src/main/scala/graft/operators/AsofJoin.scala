@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (time-travel) join: match each left row to the most recent
+  * right row with the same key and `rightTs <= leftTs`.
+  *
+  * Spark has no native ASOF JOIN (DuckDB/kdb/Flink do), and the naive
+  * formulation — inequality join + argmax — explodes into a per-key
+  * cross product before aggregating. The scale-safe shape used here is
+  * the union-and-scan trick: tag both sides, union them, and run ONE
+  * window over (key ORDER BY ts) carrying the last-seen right-side
+  * values forward with `last_value(ignoreNulls)`. That is a single
+  * shuffle on the key, no join, no state bigger than one row per
+  * right column — at 100 TB it is exactly one sort-shuffle of
+  * (|left|+|right|) rows, the minimum any as-of semantics needs.
+  *
+  * Tie rules (made deterministic so results are partition-order-free):
+  * a right row at ts == left ts IS visible (inclusive as-of), and among
+  * right rows sharing (key, ts) the one with the greatest `rightTie`
+  * wins — the sort is (ts, tag, tie) with right tagged 0 < left 1.
+  */
+object AsofJoin {
+  /** Generic as-of join. `rightCols` are carried from the matched right
+    * row (null where no right row precedes the left row). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag 0 = right (visible first at equal ts), 1 = left
+    val rTagged = right.select(
+      (col(key).as(key) +: col(rightTs).as("_asof_ts") +: lit(0).as("_tag") +:
+        col(rightTie).as("_tie") +:
+        rightCols.map(c => col(c).as(s"_r_$c")) ++:
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (col(key).as(key) +: col(leftTs).as("_asof_ts") +: lit(1).as("_tag") +:
+        lit(null).cast(right.schema(rightTie).dataType).as("_tie") +:
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++:
+        leftCols.filterNot(_ == key).map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_asof_ts").asc, col("_tag").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+      df.withColumn(s"_m_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_tag") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"_m_$c").as(c)): _*)
+  }
+
+  /** Demo query [ASOF]: attribute each purchase event to the user's
+    * most recent click at-or-before it. Clicks sharing (user, ts) are
+    * resolved to the max event_id; purchases with no prior click keep
+    * null click columns (left-asof semantics). Oracle: DuckDB's native
+    * `ASOF LEFT JOIN` over the same frames. */
+  def purchaseAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    asofJoin(purchases, clicks,
+      key = "user_id", leftTs = "ts", rightTs = "click_ts",
+      rightTie = "click_id", rightCols = Seq("click_id", "click_ts"))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("click_ts")))
+  }
+}
