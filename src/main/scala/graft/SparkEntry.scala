@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreOps, EventOps, Skew}
+import graft.operators.{AsofJoin, CoreOps, EventOps, Skew}
 import graft.functions.{Dedup, Gates, Ivf, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,6 +78,7 @@ object SparkEntry {
     "mm_frame_sample"    -> Multimodal.frameSample _,
     "ev_window"          -> EventOps.tumblingWindow _,
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
+    "asof_purchase_attribution" -> AsofJoin.purchaseAttribution _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -430,6 +431,21 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN takes the latest right row with
+    // ts <= left ts; the engine resolves (user, ts) click ties to the
+    // max event_id, so the oracle dedupes clicks the same way first.
+    // Micros BIGINTs on both sides sidestep timestamp-precision hashing.
+    "asof_purchase_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us,
+        |       p.purchase_us - c.click_us AS gap_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
     "ev_session" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

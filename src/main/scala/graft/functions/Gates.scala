@@ -56,8 +56,12 @@ object Gates {
     * corpus profile) but high enough that a broken bucketing fails. */
   def lshRecallGate(s: SparkSession, d: String, nQueries: Int = 20,
       k: Int = 5, floor: Double = 0.7): DataFrame = {
+    // brute force is the most expensive exact scan in the gate and is
+    // referenced by several plan subtrees below — persist so the corpus
+    // is scanned once, not once per subtree (nQueries×k rows cached)
     val brute = Similarity.cosineTopK(s, d, nQueries, k)
       .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ann = Similarity.lshTopK(s, d, nQueries, k, multiprobe = 1)
       .select(col("query_id"), col("vec_id"))
     val hits = ann.join(brute, Seq("query_id", "vec_id"), "left_semi")
@@ -75,11 +79,18 @@ object Gates {
   def ivfRecallGate(s: SparkSession, d: String, nQueries: Int = 20,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       floor: Double = 0.6): DataFrame = {
+    // one index serves both probe settings — ivfTopK would otherwise
+    // re-train identical centroids (2 Lloyd passes + collect) per call,
+    // doubling the gate's cost for byte-identical results
+    val cents = Ivf.trainCentroids(s, d, nlist)
+    // brute feeds the full-probe symmetric diff AND the recall floor —
+    // persist so the exact corpus scan runs once across all subtrees
     val brute = Similarity.cosineTopK(s, d, nQueries, k)
       .select(col("query_id"), col("vec_id"))
-    val full = Ivf.ivfTopK(s, d, nQueries, k, nlist, nprobe = nlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = Ivf.ivfTopKWith(s, d, cents, nQueries, k, nprobe = nlist)
       .select(col("query_id"), col("vec_id"))
-    val part = Ivf.ivfTopK(s, d, nQueries, k, nlist, nprobe)
+    val part = Ivf.ivfTopKWith(s, d, cents, nQueries, k, nprobe)
       .select(col("query_id"), col("vec_id"))
     val exact = symDiffEmpty(full, brute, Seq("query_id", "vec_id"))
       .select((col("l_only") === 0 && col("r_only") === 0)

@@ -101,11 +101,18 @@ object Ivf {
 
   /** ANN top-k: queries (vec_id < nQueries) probe their nprobe nearest
     * lists; one corpus pass scores candidates whose list is probed by
-    * any query. */
+    * any query. Trains a fresh index; callers probing one index at
+    * several nprobe settings (e.g. [[Gates.ivfRecallGate]]) should
+    * train once and use [[ivfTopKWith]] — training is 2 corpus passes
+    * plus a driver collect, the most expensive step here. */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopKWith(s, d, trainCentroids(s, d, nlist, iters), nQueries, k, nprobe)
+
+  /** ANN top-k over a pre-trained index (precomputed centroids). */
+  def ivfTopKWith(s: SparkSession, d: String, cents: Array[Array[Double]],
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 4): DataFrame = {
     import s.implicits._
-    val cents = trainCentroids(s, d, nlist, iters)
     val queries = vectors(s, d).filter(_._1 < nQueries).collect()
       .map { case (qid, qv) =>
         val probes = cents.indices

@@ -58,10 +58,12 @@ object AsofJoin {
   }
 
   /** Demo query [ASOF]: attribute each purchase event to the user's
-    * most recent click at-or-before it. Clicks sharing (user, ts) are
-    * resolved to the max event_id; purchases with no prior click keep
-    * null click columns (left-asof semantics). Oracle: DuckDB's native
-    * `ASOF LEFT JOIN` over the same frames. */
+    * most recent click at-or-before it (inclusive). Clicks sharing
+    * (user, ts) resolve to the max event_id — the engine's max-`_tie`
+    * rule; the oracle dedupes identically before its ASOF join —
+    * purchases with no prior click keep null click columns (left-asof
+    * semantics). Timestamps surface as epoch-micros BIGINTs so the
+    * DuckDB `ASOF LEFT JOIN` oracle hash-compares exactly. */
   def purchaseAttribution(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val clicks = ev.where(col("event_type") === "click")
@@ -71,6 +73,10 @@ object AsofJoin {
     asofJoin(purchases, clicks,
       key = "user_id", leftTs = "ts", rightTs = "click_ts",
       rightTie = "click_id", rightCols = Seq("click_id", "click_ts"))
-      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("click_ts")))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 }

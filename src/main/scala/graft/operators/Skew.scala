@@ -29,10 +29,15 @@ object Skew {
     * value (the classic count-skew case) would otherwise land on one
     * salt bucket and get no spread; monotonically_increasing_id is
     * unique per row regardless of data. */
+  /** Row-unique salt in [0, saltN): derived from the row's position,
+    * never its values — a hot key whose payload is constant (the
+    * classic count-skew case) still fans out over all salt buckets. */
+  private[operators] def rowSalt(saltN: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(saltN))
+
   def saltedAgg(df: DataFrame, key: Column, value: Column,
       saltN: Int = 16): DataFrame =
-    df.groupBy(key.as("k"),
-        pmod(hash(monotonically_increasing_id()), lit(saltN)).as("salt"))
+    df.groupBy(key.as("k"), rowSalt(saltN).as("salt"))
       .agg(sum(value).as("psum"), count(lit(1)).as("pcnt"))
       .groupBy(col("k"))
       .agg(sum(col("psum")).as("total"), sum(col("pcnt")).as("n"))
@@ -56,12 +61,14 @@ object Skew {
       .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
   }
 
-  /** Salted equi-join: fact rows get salt = hash(row)%saltN, dim rows
-    * replicate across every salt; result equals the plain inner join. */
+  /** Salted equi-join: fact rows get a row-position salt (see
+    * [[rowSalt]] — a value-derived hash would collapse a hot key with
+    * constant payload onto ONE salt bucket, exactly the case salting
+    * exists for), dim rows replicate across every salt; result equals
+    * the plain inner join. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, saltN: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col): _*), lit(saltN)))
+    val saltedFact = fact.withColumn("_salt", rowSalt(saltN))
     val saltedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltN - 1))))
     saltedFact.join(saltedDim,

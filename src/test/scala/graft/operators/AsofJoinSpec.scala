@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the as-of join's tie/boundary semantics — the subtleties a
+  * DuckDB ASOF LEFT JOIN oracle also enforces at the query level
+  * (`asof_purchase_attribution`), checked here on hand-built frames
+  * where every edge case is explicit. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // right side: clicks for user 1 at 10:00 (ids 100, 101 — a tie),
+  // 10:30 (id 102); user 2 has no clicks at all
+  private def clicks = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L),
+    (1L, ts("2024-01-01 10:00:00"), 101L),
+    (1L, ts("2024-01-01 10:30:00"), 102L)
+  ).toDF("user_id", "click_ts", "click_id")
+
+  private def run(purchases: Seq[(Long, Long, Timestamp)]) =
+    AsofJoin.asofJoin(
+      purchases.toDF("purchase_id", "user_id", "ts"), clicks,
+      key = "user_id", leftTs = "ts", rightTs = "click_ts",
+      rightTie = "click_id", rightCols = Seq("click_id", "click_ts"))
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("as-of is inclusive: a right row at exactly the left ts matches") {
+    val got = run(Seq((7L, 1L, ts("2024-01-01 10:30:00"))))
+    assert(got(7L) === Some(102L))
+  }
+
+  test("most recent prior right row wins, not the first") {
+    val got = run(Seq((8L, 1L, ts("2024-01-01 11:00:00"))))
+    assert(got(8L) === Some(102L))
+  }
+
+  test("multiple right rows at the same (key, ts): max tie-column wins") {
+    val got = run(Seq((9L, 1L, ts("2024-01-01 10:10:00"))))
+    assert(got(9L) === Some(101L))
+  }
+
+  test("no prior right row (or no right rows at all for the key) -> null") {
+    val got = run(Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")), // before every click
+      (11L, 2L, ts("2024-01-01 12:00:00")))) // user with zero clicks
+    assert(got(10L) === None)
+    assert(got(11L) === None)
+  }
+
+  test("left rows are never lost or duplicated (left-asof cardinality)") {
+    val purchases = Seq(
+      (20L, 1L, ts("2024-01-01 09:00:00")),
+      (21L, 1L, ts("2024-01-01 10:00:00")),
+      (22L, 1L, ts("2024-01-01 10:00:00")), // two lefts at same ts
+      (23L, 2L, ts("2024-01-01 10:00:00")))
+    val out = run(purchases)
+    assert(out.keySet === Set(20L, 21L, 22L, 23L))
+    assert(out(21L) === Some(101L) && out(22L) === Some(101L))
+  }
+
+  test("purchaseAttribution gap is non-negative and null iff unmatched") {
+    val df = AsofJoin.purchaseAttribution(spark, sfDir)
+    val bad = df.filter(
+      (col("click_id").isNotNull && col("gap_us") < 0) ||
+        (col("click_id").isNull =!= col("gap_us").isNull)).count()
+    assert(bad === 0)
+    assert(df.count() > 0)
+  }
+}

@@ -44,4 +44,28 @@ object SkewProps extends Properties("Skew") {
           .map(r => (r.getLong(0), r.getString(1))).toSet
         got == exp
     }
+
+  // the round-2 regression case: a hot key whose PAYLOAD is constant.
+  // A value-derived salt (hash of the row's columns) maps every such
+  // row to one salt bucket — zero spread, exactly when salting matters.
+  property("constant-payload hot key fans out across salts") = {
+    import spark.implicits._
+    val fact = Seq.fill(2000)(("hot", 1L)).toDF("k", "v").repartition(4)
+    val nSalts = fact.withColumn("_salt", Skew.rowSalt(8))
+      .select("_salt").distinct().count()
+    Prop(nSalts > 1) :| s"distinct salt buckets = $nSalts (want > 1)"
+  }
+
+  property("saltedJoin correct when hot key payload is constant") = {
+    import spark.implicits._
+    val fact = (0 until 500).map(i => (i.toLong, "hot", 7L)).toDF("id", "k", "v")
+    val dim = Seq(("hot", "p")).toDF("dk", "payload")
+    val got = Skew.saltedJoin(fact, dim, "k", "dk", 8)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val exp = fact.join(dim, fact("k") === dim("dk"))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    Prop(got == exp) :| s"got ${got.size} rows, expected ${exp.size}"
+  }
 }
