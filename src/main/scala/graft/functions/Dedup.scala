@@ -222,46 +222,77 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
-  /** Connected components over near-dup pairs by iterative label
+  /** Connected components over near-dup pairs by iterative min-label
     * propagation: every doc starts labeled with its own id; each round
     * joins labels across edges (both directions) and keeps the min —
-    * converges in O(component diameter) rounds, each one shuffle.
-    * Near-dup components are tiny (duplicate clusters), so this
-    * converges in 2-3 rounds; the iteration cap is a safety net.
-    * The returned frame is persisted (its lineage spans every
-    * iteration) — callers owning a long-lived session should
-    * unpersist() it when done. */
+    * converges in O(component diameter) rounds. Near-dup components
+    * are tiny (duplicate clusters), so this converges in 2-3 rounds;
+    * the iteration cap is a safety net.
+    *
+    * Iteration cost is kept minimal because this loop's per-round
+    * overhead is what dominates at any scale where the label frames
+    * are small relative to the cluster (and compounds under a
+    * contended scheduler — the round-1/2 driver-bench regressions):
+    *  - ONE Spark job per round: the previous label rides through the
+    *    union-aggregate as an `old` column, so materializing the new
+    *    generation and counting changed labels is a single action (the
+    *    old shape ran a second join+count job per round, and its
+    *    limit(1) early-exit also left the new generation only
+    *    partially cached — later scans then recomputed through the
+    *    unpersisted lineage).
+    *  - label/edge frames are repartitioned by edge count (~1M edge
+    *    rows per partition, capped at defaultParallelism), so a 50k-doc
+    *    corpus iterates on a couple of partitions instead of paying
+    *    full shuffle-width task overhead every round, while a 100 TB
+    *    edge set still spreads across the cluster.
+    *
+    * The returned frame reads from a persisted final generation (its
+    * lineage spans every iteration); it is a projection of that cached
+    * frame, so callers owning a long-lived session should release it
+    * via spark.catalog.clearCache() (as Bench/Verify do between
+    * queries) rather than unpersist(). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sc = pairs.sparkSession.sparkContext
+    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edgesRaw.count()
+    val nParts = math.max(1, math.min(sc.defaultParallelism,
+      ((nEdges + 999999L) / 1000000L).toInt))
+    val edges = edgesRaw.repartition(nParts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-    var converged = false
+    // the persisted frame backing `labels` (labels itself may be a
+    // projection of it, and unpersist() on a projection is a no-op)
+    var labelsCached: DataFrame = null
+    var converged = nEdges == 0
     var iter = 0
     while (!converged && iter < maxIters) {
       val viaEdges = edges
         .join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.select(col("doc_id"), col("component"))
+        .select(col("dst").as("doc_id"), col("component"),
+          lit(null).cast("long").as("old"))
+      // every doc has exactly one `labels` row, so min(old) recovers its
+      // previous label; comparing inside the same aggregate makes the
+      // convergence check free — no second join, no second job
+      val next = labels.select(col("doc_id"), col("component"),
+          col("component").as("old"))
         .union(viaEdges)
+        .repartition(nParts, col("doc_id"))
         .groupBy(col("doc_id"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"), min(col("old")).as("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize EVERY partition of next before unpersisting the
-      // previous generation — an early-exiting check (limit(1)) caches
-      // next only partially, and the uncached partitions then recompute
-      // through the whole unpersisted label lineage on later scans
-      // (observed as 3× run-to-run bench variance on dedup_corpus)
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("doc_id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      // one action: materializes EVERY partition of next (full cache,
+      // no limit() early-exit) and returns the changed-label count
+      val changed = next.filter(col("component") =!= col("old")).count()
+      if (labelsCached != null) labelsCached.unpersist()
+      labelsCached = next
+      labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }
+    edgesRaw.unpersist()
     edges.unpersist()
     labels
   }

@@ -81,16 +81,20 @@ object Gates {
       floor: Double = 0.6): DataFrame = {
     // one index serves both probe settings — ivfTopK would otherwise
     // re-train identical centroids (2 Lloyd passes + collect) per call,
-    // doubling the gate's cost for byte-identical results
-    val cents = Ivf.trainCentroids(s, d, nlist)
+    // doubling the gate's cost for byte-identical results; one persisted
+    // vector frame backs training, query collection, and both probe
+    // passes, so parquet is scanned once instead of per step
+    val vecs = Ivf.vectors(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Ivf.trainCentroidsOn(vecs, nlist)
     // brute feeds the full-probe symmetric diff AND the recall floor —
     // persist so the exact corpus scan runs once across all subtrees
     val brute = Similarity.cosineTopK(s, d, nQueries, k)
       .select(col("query_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val full = Ivf.ivfTopKWith(s, d, cents, nQueries, k, nprobe = nlist)
+    val full = Ivf.ivfTopKOn(vecs, cents, nQueries, k, nprobe = nlist)
       .select(col("query_id"), col("vec_id"))
-    val part = Ivf.ivfTopKWith(s, d, cents, nQueries, k, nprobe)
+    val part = Ivf.ivfTopKOn(vecs, cents, nQueries, k, nprobe)
       .select(col("query_id"), col("vec_id"))
     val exact = symDiffEmpty(full, brute, Seq("query_id", "vec_id"))
       .select((col("l_only") === 0 && col("r_only") === 0)

@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   * iteration count, primitive left-to-right math.
   */
 object Ivf {
-  private def vectors(s: SparkSession, d: String): Dataset[(Long, Array[Double])] = {
+  /** One (vec_id, vector) row per embedding; the gate persists this
+    * once so training, query collection, and both probe passes read a
+    * cached frame instead of re-scanning parquet per step. */
+  private[functions] def vectors(s: SparkSession, d: String): Dataset[(Long, Array[Double])] = {
     import s.implicits._
     graft.Tables.embeddings(s, d)
       .select(col("vec_id").as("_1"),
@@ -47,9 +50,14 @@ object Ivf {
 
   /** Deterministic distributed k-means (init = nlist lowest vec_ids). */
   def trainCentroids(s: SparkSession, d: String, nlist: Int = 16,
+      iters: Int = 2): Array[Array[Double]] =
+    trainCentroidsOn(vectors(s, d), nlist, iters)
+
+  /** k-means over a caller-provided (ideally persisted) vector frame. */
+  def trainCentroidsOn(ds: Dataset[(Long, Array[Double])], nlist: Int = 16,
       iters: Int = 2): Array[Array[Double]] = {
+    val s = ds.sparkSession
     import s.implicits._
-    val ds = vectors(s, d)
     var cents = ds.filter(_._1 < nlist).collect().sortBy(_._1).map(_._2)
     require(cents.length == nlist, s"need vec_ids 0..${nlist - 1} for init")
     val dim = cents(0).length
@@ -111,9 +119,17 @@ object Ivf {
 
   /** ANN top-k over a pre-trained index (precomputed centroids). */
   def ivfTopKWith(s: SparkSession, d: String, cents: Array[Array[Double]],
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 4): DataFrame =
+    ivfTopKOn(vectors(s, d), cents, nQueries, k, nprobe)
+
+  /** ANN top-k over a pre-trained index and a caller-provided (ideally
+    * persisted) vector frame — the zero-redundant-scan entry point. */
+  def ivfTopKOn(ds: Dataset[(Long, Array[Double])],
+      cents: Array[Array[Double]],
       nQueries: Int = 20, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val s = ds.sparkSession
     import s.implicits._
-    val queries = vectors(s, d).filter(_._1 < nQueries).collect()
+    val queries = ds.filter(_._1 < nQueries).collect()
       .map { case (qid, qv) =>
         val probes = cents.indices
           .sortBy(c => (sqDist(qv, cents(c)), c)).take(nprobe).toSet
@@ -121,7 +137,7 @@ object Ivf {
       }
     val bcQ = s.sparkContext.broadcast(queries)
     val bcC = s.sparkContext.broadcast(cents)
-    val scored = vectors(s, d).mapPartitions { it =>
+    val scored = ds.mapPartitions { it =>
       val qs = bcQ.value; val cs = bcC.value
       it.flatMap { case (id, v) =>
         val cid = nearest(v, cs)

@@ -23,18 +23,14 @@ import org.apache.spark.sql.functions._
   *    key's rows land on `saltN` different reducers.
   */
 object Skew {
-  /** Two-phase salted sum/count per key; equals the direct
-    * groupBy(key).agg(sum, count) for any saltN ≥ 1. The salt must be
-    * row-unique-ish, NOT value-derived — a hot key with a repeated
-    * value (the classic count-skew case) would otherwise land on one
-    * salt bucket and get no spread; monotonically_increasing_id is
-    * unique per row regardless of data. */
   /** Row-unique salt in [0, saltN): derived from the row's position,
     * never its values — a hot key whose payload is constant (the
     * classic count-skew case) still fans out over all salt buckets. */
   private[operators] def rowSalt(saltN: Int): Column =
     pmod(hash(monotonically_increasing_id()), lit(saltN))
 
+  /** Two-phase salted sum/count per key; equals the direct
+    * groupBy(key).agg(sum, count) for any saltN ≥ 1. */
   def saltedAgg(df: DataFrame, key: Column, value: Column,
       saltN: Int = 16): DataFrame =
     df.groupBy(key.as("k"), rowSalt(saltN).as("salt"))
