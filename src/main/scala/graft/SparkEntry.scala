@@ -79,6 +79,7 @@ object SparkEntry {
     "ev_window"          -> EventOps.tumblingWindow _,
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
     "asof_purchase_attribution" -> AsofJoin.purchaseAttribution _,
+    "stream_batch_parity" -> graft.streaming.StreamGates.streamBatchParity _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -329,6 +330,12 @@ object SparkEntry {
     "sim_ivf_topk" ->
       """SELECT CAST(1 AS BOOLEAN) AS full_probe_exact,
         |       CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
+    // §2.7 streaming gate: real file-stream pipelines (append mode,
+    // watermark, EventTimeTimeout session flush) checked stream==batch
+    // inside Spark; DuckDB verifies the booleans (StreamGates).
+    "stream_batch_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS tumbling_parity,
+        |       CAST(1 AS BOOLEAN) AS sessions_flushed_parity""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies

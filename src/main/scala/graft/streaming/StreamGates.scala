@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.Tables
+import graft.operators.EventOps
+
+/** Driver-visible correctness gate for the streaming surface (§2.7) —
+  * same pattern as [[graft.functions.Gates]]: the streaming engine's
+  * output has no SQL oracle (DuckDB can't run a watermark), so the gate
+  * runs REAL streaming queries (file source, micro-batches, append
+  * mode, watermarks, EventTimeTimeout) over the events table and
+  * checks stream==batch equivalence inside Spark, returning one row of
+  * booleans a constant oracle verifies.
+  *
+  * Mechanics: the events table is materialized to a temp dir and
+  * streamed back; two sentinel files (far-future timestamps, filtered
+  * out of the comparison) then arrive as extra micro-batches — the
+  * first advances the watermark past every real window, the second
+  * gives the engine a batch in which window finalization and session
+  * EventTimeTimeouts actually fire (watermark updates take effect one
+  * batch after the data that moved them).
+  */
+object StreamGates {
+  /** (l_only, r_only) anti-join counts — both 0 ⇔ set equality. */
+  private def diffCounts(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.join(b, keys, "left_anti").agg(count(lit(1)).as("l_only"))
+      .crossJoin(b.join(a, keys, "left_anti").agg(count(lit(1)).as("r_only")))
+
+  /** Gate query [stream_batch_parity]: booleans proving
+    *  - the file-stream tumbling-window pipeline (append mode, 30-min
+    *    watermark) emits exactly the batch tumbling aggregation, and
+    *  - closedSessionsFlushed (flatMapGroupsWithState +
+    *    EventTimeTimeout) emits exactly the batch sessionization,
+    *    INCLUDING each user's final dangling session — the flush the
+    *    NoTimeout variant loses. */
+  def streamBatchParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sbp").toString
+    val inDir = s"$base/in"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    ev.write.mode("overwrite").parquet(inDir)
+    val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+
+    Seq("sbp_tumbling", "sbp_sessions").foreach { v =>
+      try s.catalog.dropTempView(v) catch { case _: Throwable => () }
+    }
+    val tq = Streams.tumblingCounts(Streams.readEventStream(s, inDir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sbp_tumbling")
+      .option("checkpointLocation", s"$base/ckpt_t").start()
+    val sq = Streams.closedSessionsFlushed(
+        Streams.readEventStream(s, inDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Streams.EventRow])
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sbp_sessions")
+      .option("checkpointLocation", s"$base/ckpt_s").start()
+
+    def drain(): Unit = { tq.processAllAvailable(); sq.processAllAvailable() }
+    def sentinel(offMs: Long): Unit =
+      Seq((-1L, new Timestamp(maxMs + offMs), -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(inDir)
+    try {
+      drain()
+      sentinel(4L * 3600 * 1000); drain()
+      sentinel(4L * 3600 * 1000 + 60000); drain()
+    } finally { tq.stop(); sq.stop() }
+
+    // tumbling windows: decimal-summed on both sides, so sum_value is
+    // bit-exact and can be part of the set-equality key
+    val winCols = Seq("win_start", "event_type", "n_events", "sum_value")
+    val streamWin = s.table("sbp_tumbling")
+      .filter(col("event_type") =!= "sentinel").select(winCols.map(col): _*)
+    val batchWin = EventOps.tumblingWindow(s, d).select(winCols.map(col): _*)
+    val winParity = diffCounts(streamWin, batchWin, winCols)
+      .crossJoin(streamWin.agg(count(lit(1)).as("n_win")))
+      .select((col("l_only") === 0 && col("r_only") === 0 && col("n_win") > 0)
+        .as("tumbling_parity"))
+
+    // sessions: identity on (user, bounds, count) is exact; the value
+    // sum is folded in arrival order as doubles stream-side vs decimal
+    // batch-side, so it is compared within an ulp tolerance instead
+    val sessKeys = Seq("user_id", "start_us", "end_us", "n_events")
+    val streamSess = s.table("sbp_sessions").filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+    val batchSess = EventOps.sessionize(s, d)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value").as("batch_sum"))
+    val sessParity = diffCounts(streamSess, batchSess, sessKeys)
+      .crossJoin(streamSess.join(batchSess, sessKeys)
+        .agg(coalesce(max(abs(col("sum_value") - col("batch_sum"))), lit(0.0))
+          .as("max_diff"),
+          count(lit(1)).as("n_sess")))
+      .select((col("l_only") === 0 && col("r_only") === 0 &&
+        col("max_diff") < 1e-6 && col("n_sess") > 0)
+        .as("sessions_flushed_parity"))
+
+    winParity.crossJoin(sessParity)
+  }
+}

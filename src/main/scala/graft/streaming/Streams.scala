@@ -122,7 +122,7 @@ object Streams {
             val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, 0L))
             val next = rows.foldLeft(prev) { (acc, e) =>
               UserRunning(uid, acc.n_events + 1, acc.sum_value + e.value,
-                math.max(acc.last_us, e.ts.getTime * 1000))
+                math.max(acc.last_us, micros(e.ts)))
             }
             state.update(next)
             if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
@@ -130,6 +130,12 @@ object Streams {
           }
       }
   }
+
+  /** Epoch micros from a Timestamp — getTime() alone truncates to
+    * millis (the sub-ms micros live in getNanos), which would disagree
+    * with the batch paths' unix_micros on real event data. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
   case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
@@ -143,11 +149,11 @@ object Streams {
   private def foldSessions(uid: Long, rows: Iterator[EventRow],
       prior: Option[SessionState], gapMs: Long)
       : (Option[SessionState], Seq[ClosedSession]) = {
-    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     val closed = Seq.newBuilder[ClosedSession]
     var cur = prior
     sorted.foreach { e =>
-      val us = e.ts.getTime * 1000
+      val us = micros(e.ts)
       cur match {
         case Some(st) if us - st.last_us <= gapMs * 1000 =>
           cur = Some(SessionState(st.start_us, math.max(st.last_us, us),

@@ -1,0 +1,15 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** The driver checks the gate's booleans against a constant-true
+  * oracle at sf0.01; this pins the same result at sf0.001 so a parity
+  * break is caught at unit-test time, not round time. */
+class StreamGatesSpec extends SparkSpec {
+  test("stream==batch parity gate returns all-true booleans") {
+    val row = StreamGates.streamBatchParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0), "tumbling window stream != batch")
+    assert(row(0).getBoolean(1), "flushed sessions stream != batch")
+  }
+}
