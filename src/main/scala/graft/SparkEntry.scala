@@ -43,6 +43,7 @@ object SparkEntry {
     "a8_count_distinct"  -> CoreOps.a8CountDistinct _,
     "a9_rollup"          -> CoreOps.a9Rollup _,
     "a10_median"         -> CoreOps.a10Median _,
+    "a12_median_scalable" -> CoreOps.a12MedianScalable _,
     "a11_two_phase_distinct" -> CoreOps.a11TwoPhaseDistinct _,
     "x13_date_parse"     -> CoreOps.x13DateParse _,
     "x14_vector_expr"    -> CoreOps.x14VectorExpr _,
@@ -289,6 +290,12 @@ object SparkEntry {
     "a11_two_phase_distinct" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    // same oracle as a10_median — a10 proves the typed-Aggregator
+    // surface, a12 the windowed formulation that survives hot groups
+    "a12_median_scalable" ->
+      """SELECT o_orderpriority, median(o_totalprice) AS median_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "x13_date_parse" ->
       """SELECT o_orderkey,
         |  CAST(strptime(strftime(o_orderdate, '%m-%Y'), '%m-%Y') AS DATE) AS month_start,

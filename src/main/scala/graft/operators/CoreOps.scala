@@ -431,6 +431,33 @@ object CoreOps {
         count(lit(1)).as("n_orders"))
   }
 
+  // ---------------------------------------------------------------- A12 scalable median
+  /** Exact median without buffering whole groups: a per-group
+    * row_number window (sort-based, spill-safe) plus a count window
+    * select the middle one or two rows, then min/max + midpoint
+    * interpolation recovers the median. Same DuckDB oracle as [[a10Median]];
+    * unlike the Aggregator's in-memory ArrayBuffer, the hot-group cost
+    * here is a disk-backed sort — no executor OOM at any group size,
+    * which is what exact median has to look like at 100 TB. */
+  def a12MedianScalable(s: SparkSession, d: String): DataFrame = {
+    val byGroup = Window.partitionBy(col("o_orderpriority"))
+    val ordered = byGroup.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("cnt", count(lit(1)).over(byGroup))
+      // middle positions: (n+1) DIV 2 and n DIV 2 + 1 (equal when n odd)
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor(col("cnt") / 2) + 1)
+      .groupBy(col("o_orderpriority"))
+      // lo + (hi-lo)*0.5 matches DuckDB's interpolation bit-for-bit
+      // (plain (lo+hi)/2 rounds differently); odd n ⇒ lo == hi
+      .agg((min(col("o_totalprice")) +
+        (max(col("o_totalprice")) - min(col("o_totalprice"))) * 0.5)
+        .as("median_price"),
+        max(col("cnt")).as("n_orders"))
+  }
+
   // ---------------------------------------------------------------- X13 string→date parse
   /** Month-string → date parse (graphs.ipynb to_datetime('%m-%Y')):
     * format out and parse back, so both directions are exercised. [X13] */

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-SHAPE regression guards (mirrors BucketedJoinSpec's
+  * no-Exchange assertion): these queries' 100 TB viability rests on a
+  * specific physical plan — partition pruning reaching the scan,
+  * dims broadcasting instead of shuffling the fact — and a refactor
+  * that silently loses the shape would still pass the value oracle at
+  * test SF. Assert the shape itself. */
+class ExplainPlanSpec extends SparkSpec {
+  test("p1: year predicate reaches the scan as a PartitionFilter") {
+    val plan = CoreOps.p1PartitionPruning(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no PartitionFilters in:\n$plan")
+    val pf = plan.substring(plan.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
+    assert(pf.contains("o_year") && pf.contains("1995"),
+      s"year predicate not pushed to partition pruning: $pf")
+  }
+
+  test("q5: the dim chain broadcasts — no shuffle on the dim side") {
+    val plan = CoreOps.q5StarJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"expected >=2 broadcast joins (nation-region chain, supplier dim), got $broadcasts:\n$plan")
+  }
+
+  test("t1: top-k plans as TakeOrderedAndProject, not a total sort") {
+    val plan = CoreOps.t1TopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its TakeOrderedAndProject shape:\n$plan")
+  }
+}
