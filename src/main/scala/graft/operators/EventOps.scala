@@ -20,7 +20,12 @@ object EventOps {
     * Uses window() (not date_trunc) so the same expression carries to
     * the streaming variant; epoch-aligned 1h windows ≡ date_trunc. */
   def tumblingWindow(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    tumblingWindowOf(Tables.events(s, d))
+
+  /** Same aggregation over a caller-provided event frame (lets the
+    * streaming parity gate run batch and stream on one filtered set). */
+  def tumblingWindowOf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
@@ -31,11 +36,15 @@ object EventOps {
     * >10-minute silence per user. Batch mirror of session_window /
     * flatMapGroupsWithState; windows are per-user partitioned so the
     * shuffle key is user_id and state never crosses executors. */
-  def sessionize(s: SparkSession, d: String, gapMinutes: Int = 10): DataFrame = {
+  def sessionize(s: SparkSession, d: String, gapMinutes: Int = 10): DataFrame =
+    sessionizeOf(Tables.events(s, d), gapMinutes)
+
+  /** Same sessionization over a caller-provided event frame. */
+  def sessionizeOf(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val gapUs = gapMinutes * 60L * 1000000L
-    Tables.events(s, d)
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||

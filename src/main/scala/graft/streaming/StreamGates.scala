@@ -43,7 +43,12 @@ object StreamGates {
     import s.implicits._
     val base = Files.createTempDirectory("graft_sbp").toString
     val inDir = s"$base/in"
+    // parity holds per event, so a deterministic user slice proves the
+    // same engine property at a fraction of the micro-batch/state cost
+    // (full-corpus streaming dominated the bench at larger SFs); the
+    // identical filter is applied to the batch mirrors below
     val ev = Tables.events(s, d)
+      .filter(col("user_id") < 200)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
     ev.write.mode("overwrite").parquet(inDir)
@@ -52,6 +57,13 @@ object StreamGates {
     Seq("sbp_tumbling", "sbp_sessions").foreach { v =>
       try s.catalog.dropTempView(v) catch { case _: Throwable => () }
     }
+    // stateful streaming ops allocate one state-store partition per
+    // shuffle partition PER MICRO-BATCH — at the session default (32)
+    // that fixed cost dwarfs the gate's actual data; the slice needs a
+    // handful. The conf is captured by the streaming plans and restored
+    // for everything after the gate.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val tq = Streams.tumblingCounts(Streams.readEventStream(s, inDir))
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("sbp_tumbling")
@@ -73,14 +85,17 @@ object StreamGates {
       drain()
       sentinel(4L * 3600 * 1000); drain()
       sentinel(4L * 3600 * 1000 + 60000); drain()
-    } finally { tq.stop(); sq.stop() }
+    } finally {
+      tq.stop(); sq.stop()
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
 
     // tumbling windows: decimal-summed on both sides, so sum_value is
     // bit-exact and can be part of the set-equality key
     val winCols = Seq("win_start", "event_type", "n_events", "sum_value")
     val streamWin = s.table("sbp_tumbling")
       .filter(col("event_type") =!= "sentinel").select(winCols.map(col): _*)
-    val batchWin = EventOps.tumblingWindow(s, d).select(winCols.map(col): _*)
+    val batchWin = EventOps.tumblingWindowOf(ev).select(winCols.map(col): _*)
     val winParity = diffCounts(streamWin, batchWin, winCols)
       .crossJoin(streamWin.agg(count(lit(1)).as("n_win")))
       .select((col("l_only") === 0 && col("r_only") === 0 && col("n_win") > 0)
@@ -93,7 +108,7 @@ object StreamGates {
     val streamSess = s.table("sbp_sessions").filter(col("user_id") >= 0)
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events"), col("sum_value"))
-    val batchSess = EventOps.sessionize(s, d)
+    val batchSess = EventOps.sessionizeOf(ev)
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events"), col("sum_value").as("batch_sum"))
     val sessParity = diffCounts(streamSess, batchSess, sessKeys)
