@@ -36,16 +36,21 @@ object Bench {
 
     val metrics = new ConcurrentHashMap[String, QMetrics]()
     val stageOwner = new ConcurrentHashMap[Int, String]()
+    val knownQueries = SparkEntry.queries.keySet
     @volatile var current = "warmup"
     def forQuery(name: String): QMetrics =
       metrics.computeIfAbsent(name, _ => new QMetrics)
     // jobs carry the query name as their job group; stages inherit it
-    // through the job that submitted them (threads without a group —
-    // e.g. streaming micro-batches — fall back to the current query)
+    // through the job that submitted them. A job group that is NOT a
+    // registered query name still maps to the current query — Spark's
+    // own machinery overwrites the group on threads it owns (e.g.
+    // StreamExecution sets the stream's runId UUID), and those
+    // micro-batch jobs belong to whichever query is running
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val name = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          .filter(knownQueries.contains)
           .getOrElse(current)
         val m = forQuery(name)
         m.synchronized { m.jobs += 1 }
@@ -89,9 +94,23 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // listener events are delivered async; give stragglers from the
-    // final query a moment to land before snapshotting
-    Thread.sleep(1000)
+    // listener events are delivered async; wait until the counters
+    // stop moving (two consecutive stable snapshots) before reading —
+    // a fixed sleep undercounts exactly when the box is contended,
+    // which is when these numbers matter most
+    def snapshot(): (Long, Long) = {
+      var j = 0L; var st = 0L
+      metrics.forEach { (_, m) => m.synchronized { j += m.jobs; st += m.stages } }
+      (j, st)
+    }
+    var prev = snapshot()
+    var stable = 0
+    var waited = 0
+    while (stable < 2 && waited < 15000) {
+      Thread.sleep(250); waited += 250
+      val cur = snapshot()
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

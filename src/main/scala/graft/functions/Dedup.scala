@@ -261,6 +261,11 @@ object Dedup {
       ((nEdges + 999999L) / 1000000L).toInt))
     val edges = edgesRaw.repartition(nParts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the repartitioned cache from the raw one, then drop
+    // the raw copy — otherwise two full edge sets stay cached through
+    // every propagation round
+    edges.count()
+    edgesRaw.unpersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
     // the persisted frame backing `labels` (labels itself may be a
@@ -292,7 +297,6 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edgesRaw.unpersist()
     edges.unpersist()
     labels
   }

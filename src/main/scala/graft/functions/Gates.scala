@@ -23,14 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Gates {
   /** (left ∆ right) is empty, as a Column-producing pair of anti joins:
-    * both directions must be empty for set equality. */
-  private def symDiffEmpty(left: DataFrame, right: DataFrame,
+    * both directions must be empty for set equality. Shared with the
+    * streaming parity gate ([[graft.streaming.StreamGates]]). */
+  private[graft] def symDiffEmpty(left: DataFrame, right: DataFrame,
       keys: Seq[String]): DataFrame = {
     val lOnly = left.join(right, keys, "left_anti")
       .agg(count(lit(1)).as("l_only"))
     val rOnly = right.join(left, keys, "left_anti")
       .agg(count(lit(1)).as("r_only"))
     lOnly.crossJoin(rOnly)
+  }
+
+  /** Evaluate a one-row gate frame eagerly, release the given cached
+    * frames, and hand back the result as a fresh local DataFrame — the
+    * persists above never outlive the gate call, so sessions without
+    * Bench/Verify's clearCache-between-queries discipline (specs,
+    * interactive use) can't accumulate cached corpora. */
+  private def sealGate(s: SparkSession, gate: DataFrame,
+      cached: org.apache.spark.sql.Dataset[_]*): DataFrame = {
+    val rows = gate.collect()
+    cached.foreach(_.unpersist())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
   }
 
   /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs
@@ -68,9 +81,10 @@ object Gates {
       .agg(count(lit(1)).as("hits"))
     val stats = brute.agg(count(lit(1)).as("total"))
       .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
-    hits.crossJoin(stats).select(
+    sealGate(s, hits.crossJoin(stats).select(
       (col("hits") >= col("total") * floor).as("recall_ok"),
-      (col("n_ann") === nQueries.toLong * k).as("rows_ok"))
+      (col("n_ann") === nQueries.toLong * k).as("rows_ok")),
+      brute)
   }
 
   /** IVF ANN gate: probing every list must reproduce brute force
@@ -102,7 +116,8 @@ object Gates {
     val hits = part.join(brute, Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("hits"))
     val tot = brute.agg(count(lit(1)).as("total"))
-    exact.crossJoin(hits.crossJoin(tot)
-      .select((col("hits") >= col("total") * floor).as("recall_ok")))
+    sealGate(s, exact.crossJoin(hits.crossJoin(tot)
+      .select((col("hits") >= col("total") * floor).as("recall_ok"))),
+      brute, vecs)
   }
 }

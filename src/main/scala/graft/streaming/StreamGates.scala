@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.Tables
 import graft.operators.EventOps
@@ -27,10 +27,16 @@ import graft.operators.EventOps
   * batch after the data that moved them).
   */
 object StreamGates {
-  /** (l_only, r_only) anti-join counts — both 0 ⇔ set equality. */
-  private def diffCounts(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
-    a.join(b, keys, "left_anti").agg(count(lit(1)).as("l_only"))
-      .crossJoin(b.join(a, keys, "left_anti").agg(count(lit(1)).as("r_only")))
+  import graft.functions.Gates.symDiffEmpty
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.delete(f)
+          catch { case _: Throwable => () })
+    }
+  }
 
   /** Gate query [stream_batch_parity]: booleans proving
     *  - the file-stream tumbling-window pipeline (append mode, 30-min
@@ -60,33 +66,38 @@ object StreamGates {
     // stateful streaming ops allocate one state-store partition per
     // shuffle partition PER MICRO-BATCH — at the session default (32)
     // that fixed cost dwarfs the gate's actual data; the slice needs a
-    // handful. The conf is captured by the streaming plans and restored
-    // for everything after the gate.
+    // handful. The conf is captured by the streaming plans; everything
+    // from the set to the restore is exception-safe so a failed start
+    // or stop can never leave the session pinned at 4 partitions or an
+    // orphaned query running.
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val tq = Streams.tumblingCounts(Streams.readEventStream(s, inDir))
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName("sbp_tumbling")
-      .option("checkpointLocation", s"$base/ckpt_t").start()
-    val sq = Streams.closedSessionsFlushed(
-        Streams.readEventStream(s, inDir)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .as[Streams.EventRow])
-      .writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName("sbp_sessions")
-      .option("checkpointLocation", s"$base/ckpt_s").start()
-
+    var tq: StreamingQuery = null
+    var sq: StreamingQuery = null
+    def safeStop(q: StreamingQuery): Unit =
+      if (q != null) try q.stop() catch { case _: Throwable => () }
     def drain(): Unit = { tq.processAllAvailable(); sq.processAllAvailable() }
     def sentinel(offMs: Long): Unit =
       Seq((-1L, new Timestamp(maxMs + offMs), -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(inDir)
     try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      tq = Streams.tumblingCounts(Streams.readEventStream(s, inDir))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sbp_tumbling")
+        .option("checkpointLocation", s"$base/ckpt_t").start()
+      sq = Streams.closedSessionsFlushed(
+          Streams.readEventStream(s, inDir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .as[Streams.EventRow])
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sbp_sessions")
+        .option("checkpointLocation", s"$base/ckpt_s").start()
       drain()
       sentinel(4L * 3600 * 1000); drain()
       sentinel(4L * 3600 * 1000 + 60000); drain()
     } finally {
-      tq.stop(); sq.stop()
+      safeStop(tq); safeStop(sq)
       s.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
 
@@ -96,7 +107,7 @@ object StreamGates {
     val streamWin = s.table("sbp_tumbling")
       .filter(col("event_type") =!= "sentinel").select(winCols.map(col): _*)
     val batchWin = EventOps.tumblingWindowOf(ev).select(winCols.map(col): _*)
-    val winParity = diffCounts(streamWin, batchWin, winCols)
+    val winParity = symDiffEmpty(streamWin, batchWin, winCols)
       .crossJoin(streamWin.agg(count(lit(1)).as("n_win")))
       .select((col("l_only") === 0 && col("r_only") === 0 && col("n_win") > 0)
         .as("tumbling_parity"))
@@ -111,7 +122,7 @@ object StreamGates {
     val batchSess = EventOps.sessionizeOf(ev)
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events"), col("sum_value").as("batch_sum"))
-    val sessParity = diffCounts(streamSess, batchSess, sessKeys)
+    val sessParity = symDiffEmpty(streamSess, batchSess, sessKeys)
       .crossJoin(streamSess.join(batchSess, sessKeys)
         .agg(coalesce(max(abs(col("sum_value") - col("batch_sum"))), lit(0.0))
           .as("max_diff"),
@@ -120,6 +131,15 @@ object StreamGates {
         col("max_diff") < 1e-6 && col("n_sess") > 0)
         .as("sessions_flushed_parity"))
 
-    winParity.crossJoin(sessParity)
+    // evaluate eagerly so the memory-sink views and the temp dir
+    // (input parquet + two checkpoints) can be released here instead of
+    // accumulating across Bench/Verify/spec invocations
+    val result = winParity.crossJoin(sessParity)
+    val rows = result.collect()
+    Seq("sbp_tumbling", "sbp_sessions").foreach { v =>
+      try s.catalog.dropTempView(v) catch { case _: Throwable => () }
+    }
+    deleteRecursively(java.nio.file.Paths.get(base))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 }
