@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsofJoin, CoreOps, EventOps, Skew}
-import graft.functions.{Dedup, Gates, Ivf, Multimodal, Similarity, TextOps}
+import graft.functions.{Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,6 +71,9 @@ object SparkEntry {
     "text_langid"        -> TextOps.langId _,
     "text_fingerprint"   -> TextOps.fingerprint _,
     "text_term_stats"    -> ((s, d) => TextOps.termStats(s, d)),
+    "text_tfidf"         -> ((s, d) => TextOps.tfidf(s, d)),
+    "sample_stratified"  -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "pack_chunks"        -> ((s, d) => Sampling.packChunks(s, d)),
     "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDupBlocked(s, d)),
     "sim_lsh_topk"       -> ((s, d) => Gates.lshRecallGate(s, d)),
@@ -404,6 +407,39 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |x AS (SELECT tf.doc_id, tf.token,
+        |        round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |      FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token ASC) AS rn FROM x)
+        |WHERE rn <= 3""".stripMargin,
+    "sample_stratified" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |FROM documents)
+        |SELECT lang, doc_id FROM t WHERE rn <= ceil(n / 10.0)""".stripMargin,
+    // the engine computes start_tok as a distributed two-phase prefix
+    // sum; the oracle's plain running-sum window proves it telescopes
+    // to the exact global cumsum
+    "pack_chunks" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, start_tok,
+        |       start_tok // 2048 AS chunk_id,
+        |       start_tok % 2048 AS chunk_off
+        |FROM c""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

@@ -73,6 +73,33 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** TF-IDF keyword extraction [TFIDF]: top-k tokens per document by
+    * tf·ln(N/df). Classic two-aggregate shape: term frequency per
+    * (doc, token) — one partial-agg'd shuffle on the pair — document
+    * frequency folded out of the SAME tf frame (one row per doc-token,
+    * so count(*) per token IS df: no second corpus pass), then a
+    * per-doc top-k window. Scores round to 6 digits and rank over the
+    * ROUNDED value with a token tie-break, so engine and oracle order
+    * identically. */
+  def tfidf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token")).crossJoin(nDocs)
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
+  }
+
   /** Document fingerprint: md5 of whitespace-canonicalized text.
     * Deterministic and engine-portable (same md5 in DuckDB), unlike
     * JVM-specific hashes. */

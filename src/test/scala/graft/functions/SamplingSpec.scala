@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+  test("stratified sample takes exactly ceil(n/denom) per stratum") {
+    val denom = 10
+    val got = Sampling.stratifiedSample(spark, sfDir, denom)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.keySet === full.keySet)
+    full.foreach { case (lang, n) =>
+      assert(got(lang) === math.ceil(n.toDouble / denom).toLong,
+        s"stratum $lang: got ${got(lang)} of $n")
+    }
+  }
+
+  test("stratified sample keeps the lowest doc_ids of each stratum") {
+    val sampled = Sampling.stratifiedSample(spark, sfDir)
+    // every kept doc must have rank <= kept-count within its stratum
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    val bad = sampled.join(ranked, Seq("lang", "doc_id"))
+      .join(sampled.groupBy("lang").count(), Seq("lang"))
+      .filter(col("rn") > col("count")).count()
+    assert(bad === 0)
+  }
+
+  test("distributed prefix sum equals the single-partition running sum") {
+    // the scale path (range partitions + local windows + offsets) must
+    // telescope to the same global cumsum a plain window produces,
+    // regardless of where the range sampler put partition boundaries
+    val got = Sampling.packChunks(spark, sfDir, capacity = 64)
+      .select("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).as("nt"))
+      .withColumn("start_tok",
+        sum(col("nt")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === ref && got.nonEmpty)
+  }
+
+  test("chunk ids and offsets are consistent with capacity") {
+    val cap = 128
+    val out = Sampling.packChunks(spark, sfDir, cap)
+    val bad = out.filter(
+      col("chunk_off") < 0 || col("chunk_off") >= cap ||
+        col("chunk_id") =!= floor(col("start_tok") / cap) ||
+        col("start_tok") < 0).count()
+    assert(bad === 0)
+    assert(out.count() === Tables.documents(spark, sfDir).count())
+  }
+}
