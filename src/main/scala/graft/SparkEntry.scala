@@ -74,6 +74,7 @@ object SparkEntry {
     "text_tfidf"         -> ((s, d) => TextOps.tfidf(s, d)),
     "sample_stratified"  -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "pack_chunks"        -> ((s, d) => Sampling.packChunks(s, d)),
+    "split_assign"       -> ((s, d) => Sampling.splitAssign(s, d)),
     "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDupBlocked(s, d)),
     "sim_lsh_topk"       -> ((s, d) => Gates.lshRecallGate(s, d)),
@@ -440,6 +441,15 @@ object SparkEntry {
         |       start_tok // 2048 AS chunk_id,
         |       start_tok % 2048 AS chunk_off
         |FROM c""".stripMargin,
+    "split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket
+        |FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

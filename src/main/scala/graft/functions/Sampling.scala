@@ -30,6 +30,25 @@ object Sampling {
       .select(col("lang"), col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment [SPLIT]: bucket =
+    * 16 bits of md5(text) mod 100, thresholded into splits. Hashing
+    * CONTENT (not doc_id) gives the two properties a training split
+    * needs: stable under re-sharding/re-ingestion, and duplicate texts
+    * always land in the same split — near-identical copies of a test
+    * document can't leak into train. Pure map-side expression; md5 is
+    * engine-portable (same digest in DuckDB, proven by
+    * text_fingerprint). */
+  def splitAssign(s: SparkSession, d: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10)
+          .cast("int") % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+
   /** Sequence packing [PACK]: concatenate all documents in doc_id
     * order and chunk the token stream into `capacity`-token context
     * windows; emits each doc's global start offset, chunk id and

@@ -50,6 +50,26 @@ class SamplingSpec extends SparkSpec {
     assert(got === ref && got.nonEmpty)
   }
 
+  test("split assignment: duplicate texts share a split; fractions sane") {
+    val out = Sampling.splitAssign(spark, sfDir)
+    assert(out.count() === Tables.documents(spark, sfDir).count())
+    // identical texts must hash to the same bucket -> same split
+    val leaks = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .join(out, Seq("doc_id"))
+      .groupBy("text").agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(leaks === 0, "duplicate texts split across train/test")
+    // bucket mod-100 thresholds: every split label valid
+    val badLabel = out.filter(!col("split").isin("train", "val", "test")
+      || col("bucket") < 0 || col("bucket") > 99).count()
+    assert(badLabel === 0)
+    // train should dominate on any non-trivial corpus
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("train", 0L) > counts.getOrElse("val", 0L))
+    assert(counts.getOrElse("train", 0L) > counts.getOrElse("test", 0L))
+  }
+
   test("chunk ids and offsets are consistent with capacity") {
     val cap = 128
     val out = Sampling.packChunks(spark, sfDir, cap)
