@@ -8,25 +8,64 @@ import org.apache.spark.sql.types.LongType
 import graft.Tables
 
 /** Corpus sampling / layout operators for a training-data pipeline:
-  * exact stratified subsampling and sequence packing (the
-  * concat-then-chunk step that turns documents into fixed-size context
-  * windows). Both are deterministic — rerunning a data pipeline must
-  * reproduce the same training set bit-for-bit — and both have exact
-  * DuckDB oracles.
+  * exact stratified subsampling, sequence packing (the concat-then-
+  * chunk step that turns documents into fixed-size context windows),
+  * and deterministic train/val/test assignment. All deterministic —
+  * rerunning a data pipeline must reproduce the same training set
+  * bit-for-bit — and all with exact DuckDB oracles.
+  *
+  * The global/stratum orderings both use the same two-phase shape:
+  * deterministic VALUE-derived id buckets (never repartitionByRange,
+  * whose sampled boundaries change per execution — offsets collected
+  * against one evaluation would silently corrupt a recomputed plan),
+  * per-bucket window work, then tiny per-bucket totals broadcast back.
+  * No single task ever sees more than one bucket, so hot strata and
+  * the global token stream parallelize across the cluster.
   */
 object Sampling {
+  /** Deterministic range bucket for doc_id: floor(id·nP/(max+1)),
+    * clamped to [0, nP). Monotone in doc_id (bucket p's ids all precede
+    * bucket p+1's) and identical on every re-evaluation, so collected
+    * per-bucket offsets can never disagree with the consuming plan. */
+  private def bucketed(df: DataFrame, nP: Int): DataFrame = {
+    val row = df.agg(max(col("doc_id"))).head()
+    val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
+    df.withColumn("pid",
+      least(lit(nP - 1), floor(col("doc_id") * nP / (maxId + 1))).cast("int"))
+  }
+
   /** Exact stratified sample [SAMPLE]: the first ceil(n/denom) docs of
     * each stratum in doc_id order — every stratum is represented at the
     * same exact fraction, unlike a Bernoulli sample whose per-stratum
-    * counts fluctuate (and whose RNG would defy an oracle). One
-    * sort-shuffle on the stratum key; the per-stratum sort is the same
-    * work a window rank does, spilling to disk for hot strata. */
+    * counts fluctuate (and whose RNG would defy an oracle).
+    *
+    * Distributed: ranks are computed per (stratum, id-bucket) window —
+    * a window partitioned by the stratum alone would sort a dominant
+    * stratum (most corpora are mostly one language) in ONE task — and
+    * promoted to global stratum ranks by adding exclusive per-bucket
+    * offsets from a tiny broadcast frame. */
   def stratifiedSample(s: SparkSession, d: String, denom: Int = 10): DataFrame = {
-    val byLang = Window.partitionBy(col("lang"))
-    Tables.documents(s, d).select(col("lang"), col("doc_id"))
-      .withColumn("rn", row_number().over(byLang.orderBy(col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(byLang))
-      .filter(col("rn") <= ceil(col("n") / lit(denom.toDouble)))
+    val nP = math.max(1, s.sparkContext.defaultParallelism)
+    val docs = bucketed(
+      Tables.documents(s, d).select(col("lang"), col("doc_id")), nP)
+    val counts = docs.groupBy(col("lang"), col("pid"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offRows = counts.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val ntot = rows.map(_._3).sum
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, pid, c) =>
+        val off = acc; acc += c; (lang, pid, off, ntot)
+      }
+    }
+    val offDf = broadcast(s.createDataFrame(offRows)
+      .toDF("lang", "pid", "poff", "ntot"))
+    val wLocal = Window.partitionBy(col("lang"), col("pid"))
+      .orderBy(col("doc_id"))
+    docs.withColumn("lrn", row_number().over(wLocal))
+      .join(offDf, Seq("lang", "pid"))
+      .filter(col("lrn") + col("poff") <=
+        ceil(col("ntot") / lit(denom.toDouble)))
       .select(col("lang"), col("doc_id"))
   }
 
@@ -50,44 +89,34 @@ object Sampling {
           .otherwise("test").as("split"))
 
   /** Sequence packing [PACK]: concatenate all documents in doc_id
-    * order and chunk the token stream into `capacity`-token context
-    * windows; emits each doc's global start offset, chunk id and
-    * in-chunk offset.
+    * order (tokenized exactly as TextOps counts tokens — chunk
+    * boundaries must correspond to the token stream the rest of the
+    * pipeline measures) and chunk the stream into `capacity`-token
+    * context windows; emits each doc's global start offset, chunk id
+    * and in-chunk offset.
     *
-    * The global running sum is computed as a DISTRIBUTED prefix sum —
-    * an empty-partitionBy window would drag the whole corpus into one
-    * task, the classic global-cumsum scale-killer. Instead:
-    * range-partition by doc_id, window WITHIN each partition (keyed by
-    * spark_partition_id, so state is per-task), then add each
-    * partition's exclusive prefix offset, computed from the tiny
-    * per-partition totals and broadcast back. Partition boundaries are
-    * whatever the range sampler picked — the result is boundary-
-    * independent because local-cumsum + partition-offset telescopes to
-    * the exact global cumsum.
-    *
-    * The range-partitioned frame is persisted: the partition-totals
-    * collect and the final plan MUST observe identical partition
-    * boundaries (re-evaluating would re-sample them). Callers running
-    * many queries should clearCache() afterwards, as Bench/Verify do. */
+    * The global running sum is a DISTRIBUTED prefix sum — an
+    * empty-partitionBy window would drag the whole corpus into one
+    * task, the classic global-cumsum scale-killer. Per-bucket local
+    * cumsums plus broadcast exclusive bucket offsets telescope to the
+    * exact global cumsum; the deterministic bucketing makes the
+    * collected offsets recompute-safe with no persist required. */
   def packChunks(s: SparkSession, d: String, capacity: Int = 2048): DataFrame = {
     val nP = math.max(1, s.sparkContext.defaultParallelism)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), size(split(col("text"), " ", -1)).as("n_tokens"))
-    val parted = docs.repartitionByRange(nP, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = parted.groupBy(col("pid"))
+    val docs = bucketed(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens")),
+      nP)
+    val totals = docs.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("ptot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // exclusive prefix over the (at most nP-row) totals, driver-side
     var acc = 0L
     val offsets = totals.map { case (pid, tot) =>
       val off = acc; acc += tot; (pid, off)
     }.toSeq
-    val offDf = broadcast(
-      s.createDataFrame(offsets).toDF("pid", "poff"))
+    val offDf = broadcast(s.createDataFrame(offsets).toDF("pid", "poff"))
     val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-    parted.join(offDf, Seq("pid"))
+    docs.join(offDf, Seq("pid"))
       .withColumn("start_tok",
         col("poff") + sum(col("n_tokens")).over(local) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),

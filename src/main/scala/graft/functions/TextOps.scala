@@ -82,10 +82,15 @@ object TextOps {
     * ROUNDED value with a token tie-break, so engine and oracle order
     * identically. */
   def tfidf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    // both join branches read the tf aggregate — persist it, or the
+    // corpus explode+aggregate runs once per branch (Catalyst does not
+    // share subtrees across joins). Same caller-owned lifetime
+    // convention as Dedup.ngramJaccard: clearCache() between queries.
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("token")).crossJoin(nDocs)

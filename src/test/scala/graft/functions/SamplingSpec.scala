@@ -42,7 +42,7 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "start_tok").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val ref = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(split(col("text"), " ", -1)).as("nt"))
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("nt"))
       .withColumn("start_tok",
         sum(col("nt")).over(Window.orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, 0)) - col("nt"))

@@ -38,11 +38,15 @@ class TfidfSpec extends SparkSpec {
   }
 
   test("scores within each doc are non-increasing by rank") {
-    val bad = TextOps.tfidf(spark, sfDir).as("a")
-      .join(TextOps.tfidf(spark, sfDir).as("b"),
+    // one invocation self-joined — each tfidf call persists its own tf
+    // aggregate, so building two would double the work and the cache
+    val t = TextOps.tfidf(spark, sfDir)
+    val bad = t.as("a")
+      .join(t.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("a.rank") === col("b.rank") - 1)
       .filter(col("a.tfidf") < col("b.tfidf")).count()
     assert(bad === 0)
+    spark.catalog.clearCache() // release the tf persists from this suite
   }
 }
