@@ -77,6 +77,7 @@ object SparkEntry {
     "split_assign"       -> ((s, d) => Sampling.splitAssign(s, d)),
     "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDupBlocked(s, d)),
+    "sim_quantize_int8"  -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "sim_lsh_topk"       -> ((s, d) => Gates.lshRecallGate(s, d)),
     "sim_ivf_topk"       -> ((s, d) => Gates.ivfRecallGate(s, d)),
     "mm_decode"          -> Multimodal.decodeMeta _,
@@ -470,6 +471,16 @@ object SparkEntry {
          |SELECT vec_a, vec_b, round(cos, 6) AS cos
          |FROM (SELECT vec_a, vec_b, $cosSql AS cos FROM p)
          |WHERE cos >= 0.45""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 20),
+        |m AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS amax
+        |      FROM v)
+        |SELECT vec_id,
+        |  CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos,
+        |  CAST(round(unnest(v) * 127.0 / amax) AS INTEGER) AS q
+        |FROM m""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id, source AS fmt,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -250,4 +250,22 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** Symmetric per-vector int8 quantization [QUANT]: q = round(x ·
+    * 127/amax) with amax = max|x| per vector — the 4× memory reduction
+    * step a corpus takes before ANN indexing. Map-side expression only
+    * (amax via array_max, no shuffle); emitted exploded as
+    * (vec_id, pos, q) so the DuckDB oracle hash-compares scalar columns
+    * (both engines round half away from zero). The eps floor keeps
+    * all-zero vectors defined. */
+  def quantizeInt8(s: SparkSession, d: String, nVecs: Int = 20): DataFrame =
+    graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("amax",
+        greatest(array_max(transform(col("v"), abs(_))), lit(1e-12)))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "val")),
+        col("amax"))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        round(col("val") * 127.0 / col("amax")).cast("int").as("q"))
 }
