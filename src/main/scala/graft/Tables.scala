@@ -32,4 +32,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so users can drive the engine
+    * with raw `spark.sql` (the events view goes through the same
+    * nanos→micros normalization as the typed loader). */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => load(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+  }
 }
