@@ -23,15 +23,19 @@ import graft.Tables
   * the global token stream parallelize across the cluster.
   */
 object Sampling {
-  /** Deterministic range bucket for doc_id: floor(id·nP/(max+1)),
-    * clamped to [0, nP). Monotone in doc_id (bucket p's ids all precede
-    * bucket p+1's) and identical on every re-evaluation, so collected
-    * per-bucket offsets can never disagree with the consuming plan. */
+  /** Deterministic range bucket for doc_id: floor(id/span) with
+    * span = maxId/nP + 1, clamped to [0, nP). Monotone in doc_id
+    * (bucket p's ids all precede bucket p+1's) and identical on every
+    * re-evaluation, so collected per-bucket offsets can never disagree
+    * with the consuming plan. Division (not id·nP/(max+1)) so
+    * snowflake-scale ids near Long.MaxValue can't overflow the
+    * multiply. */
   private def bucketed(df: DataFrame, nP: Int): DataFrame = {
     val row = df.agg(max(col("doc_id"))).head()
-    val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val maxId = if (row.isNullAt(0)) 0L else math.max(0L, row.getLong(0))
+    val span = maxId / nP + 1
     df.withColumn("pid",
-      least(lit(nP - 1), floor(col("doc_id") * nP / (maxId + 1))).cast("int"))
+      least(lit(nP - 1), floor(col("doc_id") / span)).cast("int"))
   }
 
   /** Exact stratified sample [SAMPLE]: the first ceil(n/denom) docs of
@@ -44,10 +48,16 @@ object Sampling {
     * stratum (most corpora are mostly one language) in ONE task — and
     * promoted to global stratum ranks by adding exclusive per-bucket
     * offsets from a tiny broadcast frame. */
-  def stratifiedSample(s: SparkSession, d: String, denom: Int = 10): DataFrame = {
-    val nP = math.max(1, s.sparkContext.defaultParallelism)
-    val docs = bucketed(
-      Tables.documents(s, d).select(col("lang"), col("doc_id")), nP)
+  def stratifiedSample(s: SparkSession, d: String, denom: Int = 10): DataFrame =
+    stratifiedSampleOf(
+      Tables.documents(s, d).select(col("lang"), col("doc_id")),
+      denom, math.max(1, s.sparkContext.defaultParallelism))
+
+  /** Same over any (lang, doc_id) frame — property tests drive this
+    * with adversarial id distributions. */
+  def stratifiedSampleOf(strata: DataFrame, denom: Int, nP: Int): DataFrame = {
+    val s = strata.sparkSession
+    val docs = bucketed(strata, nP)
     val counts = docs.groupBy(col("lang"), col("pid"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -101,12 +111,17 @@ object Sampling {
     * cumsums plus broadcast exclusive bucket offsets telescope to the
     * exact global cumsum; the deterministic bucketing makes the
     * collected offsets recompute-safe with no persist required. */
-  def packChunks(s: SparkSession, d: String, capacity: Int = 2048): DataFrame = {
-    val nP = math.max(1, s.sparkContext.defaultParallelism)
-    val docs = bucketed(
+  def packChunks(s: SparkSession, d: String, capacity: Int = 2048): DataFrame =
+    packChunksOf(
       Tables.documents(s, d)
         .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens")),
-      nP)
+      capacity, math.max(1, s.sparkContext.defaultParallelism))
+
+  /** Same over any (doc_id, n_tokens) frame — property tests drive
+    * this with adversarial id distributions. */
+  def packChunksOf(tokCounts: DataFrame, capacity: Int, nP: Int): DataFrame = {
+    val s = tokCounts.sparkSession
+    val docs = bucketed(tokCounts, nP)
     val totals = docs.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("ptot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
