@@ -44,6 +44,7 @@ object SparkEntry {
     "a9_rollup"          -> CoreOps.a9Rollup _,
     "a10_median"         -> CoreOps.a10Median _,
     "a12_median_scalable" -> CoreOps.a12MedianScalable _,
+    "a13_cube"           -> CoreOps.a13Cube _,
     "a11_two_phase_distinct" -> CoreOps.a11TwoPhaseDistinct _,
     "x13_date_parse"     -> CoreOps.x13DateParse _,
     "x14_vector_expr"    -> CoreOps.x14VectorExpr _,
@@ -301,6 +302,12 @@ object SparkEntry {
       """SELECT o_orderpriority, median(o_totalprice) AS median_price,
         |       COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a13_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+        |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM orders GROUP BY CUBE(year(o_orderdate), o_orderpriority)""".stripMargin,
     "x13_date_parse" ->
       """SELECT o_orderkey,
         |  CAST(strptime(strftime(o_orderdate, '%m-%Y'), '%m-%Y') AS DATE) AS month_start,

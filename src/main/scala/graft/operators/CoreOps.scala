@@ -176,6 +176,20 @@ object CoreOps {
       .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** CUBE over the same keys — all 2^k grouping sets (rollup's sibling;
+    * one pass, Expand + a single hash aggregate). grouping() flags
+    * disambiguate a real NULL key from a subtotal row. [A9b] */
+  def a13Cube(s: SparkSession, d: String): DataFrame =
+    // o_year must be a real column before the cube — grouping() matches
+    // grouping expressions semantically, and an Alias node inside
+    // cube() defeats the match (GROUPING_COLUMN_MISMATCH)
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping(col("o_year")).cast("int").as("g_year"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+
   // ---------------------------------------------------------------- T1 top-k
   /** Top-k by aggregate desc — takeOrdered(10) (etherTop10Contracts.py:68,
     * etherTopMiners.py:46). Plans TakeOrderedAndProject, not a total
