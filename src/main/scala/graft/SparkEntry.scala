@@ -45,6 +45,8 @@ object SparkEntry {
     "a10_median"         -> CoreOps.a10Median _,
     "a12_median_scalable" -> CoreOps.a12MedianScalable _,
     "a13_cube"           -> CoreOps.a13Cube _,
+    "a14_quantile_gate"  -> ((s, d) => Gates.quantileGate(s, d)),
+    "mix_weighted"       -> Sampling.mixWeighted _,
     "a11_two_phase_distinct" -> CoreOps.a11TwoPhaseDistinct _,
     "x13_date_parse"     -> CoreOps.x13DateParse _,
     "x14_vector_expr"    -> CoreOps.x14VectorExpr _,
@@ -449,6 +451,19 @@ object SparkEntry {
         |       start_tok // 2048 AS chunk_id,
         |       start_tok % 2048 AS chunk_off
         |FROM c""".stripMargin,
+    // GK-sketch quantiles have no SQL-reproducible value (merge order
+    // varies with partitioning); the error bound vs the exact
+    // percentile IS the contract, checked in-engine (Gates).
+    "a14_quantile_gate" ->
+      "SELECT CAST(1 AS BOOLEAN) AS quantiles_ok",
+    "mix_weighted" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+        |  FROM documents),
+        |w AS (SELECT *, 1 + CAST(substring(source, 4) AS INTEGER) % 3 AS w FROM r)
+        |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+        |       src_rank / w AS mix_key
+        |FROM w""".stripMargin,
     "split_assign" ->
       """WITH b AS (SELECT doc_id,
         |  CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket

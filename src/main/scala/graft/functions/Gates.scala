@@ -46,6 +46,26 @@ object Gates {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
   }
 
+  /** Quantile-sketch gate: percentile_approx (GK sketch — the only way
+    * to do quantiles in one pass at 100 TB) must land within `rel` of
+    * the exact percentile on every group and probe point. Both sides
+    * computed in-engine (sketch merge order varies with partitioning,
+    * so no SQL oracle can reproduce the sketch — the bound is the
+    * contract), booleans checked by a constant oracle. */
+  def quantileGate(s: SparkSession, d: String, rel: Double = 0.05): DataFrame = {
+    val probes = array(lit(0.25), lit(0.5), lit(0.75))
+    graft.Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), probes, lit(1000)).as("approx"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("exact"))
+      .select(forall(
+        zip_with(col("approx"), col("exact"),
+          (a, e) => abs(a - e) <= abs(e) * rel),
+        x => x).as("ok"))
+      .agg(expr("bool_and(ok)").as("quantiles_ok"))
+  }
+
   /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs
     * Hamming-distance pairs (exact set equality — the pigeonhole bound
     * guarantees it; this checks the implementation, not the theorem). */

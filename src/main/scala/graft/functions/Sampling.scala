@@ -53,30 +53,61 @@ object Sampling {
       Tables.documents(s, d).select(col("lang"), col("doc_id")),
       denom, math.max(1, s.sparkContext.defaultParallelism))
 
-  /** Same over any (lang, doc_id) frame — property tests drive this
-    * with adversarial id distributions. */
-  def stratifiedSampleOf(strata: DataFrame, denom: Int, nP: Int): DataFrame = {
-    val s = strata.sparkSession
-    val docs = bucketed(strata, nP)
-    val counts = docs.groupBy(col("lang"), col("pid"))
+  /** Two-phase global per-stratum doc_id ranks over any
+    * (stratumCol, doc_id, …) frame: appends `grank` (1-based rank of
+    * doc_id within its stratum) and `ntot` (stratum size). Local ranks
+    * per (stratum, id-bucket) window — never one task per stratum —
+    * promoted by broadcast exclusive offsets. */
+  private[functions] def stratumRanks(df: DataFrame, stratumCol: String,
+      nP: Int): DataFrame = {
+    val s = df.sparkSession
+    val docs = bucketed(df, nP)
+    val counts = docs.groupBy(col(stratumCol), col("pid"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val offRows = counts.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+    val offRows = counts.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
       val ntot = rows.map(_._3).sum
       var acc = 0L
       rows.sortBy(_._2).map { case (_, pid, c) =>
-        val off = acc; acc += c; (lang, pid, off, ntot)
+        val off = acc; acc += c; (k, pid, off, ntot)
       }
     }
     val offDf = broadcast(s.createDataFrame(offRows)
-      .toDF("lang", "pid", "poff", "ntot"))
-    val wLocal = Window.partitionBy(col("lang"), col("pid"))
+      .toDF(stratumCol, "pid", "poff", "ntot"))
+    val wLocal = Window.partitionBy(col(stratumCol), col("pid"))
       .orderBy(col("doc_id"))
     docs.withColumn("lrn", row_number().over(wLocal))
-      .join(offDf, Seq("lang", "pid"))
-      .filter(col("lrn") + col("poff") <=
-        ceil(col("ntot") / lit(denom.toDouble)))
+      .join(offDf, Seq(stratumCol, "pid"))
+      .withColumn("grank", col("lrn") + col("poff"))
+      .drop("lrn", "poff", "pid")
+  }
+
+  /** Same over any (lang, doc_id) frame — property tests drive this
+    * with adversarial id distributions. */
+  def stratifiedSampleOf(strata: DataFrame, denom: Int, nP: Int): DataFrame =
+    stratumRanks(strata, "lang", nP)
+      .filter(col("grank") <= ceil(col("ntot") / lit(denom.toDouble)))
       .select(col("lang"), col("doc_id"))
+
+  /** Weighted dataset mixing [MIX]: deterministic proportional
+    * interleave of sources — each doc's mix key is
+    * (rank within source)/weight, so sorting by (mix_key, source,
+    * doc_id) yields the classic weighted fair-queueing order in which
+    * a source with weight w contributes w docs per w+1 of a weight-1
+    * source. Emits the key rather than a global position: consumers
+    * range-partition/sort by it distributed, instead of this operator
+    * paying a single-task global row_number. Demo weights derive from
+    * the source name so the oracle can reproduce them. */
+  def mixWeighted(s: SparkSession, d: String): DataFrame = {
+    val nP = math.max(1, s.sparkContext.defaultParallelism)
+    stratumRanks(
+      Tables.documents(s, d).select(col("source"), col("doc_id")),
+      "source", nP)
+      .withColumn("w",
+        lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+      .select(col("doc_id"), col("source"),
+        col("grank").as("src_rank"),
+        (col("grank") / col("w")).as("mix_key"))
   }
 
   /** Deterministic train/val/test assignment [SPLIT]: bucket =
