@@ -460,7 +460,7 @@ object SparkEntry {
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
         |  FROM documents),
-        |w AS (SELECT *, 1 + CAST(substring(source, 4) AS INTEGER) % 3 AS w FROM r)
+        |w AS (SELECT *, 1 + COALESCE(TRY_CAST(substring(source, 4) AS INTEGER), 0) % 3 AS w FROM r)
         |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
         |       src_rank / w AS mix_key
         |FROM w""".stripMargin,

@@ -59,11 +59,17 @@ object Gates {
       .agg(
         percentile_approx(col("o_totalprice"), probes, lit(1000)).as("approx"),
         expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("exact"))
-      .select(forall(
-        zip_with(col("approx"), col("exact"),
-          (a, e) => abs(a - e) <= abs(e) * rel),
-        x => x).as("ok"))
-      .agg(expr("bool_and(ok)").as("quantiles_ok"))
+      // a group whose values are all NULL yields NULL arrays on BOTH
+      // sides — agreement, counted as pass, never silently skipped
+      // (bool_and ignores NULLs); an empty table is vacuously true,
+      // matching the constant oracle
+      .select(when(col("approx").isNull && col("exact").isNull, lit(true))
+        .otherwise(coalesce(
+          forall(zip_with(col("approx"), col("exact"),
+            (a, e) => abs(a - e) <= abs(e) * rel), x => x),
+          lit(false)))
+        .as("ok"))
+      .agg(coalesce(expr("bool_and(ok)"), lit(true)).as("quantiles_ok"))
   }
 
   /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs

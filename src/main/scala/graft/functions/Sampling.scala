@@ -103,8 +103,12 @@ object Sampling {
     stratumRanks(
       Tables.documents(s, d).select(col("source"), col("doc_id")),
       "source", nP)
+      // full suffix + try_cast: a non-numeric source must not throw
+      // under ANSI mode, and a truncated substring would silently
+      // diverge from the oracle's full-suffix parse
       .withColumn("w",
-        lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+        lit(1) + coalesce(
+          expr("try_cast(substring(source, 4) AS INT)"), lit(0)) % 3)
       .select(col("doc_id"), col("source"),
         col("grank").as("src_rank"),
         (col("grank") / col("w")).as("mix_key"))
