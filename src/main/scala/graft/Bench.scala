@@ -5,15 +5,23 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every SparkEntry query once, emits ONE JSON
-  * line with per-query wall-clock seconds PLUS per-query execution
-  * metrics from a SparkListener (jobs, stages, tasks, shuffle bytes,
-  * spill, GC, executor time). Wall-clock alone can't distinguish "the
-  * plan regressed" from "the box was contended" — after two rounds of
-  * driver-vs-local bench mysteries on dedup_corpus, the metrics make
-  * the next divergence diagnosable in-round: same jobs/shuffle-bytes
-  * but 10× wall-clock = contention; more jobs or spill = a real plan
-  * regression. */
+/** Benchmark main: runs every SparkEntry query, emits ONE JSON line
+  * with per-query wall-clock seconds PLUS per-query execution metrics
+  * from a SparkListener (jobs, stages, tasks, shuffle bytes, spill,
+  * GC, executor time). Wall-clock alone can't distinguish "the plan
+  * regressed" from "the box was contended" — after two rounds of
+  * driver-vs-local bench mysteries on dedup_corpus (and a controlled
+  * reproduction in PERF_COMPARE.md: the same binary 21.6 s settled vs
+  * 163 s under ext4 writeback), the metrics make a divergence
+  * diagnosable in-round: same jobs/shuffle-bytes but inflated
+  * wall-clock and GC = contention; more jobs or spill = a real plan
+  * regression.
+  *
+  * The whole suite runs SPARK_GRAFT_BENCH_RUNS times (default 2) and
+  * each query reports its MINIMUM — a transient load spike during one
+  * pass doesn't misprice the engine — while `totals_per_run` preserves
+  * the raw per-pass totals so variance itself stays visible. Reported
+  * metrics come from each query's best pass. */
 object Bench {
   /** Per-query execution counters, attributed via job group. */
   private final class QMetrics {
@@ -26,6 +34,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,56 +84,78 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    // absorb one-time JVM/codegen/reader init so the first timed query
-    // isn't charged for session warmup
-    SparkEntry.queries.get("a5_global_agg").foreach(_(spark, sfDir).count())
-    // a failed query records -1, never a bogus elapsed time
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // queries that persist intermediates (dedup/LSH) must not leak
-      // cached blocks into later queries: a full storage pool evicts
-      // blocks mid-query and recompute cascades (round-1 dedup_corpus)
-      spark.catalog.clearCache()
-      current = name
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-      }
-      spark.sparkContext.clearJobGroup()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     // listener events are delivered async; wait until the counters
     // stop moving (two consecutive stable snapshots) before reading —
     // a fixed sleep undercounts exactly when the box is contended,
     // which is when these numbers matter most
-    def snapshot(): (Long, Long) = {
-      var j = 0L; var st = 0L
-      metrics.forEach { (_, m) => m.synchronized { j += m.jobs; st += m.stages } }
-      (j, st)
-    }
-    var prev = snapshot()
-    var stable = 0
-    var waited = 0
-    while (stable < 2 && waited < 15000) {
-      Thread.sleep(250); waited += 250
-      val cur = snapshot()
-      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    def drainStable(): Unit = {
+      def snapshot(): (Long, Long) = {
+        var j = 0L; var st = 0L
+        metrics.forEach { (_, m) => m.synchronized { j += m.jobs; st += m.stages } }
+        (j, st)
+      }
+      var prev = snapshot()
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 15000) {
+        Thread.sleep(250); waited += 250
+        val cur = snapshot()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // absorb one-time JVM/codegen/reader init so the first timed query
+    // isn't charged for session warmup
+    SparkEntry.queries.get("a5_global_agg").foreach(_(spark, sfDir).count())
+
+    // a failed query records -1, never a bogus elapsed time
+    def onePass(): (Map[String, Double], Map[String, QMetrics]) = {
+      val results = SparkEntry.queries.map { case (name, fn) =>
+        // queries that persist intermediates (dedup/LSH) must not leak
+        // cached blocks into later queries: a full storage pool evicts
+        // blocks mid-query and recompute cascades (round-1 dedup_corpus)
+        spark.catalog.clearCache()
+        current = name
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        spark.sparkContext.clearJobGroup()
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      drainStable()
+      import scala.jdk.CollectionConverters._
+      val snap = metrics.asScala.toMap // materialized before the clear
+      metrics.clear(); stageOwner.clear()
+      (results.toMap, snap)
+    }
+    val passes = (1 to nRuns).map(_ => onePass())
+
+    val names = SparkEntry.queries.keys.toSeq
+    // per query: min over successful passes; metrics from that pass
+    val best: Map[String, (Double, QMetrics)] = names.map { n =>
+      val timed = passes.map { case (r, m) => (r(n), m.getOrElse(n, new QMetrics)) }
+      val ok = timed.filter(_._1 >= 0)
+      n -> (if (ok.isEmpty) (-1.0, new QMetrics) else ok.minBy(_._1))
+    }.toMap
+
+    val qs = names.map(n => s"\"" + n + "\":" + best(n)._1)
       .mkString("{", ",", "}")
     def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
-    val ms = results.keys.map { k =>
-      val m = metrics.getOrDefault(k, new QMetrics)
-      s""""$k":{"jobs":${m.jobs},"stages":${m.stages},"tasks":${m.tasks},""" +
+    val ms = names.map { n =>
+      val m = best(n)._2
+      s""""$n":{"jobs":${m.jobs},"stages":${m.stages},"tasks":${m.tasks},""" +
         s""""shuffle_read_mb":${mb(m.shuffleRead)},"shuffle_write_mb":${mb(m.shuffleWrite)},""" +
         s""""spill_mem_mb":${mb(m.memSpill)},"spill_disk_mb":${mb(m.diskSpill)},""" +
         s""""gc_ms":${m.gcMs},"exec_ms":${m.execMs}}"""
     }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","metrics":$ms}""")
+    val total = best.values.map(_._1).filter(_ >= 0).sum
+    val perRun = passes.map(_._1.values.filter(_ >= 0).sum)
+      .map(t => math.round(t * 100) / 100.0).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"totals_per_run":$perRun,"metrics":$ms}""")
     spark.stop()
   }
 }
