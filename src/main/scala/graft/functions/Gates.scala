@@ -47,27 +47,37 @@ object Gates {
   }
 
   /** Quantile-sketch gate: percentile_approx (GK sketch — the only way
-    * to do quantiles in one pass at 100 TB) must land within `rel` of
-    * the exact percentile on every group and probe point. Both sides
-    * computed in-engine (sketch merge order varies with partitioning,
-    * so no SQL oracle can reproduce the sketch — the bound is the
-    * contract), booleans checked by a constant oracle. */
-  def quantileGate(s: SparkSession, d: String, rel: Double = 0.05): DataFrame = {
+    * to do quantiles in one pass at 100 TB) checked against the
+    * sketch's ACTUAL contract — RANK error ≤ n/accuracy — not a value
+    * tolerance: on a steep or heavy-tailed distribution a within-spec
+    * rank error can move the VALUE arbitrarily, so a value-relative
+    * gate would flake on data it wasn't calibrated for. For each group
+    * and probe p, the approx value v (an observed value, occupying
+    * ranks [#{x<v}+1, #{x≤v}]) must overlap the permitted rank band
+    * [p·n − n/acc − 1, p·n + n/acc + 1] (±1 absorbs the ⌈p·n⌉
+    * rounding convention). Both sides computed in-engine (sketch merge
+    * order varies with partitioning, so no SQL oracle can reproduce
+    * the sketch — the bound is the contract), booleans checked by a
+    * constant oracle. All-NULL groups drop out of the posexplode and
+    * pass vacuously, like an empty table. */
+  def quantileGate(s: SparkSession, d: String, accuracy: Int = 1000): DataFrame = {
     val probes = array(lit(0.25), lit(0.5), lit(0.75))
-    graft.Tables.orders(s, d)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        percentile_approx(col("o_totalprice"), probes, lit(1000)).as("approx"),
-        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("exact"))
-      // a group whose values are all NULL yields NULL arrays on BOTH
-      // sides — agreement, counted as pass, never silently skipped
-      // (bool_and ignores NULLs); an empty table is vacuously true,
-      // matching the constant oracle
-      .select(when(col("approx").isNull && col("exact").isNull, lit(true))
-        .otherwise(coalesce(
-          forall(zip_with(col("approx"), col("exact"),
-            (a, e) => abs(a - e) <= abs(e) * rel), x => x),
-          lit(false)))
+    val vals = graft.Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .filter(col("o_totalprice").isNotNull)
+    val ap = vals.groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"), probes, lit(accuracy))
+        .as("approx"))
+      .select(col("o_orderpriority"),
+        posexplode(col("approx")).as(Seq("i", "v")))
+      .withColumn("p", (col("i") + 1) * lit(0.25))
+    vals.join(broadcast(ap), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("i"), col("p"), col("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < col("v"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("o_totalprice") <= col("v"), 1L).otherwise(0L)).as("le"))
+      .select(((col("lt") + 1 <= col("p") * col("n") + col("n") / accuracy + 1)
+        && (col("le") >= col("p") * col("n") - col("n") / accuracy - 1))
         .as("ok"))
       .agg(coalesce(expr("bool_and(ok)"), lit(true)).as("quantiles_ok"))
   }

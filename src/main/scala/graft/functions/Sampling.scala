@@ -24,10 +24,11 @@ import graft.Tables
   */
 object Sampling {
   /** Deterministic range bucket for doc_id: floor(id/span) with
-    * span = maxId/nP + 1, clamped to [0, nP). Monotone in doc_id
-    * (bucket p's ids all precede bucket p+1's) and identical on every
-    * re-evaluation, so collected per-bucket offsets can never disagree
-    * with the consuming plan. Division (not id·nP/(max+1)) so
+    * span = maxId/nP + 1, clamped to [0, nP) — negative ids all land
+    * in bucket 0 via the lower clamp. Monotone non-decreasing in
+    * doc_id (bucket p's ids all precede bucket p+1's) and identical on
+    * every re-evaluation, so collected per-bucket offsets can never
+    * disagree with the consuming plan. Division (not id·nP/(max+1)) so
     * snowflake-scale ids near Long.MaxValue can't overflow the
     * multiply. */
   private def bucketed(df: DataFrame, nP: Int): DataFrame = {
@@ -35,7 +36,8 @@ object Sampling {
     val maxId = if (row.isNullAt(0)) 0L else math.max(0L, row.getLong(0))
     val span = maxId / nP + 1
     df.withColumn("pid",
-      least(lit(nP - 1), floor(col("doc_id") / span)).cast("int"))
+      greatest(lit(0),
+        least(lit(nP - 1), floor(col("doc_id") / span))).cast("int"))
   }
 
   /** Exact stratified sample [SAMPLE]: the first ceil(n/denom) docs of
@@ -61,8 +63,15 @@ object Sampling {
   private[functions] def stratumRanks(df: DataFrame, stratumCol: String,
       nP: Int): DataFrame = {
     val s = df.sparkSession
-    val docs = bucketed(df, nP)
-    val counts = docs.groupBy(col(stratumCol), col("pid"))
+    // NULL strata are a regular stratum (matching SQL window semantics,
+    // where row_number PARTITION BY groups NULLs together): rank via a
+    // sentinel-coalesced shadow key so the per-bucket counts, the local
+    // window, and the (otherwise null-UNsafe) offset join all agree on
+    // NULL; the original column passes through untouched. The NUL
+    // sentinel cannot collide — the corpus strata are printable names.
+    val docs = bucketed(df, nP).withColumn("_sk",
+      coalesce(col(stratumCol).cast("string"), lit("\u0000")))
+    val counts = docs.groupBy(col("_sk"), col("pid"))
       .agg(count(lit(1)).as("c")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val offRows = counts.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
@@ -73,13 +82,13 @@ object Sampling {
       }
     }
     val offDf = broadcast(s.createDataFrame(offRows)
-      .toDF(stratumCol, "pid", "poff", "ntot"))
-    val wLocal = Window.partitionBy(col(stratumCol), col("pid"))
+      .toDF("_sk", "pid", "poff", "ntot"))
+    val wLocal = Window.partitionBy(col("_sk"), col("pid"))
       .orderBy(col("doc_id"))
     docs.withColumn("lrn", row_number().over(wLocal))
-      .join(offDf, Seq(stratumCol, "pid"))
+      .join(offDf, Seq("_sk", "pid"))
       .withColumn("grank", col("lrn") + col("poff"))
-      .drop("lrn", "poff", "pid")
+      .drop("lrn", "poff", "pid", "_sk")
   }
 
   /** Same over any (lang, doc_id) frame — property tests drive this

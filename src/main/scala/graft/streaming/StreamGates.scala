@@ -57,8 +57,17 @@ object StreamGates {
       .filter(col("user_id") < 200)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
+    // an empty slice (tiny SF, reshaped events) must fail the gate as
+    // data, not NPE on max(ts): return the all-false row the n_win>0 /
+    // n_sess>0 terms would have produced, before any stream starts
+    val maxRow = ev.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0)) {
+      deleteRecursively(java.nio.file.Paths.get(base))
+      return Seq((false, false))
+        .toDF("tumbling_parity", "sessions_flushed_parity")
+    }
     ev.write.mode("overwrite").parquet(inDir)
-    val maxMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val maxMs = maxRow.getTimestamp(0).getTime
 
     Seq("sbp_tumbling", "sbp_sessions").foreach { v =>
       try s.catalog.dropTempView(v) catch { case _: Throwable => () }

@@ -16,10 +16,13 @@ object SamplingProps extends Properties("Sampling") {
 
   private lazy val spark = SparkTestSession.spark
 
-  // distinct non-negative ids across the full long range, incl. huge
+  // distinct ids across the full long range — dense, huge, and
+  // negative (negative ids clamp into bucket 0; ordering still holds)
   private val idsGen = Gen.chooseNum(1, 60).flatMap { n =>
     Gen.listOfN(n, Gen.oneOf(
       Gen.chooseNum(0L, 100L),
+      Gen.chooseNum(-100L, -1L),
+      Gen.chooseNum(Long.MinValue + 2, Long.MinValue / 2),
       Gen.chooseNum(0L, Long.MaxValue / 2),
       Gen.chooseNum(Long.MaxValue / 2, Long.MaxValue - 2)))
       .map(_.distinct)
@@ -62,6 +65,26 @@ object SamplingProps extends Properties("Sampling") {
       // .toSeq first — flatMap on a Map producing pairs would collapse
       // back into a Map keyed by lang, keeping one row per stratum
       val ref = rows.groupBy(_._1).toSeq.flatMap { case (lang, xs) =>
+        val keep = math.ceil(xs.size.toDouble / denom).toInt
+        xs.map(_._2).sorted.take(keep).map(lang -> _)
+      }.toSet
+      got == ref
+    }
+
+  property("stratifiedSampleOf treats NULL strata as a regular stratum") =
+    Prop.forAll(idsGen, Gen.chooseNum(2, 10)) { (ids0, denom0) =>
+      import spark.implicits._
+      val ids = ids0.distinct
+      val denom = math.max(2, denom0)
+      // every 3rd row has a NULL stratum — the SQL-window oracle keeps
+      // NULL as its own partition, so the engine must too
+      val rows = ids.zipWithIndex.map { case (id, i) =>
+        (if (i % 3 == 0) null else s"lang${i % 2}", id)
+      }
+      val df = rows.toDF("lang", "doc_id")
+      val got = Sampling.stratifiedSampleOf(df, denom, nP = 4)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+      val ref = rows.groupBy(r => Option(r._1)).toSeq.flatMap { case (lang, xs) =>
         val keep = math.ceil(xs.size.toDouble / denom).toInt
         xs.map(_._2).sorted.take(keep).map(lang -> _)
       }.toSet
