@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, CoreOps, EventOps, Skew}
-import graft.functions.{Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{AsofJoin, Changelog, CoreOps, EventOps, RangeJoin, Skew}
+import graft.functions.{Decontam, Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -89,6 +89,10 @@ object SparkEntry {
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
     "asof_purchase_attribution" -> AsofJoin.purchaseAttribution _,
     "stream_batch_parity" -> graft.streaming.StreamGates.streamBatchParity _,
+    "text_repetition"    -> TextOps.repetition _,
+    "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
+    "upsert_latest"      -> Changelog.upsertLatest _,
+    "range_join_binned"  -> RangeJoin.priceBandDemo _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -554,6 +558,63 @@ object SparkEntry {
         |       COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM z GROUP BY user_id, session_seq""".stripMargin,
+    // n-gram construction parity: DuckDB 1-based list indexing over
+    // generate_series == Spark array_join(slice(...)); empty when the
+    // doc has fewer than n tokens (generate_series(1, k<1) is empty)
+    "text_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c
+        |       FROM (SELECT doc_id, unnest(l) AS t FROM tk) GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |              MAX(c) AS top_tok FROM tc GROUP BY 1),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c
+        |       FROM (SELECT doc_id, l[i] || ' ' || l[i+1] AS b
+        |             FROM (SELECT doc_id, l,
+        |                     unnest(generate_series(1, len(l) - 1)) AS i
+        |                   FROM tk)) GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigram,
+        |              MAX(c) AS top_bigram FROM bc GROUP BY 1)
+        |SELECT ta.doc_id, n_tok, top_tok,
+        |       CAST(top_tok AS DOUBLE) / n_tok AS top_tok_frac,
+        |       COALESCE(n_bigram, 0) AS n_bigram,
+        |       COALESCE(top_bigram, 0) AS top_bigram,
+        |       COALESCE(CAST(top_bigram AS DOUBLE) / n_bigram, 0.0)
+        |         AS top_bigram_frac
+        |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id""".stripMargin,
+    // same md5-bucket split rule as split_assign; trigram overlap
+    // between the train and test splits
+    "decon_ngram_overlap" ->
+      """WITH tk AS (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 AS b,
+        |  string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT DISTINCT doc_id, b,
+        |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+        |      FROM (SELECT doc_id, b, l,
+        |              unnest(generate_series(1, len(l) - 2)) AS i FROM tk)),
+        |tr AS (SELECT doc_id AS train_doc, g FROM g WHERE b < 90),
+        |te AS (SELECT doc_id AS test_doc, g FROM g WHERE b >= 95)
+        |SELECT train_doc,
+        |       COUNT(DISTINCT g) AS n_shared_ngrams,
+        |       COUNT(DISTINCT test_doc) AS n_test_docs
+        |FROM tr JOIN te USING (g) GROUP BY 1""".stripMargin,
+    // recency order on epoch micros (not raw ts): the engine floors
+    // nanos to micros, so the oracle must rank at the same precision
+    "upsert_latest" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "range_join_binned" ->
+      """WITH b AS (SELECT p_brand, MIN(p_retailprice) AS lo,
+        |                  MAX(p_retailprice) AS hi
+        |           FROM part GROUP BY 1)
+        |SELECT b.p_brand, COUNT(*) AS n_in_band,
+        |       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM part p JOIN b ON p.p_retailprice >= b.lo
+        |                  AND p.p_retailprice <= b.hi
+        |GROUP BY 1""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

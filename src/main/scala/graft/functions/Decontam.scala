@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Benchmark decontamination [DECON]: find training documents that
+  * share word n-grams with the held-out evaluation split — the overlap
+  * check every serious training-data pipeline runs before a corpus
+  * ships (an eval document leaking into train invalidates the
+  * benchmark). Splits come from [[Sampling.splitAssign]] (content-hash
+  * buckets), so the check composes with the pipeline's own split
+  * operator rather than inventing a second notion of "test set".
+  *
+  * Shape and scale: per-doc DISTINCT n-grams (one partial-agg'd
+  * shuffle keyed by (doc, gram) — dedup before the join, so duplicate
+  * grams inside one doc can't fan the join out), then train-grams ⋈
+  * eval-grams on the gram string. The eval side is a benchmark suite —
+  * tiny by construction relative to a 100 TB train corpus — so Spark
+  * broadcasts it and the train side never reshuffles. At production
+  * scale the gram key would be xxhash64(gram) (8-byte keys, strings
+  * never leave the scan); the raw string key here keeps the DuckDB
+  * oracle exact, and the n-gram construction is shared with
+  * [[TextOps.wordNgrams]] so both engines emit identical grams.
+  */
+object Decontam {
+  /** Per train-doc contamination report: how many distinct `n`-grams
+    * it shares with any eval doc, and how many eval docs it hits.
+    * Docs with no overlap (or too few tokens for an n-gram) are
+    * absent — the report is the contaminated set, not the corpus. */
+  def ngramOverlap(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Sampling.splitName(Sampling.splitBucket(col("text"))).as("split"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("split"),
+        explode(TextOps.wordNgrams("tk", n)).as("g"))
+      .distinct()
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("g"))
+    val eval_ = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("g"))
+    train.join(broadcast(eval_), Seq("g"))
+      .groupBy(col("train_doc"))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("test_doc")).as("n_test_docs"))
+  }
+}

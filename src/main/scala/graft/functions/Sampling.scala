@@ -134,13 +134,21 @@ object Sampling {
   def splitAssign(s: SparkSession, d: String,
       trainPct: Int = 90, valPct: Int = 5): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        (conv(substring(md5(col("text")), 1, 4), 16, 10)
-          .cast("int") % 100).as("bucket"))
+      .select(col("doc_id"), splitBucket(col("text")).as("bucket"))
       .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test").as("split"))
+        splitName(col("bucket"), trainPct, valPct).as("split"))
+
+  /** The split expressions, exposed so downstream operators
+    * ([[Decontam]]) derive the split from the SAME row instead of
+    * joining back to a separately-computed assignment — map-side,
+    * no corpus-to-corpus shuffle. */
+  private[functions] def splitBucket(text: org.apache.spark.sql.Column) =
+    conv(substring(md5(text), 1, 4), 16, 10).cast("int") % 100
+  private[functions] def splitName(bucket: org.apache.spark.sql.Column,
+      trainPct: Int = 90, valPct: Int = 5) =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
 
   /** Sequence packing [PACK]: concatenate all documents in doc_id
     * order (tokenized exactly as TextOps counts tokens — chunk

@@ -105,6 +105,47 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** Word n-grams of a token array: n consecutive tokens, space-joined
+    * (1-based slice; fewer than n tokens means no n-grams). Shared by
+    * the repetition signals and benchmark decontamination
+    * ([[Decontam]]); the DuckDB mirror is l[i] || ' ' || l[i+1] … over
+    * generate_series, so both engines emit identical gram strings. */
+  private[functions] def wordNgrams(t: String, n: Int): Column =
+    expr(s"""CASE WHEN size($t) < $n THEN array()
+            |ELSE transform(sequence(1, size($t) - ${n - 1}),
+            |               i -> array_join(slice($t, i, $n), ' '))
+            |END""".stripMargin)
+
+  /** Repetition-based quality signals [REPETITION] (the Gopher-style
+    * filters): fraction of the token stream covered by the single most
+    * frequent token and by the most frequent word 2-gram — high values
+    * flag boilerplate, keyword spam and degenerate generations that
+    * length/stopword ratios miss. Explode + two partial-agg'd hash
+    * aggregates per unit ((doc, term) then doc), so the shuffle carries
+    * one row per distinct term per doc per partition — never the raw
+    * token stream. Counts (not argmax terms) are emitted, so ties
+    * can't make the output nondeterministic. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    def topOf(unit: Column, name: String): DataFrame =
+      docs.select(col("doc_id"), explode(unit).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$name"), max(col("c")).as(s"top_$name"))
+    topOf(col("tk"), "tok")
+      // single-token docs have no bigrams: left join + zero-coalesce
+      .join(topOf(wordNgrams("tk", 2), "bigram"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tok"), col("top_tok"),
+        (col("top_tok") / col("n_tok")).as("top_tok_frac"),
+        coalesce(col("n_bigram"), lit(0L)).as("n_bigram"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"),
+        coalesce(col("top_bigram") / col("n_bigram"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Document fingerprint: md5 of whitespace-canonicalized text.
     * Deterministic and engine-portable (same md5 in DuckDB), unlike
     * JVM-specific hashes. */

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Changelog compaction [UPSERT]: reduce an append-only event/CDC
+  * stream to the LATEST record per key — the merge step behind every
+  * mutable-table-on-immutable-files pattern (SCD type 1, upsert
+  * snapshots, feature-store "current value" reads).
+  *
+  * The scale-defining choice: `max_by(payload, (ts, id))` — an
+  * AGGREGATE, not the textbook `row_number() OVER (PARTITION BY key
+  * ORDER BY ts DESC) = 1` window. The window formulation shuffles and
+  * SORTS the entire changelog (at 100 TB: the whole history moves,
+  * then sorts per key); the aggregate is partially applied map-side,
+  * so each partition forwards ONE candidate row per key it has seen —
+  * shuffle volume is bounded by keys × partitions regardless of how
+  * deep the history is. Ties on ts resolve by max event_id, making the
+  * result deterministic and oracle-comparable.
+  */
+object Changelog {
+  /** Latest event per user from the events changelog: key = user_id,
+    * recency = (ts, event_id). Micros BIGINT out (timestamp-precision
+    * hashing parity with the oracle, as in the as-of join). */
+  def upsertLatest(s: SparkSession, d: String): DataFrame =
+    latestByKeyOf(Tables.events(s, d))
+
+  /** Same over any events-shaped frame — specs drive this with
+    * adversarial tie distributions. */
+  def latestByKeyOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"),
+        unix_micros(col("r.ts")).as("ts_us"),
+        col("r.event_id").as("event_id"),
+        col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+}

@@ -42,6 +42,19 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids, keeping per-key
+    * state only inside the watermark horizon — the streaming twin of
+    * batch dropDuplicates. Plain dropDuplicates on a stream holds
+    * every key ever seen (unbounded state, the dedup scale-killer);
+    * dropDuplicatesWithinWatermark expires a key's state once the
+    * watermark passes its event time, so executor state is bounded by
+    * the duplicate-arrival horizon — the right contract for at-least-
+    * once sources, whose duplicates arrive close together. */
+  def dedupedEvents(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Sliding 1-hour window every 15 minutes — each event lands in 4
     * overlapping windows. */
   def slidingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

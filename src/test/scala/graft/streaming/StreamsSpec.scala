@@ -48,6 +48,26 @@ class StreamsSpec extends SparkSpec {
     assert(got === batch && got.nonEmpty)
   }
 
+  test("streaming dedup drops repeated event ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    // duplicates both inside one batch and across batches: state must
+    // survive the batch boundary (the watermark hasn't passed the keys)
+    mem.addData(mkEvents ++ mkEvents.take(10))
+    val q = Streams.dedupedEvents(mem.toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(mkEvents.take(25)) // second batch: all duplicates
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === mkEvents.map(_.event_id).sorted.toSeq)
+  }
+
   test("streaming session windows match batch sessionization boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
