@@ -173,7 +173,10 @@ object Bench {
     }.toMap
 
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
-    val qs = names.map(n => s"\"" + n + "\":" + r3(best(n)._1))
+    // 2 dp per query keeps the summary line comfortably inside the
+    // ~2 KB tail as the suite grows; exact exec_ms is in the metrics line
+    def r2(d: Double): Double = math.round(d * 100) / 100.0
+    val qs = names.map(n => s"\"" + n + "\":" + r2(best(n)._1))
       .mkString("{", ",", "}")
     def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
     val ms = names.map { n =>

@@ -90,6 +90,8 @@ object SparkEntry {
     "asof_purchase_attribution" -> AsofJoin.purchaseAttribution _,
     "stream_batch_parity" -> graft.streaming.StreamGates.streamBatchParity _,
     "text_repetition"    -> TextOps.repetition _,
+    "a15_hll_merge"      -> ((s, d) => Gates.hllMergeGate(s, d)),
+    "p2_dynamic_pruning" -> CoreOps.p2DynamicPruning _,
     "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
@@ -605,6 +607,21 @@ object SparkEntry {
         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+    // HLL union-vs-direct equality and the error bound are engine
+    // properties (DuckDB's sketch differs); checked in-engine
+    "a15_hll_merge" ->
+      """SELECT CAST(1 AS BOOLEAN) AS merge_consistent,
+        |       CAST(1 AS BOOLEAN) AS within_err""".stripMargin,
+    "p2_dynamic_pruning" ->
+      """WITH cal AS (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y
+        |             FROM orders WHERE year(o_orderdate) % 2 = 1)
+        |SELECT f.o_year, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             o_totalprice FROM orders) f
+        |JOIN cal ON f.o_year = cal.y
+        |GROUP BY 1""".stripMargin,
     "range_join_binned" ->
       """WITH b AS (SELECT p_brand, MIN(p_retailprice) AS lo,
         |                  MAX(p_retailprice) AS hi

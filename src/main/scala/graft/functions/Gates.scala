@@ -82,6 +82,38 @@ object Gates {
       .agg(coalesce(expr("bool_and(ok)"), lit(true)).as("quantiles_ok"))
   }
 
+  /** Mergeable-sketch gate [a15_hll_merge]: the property that makes
+    * incremental/partitioned count-distinct work at 100 TB — HLL
+    * sketches built per partition (here per ship-month) and UNIONED at
+    * query time must estimate what one pass over the whole table
+    * estimates. This is the pattern behind pre-aggregated rollup
+    * tables: store a sketch per day/segment, merge on read, never
+    * rescan history. Union is register-wise max, but DataSketches
+    * promotes union targets to HLL_8 while a directly-built sketch
+    * keeps HLL_4 — measured 14908 vs 14892 on 14743 true distinct at
+    * sf0.01 — so bit-equality of estimates is NOT the contract; both
+    * paths landing within the configured relative error of the TRUE
+    * count (and within 1% of each other) is. Checked in-engine
+    * (DuckDB's approx_count_distinct is a different sketch — no
+    * cross-engine value oracle exists), booleans vs a constant
+    * oracle. */
+  def hllMergeGate(s: SparkSession, d: String, relErr: Double = 0.05): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), month(col("l_shipdate")).as("m"))
+    val merged = li.groupBy(col("m"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("est_direct"),
+      countDistinct(col("l_orderkey")).as("exact"))
+    merged.crossJoin(direct).select(
+      (abs(col("est_merged") - col("est_direct")) <= col("exact") * 0.01 &&
+        abs(col("est_merged") - col("exact")) <= col("exact") * relErr)
+        .as("merge_consistent"),
+      (abs(col("est_direct") - col("exact")) <= col("exact") * relErr)
+        .as("within_err"))
+  }
+
   /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs
     * Hamming-distance pairs (exact set equality — the pigeonhole bound
     * guarantees it; this checks the implementation, not the theorem). */

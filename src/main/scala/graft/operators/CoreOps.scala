@@ -356,7 +356,10 @@ object CoreOps {
     * At 100 TB this is the difference between scanning one year and
     * scanning the decade; testdata ships unpartitioned, so the
     * partitioned copy is materialized (idempotently) per sf dir. [P1] */
-  def p1PartitionPruning(s: SparkSession, d: String): DataFrame = {
+  /** One-time year-partitioned copy of orders (hive-style o_year=YYYY
+    * directories), shared by the static (p1) and dynamic (p2) pruning
+    * queries. */
+  private def partitionedOrders(s: SparkSession, d: String): DataFrame = {
     val out = sys.props("java.io.tmpdir") + "/graft_part_orders_" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
@@ -365,8 +368,34 @@ object CoreOps {
         .write.mode("overwrite").partitionBy("o_year").parquet(out)
     }
     s.read.parquet(out)
+  }
+
+  def p1PartitionPruning(s: SparkSession, d: String): DataFrame = {
+    partitionedOrders(s, d)
       .filter(col("o_year") === 1995)
       .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+  }
+
+  /** Dynamic partition pruning [p2]: the partition filter arrives
+    * through a JOIN, not a literal — the optimizer builds the dim
+    * side's key set at runtime and prunes fact partitions with it
+    * (plan shows `dynamicpruningexpression` in PartitionFilters;
+    * ExplainPlanSpec pins it). At 100 TB this is the difference
+    * between scanning every date partition of a fact table and
+    * scanning only the dates a filtered calendar/dim actually selects
+    * — static pruning (p1) can't help because no literal appears.
+    * Reuses p1's year-partitioned orders copy; the "calendar" dim is
+    * odd years derived from the base table, so the DuckDB oracle can
+    * reproduce it. */
+  def p2DynamicPruning(s: SparkSession, d: String): DataFrame = {
+    val fact = partitionedOrders(s, d)
+    val cal = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .filter(col("y") % 2 === 1)
+    fact.join(cal, fact("o_year") === cal("y"))
+      .groupBy(col("o_year"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
   }

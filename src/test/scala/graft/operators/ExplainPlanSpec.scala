@@ -19,6 +19,13 @@ class ExplainPlanSpec extends SparkSpec {
       s"year predicate not pushed to partition pruning: $pf")
   }
 
+  test("p2: the join-derived year filter prunes partitions dynamically") {
+    val plan = CoreOps.p2DynamicPruning(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in PartitionFilters:\n$plan")
+  }
+
   test("q5: the dim chain broadcasts — no shuffle on the dim side") {
     val plan = CoreOps.q5StarJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
