@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Changelog, CoreOps, EventOps, RangeJoin, Skew}
+import graft.operators.{AsofJoin, Changelog, CoreOps, EventOps, Profile, RangeJoin, Skew, ZOrder}
 import graft.functions.{Decontam, Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -92,6 +92,8 @@ object SparkEntry {
     "text_repetition"    -> TextOps.repetition _,
     "a15_hll_merge"      -> ((s, d) => Gates.hllMergeGate(s, d)),
     "p2_dynamic_pruning" -> CoreOps.p2DynamicPruning _,
+    "profile_orders"     -> Profile.ordersProfile _,
+    "zorder_codes"       -> ZOrder.mortonDemo _,
     "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
@@ -622,6 +624,33 @@ object SparkEntry {
         |             o_totalprice FROM orders) f
         |JOIN cal ON f.o_year = cal.y
         |GROUP BY 1""".stripMargin,
+    // one UNION ALL branch per profiled column; doubles go through
+    // DECIMAL(18,2) before the VARCHAR cast (float formatting differs
+    // between engines, decimal rendering doesn't)
+    "profile_orders" -> {
+      def branch(c: String, expr: String = "") = {
+        val e = if (expr.isEmpty) c else expr
+        s"""SELECT '$c' AS col_name,
+           |  COUNT(*) - COUNT($e) AS n_null,
+           |  COUNT(DISTINCT $e) AS n_distinct,
+           |  CAST(MIN($e) AS VARCHAR) AS min_val,
+           |  CAST(MAX($e) AS VARCHAR) AS max_val FROM orders""".stripMargin
+      }
+      Seq(branch("o_orderkey"), branch("o_custkey"), branch("o_orderstatus"),
+        branch("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        branch("o_orderpriority")).mkString("\nUNION ALL\n")
+    },
+    // unrolled 16-bit Morton interleave — term-for-term the engine's
+    // bit arithmetic
+    "zorder_codes" -> {
+      val terms = (0 until 16).map { i =>
+        s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i}) | " +
+          s"((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})"
+      }.mkString("(", ") | (", ")")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST($terms AS BIGINT) AS zval
+         |FROM lineitem WHERE l_orderkey < 400""".stripMargin
+    },
     "range_join_binned" ->
       """WITH b AS (SELECT p_brand, MIN(p_retailprice) AS lo,
         |                  MAX(p_retailprice) AS hi
