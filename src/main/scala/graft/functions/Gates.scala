@@ -88,14 +88,16 @@ object Gates {
     * query time must estimate what one pass over the whole table
     * estimates. This is the pattern behind pre-aggregated rollup
     * tables: store a sketch per day/segment, merge on read, never
-    * rescan history. Union is register-wise max, but DataSketches
-    * promotes union targets to HLL_8 while a directly-built sketch
-    * keeps HLL_4 — measured 14908 vs 14892 on 14743 true distinct at
-    * sf0.01 — so bit-equality of estimates is NOT the contract; both
-    * paths landing within the configured relative error of the TRUE
-    * count (and within 1% of each other) is. Checked in-engine
-    * (DuckDB's approx_count_distinct is a different sketch — no
-    * cross-engine value oracle exists), booleans vs a constant
+    * rescan history. What is NOT the contract: estimate equality
+    * between the two paths. BOTH are sketch unions — Spark's
+    * hll_sketch_agg itself merges per-partition partial sketches, and
+    * DataSketches promotes union targets HLL_4→HLL_8 — so each path's
+    * estimate moves a little with partition layout (measured 150443
+    * merged vs 149269 direct on 147236 true at sf0.1). The durable,
+    * partition-robust property is each path landing within the
+    * configured relative error of the TRUE distinct count. Checked
+    * in-engine (DuckDB's approx_count_distinct is a different sketch —
+    * no cross-engine value oracle exists), booleans vs a constant
     * oracle. */
   def hllMergeGate(s: SparkSession, d: String, relErr: Double = 0.05): DataFrame = {
     val li = graft.Tables.lineitem(s, d)
@@ -107,8 +109,7 @@ object Gates {
       hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("est_direct"),
       countDistinct(col("l_orderkey")).as("exact"))
     merged.crossJoin(direct).select(
-      (abs(col("est_merged") - col("est_direct")) <= col("exact") * 0.01 &&
-        abs(col("est_merged") - col("exact")) <= col("exact") * relErr)
+      (abs(col("est_merged") - col("exact")) <= col("exact") * relErr)
         .as("merge_consistent"),
       (abs(col("est_direct") - col("exact")) <= col("exact") * relErr)
         .as("within_err"))
