@@ -90,10 +90,14 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
 
     // listener events are delivered async; wait until the counters
-    // stop moving (two consecutive stable snapshots) before reading —
-    // a fixed sleep undercounts exactly when the box is contended,
-    // which is when these numbers matter most
-    def drainStable(): Unit = {
+    // stop moving before reading — a fixed sleep undercounts exactly
+    // when the box is contended, which is when these numbers matter
+    // most. Two call sites: a thorough end-of-pass drain (two stable
+    // snapshots) and a short between-query drain so jobs completing
+    // just after fn(...).count() returns aren't charged to the NEXT
+    // query once `current` moves on — the short one runs AFTER the
+    // wall-clock is recorded, so query timings are unaffected.
+    def drain(stableNeeded: Int, stepMs: Int, capMs: Int): Unit = {
       def snapshot(): (Long, Long) = {
         var j = 0L; var st = 0L
         metrics.forEach { (_, m) => m.synchronized { j += m.jobs; st += m.stages } }
@@ -102,35 +106,14 @@ object Bench {
       var prev = snapshot()
       var stable = 0
       var waited = 0
-      while (stable < 2 && waited < 15000) {
-        Thread.sleep(250); waited += 250
+      while (stable < stableNeeded && waited < capMs) {
+        Thread.sleep(stepMs); waited += stepMs
         val cur = snapshot()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
     }
-
-    // short between-query drain: listener events are async, so jobs
-    // that complete just after fn(...).count() returns would otherwise
-    // be charged to the NEXT query once `current` moves on. One stable
-    // snapshot (not two, as at pass end) bounds the cost at ~64 queries
-    // × 2 passes while making per-query counters trustworthy under
-    // contention — exactly the case they were added for. Runs AFTER the
-    // wall-clock is recorded, so query timings are unaffected.
-    def drainShort(): Unit = {
-      def snapshot(): (Long, Long) = {
-        var j = 0L; var st = 0L
-        metrics.forEach { (_, m) => m.synchronized { j += m.jobs; st += m.stages } }
-        (j, st)
-      }
-      var prev = snapshot()
-      var stable = 0
-      var waited = 0
-      while (stable < 1 && waited < 1500) {
-        Thread.sleep(100); waited += 100
-        val cur = snapshot()
-        if (cur == prev) stable += 1 else { prev = cur }
-      }
-    }
+    def drainStable(): Unit = drain(2, 250, 15000)
+    def drainShort(): Unit = drain(1, 100, 1500)
 
     // absorb one-time JVM/codegen/reader init so the first timed query
     // isn't charged for session warmup

@@ -13,16 +13,18 @@ import graft.Tables
   * buckets), so the check composes with the pipeline's own split
   * operator rather than inventing a second notion of "test set".
   *
-  * Shape and scale: per-doc DISTINCT n-grams (one partial-agg'd
-  * shuffle keyed by (doc, gram) — dedup before the join, so duplicate
-  * grams inside one doc can't fan the join out), then train-grams ⋈
-  * eval-grams on the gram string. The eval side is a benchmark suite —
-  * tiny by construction relative to a 100 TB train corpus — so Spark
-  * broadcasts it and the train side never reshuffles. At production
-  * scale the gram key would be xxhash64(gram) (8-byte keys, strings
-  * never leave the scan); the raw string key here keeps the DuckDB
-  * oracle exact, and the n-gram construction is shared with
-  * [[TextOps.wordNgrams]] so both engines emit identical grams.
+  * Shape and scale: per-doc DISTINCT n-grams computed ONCE and
+  * persisted (both join branches read the frame; Catalyst does not
+  * share subtrees across joins — same convention as TextOps.tfidf),
+  * then train-grams ⋈ eval-grams on the gram string. No broadcast
+  * hint: this demo's eval split is a corpus-proportional 5%, so
+  * forcing a broadcast would be a scale bug — AQE picks broadcast
+  * whenever the eval side measures small (the fixed-benchmark-suite
+  * case) and falls back to a shuffle join when it doesn't. At
+  * production scale the gram key would be xxhash64(gram) (8-byte
+  * keys, strings never leave the scan); the raw string key here keeps
+  * the DuckDB oracle exact, and the n-gram construction is shared
+  * with [[TextOps.wordNgrams]] so both engines emit identical grams.
   */
 object Decontam {
   /** Per train-doc contamination report: how many distinct `n`-grams
@@ -37,11 +39,12 @@ object Decontam {
       .select(col("doc_id"), col("split"),
         explode(TextOps.wordNgrams("tk", n)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = grams.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("g"))
     val eval_ = grams.filter(col("split") === "test")
       .select(col("doc_id").as("test_doc"), col("g"))
-    train.join(broadcast(eval_), Seq("g"))
+    train.join(eval_, Seq("g"))
       .groupBy(col("train_doc"))
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),
         countDistinct(col("test_doc")).as("n_test_docs"))

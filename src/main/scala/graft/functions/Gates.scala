@@ -62,17 +62,21 @@ object Gates {
     * pass vacuously, like an empty table. */
   def quantileGate(s: SparkSession, d: String, accuracy: Int = 1000): DataFrame = {
     val probes = array(lit(0.25), lit(0.5), lit(0.75))
+    // NULL-keyed groups must reach the rank check too: an equi-join on
+    // the raw group key would silently drop them (NULL != NULL) and
+    // the gate would pass vacuously on exactly the rows it never saw —
+    // same sentinel-coalesce trick as Sampling.stratumRanks
     val vals = graft.Tables.orders(s, d)
-      .select(col("o_orderpriority"), col("o_totalprice"))
+      .select(coalesce(col("o_orderpriority"), lit("\u0000")).as("_k"),
+        col("o_totalprice"))
       .filter(col("o_totalprice").isNotNull)
-    val ap = vals.groupBy(col("o_orderpriority"))
+    val ap = vals.groupBy(col("_k"))
       .agg(percentile_approx(col("o_totalprice"), probes, lit(accuracy))
         .as("approx"))
-      .select(col("o_orderpriority"),
-        posexplode(col("approx")).as(Seq("i", "v")))
+      .select(col("_k"), posexplode(col("approx")).as(Seq("i", "v")))
       .withColumn("p", (col("i") + 1) * lit(0.25))
-    vals.join(broadcast(ap), Seq("o_orderpriority"))
-      .groupBy(col("o_orderpriority"), col("i"), col("p"), col("v"))
+    vals.join(broadcast(ap), Seq("_k"))
+      .groupBy(col("_k"), col("i"), col("p"), col("v"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("o_totalprice") < col("v"), 1L).otherwise(0L)).as("lt"),
         sum(when(col("o_totalprice") <= col("v"), 1L).otherwise(0L)).as("le"))
@@ -100,8 +104,12 @@ object Gates {
     * no cross-engine value oracle exists), booleans vs a constant
     * oracle. */
   def hllMergeGate(s: SparkSession, d: String, relErr: Double = 0.05): DataFrame = {
+    // true calendar months (date_trunc, ~80 partitions over the TPC-H
+    // range), not month-of-year — the rollup pattern stores one sketch
+    // per partition, and a 12-super-sketch union would test far fewer
+    // merges than the claim covers
     val li = graft.Tables.lineitem(s, d)
-      .select(col("l_orderkey"), month(col("l_shipdate")).as("m"))
+      .select(col("l_orderkey"), date_trunc("month", col("l_shipdate")).as("m"))
     val merged = li.groupBy(col("m"))
       .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))

@@ -350,15 +350,10 @@ object CoreOps {
   }
 
   // ---------------------------------------------------------------- P1 partition pruning
-  /** Partition-pruned scan: orders written once as parquet partitioned
-    * by order year, then read with a year predicate — the plan's scan
-    * shows PartitionFilters and touches only the matching directories.
-    * At 100 TB this is the difference between scanning one year and
-    * scanning the decade; testdata ships unpartitioned, so the
-    * partitioned copy is materialized (idempotently) per sf dir. [P1] */
   /** One-time year-partitioned copy of orders (hive-style o_year=YYYY
     * directories), shared by the static (p1) and dynamic (p2) pruning
-    * queries. */
+    * queries; testdata ships unpartitioned, so the copy is
+    * materialized (idempotently) per sf dir. */
   private def partitionedOrders(s: SparkSession, d: String): DataFrame = {
     val out = sys.props("java.io.tmpdir") + "/graft_part_orders_" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
@@ -370,6 +365,11 @@ object CoreOps {
     s.read.parquet(out)
   }
 
+  /** Partition-pruned scan [P1]: the year-partitioned orders copy read
+    * with a LITERAL year predicate — the plan's scan shows
+    * PartitionFilters and touches only the matching directories. At
+    * 100 TB this is the difference between scanning one year and
+    * scanning the decade. */
   def p1PartitionPruning(s: SparkSession, d: String): DataFrame = {
     partitionedOrders(s, d)
       .filter(col("o_year") === 1995)

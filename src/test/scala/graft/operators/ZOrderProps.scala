@@ -34,4 +34,26 @@ object ZOrderProps extends Properties("ZOrder") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       got.forall { case (x, y, z) => z == refMorton(x, y, bits) }
     }
+
+  property("zorderBy partitions are each z-sorted and cover disjoint z-ranges") =
+    Prop.forAll(xyGen.suchThat(_.nonEmpty)) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("x", "y").repartition(5)
+      // recompute the code over the laid-out frame (a narrow projection
+      // preserves partitioning) and inspect each partition directly
+      val parts = ZOrder.zorderBy(df, "x", "y", bits = 8)
+        .select(ZOrder.morton2(col("x"), col("y"), 8).as("z")).as[Long]
+        .mapPartitions { it =>
+          val v = it.toVector
+          if (v.isEmpty) Iterator.empty
+          else Iterator(
+            (v.zip(v.tail).forall { case (a, b) => a <= b }, v.min, v.max))
+        }.collect()
+      val sortedWithin = parts.forall(_._1)
+      val ranges = parts.map(p => (p._2, p._3)).sortBy(_._1)
+      val disjoint = ranges.zip(ranges.drop(1)).forall {
+        case ((_, hi), (lo2, _)) => hi <= lo2
+      }
+      sortedWithin && disjoint
+    }
 }
