@@ -175,7 +175,9 @@ object Bench {
     // detail line first, compact summary LAST: the summary must sit
     // entirely inside the final ~2 KB of stdout (see Scaladoc)
     println(s"""{"metric":"bench_metrics","runs":$nRuns,"totals_per_run":$perRun,"metrics":$ms}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // basename only: every byte of this line competes for the ~2 KB tail
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

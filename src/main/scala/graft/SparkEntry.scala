@@ -94,6 +94,9 @@ object SparkEntry {
     "p2_dynamic_pruning" -> CoreOps.p2DynamicPruning _,
     "profile_orders"     -> Profile.ordersProfile _,
     "zorder_codes"       -> ZOrder.mortonDemo _,
+    "a16_grouping_sets"  -> CoreOps.a16GroupingSets _,
+    "x15_array_hof"      -> CoreOps.x15ArrayHof _,
+    "w3_sliding_sum"     -> CoreOps.w3SlidingSum _,
     "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
@@ -624,6 +627,33 @@ object SparkEntry {
         |             o_totalprice FROM orders) f
         |JOIN cal ON f.o_year = cal.y
         |GROUP BY 1""".stripMargin,
+    "a16_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
+    "x15_array_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(l, t -> len(t))) AS BIGINT)
+        |    AS sum_tok_chars,
+        |  CAST(len(list_filter(l, t -> len(t) > 4)) AS INTEGER) AS n_long,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_filter(l, t -> len(t) > 4)))[1:3], ',') AS top_long
+        |FROM t""".stripMargin,
+    "w3_sliding_sum" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS roll_qty
+        |FROM lineitem WHERE l_partkey % 50 = 0""".stripMargin,
     // one UNION ALL branch per profiled column; doubles go through
     // DECIMAL(18,2) before the VARCHAR cast (float formatting differs
     // between engines, decimal rendering doesn't)

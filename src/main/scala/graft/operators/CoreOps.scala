@@ -190,6 +190,62 @@ object CoreOps {
         grouping(col("o_year")).cast("int").as("g_year"),
         grouping(col("o_orderpriority")).cast("int").as("g_prio"))
 
+  /** Explicit GROUPING SETS [A16]: a curated subset of aggregation
+    * levels — ((flag, status), (flag), ()) — in ONE pass via Expand.
+    * cube/rollup (a13/a9) are fixed lattices; real rollup tables
+    * usually want hand-picked levels, and enumerating them explicitly
+    * skips materializing the 2^k sets nobody reads. grouping() flags
+    * disambiguate subtotal rows from genuine NULL keys, as in a13. */
+  def a16GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin)
+  }
+
+  /** Higher-order array functions [X15]: transform / filter /
+    * aggregate over the token array, mirrored by DuckDB's list
+    * lambdas. Row-local expression work — map-side at scan
+    * parallelism, like the rest of the scalar suite — but HOFs do NOT
+    * whole-stage-codegen (they interpret the lambda per element), so
+    * hot-path vector math belongs in the codegen'd VectorExpressions
+    * instead; this suite covers the general-purpose surface where
+    * flexibility beats the last 2×. */
+  def x15ArrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr("CAST(aggregate(transform(tk, t -> length(t)), 0L," +
+          " (acc, x) -> acc + x) AS BIGINT)").as("sum_tok_chars"),
+        expr("CAST(size(filter(tk, t -> length(t) > 4)) AS INT)")
+          .as("n_long"),
+        expr("array_join(slice(array_sort(array_distinct(" +
+          "filter(tk, t -> length(t) > 4))), 1, 3), ',')").as("top_long"))
+
+  /** Bounded sliding window frame [W3]: per-supplier rolling 4-row
+    * quantity sum in event order. ROWS BETWEEN keeps state O(frame)
+    * per task; the shuffle is one hash partition per supplier and the
+    * unique (shipdate, orderkey, linenumber) ordering makes the frame
+    * contents — and therefore the decimal sums — deterministic. */
+  def w3SlidingSum(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, 0)
+    Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("roll_qty"))
+  }
+
   // ---------------------------------------------------------------- T1 top-k
   /** Top-k by aggregate desc — takeOrdered(10) (etherTop10Contracts.py:68,
     * etherTopMiners.py:46). Plans TakeOrderedAndProject, not a total
