@@ -94,6 +94,7 @@ object SparkEntry {
     "p2_dynamic_pruning" -> CoreOps.p2DynamicPruning _,
     "profile_orders"     -> Profile.ordersProfile _,
     "zorder_codes"       -> ZOrder.mortonDemo _,
+    "j6_full_outer"      -> CoreOps.j6FullOuter _,
     "a16_grouping_sets"  -> CoreOps.a16GroupingSets _,
     "x15_array_hof"      -> CoreOps.x15ArrayHof _,
     "w3_sliding_sum"     -> CoreOps.w3SlidingSum _,
@@ -627,6 +628,15 @@ object SparkEntry {
         |             o_totalprice FROM orders) f
         |JOIN cal ON f.o_year = cal.y
         |GROUP BY 1""".stripMargin,
+    "j6_full_outer" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |                  COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |             COUNT(*) AS n_shipped FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(o.day, l.day) AS day,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(n_shipped, 0) AS n_shipped
+        |FROM o FULL OUTER JOIN l ON o.day = l.day""".stripMargin,
     "a16_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       COUNT(*) AS n_items,

@@ -190,6 +190,28 @@ object CoreOps {
         grouping(col("o_year")).cast("int").as("g_year"),
         grouping(col("o_orderpriority")).cast("int").as("g_prio"))
 
+  /** Full outer join [J6]: daily order intake vs daily shipment
+    * volume — the two calendars only partially overlap (shipments lag
+    * orders by up to months on each end), so BOTH sides contribute
+    * unmatched days and null-padding is exercised in both directions,
+    * completing the join surface (inner/left/semi/anti already
+    * covered). Each side is a partial-agg'd date rollup (thousands of
+    * rows from any fact size — aggregate-then-join, never
+    * join-then-aggregate, is the scale-defining order here), so the
+    * full outer hash join is trivially cheap at any corpus scale. */
+  def j6FullOuter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_shipped"))
+    o.join(l, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+  }
+
   /** Explicit GROUPING SETS [A16]: a curated subset of aggregation
     * levels — ((flag, status), (flag), ()) — in ONE pass via Expand.
     * cube/rollup (a13/a9) are fixed lattices; real rollup tables
