@@ -59,6 +59,7 @@ object SparkEntry {
     "x12_explode_array"  -> CoreOps.x12ExplodeArray _,
     "x_scalar_suite"     -> CoreOps.xScalarSuite _,
     "s1_csv_roundtrip"   -> CoreOps.s1CsvRoundtrip _,
+    "s7_orc_roundtrip"   -> CoreOps.s7OrcRoundtrip _,
     "eth_csv_pipeline"   -> graft.queries.EthParity.csvPipelineOverTestdata _,
     "s2_json_map_explode" -> CoreOps.s2JsonMapExplode _,
     "w1_window_rank"     -> CoreOps.w1WindowRank _,
@@ -336,6 +337,13 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(v, x -> x*x))), 6) AS l2_norm
         |FROM v""".stripMargin,
     "s1_csv_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+         |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
+         |       MAX(l_shipdate) AS max_shipdate
+         |FROM lineitem""".stripMargin,
+    // oracle reads the parquet table directly — the engine's ORC
+    // write+read must be value-transparent for the hashes to match
+    "s7_orc_roundtrip" ->
       s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
          |       MAX(l_shipdate) AS max_shipdate

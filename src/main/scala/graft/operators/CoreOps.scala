@@ -630,6 +630,27 @@ object CoreOps {
         max(col("l_shipdate")).as("max_shipdate"))
   }
 
+  /** ORC roundtrip [S7]: lineitem written as ORC and read back through
+    * the columnar ORC reader, aggregated identically to the oracle's
+    * direct parquet read — column format conversion must be lossless
+    * (types, timestamps, nulls). ORC is the other columnar interchange
+    * format a 100 TB lake realistically contains; the scan is
+    * vectorized and prunes columns exactly like parquet. Money sums go
+    * through decimal as everywhere else. */
+  def s7OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+        max(col("l_shipdate")).as("max_shipdate"))
+  }
+
   // ---------------------------------------------------------------- S2+X11 dynamic-key JSON map
   /** JSON-lines scan where the object has DYNAMIC keys — the scams.json
     * shape (etherscams.py:45-49): build a {"<event_type>": {...}} doc

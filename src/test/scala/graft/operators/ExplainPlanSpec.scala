@@ -40,4 +40,20 @@ class ExplainPlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k lost its TakeOrderedAndProject shape:\n$plan")
   }
+
+  test("upsert_latest: max_by compaction aggregates, never window-sorts") {
+    val plan = Changelog.upsertLatest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"changelog compaction regressed to a window sort:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"),
+      s"expected a max_by aggregate:\n$plan")
+  }
+
+  test("range_join_binned: equi-join on the bin, no nested-loop join") {
+    val plan = RangeJoin.priceBandDemo(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell into the theta-join trap:\n$plan")
+  }
 }
