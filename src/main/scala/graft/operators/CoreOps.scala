@@ -611,24 +611,48 @@ object CoreOps {
     * reads it back with a declared schema, and aggregates — the oracle
     * runs the same aggregate on the original parquet, so the whole
     * write→read cycle must be lossless. [S1, S5, S6] */
-  def s1CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
-    Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
-      .write.mode("overwrite").option("header", "true").csv(out)
-    val schema = StructType(Seq(
-      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
-      StructField("l_quantity", DoubleType),
-      StructField("l_extendedprice", DoubleType),
-      StructField("l_shipdate", TimestampType)))
-    s.read.schema(schema).option("header", "true")
-      .option("mode", "DROPMALFORMED").csv(out)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
-        max(col("l_shipdate")).as("max_shipdate"))
+  // per-JVM tag on roundtrip scratch dirs: a concurrent second JVM on
+  // the same sf dir (Verify overlapping Bench on a contended box) must
+  // not overwrite files the first is mid-scan on — same-JVM reruns
+  // still reuse one dir instead of accreting copies
+  private val jvmTag =
+    Integer.toHexString(java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.hashCode)
+
+  /** Shared write-then-read-back roundtrip aggregate for the source/
+    * sink format queries (CSV [S1/S5/S6], ORC [S7]): identical column
+    * slice and aggregate so the format conversion itself is the only
+    * variable under test. */
+  private def formatRoundtrip(s: SparkSession, d: String,
+      format: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + s"/graft_${format}_roundtrip_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmTag
+    val slice = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+    val back = format match {
+      case "csv" =>
+        slice.write.mode("overwrite").option("header", "true").csv(out)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_partkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("l_shipdate", TimestampType)))
+        s.read.schema(schema).option("header", "true")
+          .option("mode", "DROPMALFORMED").csv(out)
+      case "orc" =>
+        slice.write.mode("overwrite").orc(out)
+        s.read.orc(out)
+    }
+    back.agg(count(lit(1)).as("n_rows"),
+      sum(col("l_quantity")).as("sum_qty"),
+      sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+      max(col("l_shipdate")).as("max_shipdate"))
   }
+
+  def s1CsvRoundtrip(s: SparkSession, d: String): DataFrame =
+    formatRoundtrip(s, d, "csv")
 
   /** ORC roundtrip [S7]: lineitem written as ORC and read back through
     * the columnar ORC reader, aggregated identically to the oracle's
@@ -637,19 +661,8 @@ object CoreOps {
     * format a 100 TB lake realistically contains; the scan is
     * vectorized and prunes columns exactly like parquet. Money sums go
     * through decimal as everywhere else. */
-  def s7OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
-    Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
-        "l_shipdate")
-      .write.mode("overwrite").orc(out)
-    s.read.orc(out)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
-        max(col("l_shipdate")).as("max_shipdate"))
-  }
+  def s7OrcRoundtrip(s: SparkSession, d: String): DataFrame =
+    formatRoundtrip(s, d, "orc")
 
   // ---------------------------------------------------------------- S2+X11 dynamic-key JSON map
   /** JSON-lines scan where the object has DYNAMIC keys — the scams.json

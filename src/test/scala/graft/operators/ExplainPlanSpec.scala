@@ -46,14 +46,38 @@ class ExplainPlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"changelog compaction regressed to a window sort:\n$plan")
-    assert(plan.contains("partial_max_by") || plan.contains("max_by"),
-      s"expected a max_by aggregate:\n$plan")
+    assert(plan.contains("max_by"), s"expected a max_by aggregate:\n$plan")
   }
 
-  test("range_join_binned: equi-join on the bin, no nested-loop join") {
+  test("range_join_binned: a real equi-join on the bin, no theta fallback") {
     val plan = RangeJoin.priceBandDemo(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
       s"range join fell into the theta-join trap:\n$plan")
+    // the positive half: some hash/merge equi-join must be present —
+    // a refactor that drops the _bin key entirely must not pass
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"no equi-join in the binned range join plan:\n$plan")
+  }
+
+  test("j6: full outer join runs over aggregates, not raw facts") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = CoreOps.j6FullOuter(spark, sfDir).queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected exactly one join:\n$lp")
+    assert(joins.head.children.forall(
+      _.collectFirst { case a: Aggregate => a }.isDefined),
+      s"a join input lost its pre-aggregation (join-then-aggregate " +
+        s"would shuffle the raw facts):\n$lp")
+  }
+
+  test("w3: the sliding sum keeps its bounded ROWS frame") {
+    val lp = CoreOps.w3SlidingSum(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("RowFrame") && lp.contains("-3"),
+      s"bounded 4-row frame lost (unbounded would sort whole " +
+        s"partitions into state):\n$lp")
   }
 }
