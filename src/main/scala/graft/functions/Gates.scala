@@ -152,8 +152,12 @@ object Gates {
     val brute = Similarity.cosineTopK(s, d, nQueries, k)
       .select(col("query_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ann feeds the hit join AND the row count — persist, or the whole
+    // LSH bucketing + candidate join reruns per subtree (it was the
+    // query's dominant shuffle, doubled)
     val ann = Similarity.lshTopK(s, d, nQueries, k, multiprobe = 1)
       .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = ann.join(brute, Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("hits"))
     val stats = brute.agg(count(lit(1)).as("total"))
@@ -161,7 +165,7 @@ object Gates {
     sealGate(s, hits.crossJoin(stats).select(
       (col("hits") >= col("total") * floor).as("recall_ok"),
       (col("n_ann") === nQueries.toLong * k).as("rows_ok")),
-      brute)
+      brute, ann)
   }
 
   /** IVF ANN gate: probing every list must reproduce brute force
@@ -183,8 +187,11 @@ object Gates {
     val brute = Similarity.cosineTopK(s, d, nQueries, k)
       .select(col("query_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // full feeds BOTH directions of the symmetric diff — persist, or
+    // the full-probe index scan reruns per anti-join branch
     val full = Ivf.ivfTopKOn(vecs, cents, nQueries, k, nprobe = nlist)
       .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val part = Ivf.ivfTopKOn(vecs, cents, nQueries, k, nprobe)
       .select(col("query_id"), col("vec_id"))
     val exact = symDiffEmpty(full, brute, Seq("query_id", "vec_id"))
@@ -195,6 +202,6 @@ object Gates {
     val tot = brute.agg(count(lit(1)).as("total"))
     sealGate(s, exact.crossJoin(hits.crossJoin(tot)
       .select((col("hits") >= col("total") * floor).as("recall_ok"))),
-      brute, vecs)
+      brute, vecs, full)
   }
 }
