@@ -54,7 +54,7 @@ object StreamGates {
     // (full-corpus streaming dominated the bench at larger SFs); the
     // identical filter is applied to the batch mirrors below
     val ev = Tables.events(s, d)
-      .filter(col("user_id") < 200)
+      .filter(col("user_id") < 100)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
     // an empty slice (tiny SF, reshaped events) must fail the gate as
