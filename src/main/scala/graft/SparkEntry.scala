@@ -88,6 +88,7 @@ object SparkEntry {
     "mm_frame_sample"    -> Multimodal.frameSample _,
     "ev_window"          -> EventOps.tumblingWindow _,
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
+    "ev_session_native"  -> ((s, d) => EventOps.sessionizeNative(s, d)),
     "asof_purchase_attribution" -> AsofJoin.purchaseAttribution _,
     "stream_batch_parity" -> graft.streaming.StreamGates.streamBatchParity _,
     "text_repetition"    -> TextOps.repetition _,
@@ -559,6 +560,25 @@ object SparkEntry {
         |       p.purchase_us - c.click_us AS gap_us
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
+    // the NATIVE session_window engine path: >= gap starts a new
+    // session (half-open [t, t+gap) windows), vs the lag mirror's
+    // strict > — the two queries' oracles differ in exactly that one
+    // comparator, and both engine formulations must match their own
+    "ev_session_native" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM x),
+        |z AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM y)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       MIN(us) AS start_us, MAX(us) AS end_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM z GROUP BY user_id, session_seq""".stripMargin,
     "ev_session" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
