@@ -31,10 +31,17 @@ object Decontam {
     * it shares with any eval doc, and how many eval docs it hits.
     * Docs with no overlap (or too few tokens for an n-gram) are
     * absent — the report is the contaminated set, not the corpus. */
-  def ngramOverlap(s: SparkSession, d: String, n: Int = 3): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"),
+  def ngramOverlap(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    ngramOverlapOf(
+      Tables.documents(s, d).select(col("doc_id"),
         Sampling.splitName(Sampling.splitBucket(col("text"))).as("split"),
+        col("text")), n)
+
+  /** Same over any (doc_id, split, text) frame — specs drive this with
+    * hand-built corpora where the overlap set is known exactly. */
+  def ngramOverlapOf(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("split"),
         TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("split"),
         explode(TextOps.wordNgrams("tk", n)).as("g"))

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The contamination report must count DISTINCT shared n-grams (a gram
+  * repeated inside one doc is one overlap), ignore the val split, and
+  * omit clean and too-short docs entirely. */
+class DecontamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("trigram overlap counts distinct grams and hit docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "train", "a b c d"),        // shares "b c d" with doc 10
+      (2L, "train", "a b c a b c"),    // shares "a b c" with doc 11, repeated grams dedup
+      (3L, "train", "q r s t"),        // clean — must be absent
+      (4L, "train", "x y"),            // too short for a trigram — absent
+      (5L, "val", "b c d e"),          // val split never contaminates
+      (10L, "test", "b c d e"),
+      (11L, "test", "z a b c")
+    ).toDF("doc_id", "split", "text")
+    val got = Decontam.ngramOverlapOf(docs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 grams {a b c, b c d}: "b c d" hits doc 10 and "a b c"
+    // hits doc 11 ("z a b c") → 2 grams, 2 test docs
+    // doc 2: grams {a b c, b c a, c a b}; "a b c" hits doc 11 → 1, 1
+    assert(got === Set((1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("one train doc hitting several test docs counts each once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "train", "a b c d e"),
+      (10L, "test", "a b c x"),
+      (11L, "test", "c d e y")
+    ).toDF("doc_id", "split", "text")
+    val got = Decontam.ngramOverlapOf(docs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 grams: {a b c, b c d, c d e}; shared: "a b c" (doc10),
+    // "c d e" (doc11) → 2 grams across 2 test docs
+    assert(got === Set((1L, 2L, 2L)))
+  }
+}

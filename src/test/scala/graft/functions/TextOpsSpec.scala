@@ -6,6 +6,19 @@ import graft.SparkSpec
 import graft.Tables
 
 class TextOpsSpec extends SparkSpec {
+  test("repetition fractions are consistent and bigram-safe on short docs") {
+    val rep = TextOps.repetition(spark, sfDir)
+    // top term can never cover more of the stream than exists, and a
+    // doc with bigrams must have exactly n_tok - 1 of them
+    val bad = rep.filter(
+      col("top_tok") > col("n_tok") ||
+        col("top_tok_frac") > 1.0 || col("top_tok_frac") <= 0.0 ||
+        (col("n_bigram") > 0 && col("n_bigram") =!= col("n_tok") - 1) ||
+        col("top_bigram_frac") > 1.0)
+    assert(bad.count() === 0)
+    assert(rep.count() === Tables.documents(spark, sfDir).count())
+  }
+
   test("token counts are positive and bounded by char counts") {
     val bad = TextOps.tokenCount(spark, sfDir)
       .filter(col("n_tokens") <= 0 || col("n_tokens") > col("n_chars") + 1)
