@@ -560,17 +560,17 @@ object SparkEntry {
         |       p.purchase_us - c.click_us AS gap_us
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us""".stripMargin,
-    // the NATIVE session_window engine path: >= gap starts a new
-    // session (half-open [t, t+gap) windows), vs the lag mirror's
-    // strict > — the two queries' oracles differ in exactly that one
-    // comparator, and both engine formulations must match their own
+    // the NATIVE session_window engine path. Boundary semantics
+    // verified empirically: an exactly-gap-spaced pair MERGES (Spark
+    // splits only on silence strictly > gap) — the same comparator as
+    // the lag mirror, so both oracles use >
     "ev_session_native" ->
       """WITH x AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
         |           ORDER BY ts, event_id) AS prev_us
         |  FROM events),
-        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 600000000
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
         |                     THEN 1 ELSE 0 END AS new_sess FROM x),
         |z AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
         |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq

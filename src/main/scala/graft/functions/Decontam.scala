@@ -38,7 +38,11 @@ object Decontam {
         col("text")), n)
 
   /** Same over any (doc_id, split, text) frame — specs drive this with
-    * hand-built corpora where the overlap set is known exactly. */
+    * hand-built corpora where the overlap set is known exactly.
+    * The grams persist is CALLER-owned (same convention as
+    * TextOps.tfidf): Bench/Verify clearCache between queries; specs
+    * and interactive sessions must clearCache after consuming, or
+    * repeated calls accumulate one cached gram set each. */
   def ngramOverlapOf(docs: DataFrame, n: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"), col("split"),

@@ -45,12 +45,11 @@ object EventOps {
     * session state instead of a window-sort + lag + running-sum +
     * second aggregate. At scale this halves the shuffles (no sort
     * pass) and is the expression that carries unchanged to streaming.
-    * Boundary semantics differ from the lag mirror by one ulp of the
-    * gap: session_window starts a NEW session when the silence is
-    * >= gap (the window [t, t+gap) half-open interval), while the lag
-    * formulation merges on exact equality — so this query gets its own
-    * oracle with `>=`, and an exactly-gap-spaced pair lands in
-    * different sessions here. */
+    * Boundary semantics verified by probe: an exactly-gap-spaced pair
+    * MERGES — session_window splits only when the silence is strictly
+    * > gap, the SAME comparator as the lag mirror — so both queries'
+    * oracles use `>`. (An earlier draft claimed half-open `>=`
+    * semantics; a live session_window probe disproved it.) */
   def sessionizeNative(s: SparkSession, d: String,
       gapMinutes: Int = 10): DataFrame =
     Tables.events(s, d)

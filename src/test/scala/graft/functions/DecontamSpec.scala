@@ -23,6 +23,7 @@ class DecontamSpec extends AnyFunSuite {
     ).toDF("doc_id", "split", "text")
     val got = Decontam.ngramOverlapOf(docs, n = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache() // the grams persist is caller-owned
     // doc 1 grams {a b c, b c d}: "b c d" hits doc 10 and "a b c"
     // hits doc 11 ("z a b c") → 2 grams, 2 test docs
     // doc 2: grams {a b c, b c a, c a b}; "a b c" hits doc 11 → 1, 1
@@ -38,6 +39,7 @@ class DecontamSpec extends AnyFunSuite {
     ).toDF("doc_id", "split", "text")
     val got = Decontam.ngramOverlapOf(docs, n = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache() // the grams persist is caller-owned
     // doc 1 grams: {a b c, b c d, c d e}; shared: "a b c" (doc10),
     // "c d e" (doc11) → 2 grams across 2 test docs
     assert(got === Set((1L, 2L, 2L)))

@@ -1,0 +1,42 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Pins the session boundary comparator on BOTH engine formulations:
+  * an exactly-gap-spaced pair MERGES (split only on silence strictly
+  * greater than the gap). A review probe disproved an earlier claim of
+  * half-open >= semantics for session_window — this spec keeps the
+  * empirical fact from regressing into either implementation or its
+  * oracle. */
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def evFrame(gapsMs: Seq[Long]) = {
+    import spark.implicits._
+    var t = 1700000000000L
+    val rows = gapsMs.zipWithIndex.map { case (g, i) =>
+      t += g
+      (i.toLong, new Timestamp(t), 7L, "click", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("exactly-gap-spaced events merge; one microsecond over splits") {
+    val gapMs = 10L * 60 * 1000
+    // event 0, then exactly gap later, then gap+1ms later
+    val df = evFrame(Seq(0L, gapMs, gapMs + 1))
+    val lagSessions = EventOps.sessionizeOf(df).count()
+    val nativeSessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .count()
+    // events 0,1 merge (exact gap); event 2 splits (over gap) -> 2
+    assert(lagSessions === 2, "lag/cumsum comparator drifted")
+    assert(nativeSessions === 2, "session_window comparator drifted")
+  }
+}
