@@ -157,10 +157,15 @@ object Bench {
 
     def r3(d: Double): Double = math.round(d * 1000) / 1000.0
     // 2 dp per query keeps the summary line comfortably inside the
-    // ~2 KB tail as the suite grows; exact exec_ms is in the metrics line
-    def r2(d: Double): Double = math.round(d * 100) / 100.0
-    val qs = names.map(n => s"\"" + n + "\":" + r2(best(n)._1))
+    // ~2 KB tail as the suite grows; exact exec_ms is in the metrics
+    // line. If the suite ever grows the line past the safety margin,
+    // degrade to 1 dp rather than silently overflowing the tail again.
+    def rnd(d: Double, p: Int): Double =
+      math.round(d * math.pow(10, p)) / math.pow(10, p)
+    def qLine(p: Int): String = names.map(n => s"\"" + n + "\":" + rnd(best(n)._1, p))
       .mkString("{", ",", "}")
+    val qs2 = qLine(2)
+    val qs = if (qs2.length <= 1650) qs2 else qLine(1)
     def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
     val ms = names.map { n =>
       val m = best(n)._2
