@@ -619,6 +619,19 @@ object CoreOps {
     Integer.toHexString(java.lang.management.ManagementFactory
       .getRuntimeMXBean.getName.hashCode)
 
+  private val exitCleanup =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private def cleanupOnExit(dir: String): Unit =
+    if (exitCleanup.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
+
   /** Shared write-then-read-back roundtrip aggregate for the source/
     * sink format queries (CSV [S1/S5/S6], ORC [S7]): identical column
     * slice and aggregate so the format conversion itself is the only
@@ -627,6 +640,9 @@ object CoreOps {
       format: String): DataFrame = {
     val out = sys.props("java.io.tmpdir") + s"/graft_${format}_roundtrip_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmTag
+    // per-JVM dirs would otherwise accrete one lineitem copy per run —
+    // reap on exit (no reads can be in flight once the JVM is down)
+    cleanupOnExit(out)
     val slice = Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
         "l_shipdate")
