@@ -103,6 +103,9 @@ object SparkEntry {
     "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
+    "a17_histogram"      -> ((s, d) => CoreOps.a17Histogram(s, d)),
+    "w4_ntile_lead"      -> CoreOps.w4NtileLead _,
+    "text_pii_scrub"     -> TextOps.piiScrub _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -729,6 +732,45 @@ object SparkEntry {
         |FROM part p JOIN b ON p.p_retailprice >= b.lo
         |                  AND p.p_retailprice <= b.hi
         |GROUP BY 1""".stripMargin,
+    "a17_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INTEGER)
+        |         AS bucket,
+        |       COUNT(*) AS n_orders,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+    "w4_ntile_lead" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       c_acctbal - lead(c_acctbal, 1) OVER w AS gap_next
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 <> 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |              '@example' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN ' tel ' ||
+        |              lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') ||
+        |              '-' ||
+        |              lpad(CAST(doc_id * 13 % 1000 AS VARCHAR), 3, '0') ||
+        |              '-' ||
+        |              lpad(CAST(doc_id * 31 % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones
+        |FROM r""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

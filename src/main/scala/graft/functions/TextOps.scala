@@ -146,6 +146,48 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** PII scrubbing [PII]: redact email addresses and phone numbers
+    * from the document stream, emitting the scrubbed text plus
+    * per-document detection counts (the audit trail a compliance
+    * pipeline keeps). Pure row-local regexp work — map-only at scan
+    * parallelism, no shuffle, codegen'd — so at 100 TB it runs at
+    * whatever rate the parquet scan delivers.
+    *
+    * The synthetic corpus carries no natural PII, so the query first
+    * plants deterministic contact strings derived from doc_id (an
+    * email on ~2/3 of docs, a NNN-NNN-NNNN phone on 1/2, both / one /
+    * neither depending on the id) and then scrubs them — the DuckDB
+    * oracle rebuilds the identical planted text, so the redaction
+    * regexes themselves are what the hash check verifies, including
+    * docs where nothing matches. Emails are scrubbed before phones so
+    * a digit run inside a redacted email can never double-match. The
+    * patterns stay inside the syntax both Java regex and RE2 share
+    * (character classes + bounded repeats — no lookarounds). */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val email = concat(lit("user"), col("doc_id").cast("string"),
+      lit("@example"), (col("doc_id") % 10).cast("string"), lit(".com"))
+    val phone = concat(
+      lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") * 13 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") * 31 % 10000).cast("string"), 4, "0"))
+    val raw = concat(col("text"),
+      when(col("doc_id") % 3 =!= 0, concat(lit(" contact "), email))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, concat(lit(" tel "), phone))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+          .as("n_phones"))
+  }
+
   /** Document fingerprint: md5 of whitespace-canonicalized text.
     * Deterministic and engine-portable (same md5 in DuckDB), unlike
     * JVM-specific hashes. */

@@ -268,6 +268,44 @@ object CoreOps {
         sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("roll_qty"))
   }
 
+  /** Fixed-width value histogram [A17]: bucket o_totalprice into
+    * `nBuckets` equal-width bins and aggregate count/min/max per bin —
+    * the one-pass distribution profile every ingest pipeline runs
+    * before picking partition ranges or salting thresholds. Bucketing
+    * is plain arithmetic (floor + upper clamp) rather than
+    * width_bucket so the DuckDB oracle reproduces it exactly, and the
+    * whole query is a single partial-agg'd hash aggregate over at most
+    * `nBuckets` groups — at 100 TB the shuffle carries nBuckets rows
+    * per map partition, nothing more. min/max are exact (no summation
+    * order sensitivity), so no decimal routing is needed. */
+  def a17Histogram(s: SparkSession, d: String, nBuckets: Int = 20,
+      width: Double = 30000.0): DataFrame =
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / width), lit(nBuckets - 1))
+        .cast(IntegerType).as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+
+  /** Quantile bucketing + offset windows [W4]: per-segment account
+    * quartiles via ntile(4) and the gap to the next-richer customer
+    * via lead(). Completes the window surface (rank [w1], running sum
+    * [w2], bounded frame [w3]) with the two remaining families: tile
+    * assignment and offset functions. One hash shuffle on the segment
+    * key; the total order (acctbal desc, custkey asc) is unique, so
+    * tile boundaries and lead targets are deterministic under any
+    * partitioning. The gap is a single double subtraction — exact,
+    * not summation-order sensitive. */
+  def w4NtileLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      ntile(4).over(w).as("quartile"),
+      (col("c_acctbal") - lead(col("c_acctbal"), 1).over(w)).as("gap_next"))
+  }
+
   // ---------------------------------------------------------------- T1 top-k
   /** Top-k by aggregate desc — takeOrdered(10) (etherTop10Contracts.py:68,
     * etherTopMiners.py:46). Plans TakeOrderedAndProject, not a total

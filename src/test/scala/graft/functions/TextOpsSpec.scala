@@ -39,6 +39,23 @@ class TextOpsSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(Set("en", "und")))
   }
 
+  test("piiScrub leaves no matchable PII and counts every redaction") {
+    val df = TextOps.piiScrub(spark, sfDir)
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    // nothing matching either pattern survives scrubbing
+    assert(df.filter(col("scrubbed").rlike(emailRe) ||
+      col("scrubbed").rlike(phoneRe)).count() === 0)
+    // each detection produced exactly one mask, and at least the
+    // planted contact strings (doc_id % 3 / % 2 rule) were detected
+    val bad = df.filter(
+      size(split(col("scrubbed"), "<EMAIL>")) - 1 =!= col("n_emails") ||
+        size(split(col("scrubbed"), "<PHONE>")) - 1 =!= col("n_phones") ||
+        col("n_emails") < when(col("doc_id") % 3 =!= 0, 1).otherwise(0) ||
+        col("n_phones") < when(col("doc_id") % 2 === 0, 1).otherwise(0))
+    assert(bad.count() === 0)
+  }
+
   test("fingerprint is whitespace/case canonical") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("fp").toString
