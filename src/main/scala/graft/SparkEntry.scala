@@ -104,6 +104,8 @@ object SparkEntry {
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
     "a17_histogram"      -> ((s, d) => CoreOps.a17Histogram(s, d)),
+    "p3_bloom_join"      -> ((s, d) => Gates.bloomJoinGate(s, d)),
+    "sim_semdedup"       -> ((s, d) => Gates.semDedupGate(s, d)),
     "w4_ntile_lead"      -> CoreOps.w4NtileLead _,
     "text_pii_scrub"     -> TextOps.piiScrub _,
   )
@@ -732,6 +734,16 @@ object SparkEntry {
         |FROM part p JOIN b ON p.p_retailprice >= b.lo
         |                  AND p.p_retailprice <= b.hi
         |GROUP BY 1""".stripMargin,
+    "sim_semdedup" ->
+      """SELECT CAST(1 AS BOOLEAN) AS verified_subset,
+        |       CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
+    "p3_bloom_join" ->
+      """SELECT CAST(1 AS BOOLEAN) AS bloom_in_plan,
+        |       CAST(1 AS BOOLEAN) AS results_equal,
+        |       (SELECT COUNT(DISTINCT o_orderkey)
+        |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |        WHERE o_orderpriority = '1-URGENT'
+        |          AND o_totalprice < 10000) AS n_groups""".stripMargin,
     "a17_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS INTEGER)
         |         AS bucket,

@@ -123,6 +123,64 @@ object Gates {
         .as("within_err"))
   }
 
+  /** Runtime bloom-filter join pruning gate [P3]: the shuffle-join
+    * analogue of dynamic partition pruning [p2] — when a selective
+    * filter sits on one join side, Catalyst builds a bloom filter from
+    * that side's keys at runtime and injects `might_contain` into the
+    * OTHER side's scan, so the big side drops non-joining rows BEFORE
+    * the shuffle. At 100 TB this is the difference between shuffling a
+    * full fact table and shuffling the ~1% that survives the semi-join
+    * reduction; locally the tables sit under the injection thresholds,
+    * so the gate pins them (application-side floor to 0, broadcast off
+    * so a shuffle join exists to prune) exception-safely around plan
+    * construction, exactly how a cluster job would rely on the
+    * defaults.
+    *
+    * Checked: (1) `might_contain` is actually in the optimized plan —
+    * the feature engaged, not silently skipped; (2) the pruned result
+    * multiset equals the same query's result under default settings —
+    * a bloom filter may only drop rows the join would drop anyway
+    * (false positives pass through to the exact join; false negatives
+    * are impossible). Both runs' group rows are compared driver-side
+    * (bounded: one row per qualifying order); at corpus scale the same
+    * check is the symDiffEmpty of two materialized outputs. Booleans
+    * vs a constant oracle; n_groups ties the gate to the data (the
+    * oracle recomputes it relationally). */
+  def bloomJoinGate(s: SparkSession, d: String): DataFrame = {
+    def joined = graft.Tables.lineitem(s, d)
+      .join(graft.Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") < 10000),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+    def rowsOf(df: DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().iterator
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val base = rowsOf(joined) // session defaults: broadcast join, no bloom
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    val (planOk, same, n) =
+      try {
+        s.conf.set(keys(0), "-1")
+        s.conf.set(keys(1), "0")
+        val bloomed = joined // fresh plan, optimized under the pins
+        val ok = bloomed.queryExecution.optimizedPlan.toString
+          .contains("might_contain")
+        val rows = rowsOf(bloomed)
+        (ok, rows == base, rows.size.toLong)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    import s.implicits._
+    Seq((planOk, same, n)).toDF("bloom_in_plan", "results_equal", "n_groups")
+  }
+
   /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs
     * Hamming-distance pairs (exact set equality — the pigeonhole bound
     * guarantees it; this checks the implementation, not the theorem). */
@@ -166,6 +224,41 @@ object Gates {
       (col("hits") >= col("total") * floor).as("recall_ok"),
       (col("n_ann") === nQueries.toLong * k).as("rows_ok")),
       brute, ann)
+  }
+
+  /** SemDeDup gate: the cluster-pruned near-dup pairs
+    * ([[Similarity.semDedupPairsOn]]) must be (1) a SUBSET of the
+    * exact threshold pairs — every candidate is verified with exact
+    * cosine, so a false positive means the verify step broke — and
+    * (2) above a recall floor against the exact all-pairs scan. The
+    * floor (0.8) sits under the measured nprobe=4 recall (1.0 / 1.0 /
+    * 0.944 at sf0.001/0.01/0.1) but far above what a broken
+    * assignment or join could produce. k-means is deterministic, so
+    * the booleans are stable per dataset. */
+  def semDedupGate(s: SparkSession, d: String, threshold: Double = 0.45,
+      nlist: Int = 16, nprobe: Int = 4, floor: Double = 0.8): DataFrame = {
+    // one persisted vector frame backs training and assignment — the
+    // parquet scan runs once, not once per Lloyd pass
+    val vecs = Ivf.vectors(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Ivf.trainCentroidsOn(vecs, nlist)
+    // both sides feed two gate subtrees each (subset + recall) —
+    // persist, or the candidate join / exact all-pairs scan rerun
+    val cand = Similarity.semDedupPairsOn(vecs, cents, threshold, nprobe)
+      .select(col("vec_a"), col("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Similarity.embeddingNearDupBlocked(s, d, threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = cand.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+      .agg(count(lit(1)).as("n_fp"))
+    val hits = cand.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = exact.agg(count(lit(1)).as("total"))
+    sealGate(s, fp.crossJoin(hits).crossJoin(tot).select(
+      (col("n_fp") === 0).as("verified_subset"),
+      (col("hits") >= col("total") * floor).as("recall_ok")),
+      cand, exact, vecs)
   }
 
   /** IVF ANN gate: probing every list must reproduce brute force

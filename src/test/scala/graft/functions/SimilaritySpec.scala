@@ -34,6 +34,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup candidates are exact-verified and recall improves with nprobe") {
+    val exact = Similarity.embeddingNearDup(spark, sfDir, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "threshold 0.45 should yield pairs at this SF")
+    val recalls = Seq(1, 4).map { p =>
+      val cand = Similarity.semDedupPairs(spark, sfDir, nprobe = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cand.length === cand.toSet.size,
+        s"nprobe=$p emitted a duplicate pair")
+      // exact-cosine verification makes false positives impossible
+      assert(cand.toSet.subsetOf(exact), s"nprobe=$p emitted a non-pair")
+      cand.count(exact.contains).toDouble / exact.size
+    }
+    info(s"semDedup recall nprobe=1: ${recalls(0)}, nprobe=4: ${recalls(1)}")
+    assert(recalls(1) >= recalls(0),
+      "probe fan-out must not lose candidate pairs")
+    assert(recalls(1) >= 0.8, s"nprobe=4 recall degraded to ${recalls(1)}")
+  }
+
   test("LSH ANN returns a subset ranked consistently with brute force") {
     val brute = Similarity.cosineTopK(spark, sfDir, nQueries = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

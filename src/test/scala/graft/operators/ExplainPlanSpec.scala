@@ -73,6 +73,13 @@ class ExplainPlanSpec extends SparkSpec {
         s"would shuffle the raw facts):\n$lp")
   }
 
+  test("p3: the bloom-filter gate sees injection and unchanged results") {
+    val r = graft.functions.Gates.bloomJoinGate(spark, sfDir).head()
+    assert(r.getBoolean(0), "might_contain was not injected into the plan")
+    assert(r.getBoolean(1), "bloom-pruned result diverged from baseline")
+    assert(r.getLong(2) > 0, "gate ran over an empty join — vacuous")
+  }
+
   test("w3: the sliding sum keeps its bounded ROWS frame") {
     val lp = CoreOps.w3SlidingSum(spark, sfDir)
       .queryExecution.optimizedPlan.toString
