@@ -106,6 +106,7 @@ object SparkEntry {
     "a17_histogram"      -> ((s, d) => CoreOps.a17Histogram(s, d)),
     "p3_bloom_join"      -> ((s, d) => Gates.bloomJoinGate(s, d)),
     "sim_semdedup"       -> ((s, d) => Gates.semDedupGate(s, d)),
+    "a18_count_min"      -> ((s, d) => Gates.countMinGate(s, d)),
     "w4_ntile_lead"      -> CoreOps.w4NtileLead _,
     "text_pii_scrub"     -> TextOps.piiScrub _,
   )
@@ -734,6 +735,10 @@ object SparkEntry {
         |FROM part p JOIN b ON p.p_retailprice >= b.lo
         |                  AND p.p_retailprice <= b.hi
         |GROUP BY 1""".stripMargin,
+    "a18_count_min" ->
+      """SELECT CAST(1 AS BOOLEAN) AS merged_within_bound,
+        |       CAST(1 AS BOOLEAN) AS direct_within_bound,
+        |       CAST(1 AS BOOLEAN) AS paths_agree""".stripMargin,
     "sim_semdedup" ->
       """SELECT CAST(1 AS BOOLEAN) AS verified_subset,
         |       CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,

@@ -123,6 +123,58 @@ object Gates {
         .as("within_err"))
   }
 
+  /** Count-min-sketch gate [a18_count_min]: the frequency sibling of
+    * the HLL gate [a15] — per-month CMS sketches over l_partkey,
+    * merged on read, must bound the true counts of the heaviest keys.
+    * This is the mergeable-sketch rollup pattern for "how often does
+    * key X appear": store a ~100 KB sketch per partition, answer
+    * frequency probes over any partition range by merging sketches,
+    * never rescan history.
+    *
+    * The contract checked is CMS's actual guarantee: estimates never
+    * undercount (every counter the key hashes to was incremented at
+    * least `true` times) and overcount by at most eps·N. Unlike HLL,
+    * CMS merge is EXACT integer addition — commutative and
+    * associative — so with a fixed seed the merged estimate is
+    * bit-identical under any partitioning, and merged-vs-direct
+    * equality IS a valid check here (it pins the merge path; a
+    * seed/width mismatch or a byte-order bug would break it). The
+    * driver-side merge touches only the ~80 monthly sketch blobs —
+    * bounded by the calendar, not the data. */
+  def countMinGate(s: SparkSession, d: String, eps: Double = 0.001,
+      confidence: Double = 0.99, nProbes: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact truth for the probe keys (heaviest keys, unique-ordered)
+    // and the row total for the eps·N bound — one aggregate each
+    val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l_partkey").asc).limit(nProbes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = li.count()
+    def readSk(bytes: Array[Byte]): CountMinSketch =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val merged = li.groupBy(col("m"))
+      .agg(count_min_sketch(col("l_partkey"), lit(eps), lit(confidence),
+        lit(42)).as("sk"))
+      .collect().map(r => readSk(r.getAs[Array[Byte]]("sk")))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val direct = readSk(li.agg(count_min_sketch(col("l_partkey"), lit(eps),
+      lit(confidence), lit(42)).as("sk")).head().getAs[Array[Byte]]("sk"))
+    li.unpersist()
+    val slack = (eps * n).toLong
+    def within(sk: CountMinSketch): Boolean = truth.forall { case (k, c) =>
+      val e = sk.estimateCount(k); e >= c && e <= c + slack
+    }
+    val pathsAgree = truth.forall { case (k, _) =>
+      merged.estimateCount(k) == direct.estimateCount(k)
+    }
+    Seq((within(merged), within(direct), pathsAgree))
+      .toDF("merged_within_bound", "direct_within_bound", "paths_agree")
+  }
+
   /** Runtime bloom-filter join pruning gate [P3]: the shuffle-join
     * analogue of dynamic partition pruning [p2] — when a selective
     * filter sits on one join side, Catalyst builds a bloom filter from

@@ -28,4 +28,11 @@ class ApproxSpec extends SparkSpec {
     val ap = r.getDouble(0); val ex = r.getDouble(1)
     assert(math.abs(ap - ex) / ex < 0.05, s"approx median $ap vs exact $ex")
   }
+
+  test("count-min gate holds: bounds, and merged == direct exactly") {
+    val r = graft.functions.Gates.countMinGate(spark, sfDir).head()
+    assert(r.getBoolean(0), "merged sketch broke the CMS bound")
+    assert(r.getBoolean(1), "direct sketch broke the CMS bound")
+    assert(r.getBoolean(2), "per-month merge diverged from one-pass sketch")
+  }
 }
