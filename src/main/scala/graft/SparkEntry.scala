@@ -779,15 +779,18 @@ object SparkEntry {
         |         ELSE '' END AS raw
         |  FROM documents)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(raw,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |  regexp_replace(de_emailed,
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
         |  CAST(len(regexp_extract_all(raw,
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER)
         |    AS n_emails,
-        |  CAST(len(regexp_extract_all(raw,
+        |  CAST(len(regexp_extract_all(de_emailed,
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones
-        |FROM r""".stripMargin,
+        |FROM (SELECT doc_id, raw,
+        |        regexp_replace(raw,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')
+        |          AS de_emailed
+        |      FROM r)""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

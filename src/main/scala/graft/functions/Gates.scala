@@ -148,30 +148,39 @@ object Gates {
     val li = graft.Tables.lineitem(s, d)
       .select(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact truth for the probe keys (heaviest keys, unique-ordered)
-    // and the row total for the eps·N bound — one aggregate each
-    val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("l_partkey").asc).limit(nProbes)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val n = li.count()
-    def readSk(bytes: Array[Byte]): CountMinSketch =
-      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-    val merged = li.groupBy(col("m"))
-      .agg(count_min_sketch(col("l_partkey"), lit(eps), lit(confidence),
-        lit(42)).as("sk"))
-      .collect().map(r => readSk(r.getAs[Array[Byte]]("sk")))
-      .reduce { (a, b) => a.mergeInPlace(b); a }
-    val direct = readSk(li.agg(count_min_sketch(col("l_partkey"), lit(eps),
-      lit(confidence), lit(42)).as("sk")).head().getAs[Array[Byte]]("sk"))
-    li.unpersist()
-    val slack = (eps * n).toLong
-    def within(sk: CountMinSketch): Boolean = truth.forall { case (k, c) =>
-      val e = sk.estimateCount(k); e >= c && e <= c + slack
-    }
-    val pathsAgree = truth.forall { case (k, _) =>
-      merged.estimateCount(k) == direct.estimateCount(k)
-    }
-    Seq((within(merged), within(direct), pathsAgree))
+    val (okMerged, okDirect, agree) =
+      try {
+        // exact truth for the probe keys (heaviest keys, unique-ordered)
+        // and the row total for the eps·N bound — one aggregate each
+        val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("l_partkey").asc).limit(nProbes)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val n = li.count()
+        def readSk(bytes: Array[Byte]): CountMinSketch =
+          CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        val monthly = li.groupBy(col("m"))
+          .agg(count_min_sketch(col("l_partkey"), lit(eps), lit(confidence),
+            lit(42)).as("sk"))
+          .collect().map(r => readSk(r.getAs[Array[Byte]]("sk")))
+        monthly.reduceOption { (a, b) => a.mergeInPlace(b); a } match {
+          case None => (true, true, true) // empty table: vacuous pass,
+          // like the siblings' empty-input conventions (quantileGate's
+          // coalesce(bool_and, true), hllMergeGate's aggregate-only plan)
+          case Some(merged) =>
+            val direct = readSk(li.agg(count_min_sketch(col("l_partkey"),
+              lit(eps), lit(confidence), lit(42)).as("sk"))
+              .head().getAs[Array[Byte]]("sk"))
+            val slack = (eps * n).toLong
+            def within(sk: CountMinSketch): Boolean =
+              truth.forall { case (k, c) =>
+                val e = sk.estimateCount(k); e >= c && e <= c + slack
+              }
+            (within(merged), within(direct), truth.forall { case (k, _) =>
+              merged.estimateCount(k) == direct.estimateCount(k)
+            })
+        }
+      } finally li.unpersist()
+    Seq((okMerged, okDirect, agree))
       .toDF("merged_within_bound", "direct_within_bound", "paths_agree")
   }
 

@@ -177,14 +177,19 @@ object TextOps {
         .otherwise(lit("")),
       when(col("doc_id") % 2 === 0, concat(lit(" tel "), phone))
         .otherwise(lit("")))
+    // phones are counted on the email-scrubbed intermediate, not the
+    // raw text — a phone-shaped digit run inside an email local part
+    // is swallowed by the email mask and must not inflate n_phones
+    // (counts == masks is the audit contract the spec pins)
     Tables.documents(s, d)
       .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        regexp_replace(col("raw"), emailRe, "<EMAIL>").as("de_emailed"))
       .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>").as("scrubbed"),
+        regexp_replace(col("de_emailed"), phoneRe, "<PHONE>").as("scrubbed"),
         size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
           .as("n_emails"),
-        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+        size(regexp_extract_all(col("de_emailed"), lit(phoneRe), lit(0)))
           .as("n_phones"))
   }
 

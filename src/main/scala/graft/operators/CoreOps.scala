@@ -661,13 +661,8 @@ object CoreOps {
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
   private def cleanupOnExit(dir: String): Unit =
     if (exitCleanup.add(dir)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
     }
 
   /** Shared write-then-read-back roundtrip aggregate for the source/

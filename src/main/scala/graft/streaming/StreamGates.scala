@@ -29,14 +29,8 @@ import graft.operators.EventOps
 object StreamGates {
   import graft.functions.Gates.symDiffEmpty
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.delete(f)
-          catch { case _: Throwable => () })
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.Fs.deleteRecursively(p)
 
   /** Gate query [stream_batch_parity]: booleans proving
     *  - the file-stream tumbling-window pipeline (append mode, 30-min

@@ -8,12 +8,8 @@ import graft.{SparkSpec, Tables}
   * the same rows (CSV is covered by the oracle-gated s1_csv_roundtrip;
   * parquet by every table read). */
 class FormatRoundtripSpec extends SparkSpec {
-  private def deleteRecursively(dir: String): Unit = {
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.delete(p))
-    finally walk.close()
-  }
+  private def deleteRecursively(dir: String): Unit =
+    graft.Fs.deleteRecursively(dir)
 
   private def roundtrip(fmt: String): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(s"rt_$fmt").toString
