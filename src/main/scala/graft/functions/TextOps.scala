@@ -163,9 +163,23 @@ object TextOps {
     * a digit run inside a redacted email can never double-match. The
     * patterns stay inside the syntax both Java regex and RE2 share
     * (character classes + bounded repeats — no lookarounds). */
+  private[functions] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[functions] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** The scrub pipeline over a raw text column: email-masked
+    * intermediate, fully scrubbed text, and the two audit counts
+    * (phones counted AFTER email masking — see [[piiScrub]]).
+    * Factored out so specs can drive adversarial strings through the
+    * exact expressions the table query uses. */
+  private[functions] def scrubCols(raw: Column)
+      : (Column, Column, Column) = {
+    val deEmailed = regexp_replace(raw, EmailRe, "<EMAIL>")
+    (regexp_replace(deEmailed, PhoneRe, "<PHONE>"),
+      size(regexp_extract_all(raw, lit(EmailRe), lit(0))),
+      size(regexp_extract_all(deEmailed, lit(PhoneRe), lit(0))))
+  }
+
   def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
     val email = concat(lit("user"), col("doc_id").cast("string"),
       lit("@example"), (col("doc_id") % 10).cast("string"), lit(".com"))
     val phone = concat(
@@ -181,16 +195,11 @@ object TextOps {
     // raw text — a phone-shaped digit run inside an email local part
     // is swallowed by the email mask and must not inflate n_phones
     // (counts == masks is the audit contract the spec pins)
+    val (scrub, nEmails, nPhones) = scrubCols(col("raw"))
     Tables.documents(s, d)
       .select(col("doc_id"), raw.as("raw"))
-      .select(col("doc_id"), col("raw"),
-        regexp_replace(col("raw"), emailRe, "<EMAIL>").as("de_emailed"))
-      .select(col("doc_id"),
-        regexp_replace(col("de_emailed"), phoneRe, "<PHONE>").as("scrubbed"),
-        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
-          .as("n_emails"),
-        size(regexp_extract_all(col("de_emailed"), lit(phoneRe), lit(0)))
-          .as("n_phones"))
+      .select(col("doc_id"), scrub.as("scrubbed"),
+        nEmails.as("n_emails"), nPhones.as("n_phones"))
   }
 
   /** Document fingerprint: md5 of whitespace-canonicalized text.

@@ -56,6 +56,33 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("piiScrub adversarial cases: masks, counts, and the email/phone overlap") {
+    import spark.implicits._
+    val cases = Seq(
+      // phone-shaped digits inside an email local part: the email mask
+      // swallows them — counted as 0 phones, and nothing leaks
+      ("reach me at 555-123-4567@corp.example.com ok", 1, 0),
+      ("tel 123-456-7890 and 111-222-3333 x", 0, 2),
+      ("a@b.co then c.d+e@f-g.h.io end", 2, 0),
+      ("almost 12-345-6789 and 1234-567-8901 edge", 0, 1), // only the 234-567-8901 tail matches
+      ("no pii here at all", 0, 0),
+      ("mixed user9@example1.com tel 900-100-2000", 1, 1))
+    val (scrub, nEmails, nPhones) = TextOps.scrubCols(col("raw"))
+    val got = cases.map(_._1).toDF("raw")
+      .select(col("raw"), scrub.as("scrubbed"),
+        nEmails.as("n_emails"), nPhones.as("n_phones"))
+      .collect()
+    got.zip(cases).foreach { case (r, (raw, e, p)) =>
+      assert(r.getInt(2) === e, s"n_emails for: $raw")
+      assert(r.getInt(3) === p, s"n_phones for: $raw")
+      val s2 = r.getString(1)
+      assert(!s2.matches(s".*${TextOps.EmailRe}.*") &&
+        !s2.matches(s".*${TextOps.PhoneRe}.*"), s"leak in: $s2")
+      assert(s2.sliding(7).count(_ == "<EMAIL>") === e, s"email masks: $s2")
+      assert(s2.sliding(7).count(_ == "<PHONE>") === p, s"phone masks: $s2")
+    }
+  }
+
   test("fingerprint is whitespace/case canonical") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("fp").toString
