@@ -73,6 +73,25 @@ class ExplainPlanSpec extends SparkSpec {
         s"would shuffle the raw facts):\n$lp")
   }
 
+  test("a17: histogram combines map-side — the shuffle carries buckets") {
+    val plan = CoreOps.a17Histogram(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"histogram lost its partial aggregation (the shuffle would " +
+        s"carry raw rows, not <=nBuckets rows per partition):\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"histogram scan reads more than the bucketed column:\n$plan")
+  }
+
+  test("pii scrub stays map-only inside whole-stage codegen") {
+    val plan = graft.functions.TextOps.piiScrub(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a pure row-local scrub must not shuffle:\n$plan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"scrub fell out of codegen:\n$plan")
+  }
+
   test("p3: the bloom-filter gate sees injection and unchanged results") {
     val r = graft.functions.Gates.bloomJoinGate(spark, sfDir).head()
     assert(r.getBoolean(0), "might_contain was not injected into the plan")
