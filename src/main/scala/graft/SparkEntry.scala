@@ -109,6 +109,7 @@ object SparkEntry {
     "a18_count_min"      -> ((s, d) => Gates.countMinGate(s, d)),
     "w4_ntile_lead"      -> CoreOps.w4NtileLead _,
     "text_pii_scrub"     -> TextOps.piiScrub _,
+    "text_vocab_oov"     -> ((s, d) => TextOps.vocabOov(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -734,6 +735,22 @@ object SparkEntry {
         |         AS sum_price
         |FROM part p JOIN b ON p.p_retailprice >= b.lo
         |                  AND p.p_retailprice <= b.hi
+        |GROUP BY 1""".stripMargin,
+    "text_vocab_oov" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, SUM(tf) AS n FROM tfc GROUP BY 1
+        |  ORDER BY n DESC, token ASC LIMIT 50))
+        |SELECT t.doc_id,
+        |       CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.token IS NULL THEN t.tf ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       CAST(SUM(CASE WHEN v.token IS NULL THEN t.tf ELSE 0 END)
+        |            AS DOUBLE) / SUM(t.tf) AS oov_rate
+        |FROM tfc t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY 1""".stripMargin,
     "a18_count_min" ->
       """SELECT CAST(1 AS BOOLEAN) AS merged_within_bound,

@@ -202,6 +202,41 @@ object TextOps {
         nEmails.as("n_emails"), nPhones.as("n_phones"))
   }
 
+  /** Vocabulary induction + OOV rate [VOCAB]: build the tokenizer
+    * vocabulary (top-V tokens by corpus frequency, unique-ordered) and
+    * score every document's out-of-vocabulary token fraction against
+    * it — the coverage metric that drives vocab-size choices and flags
+    * domain-mismatched documents before training. Two aggregates over
+    * ONE corpus explode: the (doc, token) frequency frame feeds both
+    * the global vocab rollup and the per-doc totals, so the token
+    * stream is shuffled once (partial-agg'd on the pair key). The tiny
+    * vocab (V rows) broadcast-joins back; per-doc OOV is a second
+    * partial-agg'd rollup keyed by doc. At 100 TB nothing here holds
+    * more than (doc, distinct-token) rows — never the raw stream. */
+  def vocabOov(s: SparkSession, d: String, vocabSize: Int = 50): DataFrame = {
+    // both the vocab rollup and the per-doc rollup read this — persist,
+    // or the corpus explode+aggregate runs twice (same caller-owned
+    // clearCache lifetime convention as tfidf)
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"))
+    tf.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Document fingerprint: md5 of whitespace-canonicalized text.
     * Deterministic and engine-portable (same md5 in DuckDB), unlike
     * JVM-specific hashes. */

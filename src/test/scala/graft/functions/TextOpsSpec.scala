@@ -83,6 +83,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabOov rates are consistent and the vocab actually covers tokens") {
+    try {
+      val df = TextOps.vocabOov(spark, sfDir).persist()
+      assert(df.count() === Tables.documents(spark, sfDir).count())
+      val bad = df.filter(col("n_oov") < 0 || col("n_oov") > col("n_tokens") ||
+        col("oov_rate") < 0 || col("oov_rate") > 1 ||
+        (col("oov_rate") === 0) =!= (col("n_oov") === 0))
+      assert(bad.count() === 0)
+      // a 50-token vocab over a small synthetic vocabulary must cover
+      // most of the stream — a broken join would send this to ~1.0
+      val corpusRate = df.agg(sum("n_oov") / sum("n_tokens")).head.getDouble(0)
+      assert(corpusRate < 0.5, s"corpus OOV rate $corpusRate")
+      df.unpersist()
+    } finally spark.catalog.clearCache() // vocabOov's tf cache is caller-owned
+  }
+
   test("fingerprint is whitespace/case canonical") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("fp").toString
