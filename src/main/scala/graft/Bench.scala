@@ -164,8 +164,13 @@ object Bench {
       math.round(d * math.pow(10, p)) / math.pow(10, p)
     def qLine(p: Int): String = names.map(n => s"\"" + n + "\":" + rnd(best(n)._1, p))
       .mkString("{", ",", "}")
-    val qs2 = qLine(2)
-    val qs = if (qs2.length <= 1650) qs2 else qLine(1)
+    // degrade ladder 2dp -> 1dp -> 0dp: the whole summary (queries map
+    // + ~70 chars of wrapper + sbt's "[info] " prefix + its ~65-char
+    // "[success]" epilogue) must fit the consumer's ~2000-char tail;
+    // 1750 for the map alone keeps ~100 chars of slack. Sub-second
+    // precision lost at 0dp still lives in the metrics line above.
+    val qs = Seq(qLine(2), qLine(1)).find(_.length <= 1750)
+      .getOrElse(qLine(0))
     def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
     val ms = names.map { n =>
       val m = best(n)._2
@@ -180,9 +185,13 @@ object Bench {
     // detail line first, compact summary LAST: the summary must sit
     // entirely inside the final ~2 KB of stdout (see Scaladoc)
     println(s"""{"metric":"bench_metrics","runs":$nRuns,"totals_per_run":$perRun,"metrics":$ms}""")
-    // basename only: every byte of this line competes for the ~2 KB tail
+    // basename only: every byte of this line competes for the ~2 KB tail.
+    // value/unit/sf TRAIL the queries map: if the tail window ever clips
+    // this line, it clips from the FRONT — the headline total must be
+    // the last thing to go, not the first (it was the first casualty in
+    // the r01–r03 overflows).
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","queries":$qs,"value":$total,"unit":"sec","sf":"$sfName"}""")
     spark.stop()
   }
 }
