@@ -86,6 +86,7 @@ object SparkEntry {
     "sim_ivf_topk"       -> ((s, d) => Gates.ivfRecallGate(s, d)),
     "mm_decode"          -> Multimodal.decodeMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
+    "mm_resize"          -> Multimodal.resizeStub _,
     "ev_window"          -> EventOps.tumblingWindow _,
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_session_native"  -> ((s, d) => EventOps.sessionizeNative(s, d)),
@@ -538,6 +539,29 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+        |                  CAST(octet_length(encode(text)) AS INTEGER) AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, h, n,
+        |        GREATEST(1, CAST(ceil(n / 96.0) AS INTEGER)) AS stride
+        |      FROM m),
+        |ix AS (SELECT doc_id, h, n, stride,
+        |         unnest(generate_series(0, n - 1, stride)) AS bi
+        |       FROM s WHERE n > 0),
+        |b AS (SELECT doc_id, bi,
+        |        CAST(('0x' || substring(h, CAST(bi * 2 + 1 AS INTEGER), 2))
+        |             AS INTEGER) AS bv
+        |      FROM ix),
+        |a AS (SELECT doc_id, COUNT(*) AS cnt, SUM(bv) AS sm,
+        |        MAX(CASE WHEN bi = 0 THEN bv END) AS head
+        |      FROM b GROUP BY 1)
+        |SELECT s.doc_id, s.n AS orig_len,
+        |  CAST(s.stride AS INTEGER) AS stride,
+        |  CAST(COALESCE(a.cnt, 0) AS INTEGER) AS out_len,
+        |  CAST(COALESCE(a.head, -1) AS INTEGER) AS out_head,
+        |  CAST(COALESCE(a.sm, 0) AS BIGINT) AS out_sum
+        |FROM s LEFT JOIN a USING (doc_id)""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         |SELECT doc_id,

@@ -38,6 +38,35 @@ object Multimodal {
     media.mapPartitions(_.map(fakeDecode)).toDF()
   }
 
+  case class Resized(doc_id: Long, orig_len: Int, stride: Int,
+    out_len: Int, out_head: Int, out_sum: Long)
+
+  val ResizeTarget = 96
+
+  /** Resize/downsample transform: the N-bytes-in, M-bytes-out shape an
+    * image resizer or audio resampler has. The STUB samples every
+    * `stride`-th byte so the output stays ≤ [[ResizeTarget]] bytes; a
+    * real implementation would run the codec's scaler on `payload` in
+    * the same mapPartitions batch. The emitted geometry (stride,
+    * out_len) plus content probes (first sampled byte, byte sum) pin
+    * the transform end-to-end for the oracle without shipping the
+    * payload itself through the compare. Map-only at scan parallelism,
+    * like every per-item media transform. */
+  def resizeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val n = payload.length
+        val stride = math.max(1, (n + ResizeTarget - 1) / ResizeTarget)
+        val outIdx = 0 until n by stride
+        Resized(id, n, stride, outIdx.size,
+          if (n == 0) -1 else payload(0) & 0xff,
+          outIdx.foldLeft(0L)((acc, i) => acc + (payload(i) & 0xff)))
+      }).toDF()
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int)
 
   val FrameBytes = 64

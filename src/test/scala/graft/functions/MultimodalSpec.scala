@@ -21,4 +21,22 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() === 0)
     meta.unpersist()
   }
+
+  test("resize stub: output bounded by target, stride/geometry consistent") {
+    val r = Multimodal.resizeStub(spark, sfDir).cache()
+    assert(r.count() === Tables.documents(spark, sfDir).count())
+    val bad = r.filter(
+      col("out_len") > Multimodal.ResizeTarget ||
+        col("stride") < 1 ||
+        // out_len is exactly ceil(orig_len / stride) for non-empty docs
+        (col("orig_len") > 0 &&
+          col("out_len") =!= ceil(col("orig_len") / col("stride").cast("double"))
+            .cast("int")) ||
+        // the byte sum bounds: <= 255 per sampled byte, head in range
+        col("out_sum") > col("out_len") * 255L ||
+        (col("orig_len") > 0 &&
+          (col("out_head") < 0 || col("out_head") > 255)))
+    assert(bad.count() === 0)
+    r.unpersist()
+  }
 }
