@@ -1,0 +1,93 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench summary line is the ONE artifact the recording harness
+  * parses, and it only sees the last 2000 characters of stdout: in
+  * rounds 1–3 the line outgrew that window and every recorded bench
+  * came back unparsed. These tests pin the contract that prevents a
+  * fourth: hard byte budget, valid JSON, failures never hidden, and
+  * the omitted remainder summarized exactly.
+  */
+class BenchSummarySpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  /** A suite larger and longer-named than the real one, so the budget
+    * logic is exercised harder than production will ever push it. */
+  private def bigSuite(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"some_quite_long_query_name_$i%03d" -> i * 0.037)
+
+  test("summary line stays under budget even for a 150-query suite") {
+    val line = Bench.summaryLine(bigSuite(150), "sf0.1")
+    assert(line.length <= 1700, s"line is ${line.length} chars")
+  }
+
+  test("summary line is valid JSON with the contract fields") {
+    val line = Bench.summaryLine(bigSuite(150), "sf0.1")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(node.get("sf").asText == "sf0.1")
+    assert(node.get("queries").isObject)
+    assert(node.get("n_queries").asInt == 150)
+    assert(node.get("value").isNumber)
+  }
+
+  test("value equals the full-suite total; omitted_sec accounts for the rest") {
+    val times = bigSuite(150)
+    val node = mapper.readTree(Bench.summaryLine(times, "sf0.1"))
+    val total = times.map(_._2).sum
+    assert(math.abs(node.get("value").asDouble - total) < 0.02)
+    val qs = node.get("queries")
+    var kept = 0.0
+    qs.properties().forEach(e => kept += e.getValue.asDouble)
+    val omitted = node.get("omitted_sec").asDouble
+    assert(node.get("omitted").asInt ==
+      times.size - qs.size, "omitted count = suite - map size")
+    // kept (2dp-rounded) + omitted ≈ total
+    assert(math.abs(kept + omitted - total) < 0.01 * times.size)
+  }
+
+  test("the slowest queries are the ones kept in the map") {
+    val times = bigSuite(150)
+    val node = mapper.readTree(Bench.summaryLine(times, "sf0.1"))
+    val keptNames = {
+      val b = Seq.newBuilder[String]
+      node.get("queries").fieldNames().forEachRemaining(n => b += n)
+      b.result().toSet
+    }
+    val slowest = times.sortBy(-_._2).take(keptNames.size).map(_._1).toSet
+    assert(keptNames == slowest)
+  }
+
+  test("failed queries (-1) always survive the cut, even at a tiny budget") {
+    val times = bigSuite(150) ++ Seq("broken_query_a" -> -1.0, "broken_b" -> -1.0)
+    val line = Bench.summaryLine(times, "sf0.1", budget = 300)
+    assert(line.length <= 400) // failures + wrapper may exceed 300 slightly: never drop them
+    val node = mapper.readTree(line)
+    assert(node.get("queries").get("broken_query_a").asInt == -1)
+    assert(node.get("queries").get("broken_b").asInt == -1)
+    // failed queries don't poison the total
+    assert(node.get("value").asDouble > 0)
+  }
+
+  test("a small suite is emitted whole, nothing omitted") {
+    val times = Seq("q1" -> 1.234, "q2" -> 0.051, "q3" -> 12.0)
+    val node = mapper.readTree(Bench.summaryLine(times, "sf0.01"))
+    assert(node.get("omitted").asInt == 0)
+    assert(node.get("queries").size == 3)
+    assert(math.abs(node.get("queries").get("q1").asDouble - 1.23) < 1e-9)
+  }
+
+  test("the real suite's names fit with room to spare at current sizes") {
+    // every registered query at a worst-case 2-digit-seconds timing:
+    // if this ever fails, the suite has outgrown even the omission
+    // mechanism's usefulness and the contract needs rethinking
+    val times = SparkEntry.queries.keys.toSeq.map(_ -> 87.65)
+    val line = Bench.summaryLine(times, "sf0.1")
+    assert(line.length <= 1700)
+    assert(mapper.readTree(line).get("n_queries").asInt ==
+      SparkEntry.queries.size)
+  }
+}
