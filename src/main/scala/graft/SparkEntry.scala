@@ -111,6 +111,11 @@ object SparkEntry {
     "w4_ntile_lead"      -> CoreOps.w4NtileLead _,
     "text_pii_scrub"     -> TextOps.piiScrub _,
     "text_vocab_oov"     -> ((s, d) => TextOps.vocabOov(s, d)),
+    "ev_funnel"          -> ((s, d) => EventOps.funnel(s, d)),
+    "ev_retention"       -> EventOps.retention _,
+    "sample_cap_per_source" -> ((s, d) => Sampling.capPerSource(s, d)),
+    "text_inverted_index" -> ((s, d) => TextOps.invertedIndex(s, d)),
+    "text_normalize"     -> TextOps.normalizeAccents _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -832,6 +837,72 @@ object SparkEntry {
         |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')
         |          AS de_emailed
         |      FROM r)""".stripMargin,
+    // first-touch funnel with strict step ordering; the CTE chain
+    // mirrors the engine's chained windows (min view ts, then min
+    // click ts >= it, then min purchase ts >= that). The % 17 thin
+    // gives the dense synthetic stream real drop-off — without it
+    // every user completes every step and ordering bugs pass.
+    "ev_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 17 = 0),
+        |s1 AS (SELECT user_id,
+        |         min(CASE WHEN event_type='view' THEN ts END) AS t1
+        |       FROM ev GROUP BY user_id),
+        |s2 AS (SELECT e.user_id,
+        |         min(CASE WHEN event_type='click' AND ts >= t1 THEN ts END) AS t2
+        |       FROM ev e JOIN s1 USING(user_id) GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id,
+        |         min(CASE WHEN event_type='purchase' AND ts >= t2 THEN ts END) AS t3
+        |       FROM ev e JOIN s2 USING(user_id) GROUP BY e.user_id)
+        |SELECT count(*) AS n_users, count(t1) AS n_view,
+        |       count(t2) AS n_view_click, count(t3) AS n_full_funnel
+        |FROM s1 JOIN s2 USING(user_id) JOIN s3 USING(user_id)""".stripMargin,
+    "ev_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |              FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day
+        |          FROM days GROUP BY user_id)
+        |SELECT cohort_day,
+        |       count(CASE WHEN off = 0 THEN 1 END) AS n_users,
+        |       count(CASE WHEN off = 1 THEN 1 END) AS d1_retained,
+        |       count(CASE WHEN off = 7 THEN 1 END) AS d7_retained
+        |FROM (SELECT f.cohort_day,
+        |             date_diff('day', f.cohort_day, d.day) AS off
+        |      FROM days d JOIN first f USING(user_id))
+        |GROUP BY cohort_day""".stripMargin,
+    "sample_cap_per_source" ->
+      """SELECT source, doc_id, CAST(rn AS INTEGER) AS rank_in_source
+        |FROM (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+    "text_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id,
+        |              unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |ranked AS (SELECT term, doc_id,
+        |             row_number() OVER (PARTITION BY term
+        |                                ORDER BY doc_id) AS rn
+        |           FROM td),
+        |dfs AS (SELECT term, count(*) AS df FROM td GROUP BY term)
+        |SELECT r.term, dfs.df,
+        |       string_agg(r.doc_id, ',' ORDER BY r.doc_id) AS postings
+        |FROM ranked r JOIN dfs USING (term)
+        |WHERE rn <= 8
+        |GROUP BY r.term, dfs.df""".stripMargin,
+    // rebuilds the engine's deterministically-planted accents with
+    // translate(), then strips with DuckDB's OWN strip_accents — two
+    // independent Unicode-normalization implementations must agree
+    // char-for-char (the ASCII third of docs checks the identity path)
+    "text_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeiou', 'áéîöü')
+        |         WHEN doc_id % 3 = 2 THEN translate(text, 'aeinc', 'àêíñç')
+        |         ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id, strip_accents(raw) AS norm_text,
+        |       raw <> strip_accents(raw) AS changed
+        |FROM r""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -98,6 +98,23 @@ object Sampling {
       .filter(col("grank") <= ceil(col("ntot") / lit(denom.toDouble)))
       .select(col("lang"), col("doc_id"))
 
+  /** Per-source document cap [CAP]: keep at most `cap` docs per source
+    * (first by doc_id) — the domain-balancing step that stops a single
+    * crawler domain from dominating a training mix. Reuses the
+    * two-phase stratum-rank machinery, so a dominant source never
+    * serializes through one task the way a plain
+    * row_number-over-source window would. NOTE the driver-collected
+    * per-(stratum, bucket) counts bound this to low-cardinality strata
+    * (sources, langs): for per-TERM caps see
+    * [[TextOps.invertedIndex]]'s collect-free two-phase top-k. */
+  def capPerSource(s: SparkSession, d: String, cap: Int = 10): DataFrame =
+    stratumRanks(
+      Tables.documents(s, d).select(col("source"), col("doc_id")),
+      "source", math.max(1, s.sparkContext.defaultParallelism))
+      .filter(col("grank") <= cap)
+      .select(col("source"), col("doc_id"),
+        col("grank").cast("int").as("rank_in_source"))
+
   /** Weighted dataset mixing [MIX]: deterministic proportional
     * interleave of sources — each doc's mix key is
     * (rank within source)/weight, so sorting by (mix_key, source,

@@ -244,4 +244,70 @@ object TextOps {
     Tables.documents(s, d).select(
       col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+
+  /** Unicode normalization [NORMALIZE]: strip accents before
+    * dedup/fingerprinting via the native codegen'd
+    * [[StringExpressions.Unaccent]] expression — map-only at scan
+    * parallelism, ASCII rows cost one integer compare.
+    *
+    * The synthetic corpus is pure ASCII, so (the PII-scrub pattern)
+    * the query first PLANTS accents deterministically — two different
+    * Latin accent maps keyed off doc_id, a third of docs left
+    * untouched — and then normalizes. The DuckDB oracle rebuilds the
+    * identical planted text with translate() and strips with its own
+    * strip_accents(), so the hash check verifies the two engines'
+    * independent Unicode-normalization paths agree char-for-char,
+    * including the untouched-ASCII identity. */
+  def normalizeAccents(s: SparkSession, d: String): DataFrame = {
+    val planted =
+      when(col("doc_id") % 3 === 1, translate(col("text"), "aeiou", "áéîöü"))
+        .when(col("doc_id") % 3 === 2, translate(col("text"), "aeinc", "àêíñç"))
+        .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"),
+        StringExpressions.unaccent(col("raw")).as("norm_text"),
+        (col("raw") =!= StringExpressions.unaccent(col("raw"))).as("changed"))
+  }
+
+  /** Inverted index [INVERTED]: per-term document frequency plus a
+    * capped posting list (first k doc_ids ascending, comma-joined so
+    * the value hashes identically in both engines) — the retrieval
+    * structure behind contamination lookups and BM25-ish scoring.
+    *
+    * Skew is the whole problem at corpus scale: a stopword's posting
+    * set is nearly every document, so a single window partitioned by
+    * term would sort the whole corpus worth of pairs in ONE task.
+    * Two-phase top-k instead: a per-(term, input-partition) window
+    * keeps ≤k pairs per term per partition (bounded by partition
+    * size), then the global per-term window ranks ≤k·nPartitions
+    * survivors — never the raw posting set. Document frequency is
+    * exact from a separate partial-agg'd count over the (doc, term)
+    * pairs (dedup'd map-side by array_distinct, so the aggregate
+    * never sees within-doc repeats). */
+  def invertedIndex(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    invertedIndexOf(Tables.documents(s, d), k)
+
+  /** Same over any (doc_id, text) frame — specs drive this with
+    * hand-built corpora (hot terms, within-doc repeats, cap edges). */
+  def invertedIndexOf(docs: DataFrame, k: Int): DataFrame = {
+    val termDocs = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"), col("pid")).orderBy(col("doc_id"))
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val capped = termDocs.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= k)
+    val dfs = termDocs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    capped.groupBy(col("term"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings"))
+      .join(dfs, Seq("term"))
+      .select(col("term"), col("df"), col("postings"))
+  }
 }

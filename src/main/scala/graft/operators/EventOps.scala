@@ -62,6 +62,66 @@ object EventOps {
       .select(col("user_id"), col("n_events"), col("start_us"),
         col("end_us"), col("sum_value"))
 
+  /** Sequential funnel analysis [ev_funnel]: of the users who ever
+    * `view`, how many `click` AT OR AFTER their first view, and then
+    * `purchase` at or after that click — first-touch attribution with
+    * strict step ordering, the conversion query every event pipeline
+    * runs. The stream is thinned deterministically (event_id % thin)
+    * because the synthetic corpus is so dense every user completes
+    * every funnel — the thinned stream has real drop-off (at sf0.01:
+    * 148 users → 79 view → 24 view+click → 8 full funnel), so an
+    * engine that ignored the ordering constraint would not match.
+    *
+    * ONE shuffle end-to-end: three unordered windows chained over the
+    * same user_id partitioning (t2's predicate reads t1, t3's reads
+    * t2 — each is a full-partition min, no sort-order dependence), and
+    * the per-user collapse + global count reuse that clustering. A
+    * join-per-step formulation would re-shuffle the fact table once
+    * per funnel stage. */
+  def funnel(s: SparkSession, d: String, thin: Int = 17): DataFrame =
+    funnelOf(Tables.events(s, d).filter(col("event_id") % thin === 0))
+
+  /** Same funnel over a caller-provided event frame (specs drive this
+    * with hand-built orderings: click-before-view, ts ties, partial
+    * funnels). */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+          col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+      .agg(count(lit(1)).as("n_users"), count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"))
+  }
+
+  /** Cohort retention [ev_retention]: users grouped by first-active
+    * day; how many return exactly 1 and 7 days later. Two partial-
+    * agg'd aggregates and one user-keyed join — the distinct
+    * (user, day) frame is tiny next to the event stream at any scale,
+    * and the final rollup is bounded by the calendar. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("off"))
+      .groupBy(col("cohort_day"))
+      .agg(count(when(col("off") === 0, 1)).as("n_users"),
+        count(when(col("off") === 1, 1)).as("d1_retained"),
+        count(when(col("off") === 7, 1)).as("d7_retained"))
+  }
+
   /** Same sessionization over a caller-provided event frame. */
   def sessionizeOf(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Pins the funnel's step-ordering semantics — the whole point of the
+  * operator is that a click only counts AT OR AFTER the user's first
+  * view, and a purchase at or after that click. Each case here is an
+  * ordering an unordered count-per-type query would get wrong.
+  */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ev(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.map { case (user, tMs, typ) =>
+      (user * 1000 + tMs, new Timestamp(1700000000000L + tMs * 1000),
+        user, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  private def counts(df: org.apache.spark.sql.DataFrame) = {
+    val r = EventOps.funnelOf(df).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("click strictly before the first view does not convert") {
+    val d = ev((1L, 10L, "click"), (1L, 20L, "view"))
+    assert(counts(d) == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("click at exactly the first-view timestamp converts (inclusive)") {
+    val d = ev((1L, 10L, "view"), (1L, 10L, "click"))
+    assert(counts(d) == ((1L, 1L, 1L, 0L)))
+  }
+
+  test("purchase between view and first valid click does not complete") {
+    // view@10, purchase@15, click@20: purchase precedes t2=20 -> no full funnel
+    val d = ev((1L, 10L, "view"), (1L, 15L, "purchase"), (1L, 20L, "click"))
+    assert(counts(d) == ((1L, 1L, 1L, 0L)))
+  }
+
+  test("full ordered funnel completes; first-touch view is the anchor") {
+    // views at 50 and 10 -> t1=10; click@20 >= 10 counts; purchase@30 >= 20
+    val d = ev((1L, 50L, "view"), (1L, 10L, "view"),
+      (1L, 20L, "click"), (1L, 30L, "purchase"))
+    assert(counts(d) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("users without a view still count as users, nothing else") {
+    val d = ev((1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 10L, "view"))
+    assert(counts(d) == ((2L, 1L, 0L, 0L)))
+  }
+
+  test("steps can share one timestamp all the way through") {
+    val d = ev((1L, 10L, "view"), (1L, 10L, "click"), (1L, 10L, "purchase"))
+    assert(counts(d) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("funnel plan shuffles once: a single user_id exchange feeds all stages") {
+    val plan = EventOps.funnelOf(
+      ev((1L, 10L, "view"), (2L, 20L, "click")))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one hash exchange on user_id (+ the final SinglePartition for the
+    // global count, which is not a hashpartitioning)
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
+  test("retention counts day offsets across UTC midnight correctly") {
+    import spark.implicits._
+    val base = 1700006400000L // 2023-11-15 00:00:00 UTC
+    val rows = Seq(
+      // user 1: first active 23:59 on day D — 62 s later is already
+      // D+1 (day offset by calendar day, not 24h elapsed); returns
+      // again at exactly D+7 00:01 and at D+8 (which must NOT count)
+      (1L, new Timestamp(base + 86340000L)),
+      (2L, new Timestamp(base + 86400000L + 60000L)),
+      (3L, new Timestamp(base + 7L * 86400000L + 60000L)),
+      (4L, new Timestamp(base + 8L * 86400000L + 60000L)),
+      // user 2: a separate cohort 3 days later, active once
+      (10L, new Timestamp(base + 3L * 86400000L))
+    ).map { case (id, ts) => (id, ts, if (id < 10) 1L else 2L, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.retention(spark, dir)
+      .orderBy("cohort_day").collect()
+    assert(out.length == 2)
+    val Array(c1, c2) = out
+    assert(c1.getLong(1) == 1L && c1.getLong(2) == 1L && c1.getLong(3) == 1L,
+      s"cohort 1 (n_users, d1, d7) was $c1")
+    assert(c2.getLong(1) == 1L && c2.getLong(2) == 0L && c2.getLong(3) == 0L,
+      s"cohort 2 (n_users, d1, d7) was $c2")
+  }
+}
