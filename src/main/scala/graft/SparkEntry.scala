@@ -116,6 +116,8 @@ object SparkEntry {
     "sample_cap_per_source" -> ((s, d) => Sampling.capPerSource(s, d)),
     "text_inverted_index" -> ((s, d) => TextOps.invertedIndex(s, d)),
     "text_normalize"     -> TextOps.normalizeAccents _,
+    "w5_range_frame"     -> CoreOps.w5RangeFrame _,
+    "ev_anomaly_zscore"  -> ((s, d) => EventOps.anomalyZscore(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -903,6 +905,36 @@ object SparkEntry {
         |SELECT doc_id, strip_accents(raw) AS norm_text,
         |       raw <> strip_accents(raw) AS changed
         |FROM r""".stripMargin,
+    // RANGE frame keyed by the order-by VALUE: same-day peers share the
+    // frame, so no tie-break is needed (or possible) — the numeric day
+    // ordering mirrors the engine's rangeBetween(-6, 0) literally
+    "w5_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey, CAST(day AS INTEGER) AS day,
+         |  CAST(SUM($decTotal) OVER (
+         |    PARTITION BY o_custkey ORDER BY day
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS spend_7d
+         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+         |        date_diff('day', DATE '1990-01-01',
+         |                  CAST(o_orderdate AS DATE)) AS day
+         |      FROM orders)""".stripMargin,
+    // stats accumulate exactly in DECIMAL, cast to DOUBLE once, and the
+    // identical IEEE mean/variance arithmetic runs on both engines — the
+    // 3σ booleans are bit-reproducible, so counts compare exactly
+    "ev_anomaly_zscore" ->
+      """WITH ev AS (SELECT event_type, value,
+        |              CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |         CAST(sum(v) AS DOUBLE) AS sd,
+        |         CAST(sum(v*v) AS DOUBLE) AS s2d
+        |       FROM ev GROUP BY event_type)
+        |SELECT e.event_type, max(n) AS n_events,
+        |       round(max(sd / n), 6) AS mean_value,
+        |       count(CASE WHEN abs(value - sd / n) >
+        |         3.0 * sqrt((s2d - sd * sd / n) / n) THEN 1 END)
+        |         AS n_anomalies
+        |FROM ev e JOIN st USING(event_type)
+        |GROUP BY e.event_type""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -306,6 +306,26 @@ object CoreOps {
       (col("c_acctbal") - lead(col("c_acctbal"), 1).over(w)).as("gap_next"))
   }
 
+  // ------------------------------------------------------------- W5 RANGE frame
+  /** Time-interval RANGE window frame [W5]: per-customer rolling 7-day
+    * spend — the frame is bounded by the ORDER-BY VALUE (all orders
+    * within the trailing 6 days), not a row count, so same-day peer
+    * rows all join the frame and the result is independent of intra-day
+    * row order (no tie-break needed, unlike every ROWS frame). Ordering
+    * by an integer day number keeps the Column-API rangeBetween exact
+    * and gives the oracle a literal mirror. Completes the window-family
+    * matrix: rank [w1], running [w2], ROWS frame [w3], tile/offset
+    * [w4], RANGE frame [w5]. O(frame) state per task at any scale. */
+  def w5RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day")).rangeBetween(-6, 0)
+    Tables.orders(s, d)
+      .withColumn("day",
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1990-01-01"))))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("spend_7d"))
+  }
+
   // ---------------------------------------------------------------- T1 top-k
   /** Top-k by aggregate desc — takeOrdered(10) (etherTop10Contracts.py:68,
     * etherTopMiners.py:46). Plans TakeOrderedAndProject, not a total

@@ -122,6 +122,35 @@ object EventOps {
         count(when(col("off") === 7, 1)).as("d7_retained"))
   }
 
+  /** Statistical outlier detection [ev_anomaly]: per event type, count
+    * values beyond k·σ of the type's mean — the value-distribution
+    * quality filter a training pipeline runs before trusting a metric
+    * column. Everything is exact until the final IEEE comparison:
+    * sums and sums-of-squares accumulate in DECIMAL (partition-order
+    * independent — a double sum would make the 3σ boundary flicker
+    * with partitioning at scale), cast to DOUBLE once, and both
+    * engines evaluate the identical mean/variance arithmetic on those
+    * exact inputs, so the anomaly booleans are bit-reproducible. One
+    * partial-agg'd pass for stats, a broadcast join back (5 rows), and
+    * a second partial-agg'd rollup — map-side everywhere. */
+  def anomalyZscore(s: SparkSession, d: String, k: Double = 3.0): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+      col("value").cast(DecimalType(18, 6)).as("v"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(DoubleType).as("sd"),
+        sum(col("v") * col("v")).cast(DoubleType).as("s2d"))
+      .select(col("event_type"), col("n"), (col("sd") / col("n")).as("mean"),
+        ((col("s2d") - col("sd") * col("sd") / col("n")) / col("n"))
+          .as("variance"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        round(max(col("mean")), 6).as("mean_value"),
+        count(when(abs(col("value") - col("mean")) >
+          lit(k) * sqrt(col("variance")), 1)).as("n_anomalies"))
+  }
+
   /** Same sessionization over a caller-provided event frame. */
   def sessionizeOf(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

@@ -20,6 +20,42 @@ class HistogramWindowSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("w5 RANGE frame: same-day peers share one value; 7-day boundary exact") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("1995-01-01").getTime + day * 86400000L)
+    // customer 1: orders on days 0, 0 (peer pair), 6, 7
+    val rows = Seq(
+      (101L, 1L, ts(0), 10.0), (102L, 1L, ts(0), 20.0),
+      (103L, 1L, ts(6), 5.0), (104L, 1L, ts(7), 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_w5").toString
+    rows.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = CoreOps.w5RangeFrame(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // day-0 peers BOTH see 30 (RANGE includes ties, unlike ROWS)
+    assert(out(101L) == 30.0 && out(102L) == 30.0)
+    // day 6 is within 6 days of day 0: 10+20+5
+    assert(out(103L) == 35.0)
+    // day 7 no longer sees day 0, only days 1..7: 5+1
+    assert(out(104L) == 6.0)
+  }
+
+  test("ev_anomaly flags exactly the values beyond k sigma") {
+    import spark.implicits._
+    // type A: three 10s and one 100 -> mean 32.5, sigma ~38.97:
+    // at k=1 only the 100 deviates (67.5 > 38.97); at k=3 nothing does
+    val rows = Seq(10.0, 10.0, 10.0, 100.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000), 1L, "A", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def anomalies(k: Double) =
+      EventOps.anomalyZscore(spark, dir, k).head().getLong(3)
+    assert(anomalies(1.0) == 1L)
+    assert(anomalies(3.0) == 0L)
+  }
+
   test("w4 ntile quartiles are balanced; lead gaps match the desc order") {
     val w = CoreOps.w4NtileLead(spark, sfDir)
     // tile sizes within a segment differ by at most 1 and all 4 exist
