@@ -118,6 +118,8 @@ object SparkEntry {
     "text_normalize"     -> TextOps.normalizeAccents _,
     "w5_range_frame"     -> CoreOps.w5RangeFrame _,
     "ev_anomaly_zscore"  -> ((s, d) => EventOps.anomalyZscore(s, d)),
+    "s8_json_roundtrip"  -> CoreOps.s8JsonRoundtrip _,
+    "stream_dedup_parity" -> graft.streaming.StreamGates.streamDedupParity _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -360,6 +362,11 @@ object SparkEntry {
     // oracle reads the parquet table directly — the engine's ORC
     // write+read must be value-transparent for the hashes to match
     "s7_orc_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+         |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
+         |       MAX(l_shipdate) AS max_shipdate
+         |FROM lineitem""".stripMargin,
+    "s8_json_roundtrip" ->
       s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
          |       MAX(l_shipdate) AS max_shipdate
@@ -921,6 +928,13 @@ object SparkEntry {
     // stats accumulate exactly in DECIMAL, cast to DOUBLE once, and the
     // identical IEEE mean/variance arithmetic runs on both engines — the
     // 3σ booleans are bit-reproducible, so counts compare exactly
+    // the booleans are computed in-engine (no SQL oracle can run a
+    // watermark); n_rows is the relational anchor — the deduped stream
+    // must emit exactly the slice's distinct event ids
+    "stream_dedup_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS dedup_parity,
+        |       (SELECT COUNT(DISTINCT event_id) FROM events
+        |        WHERE user_id < 50) AS n_rows""".stripMargin,
     "ev_anomaly_zscore" ->
       """WITH ev AS (SELECT event_type, value,
         |              CAST(value AS DECIMAL(18,6)) AS v FROM events),

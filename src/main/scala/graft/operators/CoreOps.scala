@@ -713,6 +713,17 @@ object CoreOps {
       case "orc" =>
         slice.write.mode("overwrite").orc(out)
         s.read.orc(out)
+      case "json" =>
+        // JSON-lines: schema-on-read (inference would widen longs and
+        // read timestamps as strings — the explicit schema is the test)
+        slice.write.mode("overwrite").json(out)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_partkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("l_shipdate", TimestampType)))
+        s.read.schema(schema).json(out)
     }
     back.agg(count(lit(1)).as("n_rows"),
       sum(col("l_quantity")).as("sum_qty"),
@@ -732,6 +743,15 @@ object CoreOps {
     * through decimal as everywhere else. */
   def s7OrcRoundtrip(s: SparkSession, d: String): DataFrame =
     formatRoundtrip(s, d, "orc")
+
+  /** JSON-lines roundtrip [S8]: the row-oriented interchange format —
+    * written and re-read with an explicit schema (doubles, longs, and
+    * ISO-serialized timestamps must all survive the text round-trip),
+    * aggregated identically to the oracle's direct parquet read. Makes
+    * the JSON source/sink pair driver-visible; FormatRoundtripSpec
+    * keeps the per-value spec-level check. */
+  def s8JsonRoundtrip(s: SparkSession, d: String): DataFrame =
+    formatRoundtrip(s, d, "json")
 
   // ---------------------------------------------------------------- S2+X11 dynamic-key JSON map
   /** JSON-lines scan where the object has DYNAMIC keys — the scams.json

@@ -32,6 +32,68 @@ object StreamGates {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.Fs.deleteRecursively(p)
 
+  /** Gate query [stream_dedup_parity]: dropDuplicatesWithinWatermark
+    * really deduplicates ACROSS micro-batches while keeping only
+    * watermark-bounded state. A user slice streams through the dedup
+    * (batch 1: all originals), then a duplicate file arrives as a
+    * second micro-batch — only events from the last 10 minutes of the
+    * slice, so every duplicate's key-state is still inside the 30-min
+    * watermark horizon and must be dropped (duplicates of expired keys
+    * are exactly what the operator does NOT promise to drop — that's
+    * the bounded-state contract, pinned by StreamsSpec). Parity =
+    * the appended stream output is set-identical to the slice's
+    * distinct event_ids; n_rows gives the oracle a relational check. */
+  def streamDedupParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sdp").toString
+    val inDir = s"$base/in"
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val maxRow = ev.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0)) {
+      deleteRecursively(java.nio.file.Paths.get(base))
+      return Seq((false, 0L)).toDF("dedup_parity", "n_rows")
+    }
+    ev.write.mode("overwrite").parquet(inDir)
+    val maxMs = maxRow.getTimestamp(0).getTime
+    val dups = ev.filter(unix_millis(col("ts")) >= maxMs - 10L * 60 * 1000)
+
+    try s.catalog.dropTempView("sdp_dedup") catch { case _: Throwable => () }
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    var q: StreamingQuery = null
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      q = Streams.dedupedEvents(Streams.readEventStream(s, inDir))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sdp_dedup")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      q.processAllAvailable()
+      // duplicates arrive as their own micro-batch: per-key state must
+      // have survived the first batch boundary for these to be dropped
+      dups.write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally {
+      if (q != null) try q.stop() catch { case _: Throwable => () }
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    val streamIds = s.table("sdp_dedup").select(col("event_id"))
+    val batchIds = ev.select(col("event_id")).distinct()
+    val gate = symDiffEmpty(streamIds, batchIds, Seq("event_id"))
+      .crossJoin(streamIds.agg(count(lit(1)).as("n_stream")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dups")))
+      .select(
+        (col("l_only") === 0 && col("r_only") === 0 && col("n_dups") > 0)
+          .as("dedup_parity"),
+        col("n_stream").as("n_rows"))
+    val rows = gate.collect()
+    try s.catalog.dropTempView("sdp_dedup") catch { case _: Throwable => () }
+    deleteRecursively(java.nio.file.Paths.get(base))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+  }
+
   /** Gate query [stream_batch_parity]: booleans proving
     *  - the file-stream tumbling-window pipeline (append mode, 30-min
     *    watermark) emits exactly the batch tumbling aggregation, and
