@@ -120,6 +120,8 @@ object SparkEntry {
     "ev_anomaly_zscore"  -> ((s, d) => EventOps.anomalyZscore(s, d)),
     "s8_json_roundtrip"  -> CoreOps.s8JsonRoundtrip _,
     "stream_dedup_parity" -> graft.streaming.StreamGates.streamDedupParity _,
+    "text_url_extract"   -> TextOps.urlExtract _,
+    "text_surprisal"     -> ((s, d) => TextOps.surprisal(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -935,6 +937,33 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS dedup_parity,
         |       (SELECT COUNT(DISTINCT event_id) FROM events
         |        WHERE user_id < 50) AS n_rows""".stripMargin,
+    // rebuilds the planted URLs, then re-extracts host/path/query with
+    // plain regexes — an independent implementation of the same parse
+    "text_url_extract" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '?q=' || lang AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)', 1) AS query
+        |FROM u""".stripMargin,
+    "text_surprisal" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |ct AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+        |tot AS (SELECT sum(tf) AS t_total FROM tf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(-(sum(tf * ln(CAST(ct AS DOUBLE) / t_total)) / sum(tf)), 6)
+        |    AS avg_surprisal
+        |FROM tf JOIN ct USING(term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "ev_anomaly_zscore" ->
       """WITH ev AS (SELECT event_type, value,
         |              CAST(value AS DECIMAL(18,6)) AS v FROM events),

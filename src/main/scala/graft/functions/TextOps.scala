@@ -270,6 +270,50 @@ object TextOps {
         (col("raw") =!= StringExpressions.unaccent(col("raw"))).as("changed"))
   }
 
+  /** URL parsing [URL]: host/path/query extraction — the first step of
+    * every web-corpus pipeline (per-domain caps, dedup keys, robots
+    * filtering all key on the host). Spark's codegen'd parse_url runs
+    * map-only at scan parallelism; the corpus has no URL column, so
+    * deterministic URLs are planted from doc_id/lang (the PII-scrub
+    * pattern) and the DuckDB oracle re-extracts the parts with plain
+    * regexes — two independent URL-parsing implementations must agree
+    * on every row. */
+  def urlExtract(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example"), (col("doc_id") % 7).cast("string"), lit(".com/p/"),
+      (col("doc_id") % 5).cast("string"), lit("?q="), col("lang"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"))
+  }
+
+  /** Unigram surprisal [SURPRISAL]: per-doc average −ln p(token) under
+    * the corpus unigram distribution — the cheapest useful
+    * language-model quality score (boilerplate and keyword spam score
+    * low; rare-token soup scores high). Same one-explode shape as
+    * tfidf/vocabOov: the (doc, token) tf frame feeds the global token
+    * counts AND the per-doc rollup, so the corpus shuffles once. The
+    * per-doc double sum is order-insensitive at far below the 6-digit
+    * rounding both engines apply (~1e-13 relative vs 1e-6). */
+  def surprisal(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = tf.groupBy(col("token")).agg(sum(col("tf")).as("ct"))
+    val tot = tf.agg(sum(col("tf")).as("t_total"))
+    tf.join(ct, Seq("token")).crossJoin(tot)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-(sum(col("tf") *
+          log(col("ct").cast("double") / col("t_total"))) / sum(col("tf"))), 6)
+          .as("avg_surprisal"))
+  }
+
   /** Inverted index [INVERTED]: per-term document frequency plus a
     * capped posting list (first k doc_ids ascending, comma-joined so
     * the value hashes identically in both engines) — the retrieval

@@ -122,4 +122,32 @@ class TextOpsSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(got === Seq("hello", ",", "world", "!"))
   }
+
+  test("urlExtract parts reassemble into the planted url") {
+    val out = TextOps.urlExtract(spark, sfDir).limit(50).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, host, path, query) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+      assert(host == s"h${id % 20}.example${id % 7}.com")
+      assert(path == s"/p/${id % 5}")
+      assert(query.startsWith("q="))
+    }
+  }
+
+  test("surprisal matches a hand-computed unigram model") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("surp").toString
+    // corpus: 4 tokens total; p(a)=3/4, p(b)=1/4
+    Seq((1L, "a a a", "en", "s", 5L), (2L, "b", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.surprisal(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    spark.catalog.clearCache() // surprisal's tf cache is caller-owned
+    val ln43 = math.round(-math.log(3.0 / 4.0) * 1e6) / 1e6
+    val ln4 = math.round(-math.log(1.0 / 4.0) * 1e6) / 1e6
+    assert(got(1L) == ((3L, ln43))) // rare-token doc scores higher:
+    assert(got(2L) == ((1L, ln4)))  // ln 4 > ln 4/3
+  }
 }
