@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
+import graft.functions.StringExpressions.Unaccent
 import graft.functions.VectorExpressions.{VecDot, VecNorm}
 
 /** SparkSessionExtensions injection point: enables graft's native
@@ -31,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[VecNorm].getName, "vec_norm"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VecNorm(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("unaccent"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Unaccent].getName, "unaccent"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          Unaccent(exprs.head)))
   }
 }

@@ -24,6 +24,7 @@ object GraftSession {
     // extensions only apply when this call created the session; cover
     // the attach-to-existing case too (idempotent)
     functions.VectorExpressions.register(s)
+    functions.StringExpressions.register(s)
     s
   }
 }

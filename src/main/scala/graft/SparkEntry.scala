@@ -122,6 +122,7 @@ object SparkEntry {
     "stream_dedup_parity" -> graft.streaming.StreamGates.streamDedupParity _,
     "text_url_extract"   -> TextOps.urlExtract _,
     "text_surprisal"     -> ((s, d) => TextOps.surprisal(s, d)),
+    "dedup_paragraph"    -> ((s, d) => Dedup.paragraphDedup(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -951,6 +952,35 @@ object SparkEntry {
         |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
         |  regexp_extract(url, '\?(.*)', 1) AS query
         |FROM u""".stripMargin,
+    // first-occurrence keeper = row_number 1 over (doc_id, pidx) —
+    // the oracle's window formulation of the engine's min(struct);
+    // COALESCE('') matches concat-of-empty for fully-duplicated docs
+    "dedup_paragraph" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |paras0 AS (
+        |  SELECT doc_id, t,
+        |         unnest(range(1, CAST(ceil(len(t) / 10.0) AS BIGINT) + 1))
+        |           AS pidx
+        |  FROM toks),
+        |paras AS (
+        |  SELECT doc_id, pidx,
+        |         array_to_string(t[(pidx-1)*10+1 : (pidx-1)*10+10], ' ')
+        |           AS para
+        |  FROM paras0),
+        |keep AS (SELECT para, doc_id AS kdoc, pidx AS kidx FROM (
+        |  SELECT para, doc_id, pidx,
+        |         row_number() OVER (PARTITION BY para
+        |                            ORDER BY doc_id, pidx) AS rn
+        |  FROM paras) WHERE rn = 1)
+        |SELECT p.doc_id, count(*) AS n_paras,
+        |  count(CASE WHEN p.doc_id = k.kdoc AND p.pidx = k.kidx
+        |        THEN 1 END) AS n_kept,
+        |  COALESCE(string_agg(
+        |    CASE WHEN p.doc_id = k.kdoc AND p.pidx = k.kidx THEN p.para END,
+        |    ' ' ORDER BY p.pidx), '') AS kept_text
+        |FROM paras p JOIN keep k USING(para)
+        |GROUP BY p.doc_id""".stripMargin,
     "text_surprisal" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf

@@ -35,6 +35,44 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text")).as("text_md5"), col("keeper_id"), col("n_copies"))
 
+  /** Paragraph-level dedup [PARA] (the CCNet/RefinedWeb shape): drop
+    * repeated paragraphs ACROSS the corpus, keeping each distinct
+    * paragraph only at its first occurrence (smallest (doc_id, idx)),
+    * and rebuild every document from its surviving paragraphs — the
+    * boilerplate-removal pass that document-level dedup can't do.
+    * The synthetic corpus has no paragraph breaks, so documents are
+    * chunked into fixed 10-token pseudo-paragraphs deterministically;
+    * exact-duplicate documents exercise the all-paragraphs-elsewhere
+    * path (n_kept = 0, empty rebuilt text).
+    *
+    * Scale: keeper election is groupBy(paragraph) + min(struct) — a
+    * partial-agg'd hash aggregate, so a boilerplate paragraph repeated
+    * a billion times combines map-side instead of sorting through one
+    * window task; the join back is co-partitioned on the paragraph;
+    * the per-doc rebuild holds only that doc's own paragraphs. */
+  def paragraphDedup(s: SparkSession, d: String, paraTokens: Int = 10): DataFrame = {
+    val paras = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, cast(ceil(size(t) / $paraTokens.0) as int)),
+           |  i -> array_join(slice(t, (i-1)*$paraTokens + 1, $paraTokens), ' '))"""
+          .stripMargin)).as(Seq("p0", "para")))
+      .select(col("doc_id"), (col("p0") + 1).as("pidx"), col("para"))
+    val keepers = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("k"))
+      .select(col("para"), col("k.doc_id").as("kdoc"), col("k.pidx").as("kidx"))
+    paras.join(keepers, Seq("para"))
+      .withColumn("kept",
+        col("doc_id") === col("kdoc") && col("pidx") === col("kidx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pidx"), col("para"))))),
+          x => x.getField("para")), " ").as("kept_text"))
+  }
+
   case class DocShingles(doc_id: Long, n: Int, sh: Array[Long])
 
   private final val FnvOffset = 0xcbf29ce484222325L

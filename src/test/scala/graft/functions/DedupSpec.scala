@@ -87,4 +87,24 @@ class DedupSpec extends SparkSpec {
     assert(blocked === brute)
     sh.unpersist()
   }
+
+  test("paragraph dedup keeps first occurrences and empties exact-dup docs") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("paradedup").toString
+    val p1 = (1 to 10).map(i => s"a$i").mkString(" ") // paragraph A
+    val p2 = (1 to 10).map(i => s"b$i").mkString(" ") // paragraph B
+    Seq(
+      (1L, s"$p1 $p2 tail bit"),   // A, B, partial "tail bit"
+      (2L, s"$p2 $p1"),            // both paras already seen -> n_kept 0
+      (3L, s"$p1 fresh words here") // A seen; partial paragraph is new
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.paragraphDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, s"$p1 $p2 tail bit")))
+    assert(out(2L) == ((2L, 0L, "")))
+    assert(out(3L) == ((2L, 1L, "fresh words here")))
+  }
 }
