@@ -106,4 +106,47 @@ class ExplainPlanSpec extends SparkSpec {
       s"bounded 4-row frame lost (unbounded would sort whole " +
         s"partitions into state):\n$lp")
   }
+
+  test("w5: the rolling spend keeps its value-bounded RANGE frame") {
+    val lp = CoreOps.w5RangeFrame(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("RangeFrame") && lp.contains("-6"),
+      s"7-day RANGE frame lost (a ROWS frame would break same-day " +
+        s"peer semantics):\n$lp")
+  }
+
+  test("ev_anomaly: the 5-row stats frame broadcasts, events never reshuffle") {
+    val plan = EventOps.anomalyZscore(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join must broadcast, not shuffle the event stream:\n$plan")
+  }
+
+  test("inverted index ranks through TWO window passes (skew-safe top-k)") {
+    // (string count, not a node collect — AQE's AdaptiveSparkPlanExec
+    // hides its subtree from TreeNode.collect before execution)
+    val plan = graft.functions.TextOps.invertedIndex(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = "\\bWindow \\[".r.findAllIn(plan).size
+    // per-(term, partition) local cap THEN the <=k*nP global rank — a
+    // refactor to one term-partitioned window would funnel a hot
+    // term's whole posting set through one task
+    assert(windows == 2,
+      s"expected local+global window passes, got $windows:\n$plan")
+  }
+
+  test("paragraph dedup elects keepers without any window sort") {
+    val plan = graft.functions.Dedup.paragraphDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keeper election regressed from partial-agg'd min(struct) to a " +
+        s"window sort (one task per hot boilerplate paragraph):\n$plan")
+  }
+
+  test("url extraction is map-only: no exchange anywhere in the plan") {
+    val plan = graft.functions.TextOps.urlExtract(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a pure row-local parse must not shuffle:\n$plan")
+  }
 }
