@@ -123,6 +123,7 @@ object SparkEntry {
     "text_url_extract"   -> TextOps.urlExtract _,
     "text_surprisal"     -> ((s, d) => TextOps.surprisal(s, d)),
     "dedup_paragraph"    -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    "ev_top_paths"       -> ((s, d) => EventOps.topPaths(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -928,6 +929,15 @@ object SparkEntry {
          |        date_diff('day', DATE '1990-01-01',
          |                  CAST(o_orderdate AS DATE)) AS day
          |      FROM orders)""".stripMargin,
+    "ev_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path ASC LIMIT 10""".stripMargin,
     // stats accumulate exactly in DECIMAL, cast to DOUBLE once, and the
     // identical IEEE mean/variance arithmetic runs on both engines — the
     // 3σ booleans are bit-reproducible, so counts compare exactly

@@ -122,6 +122,31 @@ object EventOps {
         count(when(col("off") === 7, 1)).as("d7_retained"))
   }
 
+  /** Path analysis [ev_top_paths]: the most common initial event-type
+    * sequences (first `depth` events per user in time order, joined
+    * "view>click>…") — the navigation-pattern rollup behind onboarding
+    * and drop-off dashboards, and the sequence-mining shape the other
+    * event ops don't cover. Per-user ordering is a user-partitioned
+    * window with a full (ts, event_id) tie-break so the path strings
+    * are deterministic; the path frequency count is a partial-agg'd
+    * hash aggregate (distinct paths ≤ |event types|^depth, tiny at any
+    * scale) and the final top-k is TakeOrdered. */
+  def topPaths(s: SparkSession, d: String, depth: Int = 3, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Statistical outlier detection [ev_anomaly]: per event type, count
     * values beyond k·σ of the type's mean — the value-distribution
     * quality filter a training pipeline runs before trusting a metric

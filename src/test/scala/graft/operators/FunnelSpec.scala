@@ -72,6 +72,26 @@ class FunnelSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
   }
 
+  test("topPaths orders by time with event_id tie-break; short paths kept") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: arrival order differs from time order -> "view>click>error"
+      (10L, 2000L, 1L, "click"), (11L, 1000L, 1L, "view"),
+      (12L, 3000L, 1L, "error"), (13L, 4000L, 1L, "signup"), // 4th: dropped
+      // user 2: ts tie at 1000 broken by event_id -> "view>click"
+      (21L, 1000L, 2L, "view"), (22L, 1000L, 2L, "click"),
+      // user 3: same shape as user 2
+      (31L, 1000L, 3L, "view"), (32L, 1000L, 3L, "click")
+    ).map { case (eid, ms, u, ty) =>
+      (eid, new Timestamp(1700000000000L + ms), u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_paths").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.topPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("view>click", 2L), ("view>click>error", 1L)))
+  }
+
   test("retention counts day offsets across UTC midnight correctly") {
     import spark.implicits._
     val base = 1700006400000L // 2023-11-15 00:00:00 UTC
