@@ -51,6 +51,9 @@ object Dedup {
     * window task; the join back is co-partitioned on the paragraph;
     * the per-doc rebuild holds only that doc's own paragraphs. */
   def paragraphDedup(s: SparkSession, d: String, paraTokens: Int = 10): DataFrame = {
+    // both the keeper election and the join-back read this — persist,
+    // or the corpus scan+chunk runs once per branch (same caller-owned
+    // clearCache lifetime convention as TextOps.tfidf)
     val paras = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), posexplode(expr(
@@ -58,6 +61,7 @@ object Dedup {
            |  i -> array_join(slice(t, (i-1)*$paraTokens + 1, $paraTokens), ' '))"""
           .stripMargin)).as(Seq("p0", "para")))
       .select(col("doc_id"), (col("p0") + 1).as("pidx"), col("para"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = paras.groupBy(col("para"))
       .agg(min(struct(col("doc_id"), col("pidx"))).as("k"))
       .select(col("para"), col("k.doc_id").as("kdoc"), col("k.pidx").as("kidx"))

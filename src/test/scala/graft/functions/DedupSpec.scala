@@ -103,6 +103,7 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.paragraphDedup(spark, d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
+    spark.catalog.clearCache() // paragraphDedup's paras cache is caller-owned
     assert(out(1L) == ((3L, 3L, s"$p1 $p2 tail bit")))
     assert(out(2L) == ((2L, 0L, "")))
     assert(out(3L) == ((2L, 1L, "fresh words here")))
