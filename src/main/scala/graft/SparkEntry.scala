@@ -124,6 +124,8 @@ object SparkEntry {
     "text_surprisal"     -> ((s, d) => TextOps.surprisal(s, d)),
     "dedup_paragraph"    -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "ev_top_paths"       -> ((s, d) => EventOps.topPaths(s, d)),
+    "ev_gap_fill"        -> ((s, d) => EventOps.gapFill(s, d)),
+    "corpus_diff"        -> Dedup.corpusDiff _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -929,6 +931,47 @@ object SparkEntry {
          |        date_diff('day', DATE '1990-01-01',
          |                  CAST(o_orderdate AS DATE)) AS day
          |      FROM orders)""".stripMargin,
+    // grid = observed types × the generated day span (duckdb's date
+    // generate_series yields TIMESTAMPs — cast back to DATE); missing
+    // (type, day) cells surface as explicit zeros on both engines
+    "ev_gap_fill" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day
+        |            FROM events WHERE event_id % 401 = 0),
+        |daily AS (SELECT event_type, day, count(*) AS n_events
+        |          FROM ev GROUP BY event_type, day),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (SELECT t.event_type, CAST(g.day AS DATE) AS day
+        |         FROM (SELECT DISTINCT event_type FROM daily) t
+        |         CROSS JOIN span,
+        |         LATERAL (SELECT unnest(generate_series(
+        |           CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |           INTERVAL 1 DAY)) AS day) g)
+        |SELECT g.event_type, g.day,
+        |       COALESCE(d.n_events, 0) AS n_events
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.event_type = d.event_type AND g.day = d.day""".stripMargin,
+    // the oracle rebuilds the identical derived "old" snapshot and
+    // classifies through the same full-outer md5 comparison
+    "corpus_diff" ->
+      """WITH cur AS (SELECT doc_id, text FROM documents),
+        |old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' legacy' ELSE text END
+        |      AS text
+        |  FROM cur WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM cur
+        |  WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) <> md5(c.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM j GROUP BY status""".stripMargin,
     "ev_top_paths" ->
       """WITH r AS (SELECT user_id, event_type,
         |             row_number() OVER (PARTITION BY user_id

@@ -77,6 +77,41 @@ object Dedup {
           x => x.getField("para")), " ").as("kept_text"))
   }
 
+  /** Corpus snapshot diff [DIFF]: classify every doc_id across two
+    * corpus versions as added / removed / changed / unchanged — the
+    * incremental-ingest audit that decides what downstream stages
+    * (dedup, embedding, packing) actually need to recompute. Content
+    * comparison is by md5, so the full-outer join moves one narrow
+    * hash row per doc, never text; at 100 TB it's a sort-merge on
+    * doc_id with map-side hashing.
+    *
+    * There is only one corpus version in the testdata, so the "old"
+    * snapshot is derived deterministically (the planting pattern):
+    * docs with id % 11 = 0 are absent from old (⇒ added), id % 7 = 0
+    * carried a " legacy" suffix (⇒ changed), and old had extra
+    * id+1000000 rows for id % 13 = 0 (⇒ removed) — the oracle
+    * reconstructs the identical old snapshot in SQL. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val old = cur.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(cur.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    old.select(col("doc_id"), md5(col("text")).as("h_old"))
+      .join(cur.select(col("doc_id"), md5(col("text")).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
   case class DocShingles(doc_id: Long, n: Int, sh: Array[Long])
 
   private final val FnvOffset = 0xcbf29ce484222325L

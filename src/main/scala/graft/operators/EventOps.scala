@@ -122,6 +122,31 @@ object EventOps {
         count(when(col("off") === 7, 1)).as("d7_retained"))
   }
 
+  /** Time-series gap filling [ev_gap_fill]: daily event counts per
+    * type with MISSING days materialized as zero rows — the
+    * densification every reporting/forecasting consumer needs (a
+    * missing row and a zero mean different things downstream). The
+    * grid is generated, not stored: observed types × one
+    * sequence(min_day, max_day) explode, left-joined to the actual
+    * daily rollup — generator-join shape, so the only full-table work
+    * is the partial-agg'd daily count; the grid is |types|·|days|
+    * rows at any corpus size. Thinned (event_id % thin) so the grid
+    * has real holes to fill at test SFs. */
+  def gapFill(s: SparkSession, d: String, thin: Int = 401): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_id") % thin === 0)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(span)
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   /** Path analysis [ev_top_paths]: the most common initial event-type
     * sequences (first `depth` events per user in time order, joined
     * "view>click>…") — the navigation-pattern rollup behind onboarding

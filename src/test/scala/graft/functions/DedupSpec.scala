@@ -88,6 +88,20 @@ class DedupSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("corpusDiff classifications partition old ∪ new and add up") {
+    val out = Dedup.corpusDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // construction invariants: added = id%11==0; removed = id%13==0
+    // extras; changed = id%7==0 minus the %11 overlap
+    assert(out("added") == ids.count(_ % 11 == 0))
+    assert(out("removed") == ids.count(_ % 13 == 0))
+    assert(out("changed") == ids.count(i => i % 7 == 0 && i % 11 != 0))
+    assert(out.values.sum == n + ids.count(_ % 13 == 0))
+  }
+
   test("paragraph dedup keeps first occurrences and empties exact-dup docs") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("paradedup").toString

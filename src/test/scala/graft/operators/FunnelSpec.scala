@@ -92,6 +92,31 @@ class FunnelSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 2L), ("view>click>error", 1L)))
   }
 
+  test("gapFill densifies the full type x day grid with explicit zeros") {
+    import spark.implicits._
+    val day = 86400000L
+    val base = 1700006400000L // day 0, 00:00 UTC
+    // type A on days 0 and 3 (gap days 1-2); type B only on day 1
+    val rows = Seq(
+      (401L, base, "A"), (802L, base + 3 * day, "A"),
+      (1203L, base + day, "B"),
+      (7L, base + 9 * day, "C") // NOT divisible by 401: thinned out
+    ).map { case (eid, ms, ty) =>
+      (eid, new Timestamp(ms), 1L, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.gapFill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    // span = days 0..3 (C's day-9 event was thinned away), 2 types x 4 days
+    assert(out.length == 8)
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("A", "2023-11-15")) == 1L && m(("A", "2023-11-18")) == 1L)
+    assert(m(("A", "2023-11-16")) == 0L && m(("A", "2023-11-17")) == 0L)
+    assert(m(("B", "2023-11-16")) == 1L)
+    assert(out.count { case (_, _, n) => n == 0L } == 5)
+  }
+
   test("retention counts day offsets across UTC midnight correctly") {
     import spark.implicits._
     val base = 1700006400000L // 2023-11-15 00:00:00 UTC
