@@ -126,6 +126,7 @@ object SparkEntry {
     "ev_top_paths"       -> ((s, d) => EventOps.topPaths(s, d)),
     "ev_gap_fill"        -> ((s, d) => EventOps.gapFill(s, d)),
     "corpus_diff"        -> Dedup.corpusDiff _,
+    "w6_percent_rank"    -> CoreOps.w6PercentRank _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -931,6 +932,13 @@ object SparkEntry {
          |        date_diff('day', DATE '1990-01-01',
          |                  CAST(o_orderdate AS DATE)) AS day
          |      FROM orders)""".stripMargin,
+    "w6_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     // grid = observed types × the generated day span (duckdb's date
     // generate_series yields TIMESTAMPs — cast back to DATE); missing
     // (type, day) cells surface as explicit zeros on both engines

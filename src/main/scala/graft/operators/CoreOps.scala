@@ -306,6 +306,22 @@ object CoreOps {
       (col("c_acctbal") - lead(col("c_acctbal"), 1).over(w)).as("gap_next"))
   }
 
+  // ------------------------------------------------------------- W6 relative rank
+  /** Relative-rank windows [W6]: percent_rank + cume_dist per segment —
+    * the percentile-assignment shape score-normalization and
+    * threshold-picking pipelines use. The unique (price, key) ordering
+    * makes every rank distinct, so both engines evaluate the identical
+    * (rank−1)/(n−1) and rank/n rationals; rounded to 6 digits by the
+    * shared float-output contract. */
+  def w6PercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   // ------------------------------------------------------------- W5 RANGE frame
   /** Time-interval RANGE window frame [W5]: per-customer rolling 7-day
     * spend — the frame is bounded by the ORDER-BY VALUE (all orders
