@@ -127,6 +127,9 @@ object SparkEntry {
     "ev_gap_fill"        -> ((s, d) => EventOps.gapFill(s, d)),
     "corpus_diff"        -> Dedup.corpusDiff _,
     "w6_percent_rank"    -> CoreOps.w6PercentRank _,
+    "a19_corr"           -> CoreOps.a19Corr _,
+    "a20_mode"           -> CoreOps.a20Mode _,
+    "ev_transitions"     -> EventOps.transitions _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -932,6 +935,49 @@ object SparkEntry {
          |        date_diff('day', DATE '1990-01-01',
          |                  CAST(o_orderdate AS DATE)) AS day
          |      FROM orders)""".stripMargin,
+    // five moments exactly in DECIMAL, one cast, identical closed-form
+    // on both engines — same determinism recipe as ev_anomaly_zscore
+    "a19_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(18,4)) AS x,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    AS corr_qty_price
+        |FROM m""".stripMargin,
+    // explicit argmax: count desc, value asc — the window formulation
+    // of the engine's min_by over a (-count, value) ordering struct
+    "a20_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_val, c AS mode_n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY c DESC, o_orderpriority ASC) AS rn
+        |  FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |        FROM orders GROUP BY 1, 2))
+        |WHERE rn = 1""".stripMargin,
+    "ev_transitions" ->
+      """WITH pairs AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM (SELECT event_type,
+        |          lag(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS from_type
+        |        FROM events)
+        |  WHERE from_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, sum(n) AS n_from FROM pairs
+        |        GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+        |       round(p.n / t.n_from, 6) AS p
+        |FROM pairs p JOIN tot t USING (from_type)""".stripMargin,
     "w6_percent_rank" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

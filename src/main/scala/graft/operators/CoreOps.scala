@@ -306,6 +306,52 @@ object CoreOps {
       (col("c_acctbal") - lead(col("c_acctbal"), 1).over(w)).as("gap_next"))
   }
 
+  // ------------------------------------------------------------- A19 correlation
+  /** Pearson correlation from exact sums [A19]: corr(quantity, price)
+    * per return flag — feature-correlation screening. Built-in corr()
+    * uses a streaming covariance update whose float results depend on
+    * merge order, so instead the five moments (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate exactly in DECIMAL (partition-order independent), cast
+    * to DOUBLE once, and both engines evaluate the identical
+    * closed-form — bit-reproducible at any partitioning, same recipe
+    * as ev_anomaly_zscore. */
+  def a19Corr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 4))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"))
+  }
+
+  // ------------------------------------------------------------- A20 mode
+  /** Per-group mode with a deterministic tie-break [A20]: the most
+    * frequent order priority per order status, smallest value winning
+    * ties — built-in mode() tie-breaks arbitrarily, so the argmax is
+    * explicit: count per (group, value), then ONE min_by whose
+    * ordering struct (−count, value) encodes "count desc, value asc"
+    * lexicographically. Two partial-agg'd hash aggregates, no window
+    * sort, single scan. */
+  def a20Mode(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderstatus"))
+      .agg(min_by(
+        struct(col("o_orderpriority").as("mode_val"), col("c").as("mode_n")),
+        struct((-col("c")).as("nc"), col("o_orderpriority").as("v"))).as("m"))
+      .select(col("o_orderstatus"), col("m.mode_val").as("mode_val"),
+        col("m.mode_n").as("mode_n"))
+
   // ------------------------------------------------------------- W6 relative rank
   /** Relative-rank windows [W6]: percent_rank + cume_dist per segment —
     * the percentile-assignment shape score-normalization and

@@ -122,6 +122,29 @@ object EventOps {
         count(when(col("off") === 7, 1)).as("d7_retained"))
   }
 
+  /** Event-type transition matrix [ev_transitions]: P(next type | type)
+    * from per-user event sequences — the first-order Markov view of
+    * user behavior that funnels (fixed target sequence) and paths
+    * (initial prefix only) don't give. lag() over the user window with
+    * a full (ts, event_id) tie-break makes every (from → to) pair
+    * deterministic; the matrix rollup is a partial-agg'd count over at
+    * most |types|² groups, and probabilities are exact-count ratios
+    * divided once in DOUBLE — identical IEEE on both engines. */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 6).as("p"))
+  }
+
   /** Time-series gap filling [ev_gap_fill]: daily event counts per
     * type with MISSING days materialized as zero rows — the
     * densification every reporting/forecasting consumer needs (a

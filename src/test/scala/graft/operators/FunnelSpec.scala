@@ -92,6 +92,28 @@ class FunnelSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("view>click", 2L), ("view>click>error", 1L)))
   }
 
+  test("transition probabilities sum to 1 per source type; pairs follow time") {
+    import spark.implicits._
+    // user 1: A@1 -> B@2 -> A@3 (written out of order); user 2: A@1 -> A@2
+    val rows = Seq(
+      (3L, 3000L, 1L, "A"), (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"),
+      (11L, 1000L, 2L, "A"), (12L, 2000L, 2L, "A")
+    ).map { case (eid, ms, u, ty) =>
+      (eid, new Timestamp(1700000000000L + ms), u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // from A: ->B once (user1 A@1->B@2), ->A once (user2): p=0.5 each
+    assert(out(("A", "B")) == ((1L, 0.5)))
+    assert(out(("A", "A")) == ((1L, 0.5)))
+    // from B: ->A once (user1 B@2->A@3): p=1
+    assert(out(("B", "A")) == ((1L, 1.0)))
+    assert(out.size == 3)
+  }
+
   test("gapFill densifies the full type x day grid with explicit zeros") {
     import spark.implicits._
     val day = 86400000L

@@ -56,6 +56,45 @@ class HistogramWindowSpec extends SparkSpec {
     assert(anomalies(3.0) == 0L)
   }
 
+  test("a19 correlation lands in [-1,1] and matches a direct computation") {
+    val rows = CoreOps.a19Corr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+    }
+    // direct single-threaded check for one group
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = li.length.toDouble
+    val (sx, sy) = (li.map(_._1).sum, li.map(_._2).sum)
+    val sxy = li.map(t => t._1 * t._2).sum
+    val sxx = li.map(t => t._1 * t._1).sum
+    val syy = li.map(t => t._2 * t._2).sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = rows.find(_.getString(0) == "R").get.getDouble(2)
+    assert(math.abs(got - want) < 1e-4, s"engine $got vs direct $want")
+  }
+
+  test("a20 mode takes the most frequent value, smallest on ties") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_mode").toString
+    // group G: B x2, A x2 (tie -> A); group H: Z x1
+    Seq(("G", "B"), ("G", "B"), ("G", "A"), ("G", "A"), ("H", "Z"))
+      .zipWithIndex.map { case ((g, v), i) =>
+        (i.toLong, i.toLong, g, new java.sql.Timestamp(0L), v, 0.0, "k")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority", "o_totalprice", "o_comment")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = CoreOps.a20Mode(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out("G") == (("A", 2L)))
+    assert(out("H") == (("Z", 1L)))
+  }
+
   test("w4 ntile quartiles are balanced; lead gaps match the desc order") {
     val w = CoreOps.w4NtileLead(spark, sfDir)
     // tile sizes within a segment differ by at most 1 and all 4 exist
