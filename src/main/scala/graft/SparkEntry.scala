@@ -130,6 +130,11 @@ object SparkEntry {
     "a19_corr"           -> CoreOps.a19Corr _,
     "a20_mode"           -> CoreOps.a20Mode _,
     "ev_transitions"     -> EventOps.transitions _,
+    "asof_next_purchase" -> ((s, d) => AsofJoin.clickNextPurchase(s, d)),
+    "scd2_intervals"     -> Changelog.scd2Intervals _,
+    "ev_sliding_window"  -> EventOps.slidingWindow _,
+    "text_gopher_filter" -> TextOps.gopherFilter _,
+    "emb_centroid"       -> Similarity.centroidPerLabel _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1115,6 +1120,81 @@ object SparkEntry {
         |         AS n_anomalies
         |FROM ev e JOIN st USING(event_type)
         |GROUP BY e.event_type""".stripMargin,
+    // The naive inequality-join + argmin oracle; the engine computes
+    // the same relation with one union-and-scan shuffle. Purchases are
+    // deduped to MIN event_id per (user, ts) on both sides so the
+    // forward tie rule never fires.
+    "asof_next_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts AS purchase_ts, MIN(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT c.click_id, p.purchase_id,
+        |         epoch_us(p.purchase_ts) AS purchase_us,
+        |         row_number() OVER (PARTITION BY c.click_id
+        |           ORDER BY p.purchase_ts, p.purchase_id) AS rn
+        |  FROM clicks c JOIN purchases p
+        |    ON c.user_id = p.user_id AND p.purchase_ts >= c.ts
+        |   AND epoch_us(p.purchase_ts) - epoch_us(c.ts) <= 43200000000)
+        |SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |       k.purchase_id, k.purchase_us,
+        |       k.purchase_us - epoch_us(c.ts) AS gap_us
+        |FROM clicks c
+        |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k USING (click_id)""".stripMargin,
+    "scd2_intervals" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |       CAST(row_number() OVER w AS INTEGER) AS version,
+        |       epoch_us(ts) AS valid_from_us,
+        |       epoch_us(lead(ts) OVER w) AS valid_to_us
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // Each event lands in exactly two 10-min/5-min-slide windows; the
+    // oracle enumerates both epoch-aligned covering starts per event.
+    "ev_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         UNNEST([(epoch_us(ts) // 300000000) * 300000000,
+        |                 (epoch_us(ts) // 300000000) * 300000000
+        |                   - 300000000]) AS win_start_us
+        |  FROM events)
+        |SELECT win_start_us, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "text_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(tk) AS INTEGER) AS n_tokens,
+        |        CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
+        |          / len(tk) AS mean_wlen,
+        |        list_max(list_transform(list_distinct(tk),
+        |          x -> len(list_filter(tk, y -> y = x)))) / len(tk) AS top_frac
+        |      FROM t)
+        |SELECT doc_id, n_tokens, mean_wlen, top_frac,
+        |       (n_tokens BETWEEN 20 AND 90)
+        |         AND (mean_wlen BETWEEN 3.8 AND 5.2)
+        |         AND top_frac <= 0.12 AS keep
+        |FROM s""".stripMargin,
+    // Parallel UNNESTs zip in DuckDB: (dim, value) pairs per vector
+    "emb_centroid" ->
+      """WITH e AS (SELECT label,
+        |             UNNEST(range(len(embedding))) AS dim,
+        |             UNNEST(list_transform(embedding,
+        |               x -> CAST(x AS DOUBLE))) AS x
+        |           FROM embeddings)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |       AVG(x) AS mean_x, COUNT(*) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -330,4 +330,23 @@ object Similarity {
         col("amax"))
       .select(col("vec_id"), col("pos").cast("int").as("pos"),
         round(col("val") * 127.0 / col("amax")).cast("int").as("q"))
+
+  /** Per-label embedding centroid [CENTROID]: the mean vector of every
+    * label's embeddings — k-means seeding, class prototypes, drift
+    * monitoring. posexplode → ONE hash aggregate on (label, dim):
+    * partial aggregation combines map-side, so the shuffle carries at
+    * most labels × dim rows per input partition no matter how many
+    * vectors stream through — the scalable alternative to collecting
+    * arrays or zip_with-folding whole groups into a single task.
+    * Emitted exploded as (label, dim, mean_x, n); the oracle zips
+    * parallel UNNESTs. Cross-row double sums are order-dependent in
+    * the last ulps; the compare's 6-dp rounding absorbs that (same
+    * contract every avg-of-double query in the suite relies on). */
+  def centroidPerLabel(s: SparkSession, d: String): DataFrame =
+    graft.Tables.embeddings(s, d)
+      .select(col("label"), posexplode(vecD(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("mean_x"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("int").as("dim"),
+        col("mean_x"), col("n"))
 }

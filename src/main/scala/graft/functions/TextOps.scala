@@ -59,6 +59,31 @@ object TextOps {
         when(col("en_score") >= 0.05, lit("en")).otherwise(lit("und")))
   }
 
+  /** Gopher-style composite quality filter [GOPHER]: the
+    * rule-stack every web-scale corpus passes through before training —
+    * token-count bounds, mean-word-length band, and a max-repetition
+    * cap (fraction of the doc that is its single most frequent token).
+    * Entirely map-side array expressions: no explode, no shuffle — at
+    * 100 TB this runs at scan speed and feeds the keep/drop partition
+    * columns of the cleaned corpus. Thresholds are calibrated to the
+    * synthetic corpus so both keep=true and keep=false occur; the
+    * repetition scan is O(distinct × tokens) per doc, bounded by the
+    * token-count cap it enforces. */
+  def gopherFilter(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(t).as("n_tokens"),
+        (aggregate(transform(t, w => length(w)),
+          lit(0L), (acc, x) => acc + x) / size(t)).as("mean_wlen"),
+        (array_max(transform(array_distinct(t),
+          w => size(filter(t, y => y === w)))) / size(t)).as("top_frac"))
+      .withColumn("keep",
+        col("n_tokens").between(20, 90) &&
+          col("mean_wlen").between(3.8, 5.2) &&
+          col("top_frac") <= 0.12)
+  }
+
   /** Corpus term statistics: per-token total occurrences and document
     * frequency, top-k by occurrence. The one genuinely shuffling text
     * op — explode to (doc, token), then a single hash aggregate keyed

@@ -57,6 +57,74 @@ object AsofJoin {
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"_m_$c").as(c)): _*)
   }
 
+  /** Forward as-of join: match each left row to the EARLIEST right row
+    * with the same key and `rightTs >= leftTs` — the "next event after"
+    * lookup (next purchase after a click, next reading after a fault).
+    * Same union-and-scan shape as [[asofJoin]] with the scan reversed:
+    * one shuffle-sort on the key, descending ts, so "last non-null
+    * seen" is the nearest FOLLOWING right row. At equal ts the right
+    * row is visible (inclusive); among right rows sharing (key, ts) the
+    * greatest `rightTie` wins, mirroring the backward join's rule. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rTagged = right.select(
+      (col(key).as(key) +: col(rightTs).as("_asof_ts") +: lit(0).as("_tag") +:
+        col(rightTie).as("_tie") +:
+        rightCols.map(c => col(c).as(s"_r_$c")) ++:
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (col(key).as(key) +: col(leftTs).as("_asof_ts") +: lit(1).as("_tag") +:
+        lit(null).cast(right.schema(rightTie).dataType).as("_tie") +:
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++:
+        leftCols.filterNot(_ == key).map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_asof_ts").desc, col("_tag").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+      df.withColumn(s"_m_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_tag") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"_m_$c").as(c)): _*)
+  }
+
+  /** Demo query [ASOF-FWD]: for each click, the user's next purchase
+    * at-or-after it within a 12-hour attribution window. Purchases
+    * are pre-deduped to MIN event_id per (user, ts) in both engine and
+    * oracle, so the forward tie rule never has to fire — the oracle's
+    * row_number formulation could not reproduce an engine-internal tie
+    * choice. Matches beyond the tolerance null out (the row survives —
+    * left-asof semantics — so downstream sees "click, unattributed").
+    * The oracle deliberately uses the naive inequality-join + argmin
+    * shape (fine for DuckDB at oracle scale); the engine's
+    * union-and-scan computes the same relation with one shuffle and no
+    * per-key cross product. */
+  def clickNextPurchase(s: SparkSession, d: String,
+      toleranceUs: Long = 12L * 3600 * 1000000): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+      .agg(min(col("event_id")).as("purchase_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val inTol = unix_micros(col("purchase_ts")) - unix_micros(col("ts")) <= toleranceUs
+    asofJoinForward(clicks, purchases,
+      key = "user_id", leftTs = "ts", rightTs = "purchase_ts",
+      rightTie = "purchase_id", rightCols = Seq("purchase_id", "purchase_ts"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        when(inTol, col("purchase_id")).as("purchase_id"),
+        when(inTol, unix_micros(col("purchase_ts"))).as("purchase_us"),
+        when(inTol,
+          unix_micros(col("purchase_ts")) - unix_micros(col("ts"))).as("gap_us"))
+  }
+
   /** Demo query [ASOF]: attribute each purchase event to the user's
     * most recent click at-or-before it (inclusive). Clicks sharing
     * (user, ts) resolve to the max event_id — the engine's max-`_tie`

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +27,36 @@ object Changelog {
     * hashing parity with the oracle, as in the as-of join). */
   def upsertLatest(s: SparkSession, d: String): DataFrame =
     latestByKeyOf(Tables.events(s, d))
+
+  /** SCD type-2 compaction [SCD2]: turn the per-user event_type
+    * changelog into versioned validity intervals — consecutive equal
+    * values collapse into one row carrying [valid_from, valid_to) and a
+    * version number; the current value's valid_to is NULL. The other
+    * half of the upsert story: type 1 keeps the latest row, type 2
+    * keeps the full history as intervals a point-in-time join can probe.
+    *
+    * Shape at scale: one shuffle-sort on user_id feeds BOTH windows —
+    * the change filter (lag) preserves the partitioning and sort, so
+    * the lead/row_number pass reuses the exchange instead of shuffling
+    * again (pinned by PlanShapeSpec). Window state is one row. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame =
+    scd2IntervalsOf(Tables.events(s, d))
+
+  /** Same over any events-shaped frame. Null-safe change test
+    * (IS DISTINCT FROM) so a null-valued attribute versionizes too. */
+  def scd2IntervalsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .where(not(col("_prev") <=> col("event_type")))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("_next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("version"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("_next_ts")).as("valid_to_us"))
+  }
 
   /** Same over any events-shaped frame — specs drive this with
     * adversarial tie distributions. */

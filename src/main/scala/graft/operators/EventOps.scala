@@ -32,6 +32,22 @@ object EventOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) event-time windows [SLIDE]: 10-minute windows
+    * every 5 minutes, so each event lands in exactly size/slide = 2
+    * windows. Spark's window(ts, size, slide) expands map-side to the
+    * covering window set and feeds ONE hash aggregate — shuffle volume
+    * is (events × 2) partial rows combined map-side, not a self-join.
+    * The streaming twin is the same expression under a watermark; the
+    * oracle enumerates both covering window starts per event and
+    * aggregates identically. */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Sessionization (gaps-and-islands): a new session starts after a
     * >10-minute silence per user. Batch mirror of session_window /
     * flatMapGroupsWithState; windows are per-user partitioned so the

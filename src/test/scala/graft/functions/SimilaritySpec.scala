@@ -109,4 +109,21 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.cosine(col("va"), col("vb"))).collect().head.getDouble(0)
     assert(math.abs(got - expected) < 1e-12)
   }
+
+  test("centroidPerLabel: exact means on representable values; full dim grid") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("centroid").toString
+    Seq(
+      (0L, Array(1.0f, 0.5f), 0),
+      (1L, Array(3.0f, 1.5f), 0),  // label 0 mean: [2.0, 1.0]
+      (2L, Array(0.25f, 0.75f), 1)) // singleton label: mean = itself
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.centroidPerLabel(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      (0, 0) -> ((2.0, 2L)), (0, 1) -> ((1.0, 2L)),
+      (1, 0) -> ((0.25, 1L)), (1, 1) -> ((0.75, 1L))))
+  }
 }

@@ -150,4 +150,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == ((3L, ln43))) // rare-token doc scores higher:
     assert(got(2L) == ((1L, ln4)))  // ln 4 > ln 4/3
   }
+
+  test("gopher filter signals match hand-computed values; both branches fire") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gopher").toString
+    val fortyTokens = Seq.tabulate(40)(i => s"w${i % 20}ab").mkString(" ")
+    Seq(
+      (1L, fortyTokens, "en", "s", 5L),       // 40 tokens, top_frac 2/40
+      (2L, "tiny doc here", "en", "s", 1L),   // 3 tokens -> dropped
+      (3L, ("spam " * 30).trim, "en", "s", 1L)) // top_frac 1.0 -> dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.gopherFilter(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // w0ab..w9ab are 4 chars, w10ab..w19ab are 5: mean = (2*10*4+2*10*5)/40
+    assert(got(1L) === ((40, 4.5, 0.05, true)))
+    assert(got(2L)._4 === false)
+    assert(got(3L) === ((30, 4.0, 1.0, false)))
+    // and on the real corpus both branches occur
+    val keeps = TextOps.gopherFilter(spark, "/root/testdata/sf0.001")
+      .groupBy(org.apache.spark.sql.functions.col("keep")).count().count()
+    assert(keeps === 2, "thresholds no longer split the corpus")
+  }
 }

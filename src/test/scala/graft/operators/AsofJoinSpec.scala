@@ -74,4 +74,52 @@ class AsofJoinSpec extends SparkSpec {
     assert(bad === 0)
     assert(df.count() > 0)
   }
+
+  // ---- forward variant: next right row at-or-after the left ts ----
+
+  private def runFwd(lefts: Seq[(Long, Long, Timestamp)]) =
+    AsofJoin.asofJoinForward(
+      lefts.toDF("probe_id", "user_id", "ts"), clicks,
+      key = "user_id", leftTs = "ts", rightTs = "click_ts",
+      rightTie = "click_id", rightCols = Seq("click_id", "click_ts"))
+      .select(col("probe_id"), col("click_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("forward as-of is inclusive and takes the EARLIEST following row") {
+    val got = runFwd(Seq(
+      (1L, 1L, ts("2024-01-01 10:30:00")), // exactly at a click
+      (2L, 1L, ts("2024-01-01 10:10:00")), // between clicks -> 10:30 one
+      (3L, 1L, ts("2024-01-01 09:00:00")))) // before all -> first (tie)
+    assert(got(1L) === Some(102L))
+    assert(got(2L) === Some(102L))
+    assert(got(3L) === Some(101L)) // equal-ts rights: max tie wins
+  }
+
+  test("forward as-of: no following right row (or no rows for key) -> null") {
+    val got = runFwd(Seq(
+      (4L, 1L, ts("2024-01-01 11:00:00")), // after every click
+      (5L, 2L, ts("2024-01-01 09:00:00")))) // user with zero clicks
+    assert(got(4L) === None)
+    assert(got(5L) === None)
+  }
+
+  test("clickNextPurchase: gap within [0, tolerance], null parity, left cardinality") {
+    val df = AsofJoin.clickNextPurchase(spark, sfDir)
+    val tol = 12L * 3600 * 1000000
+    val bad = df.filter(
+      (col("purchase_id").isNotNull &&
+        (col("gap_us") < 0 || col("gap_us") > tol)) ||
+        (col("purchase_id").isNull =!= col("gap_us").isNull)).count()
+    assert(bad === 0)
+    val nClicks = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(df.count() === nClicks) // every click survives, matched or not
+  }
+
+  test("forward as-of plans as union+window: no join operator at all") {
+    val plan = AsofJoin.clickNextPurchase(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"forward as-of grew a join:\n$plan")
+  }
 }

@@ -30,6 +30,48 @@ class ChangelogSpec extends AnyFunSuite {
     assert(got === Set((7L, 3L, "c"), (8L, 9L, "z")))
   }
 
+  test("scd2: consecutive equal values collapse; intervals chain; last is open") {
+    val df = ev(Seq(
+      (1L, 1000L, 7L, "a", 0.0),
+      (2L, 2000L, 7L, "a", 0.0),  // same value -> absorbed into v1
+      (3L, 3000L, 7L, "b", 0.0),  // change -> v2
+      (4L, 4000L, 7L, "a", 0.0))) // back to a -> v3 (history, not dedup)
+    val got = Changelog.scd2IntervalsOf(df)
+      .collect().map(r => (r.getInt(2),
+        (r.getString(1), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(1) === (("a", 1000000L, Some(3000000L))))
+    assert(got(2) === (("b", 3000000L, Some(4000000L))))
+    assert(got(3) === (("a", 4000000L, None)))
+  }
+
+  test("scd2: equal-ts changes order by event_id; null values versionize") {
+    val base = Seq(
+      (1L, 1000L, 7L, "a", 0.0),
+      (2L, 1000L, 7L, "b", 0.0)) // same ts: id order decides a -> b
+    val got = Changelog.scd2IntervalsOf(ev(base)).collect()
+      .map(r => (r.getInt(2), r.getString(1))).toMap
+    assert(got === Map(1 -> "a", 2 -> "b"))
+
+    import spark.implicits._
+    val withNull = Seq((1L, 1000L, 7L, Some("a")), (2L, 2000L, 7L, None),
+      (3L, 3000L, 7L, None), (4L, 4000L, 7L, Some("a")))
+      .toDF("event_id", "ms", "user_id", "event_type")
+      .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+        col("user_id"), col("event_type"))
+    val vs = Changelog.scd2IntervalsOf(withNull).collect()
+      .map(r => (r.getInt(2), Option(r.getString(1)))).toMap
+    // a -> null -> a : three versions, the null run collapsed to one
+    assert(vs === Map(1 -> Some("a"), 2 -> None, 3 -> Some("a")))
+  }
+
+  test("scd2: change filter reuses the sort — exactly one exchange") {
+    val plan = Changelog.scd2Intervals(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).size
+    assert(n === 1, s"expected 1 exchange (shared across both windows), got $n:\n$plan")
+  }
+
   test("result is invariant to partitioning (map-side partial agg)") {
     val rows = (1L to 500L).map { i =>
       (i, (i * 37) % 100 * 1000, i % 13, s"t${i % 5}", i.toDouble)

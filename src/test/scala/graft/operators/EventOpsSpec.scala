@@ -39,4 +39,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(lagSessions === 2, "lag/cumsum comparator drifted")
     assert(nativeSessions === 2, "session_window comparator drifted")
   }
+
+  test("sliding windows: every event lands in exactly size/slide = 2 windows") {
+    val d = "/root/testdata/sf0.001"
+    val out = EventOps.slidingWindow(spark, d)
+    val totalAssignments = out.agg(sum(col("n_events"))).head().getLong(0)
+    val nEvents = graft.Tables.events(spark, d).count()
+    assert(totalAssignments === 2 * nEvents)
+    // starts are epoch-aligned to the 5-minute slide, never the 10-min size
+    val misaligned = out
+      .filter(pmod(col("win_start_us"), lit(300000000L)) =!= 0).count()
+    assert(misaligned === 0)
+  }
+
+  test("sliding windows: an event is counted in both covering windows") {
+    import spark.implicits._
+    // t = 700s -> windows [300,900) and [600,1200)
+    val one = Seq((1L, new Timestamp(700000L), 7L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = one
+      .groupBy(org.apache.spark.sql.functions.window(
+        col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds(col("window.start")).as("s"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(300L, 600L))
+  }
 }
