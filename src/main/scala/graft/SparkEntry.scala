@@ -135,6 +135,7 @@ object SparkEntry {
     "ev_sliding_window"  -> EventOps.slidingWindow _,
     "text_gopher_filter" -> TextOps.gopherFilter _,
     "emb_centroid"       -> Similarity.centroidPerLabel _,
+    "w7_first_last"      -> CoreOps.w7FirstLast _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1195,6 +1196,18 @@ object SparkEntry {
         |SELECT label, CAST(dim AS INTEGER) AS dim,
         |       AVG(x) AS mean_x, COUNT(*) AS n
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "w7_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w_grow AS first_order,
+        |       last_value(o_orderkey) OVER w_full AS last_order,
+        |       nth_value(o_orderkey, 2) OVER w_full AS second_order
+        |FROM orders
+        |WINDOW w_grow AS (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey),
+        |       w_full AS (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND UNBOUNDED FOLLOWING)""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

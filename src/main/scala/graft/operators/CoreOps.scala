@@ -368,6 +368,25 @@ object CoreOps {
       round(cume_dist().over(w), 6).as("cume"))
   }
 
+  // ---------------------------------------------------------- W7 first/last/nth
+  /** Frame-edge window functions [W7]: per-customer first, latest and
+    * second order (value + date) in one pass — first_value over the
+    * default growing frame, last_value/nth_value over the explicit
+    * full-partition frame (the default frame ends at CURRENT ROW, the
+    * classic last_value trap). Unique (date, key) ordering keeps both
+    * engines' edges identical. One sort-shuffle on the customer;
+    * completes the window matrix with the frame-edge family. */
+  def w7FirstLast(s: SparkSession, d: String): DataFrame = {
+    val order = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+    val grow = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+    val full = grow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first_value(col("o_orderkey")).over(grow).as("first_order"),
+        last_value(col("o_orderkey")).over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+  }
+
   // ------------------------------------------------------------- W5 RANGE frame
   /** Time-interval RANGE window frame [W5]: per-customer rolling 7-day
     * spend — the frame is bounded by the ORDER-BY VALUE (all orders

@@ -48,6 +48,33 @@ class StreamsSpec extends SparkSpec {
     assert(got === batch && got.nonEmpty)
   }
 
+  test("streaming sliding window equals batch window(size, slide) on same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    mem.addData(mkEvents)
+    val q = Streams.slidingCounts(mem.toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sliding")
+      .select("win_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = mkEvents.toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === batch && got.nonEmpty)
+    // every event contributes to exactly size/slide = 4 windows
+    val total = spark.table("sliding")
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(total === 4L * mkEvents.size)
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
