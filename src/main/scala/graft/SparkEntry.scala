@@ -136,6 +136,9 @@ object SparkEntry {
     "text_gopher_filter" -> TextOps.gopherFilter _,
     "emb_centroid"       -> Similarity.centroidPerLabel _,
     "w7_first_last"      -> CoreOps.w7FirstLast _,
+    "j7_null_safe_join"  -> CoreOps.j7NullSafeJoin _,
+    "a21_filtered_agg"   -> CoreOps.a21FilteredAgg _,
+    "a22_percentile_cont" -> CoreOps.a22PercentileCont _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1208,6 +1211,31 @@ object SparkEntry {
         |         ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING
         |           AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "j7_null_safe_join" ->
+      """WITH o AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |                  ELSE o_orderpriority END AS prio, o_orderstatus
+        |           FROM orders),
+        |a AS (SELECT prio, COUNT(*) AS n_open FROM o
+        |      WHERE o_orderstatus = 'O' GROUP BY prio),
+        |b AS (SELECT prio, COUNT(*) AS n_closed FROM o
+        |      WHERE o_orderstatus = 'F' GROUP BY prio)
+        |SELECT a.prio, n_open, n_closed
+        |FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio""".stripMargin,
+    "a21_filtered_agg" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_items,
+        |       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+        |         AS sum_discounted,
+        |       COUNT(*) FILTER (WHERE year(l_shipdate) = 1995) AS n_1995
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a22_percentile_cont" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -352,6 +352,62 @@ object CoreOps {
       .select(col("o_orderstatus"), col("m.mode_val").as("mode_val"),
         col("m.mode_n").as("mode_n"))
 
+  // --------------------------------------------------------- J7 null-safe join
+  /** Null-safe equi-join [J7]: `<=>` (IS NOT DISTINCT FROM) treats NULL
+    * as a joinable key value — the semantics dimensional pipelines need
+    * when "unknown" is itself a bucket. Catalyst plans EqualNullSafe as
+    * a regular hash-join key (NULLs hash like any value), so this stays
+    * a shuffle/broadcast hash join at any scale — unlike the
+    * `a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` rewrite, which falls
+    * off the equi-join path entirely. Aggregate-then-join keeps both
+    * sides tiny. The demo NULLs out one priority bucket on both sides
+    * and counts open vs closed orders per (nullable) priority. */
+  def j7NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val prio = when(col("o_orderpriority") === "1-URGENT", lit(null))
+      .otherwise(col("o_orderpriority"))
+    val o = Tables.orders(s, d).select(prio.as("prio"), col("o_orderstatus"))
+    val open = o.where(col("o_orderstatus") === "O")
+      .groupBy(col("prio")).agg(count(lit(1)).as("n_open"))
+    val closed = o.where(col("o_orderstatus") === "F")
+      .groupBy(col("prio")).agg(count(lit(1)).as("n_closed"))
+    open.join(closed, open("prio") <=> closed("prio"))
+      .select(open("prio"), col("n_open"), col("n_closed"))
+  }
+
+  // ------------------------------------------------------ A21 filtered aggregate
+  /** Conditional aggregation [A21]: the FILTER-clause family — several
+    * differently-predicated aggregates over one scan instead of N
+    * self-joined subqueries. All partial-agg'd map-side; the NULL-on-
+    * empty-filter SUM semantics match SQL's FILTER exactly (count-if
+    * via count(when), sum-if via sum(when) — when() yields NULL on the
+    * else branch and aggregates skip NULLs). */
+  def a21FilteredAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        count(when(col("l_quantity") > 25, 1)).as("n_bulk"),
+        sum(when(col("l_discount") > 0.05,
+          col("l_extendedprice").cast(Dec))).cast(DoubleType)
+          .as("sum_discounted"),
+        count(when(year(col("l_shipdate")) === 1995, 1)).as("n_1995"))
+
+  // --------------------------------------------------- A22 interpolated percentile
+  /** Exact interpolated percentiles [A22]: percentile() (the
+    * linear-interpolation quantile, SQL's percentile_cont) per group at
+    * 25/50/75. EXACT — it buffers the group's values — so like
+    * [[a10Median]] it is the oracle path; the one-pass scale path is
+    * the GK sketch gated by a14_quantile_gate. Both engines interpolate
+    * over the same sorted doubles; 6-digit rounding absorbs the
+    * lo+(hi−lo)·f vs (1−f)·lo+f·hi ulp difference. */
+  def a22PercentileCont(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
+
   // ------------------------------------------------------------- W6 relative rank
   /** Relative-rank windows [W6]: percent_rank + cume_dist per segment —
     * the percentile-assignment shape score-normalization and
