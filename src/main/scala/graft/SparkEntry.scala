@@ -139,6 +139,9 @@ object SparkEntry {
     "j7_null_safe_join"  -> CoreOps.j7NullSafeJoin _,
     "a21_filtered_agg"   -> CoreOps.a21FilteredAgg _,
     "a22_percentile_cont" -> CoreOps.a22PercentileCont _,
+    "merge_upsert"       -> ((s, d) => Changelog.mergeUpsert(s, d)),
+    "s9_partitioned_sink" -> CoreOps.s9PartitionedSink _,
+    "stream_upsert_parity" -> graft.streaming.StreamGates.streamUpsertParity _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1236,6 +1239,44 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
         |       round(quantile_cont(o_totalprice, 0.75), 6) AS p75
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // MERGE-INTO semantics: snapshot = first-half latest of users<120,
+    // changes = second-half latest of users>=30, delete = value<5
+    "merge_upsert" ->
+      """WITH b0 AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+        |              AS mid FROM events),
+        |base AS (SELECT user_id, ts_us, event_id, event_type, value FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events, b0 WHERE epoch_us(ts) <= mid AND user_id < 120)
+        |  WHERE rn = 1),
+        |chg AS (SELECT user_id, ts_us, event_id, event_type, value,
+        |               value < 5 AS is_delete FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events, b0 WHERE epoch_us(ts) > mid AND user_id >= 30)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+        |       COALESCE(c.ts_us, b.ts_us) AS ts_us,
+        |       COALESCE(c.event_id, b.event_id) AS event_id,
+        |       COALESCE(c.event_type, b.event_type) AS event_type,
+        |       COALESCE(c.value, b.value) AS value,
+        |       CASE WHEN c.user_id IS NULL THEN 'keep'
+        |            WHEN b.user_id IS NULL THEN 'insert'
+        |            ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+        |WHERE c.user_id IS NULL OR NOT c.is_delete""".stripMargin,
+    "s9_partitioned_sink" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    // stream==batch equality is engine-internal (no SQL oracle can run
+    // a micro-batched merge); the row count anchors it relationally
+    "stream_upsert_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS upsert_parity,
+        |       COUNT(DISTINCT user_id) AS n_rows
+        |FROM events WHERE user_id < 60""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

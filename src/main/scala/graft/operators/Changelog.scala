@@ -28,6 +28,46 @@ object Changelog {
   def upsertLatest(s: SparkSession, d: String): DataFrame =
     latestByKeyOf(Tables.events(s, d))
 
+  /** MERGE-INTO application [MERGE]: apply a compacted changes batch to
+    * a compacted snapshot with full upsert semantics — matched rows
+    * UPDATE, unmatched-by-target rows INSERT, and changes flagged as
+    * deletions remove the key; untouched snapshot rows survive as
+    * `keep`. The CDC-apply step between [[latestByKeyOf]] compactions:
+    * ONE full-outer hash join on the key (both sides already one row
+    * per key, so the join is bounded by live keys, not history), then
+    * pure row-local CASE logic — the same plan MERGE INTO compiles to
+    * on table formats that don't index.
+    *
+    * Demo slices: the snapshot is first-half activity of users < 120,
+    * the changes batch is second-half activity of users ≥ 30, deletion
+    * = changes value < 5 — so keep / update / insert / delete all fire
+    * on the synthetic corpus. The epoch-midpoint cutoff is two driver
+    * longs, deterministic and oracle-reproducible. */
+  def mergeUpsert(s: SparkSession, d: String,
+      deleteBelow: Double = 5.0): DataFrame = {
+    val ev = Tables.events(s, d)
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val base = latestByKeyOf(
+      ev.filter(unix_micros(col("ts")) <= mid && col("user_id") < 120))
+    val chg = latestByKeyOf(
+      ev.filter(unix_micros(col("ts")) > mid && col("user_id") >= 30))
+      .withColumn("is_delete", col("value") < deleteBelow)
+    val b = base.select(base.columns.map(c => col(c).as(s"b_$c")): _*)
+    val c = chg.select(chg.columns.map(c0 => col(c0).as(s"c_$c0")): _*)
+    b.join(c, col("b_user_id") === col("c_user_id"), "full_outer")
+      .filter(col("c_user_id").isNull || !col("c_is_delete"))
+      .select(
+        coalesce(col("c_user_id"), col("b_user_id")).as("user_id"),
+        coalesce(col("c_ts_us"), col("b_ts_us")).as("ts_us"),
+        coalesce(col("c_event_id"), col("b_event_id")).as("event_id"),
+        coalesce(col("c_event_type"), col("b_event_type")).as("event_type"),
+        coalesce(col("c_value"), col("b_value")).as("value"),
+        when(col("c_user_id").isNull, "keep")
+          .when(col("b_user_id").isNull, "insert")
+          .otherwise("update").as("action"))
+  }
+
   /** SCD type-2 compaction [SCD2]: turn the per-user event_type
     * changelog into versioned validity intervals — consecutive equal
     * values collapse into one row carrying [valid_from, valid_to) and a
@@ -57,6 +97,24 @@ object Changelog {
         unix_micros(col("ts")).as("valid_from_us"),
         unix_micros(col("_next_ts")).as("valid_to_us"))
   }
+
+  /** Merge two already-compacted states (outputs of [[latestByKeyOf]]
+    * or of previous merges) into one: per key, the row with the
+    * greater (ts_us, event_id) wins. Compaction is a semilattice —
+    * merge(compact(A), compact(B)) == compact(A ∪ B) — which is what
+    * makes the foreachBatch incremental-upsert sink correct however
+    * the stream happens to be micro-batched (gated by
+    * stream_upsert_parity; ChangelogProps sweeps the algebra). */
+  def mergeCompacted(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts_us"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts_us").as("ts_us"),
+        col("r.event_id").as("event_id"),
+        col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
 
   /** Same over any events-shaped frame — specs drive this with
     * adversarial tie distributions. */

@@ -890,6 +890,26 @@ object CoreOps {
   def s8JsonRoundtrip(s: SparkSession, d: String): DataFrame =
     formatRoundtrip(s, d, "json")
 
+  /** Hive-partitioned sink [S9]: documents written partitionBy(lang) —
+    * the layout that turns a filter on the partition column into
+    * directory pruning instead of a scan (the write-side twin of
+    * [[p1PartitionPruning]]'s read-side check). The re-read recovers
+    * the partition column from directory names, so values AND layout
+    * must both survive; aggregated per lang against the direct-parquet
+    * oracle. PlanShape coverage: PartitionedSinkSpec asserts a lang
+    * filter over the re-read produces PartitionFilters, proving the
+    * written layout actually prunes. */
+  def s9PartitionedSink(s: SparkSession, d: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") + "/graft_partsink_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmTag
+    cleanupOnExit(out)
+    Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   // ---------------------------------------------------------------- S2+X11 dynamic-key JSON map
   /** JSON-lines scan where the object has DYNAMIC keys — the scams.json
     * shape (etherscams.py:45-49): build a {"<event_type>": {...}} doc

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.Tables
-import graft.operators.EventOps
+import graft.operators.{Changelog, EventOps}
 
 /** Driver-visible correctness gate for the streaming surface (§2.7) —
   * same pattern as [[graft.functions.Gates]]: the streaming engine's
@@ -206,5 +206,75 @@ object StreamGates {
     }
     deleteRecursively(java.nio.file.Paths.get(base))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
+  /** Gate query [stream_upsert_parity]: the foreachBatch CDC-sink
+    * pattern — every micro-batch is compacted and MERGED into a
+    * persistent keyed state (alternating parquet dirs: read current,
+    * merge, write the other — never overwrite what a plan may still
+    * read), and the final state must equal the one-shot batch
+    * compaction of the whole input. That equality is exactly the
+    * semilattice law [[graft.operators.Changelog.mergeCompacted]]
+    * documents, here proven across REAL micro-batch boundaries: the
+    * input arrives as three single-file chunks with maxFilesPerTrigger
+    * = 1, so at least two incremental merges actually run. At scale
+    * the same loop writes to a keyed table (the state is one row per
+    * live key, not history), which is how a streaming upsert sink
+    * works on any immutable-file table format. */
+  def streamUpsertParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sup").toString
+    val inDir = s"$base/in"
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < 60)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    if (ev.head(1).isEmpty) {
+      deleteRecursively(java.nio.file.Paths.get(base))
+      return Seq((false, 0L)).toDF("upsert_parity", "n_rows")
+    }
+    // three single-file chunks -> three micro-batches at one file each
+    (0 until 3).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val states = Seq(s"$base/state0", s"$base/state1")
+    Changelog.latestByKeyOf(ev.limit(0))
+      .write.mode("overwrite").parquet(states(0))
+    @volatile var cur = 0
+    @volatile var nBatches = 0L
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    var q: StreamingQuery = null
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val merged = Changelog.mergeCompacted(
+            s.read.parquet(states(cur)), Changelog.latestByKeyOf(batch))
+          merged.write.mode("overwrite").parquet(states(1 - cur))
+          cur = 1 - cur
+          nBatches += 1
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      q.processAllAvailable()
+    } finally {
+      if (q != null) try q.stop() catch { case _: Throwable => () }
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    val finalState = s.read.parquet(states(cur))
+    val oneShot = Changelog.latestByKeyOf(ev)
+    val cols = Seq("user_id", "ts_us", "event_id", "event_type", "value")
+    val gate = symDiffEmpty(finalState, oneShot, cols)
+      .crossJoin(finalState.agg(count(lit(1)).as("n_state")))
+      .select(
+        (col("l_only") === 0 && col("r_only") === 0 &&
+          lit(nBatches) >= 2 && col("n_state") > 0).as("upsert_parity"),
+        col("n_state").as("n_rows"))
+    val rows = gate.collect()
+    deleteRecursively(java.nio.file.Paths.get(base))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
   }
 }

@@ -41,4 +41,22 @@ object ChangelogProps extends Properties("Changelog") {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       got == ref
     }
+
+  property("mergeCompacted is the semilattice: merge of chunk compactions == one-shot") =
+    Prop.forAll(rowsGen, Gen.chooseNum(2, 4)) { (xs, nChunks) =>
+      import spark.implicits._
+      val df = xs.zipWithIndex.map { case ((uid, tsSlot, v), i) =>
+        (i.toLong, new Timestamp(1700000000000L + tsSlot * 1000), uid,
+          s"t${i % 3}", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      // arbitrary micro-batching of the same changelog
+      val chunks = (0 until nChunks).map(i =>
+        Changelog.latestByKeyOf(
+          df.filter(pmod(col("event_id"), lit(nChunks)) === i)))
+      val incremental = chunks.reduce(Changelog.mergeCompacted)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val oneShot = Changelog.latestByKeyOf(df)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      incremental == oneShot
+    }
 }

@@ -72,6 +72,27 @@ class ChangelogSpec extends AnyFunSuite {
     assert(n === 1, s"expected 1 exchange (shared across both windows), got $n:\n$plan")
   }
 
+  test("mergeUpsert: unique keys, all actions legal, deletions really gone") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = Changelog.mergeUpsert(spark, sfDir).cache()
+    try {
+      val n = df.count()
+      assert(df.select("user_id").distinct().count() === n)
+      assert(df.filter(!col("action").isin("keep", "update", "insert"))
+        .count() === 0)
+      // reconstruct the delete set independently: latest second-half
+      // event per user>=30 with value < 5 must NOT appear in the output
+      val ev = graft.Tables.events(spark, sfDir)
+      val r = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      val deleted = Changelog.latestByKeyOf(
+        ev.filter(unix_micros(col("ts")) > mid && col("user_id") >= 30))
+        .filter(col("value") < 5.0).select("user_id")
+      assert(df.join(deleted, Seq("user_id"), "left_semi").count() === 0)
+    } finally df.unpersist()
+  }
+
   test("result is invariant to partitioning (map-side partial agg)") {
     val rows = (1L to 500L).map { i =>
       (i, (i * 37) % 100 * 1000, i % 13, s"t${i % 5}", i.toDouble)

@@ -149,4 +149,29 @@ class ExplainPlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"a pure row-local parse must not shuffle:\n$plan")
   }
+
+  test("s9: the partitionBy(lang) sink layout prunes a lang filter on re-read") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("s9plan").toString
+    try {
+      graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      val aLang = spark.read.parquet(out).select("lang").head().getString(0)
+      val plan = spark.read.parquet(out).filter(col("lang") === aLang)
+        .queryExecution.executedPlan.toString
+      val pf = plan.indexOf("PartitionFilters")
+      assert(pf >= 0 && plan.substring(pf).takeWhile(_ != ']').contains("lang"),
+        s"lang filter did not become a PartitionFilter:\n$plan")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(out))
+  }
+
+  test("merge_upsert: one hash join on compacted sides, no window over history") {
+    val plan = Changelog.mergeUpsert(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"merge regressed to a window over raw history:\n$plan")
+    assert(plan.contains("max_by"),
+      s"expected max_by compaction feeding the merge join:\n$plan")
+  }
 }
