@@ -142,6 +142,10 @@ object SparkEntry {
     "merge_upsert"       -> ((s, d) => Changelog.mergeUpsert(s, d)),
     "s9_partitioned_sink" -> CoreOps.s9PartitionedSink _,
     "stream_upsert_parity" -> graft.streaming.StreamGates.streamUpsertParity _,
+    "j8_exists_correlated" -> CoreOps.j8ExistsCorrelated _,
+    "a23_string_agg"     -> CoreOps.a23StringAgg _,
+    "ev_window_users"    -> CoreOps.evWindowUsers _,
+    "x16_regexp_suite"   -> CoreOps.x16RegexpSuite _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1277,6 +1281,37 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS upsert_parity,
         |       COUNT(DISTINCT user_id) AS n_rows
         |FROM events WHERE user_id < 60""".stripMargin,
+    "j8_exists_correlated" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_customers,
+        |       COUNT(CASE WHEN has_urgent THEN 1 END) AS n_with_urgent
+        |FROM (SELECT c_custkey, c_mktsegment,
+        |             EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_custkey = c.c_custkey
+        |                       AND o.o_orderpriority = '1-URGENT')
+        |               AS has_urgent
+        |      FROM customer c)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "a23_string_agg" ->
+      """SELECT o_orderstatus,
+        |       array_to_string(list_sort(list_distinct(
+        |         list(o_orderpriority))), ',') AS priorities,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "ev_window_users" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |       event_type,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "x16_regexp_suite" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |       regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        |       CAST(length(regexp_replace(p_name, '[^ ]', '', 'g'))
+        |         AS INTEGER) AS n_spaces
+        |FROM part""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -622,6 +622,70 @@ object CoreOps {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Correlated EXISTS via the SQL-string path [J8]: Catalyst's
+    * subquery decorrelation rewrites the EXISTS into a left-semi hash
+    * join (same physical plan the Column-API j2 builds by hand) and
+    * NOT EXISTS into an anti join — proving the rewrite rule so SQL
+    * users get the scale-safe plan for free. */
+  def j8ExistsCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_j8")
+    s.sql(
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_customers,
+        |       COUNT(CASE WHEN has_urgent THEN 1 END) AS n_with_urgent
+        |FROM (SELECT c_custkey, c_mktsegment,
+        |             EXISTS (SELECT 1 FROM graft_orders_j8 o
+        |                     WHERE o.o_custkey = c.c_custkey
+        |                       AND o.o_orderpriority = '1-URGENT')
+        |               AS has_urgent
+        |      FROM graft_customer c)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  // --------------------------------------------------------- A23 ordered string_agg
+  /** Deterministic string aggregation [A23]: the listagg/string_agg
+    * shape — distinct values per group, sorted, joined. collect_list's
+    * order is partition-dependent, so the only scale-sane formulation
+    * sorts INSIDE the row (array_sort over collect_set) rather than
+    * relying on input order; group payload is bounded (distinct
+    * priorities), which is the precondition any string_agg needs at
+    * 100 TB anyway. */
+  def a23StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"),
+        count(lit(1)).as("n_orders"))
+
+  // --------------------------------------------------------- EV distinct users/window
+  /** Windowed distinct users [EV-USERS]: exact DAU-style count per
+    * tumbling hour + event_type. Catalyst plans the countDistinct as a
+    * two-phase aggregate (dedup on (window, type, user), then count) —
+    * the skew-safe shape a11 demonstrates explicitly — so no task ever
+    * holds a window's full user set in one hash table. */
+  def evWindowUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_users"), col("n_events"))
+
+  // ---------------------------------------------------------------- X16 regexp suite
+  /** Regexp scalar family [X16]: extract / replace / match over the
+    * part names — all codegen'd row-local expressions; patterns kept in
+    * the Java∩RE2 common dialect so the DuckDB oracle evaluates the
+    * identical language. */
+  def x16RegexpSuite(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+        length(regexp_replace(col("p_name"), "[^ ]", "")).as("n_spaces"))
+
   // ---------------------------------------------------------------- P1 partition pruning
   /** One-time year-partitioned copy of orders (hive-style o_year=YYYY
     * directories), shared by the static (p1) and dynamic (p2) pruning

@@ -15,6 +15,14 @@ import graft.Tables
   * with stack() into the (column, stats...) long form a catalog
   * stores.
   *
+  * Bench note: at local SF the whole table is one parquet split, so
+  * the Expand (N_cols+1 projections of every row) runs in a single
+  * task and dominates this query's wall-clock (~2.7 s at sf0.1). That
+  * is an artifact of the tiny input, not the plan: at real scale the
+  * scan has thousands of splits and the Expand parallelizes with them.
+  * Repartitioning first would "fix" the local number by adding a
+  * full-table shuffle — exactly the wrong trade at 100 TB.
+  *
   * min/max surface as strings so one schema fits every column type;
   * doubles route through DECIMAL(18,2) first because JVM and C++
   * float-to-string formats disagree ("1.0E7" vs "10000000.0") while

@@ -166,6 +166,16 @@ class ExplainPlanSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(out))
   }
 
+  test("j8: correlated EXISTS decorrelates to an ExistenceJoin hash join") {
+    val plan = CoreOps.j8ExistsCorrelated(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistenceJoin"),
+      s"EXISTS did not decorrelate to an existence hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated subquery fell into a nested loop:\n$plan")
+  }
+
   test("merge_upsert: one hash join on compacted sides, no window over history") {
     val plan = Changelog.mergeUpsert(spark, sfDir)
       .queryExecution.executedPlan.toString
