@@ -146,6 +146,7 @@ object SparkEntry {
     "a23_string_agg"     -> CoreOps.a23StringAgg _,
     "ev_window_users"    -> CoreOps.evWindowUsers _,
     "x16_regexp_suite"   -> CoreOps.x16RegexpSuite _,
+    "text_chunk_overlap" -> ((s, d) => Sampling.chunkOverlap(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1312,6 +1313,19 @@ object SparkEntry {
         |       CAST(length(regexp_replace(p_name, '[^ ]', '', 'g'))
         |         AS INTEGER) AS n_spaces
         |FROM part""".stripMargin,
+    // size=32, stride=24 (8-token overlap); final partial window kept
+    "text_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        CASE WHEN n <= 32 THEN 1
+        |             ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+        |      FROM t),
+        |x AS (SELECT doc_id, n, UNNEST(range(n_chunks)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+        |       least(chunk_id * 24 + 32, n) AS end_tok
+        |FROM x""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

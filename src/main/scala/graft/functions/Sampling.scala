@@ -167,6 +167,32 @@ object Sampling {
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
 
+  /** Overlapping per-document chunking [CHUNK-OVL]: the RAG/window
+    * shape — each doc is cut into `size`-token windows advancing by
+    * `stride` (= size − overlap), final partial window kept, so every
+    * token is covered and consecutive chunks share `overlap` tokens of
+    * context. Contrast [[packChunks]], which concatenates ACROSS docs
+    * into exact non-overlapping context windows. Pure map-side
+    * sequence-explode — fan-out ≈ n_tokens/stride per doc, no shuffle,
+    * scan-speed at any corpus size. Integer arithmetic only (ceil via
+    * (a + b − 1) div b) so the oracle reproduces chunk counts exactly. */
+  def chunkOverlap(s: SparkSession, d: String,
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    val n = org.apache.spark.sql.functions.size(
+      TextOps.tokens(col("text"))).cast(LongType)
+    // Column./ is double division; floor() (exact below 2^53) recovers
+    // the integer ceil — same value the oracle's `//` computes
+    val nChunks = when(n <= size, lit(1L))
+      .otherwise(floor((n - size + stride - 1) / stride) + 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), n.as("n_tokens"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(col("chunk_id") * stride + size, col("n_tokens")).as("end_tok"))
+  }
+
   /** Sequence packing [PACK]: concatenate all documents in doc_id
     * order (tokenized exactly as TextOps counts tokens — chunk
     * boundaries must correspond to the token stream the rest of the

@@ -80,4 +80,31 @@ class SamplingSpec extends SparkSpec {
     assert(bad === 0)
     assert(out.count() === Tables.documents(spark, sfDir).count())
   }
+
+  test("overlap chunks: exact windows on hand-sized docs; full coverage") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("chunkovl").toString
+    def doc(id: Long, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", "s", n.toLong)
+    Seq(doc(1, 10), doc(2, 33), doc(3, 80))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Sampling.chunkOverlap(spark, d) // size 32, stride 24
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> ((0L, 10L)),                      // short doc: one window
+      (2L, 0L) -> ((0L, 32L)), (2L, 1L) -> ((24L, 33L)), // 8-token overlap
+      (3L, 0L) -> ((0L, 32L)), (3L, 1L) -> ((24L, 56L)),
+      (3L, 2L) -> ((48L, 80L))))                    // final window flush
+    // every token covered on the real corpus: last chunk ends at n
+    val uncovered = Sampling.chunkOverlap(spark, sfDir)
+      .groupBy(col("doc_id")).agg(max(col("end_tok")).as("mx"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n")), Seq("doc_id"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(uncovered === 0)
+  }
 }
