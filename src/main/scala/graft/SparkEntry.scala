@@ -147,6 +147,7 @@ object SparkEntry {
     "ev_window_users"    -> CoreOps.evWindowUsers _,
     "x16_regexp_suite"   -> CoreOps.x16RegexpSuite _,
     "text_chunk_overlap" -> ((s, d) => Sampling.chunkOverlap(s, d)),
+    "q18_large_orders"   -> ((s, d) => CoreOps.q18LargeOrders(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1326,6 +1327,22 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
         |       least(chunk_id * 24 + 32, n) AS end_tok
         |FROM x""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |         AS o_price,
+        |       CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

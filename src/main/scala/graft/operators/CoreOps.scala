@@ -787,6 +787,32 @@ object CoreOps {
         count(lit(1)).as("n_items"))
   }
 
+  // ---------------------------------------------------------------- Q18 large orders
+  /** TPC-H Q18-shaped "large volume customer" query: orders whose line
+    * quantities sum past a threshold, re-joined to customers and
+    * ranked. The scale-defining order: aggregate lineitem FIRST
+    * (partial-agg'd sum per orderkey, shuffle carries one row per
+    * order), filter to the rare big ones, THEN join — the filtered key
+    * set is small enough to drive the orders/customer joins as
+    * broadcasts under AQE instead of shuffling both facts. Top-k ends
+    * as TakeOrderedAndProject. */
+  def q18LargeOrders(s: SparkSession, d: String, minQty: Int = 150,
+      k: Int = 20): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        dec(col("o_totalprice")).cast(DoubleType).as("o_price"),
+        col("total_qty").cast(DoubleType).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- A11 two-phase distinct
   /** Exact count-distinct as a two-phase aggregation: dedupe on
     * (group, value) first, then count per group. Same result as
