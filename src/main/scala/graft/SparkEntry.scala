@@ -148,6 +148,7 @@ object SparkEntry {
     "x16_regexp_suite"   -> CoreOps.x16RegexpSuite _,
     "text_chunk_overlap" -> ((s, d) => Sampling.chunkOverlap(s, d)),
     "q18_large_orders"   -> ((s, d) => CoreOps.q18LargeOrders(s, d)),
+    "text_bigrams"       -> ((s, d) => TextOps.bigrams(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1343,6 +1344,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey ASC
         |LIMIT 20""".stripMargin,
+    // parallel UNNESTs zip; list slices are 1-based inclusive
+    "text_bigrams" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT UNNEST(t[1:len(t)-1]) AS w1,
+        |              UNNEST(t[2:len(t)]) AS w2 FROM tk),
+        |cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |den AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS d FROM cnt GROUP BY 1)
+        |SELECT c.w1, c.w2, c.n, round(c.n / d, 6) AS p
+        |FROM cnt c JOIN den USING (w1)
+        |ORDER BY c.n DESC, c.w1 ASC, c.w2 ASC
+        |LIMIT 50""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -59,6 +59,31 @@ object TextOps {
         when(col("en_score") >= 0.05, lit("en")).otherwise(lit("und")))
   }
 
+  /** Corpus bigram model [BIGRAM]: top-k bigrams with conditional
+    * probability P(w2|w1) — the order-1 upgrade of [[surprisal]]'s
+    * unigram LM and the statistic behind collocation mining and
+    * phrase-aware tokenizers. Bigrams form map-side (zip the token
+    * array with its own tail — no self-join, no window), then ONE
+    * partial-agg'd hash aggregate; the conditional denominator is a
+    * second tiny aggregate over the bigram counts themselves (≤ vocab²
+    * rows), never a rescan. Exact integer ratios divided once in
+    * DOUBLE, so both engines compute identical values. */
+  def bigrams(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val t = tokens(col("text"))
+    val pairs = Tables.documents(s, d)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val den = cnt.groupBy(col("w1")).agg(sum(col("n")).as("d"))
+    cnt.join(broadcast(den), Seq("w1"))
+      .select(col("w1"), col("w2"), col("n"),
+        round(col("n") / col("d"), 6).as("p"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Gopher-style composite quality filter [GOPHER]: the
     * rule-stack every web-scale corpus passes through before training —
     * token-count bounds, mean-word-length band, and a max-repetition
