@@ -107,6 +107,31 @@ object Streams {
         col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream join: every view survives; unclicked
+    * views emit with null click columns — but only once the watermark
+    * has passed the view's join window, because until then a matching
+    * click could still arrive. That delayed-null emission is the
+    * semantic difference from the inner join above (and from any batch
+    * left join), and it's only well-defined because both the watermark
+    * and the time-bound condition are present: the engine needs a
+    * provable point after which "no match" is final. Same bounded
+    * per-side state as the inner variant. */
+  def viewClickLeftOuter(views: DataFrame, clicks: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      v("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 15 MINUTES"),
+      "left_outer")
+      .select(v("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   // ------------------------------------------------- custom state
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)

@@ -42,6 +42,27 @@ object ChangelogProps extends Properties("Changelog") {
       got == ref
     }
 
+  property("scd2 intervals tile each user's history: no gaps, no overlaps, right versions") =
+    Prop.forAll(rowsGen) { xs =>
+      import spark.implicits._
+      val df = xs.zipWithIndex.map { case ((uid, tsSlot, v), i) =>
+        (i.toLong, new Timestamp(1700000000000L + tsSlot * 1000), uid,
+          s"t${(v / 3).toInt}", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val rows = Changelog.scd2IntervalsOf(df).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      val ok = rows.groupBy(_._1).forall { case (_, ivs) =>
+        val sorted = ivs.sortBy(_._2)
+        sorted.head._2 == 1 &&
+          sorted.map(_._2).toSeq == (1 to sorted.length) &&  // dense versions
+          sorted.init.zip(sorted.tail).forall { case (a, b) =>
+            a._4.contains(b._3) } &&                          // valid_to chains
+          sorted.last._4.isEmpty                              // current is open
+      }
+      Prop(ok) :| s"intervals=${rows.toSeq}"
+    }
+
   property("mergeCompacted is the semilattice: merge of chunk compactions == one-shot") =
     Prop.forAll(rowsGen, Gen.chooseNum(2, 4)) { (xs, nChunks) =>
       import spark.implicits._

@@ -153,6 +153,42 @@ class StreamsSpec extends SparkSpec {
     assert(got === Set((100L, 200L)))
   }
 
+  test("left-outer stream-stream join: unmatched views emit nulls after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val views = MemoryStream[EventRow]
+    val clicks = MemoryStream[EventRow]
+    views.addData(Seq(
+      EventRow(100, new Timestamp(t0), 7, "view", 0),   // will match
+      EventRow(101, new Timestamp(t0), 8, "view", 0)))  // will NOT match
+    clicks.addData(Seq(
+      EventRow(200, new Timestamp(t0 + 5 * 60000), 7, "click", 0)))
+    val q = Streams.viewClickLeftOuter(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("vclo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // the unmatched view's null row may only emit once the watermark
+      // proves no click can still arrive: push far-future rows on BOTH
+      // sides (the join watermark is the min), then one more batch so
+      // the advanced watermark takes effect
+      val far = t0 + 10 * 3600000L
+      views.addData(Seq(EventRow(900, new Timestamp(far), 99, "view", 0)))
+      clicks.addData(Seq(EventRow(901, new Timestamp(far), 99, "click", 0)))
+      q.processAllAvailable()
+      views.addData(Seq(EventRow(902, new Timestamp(far + 1000), 99, "view", 0)))
+      clicks.addData(Seq(EventRow(903, new Timestamp(far + 1000), 99, "click", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("vclo")
+      .filter(col("user_id").isin(7, 8))
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got === Set((100L, Some(200L)), (101L, None)))
+  }
+
   test("mapGroupsWithState accumulates running per-user totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
