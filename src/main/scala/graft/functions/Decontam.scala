@@ -60,4 +60,31 @@ object Decontam {
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),
         countDistinct(col("test_doc")).as("n_test_docs"))
   }
+
+  /** The production-scale variant the Scaladoc above promises: gram
+    * keys become xxhash64 LONGs right at the explode, so the dedup,
+    * the shuffle and the join carry 8-byte keys and the gram STRINGS
+    * never leave the scan — at 100 TB that is the difference between
+    * shuffling the corpus's n-gram text and shuffling one long per
+    * gram. A 64-bit collision would need ~2^32 distinct grams per
+    * join key-space to matter (birthday bound); DecontamSpec proves
+    * hashed == string reports on corpora where both are computed. */
+  def ngramOverlapHashedOf(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("split"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("split"),
+        explode(transform(TextOps.wordNgrams("tk", n),
+          g => xxhash64(g))).as("gh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("gh"))
+    val eval_ = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("gh"))
+    train.join(eval_, Seq("gh"))
+      .groupBy(col("train_doc"))
+      .agg(countDistinct(col("gh")).as("n_shared_ngrams"),
+        countDistinct(col("test_doc")).as("n_test_docs"))
+  }
 }

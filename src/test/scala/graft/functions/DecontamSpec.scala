@@ -44,4 +44,21 @@ class DecontamSpec extends AnyFunSuite {
     // "c d e" (doc11) → 2 grams across 2 test docs
     assert(got === Set((1L, 2L, 2L)))
   }
+
+  test("hashed gram keys report exactly what string keys report") {
+    import org.apache.spark.sql.functions.col
+    // real corpus, both variants end-to-end (split derived from text
+    // hash as in the driver query), compared row-for-row
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        Sampling.splitName(Sampling.splitBucket(col("text"))).as("split"),
+        col("text"))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaString = toSet(Decontam.ngramOverlapOf(docs, n = 3))
+    spark.catalog.clearCache()
+    val viaHash = toSet(Decontam.ngramOverlapHashedOf(docs, n = 3))
+    spark.catalog.clearCache()
+    assert(viaString === viaHash && viaString.nonEmpty)
+  }
 }
