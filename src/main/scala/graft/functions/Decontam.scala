@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -43,12 +43,31 @@ object Decontam {
     * TextOps.tfidf): Bench/Verify clearCache between queries; specs
     * and interactive sessions must clearCache after consuming, or
     * repeated calls accumulate one cached gram set each. */
-  def ngramOverlapOf(docs: DataFrame, n: Int): DataFrame = {
+  def ngramOverlapOf(docs: DataFrame, n: Int): DataFrame =
+    overlapOf(docs, n, identity)
+
+  /** The production-scale variant the Scaladoc above promises: gram
+    * keys become xxhash64 LONGs inside the pre-explode transform, so
+    * the dedup, the shuffle and the join carry 8-byte keys and the
+    * gram STRINGS never leave the scan — at 100 TB that is the
+    * difference between shuffling the corpus's n-gram text and
+    * shuffling one long per gram. A 64-bit collision would need ~2^32
+    * distinct grams per join key-space to matter (birthday bound);
+    * DecontamSpec proves hashed == string reports on corpora where
+    * both are computed. Same caller-owned persist contract as
+    * [[ngramOverlapOf]]. */
+  def ngramOverlapHashedOf(docs: DataFrame, n: Int): DataFrame =
+    overlapOf(docs, n, arr => transform(arr, g => xxhash64(g)))
+
+  /** Shared overlap pipeline; `gramKey` maps the gram array before the
+    * explode (identity = string keys, xxhash64 = the scale path). */
+  private def overlapOf(docs: DataFrame, n: Int,
+      gramKey: Column => Column): DataFrame = {
     val grams = docs
       .select(col("doc_id"), col("split"),
         TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("split"),
-        explode(TextOps.wordNgrams("tk", n)).as("g"))
+        explode(gramKey(TextOps.wordNgrams("tk", n))).as("g"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = grams.filter(col("split") === "train")
@@ -58,33 +77,6 @@ object Decontam {
     train.join(eval_, Seq("g"))
       .groupBy(col("train_doc"))
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),
-        countDistinct(col("test_doc")).as("n_test_docs"))
-  }
-
-  /** The production-scale variant the Scaladoc above promises: gram
-    * keys become xxhash64 LONGs right at the explode, so the dedup,
-    * the shuffle and the join carry 8-byte keys and the gram STRINGS
-    * never leave the scan — at 100 TB that is the difference between
-    * shuffling the corpus's n-gram text and shuffling one long per
-    * gram. A 64-bit collision would need ~2^32 distinct grams per
-    * join key-space to matter (birthday bound); DecontamSpec proves
-    * hashed == string reports on corpora where both are computed. */
-  def ngramOverlapHashedOf(docs: DataFrame, n: Int): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), col("split"),
-        TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("split"),
-        explode(transform(TextOps.wordNgrams("tk", n),
-          g => xxhash64(g))).as("gh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val train = grams.filter(col("split") === "train")
-      .select(col("doc_id").as("train_doc"), col("gh"))
-    val eval_ = grams.filter(col("split") === "test")
-      .select(col("doc_id").as("test_doc"), col("gh"))
-    train.join(eval_, Seq("gh"))
-      .groupBy(col("train_doc"))
-      .agg(countDistinct(col("gh")).as("n_shared_ngrams"),
         countDistinct(col("test_doc")).as("n_test_docs"))
   }
 }

@@ -46,16 +46,15 @@ object StreamGates {
   def streamDedupParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Files.createTempDirectory("graft_sdp").toString
+    try {
     val inDir = s"$base/in"
     val ev = Tables.events(s, d)
       .filter(col("user_id") < 50)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
     val maxRow = ev.agg(max(col("ts"))).head()
-    if (maxRow.isNullAt(0)) {
-      deleteRecursively(java.nio.file.Paths.get(base))
+    if (maxRow.isNullAt(0))
       return Seq((false, 0L)).toDF("dedup_parity", "n_rows")
-    }
     ev.write.mode("overwrite").parquet(inDir)
     val maxMs = maxRow.getTimestamp(0).getTime
     val dups = ev.filter(unix_millis(col("ts")) >= maxMs - 10L * 60 * 1000)
@@ -90,8 +89,10 @@ object StreamGates {
         col("n_stream").as("n_rows"))
     val rows = gate.collect()
     try s.catalog.dropTempView("sdp_dedup") catch { case _: Throwable => () }
-    deleteRecursively(java.nio.file.Paths.get(base))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    // cleanup must run on the throw paths too (failed micro-batch,
+    // unreadable state): a failing gate re-run per pass would accrete dirs
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
   /** Gate query [stream_batch_parity]: booleans proving
@@ -104,6 +105,7 @@ object StreamGates {
   def streamBatchParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Files.createTempDirectory("graft_sbp").toString
+    try {
     val inDir = s"$base/in"
     // parity holds per event, so a deterministic user slice proves the
     // same engine property at a fraction of the micro-batch/state cost
@@ -117,11 +119,9 @@ object StreamGates {
     // data, not NPE on max(ts): return the all-false row the n_win>0 /
     // n_sess>0 terms would have produced, before any stream starts
     val maxRow = ev.agg(max(col("ts"))).head()
-    if (maxRow.isNullAt(0)) {
-      deleteRecursively(java.nio.file.Paths.get(base))
+    if (maxRow.isNullAt(0))
       return Seq((false, false))
         .toDF("tumbling_parity", "sessions_flushed_parity")
-    }
     ev.write.mode("overwrite").parquet(inDir)
     val maxMs = maxRow.getTimestamp(0).getTime
 
@@ -204,8 +204,8 @@ object StreamGates {
     Seq("sbp_tumbling", "sbp_sessions").foreach { v =>
       try s.catalog.dropTempView(v) catch { case _: Throwable => () }
     }
-    deleteRecursively(java.nio.file.Paths.get(base))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
   /** Gate query [stream_upsert_parity]: the foreachBatch CDC-sink
@@ -224,57 +224,59 @@ object StreamGates {
   def streamUpsertParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Files.createTempDirectory("graft_sup").toString
-    val inDir = s"$base/in"
-    val ev = Tables.events(s, d)
-      .filter(col("user_id") < 60)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"))
-    if (ev.head(1).isEmpty) {
-      deleteRecursively(java.nio.file.Paths.get(base))
-      return Seq((false, 0L)).toDF("upsert_parity", "n_rows")
-    }
-    // three single-file chunks -> three micro-batches at one file each
-    (0 until 3).foreach { i =>
-      ev.filter(pmod(col("event_id"), lit(3)) === i)
-        .coalesce(1).write.mode("append").parquet(inDir)
-    }
-    val states = Seq(s"$base/state0", s"$base/state1")
-    Changelog.latestByKeyOf(ev.limit(0))
-      .write.mode("overwrite").parquet(states(0))
-    @volatile var cur = 0
-    @volatile var nBatches = 0L
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    var q: StreamingQuery = null
+    // the temp tree (input chunks, two state dirs, checkpoint) must not
+    // outlive the gate even when a micro-batch or the collect throws —
+    // a failing gate re-run per bench pass would otherwise accrete dirs
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val merged = Changelog.mergeCompacted(
-            s.read.parquet(states(cur)), Changelog.latestByKeyOf(batch))
-          merged.write.mode("overwrite").parquet(states(1 - cur))
-          cur = 1 - cur
-          nBatches += 1
-        }
-        .option("checkpointLocation", s"$base/ckpt").start()
-      q.processAllAvailable()
-    } finally {
-      if (q != null) try q.stop() catch { case _: Throwable => () }
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    }
+      val inDir = s"$base/in"
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") < 60)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      if (ev.head(1).isEmpty)
+        return Seq((false, 0L)).toDF("upsert_parity", "n_rows")
+      // three single-file chunks -> three micro-batches at one file each
+      (0 until 3).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val states = Seq(s"$base/state0", s"$base/state1")
+      Changelog.latestByKeyOf(ev.limit(0))
+        .write.mode("overwrite").parquet(states(0))
+      @volatile var cur = 0
+      @volatile var nBatches = 0L
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      var q: StreamingQuery = null
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val merged = Changelog.mergeCompacted(
+              s.read.parquet(states(cur)), Changelog.latestByKeyOf(batch))
+            merged.write.mode("overwrite").parquet(states(1 - cur))
+            cur = 1 - cur
+            nBatches += 1
+          }
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Throwable => () }
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
 
-    val finalState = s.read.parquet(states(cur))
-    val oneShot = Changelog.latestByKeyOf(ev)
-    val cols = Seq("user_id", "ts_us", "event_id", "event_type", "value")
-    val gate = symDiffEmpty(finalState, oneShot, cols)
-      .crossJoin(finalState.agg(count(lit(1)).as("n_state")))
-      .select(
-        (col("l_only") === 0 && col("r_only") === 0 &&
-          lit(nBatches) >= 2 && col("n_state") > 0).as("upsert_parity"),
-        col("n_state").as("n_rows"))
-    val rows = gate.collect()
-    deleteRecursively(java.nio.file.Paths.get(base))
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+      val finalState = s.read.parquet(states(cur))
+      val oneShot = Changelog.latestByKeyOf(ev)
+      val cols = Seq("user_id", "ts_us", "event_id", "event_type", "value")
+      val gate = symDiffEmpty(finalState, oneShot, cols)
+        .crossJoin(finalState.agg(count(lit(1)).as("n_state")))
+        .select(
+          (col("l_only") === 0 && col("r_only") === 0 &&
+            lit(nBatches) >= 2 && col("n_state") > 0).as("upsert_parity"),
+          col("n_state").as("n_rows"))
+      val rows = gate.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 }

@@ -169,7 +169,7 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._4 === false)
     assert(got(3L) === ((30, 4.0, 1.0, false)))
     // and on the real corpus both branches occur
-    val keeps = TextOps.gopherFilter(spark, "/root/testdata/sf0.001")
+    val keeps = TextOps.gopherFilter(spark, sfDir)
       .groupBy(org.apache.spark.sql.functions.col("keep")).count().count()
     assert(keeps === 2, "thresholds no longer split the corpus")
   }
