@@ -149,6 +149,7 @@ object SparkEntry {
     "text_chunk_overlap" -> ((s, d) => Sampling.chunkOverlap(s, d)),
     "q18_large_orders"   -> ((s, d) => CoreOps.q18LargeOrders(s, d)),
     "text_bigrams"       -> ((s, d) => TextOps.bigrams(s, d)),
+    "mm_format_detect"   -> Multimodal.formatDetect _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1355,6 +1356,18 @@ object SparkEntry {
         |FROM cnt c JOIN den USING (w1)
         |ORDER BY c.n DESC, c.w1 ASC, c.w2 ASC
         |LIMIT 50""".stripMargin,
+    // the magic prefix is a deterministic function of the source id,
+    // so the tally is predictable without reconstructing blobs; the
+    // engine's answer still travelled bytes -> slice -> hex -> classify
+    "mm_format_detect" ->
+      """SELECT source,
+        |       CASE (try_cast(substring(source, 4) AS INT)) % 3
+        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |         ELSE 'riff' END AS detected_fmt,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(4 + octet_length(encode(text))) AS BIGINT)
+        |         AS total_bytes
+        |FROM documents GROUP BY 1, 2""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -38,6 +38,38 @@ object Multimodal {
     media.mapPartitions(_.map(fakeDecode)).toDF()
   }
 
+  /** Container-format detection over raw binary payloads
+    * [MM-FORMAT]: the routing step a mixed-media lake runs before
+    * per-format decode — read the first magic bytes of every payload
+    * and classify, so downstream stages partition by REAL content
+    * rather than trusting file extensions or metadata columns. All
+    * binary-native expressions (concat/substring/hex on BinaryType,
+    * codegen'd, map-side); the magic prefixes are planted
+    * deterministically from the source id (the same planting pattern
+    * as text_normalize/url_extract), so the oracle can predict the
+    * per-source format tally without reconstructing blobs — while the
+    * engine's answer really did travel bytes → slice → hex →
+    * classify. */
+  def formatDetect(s: SparkSession, d: String): DataFrame = {
+    val idx = expr("try_cast(substring(source, 4) AS INT)")
+    val magicHex = when(pmod(idx, lit(3)) === 0, "FFD8FFE0") // JPEG/JFIF
+      .when(pmod(idx, lit(3)) === 1, "89504E47")             // PNG
+      .otherwise("52494646")                                 // RIFF
+    val payload = concat(unhex(magicHex), encode(col("text"), "UTF-8"))
+    val head = hex(substring(payload, 1, 4))
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), payload.as("payload"), head.as("h"))
+      .select(col("source"),
+        when(col("h") === "FFD8FFE0", "jpeg")
+          .when(col("h") === "89504E47", "png")
+          .when(col("h") === "52494646", "riff")
+          .otherwise("unknown").as("detected_fmt"),
+        length(col("payload")).as("n_bytes"))
+      .groupBy(col("source"), col("detected_fmt"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"))
+  }
+
   case class Resized(doc_id: Long, orig_len: Int, stride: Int,
     out_len: Int, out_head: Int, out_sum: Long)
 
