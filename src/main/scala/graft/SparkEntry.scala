@@ -150,6 +150,8 @@ object SparkEntry {
     "q18_large_orders"   -> ((s, d) => CoreOps.q18LargeOrders(s, d)),
     "text_bigrams"       -> ((s, d) => TextOps.bigrams(s, d)),
     "mm_format_detect"   -> Multimodal.formatDetect _,
+    "a24_stddev"         -> CoreOps.a24Stddev _,
+    "x17_datetime_suite" -> CoreOps.x17DatetimeSuite _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1368,6 +1370,33 @@ object SparkEntry {
         |       CAST(SUM(4 + octet_length(encode(text))) AS BIGINT)
         |         AS total_bytes
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "a24_stddev" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))
+        |                * CAST(o_totalprice AS DECIMAL(28,6)))
+        |           AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |       round((sxx - sx * sx / n) / (n - 1), 4) AS var_samp,
+        |       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_samp
+        |FROM m""".stripMargin,
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
+    "x17_datetime_suite" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0
+        |           FROM orders)
+        |SELECT o_orderkey, d0,
+        |       d0 + 30 AS plus30,
+        |       CAST(d0 + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        |       last_day(d0) AS month_end,
+        |       CAST(date_trunc('month', d0) AS DATE) AS month_start,
+        |       CAST(datediff('day', d0, DATE '1998-12-31') AS INTEGER)
+        |         AS days_to_end,
+        |       CAST(dayofweek(d0) + 1 AS INTEGER) AS dow,
+        |       CAST(quarter(d0) AS INTEGER) AS qtr
+        |FROM t""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

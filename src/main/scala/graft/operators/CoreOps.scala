@@ -408,6 +408,47 @@ object CoreOps {
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
 
+  // ------------------------------------------------------ A24 exact-moment stddev
+  /** Exact variance / stddev [A24] from DECIMAL moments — the a19_corr
+    * recipe: built-in var_samp/stddev use a streaming update whose
+    * result depends on merge order (fine numerically, but not
+    * bit-reproducible across partitionings); summing n, Σx, Σx² as
+    * exact decimals and applying the closed form once in DOUBLE gives
+    * the same answer on every run and every engine. */
+  def a24Stddev(s: SparkSession, d: String): DataFrame = {
+    val v = col("o_totalprice").cast(DecimalType(18, 6))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast(DoubleType).as("sx"),
+        sum(v * v).cast(DoubleType).as("sxx"))
+      .select(col("o_orderpriority"), col("n"),
+        round((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1), 4).as("var_samp"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)), 6).as("stddev_samp"))
+  }
+
+  // ------------------------------------------------------------ X17 datetime suite
+  /** Datetime scalar family [X17]: add/diff/truncate/extract — the
+    * calendar arithmetic an event pipeline leans on constantly. All
+    * codegen'd row-local expressions; DATE-typed outputs and integer
+    * extracts so both engines hash identically. */
+  def x17DatetimeSuite(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d0"))
+      .select(
+        col("o_orderkey"), col("d0"),
+        date_add(col("d0"), 30).as("plus30"),
+        add_months(col("d0"), 2).as("plus2mo"),
+        last_day(col("d0")).as("month_end"),
+        trunc(col("d0"), "mm").as("month_start"),
+        datediff(to_date(lit("1998-12-31")), col("d0")).as("days_to_end"),
+        dayofweek(col("d0")).as("dow"),
+        quarter(col("d0")).as("qtr"))
+
   // ------------------------------------------------------------- W6 relative rank
   /** Relative-rank windows [W6]: percent_rank + cume_dist per segment —
     * the percentile-assignment shape score-normalization and
