@@ -1,0 +1,33 @@
+package graft
+
+/** Suite-wide physical-plan lint: every query whose plan can be built
+  * lazily must be free of CartesianProduct — the one operator that is
+  * never right at 100 TB (a non-equi join that degenerated). Tiny
+  * intentional cross joins (1-row aggregate frames, literal grids)
+  * plan as BroadcastNestedLoopJoin and are allowed; a CartesianProduct
+  * means a big-side cross product slipped through a refactor. Queries
+  * that EXECUTE on construction (quality gates, streaming gates, sink
+  * roundtrips, iterative dedup) are excluded by name — their plan
+  * shapes are pinned by their own specs instead. */
+class SuitePlanLintSpec extends SparkSpec {
+  // these run jobs / write files / stream when invoked, so building
+  // them here would be an integration run, not a plan inspection
+  private val eager = Set(
+    "a14_quantile_gate", "dedup_simhash", "sim_lsh_topk", "sim_ivf_topk",
+    "a15_hll_merge", "p3_bloom_join", "sim_semdedup", "a18_count_min",
+    "stream_batch_parity", "stream_dedup_parity", "stream_upsert_parity",
+    "s1_csv_roundtrip", "s7_orc_roundtrip", "s8_json_roundtrip",
+    "s9_partitioned_sink", "eth_csv_pipeline",
+    "dedup_corpus", "corpus_diff")
+
+  test("no lazily-built query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => eager.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+}
