@@ -177,14 +177,22 @@ object Sampling {
     * scan-speed at any corpus size. Integer arithmetic only (ceil via
     * (a + b − 1) div b) so the oracle reproduces chunk counts exactly. */
   def chunkOverlap(s: SparkSession, d: String,
-      size: Int = 32, stride: Int = 24): DataFrame = {
-    val n = org.apache.spark.sql.functions.size(
-      TextOps.tokens(col("text"))).cast(LongType)
+      size: Int = 32, stride: Int = 24): DataFrame =
+    chunkOverlapOf(
+      Tables.documents(s, d).select(col("doc_id"),
+        org.apache.spark.sql.functions.size(TextOps.tokens(col("text")))
+          .cast(LongType).as("n_tokens")),
+      size, stride)
+
+  /** Same over any (doc_id, n_tokens) frame — property tests sweep
+    * arbitrary (size, stride ≤ size) geometry. */
+  def chunkOverlapOf(tokCounts: DataFrame, size: Int, stride: Int): DataFrame = {
+    val n = col("n_tokens")
     // Column./ is double division; floor() (exact below 2^53) recovers
     // the integer ceil — same value the oracle's `//` computes
     val nChunks = when(n <= size, lit(1L))
       .otherwise(floor((n - size + stride - 1) / stride) + 1)
-    Tables.documents(s, d)
+    tokCounts
       .select(col("doc_id"), n.as("n_tokens"), nChunks.as("n_chunks"))
       .select(col("doc_id"), col("n_tokens"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))

@@ -90,4 +90,35 @@ object SamplingProps extends Properties("Sampling") {
       }.toSet
       got == ref
     }
+
+  property("chunkOverlapOf covers every token with stride-spaced windows") =
+    Prop.forAll(
+      Gen.listOf(Gen.chooseNum(1L, 500L)).map(_.distinct),
+      Gen.chooseNum(1, 64), Gen.chooseNum(1, 64)) { (ids0, a, b) =>
+      import spark.implicits._
+      // re-impose generator invariants lost to shrinking (cf. packChunks)
+      val ids = ids0.distinct
+      val size = math.max(1, math.max(a, b))
+      val stride = math.max(1, math.min(a, b)) // 1 <= stride <= size
+      val rows = ids.zipWithIndex.map { case (id, i) => (id, (i * 7) % 120 + 1L) }
+      val got = Sampling.chunkOverlapOf(
+        rows.toDF("doc_id", "n_tokens"), size, stride)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1).toSeq).toMap
+      val ok = rows.forall { case (id, n) =>
+        val chunks = got(id)
+        val ids0 = chunks.map(_._1)
+        ids0 == (0L until chunks.length).toSeq && // dense chunk ids
+        chunks.forall { case (c, s0, e) =>
+          s0 == c * stride && e == math.min(s0 + size, n) } &&
+        chunks.last._3 == n &&                    // full coverage
+        chunks.init.forall { case (c, s0, _) =>   // no interior gap:
+          s0 + size < n || c == chunks.length - 1 } && // every non-final
+        (chunks.length == 1 && n <= size ||           // window is full
+          chunks.length == (n - size + stride - 1) / stride + 1)
+      }
+      Prop(ok) :| s"got=$got size=$size stride=$stride"
+    }
 }
