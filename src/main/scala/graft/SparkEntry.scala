@@ -152,6 +152,8 @@ object SparkEntry {
     "mm_format_detect"   -> Multimodal.formatDetect _,
     "a24_stddev"         -> CoreOps.a24Stddev _,
     "x17_datetime_suite" -> CoreOps.x17DatetimeSuite _,
+    "j9_set_ops"         -> CoreOps.j9SetOps _,
+    "t5_limit_offset"    -> ((s, d) => CoreOps.t5LimitOffset(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1397,6 +1399,25 @@ object SparkEntry {
         |       CAST(dayofweek(d0) + 1 AS INTEGER) AS dow,
         |       CAST(quarter(d0) AS INTEGER) AS qtr
         |FROM t""".stripMargin,
+    "j9_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+        |    AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a
+        |     INTERSECT SELECT * FROM b)) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a
+        |     EXCEPT SELECT * FROM b)) AS n_except,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a
+        |     UNION ALL SELECT * FROM b)) AS n_union_all""".stripMargin,
+    "t5_limit_offset" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |ORDER BY price DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 40""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

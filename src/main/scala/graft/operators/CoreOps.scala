@@ -408,6 +408,41 @@ object CoreOps {
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
 
+  // ---------------------------------------------------------------- J9 set ops
+  /** Relational set operations [J9]: UNION (distinct), INTERSECT,
+    * EXCEPT over two derived key sets, surfaced as one row of counts.
+    * Catalyst plans these as aggregates and semi/anti hash joins (the
+    * same scale shapes as j2) — nothing new moves at 100 TB, but the
+    * operator surface itself (dedup semantics, null handling) is what
+    * a SQL user reaches for, so it gets its own oracle-checked entry. */
+  def j9SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val b = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val cnt = (df: DataFrame, name: String) =>
+      df.agg(count(lit(1)).as(name))
+    cnt(a.union(b).distinct(), "n_union")
+      .crossJoin(cnt(a.intersect(b), "n_intersect"))
+      .crossJoin(cnt(a.except(b), "n_except"))
+      .crossJoin(cnt(a.unionAll(b), "n_union_all"))
+  }
+
+  // ---------------------------------------------------------- T5 limit + offset
+  /** Pagination [T5]: ORDER BY … LIMIT k OFFSET m — page three of the
+    * price-ranked orders. Spark plans offset+limit as a single
+    * head-take after the sort (no full materialization); determinism
+    * needs the same unique tie-break every ORDER BY in the suite
+    * carries, or pages would shuffle between runs. */
+  def t5LimitOffset(s: SparkSession, d: String, page: Int = 3,
+      pageSize: Int = 20): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice")).cast(DoubleType).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .offset((page - 1) * pageSize)
+      .limit(pageSize)
+
   // ------------------------------------------------------ A24 exact-moment stddev
   /** Exact variance / stddev [A24] from DECIMAL moments — the a19_corr
     * recipe: built-in var_samp/stddev use a streaming update whose
