@@ -154,6 +154,7 @@ object SparkEntry {
     "x17_datetime_suite" -> CoreOps.x17DatetimeSuite _,
     "j9_set_ops"         -> CoreOps.j9SetOps _,
     "t5_limit_offset"    -> ((s, d) => CoreOps.t5LimitOffset(s, d)),
+    "g1_recursive_reach" -> CoreOps.g1RecursiveReach _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1418,6 +1419,24 @@ object SparkEntry {
         |FROM orders
         |ORDER BY price DESC, o_orderkey ASC
         |LIMIT 20 OFFSET 40""".stripMargin,
+    "g1_recursive_reach" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+        |    SELECT event_type,
+        |           lead(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS next_type
+        |    FROM events)
+        |  WHERE next_type IS NOT NULL),
+        |reach(node, depth) AS (
+        |  SELECT 'view', 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 4)
+        |SELECT node, CAST(MIN(depth) AS INTEGER) AS min_depth,
+        |       COUNT(*) AS n_walks
+        |FROM reach GROUP BY node""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

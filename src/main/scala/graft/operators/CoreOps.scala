@@ -408,6 +408,38 @@ object CoreOps {
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
 
+  // ---------------------------------------------------------- G1 recursive CTE
+  /** Recursive CTE graph reachability [G1]: bounded BFS over the
+    * event-type transition graph — WITH RECURSIVE landed in Spark 4,
+    * closing the last big SQL-surface gap vs warehouse engines. The
+    * edge set is the distinct per-user (type → next type) transitions
+    * (≤ |types|² rows — the recursion iterates over a TINY frame, the
+    * one shape recursive SQL scales on: never recurse over the fact
+    * table itself, aggregate it into the working set first). Walks are
+    * depth-bounded so cyclic type graphs terminate; min-depth and
+    * bounded-walk counts are exact integers on both engines. */
+  def g1RecursiveReach(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_g1")
+    s.sql(
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+        |    SELECT event_type,
+        |           lead(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS next_type
+        |    FROM graft_events_g1)
+        |  WHERE next_type IS NOT NULL),
+        |reach(node, depth) AS (
+        |  SELECT 'view', 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 4)
+        |SELECT node, CAST(MIN(depth) AS INTEGER) AS min_depth,
+        |       COUNT(*) AS n_walks
+        |FROM reach GROUP BY node""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- J9 set ops
   /** Relational set operations [J9]: UNION (distinct), INTERSECT,
     * EXCEPT over two derived key sets, surfaced as one row of counts.
