@@ -1364,11 +1364,16 @@ object SparkEntry {
     // the magic prefix is a deterministic function of the source id,
     // so the tally is predictable without reconstructing blobs; the
     // engine's answer still travelled bytes -> slice -> hex -> classify
+    // ((x%3)+3)%3 mirrors Spark's pmod (sign-following % would diverge
+    // on a negative source suffix); NULL text mirrors the engine's
+    // NULL-payload -> 'unknown' classification
     "mm_format_detect" ->
       """SELECT source,
-        |       CASE (try_cast(substring(source, 4) AS INT)) % 3
-        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-        |         ELSE 'riff' END AS detected_fmt,
+        |       CASE WHEN text IS NULL THEN 'unknown'
+        |         ELSE CASE ((try_cast(substring(source, 4) AS INT) % 3)
+        |                    + 3) % 3
+        |           WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |           ELSE 'riff' END END AS detected_fmt,
         |       COUNT(*) AS n_items,
         |       CAST(SUM(4 + octet_length(encode(text))) AS BIGINT)
         |         AS total_bytes
@@ -1383,8 +1388,10 @@ object SparkEntry {
         |           AS DOUBLE) AS sxx
         |  FROM orders GROUP BY 1)
         |SELECT o_orderpriority, n,
-        |       round((sxx - sx * sx / n) / (n - 1), 4) AS var_samp,
-        |       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_samp
+        |       round(greatest(0, (sxx - sx * sx / n) / (n - 1)), 4)
+        |         AS var_samp,
+        |       round(sqrt(greatest(0, (sxx - sx * sx / n) / (n - 1))), 6)
+        |         AS stddev_samp
         |FROM m""".stripMargin,
     // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
     "x17_datetime_suite" ->

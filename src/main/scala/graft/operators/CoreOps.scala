@@ -490,10 +490,14 @@ object CoreOps {
         sum(v).cast(DoubleType).as("sx"),
         sum(v * v).cast(DoubleType).as("sxx"))
       .select(col("o_orderpriority"), col("n"),
-        round((col("sxx") - col("sx") * col("sx") / col("n"))
-          / (col("n") - 1), 4).as("var_samp"),
-        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-          / (col("n") - 1)), 6).as("stddev_samp"))
+        // clamp: double cancellation can leave a tiny negative residue
+        // on a (near-)constant group — Spark's sqrt(neg) is NaN but the
+        // oracle engine hard-errors, so both sides clamp at 0
+        round(greatest(lit(0.0), (col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)), 4).as("var_samp"),
+        round(sqrt(greatest(lit(0.0),
+          (col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1))), 6).as("stddev_samp"))
   }
 
   // ------------------------------------------------------------ X17 datetime suite

@@ -11,14 +11,21 @@ package graft
   * shapes are pinned by their own specs instead. */
 class SuitePlanLintSpec extends SparkSpec {
   // these run jobs / write files / stream when invoked, so building
-  // them here would be an integration run, not a plan inspection
+  // them here would be an integration run, not a plan inspection:
+  // gates + streams, sink roundtrips, iterative dedup, bucketed /
+  // partitioned warehouse writers (b1/p1/p2), and the operators that
+  // collect tiny driver frames while constructing (stratum offsets,
+  // prefix sums, the merge cutoff)
   private val eager = Set(
     "a14_quantile_gate", "dedup_simhash", "sim_lsh_topk", "sim_ivf_topk",
     "a15_hll_merge", "p3_bloom_join", "sim_semdedup", "a18_count_min",
     "stream_batch_parity", "stream_dedup_parity", "stream_upsert_parity",
     "s1_csv_roundtrip", "s7_orc_roundtrip", "s8_json_roundtrip",
     "s9_partitioned_sink", "eth_csv_pipeline",
-    "dedup_corpus", "corpus_diff")
+    "dedup_corpus", "corpus_diff",
+    "b1_bucketed_join", "p1_partition_pruning", "p2_dynamic_pruning",
+    "merge_upsert", "sample_stratified", "sample_cap_per_source",
+    "mix_weighted", "pack_chunks")
 
   test("no lazily-built query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq

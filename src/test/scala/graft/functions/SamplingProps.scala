@@ -114,9 +114,9 @@ object SamplingProps extends Properties("Sampling") {
         chunks.forall { case (c, s0, e) =>
           s0 == c * stride && e == math.min(s0 + size, n) } &&
         chunks.last._3 == n &&                    // full coverage
-        chunks.init.forall { case (c, s0, _) =>   // no interior gap:
-          s0 + size < n || c == chunks.length - 1 } && // every non-final
-        (chunks.length == 1 && n <= size ||           // window is full
+        chunks.init.forall { case (_, s0, _) =>   // every non-final
+          s0 + size < n } &&                      // window is full
+        (chunks.length == 1 && n <= size ||
           chunks.length == (n - size + stride - 1) / stride + 1)
       }
       Prop(ok) :| s"got=$got size=$size stride=$stride"
