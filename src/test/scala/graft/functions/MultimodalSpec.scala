@@ -39,4 +39,22 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() === 0)
     r.unpersist()
   }
+
+  test("format detection: magic routing incl. negative suffix and NULL text") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mmfmt").toString
+    Seq(
+      (1L, Some("x"), "src0", 1L),   // 0 % 3 = 0  -> jpeg
+      (2L, Some("x"), "src4", 1L),   // 4 % 3 = 1  -> png
+      (3L, Some("x"), "src5", 1L),   // 5 % 3 = 2  -> riff
+      (4L, Some("x"), "src-2", 1L),  // pmod(-2,3)=1 -> png (sign rule)
+      (5L, None, "src0", 0L))        // NULL text -> NULL payload -> unknown
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Multimodal.formatDetect(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("src0", "jpeg") -> 1L, ("src4", "png") -> 1L, ("src5", "riff") -> 1L,
+      ("src-2", "png") -> 1L, ("src0", "unknown") -> 1L))
+  }
 }
