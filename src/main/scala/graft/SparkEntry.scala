@@ -155,6 +155,8 @@ object SparkEntry {
     "j9_set_ops"         -> CoreOps.j9SetOps _,
     "t5_limit_offset"    -> ((s, d) => CoreOps.t5LimitOffset(s, d)),
     "g1_recursive_reach" -> CoreOps.g1RecursiveReach _,
+    "q13_custdist"       -> CoreOps.q13Custdist _,
+    "j10_not_in"         -> CoreOps.j10NotIn _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1444,6 +1446,18 @@ object SparkEntry {
         |SELECT node, CAST(MIN(depth) AS INTEGER) AS min_depth,
         |       COUNT(*) AS n_walks
         |FROM reach GROUP BY node""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "j10_not_in" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_never_f
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

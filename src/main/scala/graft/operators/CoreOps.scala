@@ -408,6 +408,43 @@ object CoreOps {
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
 
+  // ------------------------------------------------------------- Q13 custdist
+  /** TPC-H Q13-shaped customer-order distribution: how many customers
+    * placed exactly k orders (including zero — the LEFT join keeps
+    * orderless customers, count(o_orderkey) ignores their null). A
+    * two-level aggregate: the inner per-customer count is the big
+    * hash agg; the outer histogram groups ≤ max-orders rows. The
+    * customer-side join is a shuffle hash/merge at real scale — no
+    * side is broadcastable when both are facts — which is exactly the
+    * shape this query exists to exercise. */
+  def q13Custdist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  // ------------------------------------------------------------ J10 NOT IN anti
+  /** NOT IN via the SQL path [J10]: the null-aware anti join — NOT IN
+    * returns no rows if the subquery yields ANY null, so Catalyst
+    * plans NullAwareAntiJoin rather than a plain left-anti (the
+    * semantics j2_anti_join's Column-API NOT EXISTS deliberately does
+    * not have). The subquery column is non-null here, so the result
+    * matches set difference and the oracle agrees; the point is the
+    * plan and semantics surface SQL users hit constantly. */
+  def j10NotIn(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_j10")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_j10")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_never_f
+        |FROM graft_customer_j10
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_orders_j10
+        |                        WHERE o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   // ---------------------------------------------------------- G1 recursive CTE
   /** Recursive CTE graph reachability [G1]: bounded BFS over the
     * event-type transition graph — WITH RECURSIVE landed in Spark 4,
