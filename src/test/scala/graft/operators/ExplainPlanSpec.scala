@@ -176,6 +176,15 @@ class ExplainPlanSpec extends SparkSpec {
       s"correlated subquery fell into a nested loop:\n$plan")
   }
 
+  test("j10: NOT IN plans as a null-aware anti join") {
+    val plan = CoreOps.j10NotIn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec renders its isNullAwareAntiJoin flag as the
+    // trailing boolean: "... LeftAnti, BuildRight, true"
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN lost its null-aware anti join:\n$plan")
+  }
+
   test("merge_upsert: one hash join on compacted sides, no window over history") {
     val plan = Changelog.mergeUpsert(spark, sfDir)
       .queryExecution.executedPlan.toString
