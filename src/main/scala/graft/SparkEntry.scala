@@ -157,6 +157,7 @@ object SparkEntry {
     "g1_recursive_reach" -> CoreOps.g1RecursiveReach _,
     "q13_custdist"       -> CoreOps.q13Custdist _,
     "j10_not_in"         -> CoreOps.j10NotIn _,
+    "w8_forward_fill"    -> CoreOps.w8ForwardFill _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1458,6 +1459,14 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'F')
         |GROUP BY c_mktsegment""".stripMargin,
+    "w8_forward_fill" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |       CASE WHEN value >= 5 THEN value END AS raw_value,
+        |       last_value(CASE WHEN value >= 5 THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS filled
+        |FROM events""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

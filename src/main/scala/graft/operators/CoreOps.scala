@@ -408,6 +408,24 @@ object CoreOps {
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"))
 
+  // ------------------------------------------------------------ W8 forward fill
+  /** Forward fill [W8]: carry the last non-null observation forward
+    * per key — the standard time-series imputation (sensor dropouts,
+    * sparse snapshots). last(v, ignoreNulls) over the growing frame is
+    * the same primitive the as-of join's union-and-scan uses; one
+    * sort-shuffle on the key, O(1) state per row. Nulls are planted
+    * deterministically (value < 5) so the oracle reproduces them. */
+  def w8ForwardFill(s: SparkSession, d: String): DataFrame = {
+    val v = when(col("value") >= 5, col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      v.as("raw_value"),
+      last(v, ignoreNulls = true).over(w).as("filled"))
+  }
+
   // ------------------------------------------------------------- Q13 custdist
   /** TPC-H Q13-shaped customer-order distribution: how many customers
     * placed exactly k orders (including zero — the LEFT join keeps
