@@ -153,6 +153,28 @@ class StreamsSpec extends SparkSpec {
     assert(got === Set((100L, 200L)))
   }
 
+  test("AvailableNow trigger drains all input then terminates on its own") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_anow").toString
+    try {
+      val ev = mkEvents.toDF()
+      ev.write.mode("overwrite").parquet(s"$base/in")
+      val q = Streams.tumblingCounts(
+        Streams.readEventStream(spark, s"$base/in"), watermark = "10 hours")
+        .writeStream.format("memory").queryName("anow")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt").start()
+      // the batch-over-stream mode: processes everything available,
+      // then STOPS — no explicit stop() needed, unlike processing
+      // triggers. The operational shape of a scheduled incremental job.
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val got = spark.table("anow").agg(sum(col("n_events")))
+        .head().getLong(0)
+      assert(got === mkEvents.size)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("left-outer stream-stream join: unmatched views emit nulls after watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
