@@ -158,6 +158,7 @@ object SparkEntry {
     "q13_custdist"       -> CoreOps.q13Custdist _,
     "j10_not_in"         -> CoreOps.j10NotIn _,
     "w8_forward_fill"    -> CoreOps.w8ForwardFill _,
+    "q4_priority_exists" -> CoreOps.q4PriorityExists _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1467,6 +1468,13 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS filled
         |FROM events""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

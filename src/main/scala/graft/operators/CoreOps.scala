@@ -444,6 +444,25 @@ object CoreOps {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
 
+  // ----------------------------------------------------------- Q4 WHERE EXISTS
+  /** TPC-H Q4-shaped priority check [Q4]: orders with at least one
+    * line shipped more than 60 days after the order date, counted per
+    * priority. WHERE EXISTS with a correlated NON-EQUI term — Catalyst
+    * decorrelates to a left-semi hash join on the orderkey carrying
+    * the inequality as a join residual, complementing j8's projected
+    * EXISTS (ExistenceJoin) and j10's null-aware NOT IN. */
+  def q4PriorityExists(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_q4")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q4")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM graft_orders_q4
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem_q4
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   // ------------------------------------------------------------ J10 NOT IN anti
   /** NOT IN via the SQL path [J10]: the null-aware anti join — NOT IN
     * returns no rows if the subquery yields ANY null, so Catalyst
