@@ -159,6 +159,10 @@ object SparkEntry {
     "j10_not_in"         -> CoreOps.j10NotIn _,
     "w8_forward_fill"    -> CoreOps.w8ForwardFill _,
     "q4_priority_exists" -> CoreOps.q4PriorityExists _,
+    "q17_small_qty"      -> CoreOps.q17SmallQty _,
+    "q20_potential_promo" -> CoreOps.q20PotentialPromo _,
+    "q21_waiting_supp"   -> CoreOps.q21WaitingSupp _,
+    "q2_min_cost_supp"   -> CoreOps.q2MinCostSupp _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1475,6 +1479,48 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q20_potential_promo" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'small%')
+        |    AND l1.l_shipdate >= TIMESTAMP '2001-01-01'
+        |    AND l1.l_quantity > 1.9 * (SELECT AVG(l2.l_quantity)
+        |                               FROM lineitem l2
+        |                               WHERE l2.l_partkey = l1.l_partkey))""".stripMargin,
+    "q21_waiting_supp" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    "q2_min_cost_supp" ->
+      """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_size = 10
+        |  AND l.l_extendedprice / l.l_quantity =
+        |      (SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |       FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

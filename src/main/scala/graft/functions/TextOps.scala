@@ -77,7 +77,11 @@ object TextOps {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val cnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val den = cnt.groupBy(col("w1")).agg(sum(col("n")).as("d"))
-    cnt.join(broadcast(den), Seq("w1"))
+    // no broadcast hint: den has one row per distinct first token, and
+    // vocabulary is unbounded at web-corpus scale — a forced broadcast
+    // could OOM the driver there. AQE sees den's true post-agg size at
+    // runtime and still broadcasts it whenever it actually is small.
+    cnt.join(den, Seq("w1"))
       .select(col("w1"), col("w2"), col("n"),
         round(col("n") / col("d"), 6).as("p"))
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc)

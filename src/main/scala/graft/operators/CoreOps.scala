@@ -463,6 +463,120 @@ object CoreOps {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  // ---------------------------------------------------- Q17 correlated scalar AVG
+  /** TPC-H Q17-shaped small-quantity revenue [Q17]: lines of one brand
+    * whose quantity is below half the part's own average quantity — the
+    * canonical CORRELATED SCALAR AGGREGATE subquery. Catalyst
+    * decorrelates it into aggregate-then-join: one hash aggregate
+    * computes avg(l_quantity) per partkey, then joins back to lineitem
+    * on the equi-key — never a per-row re-scan (that would be O(n²) at
+    * 100 TB; TpchDecorrelationSpec pins the plan is nested-loop-free
+    * and contains the standalone per-key Aggregate). Revenue sums
+    * through DECIMAL so the single output row is partition-independent;
+    * l_quantity is integral-valued so avg is exact in DOUBLE on both
+    * engines and the 0.5·avg comparison cannot straddle an ulp.
+    * (p_container is not in this testdata's part schema — the brand
+    * predicate alone keeps Q17's selective-dim shape.) */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q17")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_q17")
+    s.sql(
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       COUNT(*) AS n_lines
+        |FROM graft_lineitem_q17 JOIN graft_part_q17 ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < 0.5 * (SELECT AVG(l2.l_quantity)
+        |                          FROM graft_lineitem_q17 l2
+        |                          WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  // ------------------------------------------------ Q20 nested IN + correlated AVG
+  /** TPC-H Q20-shaped excess-shippers [Q20]: suppliers who recently
+    * shipped a name-filtered part in a quantity far above that part's
+    * own average — a NESTED IN (supplier ← lineitem ← part) whose inner
+    * block carries a CORRELATED AGGREGATE over lineitem, the two-level
+    * decorrelation Q4/J8/J10 don't reach. Catalyst plans the part IN as
+    * a left-semi join, the correlated AVG as aggregate-then-join on
+    * partkey, and the outer IN as another left-semi — three hash joins,
+    * zero nested loops (plan-pinned). At 100 TB every join is equi-keyed
+    * and the per-part aggregate is partial-agg'd map-side. (This
+    * testdata has no partsupp table, so lineitem's own shipped
+    * quantities stand in for ps_availqty — the decorrelation shape,
+    * which is what the query exists to exercise, is unchanged.) */
+  def q20PotentialPromo(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q20")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_q20")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_q20")
+    s.sql(
+      """SELECT s_suppkey, s_name FROM graft_supplier_q20
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM graft_lineitem_q20 l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM graft_part_q20
+        |                         WHERE p_name LIKE 'small%')
+        |    AND l1.l_shipdate >= TIMESTAMP '2001-01-01'
+        |    AND l1.l_quantity > 1.9 * (SELECT AVG(l2.l_quantity)
+        |                               FROM graft_lineitem_q20 l2
+        |                               WHERE l2.l_partkey = l1.l_partkey))""".stripMargin)
+  }
+
+  // ------------------------------------------------ Q21 double EXISTS / NOT EXISTS
+  /** TPC-H Q21-shaped waiting-supplier count [Q21]: for finished
+    * orders, the supplier whose line shipped LAST among multiple
+    * suppliers on the same order — one correlated EXISTS (another
+    * supplier participated) and one correlated NOT EXISTS with a
+    * non-equi term (nobody shipped later). Catalyst decorrelates to a
+    * left-semi plus a null-safe left-anti hash join on orderkey, each
+    * carrying its inequality as a join residual — the double-subquery
+    * shape SQL users hit in shipment/settlement audits. Top-25 with a
+    * name tiebreak keeps the output deterministic. (l_receiptdate /
+    * l_commitdate aren't in this schema; shipdate ordering preserves
+    * the exists/not-exists structure.) */
+  def q21WaitingSupp(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q21")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_q21")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_q21")
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM graft_supplier_q21, graft_lineitem_q21 l1, graft_orders_q21
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem_q21 l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem_q21 l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin)
+  }
+
+  // ------------------------------------------------- Q2 correlated MIN per group
+  /** TPC-H Q2-shaped cheapest-supplier lookup [Q2]: for each part of
+    * one size, the supplier(s) achieving the minimum unit price — a
+    * correlated scalar MIN compared by equality, the min-per-group
+    * decorrelation (vs Q17's threshold use of the scalar). Catalyst
+    * turns it into a per-partkey MIN aggregate joined back on
+    * (partkey, unit = min_unit); the unit price is the same double
+    * division on both engines so the equality is bit-exact. DISTINCT
+    * because several lines can hit the min at the same price. */
+  def q2MinCostSupp(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q2")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_q2")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_q2")
+    s.sql(
+      """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name
+        |FROM graft_part_q2 p
+        |JOIN graft_lineitem_q2 l ON p.p_partkey = l.l_partkey
+        |JOIN graft_supplier_q2 s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_size = 10
+        |  AND l.l_extendedprice / l.l_quantity =
+        |      (SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |       FROM graft_lineitem_q2 l2
+        |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+  }
+
   // ------------------------------------------------------------ J10 NOT IN anti
   /** NOT IN via the SQL path [J10]: the null-aware anti join — NOT IN
     * returns no rows if the subquery yields ANY null, so Catalyst
