@@ -86,7 +86,7 @@ object SparkEntry {
     "sim_ivf_topk"       -> ((s, d) => Gates.ivfRecallGate(s, d)),
     "mm_decode"          -> Multimodal.decodeMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
-    "mm_resize"          -> Multimodal.resizeStub _,
+    "mm_resize"          -> Multimodal.resize _,
     "ev_window"          -> EventOps.tumblingWindow _,
     "ev_session"         -> ((s, d) => EventOps.sessionize(s, d)),
     "ev_session_native"  -> ((s, d) => EventOps.sessionizeNative(s, d)),
@@ -589,36 +589,76 @@ object SparkEntry {
         |  CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos,
         |  CAST(round(unnest(v) * 127.0 / amax) AS INTEGER) AS q
         |FROM m""".stripMargin,
+    // mm_decode/mm_resize: the engine renders, PNG/JPEG-encodes, then
+    // REALLY decodes each payload (javax.imageio); the oracle predicts
+    // the decoded values arithmetically because the planted raster is
+    // linear-mod-256 in (doc_id, x, y) and PNG is lossless. JPEG rows
+    // (doc_id % 3 = 0) check format + geometry; content probes are NULL
+    // on both sides (lossy pixel values aren't portably predictable).
     "mm_decode" ->
-      """SELECT doc_id, source AS fmt,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
-        |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+        |         16 + doc_id % 48 AS w,
+        |         16 + (doc_id * 7) % 32 AS h
+        |  FROM documents),
+        |r0 AS (
+        |  SELECT doc_id, CAST(SUM((doc_id * 31 + x * 7) % 256) AS BIGINT) AS s0
+        |  FROM (SELECT doc_id, unnest(generate_series(0, w - 1)) AS x
+        |        FROM d WHERE fmt = 'png')
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.fmt,
+        |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+        |  CAST(CASE WHEN d.fmt = 'png'
+        |    THEN (d.doc_id * 31) % 256 END AS INTEGER) AS c00_r,
+        |  CAST(CASE WHEN d.fmt = 'png'
+        |    THEN (d.doc_id * 17) % 256 END AS INTEGER) AS c00_g,
+        |  CAST(CASE WHEN d.fmt = 'png'
+        |    THEN (d.doc_id * 11) % 256 END AS INTEGER) AS c00_b,
+        |  CAST(CASE WHEN d.fmt = 'png'
+        |    THEN (d.doc_id * 31 + (d.w-1)*7 + (d.h-1)*13) % 256
+        |    END AS INTEGER) AS c11_r,
+        |  CAST(CASE WHEN d.fmt = 'png'
+        |    THEN (d.doc_id * 17 + (d.w-1)*3 + (d.h-1)*29) % 256
+        |    END AS INTEGER) AS c11_g,
+        |  CAST(CASE WHEN d.fmt = 'png'
+        |    THEN (d.doc_id * 11 + (d.w-1)*23 + (d.h-1)*5) % 256
+        |    END AS INTEGER) AS c11_b,
+        |  r0.s0 AS row0_red_sum
+        |FROM d LEFT JOIN r0 ON d.doc_id = r0.doc_id""".stripMargin,
+    // mid_r mirrors the engine's align-corners bilinear at output
+    // (12, 0): row 0 has no y-interpolation, so the probe is the exact
+    // double expression (1-fx)*p(x0) + fx*p(x1) rounded half-up — both
+    // engines run the identical IEEE-double op sequence.
     "mm_resize" ->
-      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
-        |                  CAST(octet_length(encode(text)) AS INTEGER) AS n
-        |           FROM documents),
-        |s AS (SELECT doc_id, h, n,
-        |        GREATEST(1, CAST(ceil(n / 96.0) AS INTEGER)) AS stride
-        |      FROM m),
-        |ix AS (SELECT doc_id, h, n, stride,
-        |         unnest(generate_series(0, n - 1, stride)) AS bi
-        |       FROM s WHERE n > 0),
-        |b AS (SELECT doc_id, bi,
-        |        CAST(('0x' || substring(h, CAST(bi * 2 + 1 AS INTEGER), 2))
-        |             AS INTEGER) AS bv
-        |      FROM ix),
-        |a AS (SELECT doc_id, COUNT(*) AS cnt, SUM(bv) AS sm,
-        |        MAX(CASE WHEN bi = 0 THEN bv END) AS head
-        |      FROM b GROUP BY 1)
-        |SELECT s.doc_id, s.n AS orig_len,
-        |  CAST(s.stride AS INTEGER) AS stride,
-        |  CAST(COALESCE(a.cnt, 0) AS INTEGER) AS out_len,
-        |  CAST(COALESCE(a.head, -1) AS INTEGER) AS out_head,
-        |  CAST(COALESCE(a.sm, 0) AS BIGINT) AS out_sum
-        |FROM s LEFT JOIN a USING (doc_id)""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+        |         16 + doc_id % 48 AS w,
+        |         16 + (doc_id * 7) % 32 AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT *, 12.0 * (w - 1) / 23 AS sx,
+        |         CAST(floor(12.0 * (w - 1) / 23) AS INTEGER) AS x0
+        |  FROM d),
+        |m2 AS (SELECT *, sx - x0 AS fx, LEAST(x0 + 1, w - 1) AS x1 FROM m)
+        |SELECT doc_id, fmt,
+        |  CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+        |  CAST(24 AS INTEGER) AS out_w, CAST(16 AS INTEGER) AS out_h,
+        |  CAST(CASE WHEN fmt = 'png'
+        |    THEN (doc_id*31) % 256 END AS INTEGER) AS c00_r,
+        |  CAST(CASE WHEN fmt = 'png'
+        |    THEN (doc_id*31 + (w-1)*7) % 256 END AS INTEGER) AS c10_r,
+        |  CAST(CASE WHEN fmt = 'png'
+        |    THEN (doc_id*31 + (h-1)*13) % 256 END AS INTEGER) AS c01_r,
+        |  CAST(CASE WHEN fmt = 'png'
+        |    THEN (doc_id*31 + (w-1)*7 + (h-1)*13) % 256
+        |    END AS INTEGER) AS c11_r,
+        |  CAST(CASE WHEN fmt = 'png'
+        |    THEN floor((1.0 - fx) * ((doc_id*31 + x0*7) % 256)
+        |               + fx * ((doc_id*31 + x1*7) % 256) + 0.5)
+        |    END AS INTEGER) AS mid_r
+        |FROM m2""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         |SELECT doc_id,

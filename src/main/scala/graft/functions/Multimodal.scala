@@ -1,41 +1,128 @@
 package graft.functions
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: media payloads as opaque BinaryType
-  * columns with typed metadata, "decoded" in batches via mapPartitions.
+/** Multimodal columns: media payloads as opaque BinaryType columns,
+  * decoded in partition-parallel batches via mapPartitions — the Scala
+  * analogue of mapInPandas batch UDFs. The decode is REAL: payloads are
+  * genuine PNG/JPEG byte streams (encoded with the JDK's javax.imageio,
+  * deterministically rendered per doc id), and every downstream number
+  * comes from [[ImageIO]] actually parsing those bytes — container
+  * sniffing via the registered ImageReader, raster decode, and a
+  * hand-rolled bilinear resize over the decoded pixels.
   *
-  * The decode itself is a STUB (no image/audio libs in this container):
-  * `fakeDecode` derives deterministic metadata from the bytes. The
-  * Spark-side plumbing is real and what matters at 100 TB: binary
-  * columns travel in parquet, the decode runs partition-parallel with
-  * a typed Encoder boundary (the Scala analogue of mapInPandas batch
-  * UDFs), and downstream columns are plain Catalyst types.
+  * Oracle strategy: the planted raster is arithmetic in (doc_id, x, y)
+  * and PNG is lossless, so DuckDB predicts decoded geometry AND pixel
+  * probes without touching an image library; any codec/plumbing bug
+  * shows up as a value mismatch. JPEG rows prove the second real codec
+  * path end-to-end but expose only geometry to the oracle (lossy pixel
+  * values aren't portably predictable); their content columns are NULL
+  * by construction on both sides.
   */
 object Multimodal {
-  case class MediaIn(doc_id: Long, fmt: String, payload: Array[Byte])
-  case class MediaMeta(doc_id: Long, fmt: String, byte_len: Int,
-    width: Int, height: Int, n_frames: Int)
+  // ------------------------------------------------------ planted raster
+  // Channel values are mod-256 linear forms in (id, x, y): trivial for
+  // the DuckDB oracle to evaluate, non-constant along every axis so a
+  // transposed / flipped / off-by-one decode cannot pass.
+  private[graft] def plantR(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7L + y * 13L) % 256).toInt
+  private[graft] def plantG(id: Long, x: Int, y: Int): Int =
+    ((id * 17 + x * 3L + y * 29L) % 256).toInt
+  private[graft] def plantB(id: Long, x: Int, y: Int): Int =
+    ((id * 11 + x * 23L + y * 5L) % 256).toInt
+  /** Per-doc dims: w in 16..63, h in 16..47 — small enough that sf0.1's
+    * 5k docs encode in seconds, varied enough to exercise both the
+    * upscale and downscale paths of the fixed-target resize. */
+  private[graft] def plantDims(id: Long): (Int, Int) =
+    (16 + (id % 48).toInt, 16 + ((id * 7) % 32).toInt)
+  private[graft] def plantFmt(id: Long): String =
+    if (id % 3 == 0) "jpeg" else "png"
 
-  /** STUB decoder: a real implementation would hand `payload` to an
-    * image/audio codec here. Deterministic arithmetic stands in so the
-    * pipeline is testable end-to-end (and oracle-checkable). */
-  def fakeDecode(m: MediaIn): MediaMeta = {
-    val n = m.payload.length
-    MediaMeta(m.doc_id, m.fmt, n, n % 640, (n * 7) % 480, n % 30 + 1)
+  private[graft] def renderImage(id: Long): BufferedImage = {
+    val (w, h) = plantDims(id)
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        im.setRGB(x, y,
+          (plantR(id, x, y) << 16) | (plantG(id, x, y) << 8) | plantB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    im
   }
 
-  /** Build a binary media table from documents (payload = utf-8 bytes,
-    * fmt = source), then batch-decode via mapPartitions. */
+  /** Genuine encoded bytes — the fixture payload a binary lake column
+    * would hold. JPEG for every third doc, PNG otherwise. */
+  private[graft] def encodeImage(id: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(renderImage(id), plantFmt(id), bos)
+    bos.toByteArray
+  }
+
+  /** Real decode through the registered ImageReader: the format comes
+    * from container sniffing on the BYTES (not from metadata we carry
+    * along), the raster from the codec. */
+  private[graft] def decodeImage(payload: Array[Byte]): (String, BufferedImage) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) throw new IllegalArgumentException("unknown image format")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        (reader.getFormatName.toLowerCase, reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, fmt: String, width: Int, height: Int,
+    c00_r: Option[Int], c00_g: Option[Int], c00_b: Option[Int],
+    c11_r: Option[Int], c11_g: Option[Int], c11_b: Option[Int],
+    row0_red_sum: Option[Long])
+
+  /** The binary media table: one encoded image per document row. The
+    * payload travels through a typed Dataset boundary exactly as a
+    * parquet binary column would — downstream stages see bytes only. */
+  private def mediaTable(s: SparkSession, d: String) = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaIn(id, encodeImage(id))))
+  }
+
+  /** Decode metadata + pixel probes [MM-DECODE]: batch-decode the
+    * binary payloads and emit what a real ingest pipeline extracts —
+    * sniffed format, decoded geometry, corner pixels, and a row-0
+    * channel checksum. All values come from the DECODED raster; for
+    * PNG they must equal the planted arithmetic (lossless roundtrip),
+    * for JPEG the content probes are NULL (lossy) while format and
+    * geometry stay oracle-checked. Map-only at scan parallelism. */
   def decodeMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = graft.Tables.documents(s, d)
-      .select(col("doc_id"), col("source").as("fmt"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaIn]
-    media.mapPartitions(_.map(fakeDecode)).toDF()
+    mediaTable(s, d).mapPartitions(_.map { m =>
+      val (fmt, im) = decodeImage(m.payload)
+      val (w, h) = (im.getWidth, im.getHeight)
+      def ch(x: Int, y: Int, shift: Int): Int = (im.getRGB(x, y) >> shift) & 0xff
+      if (fmt == "png") {
+        var s0 = 0L
+        var x = 0
+        while (x < w) { s0 += ch(x, 0, 16); x += 1 }
+        MediaMeta(m.doc_id, fmt, w, h,
+          Some(ch(0, 0, 16)), Some(ch(0, 0, 8)), Some(ch(0, 0, 0)),
+          Some(ch(w - 1, h - 1, 16)), Some(ch(w - 1, h - 1, 8)),
+          Some(ch(w - 1, h - 1, 0)), Some(s0))
+      } else
+        MediaMeta(m.doc_id, fmt, w, h, None, None, None, None, None, None, None)
+    }).toDF()
   }
 
   /** Container-format detection over raw binary payloads
@@ -70,33 +157,80 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"))
   }
 
-  case class Resized(doc_id: Long, orig_len: Int, stride: Int,
-    out_len: Int, out_head: Int, out_sum: Long)
+  // ------------------------------------------------------ bilinear resize
+  val OutW = 24
+  val OutH = 16
 
-  val ResizeTarget = 96
+  /** Align-corners bilinear over a packed-RGB raster — the standard
+    * image rescale, hand-rolled so the arithmetic is pinned (AWT's
+    * Graphics2D leaves interpolation details to the rendering engine;
+    * this kernel is the same double math on every JVM and mirrorable
+    * in SQL). Output corners land exactly on source corners (fx=fy=0
+    * there), which is what makes corner probes oracle-exact. */
+  private[graft] def bilinearResize(im: BufferedImage,
+      outW: Int, outH: Int): Array[Int] = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val out = new Array[Int](outW * outH)
+    var j = 0
+    while (j < outH) {
+      val sy = j.toDouble * (h - 1) / (outH - 1)
+      val y0 = math.floor(sy).toInt
+      val fy = sy - y0
+      val y1 = math.min(y0 + 1, h - 1)
+      var i = 0
+      while (i < outW) {
+        val sx = i.toDouble * (w - 1) / (outW - 1)
+        val x0 = math.floor(sx).toInt
+        val fx = sx - x0
+        val x1 = math.min(x0 + 1, w - 1)
+        val (p00, p10, p01, p11) =
+          (im.getRGB(x0, y0), im.getRGB(x1, y0), im.getRGB(x0, y1), im.getRGB(x1, y1))
+        var rgb = 0
+        var shift = 16
+        while (shift >= 0) {
+          val v = (1.0 - fy) * ((1.0 - fx) * ((p00 >> shift) & 0xff) +
+              fx * ((p10 >> shift) & 0xff)) +
+            fy * ((1.0 - fx) * ((p01 >> shift) & 0xff) +
+              fx * ((p11 >> shift) & 0xff))
+          rgb |= (math.round(v).toInt & 0xff) << shift
+          shift -= 8
+        }
+        out(j * outW + i) = rgb
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
 
-  /** Resize/downsample transform: the N-bytes-in, M-bytes-out shape an
-    * image resizer or audio resampler has. The STUB samples every
-    * `stride`-th byte so the output stays ≤ [[ResizeTarget]] bytes; a
-    * real implementation would run the codec's scaler on `payload` in
-    * the same mapPartitions batch. The emitted geometry (stride,
-    * out_len) plus content probes (first sampled byte, byte sum) pin
-    * the transform end-to-end for the oracle without shipping the
-    * payload itself through the compare. Map-only at scan parallelism,
-    * like every per-item media transform. */
-  def resizeStub(s: SparkSession, d: String): DataFrame = {
+  case class Resized(doc_id: Long, fmt: String, src_w: Int, src_h: Int,
+    out_w: Int, out_h: Int,
+    c00_r: Option[Int], c10_r: Option[Int], c01_r: Option[Int],
+    c11_r: Option[Int], mid_r: Option[Int])
+
+  /** Real resize [MM-RESIZE]: decode the payload, bilinear-rescale the
+    * raster to a fixed target, emit geometry plus probes of the
+    * RESIZED pixels. The four corner probes are interpolation-free
+    * (align-corners) so for PNG they equal the planted source corners;
+    * mid_r at (OutW/2, 0) IS interpolated — the oracle reproduces the
+    * exact double formula, so a nearest-neighbor or stride-sampling
+    * impostor fails the hash. JPEG rows resize for real too but expose
+    * only geometry (NULL probes). Map-only at scan parallelism, like
+    * every per-item media transform. */
+  def resize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        val n = payload.length
-        val stride = math.max(1, (n + ResizeTarget - 1) / ResizeTarget)
-        val outIdx = 0 until n by stride
-        Resized(id, n, stride, outIdx.size,
-          if (n == 0) -1 else payload(0) & 0xff,
-          outIdx.foldLeft(0L)((acc, i) => acc + (payload(i) & 0xff)))
-      }).toDF()
+    mediaTable(s, d).mapPartitions(_.map { m =>
+      val (fmt, im) = decodeImage(m.payload)
+      val (w, h) = (im.getWidth, im.getHeight)
+      val px = bilinearResize(im, OutW, OutH)
+      def r(i: Int, j: Int): Int = (px(j * OutW + i) >> 16) & 0xff
+      if (fmt == "png")
+        Resized(m.doc_id, fmt, w, h, OutW, OutH,
+          Some(r(0, 0)), Some(r(OutW - 1, 0)), Some(r(0, OutH - 1)),
+          Some(r(OutW - 1, OutH - 1)), Some(r(OutW / 2, 0)))
+      else
+        Resized(m.doc_id, fmt, w, h, OutW, OutH, None, None, None, None, None)
+    }).toDF()
   }
 
   case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int)
@@ -105,9 +239,11 @@ object Multimodal {
 
   /** Frame sampling: one media row fans out to ceil(len/FrameBytes)
     * frame rows — the 1→N generator shape a video frame-sampler has.
-    * A real sampler would decode `payload` per window here; the stub
-    * emits the window geometry, keeping the fan-out plumbing (row
-    * explosion inside mapPartitions, no driver involvement) real. */
+    * Video codecs aren't in the JDK (unlike the image path above, this
+    * one is environment-blocked), so the emitted rows are the window
+    * geometry; the fan-out plumbing (row explosion inside
+    * mapPartitions, no driver involvement) is the real thing a frame
+    * sampler needs at 100 TB. */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, d)
