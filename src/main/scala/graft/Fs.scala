@@ -21,4 +21,35 @@ object Fs {
 
   def deleteRecursively(dir: String): Unit =
     deleteRecursively(java.nio.file.Paths.get(dir))
+
+  // per-JVM tag on scratch dirs: a concurrent second JVM on the same sf
+  // dir (Verify overlapping Bench on a contended box) must not overwrite
+  // files the first is mid-scan on
+  private val jvmTag =
+    Integer.toHexString(java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.hashCode)
+
+  /** Scratch dir for write-then-read-back queries, keyed by
+    * (prefix, dataset, JVM, SESSION): two sessions in one JVM running
+    * the same query concurrently get disjoint dirs (an overwrite would
+    * race a scan already planned on the other session), while same-
+    * session reruns reuse one dir instead of accreting a copy per run
+    * (Bench passes the suite multiple times). Registered for deletion
+    * on JVM exit — no reads can be in flight once the JVM is down. */
+  def scratchDir(s: org.apache.spark.sql.SparkSession, prefix: String,
+      d: String): String = {
+    val dir = sys.props("java.io.tmpdir") + s"/${prefix}_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmTag + "_" +
+      Integer.toHexString(System.identityHashCode(s))
+    cleanupOnExit(dir)
+    dir
+  }
+
+  private val exitCleanup =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private def cleanupOnExit(dir: String): Unit =
+    if (exitCleanup.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(dir)))
+    }
 }

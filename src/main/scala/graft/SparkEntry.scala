@@ -159,6 +159,8 @@ object SparkEntry {
     "j10_not_in"         -> CoreOps.j10NotIn _,
     "w8_forward_fill"    -> CoreOps.w8ForwardFill _,
     "q4_priority_exists" -> CoreOps.q4PriorityExists _,
+    "stream_availablenow_parity" ->
+      graft.streaming.StreamGates.streamAvailableNowParity _,
     "q17_small_qty"      -> CoreOps.q17SmallQty _,
     "q20_potential_promo" -> CoreOps.q20PotentialPromo _,
     "q21_waiting_supp"   -> CoreOps.q21WaitingSupp _,
@@ -1338,6 +1340,10 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS upsert_parity,
         |       COUNT(DISTINCT user_id) AS n_rows
         |FROM events WHERE user_id < 60""".stripMargin,
+    "stream_availablenow_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS availablenow_parity,
+        |       COUNT(*) AS n_rows
+        |FROM events WHERE user_id < 80""".stripMargin,
     "j8_exists_correlated" ->
       """SELECT c_mktsegment,
         |       COUNT(*) AS n_customers,

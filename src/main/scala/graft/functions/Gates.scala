@@ -193,9 +193,11 @@ object Gates {
     * full fact table and shuffling the ~1% that survives the semi-join
     * reduction; locally the tables sit under the injection thresholds,
     * so the gate pins them (application-side floor to 0, broadcast off
-    * so a shuffle join exists to prune) exception-safely around plan
-    * construction, exactly how a cluster job would rely on the
-    * defaults.
+    * so a shuffle join exists to prune) — on a gate-private
+    * `newSession()` child so the pins are invisible to any query
+    * running concurrently on the caller's session (a set/restore on
+    * the shared session would race it), exactly how a cluster job
+    * would rely on the defaults.
     *
     * Checked: (1) `might_contain` is actually in the optimized plan —
     * the feature engaged, not silently skipped; (2) the pruned result
@@ -208,8 +210,12 @@ object Gates {
     * vs a constant oracle; n_groups ties the gate to the data (the
     * oracle recomputes it relationally). */
   def bloomJoinGate(s: SparkSession, d: String): DataFrame = {
-    def joined = graft.Tables.lineitem(s, d)
-      .join(graft.Tables.orders(s, d)
+    // gate-private session: both runs build their plans here, the pins
+    // are set once and die with the child — nothing on the caller's
+    // session mutates, so there is no restore and nothing to race
+    val iso = s.newSession()
+    def joined = graft.Tables.lineitem(iso, d)
+      .join(graft.Tables.orders(iso, d)
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_totalprice") < 10000),
         col("l_orderkey") === col("o_orderkey"))
@@ -221,25 +227,18 @@ object Gates {
       df.collect().iterator
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSeq.sorted
-    val base = rowsOf(joined) // session defaults: broadcast join, no bloom
-    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-    val saved = keys.map(k => k -> s.conf.getOption(k))
-    val (planOk, same, n) =
-      try {
-        s.conf.set(keys(0), "-1")
-        s.conf.set(keys(1), "0")
-        val bloomed = joined // fresh plan, optimized under the pins
-        val ok = bloomed.queryExecution.optimizedPlan.toString
-          .contains("might_contain")
-        val rows = rowsOf(bloomed)
-        (ok, rows == base, rows.size.toLong)
-      } finally saved.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
-      }
+    val base = rowsOf(joined) // child defaults: broadcast join, no bloom
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    val bloomed = joined // fresh plan, optimized under the pins
+    val planOk = bloomed.queryExecution.optimizedPlan.toString
+      .contains("might_contain")
+    val rows = rowsOf(bloomed)
     import s.implicits._
-    Seq((planOk, same, n)).toDF("bloom_in_plan", "results_equal", "n_groups")
+    Seq((planOk, rows == base, rows.size.toLong))
+      .toDF("bloom_in_plan", "results_equal", "n_groups")
   }
 
   /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs

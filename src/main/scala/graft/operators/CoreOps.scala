@@ -1199,33 +1199,15 @@ object CoreOps {
     * reads it back with a declared schema, and aggregates — the oracle
     * runs the same aggregate on the original parquet, so the whole
     * write→read cycle must be lossless. [S1, S5, S6] */
-  // per-JVM tag on roundtrip scratch dirs: a concurrent second JVM on
-  // the same sf dir (Verify overlapping Bench on a contended box) must
-  // not overwrite files the first is mid-scan on — same-JVM reruns
-  // still reuse one dir instead of accreting copies
-  private val jvmTag =
-    Integer.toHexString(java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName.hashCode)
-
-  private val exitCleanup =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
-  private def cleanupOnExit(dir: String): Unit =
-    if (exitCleanup.add(dir)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        graft.Fs.deleteRecursively(dir)))
-    }
-
   /** Shared write-then-read-back roundtrip aggregate for the source/
     * sink format queries (CSV [S1/S5/S6], ORC [S7]): identical column
     * slice and aggregate so the format conversion itself is the only
-    * variable under test. */
+    * variable under test. Scratch dirs are keyed per (JVM, session)
+    * via [[graft.Fs.scratchDir]] so concurrent sessions can't race an
+    * overwrite against each other's scans. */
   private def formatRoundtrip(s: SparkSession, d: String,
       format: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + s"/graft_${format}_roundtrip_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmTag
-    // per-JVM dirs would otherwise accrete one lineitem copy per run —
-    // reap on exit (no reads can be in flight once the JVM is down)
-    cleanupOnExit(out)
+    val out = graft.Fs.scratchDir(s, s"graft_${format}_roundtrip", d)
     val slice = Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
         "l_shipdate")
@@ -1293,9 +1275,7 @@ object CoreOps {
     * filter over the re-read produces PartitionFilters, proving the
     * written layout actually prunes. */
   def s9PartitionedSink(s: SparkSession, d: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_partsink_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + jvmTag
-    cleanupOnExit(out)
+    val out = graft.Fs.scratchDir(s, "graft_partsink", d)
     Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)

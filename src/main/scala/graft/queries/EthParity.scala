@@ -134,8 +134,9 @@ object EthParity {
     * aggregate cycle is hash-checked. */
   def csvPipelineOverTestdata(s: SparkSession, d: String): DataFrame = {
     import graft.Tables
-    val out = sys.props("java.io.tmpdir") + "/graft_eth_csv_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
+    // per-(JVM, session) scratch dir: concurrent sessions must not
+    // overwrite the CSV another session's scan is mid-read on
+    val out = graft.Fs.scratchDir(s, "graft_eth_csv", d)
     val o = Tables.orders(s, d)
     val line = concat_ws(",",
       lit("h"), lit("0"), lit("bh"), lit("1"), lit("0"), lit("0xfrom"),

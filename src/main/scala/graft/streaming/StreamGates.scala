@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.Tables
 import graft.operators.{Changelog, EventOps}
@@ -25,12 +25,32 @@ import graft.operators.{Changelog, EventOps}
   * gives the engine a batch in which window finalization and session
   * EventTimeTimeouts actually fire (watermark updates take effect one
   * batch after the data that moved them).
+  *
+  * SESSION ISOLATION: stateful streaming allocates one state-store
+  * partition per shuffle partition PER MICRO-BATCH, so each gate pins
+  * shuffle partitions to 4 — on a gate-private `newSession()` child,
+  * never the caller's session. The pin lives and dies with the child
+  * (shared SparkContext, own SQLConf/temp views), so a concurrent
+  * query on the caller's session can never observe it and there is no
+  * save/restore to race. The returned frame is re-created on the
+  * CALLER's session so downstream writes behave as expected.
   */
 object StreamGates {
   import graft.functions.Gates.symDiffEmpty
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.Fs.deleteRecursively(p)
+
+  /** Gate-private child session: inherits the context's defaults (UTC,
+    * codegen, etc.) but owns its SQLConf and temp-view catalog. */
+  private def isolated(s: SparkSession): SparkSession = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso
+  }
+
+  private def safeStop(q: StreamingQuery): Unit =
+    if (q != null) try q.stop() catch { case _: Throwable => () }
 
   /** Gate query [stream_dedup_parity]: dropDuplicatesWithinWatermark
     * really deduplicates ACROSS micro-batches while keeping only
@@ -45,10 +65,11 @@ object StreamGates {
     * distinct event_ids; n_rows gives the oracle a relational check. */
   def streamDedupParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val iso = isolated(s)
     val base = Files.createTempDirectory("graft_sdp").toString
     try {
     val inDir = s"$base/in"
-    val ev = Tables.events(s, d)
+    val ev = Tables.events(iso, d)
       .filter(col("user_id") < 50)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
@@ -59,12 +80,9 @@ object StreamGates {
     val maxMs = maxRow.getTimestamp(0).getTime
     val dups = ev.filter(unix_millis(col("ts")) >= maxMs - 10L * 60 * 1000)
 
-    try s.catalog.dropTempView("sdp_dedup") catch { case _: Throwable => () }
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     var q: StreamingQuery = null
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      q = Streams.dedupedEvents(Streams.readEventStream(s, inDir))
+      q = Streams.dedupedEvents(Streams.readEventStream(iso, inDir))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName("sdp_dedup")
         .option("checkpointLocation", s"$base/ckpt").start()
@@ -73,12 +91,9 @@ object StreamGates {
       // have survived the first batch boundary for these to be dropped
       dups.write.mode("append").parquet(inDir)
       q.processAllAvailable()
-    } finally {
-      if (q != null) try q.stop() catch { case _: Throwable => () }
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    }
+    } finally safeStop(q)
 
-    val streamIds = s.table("sdp_dedup").select(col("event_id"))
+    val streamIds = iso.table("sdp_dedup").select(col("event_id"))
     val batchIds = ev.select(col("event_id")).distinct()
     val gate = symDiffEmpty(streamIds, batchIds, Seq("event_id"))
       .crossJoin(streamIds.agg(count(lit(1)).as("n_stream")))
@@ -88,7 +103,6 @@ object StreamGates {
           .as("dedup_parity"),
         col("n_stream").as("n_rows"))
     val rows = gate.collect()
-    try s.catalog.dropTempView("sdp_dedup") catch { case _: Throwable => () }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     // cleanup must run on the throw paths too (failed micro-batch,
     // unreadable state): a failing gate re-run per pass would accrete dirs
@@ -104,6 +118,7 @@ object StreamGates {
     *    NoTimeout variant loses. */
   def streamBatchParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val iso = isolated(s)
     val base = Files.createTempDirectory("graft_sbp").toString
     try {
     val inDir = s"$base/in"
@@ -111,7 +126,7 @@ object StreamGates {
     // same engine property at a fraction of the micro-batch/state cost
     // (full-corpus streaming dominated the bench at larger SFs); the
     // identical filter is applied to the batch mirrors below
-    val ev = Tables.events(s, d)
+    val ev = Tables.events(iso, d)
       .filter(col("user_id") < 100)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
@@ -125,34 +140,20 @@ object StreamGates {
     ev.write.mode("overwrite").parquet(inDir)
     val maxMs = maxRow.getTimestamp(0).getTime
 
-    Seq("sbp_tumbling", "sbp_sessions").foreach { v =>
-      try s.catalog.dropTempView(v) catch { case _: Throwable => () }
-    }
-    // stateful streaming ops allocate one state-store partition per
-    // shuffle partition PER MICRO-BATCH — at the session default (32)
-    // that fixed cost dwarfs the gate's actual data; the slice needs a
-    // handful. The conf is captured by the streaming plans; everything
-    // from the set to the restore is exception-safe so a failed start
-    // or stop can never leave the session pinned at 4 partitions or an
-    // orphaned query running.
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     var tq: StreamingQuery = null
     var sq: StreamingQuery = null
-    def safeStop(q: StreamingQuery): Unit =
-      if (q != null) try q.stop() catch { case _: Throwable => () }
     def drain(): Unit = { tq.processAllAvailable(); sq.processAllAvailable() }
     def sentinel(offMs: Long): Unit =
       Seq((-1L, new Timestamp(maxMs + offMs), -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(inDir)
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      tq = Streams.tumblingCounts(Streams.readEventStream(s, inDir))
+      tq = Streams.tumblingCounts(Streams.readEventStream(iso, inDir))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName("sbp_tumbling")
         .option("checkpointLocation", s"$base/ckpt_t").start()
       sq = Streams.closedSessionsFlushed(
-          Streams.readEventStream(s, inDir)
+          Streams.readEventStream(iso, inDir)
             .select("event_id", "ts", "user_id", "event_type", "value")
             .as[Streams.EventRow])
         .writeStream.outputMode(OutputMode.Append)
@@ -161,15 +162,12 @@ object StreamGates {
       drain()
       sentinel(4L * 3600 * 1000); drain()
       sentinel(4L * 3600 * 1000 + 60000); drain()
-    } finally {
-      safeStop(tq); safeStop(sq)
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    }
+    } finally { safeStop(tq); safeStop(sq) }
 
     // tumbling windows: decimal-summed on both sides, so sum_value is
     // bit-exact and can be part of the set-equality key
     val winCols = Seq("win_start", "event_type", "n_events", "sum_value")
-    val streamWin = s.table("sbp_tumbling")
+    val streamWin = iso.table("sbp_tumbling")
       .filter(col("event_type") =!= "sentinel").select(winCols.map(col): _*)
     val batchWin = EventOps.tumblingWindowOf(ev).select(winCols.map(col): _*)
     val winParity = symDiffEmpty(streamWin, batchWin, winCols)
@@ -181,7 +179,7 @@ object StreamGates {
     // sum is folded in arrival order as doubles stream-side vs decimal
     // batch-side, so it is compared within an ulp tolerance instead
     val sessKeys = Seq("user_id", "start_us", "end_us", "n_events")
-    val streamSess = s.table("sbp_sessions").filter(col("user_id") >= 0)
+    val streamSess = iso.table("sbp_sessions").filter(col("user_id") >= 0)
       .select(col("user_id"), col("start_us"), col("end_us"),
         col("n_events"), col("sum_value"))
     val batchSess = EventOps.sessionizeOf(ev)
@@ -201,9 +199,6 @@ object StreamGates {
     // accumulating across Bench/Verify/spec invocations
     val result = winParity.crossJoin(sessParity)
     val rows = result.collect()
-    Seq("sbp_tumbling", "sbp_sessions").foreach { v =>
-      try s.catalog.dropTempView(v) catch { case _: Throwable => () }
-    }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -223,13 +218,14 @@ object StreamGates {
     * works on any immutable-file table format. */
   def streamUpsertParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val iso = isolated(s)
     val base = Files.createTempDirectory("graft_sup").toString
     // the temp tree (input chunks, two state dirs, checkpoint) must not
     // outlive the gate even when a micro-batch or the collect throws —
     // a failing gate re-run per bench pass would otherwise accrete dirs
     try {
       val inDir = s"$base/in"
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(iso, d)
         .filter(col("user_id") < 60)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
@@ -245,28 +241,23 @@ object StreamGates {
         .write.mode("overwrite").parquet(states(0))
       @volatile var cur = 0
       @volatile var nBatches = 0L
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       var q: StreamingQuery = null
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        q = s.readStream.schema(ev.schema)
+        q = iso.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val merged = Changelog.mergeCompacted(
-              s.read.parquet(states(cur)), Changelog.latestByKeyOf(batch))
+              iso.read.parquet(states(cur)), Changelog.latestByKeyOf(batch))
             merged.write.mode("overwrite").parquet(states(1 - cur))
             cur = 1 - cur
             nBatches += 1
           }
           .option("checkpointLocation", s"$base/ckpt").start()
         q.processAllAvailable()
-      } finally {
-        if (q != null) try q.stop() catch { case _: Throwable => () }
-        s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      }
+      } finally safeStop(q)
 
-      val finalState = s.read.parquet(states(cur))
+      val finalState = iso.read.parquet(states(cur))
       val oneShot = Changelog.latestByKeyOf(ev)
       val cols = Seq("user_id", "ts_us", "event_id", "event_type", "value")
       val gate = symDiffEmpty(finalState, oneShot, cols)
@@ -275,6 +266,72 @@ object StreamGates {
           (col("l_only") === 0 && col("r_only") === 0 &&
             lit(nBatches) >= 2 && col("n_state") > 0).as("upsert_parity"),
           col("n_state").as("n_rows"))
+      val rows = gate.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
+  /** Gate query [stream_availablenow_parity]: Trigger.AvailableNow —
+    * the batch-over-stream mode a SCHEDULED incremental job runs:
+    * start, drain everything new, self-terminate. The gate runs the
+    * drain TWICE over a growing directory with one shared checkpoint:
+    * run 1 sees only chunk A; chunk B lands while nothing is running;
+    * run 2 restarts from the checkpoint and must pick up EXACTLY the
+    * new files (no re-read — the file-sink output would double — and
+    * no gap), self-terminating again. Final sink contents must equal
+    * the one-shot batch read of the whole input, set-identical on
+    * event_id AND count-identical (the count catches duplicates that
+    * a set comparison would forgive). This is the operational
+    * completion of the streaming story: the other three gates prove
+    * state semantics inside one run; this one proves incremental
+    * exactly-once ACROSS runs, which is how 100 TB ingest actually
+    * operates (a cron'd AvailableNow drain into a keyed table). */
+  def streamAvailableNowParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = Files.createTempDirectory("graft_san").toString
+    try {
+      val inDir = s"$base/in"
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 80)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      if (ev.head(1).isEmpty)
+        return Seq((false, 0L)).toDF("availablenow_parity", "n_rows")
+      // one incremental drain: AvailableNow must terminate on its own
+      def drainOnce(): Boolean = {
+        var q: StreamingQuery = null
+        try {
+          q = iso.readStream.schema(ev.schema).parquet(inDir)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .outputMode(OutputMode.Append).start()
+          q.awaitTermination(180000)
+        } finally safeStop(q)
+      }
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .write.mode("append").parquet(inDir)
+      val done1 = drainOnce()
+      // chunk B arrives BETWEEN runs — the restart, not a running
+      // query, must discover it from the checkpointed file log
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .write.mode("append").parquet(inDir)
+      val done2 = drainOnce()
+
+      val streamed = iso.read.schema(ev.schema).parquet(outDir)
+      val gate = symDiffEmpty(streamed.select(col("event_id")),
+          ev.select(col("event_id")), Seq("event_id"))
+        .crossJoin(streamed.agg(count(lit(1)).as("n_out")))
+        .crossJoin(ev.agg(count(lit(1)).as("n_in")))
+        .select(
+          (col("l_only") === 0 && col("r_only") === 0 &&
+            col("n_out") === col("n_in") && lit(done1) && lit(done2))
+            .as("availablenow_parity"),
+          col("n_out").as("n_rows"))
       val rows = gate.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))

@@ -12,4 +12,18 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getBoolean(0), "tumbling window stream != batch")
     assert(row(0).getBoolean(1), "flushed sessions stream != batch")
   }
+
+  test("AvailableNow gate: two incremental drains reconstruct the batch exactly") {
+    val row = StreamGates.streamAvailableNowParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "incremental AvailableNow drains != one-shot batch")
+    assert(row(0).getLong(1) > 0)
+  }
+
+  test("gates leave the caller session's shuffle partitions untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    StreamGates.streamAvailableNowParity(spark, sfDir).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
 }
