@@ -50,13 +50,32 @@ object Bench {
     var gcMs, execMs = 0L
   }
 
+  /** Query-name family: the prefix before the first '_' with trailing
+    * digits stripped — "dedup_corpus"→"dedup", "q17_small_qty"→"q",
+    * "a10_median"→"a". Groups the suite into a few dozen stable
+    * buckets for the summary rollup. */
+  private[graft] def familyOf(name: String): String = {
+    val head = name.takeWhile(_ != '_')
+    val stripped = head.reverse.dropWhile(_.isDigit).reverse
+    if (stripped.isEmpty) head else stripped
+  }
+
   /** Build the final summary line under a hard byte budget (default
     * 1700 — the consumer's 2000-char tail minus sbt's ~75-char
     * `[success]` epilogue, a possible `[info] ` prefix, and slack).
     * Failed queries (elapsed < 0) are ALWAYS in the map; successful
     * ones are kept slowest-first until the budget is hit; the rest are
     * folded into `omitted`/`omitted_sec` so the map never lies by
-    * silence and `value` stays the exact full-suite total. */
+    * silence and `value` stays the exact full-suite total.
+    *
+    * `families` is the scale valve: a COMPLETE {family:[n, sec,
+    * n_failed]} rollup whose size depends on the number of families
+    * (a few dozen, stable) rather than the number of queries — so at
+    * 250+ queries, when most per-query timings fall to the omission
+    * cut, the line still reports where every second went and where
+    * every failure sits. Only a pathological name set could blow the
+    * budget on the rollup itself; then it gives way (last) while
+    * per-query failure entries never do. */
   private[graft] def summaryLine(times: Seq[(String, Double)], sfName: String,
       budget: Int = 1700): String = {
     def r2(d: Double): Double = math.round(d * 100) / 100.0
@@ -66,19 +85,29 @@ object Bench {
     // stable, fully deterministic keep order: slowest first, name ties
     val ordered = fail.sortBy(_._1) ++ ok.sortBy { case (n, t) => (-t, n) }
     val total = r2(ok.map(_._2).sum)
-    def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)]) = {
+    val famStr = times.groupBy(t => familyOf(t._1)).toSeq.sortBy(_._1)
+      .map { case (f, ts) =>
+        val oks = ts.filter(_._2 >= 0)
+        "\"" + f + "\":[" + ts.size + "," + r2(oks.map(_._2).sum) + "," +
+          (ts.size - oks.size) + "]"
+      }.mkString("{", ",", "}")
+    def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)],
+        fams: String) = {
       val qs = kept.map { case (n, v) => "\"" + n + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","queries":$qs,"n_queries":${times.size},""" +
+      s"""{"metric":"total","families":$fams,"queries":$qs,""" +
+        s""""n_queries":${times.size},""" +
         s""""omitted":${omitted.size},"omitted_sec":${r2(omitted.map(_._2).sum)},""" +
         s""""value":$total,"unit":"sec","sf":"$sfName"}"""
     }
     var k = ordered.size
-    var out = line(ordered, Nil)
+    var out = line(ordered, Nil, famStr)
     while (out.length > budget && k > fail.size) {
       k -= 1
-      out = line(ordered.take(k), ordered.drop(k))
+      out = line(ordered.take(k), ordered.drop(k), famStr)
     }
+    if (out.length > budget)
+      out = line(ordered.take(k), ordered.drop(k), "{}")
     out
   }
 

@@ -80,6 +80,52 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(math.abs(node.get("queries").get("q1").asDouble - 1.23) < 1e-9)
   }
 
+  /** 250 queries across the real suite's family spread, with realistic
+    * name lengths — the scale the omission mechanism plus the family
+    * rollup must absorb without losing coverage information. */
+  private def suite250: Seq[(String, Double)] = {
+    val fams = Seq("dedup", "text", "stream", "sim", "mm", "ev", "asof",
+      "sample", "q", "w", "x", "a", "j", "t", "s", "p", "f", "g",
+      "scd", "merge", "range", "skew", "profile", "zorder", "decon")
+    (0 until 250).map { i =>
+      s"${fams(i % fams.size)}_${i / fams.size}_synthetic_case" -> (i * 0.713 % 19)
+    }
+  }
+
+  test("250-query suite: line under budget, families keep full coverage") {
+    val times = suite250 ++ Seq("stream_9_broken" -> -1.0)
+    val line = Bench.summaryLine(times, "sf0.1")
+    assert(line.length <= 1700, s"line is ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("omitted").asInt > 0, "250 queries must overflow the map")
+    // the rollup covers EVERY query even though most timings are omitted
+    val fams = node.get("families")
+    var n = 0
+    var sec = 0.0
+    var nFail = 0
+    fams.properties().forEach { e =>
+      n += e.getValue.get(0).asInt
+      sec += e.getValue.get(1).asDouble
+      nFail += e.getValue.get(2).asInt
+    }
+    assert(n == times.size, "family counts must sum to the whole suite")
+    assert(nFail == 1, "the failure is visible in its family's tally")
+    val total = times.filter(_._2 >= 0).map(_._2).sum
+    assert(math.abs(sec - total) < 0.01 * times.size,
+      "family seconds must sum to the full-suite total")
+    // and the per-query failure entry still survives the cut
+    assert(node.get("queries").get("stream_9_broken").asInt == -1)
+  }
+
+  test("familyOf strips trailing digits from the head token only") {
+    assert(Bench.familyOf("q17_small_qty") == "q")
+    assert(Bench.familyOf("a10_median") == "a")
+    assert(Bench.familyOf("dedup_corpus") == "dedup")
+    assert(Bench.familyOf("mm_decode") == "mm")
+    assert(Bench.familyOf("b1_bucketed_join") == "b")
+    assert(Bench.familyOf("stream_availablenow_parity") == "stream")
+  }
+
   test("the real suite's names fit with room to spare at current sizes") {
     // every registered query at a worst-case 2-digit-seconds timing:
     // if this ever fails, the suite has outgrown even the omission
