@@ -161,6 +161,8 @@ object SparkEntry {
     "q4_priority_exists" -> CoreOps.q4PriorityExists _,
     "stream_availablenow_parity" ->
       graft.streaming.StreamGates.streamAvailableNowParity _,
+    "p4_nested_pruning"  -> CoreOps.p4NestedPruning _,
+    "skew_aqe_join"      -> ((s, d) => Gates.aqeSkewJoinGate(s, d)),
     "q17_small_qty"      -> CoreOps.q17SmallQty _,
     "q20_potential_promo" -> CoreOps.q20PotentialPromo _,
     "q21_waiting_supp"   -> CoreOps.q21WaitingSupp _,
@@ -1344,6 +1346,26 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS availablenow_parity,
         |       COUNT(*) AS n_rows
         |FROM events WHERE user_id < 80""".stripMargin,
+    "p4_nested_pruning" ->
+      """SELECT etype, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type AS etype,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |WHERE k >= 50 GROUP BY etype""".stripMargin,
+    // booleans vs constants; n_groups recomputed relationally — the
+    // priorities reachable through the collapsed hot key (orderkey 1)
+    // plus the surviving tail keys (orderkey % 10 = 9) with lineitems
+    "skew_aqe_join" ->
+      """SELECT CAST(1 AS BOOLEAN) AS skew_join_applied,
+        |       CAST(1 AS BOOLEAN) AS results_equal,
+        |       (SELECT COUNT(DISTINCT o.o_orderpriority) FROM orders o
+        |        WHERE (o.o_orderkey = 1
+        |               AND EXISTS (SELECT 1 FROM lineitem
+        |                           WHERE l_orderkey % 10 < 9))
+        |           OR (o.o_orderkey % 10 = 9
+        |               AND EXISTS (SELECT 1 FROM lineitem l
+        |                           WHERE l.l_orderkey = o.o_orderkey)))
+        |         AS n_groups""".stripMargin,
     "j8_exists_correlated" ->
       """SELECT c_mktsegment,
         |       COUNT(*) AS n_customers,

@@ -241,6 +241,71 @@ object Gates {
       .toDF("bloom_in_plan", "results_equal", "n_groups")
   }
 
+  /** AQE skew-join gate [skew_aqe_join]: the AUTOMATIC half of the
+    * skew story — [[graft.operators.Skew.skewDemo]] shows manual
+    * salting; a 100 TB cluster mostly relies on adaptive execution
+    * detecting the hot partition at runtime and splitting it across
+    * tasks instead. The gate builds a deliberately skewed join (~90% of
+    * an exploded lineitem collapses onto one key), runs it under skew
+    * thresholds scaled to local data volume on a gate-private session,
+    * and checks:
+    *  (1) the FINAL adaptive plan really took the skew path —
+    *      `SortMergeJoin(skew=true)` plus a skewed AQEShuffleRead (the
+    *      feature engaged, not silently skipped), and
+    *  (2) the skew-split result equals the same aggregate under
+    *      default confs (splitting may only change parallelism, never
+    *      values; sums go through DECIMAL so the comparison is exact
+    *      regardless of partitioning).
+    * The upstream `repartition(12)` is load-bearing, not cosmetic: AQE
+    * can only split a skewed reduce partition at MAP-output boundaries,
+    * so a single-mapper shuffle (one parquet file at local SF) is
+    * unsplittable no matter how skewed — the same reason a real
+    * cluster's skew handling degrades when upstream stages are
+    * over-coalesced. n_groups ties the gate to the data relationally. */
+  def aqeSkewJoinGate(s: SparkSession, d: String): DataFrame = {
+    def skewedAgg(sess: SparkSession): DataFrame = {
+      val fact = graft.Tables.lineitem(sess, d)
+        .withColumn("rep", explode(array((0 until 12).map(lit): _*)))
+        .repartition(12) // >1 map block per shuffle: the split granularity
+        .select(
+          when(pmod(col("l_orderkey"), lit(10)) < 9, lit(1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          (col("l_extendedprice") * col("rep") + col("l_orderkey"))
+            .as("payload"))
+      val dim = graft.Tables.orders(sess, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      fact.join(dim, "k")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("payload").cast("decimal(18,2)")).cast("double")
+            .as("sum_payload"))
+    }
+    def rowsOf(df: DataFrame): Seq[(String, Long, Double)] =
+      df.collect().iterator
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val base = rowsOf(skewedAgg(s.newSession())) // defaults: broadcast, no pins
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // a shuffle join must exist
+    iso.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // local volumes are far below cluster defaults (256MB threshold):
+    // scale the knobs so the planted hot partition is over them, the
+    // same re-tuning a cluster job does per data scale
+    iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    iso.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val skewed = skewedAgg(iso)
+    val rows = rowsOf(skewed) // executes; AQE finalizes the plan
+    val plan = skewed.queryExecution.executedPlan.toString
+    val engaged = plan.contains("SortMergeJoin(skew=true)") &&
+      plan.contains("skewed")
+    import s.implicits._
+    Seq((engaged, rows == base, rows.size.toLong))
+      .toDF("skew_join_applied", "results_equal", "n_groups")
+  }
+
   /** SimHash gate: pigeonhole-blocked pairs == brute-force all-pairs
     * Hamming-distance pairs (exact set equality — the pigeonhole bound
     * guarantees it; this checks the implementation, not the theorem). */

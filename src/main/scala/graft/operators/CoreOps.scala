@@ -1005,6 +1005,34 @@ object CoreOps {
     s.read.parquet(out)
   }
 
+  /** Nested-schema pruning [P4]: a STRUCT-typed parquet table read
+    * through `props.*` subfield access — the third leg of the pruning
+    * story (p1 prunes directories, p2/p3 prune rows; this prunes
+    * WITHIN the column). The events table's JSON props are materialized
+    * as a real struct<k,etype,val,pad> parquet column (pad is a wide
+    * decoy field), then the query touches only props.k and props.etype:
+    * Catalyst must push both the subfield projection and the props.k
+    * filter into the scan, so ReadSchema carries exactly
+    * struct<props:struct<k:int,etype:string>> — at 100 TB the decoy
+    * fields are never even decompressed. NestedPruningSpec pins that
+    * plan shape; the oracle recomputes the aggregate from the original
+    * JSON. */
+  def p4NestedPruning(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Fs.scratchDir(s, "graft_nested", d)
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      struct(
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type").as("etype"),
+        col("value").as("val"),
+        lpad(col("event_type"), 64, "x").as("pad")).as("props"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("props.k") >= 50)
+      .groupBy(col("props.etype").as("etype"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("props.k")).as("sum_k"))
+  }
+
   /** Partition-pruned scan [P1]: the year-partitioned orders copy read
     * with a LITERAL year predicate — the plan's scan shows
     * PartitionFilters and touches only the matching directories. At
