@@ -167,6 +167,10 @@ object SparkEntry {
     "q20_potential_promo" -> CoreOps.q20PotentialPromo _,
     "q21_waiting_supp"   -> CoreOps.q21WaitingSupp _,
     "q2_min_cost_supp"   -> CoreOps.q2MinCostSupp _,
+    "q10_returned_items" -> CoreOps.q10ReturnedItems _,
+    "q14_promo_revenue"  -> CoreOps.q14PromoRevenue _,
+    "q7_volume_shipping" -> CoreOps.q7VolumeShipping _,
+    "q8_market_share"    -> CoreOps.q8MarketShare _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1589,6 +1593,59 @@ object SparkEntry {
         |      (SELECT MIN(l2.l_extendedprice / l2.l_quantity)
         |       FROM lineitem l2
         |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(rev_dec AS DOUBLE) AS revenue FROM (
+         |  SELECT c_custkey, c_name, n_name,
+         |         SUM($decPrice * $decDisc) AS rev_dec
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1996-04-01'
+         |    AND l_returnflag = 'R'
+         |  GROUP BY c_custkey, c_name, n_name
+         |  ORDER BY rev_dec DESC, c_custkey ASC LIMIT 20)""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""SELECT round(100.0 *
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |               THEN $decPrice * $decDisc ELSE 0 END) AS DOUBLE)
+         |  / CAST(SUM($decPrice * $decDisc) AS DOUBLE), 6) AS promo_share
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(SUM(volume) AS DOUBLE) AS revenue
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |        $decPrice * $decDisc AS volume
+         |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         |      JOIN orders ON o_orderkey = l_orderkey
+         |      JOIN customer ON c_custkey = o_custkey
+         |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+         |            AND TIMESTAMP '1996-12-31')
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT o_year,
+         |  round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+         |                 ELSE 0 END) AS DOUBLE)
+         |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+         |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |        $decPrice * $decDisc AS volume, n2.n_name AS nation
+         |      FROM part JOIN lineitem ON p_partkey = l_partkey
+         |      JOIN supplier ON s_suppkey = l_suppkey
+         |      JOIN orders ON o_orderkey = l_orderkey
+         |      JOIN customer ON c_custkey = o_custkey
+         |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |      JOIN region ON n1.n_regionkey = r_regionkey
+         |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+         |GROUP BY o_year""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -577,6 +577,136 @@ object CoreOps {
         |       WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
   }
 
+  // --------------------------------------------------------- Q10 returned items
+  /** TPC-H Q10-shaped returned-item report [Q10]: revenue lost to
+    * returns per customer in one quarter, with the customer's nation.
+    * A fact⋈fact (lineitem⋈orders, both shuffle-partitioned on
+    * orderkey) followed by two dim hash joins (customer, then the
+    * 25-row nation — auto-broadcast); the date filter prunes orders
+    * BEFORE the big join and the returnflag filter prunes lineitem at
+    * the scan. Revenue through DECIMAL, ordered with a custkey
+    * tiebreak, cast to DOUBLE after the top-20 cut. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - dec(col("l_discount")))).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev_dec").cast(DoubleType).as("revenue"))
+  }
+
+  // --------------------------------------------------------- Q14 promo revenue
+  /** TPC-H Q14-shaped promo-revenue share [Q14]: the fraction of one
+    * month's revenue from PROMO-type parts — conditional aggregation
+    * over a fact⋈dim join, the ratio-of-sums shape every KPI dashboard
+    * runs. Both sums ride one hash aggregate (no second scan); the
+    * month filter reaches the lineitem scan. Both sums are exact
+    * decimals, so the final double division is bit-identical on both
+    * engines and the single row hashes stably. */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) *
+      (lit(1).cast(Dec) - dec(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-02-01").cast(TimestampType))
+      .join(Tables.part(s, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0)))
+          .as("promo_dec"),
+        sum(vol).as("all_dec"))
+      .select(round(lit(100.0) * col("promo_dec").cast(DoubleType) /
+        col("all_dec").cast(DoubleType), 6).as("promo_share"))
+  }
+
+  // -------------------------------------------------------- Q7 volume shipping
+  /** TPC-H Q7-shaped bilateral shipping volume [Q7]: revenue flowing
+    * between two specific nations per shipment year, in both
+    * directions. The join tree is the classic snowflake double-dip —
+    * the 25-row nation table joins TWICE under different roles
+    * (supplier's nation, customer's nation), both auto-broadcast, with
+    * the symmetric two-nation predicate applied after; the fact⋈fact
+    * joins shuffle on their keys. Year comes from shipdate; decimal
+    * revenue needs no rounding (exact on both engines). */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1995-01-01").cast(TimestampType),
+        lit("1996-12-31").cast(TimestampType)))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - dec(col("l_discount")))).as("rev_dec"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("rev_dec").cast(DoubleType).as("revenue"))
+  }
+
+  // --------------------------------------------------------- Q8 market share
+  /** TPC-H Q8-shaped national market share [Q8]: one nation's share of
+    * a region's revenue for one part type, per order year — the
+    * deepest join tree in the suite (part, supplier, lineitem, orders,
+    * customer, nation×2, region: 8 relations). The selective p_type
+    * filter drives a ~1/6 semi-reduction through the part join; dims
+    * broadcast; the ratio-of-conditional-sums is decimal-exact before
+    * one double division per year row. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val vol = dec(col("l_extendedprice")) *
+      (lit(1).cast(Dec) - dec(col("l_discount")))
+    val custNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("cn_key"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey"), col("n_regionkey") === col("r_regionkey"))
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("nation") === "NATION_3", vol).otherwise(lit(0)))
+          .as("nat_dec"),
+        sum(vol).as("all_dec"))
+      .select(col("o_year"),
+        round(col("nat_dec").cast(DoubleType) /
+          col("all_dec").cast(DoubleType), 6).as("mkt_share"))
+  }
+
   // ------------------------------------------------------------ J10 NOT IN anti
   /** NOT IN via the SQL path [J10]: the null-aware anti join — NOT IN
     * returns no rows if the subquery yields ANY null, so Catalyst
