@@ -171,6 +171,14 @@ object SparkEntry {
     "q14_promo_revenue"  -> CoreOps.q14PromoRevenue _,
     "q7_volume_shipping" -> CoreOps.q7VolumeShipping _,
     "q8_market_share"    -> CoreOps.q8MarketShare _,
+    "q6_forecast_revenue" -> CoreOps.q6ForecastRevenue _,
+    "q9_product_profit"  -> CoreOps.q9ProductProfit _,
+    "q12_ship_priority"  -> CoreOps.q12ShipPriority _,
+    "q19_discounted_revenue" -> CoreOps.q19DiscountedRevenue _,
+    "q11_important_stock" -> CoreOps.q11ImportantStock _,
+    "q15_top_supplier"   -> CoreOps.q15TopSupplier _,
+    "q16_parts_supplier" -> CoreOps.q16PartsSupplier _,
+    "q22_global_sales"   -> CoreOps.q22GlobalSales _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1646,6 +1654,100 @@ object SparkEntry {
          |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
          |      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
          |GROUP BY o_year""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(SUM($decPrice * CAST(l_discount AS DECIMAL(18,2)))
+         |            AS DOUBLE) AS revenue,
+         |       COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT nation, o_year, round(CAST(SUM(amount) AS DOUBLE), 6)
+         |         AS sum_profit
+         |FROM (SELECT n_name AS nation,
+         |        CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |        $decPrice * $decDisc -
+         |          CAST(p_retailprice AS DECIMAL(18,2)) *
+         |          CAST(l_quantity AS DECIMAL(18,0)) AS amount
+         |      FROM part JOIN lineitem ON p_partkey = l_partkey
+         |      JOIN supplier ON s_suppkey = l_suppkey
+         |      JOIN orders ON o_orderkey = l_orderkey
+         |      JOIN nation ON s_nationkey = n_nationkey
+         |      WHERE p_name LIKE '%red%')
+         |GROUP BY nation, o_year""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q19_discounted_revenue" ->
+      s"""SELECT CAST(SUM($decPrice * $decDisc) AS DOUBLE) AS revenue,
+         |       COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q11_important_stock" ->
+      s"""SELECT l_partkey, CAST(SUM($decPrice * $decDisc) AS DOUBLE) AS value
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |GROUP BY l_partkey
+         |HAVING SUM($decPrice * $decDisc) > (
+         |  SELECT SUM($decPrice * $decDisc) * CAST(0.0002 AS DECIMAL(6,4))
+         |  FROM lineitem
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3')""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |         SUM($decPrice * $decDisc) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)""".stripMargin,
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND p_type NOT LIKE 'ECONOMY%'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q22_global_sales" ->
+      """WITH pool AS (
+        |  SELECT substring(c_name, 17, 2) AS cntrycode,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey
+        |  FROM customer
+        |  WHERE substring(c_name, 17, 2)
+        |        IN ('11','83','34','03','02','35','50')),
+        |stats AS (SELECT SUM(bal) AS s, COUNT(*) AS n FROM pool WHERE bal > 0)
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM pool, stats
+        |WHERE bal * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode""".stripMargin,
   )
 
   /** Sequential-fold dot product / norms — same left-to-right double

@@ -707,6 +707,260 @@ object CoreOps {
           col("all_dec").cast(DoubleType), 6).as("mkt_share"))
   }
 
+  // ----------------------------------------------------------- Q6 scan-aggregate
+  /** TPC-H Q6-shaped revenue forecast [Q6]: a pure scan-aggregate —
+    * three range predicates and one SUM, no join, no group-by. This is
+    * the pushdown showcase the rest of the suite sits on top of: all
+    * three filters reach the parquet scan as PushedFilters (the
+    * shipdate range prunes whole row groups via min/max statistics),
+    * ReadSchema is exactly the four touched columns, and the surviving
+    * rows flow through one WholeStageCodegen span into a single-row
+    * partial+final aggregate — at 100 TB this query is I/O-bound by
+    * construction, the lower bound every other query is measured
+    * against. Revenue = price×discount sums through decimal so the one
+    * output row is partition-count-independent. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  // --------------------------------------------------------- Q9 product profit
+  /** TPC-H Q9-shaped product-line profit [Q9]: profit per supplier
+    * nation per order year for one part family — the wide 5-relation
+    * join (part⋈lineitem⋈supplier⋈orders⋈nation) with a LIKE-driven
+    * semi-reduction. The '%red%' filter cuts part BEFORE the fact
+    * join, supplier/nation broadcast, and the two fact⋈fact joins
+    * shuffle on their natural keys; the group-by runs partial+final on
+    * (nation, year). The profit measure stays in exact decimal end to
+    * end: l_quantity is integral so it casts to DECIMAL(18,0) and both
+    * products — price×(1−disc) at scale 4, retail×qty at scale 2 —
+    * are exact in 38 digits on both engines (no 0.5 cost factor: a
+    * double→decimal half-cent tie would round differently per engine).
+    * (This testdata has no partsupp/ps_supplycost; p_retailprice×qty
+    * stands in as the cost side — the join tree and the
+    * group-by-year-and-nation rollup, which are what Q9 exercises,
+    * are unchanged.) */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val amount = dec(col("l_extendedprice")) *
+      (lit(1).cast(Dec) - dec(col("l_discount"))) -
+      dec(col("p_retailprice")) * col("l_quantity").cast(DecimalType(18, 0))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(amount).cast(DoubleType), 6).as("sum_profit"))
+  }
+
+  // -------------------------------------------------------- Q12 shipping modes
+  /** TPC-H Q12-shaped late-shipment priority split [Q12]: for lines
+    * shipped well after their order date in one year, how many came
+    * from high- vs low-priority orders, per line class — the
+    * conditional-CASE-sum over a fact⋈fact join every SLA dashboard
+    * runs. The year filter prunes lineitem at the scan; the join
+    * shuffles on orderkey; the 45-day lateness test rides the join as
+    * a non-equi residual; both CASE sums share one hash aggregate.
+    * (No l_shipmode/commitdate/receiptdate in this schema:
+    * l_returnflag is the line class and shipdate-vs-orderdate the
+    * lateness test — the join+conditional-aggregation shape is
+    * Q12's.) */
+  def q12ShipPriority(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(high, 0).otherwise(1)).as("low_line_count"))
+  }
+
+  // --------------------------------------------------- Q19 disjunctive brackets
+  /** TPC-H Q19-shaped bracket revenue [Q19]: revenue from three
+    * brand/size/quantity brackets — the canonical OR-of-ANDs predicate
+    * that mixes columns from BOTH join sides inside each disjunct, so
+    * no single conjunct can cross the join. The scale answer is to
+    * derive the per-side envelopes by hand and push them explicitly:
+    * part pre-filters to the three brands at their max size bound,
+    * lineitem to the union quantity range — each disjunct implies its
+    * envelope, so the residual OR over the joined rows is unchanged
+    * while both scans shrink by orders of magnitude (Catalyst keeps
+    * simple disjuncts, but won't factor a cross-table CNF for you; the
+    * envelope is the portable idiom). */
+  def q19DiscountedRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(1, 30)) // union of bracket ranges
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#4", "Brand#2", "Brand#19") &&
+        col("p_size").between(1, 35)) // union of bracket envelopes
+      .select("p_partkey", "p_brand", "p_size")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(Dec) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ------------------------------------------------ Q11 global scalar threshold
+  /** TPC-H Q11-shaped important stock [Q11]: per-part value held by
+    * one nation's suppliers, keeping parts above a FRACTION OF THE
+    * GLOBAL TOTAL — the HAVING-against-scalar-subquery shape. Catalyst
+    * executes the global-sum subquery once as a scalar (its own
+    * partial+final aggregate over the same filtered join), broadcasts
+    * the single value, and the HAVING becomes a cheap post-aggregate
+    * filter — the fact side is scanned twice but never nested-looped.
+    * Both sums are exact decimals and the 0.0002 threshold is a
+    * decimal literal, so the cut is bit-identical on both engines
+    * (0.0002 keeps the cut non-trivial at both tested SFs — the
+    * fraction of a GLOBAL total a part can hold shrinks as the part
+    * universe grows, TPC-H's own reason for scaling this constant).
+    * (No partsupp here: lineitem revenue per partkey stands in for
+    * ps_supplycost×availqty; the scalar-threshold shape is Q11's.) */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q11")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_q11")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_q11")
+    s.sql(
+      """SELECT l_partkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS value
+        |FROM graft_lineitem_q11
+        |JOIN graft_supplier_q11 ON s_suppkey = l_suppkey
+        |JOIN graft_nation_q11 ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,2)))) *
+        |         CAST(0.0002 AS DECIMAL(6,4))
+        |  FROM graft_lineitem_q11
+        |  JOIN graft_supplier_q11 ON s_suppkey = l_suppkey
+        |  JOIN graft_nation_q11 ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')""".stripMargin)
+  }
+
+  // ----------------------------------------------------- Q15 max-over-aggregate
+  /** TPC-H Q15-shaped top supplier [Q15]: the supplier(s) with the
+    * maximum quarterly revenue — an aggregate VIEW consumed twice,
+    * once joined to supplier and once reduced to its MAX as a scalar
+    * subquery. Catalyst computes the revenue CTE's hash aggregate,
+    * the MAX scalar over it, and an equality filter — revenue is an
+    * exact decimal sum so `total_rev = MAX(total_rev)` is a bit-exact
+    * comparison on both engines (the reason Q15's equality-on-an-
+    * aggregate is safe here where a double sum would not be), and
+    * ties surface every argmax row deterministically. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q15")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_q15")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM graft_lineitem_q15
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM graft_supplier_q15 JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)""".stripMargin)
+  }
+
+  // ------------------------------------------------- Q16 supplier-count rollup
+  /** TPC-H Q16-shaped supplier breadth [Q16]: how many DISTINCT
+    * suppliers ship each surviving (brand, type, size) combination,
+    * excluding a blacklist via NOT IN — COUNT(DISTINCT key) per group
+    * stacked on a dim-filtered join and a null-aware anti join.
+    * Catalyst plans the NOT IN against the 6-row complaint list as a
+    * broadcast null-aware anti join (j10's shape, here feeding an
+    * aggregate), and the distinct count expands to a two-phase
+    * aggregate — partial distinct on (group, suppkey), final count —
+    * so no group ever materializes its supplier set on one node.
+    * (No partsupp: lineitem is the part↔supplier incidence; negative
+    * account balance stands in for the complaints filter.) */
+  def q16PartsSupplier(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_q16")
+    Tables.part(s, d).createOrReplaceTempView("graft_part_q16")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_q16")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM graft_part_q16 JOIN graft_lineitem_q16 ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND p_type NOT LIKE 'ECONOMY%'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier_q16
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
+  // -------------------------------------------------- Q22 lapsed-customer audit
+  /** TPC-H Q22-shaped global sales opportunity [Q22]: well-funded
+    * customers in selected country codes with NO RECENT ORDERS — a
+    * substring-derived dimension, a global-average threshold, and a
+    * correlated NOT EXISTS anti join in one query. The average
+    * threshold is compared exactly: instead of `bal > AVG(bal)` (a
+    * DOUBLE average whose last ulp depends on reduction order), the
+    * one-row (SUM, COUNT) frame cross-joins in and the test is
+    * `bal × n > sum` in exact decimal×integer arithmetic — the same
+    * cut, bit-identical under any partitioning on both engines. The
+    * NOT EXISTS decorrelates to a left-anti hash join on custkey with
+    * the date bound pushed into the orders scan.
+    * (No c_phone in this schema: the country code is the last two
+    * digits of c_name — same substring-dimension shape; and since
+    * every customer here has SOME order, "lapsed" = nothing since
+    * 2000, which keeps the anti join selective rather than vacuous;
+    * codes chosen so the result is non-empty at every tested SF.) */
+  def q22GlobalSales(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_q22")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_q22")
+    s.sql(
+      """WITH pool AS (
+        |  SELECT substring(c_name, 17, 2) AS cntrycode,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey
+        |  FROM graft_customer_q22
+        |  WHERE substring(c_name, 17, 2)
+        |        IN ('11','83','34','03','02','35','50')),
+        |stats AS (SELECT SUM(bal) AS s, COUNT(*) AS n FROM pool WHERE bal > 0)
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM pool, stats
+        |WHERE bal * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders_q22
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode""".stripMargin)
+  }
+
   // ------------------------------------------------------------ J10 NOT IN anti
   /** NOT IN via the SQL path [J10]: the null-aware anti join — NOT IN
     * returns no rows if the subquery yields ANY null, so Catalyst

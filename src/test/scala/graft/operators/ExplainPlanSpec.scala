@@ -26,6 +26,36 @@ class ExplainPlanSpec extends SparkSpec {
       s"no dynamicpruningexpression in PartitionFilters:\n$plan")
   }
 
+  test("q6: all three range predicates reach the parquet scan") {
+    val plan = CoreOps.q6ForecastRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), s"no PushedFilters in:\n$plan")
+    val pushed = plan.substring(plan.indexOf("PushedFilters"))
+      .takeWhile(_ != ']')
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c predicate not pushed to the scan: $pushed")
+    }
+    // the scan must read exactly the four touched columns
+    val rs = plan.substring(plan.indexOf("ReadSchema")).takeWhile(_ != '>')
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(rs.contains(c), s"$c missing from ReadSchema: $rs"))
+    assert(!rs.contains("l_orderkey") && !rs.contains("l_returnflag"),
+      s"untouched columns survived into ReadSchema: $rs")
+  }
+
+  test("q19: the hand-derived envelopes reach both scans under the OR") {
+    val plan = CoreOps.q19DiscountedRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // each disjunct constrains columns from BOTH sides, so nothing
+    // pushes automatically — the explicit per-side envelope filters
+    // must survive into the scans' PushedFilters
+    val scans = "PushedFilters: \\[[^\\]]*".r.findAllIn(plan).toSeq
+    assert(scans.exists(_.contains("p_brand")),
+      s"brand envelope not pushed to the part scan:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("l_quantity")),
+      s"quantity envelope not pushed to the lineitem scan:\n${scans.mkString("\n")}")
+  }
+
   test("q5: the dim chain broadcasts — no shuffle on the dim side") {
     val plan = CoreOps.q5StarJoin(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -14,7 +14,15 @@ import graft.{SparkEntry, SparkSpec}
   * SHAPE that makes them reachable at scale. */
 class TpchDecorrelationSpec extends SparkSpec {
   private val names = Seq("q17_small_qty", "q20_potential_promo",
-    "q21_waiting_supp", "q2_min_cost_supp")
+    "q21_waiting_supp", "q2_min_cost_supp",
+    // round-5 additions: scalar-threshold HAVING, max-over-view,
+    // NOT IN feeding an aggregate, anti join + substring dimension
+    "q11_important_stock", "q15_top_supplier", "q16_parts_supplier",
+    "q22_global_sales")
+  // q22 cross-joins a literal ONE-ROW (sum, count) stats frame — that
+  // correctly plans as a BroadcastNestedLoopJoin and is not a
+  // decorrelation failure, so it is exempt from the BNLJ pin only
+  private val tinyCrossJoin = Set("q22_global_sales")
 
   test("correlated TPC-H shapes decorrelate nested-loop-free") {
     names.foreach { n =>
@@ -22,9 +30,37 @@ class TpchDecorrelationSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$n degenerated to a CartesianProduct")
-      assert(!plan.contains("BroadcastNestedLoopJoin"),
-        s"$n planned a nested loop — decorrelation failed")
+      if (!tinyCrossJoin.contains(n))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$n planned a nested loop — decorrelation failed")
     }
+  }
+
+  test("q11's global threshold executes as a one-shot scalar subquery") {
+    val plan = CoreOps.q11ImportantStock(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the HAVING comparison must reference a Subquery result computed
+    // once — not re-aggregate the fact side per group
+    assert(plan.contains("Subquery"),
+      s"global-sum threshold did not plan as a scalar subquery:\n$plan")
+  }
+
+  test("q16's NOT IN keeps the null-aware anti join under the distinct count") {
+    val plan = CoreOps.q16PartsSupplier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec renders isNullAwareAntiJoin as the trailing
+    // boolean (same pin as j10, here feeding COUNT(DISTINCT))
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN under the aggregate lost its null-aware anti join:\n$plan")
+  }
+
+  test("q22's NOT EXISTS decorrelates to a plain left-anti hash join") {
+    val plan = CoreOps.q22GlobalSales(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS did not become an anti hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q22 degenerated to a CartesianProduct:\n$plan")
   }
 
   test("q17's correlated AVG becomes a standalone per-partkey aggregate") {
