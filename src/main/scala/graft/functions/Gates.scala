@@ -263,10 +263,19 @@ object Gates {
     * cluster's skew handling degrades when upstream stages are
     * over-coalesced. n_groups ties the gate to the data relationally. */
   def aqeSkewJoinGate(s: SparkSession, d: String): DataFrame = {
-    def skewedAgg(sess: SparkSession): DataFrame = {
-      val fact = graft.Tables.lineitem(sess, d)
-        .withColumn("rep", explode(array((0 until 12).map(lit): _*)))
-        .repartition(12) // >1 map block per shuffle: the split granularity
+    // ×3 keeps the planted hot partition comfortably over the pinned
+    // 64KB skew threshold at every tested SF (sf0.001: ~16k hot rows
+    // ≈ 150KB shuffled) while moving ~4× less data than the ×12 this
+    // gate first shipped with — it is a PLAN gate, not a volume test
+    // (that ×12 made it the single slowest bench query at 20s/264MB).
+    def skewedAgg(sess: SparkSession, mapBlocks: Boolean): DataFrame = {
+      val exploded = graft.Tables.lineitem(sess, d)
+        .withColumn("rep", explode(array((0 until 3).map(lit): _*)))
+      // >1 map block per shuffle: AQE can only split a skewed reduce
+      // partition along map-output boundaries, so the PINNED run
+      // repartitions to 12 map tasks first; the broadcast referee has
+      // no reduce partition to split and skips that whole extra shuffle
+      val fact = (if (mapBlocks) exploded.repartition(12) else exploded)
         .select(
           when(pmod(col("l_orderkey"), lit(10)) < 9, lit(1L))
             .otherwise(col("l_orderkey")).as("k"),
@@ -284,7 +293,8 @@ object Gates {
       df.collect().iterator
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
         .toSeq.sorted
-    val base = rowsOf(skewedAgg(s.newSession())) // defaults: broadcast, no pins
+    // defaults: broadcast, no pins
+    val base = rowsOf(skewedAgg(s.newSession(), mapBlocks = false))
     val iso = s.newSession()
     iso.conf.set("spark.sql.adaptive.enabled", "true")
     iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // a shuffle join must exist
@@ -296,7 +306,7 @@ object Gates {
     iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
     iso.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
     iso.conf.set("spark.sql.shuffle.partitions", "8")
-    val skewed = skewedAgg(iso)
+    val skewed = skewedAgg(iso, mapBlocks = true)
     val rows = rowsOf(skewed) // executes; AQE finalizes the plan
     val plan = skewed.queryExecution.executedPlan.toString
     val engaged = plan.contains("SortMergeJoin(skew=true)") &&
