@@ -179,6 +179,8 @@ object SparkEntry {
     "q15_top_supplier"   -> CoreOps.q15TopSupplier _,
     "q16_parts_supplier" -> CoreOps.q16PartsSupplier _,
     "q22_global_sales"   -> CoreOps.q22GlobalSales _,
+    "stream_neardup_parity" ->
+      graft.streaming.StreamGates.streamNearDupParity _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1134,6 +1136,10 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS dedup_parity,
         |       (SELECT COUNT(DISTINCT event_id) FROM events
         |        WHERE user_id < 50) AS n_rows""".stripMargin,
+    "stream_neardup_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS neardup_parity,
+        |       CAST(1 AS BOOLEAN) AS incremental_stream,
+        |       (SELECT COUNT(*) FROM documents) AS n_rows""".stripMargin,
     // rebuilds the planted URLs, then re-extracts host/path/query with
     // plain regexes — an independent implementation of the same parse
     "text_url_extract" ->

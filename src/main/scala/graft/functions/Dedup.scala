@@ -120,9 +120,15 @@ object Dedup {
   /** Distinct word-3-gram shingles per doc as sorted 64-bit FNV-1a
     * hashes; docs with <3 tokens are dropped (mirrors the reference
     * corpus predicates and the DuckDB oracle's len(t)>=3). */
-  def shingleHashes(s: SparkSession, d: String): Dataset[DocShingles] = {
-    import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+  def shingleHashes(s: SparkSession, d: String): Dataset[DocShingles] =
+    shingleHashesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Shingle kernel over an arbitrary (doc_id, text) frame — lets the
+    * streaming near-dup gate run the SAME hashing over each
+    * micro-batch that the batch referee runs over the corpus. */
+  def shingleHashesOf(docs: DataFrame): Dataset[DocShingles] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val toks = text.split(" ", -1)
@@ -153,7 +159,7 @@ object Dedup {
   }
 
   /** Intersection size of two sorted long arrays (linear merge). */
-  private def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+  private[graft] def intersectSize(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { c += 1; i += 1; j += 1 }

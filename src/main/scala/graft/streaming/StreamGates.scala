@@ -336,4 +336,137 @@ object StreamGates {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
+
+  /** Gate query [stream_neardup_parity]: incremental MinHash-LSH
+    * near-dup detection over a document STREAM — the capability a
+    * training-data ingest pipeline actually needs (batch corpus dedup
+    * answers "is this corpus clean"; this answers "is the document
+    * that just arrived a near-dup of anything we already accepted").
+    *
+    * Pattern: foreachBatch against an ACCUMULATING EXTERNAL STORE of
+    * band keys + shingle sets (two append-only parquet dirs). Each
+    * micro-batch (1) shingles + bands its docs with the same kernels
+    * as the batch path, (2) finds candidates by equi-joining its band
+    * keys against the store (earlier docs) and itself (within-batch,
+    * smaller id first), (3) exact-Jaccard-verifies candidates against
+    * the shingle store, (4) appends decisions, bands and shingles.
+    * This is the production shape at 100 TB: the state is an
+    * addressable, compactable table (restart-safe, shareable across
+    * jobs), every join is equi-keyed on (band, bh) or doc_id, and the
+    * per-batch cost scales with batch×collisions, never corpus².
+    * In-operator state (mapGroupsWithState keyed by band) would bury
+    * the same data in a state store that can't be compacted or read
+    * by the next pipeline over.
+    *
+    * Parity: a doc is a near-dup iff it collides-and-verifies (j ≥
+    * 0.6) with ANY doc that arrived strictly before it (earlier
+    * batch, or same batch with smaller doc_id). The referee reruns
+    * the BATCH LSH over the whole corpus and re-orients each pair by
+    * the RECORDED arrival order — so the gate is deterministic even
+    * if the file source reorders the three chunks. Stream dup set
+    * must equal the referee's exactly (set equality, not recall). */
+  def streamNearDupParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Dedup
+    val iso = isolated(s)
+    val base = Files.createTempDirectory("graft_snd").toString
+    try {
+      val inDir = s"$base/in"
+      val docs = Tables.documents(iso, d).select(col("doc_id"), col("text"))
+      if (docs.head(1).isEmpty)
+        return Seq((false, false, 0L))
+          .toDF("neardup_parity", "incremental_stream", "n_rows")
+      // three id-range chunks → three micro-batches (range split keeps
+      // arrival order ≈ id order; the referee doesn't depend on it)
+      val cuts = docs.stat.approxQuantile("doc_id", Array(1.0 / 3, 2.0 / 3), 0.001)
+      Seq(
+        docs.filter(col("doc_id") <= cuts(0)),
+        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+        docs.filter(col("doc_id") > cuts(1)))
+        .foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+
+      val bandStore = s"$base/bands"
+      val shingleStore = s"$base/shingles"
+      val decisionStore = s"$base/decisions"
+      val empty = Dedup.shingleHashesOf(docs.limit(0))
+      Dedup.minhashBandsOf(empty).toDF()
+        .write.mode("overwrite").parquet(bandStore)
+      empty.toDF().write.mode("overwrite").parquet(shingleStore)
+
+      @volatile var batchNo = 0L
+      var q: StreamingQuery = null
+      try {
+        q = iso.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sh = Dedup.shingleHashesOf(batch)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val bands = Dedup.minhashBandsOf(sh).toDF()
+            val seenBands = iso.read.parquet(bandStore)
+            val candStore = bands.as("x").join(seenBands.as("y"),
+                col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+              .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
+            val candBatch = bands.as("x").join(bands.as("y"),
+                col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                  col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+            val allSh = iso.read.parquet(shingleStore).union(sh.toDF())
+            val dupIds = candStore.union(candBatch).distinct()
+              .join(allSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+                Seq("doc_a"))
+              .join(sh.toDF().select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+                Seq("doc_b"))
+              .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+              .as[(Long, Long, Array[Long], Array[Long])]
+              .mapPartitions(_.flatMap { case (_, db, sa, sb) =>
+                val common = Dedup.intersectSize(sa, sb)
+                val j = common.toDouble / (sa.length + sb.length - common).toDouble
+                if (j >= 0.6) Iterator.single(db) else Iterator.empty
+              })
+              .toDF("doc_id").distinct()
+            batch.select(col("doc_id"))
+              .withColumn("batch_no", lit(batchNo))
+              .join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+              .na.fill(false, Seq("is_dup"))
+              .write.mode("append").parquet(decisionStore)
+            bands.write.mode("append").parquet(bandStore)
+            sh.toDF().write.mode("append").parquet(shingleStore)
+            sh.unpersist()
+            batchNo += 1
+          }
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      // batch referee: same LSH over the whole corpus, each pair
+      // re-oriented by recorded (batch_no, doc_id) arrival — the later
+      // endpoint is the duplicate
+      val decisions = iso.read.parquet(decisionStore)
+      val arrival = decisions.select(col("doc_id"), col("batch_no"))
+      val shAll = Dedup.shingleHashesOf(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val refDups = Dedup.minhashLshOf(shAll, 0.6)
+        .join(arrival.select(col("doc_id").as("doc_a"), col("batch_no").as("ba")),
+          Seq("doc_a"))
+        .join(arrival.select(col("doc_id").as("doc_b"), col("batch_no").as("bb")),
+          Seq("doc_b"))
+        .select(when(col("bb") > col("ba") ||
+            (col("bb") === col("ba") && col("doc_b") > col("doc_a")),
+          col("doc_b")).otherwise(col("doc_a")).as("doc_id"))
+        .distinct()
+      val streamDups = decisions.filter(col("is_dup")).select(col("doc_id"))
+      val gate = symDiffEmpty(streamDups, refDups, Seq("doc_id"))
+        .crossJoin(decisions.agg(count(lit(1)).as("n_decided")))
+        .crossJoin(streamDups.agg(count(lit(1)).as("n_dups")))
+        .select(
+          (col("l_only") === 0 && col("r_only") === 0 && col("n_dups") > 0)
+            .as("neardup_parity"),
+          (lit(batchNo) === 3L).as("incremental_stream"),
+          col("n_decided").as("n_rows"))
+      val rows = gate.collect()
+      shAll.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
 }

@@ -21,6 +21,15 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getLong(1) > 0)
   }
 
+  test("incremental near-dup stream matches the batch LSH referee") {
+    val row = StreamGates.streamNearDupParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "streamed near-dup decisions != arrival-oriented batch LSH pairs")
+    assert(row(0).getBoolean(1), "stream did not run as 3 micro-batches")
+    assert(row(0).getLong(2) > 0)
+  }
+
   test("gates leave the caller session's shuffle partitions untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     StreamGates.streamAvailableNowParity(spark, sfDir).collect()
