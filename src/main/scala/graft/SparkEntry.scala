@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Changelog, CoreOps, EventOps, Profile, RangeJoin, Skew, ZOrder}
+import graft.operators.{AsofJoin, Changelog, Compaction, CoreOps, EventOps, Profile, RangeJoin, Skew, ZOrder}
 import graft.functions.{Decontam, Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -181,6 +181,7 @@ object SparkEntry {
     "q22_global_sales"   -> CoreOps.q22GlobalSales _,
     "stream_neardup_parity" ->
       graft.streaming.StreamGates.streamNearDupParity _,
+    "compact_small_files" -> Compaction.compactSmallFiles _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1140,6 +1141,10 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS neardup_parity,
         |       CAST(1 AS BOOLEAN) AS incremental_stream,
         |       (SELECT COUNT(*) FROM documents) AS n_rows""".stripMargin,
+    "compact_small_files" ->
+      """SELECT CAST(1 AS BOOLEAN) AS content_equal,
+        |       CAST(1 AS BOOLEAN) AS layout_ok,
+        |       (SELECT COUNT(*) FROM orders) AS n_rows""".stripMargin,
     // rebuilds the planted URLs, then re-extracts host/path/query with
     // plain regexes — an independent implementation of the same parse
     "text_url_extract" ->
