@@ -182,6 +182,7 @@ object SparkEntry {
     "stream_neardup_parity" ->
       graft.streaming.StreamGates.streamNearDupParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
+    "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1759,7 +1760,50 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntrycode""".stripMargin,
+    "g2_pagerank" -> pagerankOracle(8),
   )
+
+  /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for
+    * step: same edge weights (bigint/bigint double division), same
+    * IEEE op order (constants cast to DOUBLE), same uniform dangling
+    * redistribution, same 12-decimal per-iteration quantization — so
+    * the two float pipelines can never drift at the 6-decimal compare
+    * surface. */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |               + CAST(0.85 AS DOUBLE) *
+         |                 (coalesce(c.m, CAST(0 AS DOUBLE)) + dg.dm / nn.n),
+         |               12) AS pr
+         |  FROM nodes n
+         |  CROSS JOIN nn
+         |  CROSS JOIN (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dm
+         |              FROM r${i - 1}
+         |              WHERE node NOT IN (SELECT src FROM edges)) dg
+         |  LEFT JOIN (SELECT e.dst, sum(r.pr * e.w) AS m
+         |             FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |             GROUP BY e.dst) c ON c.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT src, event_type AS dst, count(*) AS n FROM (
+       |    SELECT event_type,
+       |           lag(event_type) OVER (PARTITION BY user_id
+       |                                 ORDER BY ts, event_id) AS src
+       |    FROM events)
+       |  WHERE src IS NOT NULL GROUP BY src, dst),
+       |edges AS MATERIALIZED (SELECT src, dst,
+       |                 n / (sum(n) OVER (PARTITION BY src)) AS w
+       |          FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+       |       FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, round(pr, 6) AS pr FROM r$iters""".stripMargin
+  }
 
   /** Sequential-fold dot product / norms — same left-to-right double
     * summation order as Similarity.dot/norm, so values are bit-identical. */

@@ -240,6 +240,79 @@ object EventOps {
           lit(k) * sqrt(col("variance")), 1)).as("n_anomalies"))
   }
 
+  /** Weighted PageRank over the event-type transition graph — the
+    * iterative-numeric graph companion to g1RecursiveReach's
+    * reachability. Scale shape: the fact table is scanned EXACTLY
+    * ONCE (the same lag-window + groupBy that feeds ev_transitions),
+    * collapsing 100 TB of events to ≤|types|² weighted edges; the
+    * power iteration then loops on that tiny frame with the edge side
+    * broadcast, so per-step cost is independent of fact-table size —
+    * the dedup_corpus propagation design applied to a numeric
+    * fixpoint. Dangling mass (a type with no out-transition) is
+    * redistributed uniformly each step, so ranks sum to 1 on any
+    * input, not just this dataset's complete transition graph.
+    *
+    * Determinism: ranks are quantized to 12 decimals per iteration on
+    * BOTH engines (the oracle unrolls the identical loop as a CTE
+    * chain, constants cast to DOUBLE so each step is the same IEEE
+    * op sequence), pinning the two float pipelines together far below
+    * the driver's 6-decimal compare surface. */
+  def pageRank(s: SparkSession, d: String, iters: Int = 8,
+               damp: Double = 0.85): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = Tables.events(s, d)
+      .withColumn("src", lag(col("event_type"), 1).over(byUser))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        col("n") / sum(col("n")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("w"))
+    pageRankEdges(edges, iters, damp)
+  }
+
+  /** Power iteration over a caller-provided (src, dst, w) edge frame
+    * whose weights sum to 1 per src. The returned frame reads from the
+    * final generation's eager localCheckpoint (block-manager blocks,
+    * ≤|nodes| rows; the ContextCleaner reclaims earlier generations),
+    * so its plan is iteration-count-free. */
+  def pageRankEdges(edgeFrame: DataFrame, iters: Int, damp: Double): DataFrame = {
+    val edges = edgeFrame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = edges.select(col("src").as("node")).distinct()
+    val nN = nodes.count().toDouble // bounded by |node labels|, not |facts|
+    var rank = nodes.withColumn("pr", lit(1.0 / nN))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(broadcast(edges), rank("node") === edges("src"))
+        .groupBy(col("dst")).agg(sum(col("pr") * col("w")).as("m"))
+      // mass parked on dangling nodes this step, as a 1-row frame the
+      // next-rank projection cross-joins (stays distributed; no collect)
+      val dang = rank.join(broadcast(srcs), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      // localCheckpoint (eager), NOT persist: each step reads `rank`
+      // twice (contrib + dangling), so without lineage TRUNCATION the
+      // analyzed plan doubles per iteration — 2^iters copies of the
+      // fact-table agg took the driver down before any executor ran.
+      // The checkpointed frame is ≤|types| rows; recompute-on-loss is
+      // a non-issue at that size.
+      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(dang)
+        .select(nodes("node"),
+          round(lit((1.0 - damp) / nN) +
+            lit(damp) * (coalesce(col("m"), lit(0.0)) + col("dm") / lit(nN)),
+            12).as("pr"))
+        .localCheckpoint()
+    }
+    val out = rank.select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("node").asc)
+    edges.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Same sessionization over a caller-provided event frame. */
   def sessionizeOf(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

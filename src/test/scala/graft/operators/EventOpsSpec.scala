@@ -65,4 +65,35 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got === Set(300L, 600L))
   }
+
+  test("pageRank: dangling mass redistributed, ranks match driver reference") {
+    import spark.implicits._
+    // a -> b; b -> {a, c}; c dangling (no out-edges)
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 0.5), ("b", "c", 0.5))
+      .toDF("src", "dst", "w")
+    val got = EventOps.pageRankEdges(edges, iters = 8, damp = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // driver-side reference: the identical op order and 12-decimal
+    // per-step quantization the engine and the DuckDB oracle both use
+    def q12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val inEdges = Map("a" -> Seq(("b", 0.5)), "b" -> Seq(("a", 1.0)),
+      "c" -> Seq(("b", 0.5)))
+    val base = (1.0 - 0.85) / 3.0
+    var pr = Map("a" -> 1.0 / 3.0, "b" -> 1.0 / 3.0, "c" -> 1.0 / 3.0)
+    for (_ <- 1 to 8) {
+      val dm = pr("c")
+      pr = inEdges.map { case (n, ins) =>
+        val m = ins.map { case (u, w) => pr(u) * w }.sum
+        n -> q12(base + 0.85 * (m + dm / 3.0))
+      }
+    }
+    val want = pr.map { case (n, v) =>
+      n -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === want)
+    // with dangling redistribution total mass is conserved
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
 }
