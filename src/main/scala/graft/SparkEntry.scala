@@ -183,6 +183,7 @@ object SparkEntry {
       graft.streaming.StreamGates.streamNearDupParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
+    "g3_triangle_count"  -> EventOps.triangleCount _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1761,6 +1762,31 @@ object SparkEntry {
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntrycode""".stripMargin,
     "g2_pagerank" -> pagerankOracle(8),
+    // name-lexicographic three-way self-join enumerates the identical
+    // triangle set the engine's degree-ordered wedges produce
+    "g3_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT src, event_type AS dst FROM (
+        |    SELECT event_type,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS src
+        |    FROM events)
+        |  WHERE src IS NOT NULL AND src <> event_type),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM pairs),
+        |tri AS (SELECT e1.a AS p, e1.b AS q, e2.b AS r
+        |        FROM und e1
+        |        JOIN und e2 ON e2.a = e1.b
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT p AS node FROM tri
+        |            UNION ALL SELECT q FROM tri
+        |            UNION ALL SELECT r FROM tri),
+        |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und)
+        |SELECT n.node, coalesce(c.n_tri, 0) AS n_tri
+        |FROM nodes n
+        |LEFT JOIN (SELECT node, count(*) AS n_tri FROM corners
+        |           GROUP BY node) c ON c.node = n.node
+        |ORDER BY n.node""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

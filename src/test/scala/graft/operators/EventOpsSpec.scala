@@ -66,6 +66,17 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === Set(300L, 600L))
   }
 
+  test("triangleCount: K4 minus an edge, plus a pendant node") {
+    import spark.implicits._
+    // K4 over {a,b,c,d} without (c,d), plus pendant e hanging off d:
+    // triangles {a,b,c} and {a,b,d} only
+    val und = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("d", "e")).toDF("a", "b")
+    val got = EventOps.triangleCountEdges(und)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "e" -> 0L))
+  }
+
   test("pageRank: dangling mass redistributed, ranks match driver reference") {
     import spark.implicits._
     // a -> b; b -> {a, c}; c dangling (no out-edges)
