@@ -79,6 +79,7 @@ object SparkEntry {
     "sample_stratified"  -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "pack_chunks"        -> ((s, d) => Sampling.packChunks(s, d)),
     "split_assign"       -> ((s, d) => Sampling.splitAssign(s, d)),
+    "w_global_row_number" -> Sampling.globalRowNumber _,
     "sim_cosine_topk"    -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim_near_dup"       -> ((s, d) => Similarity.embeddingNearDupBlocked(s, d)),
     "sim_quantize_int8"  -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -538,6 +539,12 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, token ASC) AS rn FROM x)
         |WHERE rn <= 3""".stripMargin,
+    // the engine's two-phase bucket-offset ids must telescope to the
+    // plain (single-task) global window the oracle runs
+    "w_global_row_number" ->
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY doc_id) - 1 AS rid
+        |FROM documents""".stripMargin,
     "sample_stratified" ->
       """WITH t AS (SELECT lang, doc_id,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,

@@ -98,6 +98,47 @@ object Sampling {
       .filter(col("grank") <= ceil(col("ntot") / lit(denom.toDouble)))
       .select(col("lang"), col("doc_id"))
 
+  /** Scalable global row numbering [ROWNUM]: contiguous 0-based ids
+    * in doc_id order — the stable-id assignment step of a corpus
+    * build (shard manifests, example indices, resumable training
+    * order) — WITHOUT the classic scale trap: a bare
+    * `row_number() OVER (ORDER BY doc_id)` has an empty PARTITION BY,
+    * so every row funnels through ONE task; at 100 TB that task never
+    * finishes. (`monotonically_increasing_id` is no substitute — its
+    * ids are per-partition-offset encoded, neither contiguous nor
+    * order-preserving across partitions.)
+    *
+    * Two phases on the value-derived monotone buckets of [[bucketed]]
+    * (deterministic on re-evaluation, unlike repartitionByRange):
+    * per-bucket row_number in parallel windows, promoted to global ids
+    * by broadcast exclusive bucket offsets (≤nP collected rows).
+    * Bucket monotonicity in doc_id is what makes the promotion exact:
+    * every id in bucket p precedes every id in bucket p+1. */
+  def globalRowNumber(s: SparkSession, d: String): DataFrame =
+    globalRowNumberOf(
+      Tables.documents(s, d).select(col("doc_id")),
+      math.max(1, s.sparkContext.defaultParallelism))
+
+  /** Same over any frame with a unique `doc_id` — uniqueness is what
+    * makes the assignment total-order-stable (ties would otherwise
+    * order arbitrarily within a window). */
+  def globalRowNumberOf(df: DataFrame, nP: Int): DataFrame = {
+    val docs = bucketed(df, nP)
+    val counts = docs.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    var acc = 0L
+    val offRows = counts.sortBy(_._1).map { case (pid, c) =>
+      val off = acc; acc += c; (pid, off)
+    }.toSeq
+    val offDf = broadcast(df.sparkSession.createDataFrame(offRows)
+      .toDF("pid", "poff"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    docs.withColumn("lrn", row_number().over(wLocal))
+      .join(offDf, Seq("pid"))
+      .withColumn("rid", (col("lrn") + col("poff") - 1).cast(LongType))
+      .drop("lrn", "poff", "pid")
+  }
+
   /** Per-source document cap [CAP]: keep at most `cap` docs per source
     * (first by doc_id) — the domain-balancing step that stops a single
     * crawler domain from dominating a training mix. Reuses the

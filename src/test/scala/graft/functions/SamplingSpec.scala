@@ -107,4 +107,17 @@ class SamplingSpec extends SparkSpec {
       .filter(col("mx") =!= col("n")).count()
     assert(uncovered === 0)
   }
+
+  test("global row number: contiguous ids in doc_id order, adversarial ids") {
+    import spark.implicits._
+    // clustered ids (empty buckets between), a negative id (clamps to
+    // bucket 0), and an id at the top of the range
+    val ids = Seq(-7L, 0L, 1L, 2L, 3L, 1000000L, 1000001L, 999999999L)
+    val df = spark.sparkContext.parallelize(ids, 5).toDF("doc_id")
+    val got = Sampling.globalRowNumberOf(df, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ids.sorted.zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got === want)
+  }
 }
