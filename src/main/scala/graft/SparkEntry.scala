@@ -142,6 +142,7 @@ object SparkEntry {
     "a22_percentile_cont" -> CoreOps.a22PercentileCont _,
     "merge_upsert"       -> ((s, d) => Changelog.mergeUpsert(s, d)),
     "s9_partitioned_sink" -> CoreOps.s9PartitionedSink _,
+    "s10_schema_evolution" -> CoreOps.s10SchemaEvolution _,
     "stream_upsert_parity" -> graft.streaming.StreamGates.streamUpsertParity _,
     "j8_exists_correlated" -> CoreOps.j8ExistsCorrelated _,
     "a23_string_agg"     -> CoreOps.a23StringAgg _,
@@ -1368,6 +1369,13 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    // gen-1 rows (even ids) predate the lang column: the merged read
+    // must null-fill them, so they all land in the NULL group
+    "s10_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // stream==batch equality is engine-internal (no SQL oracle can run
     // a micro-batched merge); the row count anchors it relationally
     "stream_upsert_parity" ->

@@ -1695,6 +1695,32 @@ object CoreOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Schema-evolution read [S10]: a real lake's dataset directory
+    * contains file GENERATIONS — old files written before a column
+    * existed next to new files that carry it. Writes two parquet
+    * generations (gen 1: doc_id, n_chars; gen 2 adds lang) into one
+    * dataset dir and reads them through mergeSchema=true, which
+    * resolves the union schema and null-fills the missing column on
+    * old files — the evolution contract every long-lived 100 TB table
+    * depends on (schema merging is per-FILE-footer metadata work at
+    * planning time; the data pages of old files are never rewritten).
+    * The aggregate groups by the evolved column, so null-filling,
+    * schema union, AND both generations' row content must all be
+    * right; the oracle reproduces the expected merged view straight
+    * from the base table. */
+  def s10SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Fs.scratchDir(s, "graft_schevo", d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(out + "/gen=1")
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").parquet(out + "/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   // ---------------------------------------------------------------- S2+X11 dynamic-key JSON map
   /** JSON-lines scan where the object has DYNAMIC keys — the scams.json
     * shape (etherscams.py:45-49): build a {"<event_type>": {...}} doc

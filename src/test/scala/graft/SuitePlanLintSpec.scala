@@ -23,7 +23,7 @@ class SuitePlanLintSpec extends SparkSpec {
     "stream_availablenow_parity", "stream_neardup_parity",
     "compact_small_files", "p4_nested_pruning", "skew_aqe_join",
     "s1_csv_roundtrip", "s7_orc_roundtrip", "s8_json_roundtrip",
-    "s9_partitioned_sink", "eth_csv_pipeline",
+    "s9_partitioned_sink", "s10_schema_evolution", "eth_csv_pipeline",
     "dedup_corpus", "corpus_diff", "g2_pagerank", "w_global_row_number",
     "b1_bucketed_join", "p1_partition_pruning", "p2_dynamic_pruning",
     "merge_upsert", "sample_stratified", "sample_cap_per_source",

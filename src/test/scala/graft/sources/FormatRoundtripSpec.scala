@@ -39,4 +39,25 @@ class FormatRoundtripSpec extends SparkSpec {
       assert(n === Tables.region(spark, sfDir).count())
     } finally deleteRecursively(dir)
   }
+
+  test("mergeSchema read null-fills the column old generations lack") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rt_schevo").toString
+    try {
+      Seq((1L, 10), (2L, 20)).toDF("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(dir + "/gen=1")
+      Seq((3L, 30, "en"), (4L, 40, "fr")).toDF("doc_id", "n_chars", "lang")
+        .write.mode("overwrite").parquet(dir + "/gen=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(merged.schema.fieldNames.toSet
+        .intersect(Set("doc_id", "n_chars", "lang")) ===
+        Set("doc_id", "n_chars", "lang"))
+      val rows = merged.select("doc_id", "lang").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(rows === Map(1L -> null, 2L -> null, 3L -> "en", 4L -> "fr"))
+      // without mergeSchema the footer-sampled schema may drop lang —
+      // the option is load-bearing, not decorative
+    } finally deleteRecursively(dir)
+  }
 }
