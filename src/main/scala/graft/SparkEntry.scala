@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Changelog, Compaction, CoreOps, EventOps, Profile, RangeJoin, Skew, ZOrder}
+import graft.operators.{AsofJoin, Changelog, Compaction, CoreOps, EventOps, FuzzyJoin, Profile, RangeJoin, Skew, ZOrder}
 import graft.functions.{Decontam, Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -186,6 +186,7 @@ object SparkEntry {
     "compact_small_files" -> Compaction.compactSmallFiles _,
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
     "g3_triangle_count"  -> EventOps.triangleCount _,
+    "fuzzy_edit1_join"   -> FuzzyJoin.edit1Join _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1779,6 +1780,13 @@ object SparkEntry {
     "g2_pagerank" -> pagerankOracle(8),
     // name-lexicographic three-way self-join enumerates the identical
     // triangle set the engine's degree-ordered wedges produce
+    // brute-force distance cross join: the engine's deletion-blocked
+    // candidates + exact verify must recover the identical pair set
+    "fuzzy_edit1_join" ->
+      """SELECT a.s_name AS name_a, b.s_name AS name_b
+        |FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "g3_triangle_count" ->
       """WITH pairs AS (
         |  SELECT src, event_type AS dst FROM (

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+  test("edit1 blocking finds sub/ins/del pairs, rejects transpositions") {
+    import spark.implicits._
+    // cat~cut (substitution), cat~cats (insertion), cat~at (deletion),
+    // ab~ba (transposition, distance 2 — shares deletion keys 'a','b'
+    // so it IS a blocking candidate and must die in the verify step),
+    // xyz (no neighbor)
+    val names = Seq("cat", "cut", "cats", "at", "ab", "ba", "xyz")
+      .toDF("name")
+    val got = FuzzyJoin.edit1JoinOf(names)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("ab", "at"), // b→t substitution, also distance 1
+      ("at", "cat"), ("cat", "cats"), ("cat", "cut")))
+  }
+
+  test("edit1 pairs on supplier names match a brute-force check") {
+    val names = graft.Tables.supplier(spark, sfDir)
+      .select("s_name").collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names
+      if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    val got = FuzzyJoin.edit1Join(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty) // the dataset genuinely exercises the join
+  }
+}
