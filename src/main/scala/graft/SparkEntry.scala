@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Changelog, Compaction, CoreOps, EventOps, FuzzyJoin, Profile, RangeJoin, Skew, ZOrder}
+import graft.operators.{AsofJoin, Basket, Changelog, Compaction, CoreOps, EventOps, FuzzyJoin, Profile, RangeJoin, Skew, ZOrder}
 import graft.functions.{Decontam, Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -187,6 +187,8 @@ object SparkEntry {
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
     "g3_triangle_count"  -> EventOps.triangleCount _,
     "fuzzy_edit1_join"   -> FuzzyJoin.edit1Join _,
+    "mb_frequent_pairs"  -> ((s, d) => Basket.frequentPairs(s, d)),
+    "a25_unpivot"        -> CoreOps.a25Unpivot _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1780,6 +1782,28 @@ object SparkEntry {
     "g2_pagerank" -> pagerankOracle(8),
     // name-lexicographic three-way self-join enumerates the identical
     // triangle set the engine's degree-ordered wedges produce
+    // plain self-join + HAVING: the engine's apriori pruning is a pure
+    // optimization and must reproduce exactly this result
+    "mb_frequent_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       count(*) AS support
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "a25_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    SUM(l_quantity) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM w""".stripMargin,
     // brute-force distance cross join: the engine's deletion-blocked
     // candidates + exact verify must recover the identical pair set
     "fuzzy_edit1_join" ->

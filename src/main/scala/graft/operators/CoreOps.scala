@@ -160,6 +160,25 @@ object CoreOps {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum(col("l_quantity")))
 
+  /** Unpivot/melt [A25] — the reverse reshape of [[a7Pivot]]: a wide
+    * per-flag aggregate melted to (key, metric, amount) long form, the
+    * layout feeding metric stores and plotting pipelines. Spark's
+    * native unpivot is a map-side Expand (each input row emits one row
+    * per value column) — zero shuffle beyond the feeding aggregate,
+    * identical at any scale; the oracle states the same melt as a
+    * UNION ALL. Money legs route through DECIMAL(18,2) before the
+    * final DOUBLE like every money aggregate in the suite. */
+  def a25Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+        sum(dec(col("l_discount"))).cast(DoubleType).as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "amount")
+
   // ---------------------------------------------------------------- A8 distinct
   /** Distinct aggregation (declared built-in surface, SURVEY §2.4). */
   def a8CountDistinct(s: SparkSession, d: String): DataFrame =
