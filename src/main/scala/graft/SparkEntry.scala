@@ -189,6 +189,7 @@ object SparkEntry {
     "fuzzy_edit1_join"   -> FuzzyJoin.edit1Join _,
     "mb_frequent_pairs"  -> ((s, d) => Basket.frequentPairs(s, d)),
     "a25_unpivot"        -> CoreOps.a25Unpivot _,
+    "dedup_cc_clusters"  -> ((s, d) => Dedup.paraClusters(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1834,6 +1835,39 @@ object SparkEntry {
         |LEFT JOIN (SELECT node, count(*) AS n_tri FROM corners
         |           GROUP BY node) c ON c.node = n.node
         |ORDER BY n.node""".stripMargin,
+    "dedup_cc_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents),
+        |paras0 AS (
+        |  SELECT doc_id, t,
+        |         unnest(range(1, CAST(ceil(len(t) / 10.0) AS BIGINT) + 1))
+        |           AS pidx
+        |  FROM toks),
+        |paras AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(t[(pidx-1)*10+1 : (pidx-1)*10+10], ' ')
+        |           AS para
+        |  FROM paras0),
+        |pf AS (SELECT para, count(*) AS df FROM paras GROUP BY para),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM paras a JOIN paras b USING(para) JOIN pf USING(para)
+        |  WHERE a.doc_id < b.doc_id AND pf.df BETWEEN 2 AND 10),
+        |und AS MATERIALIZED (
+        |  SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.v, r.lbl FROM reach r JOIN und e ON e.u = r.node),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        |         FROM reach GROUP BY node),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+        |          FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |       c.doc_id = c.cluster_id AS is_canonical
+        |FROM comp c JOIN sizes s USING(cluster_id)""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

@@ -443,4 +443,45 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Dup-cluster assignment [CLUST]: the canonical-doc election step
+    * a dedup pipeline runs after pair generation — docs sharing any
+    * non-boilerplate paragraph are linked, components are resolved
+    * with [[connectedComponents]] (the same min-label loop
+    * dedup_corpus uses), and each cluster elects its smallest doc_id
+    * as canonical. Paragraphs are the same 10-token chunks as
+    * [[paragraphDedup]]; the document-frequency cap (2 ≤ df ≤ maxDf)
+    * is what keeps this scalable: a df-capped paragraph yields
+    * ≤ maxDf·(maxDf−1)/2 pairs no matter how big the corpus, and
+    * boilerplate (df > maxDf) — the one thing that would make the
+    * pair self-join quadratic — is exactly what a real pipeline
+    * excludes from linkage anyway. Output is one row per clustered
+    * doc: (doc_id, cluster_id, cluster_size, is_canonical);
+    * singleton docs (no shared paragraph) are omitted. */
+  def paraClusters(s: SparkSession, d: String, paraTokens: Int = 10,
+                   maxDf: Int = 10): DataFrame = {
+    val paras = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, cast(ceil(size(t) / $paraTokens.0) as int)),
+           |  i -> array_join(slice(t, (i-1)*$paraTokens + 1, $paraTokens), ' '))"""
+          .stripMargin)).as("para"))
+      .distinct()
+    val linkable = paras.join(
+      paras.groupBy(col("para")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, maxDf)),
+      Seq("para"))
+      .select(col("para"), col("doc_id"))
+    val edges = linkable.as("a").join(linkable.as("b"),
+        col("a.para") === col("b.para") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val comp = connectedComponents(edges)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+  }
 }

@@ -122,4 +122,48 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, "")))
     assert(out(3L) == ((2L, 1L, "fresh words here")))
   }
+
+  test("connectedComponents resolves a chain deeper than one round") {
+    import spark.implicits._
+    // 1-2-3-...-8 chain (diameter 7) plus an isolated pair and a
+    // triangle: min-label must propagate across multiple rounds.
+    val edges = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L)))
+      .toDF("doc_a", "doc_b")
+    val lbl = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert((1L to 8L).forall(lbl(_) == 1L))
+    assert(lbl(20L) == 20L && lbl(21L) == 20L)
+    assert(Seq(30L, 31L, 32L).forall(lbl(_) == 30L))
+    assert(lbl.size == 13)
+  }
+
+  test("paraClusters elects one canonical doc per cluster") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("paraclust").toString
+    val pA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val pB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val pBoiler = (1 to 10).map(i => s"z$i").mkString(" ")
+    // 5-6 share B; 1-2 share A, 2-3 share B' chain? keep simple:
+    // 1,2 share A; 2,3 share B (so 1-2-3 one cluster via doc 2);
+    // 5,6 share their own paragraph; 10..30 all share boilerplate
+    // (df=21 > maxDf=10) which must NOT link them.
+    val boilerDocs = (10L to 30L).map(i =>
+      (i, s"$pBoiler unique$i words${i}b filler${i}c"))
+    (Seq((1L, s"$pA only one here"), (2L, s"$pA $pB"),
+      (3L, s"$pB something else"), (5L, s"c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (6L, s"c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 extra")) ++ boilerDocs)
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.paraClusters(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    spark.catalog.clearCache()
+    assert(rows.keySet == Set(1L, 2L, 3L, 5L, 6L)) // boilerplate unlinked
+    assert(Seq(1L, 2L, 3L).forall(rows(_)._1 == 1L))
+    assert(rows(1L) == ((1L, 3L, true)) && !rows(2L)._3 && !rows(3L)._3)
+    assert(rows(5L) == ((5L, 2L, true)) && rows(6L) == ((5L, 2L, false)))
+  }
 }
