@@ -190,6 +190,10 @@ object SparkEntry {
     "mb_frequent_pairs"  -> ((s, d) => Basket.frequentPairs(s, d)),
     "a25_unpivot"        -> CoreOps.a25Unpivot _,
     "dedup_cc_clusters"  -> ((s, d) => Dedup.paraClusters(s, d)),
+    "ev_ohlc"            -> EventOps.ohlc _,
+    "j11_lateral_topn"   -> CoreOps.j11LateralTopn _,
+    "ev_rfm_segments"    -> CoreOps.evRfmSegments _,
+    "ivm_merge_daily"    -> CoreOps.ivmMergeDaily _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1868,6 +1872,65 @@ object SparkEntry {
         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
         |       c.doc_id = c.cluster_id AS is_canonical
         |FROM comp c JOIN sizes s USING(cluster_id)""".stripMargin,
+    "ev_ohlc" ->
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         event_type, value,
+        |         row_number() OVER (
+        |           PARTITION BY date_trunc('day', ts), event_type
+        |           ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (
+        |           PARTITION BY date_trunc('day', ts), event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT day, event_type,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n_events
+        |FROM w GROUP BY day, event_type""".stripMargin,
+    "j11_lateral_topn" ->
+      """SELECT r.r_name, t.n_name, t.n_custs
+        |FROM region r
+        |JOIN LATERAL (
+        |  SELECT n.n_name, count(*) AS n_custs
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_custs DESC, n.n_name ASC
+        |  LIMIT 2) t ON TRUE""".stripMargin,
+    "ev_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_date,
+        |         count(*) AS freq,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS money
+        |  FROM orders GROUP BY o_custkey),
+        |anch AS (SELECT max(last_date) AS anchor FROM cust),
+        |a2 AS (SELECT c.*, datediff('day', last_date, anchor) AS rec
+        |       FROM cust c CROSS JOIN anch),
+        |th AS (SELECT quantile_cont(rec,  [0.25, 0.5, 0.75]) AS rq,
+        |              quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+        |              quantile_cont(money, [0.25, 0.5, 0.75]) AS mq
+        |       FROM a2)
+        |SELECT CAST(1 + (rec > rq[1])::INT + (rec > rq[2])::INT
+        |              + (rec > rq[3])::INT AS INTEGER) AS r_seg,
+        |       CAST(1 + (freq > fq[1])::INT + (freq > fq[2])::INT
+        |              + (freq > fq[3])::INT AS INTEGER) AS f_seg,
+        |       CAST(1 + (money > mq[1])::INT + (money > mq[2])::INT
+        |              + (money > mq[3])::INT AS INTEGER) AS m_seg,
+        |       count(*) AS n_customers, min(o_custkey) AS min_cust
+        |FROM a2 CROSS JOIN th
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "ivm_merge_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(*), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

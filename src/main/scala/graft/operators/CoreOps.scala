@@ -1785,4 +1785,93 @@ object CoreOps {
       .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
         col("run_spend_dec").cast(DoubleType).as("run_spend"))
   }
+
+  /** Correlated LATERAL top-n [J11]: per outer row, an ordered+limited
+    * correlated subquery — the SQL-standard spelling of "top-2 nations
+    * per region by customer count". Catalyst decorrelates the LIMIT
+    * into a partitioned window rank (DecorrelateInnerQuery), so the
+    * executed plan is the same rank-filter j4/w1 build by hand — the
+    * lateral never loops per outer row and the outer side streams at
+    * any scale. */
+  def j11LateralTopn(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d).createOrReplaceTempView("graft_region_j11")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_j11")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_j11")
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.n_custs
+        |FROM graft_region_j11 r
+        |JOIN LATERAL (
+        |  SELECT n.n_name, COUNT(*) AS n_custs
+        |  FROM graft_nation_j11 n
+        |  JOIN graft_customer_j11 c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_custs DESC, n.n_name ASC
+        |  LIMIT 2) t""".stripMargin)
+  }
+
+  /** RFM segmentation [RFM]: quartile-bucket every customer on
+    * Recency / Frequency / Monetary and count the segment cells — the
+    * classic CRM cohort cube. The scale-critical choice: segments come
+    * from exact percentile THRESHOLDS (one global aggregate,
+    * broadcast back as a scalar row), never `ntile() OVER (ORDER BY
+    * metric)` — a global ntile has an empty PARTITION BY and funnels
+    * every customer through one window task (the w_global_row_number
+    * trap). Threshold comparison is strict `>` on both engines, the
+    * recency anchor is the corpus max order date (not wall-clock), and
+    * percentile interpolation parity is already pinned by
+    * a22_percentile_cont. */
+  def evRfmSegments(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_date"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(Dec)).cast(DoubleType).as("money"))
+    val anchored = cust
+      .crossJoin(broadcast(cust.agg(max(col("last_date")).as("anchor"))))
+      .withColumn("rec", datediff(col("anchor"), col("last_date")))
+    val th = anchored.agg(
+      expr("percentile(rec,  array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(money, array(0.25, 0.5, 0.75))").as("mq"))
+    def seg(m: Column, q: Column): Column =
+      (lit(1) + when(m > q.getItem(0), 1).otherwise(0)
+        + when(m > q.getItem(1), 1).otherwise(0)
+        + when(m > q.getItem(2), 1).otherwise(0)).cast(IntegerType)
+    anchored.crossJoin(broadcast(th))
+      .select(seg(col("rec"), col("rq")).as("r_seg"),
+        seg(col("freq"), col("fq")).as("f_seg"),
+        seg(col("money"), col("mq")).as("m_seg"),
+        col("o_custkey"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("o_custkey")).as("min_cust"))
+  }
+
+  /** Incremental view maintenance by algebraic-state merge [IVM]: the
+    * daily-rollup pattern where yesterday's materialized partial
+    * states (count, decimal sum, min, max per (day, type)) merge with
+    * today's delta WITHOUT rescanning history — the split here cuts
+    * mid-day so the cutoff day's groups genuinely combine two partial
+    * states, and avg is finalized only after the merge (avg itself is
+    * not mergeable; its (sum, count) factorization is). Decimal sums
+    * make the merge exact regardless of which partial each row landed
+    * in; the oracle recomputes the rollup from scratch — merged state
+    * must equal recomputation bit-for-bit. At 100 TB this is the
+    * difference between touching one day and touching the corpus. */
+  def ivmMergeDaily(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-15 12:00:00").cast(TimestampType)
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val ev = Tables.events(s, d)
+    val state = partial(ev.filter(col("ts") < cutoff))
+      .unionByName(partial(ev.filter(col("ts") >= cutoff)))
+    state.groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast(DoubleType).as("sum_value"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .withColumn("avg_value", round(col("sum_value") / col("n_events"), 6))
+  }
 }

@@ -384,6 +384,29 @@ object EventOps {
       .orderBy(col("node").asc)
   }
 
+  /** Daily OHLC bars per event type [OHLC]: the time-series
+    * downsample (candlestick / resample-and-aggregate) shape. ONE
+    * hash aggregate does all five statistics: open/close are
+    * min_by/max_by with a composite (ts, event_id) ordering struct —
+    * an O(1)-state aggregate that partial-aggregates map-side, NOT a
+    * first_value window (which would sort every (day,type) partition
+    * through a single task before reducing). At 100 TB the shuffle
+    * carries one 5-field row per (day,type,partition), not the raw
+    * ticks; the unique event_id tie-break makes open/close
+    * deterministic under any partitioning. The oracle states the
+    * same bars with row_number windows — affordable there, wrong
+    * shape here. */
+  def ohlc(s: SparkSession, d: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Same sessionization over a caller-provided event frame. */
   def sessionizeOf(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

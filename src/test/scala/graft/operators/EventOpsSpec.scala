@@ -107,4 +107,25 @@ class EventOpsSpec extends AnyFunSuite {
     // with dangling redistribution total mass is conserved
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
   }
+
+  test("ohlc: open/close follow (ts, event_id) order, ties broken by id") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ohlc").toString
+    val t0 = 1700000000000L
+    Seq( // two events share ts=t0: id 2 must win `open` over id 5
+      (5L, new Timestamp(t0), 1L, "click", 30.0, "{}"),
+      (2L, new Timestamp(t0), 1L, "click", 10.0, "{}"),
+      (7L, new Timestamp(t0 + 1000), 1L, "click", 99.0, "{}"),
+      (9L, new Timestamp(t0 + 2000), 1L, "click", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = EventOps.ohlc(spark, d).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Double]("open") === 10.0)   // id 2, not id 5
+    assert(row.getAs[Double]("high") === 99.0)
+    assert(row.getAs[Double]("low") === 10.0)
+    assert(row.getAs[Double]("close") === 20.0)
+    assert(row.getAs[Long]("n_events") === 4L)
+  }
 }
