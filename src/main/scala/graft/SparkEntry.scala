@@ -194,6 +194,8 @@ object SparkEntry {
     "j11_lateral_topn"   -> CoreOps.j11LateralTopn _,
     "ev_rfm_segments"    -> CoreOps.evRfmSegments _,
     "ivm_merge_daily"    -> CoreOps.ivmMergeDaily _,
+    "emb_covariance"     -> Similarity.embCovariance _,
+    "s11_zstd_roundtrip" -> CoreOps.s11ZstdRoundtrip _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1931,6 +1933,22 @@ object SparkEntry {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |             / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "emb_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+        |           AS i,
+        |         unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT a.i AS i, b.i AS j,
+        |       round(covar_samp(a.v, b.v), 6) + 0.0 AS cov
+        |FROM x a JOIN x b USING (vec_id)
+        |GROUP BY a.i, b.i""".stripMargin,
+    "s11_zstd_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+         |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
+         |       MAX(l_shipdate) AS max_shipdate
+         |FROM lineitem""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

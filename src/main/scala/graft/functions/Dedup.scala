@@ -460,23 +460,33 @@ object Dedup {
     * singleton docs (no shared paragraph) are omitted. */
   def paraClusters(s: SparkSession, d: String, paraTokens: Int = 10,
                    maxDf: Int = 10): DataFrame = {
+    // paragraphs leave the scan as 64-bit xxhash keys (same discipline
+    // as the shingle kernel: strings never shuffle, collisions ~n²/2⁶⁵
+    // are the only deviation), and the narrow (doc_id, pk) frame is
+    // persisted — the df aggregate, BOTH sides of the pair self-join,
+    // and the union in connectedComponents all re-read it; without the
+    // persist each of those re-runs tokenize+chunk over the raw text
+    // (measured 10.4 s → the fix target at sf0.1).
     val paras = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, cast(ceil(size(t) / $paraTokens.0) as int)),
            |  i -> array_join(slice(t, (i-1)*$paraTokens + 1, $paraTokens), ' '))"""
           .stripMargin)).as("para"))
+      .select(col("doc_id"), xxhash64(col("para")).as("pk"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val linkable = paras.join(
-      paras.groupBy(col("para")).agg(count(lit(1)).as("df"))
+      paras.groupBy(col("pk")).agg(count(lit(1)).as("df"))
         .where(col("df").between(2, maxDf)),
-      Seq("para"))
-      .select(col("para"), col("doc_id"))
+      Seq("pk"))
+      .select(col("pk"), col("doc_id"))
     val edges = linkable.as("a").join(linkable.as("b"),
-        col("a.para") === col("b.para") && col("a.doc_id") < col("b.doc_id"))
+        col("a.pk") === col("b.pk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val comp = connectedComponents(edges)
+    paras.unpersist() // CC materialized the edge set eagerly
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("component"))

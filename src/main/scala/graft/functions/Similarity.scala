@@ -349,4 +349,68 @@ object Similarity {
       .agg(avg(col("x")).as("mean_x"), count(lit(1)).as("n"))
       .select(col("label"), col("dim").cast("int").as("dim"),
         col("mean_x"), col("n"))
+
+  /** One (n, Σx, Σxxᵀ) moment block per input partition — the
+    * treeAggregate shape MLlib uses for Gram/covariance matrices. */
+  private[graft] case class MomentBlock(
+    n: Long, sx: Array[Double], sxy: Array[Double])
+
+  /** Sample covariance matrix of the embedding column [COV]: the
+    * d×d second-moment statistic behind PCA whitening, Mahalanobis
+    * outlier scoring, and embedding-drift monitors. NOT an explode +
+    * d² self-join (the oracle's spelling — at 100 TB that shuffles
+    * n·d² rows): a mapPartitions kernel accumulates each partition's
+    * (n, Σx, Σxxᵀ) in primitive arrays — one 33 KB block per
+    * partition TOTAL, independent of row count — and the driver
+    * merges P blocks and finalizes (Σxy − ΣxΣy/n)/(n−1), exactly
+    * covar_samp's factorization. Output is d² = 4 096 rows however
+    * big the corpus is; cross-partition double-sum order shifts only
+    * last-ulps, absorbed by the suite-wide 6-dp rounding contract.
+    * Eager (the block merge is an action at build time) — listed in
+    * SuitePlanLintSpec's exclusions like the other eager queries. */
+  def embCovariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = graft.Tables.embeddings(s, d)
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var n = 0L
+        var dim = 0
+        var sx: Array[Double] = null
+        var sxy: Array[Double] = null
+        it.foreach { e =>
+          if (sx == null) {
+            dim = e.length
+            sx = new Array[Double](dim); sxy = new Array[Double](dim * dim)
+          }
+          n += 1
+          var i = 0
+          while (i < dim) {
+            val vi = e(i).toDouble
+            sx(i) += vi
+            var j = 0
+            val row = i * dim
+            while (j < dim) { sxy(row + j) += vi * e(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty else Iterator.single(MomentBlock(n, sx, sxy))
+      }
+      .collect()
+    val tot = blocks.reduce { (a, b) =>
+      var i = 0
+      while (i < a.sx.length) { a.sx(i) += b.sx(i); i += 1 }
+      i = 0
+      while (i < a.sxy.length) { a.sxy(i) += b.sxy(i); i += 1 }
+      MomentBlock(a.n + b.n, a.sx, a.sxy)
+    }
+    val dim = tot.sx.length
+    val n = tot.n.toDouble
+    val rows = for (i <- 0 until dim; j <- 0 until dim) yield
+      (i, j, (tot.sxy(i * dim + j) - tot.sx(i) * tot.sx(j) / n) / (n - 1))
+    rows.toDF("i", "j", "cov")
+      // + 0.0 canonicalizes IEEE -0.0 → +0.0: a tiny negative
+      // covariance rounds to -0.0, and the compare's string sort
+      // orders "-0.0" ≠ "0.0" even though the values are equal
+      .select(col("i"), col("j"), (round(col("cov"), 6) + 0.0).as("cov"))
+  }
 }

@@ -1656,6 +1656,15 @@ object CoreOps {
       case "orc" =>
         slice.write.mode("overwrite").orc(out)
         s.read.orc(out)
+      case "zstd" =>
+        // codec is a sink OPTION, not a format: zstd parquet decodes
+        // to bit-identical values at a better ratio than the snappy
+        // default — the cold-tier / network-bound choice at 100 TB.
+        // FormatRoundtripSpec pins the .zstd.parquet extension so the
+        // option is proven load-bearing, not silently ignored.
+        slice.write.mode("overwrite").option("compression", "zstd")
+          .parquet(out)
+        s.read.parquet(out)
       case "json" =>
         // JSON-lines: schema-on-read (inference would widen longs and
         // read timestamps as strings — the explicit schema is the test)
@@ -1686,6 +1695,11 @@ object CoreOps {
     * through decimal as everywhere else. */
   def s7OrcRoundtrip(s: SparkSession, d: String): DataFrame =
     formatRoundtrip(s, d, "orc")
+
+  /** zstd-parquet roundtrip [S11]: same contract as [[s7OrcRoundtrip]]
+    * but exercising the compression-codec axis of the parquet sink. */
+  def s11ZstdRoundtrip(s: SparkSession, d: String): DataFrame =
+    formatRoundtrip(s, d, "zstd")
 
   /** JSON-lines roundtrip [S8]: the row-oriented interchange format —
     * written and re-read with an explicit schema (doubles, longs, and

@@ -27,7 +27,8 @@ class SuitePlanLintSpec extends SparkSpec {
     "dedup_corpus", "corpus_diff", "g2_pagerank", "w_global_row_number",
     "b1_bucketed_join", "p1_partition_pruning", "p2_dynamic_pruning",
     "merge_upsert", "sample_stratified", "sample_cap_per_source",
-    "mix_weighted", "pack_chunks")
+    "mix_weighted", "pack_chunks", "dedup_cc_clusters", "emb_covariance",
+    "s11_zstd_roundtrip")
 
   test("no lazily-built query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq

@@ -126,4 +126,18 @@ class SimilaritySpec extends SparkSpec {
       (0, 0) -> ((2.0, 2L)), (0, 1) -> ((1.0, 2L)),
       (1, 0) -> ((0.25, 1L)), (1, 1) -> ((0.75, 1L))))
   }
+
+  test("embCovariance matches the hand-computed sample covariance") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("embcov").toString
+    // x = 1,2,3 ; y = 2x  =>  var(x)=1, cov(x,y)=2, var(y)=4
+    Seq((0L, Array(1.0f, 2.0f), 0), (1L, Array(2.0f, 4.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.embCovariance(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      (0, 0) -> 1.0, (0, 1) -> 2.0, (1, 0) -> 2.0, (1, 1) -> 4.0))
+  }
 }

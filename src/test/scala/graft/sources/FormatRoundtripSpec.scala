@@ -28,6 +28,23 @@ class FormatRoundtripSpec extends SparkSpec {
   test("orc roundtrip preserves rows")  { roundtrip("orc") }
   test("json roundtrip preserves rows") { roundtrip("json") }
 
+  test("zstd parquet sink writes .zstd.parquet files that read back") {
+    val dir = java.nio.file.Files.createTempDirectory("rt_zstd").toString
+    try {
+      val src = Tables.supplier(spark, sfDir)
+      src.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      // the codec option must be load-bearing: data files carry the
+      // codec in their name, so a silently-ignored option fails here
+      assert(files.nonEmpty && files.forall(_.endsWith(".zstd.parquet")),
+        s"expected zstd-coded files, got: ${files.mkString(", ")}")
+      val back = spark.read.parquet(dir)
+      assert(back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq ===
+        src.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
+    } finally deleteRecursively(dir)
+  }
+
   test("json lines read back as text parse with from_json") {
     val dir = java.nio.file.Files.createTempDirectory("rt_jsontext").toString
     try {
