@@ -316,24 +316,27 @@ object Dedup {
     * overhead is what dominates at any scale where the label frames
     * are small relative to the cluster (and compounds under a
     * contended scheduler — the round-1/2 driver-bench regressions):
-    *  - ONE Spark job per round: the previous label rides through the
-    *    union-aggregate as an `old` column, so materializing the new
-    *    generation and counting changed labels is a single action (the
-    *    old shape ran a second join+count job per round, and its
-    *    limit(1) early-exit also left the new generation only
-    *    partially cached — later scans then recomputed through the
-    *    unpersisted lineage).
+    *  - each generation is an eager localCheckpoint, NOT a persist:
+    *    every round reads `labels` twice (the edge join and the
+    *    self-row union), so without lineage TRUNCATION the analyzed
+    *    plan doubles per round — the same 2^iters analysis blowup
+    *    g2_pagerank hit; on the shared-paragraph graph (more rounds
+    *    than dedup_corpus's near-clique clusters) it ran the CC loop
+    *    on 652 edges for 21 s, all of it in the driver's analyzer.
+    *    The previous label still rides through the union-aggregate as
+    *    an `old` column, so the changed-label count is a cheap scan
+    *    of checkpointed rows, and every generation is fully
+    *    materialized (no limit() early-exit partial caches).
     *  - label/edge frames are repartitioned by edge count (~1M edge
     *    rows per partition, capped at defaultParallelism), so a 50k-doc
     *    corpus iterates on a couple of partitions instead of paying
     *    full shuffle-width task overhead every round, while a 100 TB
     *    edge set still spreads across the cluster.
     *
-    * The returned frame reads from a persisted final generation (its
-    * lineage spans every iteration); it is a projection of that cached
-    * frame, so callers owning a long-lived session should release it
-    * via spark.catalog.clearCache() (as Bench/Verify do between
-    * queries) rather than unpersist(). */
+    * The returned frame reads from the final generation's eager
+    * localCheckpoint (block-manager blocks, one row per node; the
+    * ContextCleaner reclaims earlier generations), so its plan is
+    * iteration-count-free. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -351,9 +354,6 @@ object Dedup {
     edgesRaw.unpersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-    // the persisted frame backing `labels` (labels itself may be a
-    // projection of it, and unpersist() on a projection is a no-op)
-    var labelsCached: DataFrame = null
     var converged = nEdges == 0
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -361,21 +361,28 @@ object Dedup {
         .join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("component"),
           lit(null).cast("long").as("old"))
+      // pointer doubling: v also adopts its LABEL's label — lbl(lbl(v))
+      // — so label chains halve every round and convergence is
+      // O(log diameter) instead of O(diameter) (a 1M-link chain
+      // resolves in ~20 rounds, not 10⁶; DedupSpec's chain fixture
+      // pins the deep-propagation correctness). One extra equi-join
+      // per round on the label frame, same narrow (long, long) rows.
+      val viaLabel = labels.as("l1")
+        .join(labels.as("l2"), col("l1.component") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"),
+          col("l2.component").as("component"),
+          lit(null).cast("long").as("old"))
       // every doc has exactly one `labels` row, so min(old) recovers its
-      // previous label; comparing inside the same aggregate makes the
-      // convergence check free — no second join, no second job
+      // previous label; the changed count below reads checkpointed rows
       val next = labels.select(col("doc_id"), col("component"),
           col("component").as("old"))
         .union(viaEdges)
+        .union(viaLabel)
         .repartition(nParts, col("doc_id"))
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"), min(col("old")).as("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one action: materializes EVERY partition of next (full cache,
-      // no limit() early-exit) and returns the changed-label count
+        .localCheckpoint() // eager: materializes AND truncates lineage
       val changed = next.filter(col("component") =!= col("old")).count()
-      if (labelsCached != null) labelsCached.unpersist()
-      labelsCached = next
       labels = next.drop("old")
       converged = changed == 0
       iter += 1
