@@ -196,6 +196,8 @@ object SparkEntry {
     "ivm_merge_daily"    -> CoreOps.ivmMergeDaily _,
     "emb_covariance"     -> Similarity.embCovariance _,
     "s11_zstd_roundtrip" -> CoreOps.s11ZstdRoundtrip _,
+    "stream_session_parity" ->
+      graft.streaming.StreamGates.streamSessionParity _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1949,6 +1951,17 @@ object SparkEntry {
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
          |       MAX(l_shipdate) AS max_shipdate
          |FROM lineitem""".stripMargin,
+    "stream_session_parity" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_us
+        |  FROM events WHERE user_id < 100)
+        |SELECT CAST(1 AS BOOLEAN) AS session_parity,
+        |       CAST(SUM(CASE WHEN prev_us IS NULL
+        |                       OR us - prev_us > 600000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

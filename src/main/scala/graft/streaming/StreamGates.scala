@@ -469,4 +469,73 @@ object StreamGates {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
+
+  /** Gate query [stream_session_parity]: the NATIVE session_window
+    * streaming aggregate — merging per-key session state across
+    * events, finalized in append mode only when the watermark passes a
+    * session's close — emits exactly the batch session_window
+    * aggregation over the same slice. Completes the stateful-operator
+    * gate set: tumbling (stream_batch_parity), dedup, upsert,
+    * flatMapGroupsWithState sessions — this one exercises the
+    * session-merge state store itself. Per-session sums are
+    * decimal-routed on both sides, so sum_value participates in the
+    * set-equality key bit-exactly; the oracle recomputes the session
+    * count via the lag/cumsum formulation (the gap comparator parity
+    * — exact gap merges — is pinned by EventOpsSpec). */
+  def streamSessionParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = Files.createTempDirectory("graft_ssp").toString
+    try {
+      val inDir = s"$base/in"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 100)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      val maxRow = ev.agg(max(col("ts"))).head()
+      if (maxRow.isNullAt(0))
+        return Seq((false, 0L)).toDF("session_parity", "n_sessions")
+      ev.write.mode("overwrite").parquet(inDir)
+      val maxMs = maxRow.getTimestamp(0).getTime
+
+      var q: StreamingQuery = null
+      def sentinel(offMs: Long): Unit =
+        Seq((-1L, new Timestamp(maxMs + offMs), -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(inDir)
+      try {
+        q = Streams.sessionWindows(Streams.readEventStream(iso, inDir))
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("ssp_sessions")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+        // first sentinel advances the watermark past every real
+        // session; the second gives the engine the batch in which
+        // finalization actually fires
+        sentinel(4L * 3600 * 1000); q.processAllAvailable()
+        sentinel(4L * 3600 * 1000 + 60000); q.processAllAvailable()
+      } finally safeStop(q)
+
+      val cols = Seq("sess_start", "sess_end", "user_id", "n_events",
+        "sum_value")
+      val streamSess = iso.table("ssp_sessions")
+        .filter(col("user_id") >= 0).select(cols.map(col): _*)
+      val batchSess = ev
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .select(col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+      val gate = symDiffEmpty(streamSess, batchSess, cols)
+        .crossJoin(streamSess.agg(count(lit(1)).as("n_sess")))
+        .select(
+          (col("l_only") === 0 && col("r_only") === 0 && col("n_sess") > 0)
+            .as("session_parity"),
+          col("n_sess").as("n_sessions"))
+      val rows = gate.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
 }

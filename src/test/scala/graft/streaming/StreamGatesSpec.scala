@@ -13,6 +13,13 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getBoolean(1), "flushed sessions stream != batch")
   }
 
+  test("native session_window stream == batch sessions, gate true") {
+    val row = StreamGates.streamSessionParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0), "session_window stream != batch")
+    assert(row(0).getLong(1) > 0, "no sessions finalized")
+  }
+
   test("AvailableNow gate: two incremental drains reconstruct the batch exactly") {
     val row = StreamGates.streamAvailableNowParity(spark, sfDir).collect()
     assert(row.length === 1)
