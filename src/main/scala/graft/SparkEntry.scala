@@ -198,6 +198,8 @@ object SparkEntry {
     "s11_zstd_roundtrip" -> CoreOps.s11ZstdRoundtrip _,
     "stream_session_parity" ->
       graft.streaming.StreamGates.streamSessionParity _,
+    "w9_rank_suite"      -> CoreOps.w9RankSuite _,
+    "x18_try_suite"      -> CoreOps.x18TrySuite _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1962,6 +1964,29 @@ object SparkEntry {
         |                       OR us - prev_us > 600000000
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x""".stripMargin,
+    "w9_rank_suite" ->
+      """WITH a AS (SELECT o_orderpriority, o_orderdate,
+        |                  count(*) AS n_orders
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, o_orderdate, n_orders,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |       CAST(sum(n_orders) OVER (w ROWS UNBOUNDED PRECEDING)
+        |            - n_orders + 1 AS BIGINT) AS rnk
+        |FROM a
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_orderdate)""".stripMargin,
+    "x18_try_suite" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       COUNT(CASE WHEN o_custkey % 3 <> 0 THEN 1 END) AS n_div_ok,
+        |       CAST(SUM(CASE WHEN o_custkey % 3 <> 0
+        |                     THEN CAST(o_totalprice / (o_custkey % 3)
+        |                               AS DECIMAL(18,4)) END)
+        |            AS DOUBLE) AS sum_dv,
+        |       COUNT(CASE WHEN o_orderkey <= 0 THEN 1 END) AS n_ov_ok,
+        |       COUNT(TRY_CAST(o_orderpriority AS INTEGER)) AS n_badp_ok,
+        |       CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
+        |            AS BIGINT) AS sum_prio
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

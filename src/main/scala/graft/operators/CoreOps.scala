@@ -1862,6 +1862,57 @@ object CoreOps {
         min(col("o_custkey")).as("min_cust"))
   }
 
+  /** Ranking suite [W9]: dense_rank + classic rank, computed the
+    * scale-safe way — the window runs over the PRE-AGGREGATED
+    * (priority, date, n) frame (≤ |priorities|×|dates| rows), never
+    * the base table, so a billion same-day orders flow through the
+    * hash aggregate's map-side combine instead of one window task's
+    * sort. dense_rank is the native function on the distinct keys;
+    * classic rank (ties share the smallest position) telescopes back
+    * from the running count: rank = 1 + Σ n(earlier dates). */
+  def w9RankSuite(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"))
+    agg.select(col("o_orderpriority"), col("o_orderdate"), col("n_orders"),
+      dense_rank().over(w).cast(IntegerType).as("drnk"),
+      (sum(col("n_orders"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - col("n_orders") + 1).cast(LongType).as("rnk"))
+  }
+
+  /** ANSI try_* suite [X18]: Spark 4 runs ANSI mode ON, so plain
+    * arithmetic THROWS on div-by-zero / overflow / bad casts — the
+    * try_ forms are how a 100 TB pipeline keeps one poisoned row from
+    * killing a stage while still distinguishing "null input" from
+    * "failed operation". Three legs per order, aggregated per status:
+    * try_divide (modulo-derived zero denominators), try_add
+    * (Long.MaxValue overflow on positive keys), try_cast (the
+    * priority's leading digit parses; the full '1-URGENT' string does
+    * not). The oracle states the same semantics with CASE guards —
+    * DuckDB's plain operators would error on the same rows. */
+  def x18TrySuite(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        // double ÷ bigint → double, NULL on zero denominator; the
+        // per-row quotient is identical IEEE on both engines, and the
+        // decimal(18,4) re-quantization makes the SUM order-free
+        try_divide(col("o_totalprice"), col("o_custkey") % 3)
+          .cast(DecimalType(18, 4)).as("dv"),
+        try_add(col("o_orderkey"), lit(Long.MaxValue)).as("ov"),
+        col("o_orderpriority").try_cast(IntegerType).as("badp"),
+        substring(col("o_orderpriority"), 1, 1).try_cast(IntegerType)
+          .as("prio_digit"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("dv")).as("n_div_ok"),
+        sum(col("dv")).cast(DoubleType).as("sum_dv"),
+        count(col("ov")).as("n_ov_ok"),
+        count(col("badp")).as("n_badp_ok"),
+        sum(col("prio_digit")).as("sum_prio"))
+
   /** Incremental view maintenance by algebraic-state merge [IVM]: the
     * daily-rollup pattern where yesterday's materialized partial
     * states (count, decimal sum, min, max per (day, type)) merge with
