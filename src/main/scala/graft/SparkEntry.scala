@@ -200,6 +200,7 @@ object SparkEntry {
       graft.streaming.StreamGates.streamSessionParity _,
     "w9_rank_suite"      -> CoreOps.w9RankSuite _,
     "x18_try_suite"      -> CoreOps.x18TrySuite _,
+    "mm_ahash"           -> Multimodal.ahash _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1987,6 +1988,37 @@ object SparkEntry {
         |       CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
         |            AS BIGINT) AS sum_prio
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "mm_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+        |         16 + doc_id % 48 AS w,
+        |         16 + (doc_id * 7) % 32 AS h
+        |  FROM documents),
+        |pts AS (
+        |  SELECT doc_id, j * 8 + i AS k,
+        |         (doc_id * 31 + (i*w//8) * 7 + (j*h//8) * 13) % 256
+        |       + (doc_id * 17 + (i*w//8) * 3 + (j*h//8) * 29) % 256
+        |       + (doc_id * 11 + (i*w//8) * 23 + (j*h//8) * 5) % 256 AS lum
+        |  FROM d, range(8) ti(i), range(8) tj(j)
+        |  WHERE fmt = 'png'),
+        |tot AS (SELECT doc_id, SUM(lum) AS total FROM pts GROUP BY doc_id),
+        |hx AS (
+        |  SELECT p.doc_id,
+        |         CAST(SUM(CASE WHEN k >= 32 AND p.lum * 64 > t.total
+        |                       THEN 1::BIGINT << (k - 32) ELSE 0 END)
+        |              AS BIGINT) AS ahash_hi,
+        |         CAST(SUM(CASE WHEN k < 32 AND p.lum * 64 > t.total
+        |                       THEN 1::BIGINT << k ELSE 0 END)
+        |              AS BIGINT) AS ahash_lo
+        |  FROM pts p JOIN tot t USING (doc_id) GROUP BY p.doc_id),
+        |grp AS (SELECT ahash_hi, ahash_lo, COUNT(*) AS n_same
+        |        FROM hx GROUP BY 1, 2)
+        |SELECT d.doc_id, d.fmt, hx.ahash_hi, hx.ahash_lo, g.n_same
+        |FROM d
+        |LEFT JOIN hx USING (doc_id)
+        |LEFT JOIN grp g ON g.ahash_hi = hx.ahash_hi
+        |              AND g.ahash_lo = hx.ahash_lo""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

@@ -233,6 +233,61 @@ object Multimodal {
     }).toDF()
   }
 
+  case class AHash(doc_id: Long, fmt: String,
+    ahash_hi: Option[Long], ahash_lo: Option[Long])
+
+  /** Perceptual average-hash [MM-AHASH]: the image-dedup primitive —
+    * an 8×8 luminance grid sample of each DECODED image, one bit per
+    * cell (above the 64-cell mean), packed into two 32-bit halves so
+    * neither engine touches the sign bit. All integer math: the mean
+    * comparison is lum·64 > total (no division), the grid is
+    * nearest-neighbor at (i·w/8, j·h/8) — a production pipeline would
+    * box-average first, but the hash algebra is identical. Exact-hash
+    * groups (n_same) are the dedup keys. The engine hashes pixels the
+    * CODEC produced; the oracle recomputes from the planted raster
+    * formulas — so a transposed, color-shifted, or off-by-one decode
+    * breaks parity. JPEG rows (lossy) carry NULL hashes by
+    * construction on both sides, and their NULL keys never join a
+    * dedup group. Per-image work is O(64) after decode; the group
+    * count is one hash aggregate on a (long, long) key. */
+  def ahash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, d).mapPartitions(_.map { m =>
+      val (fmt, im) = decodeImage(m.payload)
+      if (fmt == "png") {
+        val w = im.getWidth; val h = im.getHeight
+        val lum = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val p = im.getRGB(i * w / 8, j * h / 8)
+            val l = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+            lum(j * 8 + i) = l; tot += l; i += 1
+          }
+          j += 1
+        }
+        var hi = 0L; var lo = 0L
+        var k = 0
+        while (k < 64) {
+          if (lum(k) * 64L > tot) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        AHash(m.doc_id, fmt, Some(hi), Some(lo))
+      } else AHash(m.doc_id, fmt, None, None)
+    }).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = hashed.filter(col("fmt") === "png")
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_same"))
+    hashed.join(grp, Seq("ahash_hi", "ahash_lo"), "left")
+      .select(col("doc_id"), col("fmt"), col("ahash_hi"), col("ahash_lo"),
+        col("n_same"))
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int)
 
   val FrameBytes = 64
