@@ -201,6 +201,7 @@ object SparkEntry {
     "w9_rank_suite"      -> CoreOps.w9RankSuite _,
     "x18_try_suite"      -> CoreOps.x18TrySuite _,
     "mm_ahash"           -> Multimodal.ahash _,
+    "q23_yoy_growth"     -> CoreOps.q23YoyGrowth _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -2019,6 +2020,21 @@ object SparkEntry {
         |LEFT JOIN hx USING (doc_id)
         |LEFT JOIN grp g ON g.ahash_hi = hx.ahash_hi
         |              AND g.ahash_lo = hx.ahash_lo""".stripMargin,
+    "q23_yoy_growth" ->
+      """WITH yearly AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT c.c_mktsegment, a.yr AS year_from,
+        |       COUNT(*) AS n_base,
+        |       COUNT(b.spend) AS n_retained,
+        |       COUNT(CASE WHEN b.spend * 4 > a.spend * 5 THEN 1 END)
+        |         AS n_grown
+        |FROM yearly a
+        |LEFT JOIN yearly b
+        |  ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+        |JOIN customer c ON c.c_custkey = a.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

@@ -1913,6 +1913,34 @@ object CoreOps {
         count(col("badp")).as("n_badp_ok"),
         sum(col("prio_digit")).as("sum_prio"))
 
+  /** Year-over-year cohort growth [Q23] (the TPC-DS Q4/Q11 shape):
+    * per-customer yearly spend, self-joined year → year+1, rolled up
+    * per segment into base / retained / grown-≥25% counts. The growth
+    * predicate is spend₂·4 > spend₁·5 — integer-scaled DECIMAL
+    * comparison, so no division and no double rounding can disagree
+    * between engines. Both join sides are the same pre-aggregated
+    * (customer, year) frame (one fact-table scan, partial-agg'd), so
+    * the self-join is customer-co-partitioned and the fact table is
+    * never shuffled twice. No broadcast hint on the customer dim —
+    * it scales WITH the corpus (the bigrams/ADVICE lesson); AQE still
+    * broadcasts it whenever its runtime size is actually small. */
+  def q23YoyGrowth(s: SparkSession, d: String): DataFrame = {
+    val yearly = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("spend"))
+    val nxt = yearly.select(col("o_custkey"), (col("yr") - 1).as("yr"),
+      col("spend").as("spend_next"))
+    yearly.join(nxt, Seq("o_custkey", "yr"), "left")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("yr").as("year_from"))
+      .agg(count(lit(1)).as("n_base"),
+        count(col("spend_next")).as("n_retained"),
+        count(when(col("spend_next") * 4 > col("spend") * 5, 1))
+          .as("n_grown"))
+  }
+
   /** Incremental view maintenance by algebraic-state merge [IVM]: the
     * daily-rollup pattern where yesterday's materialized partial
     * states (count, decimal sum, min, max per (day, type)) merge with
