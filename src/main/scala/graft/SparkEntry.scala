@@ -202,6 +202,7 @@ object SparkEntry {
     "x18_try_suite"      -> CoreOps.x18TrySuite _,
     "mm_ahash"           -> Multimodal.ahash _,
     "q23_yoy_growth"     -> CoreOps.q23YoyGrowth _,
+    "s12_csv_dialect"    -> CoreOps.s12CsvDialect _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -2035,6 +2036,20 @@ object SparkEntry {
         |  ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
         |JOIN customer c ON c.c_custkey = a.o_custkey
         |GROUP BY 1, 2""".stripMargin,
+    "s12_csv_dialect" ->
+      """WITH h AS (
+        |  SELECT c_custkey,
+        |         c_mktsegment || ',' || chr(10) || '"' || c_name || '"'
+        |           AS hostile
+        |  FROM customer)
+        |SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(length(hostile)) AS BIGINT) AS sum_len,
+        |       COUNT(CASE WHEN instr(hostile, chr(10)) > 0 THEN 1 END)
+        |         AS n_newline,
+        |       COUNT(CASE WHEN instr(hostile, '"') > 0 THEN 1 END)
+        |         AS n_quote,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+        |FROM h""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

@@ -1701,6 +1701,39 @@ object CoreOps {
   def s11ZstdRoundtrip(s: SparkSession, d: String): DataFrame =
     formatRoundtrip(s, d, "zstd")
 
+  /** CSV dialect roundtrip [S12]: RFC 4180's hard cases — fields with
+    * embedded delimiters, embedded double-quotes, and embedded
+    * NEWLINES — written with quote-doubling (escape = quote, not the
+    * Spark backslash default) and read back with multiLine=true (the
+    * one option that makes records span physical lines; without it
+    * every hostile row tears). The hostile column is derived
+    * deterministically from customer, so the oracle aggregates the
+    * SAME construction straight from the table — the roundtrip must
+    * be byte-lossless for the counts and length sums to line up.
+    * multiLine trades per-line splittability for correctness: a 100 TB
+    * lake keeps quoted-newline CSV in modest files (or re-encodes to
+    * parquet on ingest — s1/s7's path) rather than feeding one
+    * unsplittable 10 GB file to one task. */
+  def s12CsvDialect(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Fs.scratchDir(s, "graft_csv_dialect", d)
+    Tables.customer(s, d).select(col("c_custkey"),
+      concat(col("c_mktsegment"), lit(",\n\""), col("c_name"), lit("\""))
+        .as("hostile"))
+      .write.mode("overwrite").option("header", "true")
+      .option("quote", "\"").option("escape", "\"").csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("hostile", StringType)))
+    s.read.schema(schema).option("header", "true")
+      .option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"").csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("hostile"))).as("sum_len"),
+        count(when(instr(col("hostile"), "\n") > 0, 1)).as("n_newline"),
+        count(when(instr(col("hostile"), "\"") > 0, 1)).as("n_quote"),
+        sum(col("c_custkey")).as("sum_keys"))
+  }
+
   /** JSON-lines roundtrip [S8]: the row-oriented interchange format —
     * written and re-read with an explicit schema (doubles, longs, and
     * ISO-serialized timestamps must all survive the text round-trip),

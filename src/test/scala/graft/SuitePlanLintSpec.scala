@@ -29,7 +29,7 @@ class SuitePlanLintSpec extends SparkSpec {
     "b1_bucketed_join", "p1_partition_pruning", "p2_dynamic_pruning",
     "merge_upsert", "sample_stratified", "sample_cap_per_source",
     "mix_weighted", "pack_chunks", "dedup_cc_clusters", "emb_covariance",
-    "s11_zstd_roundtrip")
+    "s11_zstd_roundtrip", "s12_csv_dialect")
 
   test("no lazily-built query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq

@@ -28,6 +28,27 @@ class FormatRoundtripSpec extends SparkSpec {
   test("orc roundtrip preserves rows")  { roundtrip("orc") }
   test("json roundtrip preserves rows") { roundtrip("json") }
 
+  test("csv with quote-doubling roundtrips embedded delimiters/quotes/newlines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rt_csvdialect").toString
+    try {
+      val rows = Seq(
+        (1L, "plain"),
+        (2L, "comma, inside"),
+        (3L, "quote \" inside"),
+        (4L, "newline\ninside"),
+        (5L, "all, of \"it\"\nat once"))
+      val src = rows.toDF("k", "v")
+      src.write.mode("overwrite").option("header", "true")
+        .option("quote", "\"").option("escape", "\"").csv(dir)
+      val back = spark.read.schema(src.schema).option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"").csv(dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(back === rows.toMap)
+    } finally deleteRecursively(dir)
+  }
+
   test("zstd parquet sink writes .zstd.parquet files that read back") {
     val dir = java.nio.file.Files.createTempDirectory("rt_zstd").toString
     try {
