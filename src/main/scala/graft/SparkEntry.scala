@@ -105,6 +105,7 @@ object SparkEntry {
     "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
+    "j12_interval_overlap" -> RangeJoin.balanceBandDemo _,
     "a17_histogram"      -> ((s, d) => CoreOps.a17Histogram(s, d)),
     "p3_bloom_join"      -> ((s, d) => Gates.bloomJoinGate(s, d)),
     "sim_semdedup"       -> ((s, d) => Gates.semDedupGate(s, d)),
@@ -893,6 +894,22 @@ object SparkEntry {
          |  CAST($terms AS BIGINT) AS zval
          |FROM lineitem WHERE l_orderkey < 400""".stripMargin
     },
+    "j12_interval_overlap" ->
+      """WITH c AS (SELECT c_mktsegment,
+        |                  CAST(c_acctbal AS DECIMAL(12,2)) - 100 AS c_lo,
+        |                  CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS c_hi
+        |           FROM customer),
+        |     s AS (SELECT s_suppkey,
+        |                  CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal,
+        |                  CAST(s_acctbal AS DECIMAL(12,2)) - 100 AS s_lo,
+        |                  CAST(s_acctbal AS DECIMAL(12,2)) + 100 AS s_hi
+        |           FROM supplier)
+        |SELECT c_mktsegment, COUNT(*) AS n_pairs,
+        |       COUNT(DISTINCT s_suppkey) AS n_suppliers,
+        |       CAST(CAST(SUM(s_bal) AS DECIMAL(18,2)) AS DOUBLE)
+        |         AS sum_supp_bal
+        |FROM c JOIN s ON c_lo <= s_hi AND s_lo <= c_hi
+        |GROUP BY 1""".stripMargin,
     "range_join_binned" ->
       """WITH b AS (SELECT p_brand, MIN(p_retailprice) AS lo,
         |                  MAX(p_retailprice) AS hi

@@ -42,6 +42,64 @@ object RangeJoin {
       .drop("_bin")
   }
 
+  /** Interval × interval overlap join [J12]: pairs (a, b) whose closed
+    * intervals [alo, ahi] and [blo, bhi] intersect — validity-window
+    * reconciliation, concurrency analysis, tolerance/band matching.
+    * The naive `alo <= bhi AND blo <= ahi` predicate has no equi key
+    * (BroadcastNestedLoopJoin, O(|A|·|B|)), so BOTH sides replicate to
+    * every bin their interval touches and the join runs as a hash
+    * equi-join on the bin id. Unlike the point case, an overlapping
+    * pair can now co-occur in SEVERAL bins; the responsibility filter
+    * `bin == bin(max(alo, blo))` — the bin holding the overlap's start
+    * — keeps exactly one copy without any post-join distinct (a
+    * distinct would re-shuffle the whole pair set). Replication is
+    * ceil(span/width)+1 per row per side; width tunes replication vs
+    * per-bin candidate count, and the equi-key keeps the join
+    * partitionable across a cluster (AQE still free to broadcast a
+    * small side). */
+  def overlapBinned(a: DataFrame, alo: String, ahi: String,
+      b: DataFrame, blo: String, bhi: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("_bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    binned(a, alo, ahi).join(binned(b, blo, bhi), Seq("_bin"))
+      .filter(col(alo) <= col(bhi) && col(blo) <= col(ahi))
+      .filter(col("_bin") ===
+        floor(greatest(col(alo), col(blo)) / binWidth).cast("long"))
+      .drop("_bin")
+  }
+
+  /** Demo query [j12_interval_overlap]: comparable-balance pairing —
+    * each customer and supplier carries a ±100 tolerance interval
+    * around its account balance; a pair "matches" when the intervals
+    * intersect (equivalently |c − s| ≤ 200, but computed as the
+    * interval test so engine and oracle share the exact arithmetic).
+    * Bounds are DECIMAL(12,2) on both sides — money endpoints compared
+    * exactly, no float boundary flicker — while bin ASSIGNMENT uses
+    * double floor(lo/width), which only needs self-consistency, not
+    * oracle parity. Aggregated per market segment so output stays
+    * bounded at any SF. */
+  def balanceBandDemo(s: SparkSession, d: String): DataFrame = {
+    val tol = 100
+    val c = Tables.customer(s, d).select(col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(12,2)") - tol).as("c_lo"),
+      (col("c_acctbal").cast("decimal(12,2)") + tol).as("c_hi"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+      col("s_acctbal").cast("decimal(12,2)").as("s_bal"),
+      (col("s_acctbal").cast("decimal(12,2)") - tol).as("s_lo"),
+      (col("s_acctbal").cast("decimal(12,2)") + tol).as("s_hi"))
+    overlapBinned(c, "c_lo", "c_hi", sup, "s_lo", "s_hi",
+        binWidth = 256.0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        sum(col("s_bal")).cast("decimal(18,2)").cast("double")
+          .as("sum_supp_bal"))
+  }
+
   /** Demo query [range_join_binned]: per-brand retail-price bands
     * (min..max per brand — overlapping, irregular widths) joined to
     * every part's price; aggregated to per-band membership stats so

@@ -26,6 +26,25 @@ object RangeJoinProps extends Properties("RangeJoin") {
       (i.toLong, lo, lo + span)
     })
 
+  property("overlapBinned equals naive overlap join") =
+    Prop.forAll(rangesGen, rangesGen,
+      Gen.oneOf(0.5, 1.0, 17.0, 64.0, 1e6)) { (as, bs, width) =>
+      import spark.implicits._
+      val a = as.toDF("aid", "alo", "ahi")
+      val b = bs.toDF("bid", "blo", "bhi")
+      val got = RangeJoin.overlapBinned(a, "alo", "ahi", b, "blo", "bhi",
+          width)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val exp = a.join(b,
+          col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // compare as multisets: the responsibility filter must emit each
+      // overlapping pair EXACTLY once, not merely at-least-once
+      got.sorted.toSeq == exp.sorted.toSeq
+    }
+
   property("binned equals naive BETWEEN join") =
     Prop.forAll(Gen.listOf(valGen), rangesGen,
       Gen.oneOf(0.5, 1.0, 17.0, 64.0, 1e6)) { (pts, rgs, width) =>
