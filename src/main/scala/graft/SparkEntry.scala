@@ -188,6 +188,7 @@ object SparkEntry {
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
     "g3_triangle_count"  -> EventOps.triangleCount _,
     "fuzzy_edit1_join"   -> FuzzyJoin.edit1Join _,
+    "fuzzy_jw_topk"      -> ((s, d) => FuzzyJoin.jwTopK(s, d)),
     "mb_frequent_pairs"  -> ((s, d) => Basket.frequentPairs(s, d)),
     "a25_unpivot"        -> CoreOps.a25Unpivot _,
     "dedup_cc_clusters"  -> ((s, d) => Dedup.paraClusters(s, d)),
@@ -1837,6 +1838,17 @@ object SparkEntry {
         |SELECT l_returnflag, 'sum_disc', sum_disc FROM w""".stripMargin,
     // brute-force distance cross join: the engine's deletion-blocked
     // candidates + exact verify must recover the identical pair set
+    "fuzzy_jw_topk" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_size <= 10)
+        |SELECT l.p_partkey AS key_a, r.p_partkey AS key_b,
+        |       round(jaro_winkler_similarity(l.p_name, r.p_name), 6)
+        |         AS sim
+        |FROM p l JOIN p r
+        |  ON l.blk = r.blk AND l.p_partkey < r.p_partkey
+        |ORDER BY sim DESC, key_a ASC, key_b ASC
+        |LIMIT 25""".stripMargin,
     "fuzzy_edit1_join" ->
       """SELECT a.s_name AS name_a, b.s_name AS name_b
         |FROM supplier a JOIN supplier b ON a.s_name < b.s_name

@@ -5,10 +5,10 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native string-canonicalization expression (SURVEY.md §2.8 extension
@@ -63,6 +63,93 @@ object StringExpressions {
       copy(child = newChild)
   }
 
+  /** Jaro similarity core, called per row from generated code. Exact
+    * contract pinned empirically against DuckDB's `jaro_similarity`
+    * (itself the textbook Jaro): match window floor(max(|a|,|b|)/2)-1
+    * clamped at 0; greedy left-to-right matching; transpositions =
+    * mismatched match-sequence positions / 2 with INTEGER floor (the
+    * 3-cycle 'abcdef'/'bcadef' case distinguishes floor from the
+    * fractional variant — DuckDB floors); either side empty → 0.0.
+    * Chars are UTF-16 code units via toString — fine for parity (both
+    * engines compare code units on the BMP) and the names/text columns
+    * are ASCII anyway. O(|a|·window) time, two boolean scratch arrays. */
+  def jaroJava(ua: UTF8String, ub: UTF8String): Double =
+    jaroChars(ua.toString, ub.toString)
+
+  private def jaroChars(a: String, b: String): Double = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max((math.max(la, lb) / 2) - 1, 0)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && b.charAt(j) == a.charAt(i)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var traw = 0; var k = 0; i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) traw += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = traw / 2 // integer floor — DuckDB parity
+    (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+  }
+
+  /** Winkler refinement: prefix bonus ℓ·p·(1−jaro) with ℓ = shared
+    * prefix capped at 4 and p = 0.1, applied ONLY when jaro > 0.7
+    * (DuckDB-verified: 'abcdefgh'/'abzzzzzz' jaro 0.5 gets NO bonus). */
+  def jaroWinklerJava(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val j = jaroChars(a, b)
+    if (j <= 0.7) return j
+    val n = math.min(4, math.min(a.length, b.length))
+    var l = 0
+    while (l < n && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** jaro_winkler(a, b): record-linkage similarity in [0,1], as a
+    * codegen'd native Expression — the per-pair kernel inside the
+    * blocked fuzzy joins, where a Scala UDF would box two strings and
+    * break the whole-stage pipeline around the join. */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string arguments, got (${l.sql}, ${r.sql})")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinklerJava(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.StringExpressions.jaroWinklerJava($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaroWinkler =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column-API entry point; registration is idempotent and
     * session-scoped (same route as [[VectorExpressions.vecDot]]). */
   def unaccent(c: Column): Column = {
@@ -70,8 +157,18 @@ object StringExpressions {
     call_function("unaccent", c)
   }
 
-  /** SQL registration: makes unaccent usable from spark.sql too. */
-  def register(s: SparkSession): Unit =
+  /** Column-API entry point for [[JaroWinkler]]. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("jaro_winkler", a, b)
+  }
+
+  /** SQL registration: makes unaccent + jaro_winkler usable from
+    * spark.sql too. */
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unaccent", exprs => Unaccent(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.StringExpressions
 
 /** Edit-distance fuzzy join — the entity-resolution primitive (typo'd
   * names, OCR'd labels, near-identical URLs) that naively is an N²
@@ -31,6 +32,35 @@ object FuzzyJoin {
   def edit1Join(s: SparkSession, d: String): DataFrame =
     edit1JoinOf(
       Tables.supplier(s, d).select(col("s_name").as("name")).distinct())
+
+  /** Jaro-Winkler top-k pairs [fuzzy_jw_topk]: the similarity-scored
+    * half of entity resolution — rank candidate pairs by name
+    * similarity instead of a hard edit-distance cutoff. The kernel is
+    * the codegen'd native [[StringExpressions.JaroWinkler]] expression
+    * (pinned to DuckDB's `jaro_winkler_similarity` bit-for-bit at the
+    * 6-decimal rounding both sides apply), and the pair space is
+    * BLOCKED on the name's first token before any scoring — JW weights
+    * the shared prefix hardest, so first-token blocking is the
+    * canonical JW blocking key. Σ|block|² candidate pairs instead of
+    * N², each block co-shuffled by its key; the `key_a < key_b`
+    * canonical ordering halves the space and makes ties total-ordered.
+    * TakeOrderedAndProject keeps the global top-k at k·partitions
+    * driver cost. */
+  def jwTopK(s: SparkSession, d: String, k: Int = 25): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    p.as("l").join(p.as("r"),
+        col("l.blk") === col("r.blk") &&
+          col("l.p_partkey") < col("r.p_partkey"))
+      .select(col("l.p_partkey").as("key_a"),
+        col("r.p_partkey").as("key_b"),
+        round(StringExpressions.jaroWinkler(
+          col("l.p_name"), col("r.p_name")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("key_a").asc, col("key_b").asc)
+      .limit(k)
+  }
 
   /** Same over any single-column `name` frame of distinct strings. */
   def edit1JoinOf(names: DataFrame): DataFrame = {

@@ -49,6 +49,52 @@ class StringExpressionsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("cafe", null, "ascii"))
   }
 
+  private def jw(a: String, b: String): Double =
+    StringExpressions.jaroWinklerJava(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+  private def jaro(a: String, b: String): Double =
+    StringExpressions.jaroJava(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro/jaro-winkler match DuckDB's values on the pinned cases") {
+    // every expected value below was read off DuckDB 1.x
+    // jaro_similarity / jaro_winkler_similarity directly
+    assert(jaro("MARTHA", "MARHTA") === 0.9444444444444445)
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jaro("DIXON", "DICKSONX") === 0.7666666666666666)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") === 0.8962962962962964)
+    assert(jw("DWAYNE", "DUANE") === 0.8400000000000001)
+    assert(jw("CRATE", "TRACE") === 0.7333333333333334)
+    assert(jw("abcdef", "fedcba") === 0.38888888888888884)
+  }
+
+  test("jaro-winkler edge semantics: empty, equal, window-0, prefix cap, boost threshold, floor transpositions") {
+    assert(jw("", "") === 0.0)          // DuckDB: empty → 0, not 1
+    assert(jw("a", "") === 0.0)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("ab", "ba") === 0.0)      // window 0 ⇒ no matches
+    assert(jw("prefix", "prefixxxxx") === 0.92) // prefix bonus capped at 4
+    // boost threshold: jaro 0.5 with 2-char shared prefix gets NO bonus
+    assert(jw("abcdefgh", "abzzzzzz") === 0.5)
+    assert(jw("aaaa", "aazz") === 0.6666666666666666) // jaro ≤ 0.7, ℓ=2, no bonus
+    // 3-cycle: t_raw=3 floors to t=1 (fractional t would give 0.91667)
+    assert(jaro("abcdef", "bcadef") === 0.9444444444444445)
+    assert(jaro("abcdefgh", "bcadefgh") === 0.9583333333333334)
+  }
+
+  test("jaro_winkler column API: NULL propagates, codegen path over rows") {
+    StringExpressions.register(spark)
+    import spark.implicits._
+    val rows = Seq.tabulate(256) { i =>
+      (i, if (i % 7 == 0) null else "MARTHA", "MARHTA")
+    }.toDF("id", "a", "b")
+    val got = rows.selectExpr("jaro_winkler(a, b) AS s")
+      .collect().map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0))
+    assert(got.count(_ == -1.0) == 37)
+    assert(got.filter(_ >= 0).forall(_ == 0.9611111111111111))
+  }
+
   test("SQL-registered and codegen'd: unaccent works from spark.sql over rows") {
     StringExpressions.register(spark)
     import spark.implicits._
