@@ -97,6 +97,7 @@ object SparkEntry {
     "a15_hll_merge"      -> ((s, d) => Gates.hllMergeGate(s, d)),
     "p2_dynamic_pruning" -> CoreOps.p2DynamicPruning _,
     "profile_orders"     -> Profile.ordersProfile _,
+    "table_fingerprint"  -> Profile.lineitemFingerprint _,
     "zorder_codes"       -> ZOrder.mortonDemo _,
     "j6_full_outer"      -> CoreOps.j6FullOuter _,
     "a16_grouping_sets"  -> CoreOps.a16GroupingSets _,
@@ -871,6 +872,30 @@ object SparkEntry {
     // one UNION ALL branch per profiled column; doubles go through
     // DECIMAL(18,2) before the VARCHAR cast (float formatting differs
     // between engines, decimal rendering doesn't)
+    "table_fingerprint" ->
+      """WITH r AS (
+        |  SELECT md5(concat_ws('|',
+        |    CAST(l_orderkey AS VARCHAR),
+        |    CAST(l_linenumber AS VARCHAR),
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR),
+        |    coalesce(l_returnflag, ' '),
+        |    coalesce(l_linestatus, ' '))) AS h
+        |  FROM lineitem),
+        |s AS (SELECT CAST(ascii(substr(h, 1, 1)) AS BIGINT)
+        |           + CAST(ascii(substr(h, 2, 1)) AS BIGINT) * 256
+        |           + CAST(ascii(substr(h, 3, 1)) AS BIGINT) * 65536
+        |           + CAST(ascii(substr(h, 4, 1)) AS BIGINT) * 16777216
+        |           + CAST(ascii(substr(h, 5, 1)) AS BIGINT) * 4294967296
+        |           + CAST(ascii(substr(h, 6, 1)) AS BIGINT) * 1099511627776
+        |           + CAST(ascii(substr(h, 7, 1)) AS BIGINT) * 281474976710656
+        |           + CAST(ascii(substr(h, 8, 1)) AS BIGINT) * 72057594037927936
+        |           AS sig
+        |      FROM r)
+        |SELECT COUNT(*) AS n_rows, bit_xor(sig) AS xor_sig,
+        |       SUM(CAST(sig AS DECIMAL(38,0))) AS sum_sig
+        |FROM s""".stripMargin,
     "profile_orders" -> {
       def branch(c: String, expr: String = "") = {
         val e = if (expr.isEmpty) c else expr

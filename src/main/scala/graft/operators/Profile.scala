@@ -29,6 +29,46 @@ import graft.Tables
   * decimal rendering is exact on both engines.
   */
 object Profile {
+  /** Order-independent table fingerprint [FINGERPRINT]: one 3-number
+    * signature (row count, XOR signature, SUM signature) that two
+    * clusters / two snapshots / engine-vs-oracle can compare to decide
+    * "same content?" without moving or sorting a single row. Per row:
+    * canonicalize columns to strings (doubles through DECIMAL —
+    * JVM/C++ float rendering disagrees, decimal rendering is exact on
+    * both engines; NULL → a sentinel so NULL ≠ ''), md5 the joined
+    * row, fold the digest's first 8 hex chars into a 60-bit integer
+    * with pure `ascii(substr)` arithmetic — every function in the
+    * chain exists with identical semantics in Spark and DuckDB, which
+    * is what makes the fingerprint ENGINE-PORTABLE (Spark's xxhash64
+    * would be cheaper but proprietary to Spark). Both combiners are
+    * commutative+associative, so the aggregate partial-combines
+    * map-side, shuffles ONE row per partition, and never sorts:
+    * scan-speed at 100 TB. XOR alone is blind to duplicate-pair
+    * insertion (x ⊕ x = 0); the decimal SUM catches exactly that, and
+    * COUNT anchors cardinality. */
+  def tableFingerprint(t: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val h = md5(concat_ws("|", cols.map(c => coalesce(c, lit(" "))): _*))
+    val sig = (0 until 8).map { i =>
+      ascii(substring(h, i + 1, 1)).cast("long") * lit(1L << (8 * i))
+    }.reduce(_ + _)
+    t.select(sig.as("sig"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(sig)").as("xor_sig"),
+        sum(col("sig").cast("decimal(38,0)")).as("sum_sig"))
+  }
+
+  /** Demo [table_fingerprint]: fingerprint of lineitem's business key
+    * + measures + dates — the reconciliation check after a migration
+    * copies the fact table. */
+  def lineitemFingerprint(s: SparkSession, d: String): DataFrame =
+    tableFingerprint(Tables.lineitem(s, d), Seq(
+      col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"),
+      col("l_quantity").cast("decimal(18,2)").cast("string"),
+      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+      col("l_shipdate").cast("date").cast("string"),
+      col("l_returnflag"), col("l_linestatus")))
+
   /** Profile of the orders table's key/status/price columns. */
   def ordersProfile(s: SparkSession, d: String): DataFrame =
     profileOf(Tables.orders(s, d)

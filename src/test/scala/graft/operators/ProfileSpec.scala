@@ -35,4 +35,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(row.getLong(2) === 0L)      // n_distinct
     assert(row.isNullAt(3) && row.isNullAt(4))
   }
+
+  // The fingerprint's whole job is order/partitioning invariance plus
+  // sensitivity to any single-row change — both XOR-blind edits
+  // (insert a row twice: XOR cancels, SUM must not) and value edits.
+  test("fingerprint is partitioning-invariant and tamper-evident") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableFingerprint(df,
+        Seq(col("k").cast("string"), col("v"))).collect()(0)
+
+    val a = fp(base.repartition(1))
+    val b = fp(base.repartition(13, col("v")).sortWithinPartitions("v"))
+    assert(a === b, "same content must fingerprint equal regardless of layout")
+
+    val edited = fp(base.withColumn("v",
+      when(col("k") === 117L, lit("vX")).otherwise(col("v"))))
+    assert(edited !== a, "single value edit must change the signature")
+
+    // duplicate-pair insertion: XOR component cancels, SUM+COUNT catch it
+    val dupPair = fp(base.union(base.filter(col("k") === 7L))
+      .union(base.filter(col("k") === 7L)))
+    assert(dupPair !== a, "x XOR x = 0 must not fool the combined signature")
+    assert(dupPair.getLong(1) === a.getLong(1),
+      "sanity: the duplicated pair IS invisible to XOR alone")
+  }
 }
