@@ -46,16 +46,30 @@ object Profile {
     * scan-speed at 100 TB. XOR alone is blind to duplicate-pair
     * insertion (x ⊕ x = 0); the decimal SUM catches exactly that, and
     * COUNT anchors cardinality. */
-  def tableFingerprint(t: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+  /** Engine-portable 60-bit row signature: md5 of the
+    * '|'-joined canonical strings (NULL → ' ' sentinel), first 8 hex
+    * chars folded with ascii·256^i arithmetic. Hex ascii < 128, so the
+    * fold stays well under Long.MaxValue. */
+  def rowSig(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
     val h = md5(concat_ws("|", cols.map(c => coalesce(c, lit(" "))): _*))
-    val sig = (0 until 8).map { i =>
+    (0 until 8).map { i =>
       ascii(substring(h, i + 1, 1)).cast("long") * lit(1L << (8 * i))
     }.reduce(_ + _)
-    t.select(sig.as("sig"))
+  }
+
+  /** Key-derived bucket id in [0, nBuckets): first 4 md5 hex chars of
+    * the '|'-joined KEY (not the payload — an edited row must land in
+    * the same bucket on both snapshots). `conv(hex,16,10)` here ==
+    * DuckDB's `CAST('0x'||hex AS INTEGER)`. */
+  def keyBucket(keyCols: Seq[org.apache.spark.sql.Column], nBuckets: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("|", keyCols: _*)), 1, 4), 16, 10)
+      .cast("long") % nBuckets
+
+  def tableFingerprint(t: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    t.select(rowSig(cols).as("sig"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(sig)").as("xor_sig"),
         sum(col("sig").cast("decimal(38,0)")).as("sum_sig"))
-  }
 
   /** Demo [table_fingerprint]: fingerprint of lineitem's business key
     * + measures + dates — the reconciliation check after a migration
