@@ -98,6 +98,7 @@ object SparkEntry {
     "p2_dynamic_pruning" -> CoreOps.p2DynamicPruning _,
     "profile_orders"     -> Profile.ordersProfile _,
     "table_fingerprint"  -> Profile.lineitemFingerprint _,
+    "fingerprint_buckets" -> Profile.lineitemFingerprintBuckets _,
     "zorder_codes"       -> ZOrder.mortonDemo _,
     "j6_full_outer"      -> CoreOps.j6FullOuter _,
     "a16_grouping_sets"  -> CoreOps.a16GroupingSets _,
@@ -206,11 +207,39 @@ object SparkEntry {
     "mm_ahash"           -> Multimodal.ahash _,
     "q23_yoy_growth"     -> CoreOps.q23YoyGrowth _,
     "s12_csv_dialect"    -> CoreOps.s12CsvDialect _,
+    "q47_moving_avg"     -> CoreOps.q47MovingAvg _,
+    "q51_cumulative_align" -> CoreOps.q51CumulativeAlign _,
+    "fuzzy_cosine_join"  -> ((s, d) => FuzzyJoin.cosineJoin(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val decDisc  = "(1 - CAST(l_discount AS DECIMAL(18,2)))"
   private val decTotal = "CAST(o_totalprice AS DECIMAL(18,2))"
+
+  // --- fingerprint SQL building blocks (term-for-term Profile.scala) ---
+  /** All-integer lineitem row canonicalization: money as ROUND(x*100)
+    * cents, timestamp as epoch DAYS — no float/decimal/date rendering
+    * on either engine. Mirrors Profile.lineitemCanonCols. */
+  private val fpCanonSql =
+    """concat_ws('|',
+      |    coalesce(CAST(l_orderkey AS VARCHAR), ' '),
+      |    coalesce(CAST(l_linenumber AS VARCHAR), ' '),
+      |    coalesce(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS VARCHAR), ' '),
+      |    coalesce(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), ' '),
+      |    coalesce(CAST(datediff('day', DATE '1970-01-01',
+      |                           CAST(l_shipdate AS DATE)) AS VARCHAR), ' '),
+      |    coalesce(l_returnflag, ' '),
+      |    coalesce(l_linestatus, ' '))""".stripMargin
+  /** ascii·256^i fold of the first 8 md5 hex chars (Profile.rowSig). */
+  private val fpSigFoldSql = (0 until 8).map { i =>
+    s"CAST(ascii(substr(h, ${i + 1}, 1)) AS BIGINT) * ${1L << (8 * i)}"
+  }.mkString("(", "\n           + ", ")")
+  /** Hex-digit decode of the first 4 key-md5 chars (Profile.keyBucket). */
+  private val fpBucketFoldSql = (0 until 4).map { i =>
+    val d = s"ascii(substr(kh, ${i + 1}, 1))"
+    s"CAST($d - 48 - CASE WHEN $d >= 97 THEN 39 ELSE 0 END AS BIGINT)" +
+      s" * ${1L << (4 * (3 - i))}"
+  }.mkString("(", "\n           + ", ")")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -872,30 +901,36 @@ object SparkEntry {
     // one UNION ALL branch per profiled column; doubles go through
     // DECIMAL(18,2) before the VARCHAR cast (float formatting differs
     // between engines, decimal rendering doesn't)
+    // Fingerprint canonicalization is ALL-INTEGER (money as cents,
+    // timestamps as epoch days) and the SUM combiner is folded mod
+    // 2^61-1 then cast to BIGINT, so neither engine ever renders a
+    // float, decimal, or date, and every output column is plain int64
+    // — no dtype class left for a driver-side hasher to diverge on.
     "table_fingerprint" ->
-      """WITH r AS (
-        |  SELECT md5(concat_ws('|',
-        |    CAST(l_orderkey AS VARCHAR),
-        |    CAST(l_linenumber AS VARCHAR),
-        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
-        |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR),
-        |    coalesce(l_returnflag, ' '),
-        |    coalesce(l_linestatus, ' '))) AS h
+      s"""WITH r AS (
+        |  SELECT md5($fpCanonSql) AS h
         |  FROM lineitem),
-        |s AS (SELECT CAST(ascii(substr(h, 1, 1)) AS BIGINT)
-        |           + CAST(ascii(substr(h, 2, 1)) AS BIGINT) * 256
-        |           + CAST(ascii(substr(h, 3, 1)) AS BIGINT) * 65536
-        |           + CAST(ascii(substr(h, 4, 1)) AS BIGINT) * 16777216
-        |           + CAST(ascii(substr(h, 5, 1)) AS BIGINT) * 4294967296
-        |           + CAST(ascii(substr(h, 6, 1)) AS BIGINT) * 1099511627776
-        |           + CAST(ascii(substr(h, 7, 1)) AS BIGINT) * 281474976710656
-        |           + CAST(ascii(substr(h, 8, 1)) AS BIGINT) * 72057594037927936
-        |           AS sig
-        |      FROM r)
+        |s AS (SELECT $fpSigFoldSql AS sig FROM r)
         |SELECT COUNT(*) AS n_rows, bit_xor(sig) AS xor_sig,
-        |       SUM(CAST(sig AS DECIMAL(38,0))) AS sum_sig
+        |       CAST(SUM(sig % 2305843009213693951)
+        |            % 2305843009213693951 AS BIGINT) AS sum_sig
         |FROM s""".stripMargin,
+    // bucket = first 2 md5 bytes of the BUSINESS KEY (hex digits
+    // decoded with portable ascii arithmetic) mod 64 — term-for-term
+    // the engine's Profile.keyBucket
+    "fingerprint_buckets" ->
+      s"""WITH r AS (
+        |  SELECT md5(concat_ws('|',
+        |      coalesce(CAST(l_orderkey AS VARCHAR), ' '),
+        |      coalesce(CAST(l_linenumber AS VARCHAR), ' '))) AS kh,
+        |    md5($fpCanonSql) AS h
+        |  FROM lineitem),
+        |s AS (SELECT ($fpBucketFoldSql) % 64 AS bucket,
+        |             $fpSigFoldSql AS sig FROM r)
+        |SELECT bucket, COUNT(*) AS n_rows, bit_xor(sig) AS xor_sig,
+        |       CAST(SUM(sig % 2305843009213693951)
+        |            % 2305843009213693951 AS BIGINT) AS sum_sig
+        |FROM s GROUP BY bucket""".stripMargin,
     "profile_orders" -> {
       def branch(c: String, expr: String = "") = {
         val e = if (expr.isEmpty) c else expr
@@ -2090,6 +2125,101 @@ object SparkEntry {
         |  ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
         |JOIN customer c ON c.c_custkey = a.o_custkey
         |GROUP BY 1, 2""".stripMargin,
+    // TPC-DS Q47/Q57 shape: lag/lead + within-year avg windows over a
+    // multi-join monthly agg; deviation predicate is integer-scaled
+    // DECIMAL so no double rounding can disagree between engines
+    // brute-force all-pairs cosine referee for the prefix-filtered
+    // engine join: same tf·ln(N/df) weights, full token self-join
+    "fuzzy_cosine_join" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.token, tf * ln(n_docs / df) AS w
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY 1),
+        |wn AS (SELECT w.doc_id, token, w / nm AS wn
+        |       FROM w JOIN nrm USING (doc_id) WHERE nm > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(SUM(a.wn * b.wn), 6) AS sim
+        |FROM wn a JOIN wn b
+        |  ON a.token = b.token AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING round(SUM(a.wn * b.wn), 6) >= 0.9""".stripMargin,
+    "q47_moving_avg" ->
+      s"""WITH monthly AS (
+         |  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,
+         |         CAST(month(l_shipdate) AS INTEGER) AS mon,
+         |         SUM($decPrice * $decDisc) AS sum_sales
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT n_name, yr, mon, sum_sales,
+         |    lag(sum_sales) OVER seq AS psum,
+         |    lead(sum_sales) OVER seq AS nsum,
+         |    SUM(sum_sales) OVER yrw AS yr_sum,
+         |    COUNT(*) OVER yrw AS n_months
+         |  FROM monthly
+         |  WINDOW seq AS (PARTITION BY n_name ORDER BY yr, mon),
+         |         yrw AS (PARTITION BY n_name, yr))
+         |SELECT n_name, yr, mon,
+         |  CAST(sum_sales AS DOUBLE) AS sum_sales,
+         |  CAST(yr_sum AS DOUBLE) / n_months AS avg_monthly,
+         |  CAST(psum AS DOUBLE) AS psum,
+         |  CAST(nsum AS DOUBLE) AS nsum
+         |FROM w
+         |WHERE yr = 1998
+         |  AND abs(sum_sales * n_months - yr_sum) * 10 > yr_sum""".stripMargin,
+    // TPC-DS Q51 shape: per-channel cumulative sums, FULL OUTER aligned
+    // on (nation, yr, mon), running-MAX forward fill over the union
+    // axis (cumulative sums of non-negative amounts are non-decreasing)
+    "q51_cumulative_align" ->
+      s"""WITH book AS (
+         |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         |         CAST(month(o_orderdate) AS INTEGER) AS mon,
+         |         SUM($decTotal) AS booked
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2, 3),
+         |bc AS (
+         |  SELECT n_name, yr, mon, SUM(booked) OVER (
+         |    PARTITION BY n_name ORDER BY yr, mon
+         |    ROWS UNBOUNDED PRECEDING) AS b_cume FROM book),
+         |ship AS (
+         |  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,
+         |         CAST(month(l_shipdate) AS INTEGER) AS mon,
+         |         SUM($decPrice * $decDisc) AS shipped
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT n_name, yr, mon, SUM(shipped) OVER (
+         |    PARTITION BY n_name ORDER BY yr, mon
+         |    ROWS UNBOUNDED PRECEDING) AS s_cume FROM ship),
+         |j AS (
+         |  SELECT coalesce(bc.n_name, sc.n_name) AS n_name,
+         |         coalesce(bc.yr, sc.yr) AS yr,
+         |         coalesce(bc.mon, sc.mon) AS mon,
+         |         b_cume, s_cume
+         |  FROM bc FULL OUTER JOIN sc
+         |    ON bc.n_name = sc.n_name AND bc.yr = sc.yr AND bc.mon = sc.mon),
+         |f AS (
+         |  SELECT n_name, yr, mon,
+         |    MAX(b_cume) OVER a AS book_cum,
+         |    MAX(s_cume) OVER a AS ship_cum
+         |  FROM j
+         |  WINDOW a AS (PARTITION BY n_name ORDER BY yr, mon
+         |               ROWS UNBOUNDED PRECEDING))
+         |SELECT n_name, yr, mon,
+         |  CAST(book_cum AS DOUBLE) AS book_cum,
+         |  CAST(ship_cum AS DOUBLE) AS ship_cum
+         |FROM f WHERE book_cum > ship_cum""".stripMargin,
     "s12_csv_dialect" ->
       """WITH h AS (
         |  SELECT c_custkey,

@@ -19,16 +19,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as long (legacy conf, set at read time so it works under
-    * any session) and floor-convert to a micros timestamp — the same
-    * truncation DuckDB applies, so oracle comparisons line up. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some rounds
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others. Normalize
+    * every encoding to a session-TZ TIMESTAMP (sessions here run UTC)
+    * so downstream `unix_micros` / `Row.getTimestamp` semantics are
+    * stable regardless of how the driver generated the files:
+    * - NANOS: Spark's reader rejects it outright; read nanos as long
+    *   (legacy conf, set at read time so it works under any session)
+    *   and floor-convert to micros — the same truncation DuckDB
+    *   applies, so oracle comparisons line up.
+    * - MICROS without UTC adjustment: Spark reads TIMESTAMP_NTZ; cast
+    *   to TIMESTAMP interprets the wall clock in the session TZ (UTC),
+    *   exactly how DuckDB treats its naive TIMESTAMP. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

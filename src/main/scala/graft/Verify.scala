@@ -46,6 +46,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Engine-side environment record: every cross-engine parity hunt so
+    // far (HUGEINT dtype, fingerprint hash) started by reconstructing
+    // which versions sat on each side of the gate. Write them down.
+    val env = Seq(
+      "spark_version" -> spark.version,
+      "java_version" -> sys.props.getOrElse("java.version", "?"),
+      "scala_version" -> scala.util.Properties.versionNumberString,
+      "session_timezone" -> spark.conf.get("spark.sql.session.timeZone"))
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      env.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -2000,4 +2000,94 @@ object CoreOps {
         min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
       .withColumn("avg_value", round(col("sum_value") / col("n_events"), 6))
   }
+
+  /** Moving-average deviation over a multi-join agg [Q47] (the TPC-DS
+    * Q47/Q57 shape): monthly revenue per nation from the fact ⋈ dim
+    * chain, then THREE windowed measures — lag, lead (month sequence,
+    * crossing year boundaries) and the within-year total/count — and a
+    * deviates-from-yearly-average filter. The window stack is ordered
+    * so ONE exchange serves all of it: the sequence window exchanges
+    * on hash(n_name) and sorts (yr, mon); the year window's
+    * ClusteredDistribution(n_name, yr) is satisfied by hash(n_name)
+    * (fewer keys still co-locate) and its sort prefix by the existing
+    * order, so Catalyst plans it with NO second exchange or sort —
+    * spec-pinned, because at 100 TB a redundant window exchange is a
+    * full re-shuffle of the aggregate. The deviation predicate is
+    * integer-scaled DECIMAL (|sum·n − yr_sum|·10 > yr_sum, i.e. >10%
+    * off the mean) — no division, no double rounding to disagree
+    * between engines; doubles appear only in the final projection. */
+  def q47MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - dec(col("l_discount")))).as("sum_sales"))
+    val seqW = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mon"))
+    val yrW = Window.partitionBy(col("n_name"), col("yr"))
+    monthly
+      .withColumn("psum", lag(col("sum_sales"), 1).over(seqW))
+      .withColumn("nsum", lead(col("sum_sales"), 1).over(seqW))
+      .withColumn("yr_sum", sum(col("sum_sales")).over(yrW))
+      .withColumn("n_months", count(lit(1)).over(yrW))
+      .filter(col("yr") === 1998 &&
+        abs(col("sum_sales") * col("n_months") - col("yr_sum")) * 10 > col("yr_sum"))
+      .select(col("n_name"), col("yr"), col("mon"),
+        col("sum_sales").cast(DoubleType).as("sum_sales"),
+        (col("yr_sum").cast(DoubleType) / col("n_months")).as("avg_monthly"),
+        col("psum").cast(DoubleType).as("psum"),
+        col("nsum").cast(DoubleType).as("nsum"))
+  }
+
+  /** Cumulative-sum alignment across channels [Q51] (the TPC-DS Q51
+    * shape): bookings (orders ⋈ customer ⋈ nation by order month) and
+    * shipments (lineitem ⋈ supplier ⋈ nation by ship month) each get a
+    * per-nation running total over their OWN month sequence; a FULL
+    * OUTER join on (nation, yr, mon) aligns the two sequences, and a
+    * running MAX over the union axis forward-fills the months one
+    * channel is missing (valid because a cumulative sum of
+    * non-negative amounts is non-decreasing). Output: months where the
+    * booked running total exceeds the shipped one — the backlog
+    * report. Both max-fills share one window spec, so they land in ONE
+    * Window operator on ONE exchange (spec-pinned). All cumulative
+    * arithmetic and the comparison are exact DECIMAL; doubles appear
+    * only in the final projection. */
+  def q51CumulativeAlign(s: SparkSession, d: String): DataFrame = {
+    val nat = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name")))
+    def cume(monthly: DataFrame, valueCol: String, cumeCol: String): DataFrame =
+      monthly.withColumn(cumeCol, sum(col(valueCol)).over(
+        Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mon"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop(valueCol)
+    val book = cume(Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("booked")),
+      "booked", "b_cume")
+    val ship = cume(Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(Dec) - dec(col("l_discount")))).as("shipped")),
+      "shipped", "s_cume")
+    val alignW = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mon"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    book.join(ship, Seq("n_name", "yr", "mon"), "full_outer")
+      .withColumn("book_cum", max(col("b_cume")).over(alignW))
+      .withColumn("ship_cum", max(col("s_cume")).over(alignW))
+      .filter(col("book_cum") > col("ship_cum"))
+      .select(col("n_name"), col("yr"), col("mon"),
+        col("book_cum").cast(DoubleType).as("book_cum"),
+        col("ship_cum").cast(DoubleType).as("ship_cum"))
+  }
 }

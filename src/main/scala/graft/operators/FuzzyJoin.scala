@@ -62,6 +62,84 @@ object FuzzyJoin {
       .limit(k)
   }
 
+  /** TF-IDF-weighted cosine set-similarity join [fuzzy_cosine_join] —
+    * the third industrial fuzzy-join member after edit distance and
+    * Jaro-Winkler: all document pairs whose TF-IDF token vectors have
+    * cosine ≥ t. The naive form is the full token self-join (every
+    * shared stopword multiplies); the scale shape here is the
+    * PREFIX-FILTER set-similarity join (Chaudhuri et al. 2006 /
+    * Bayardo et al. 2007 all-pairs): sort each doc's tokens by a
+    * global rarest-first order (df asc), keep the PREFIX whose
+    * residual L2 norm is < t, and generate candidates only where a
+    * PREFIX token of one side meets a token of the other. Lossless by
+    * the Cauchy-Schwarz bound: if no shared token touches either
+    * prefix, every shared token lies in one side's suffix, so
+    * dot ≤ ‖suffix‖·1 < t. Candidates then verify EXACTLY via a
+    * shared-token join restricted to the candidate pairs. Work is
+    * Σ_token |prefix postings|·|postings| + Σ_cand |doc| instead of
+    * Σ_token |postings|², and common tokens (high df, low idf weight)
+    * fall out of prefixes first — precisely the postings that explode
+    * the naive join. Weights reuse the tf·ln(N/df) convention of
+    * [[graft.functions.TextOps.tfidf]]. */
+  def cosineJoin(s: SparkSession, d: String, t: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = weightedVectors(s, d)
+    // Prefix mark: commonest-first running Σwn² is exactly the
+    // rarest-first residual norm² including the current token, so
+    // in_prefix ⟺ residual² ≥ t². The 1e-9 margin keeps float jitter
+    // in the running sum from shaving a boundary token off the prefix
+    // (blocking must stay lossless; verification is exact anyway).
+    val revCum = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").desc, col("token").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = wn
+      .withColumn("rev_cum", sum(col("wn") * col("wn")).over(revCum))
+      .filter(col("rev_cum") >= (t - 1e-9) * (t - 1e-9))
+      .select(col("doc_id"), col("token"))
+    val full = wn.select(col("doc_id"), col("token"))
+    def half(p: DataFrame, f: DataFrame): DataFrame =
+      p.as("p").join(f.as("f"), col("p.token") === col("f.token"))
+        .filter(col("p.doc_id") =!= col("f.doc_id"))
+        .select(least(col("p.doc_id"), col("f.doc_id")).as("doc_a"),
+          greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
+    val cand = half(pref, full).distinct()
+    // exact verify: shared-token join restricted to candidate pairs
+    val va = wn.select(col("doc_id").as("doc_a"), col("token"), col("wn").as("wa"))
+    val vb = wn.select(col("doc_id").as("b_id"), col("token").as("b_token"),
+      col("wn").as("wb"))
+    cand.join(va, Seq("doc_a"))
+      .join(vb, col("doc_b") === col("b_id") && col("token") === col("b_token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(round(sum(col("wa") * col("wb")), 6).as("sim"))
+      .filter(col("sim") >= t)
+  }
+
+  /** L2-normalized TF-IDF token vectors (doc_id, token, df, wn) —
+    * shared by the prefix-filtered join and its brute-force referee.
+    * (doc, token, tf) is one partial-agg'd shuffle; df folds out of
+    * the SAME frame (one row per doc-token pair, so count(*) per
+    * token IS df — no second corpus pass). Persisted: multiple
+    * downstream branches (caller-owned lifetime, clearCache between
+    * queries — same convention as TextOps.tfidf). */
+  private[graft] def weightedVectors(s: SparkSession, d: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(lvl)
+    val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = tf.join(dfr, Seq("token")).crossJoin(nDocs)
+      .select(col("doc_id"), col("token"), col("df"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+    val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    w.join(nrm, Seq("doc_id")).filter(col("nm") > 0)
+      .select(col("doc_id"), col("token"), col("df"),
+        (col("w") / col("nm")).as("wn"))
+      .persist(lvl)
+  }
+
   /** Same over any single-column `name` frame of distinct strings. */
   def edit1JoinOf(names: DataFrame): DataFrame = {
     val n = col("name")

@@ -30,22 +30,35 @@ import graft.Tables
   */
 object Profile {
   /** Order-independent table fingerprint [FINGERPRINT]: one 3-number
-    * signature (row count, XOR signature, SUM signature) that two
-    * clusters / two snapshots / engine-vs-oracle can compare to decide
-    * "same content?" without moving or sorting a single row. Per row:
-    * canonicalize columns to strings (doubles through DECIMAL —
-    * JVM/C++ float rendering disagrees, decimal rendering is exact on
-    * both engines; NULL → a sentinel so NULL ≠ ''), md5 the joined
-    * row, fold the digest's first 8 hex chars into a 60-bit integer
+    * signature (row count, XOR signature, modular SUM signature) that
+    * two clusters / two snapshots / engine-vs-oracle can compare to
+    * decide "same content?" without moving or sorting a single row.
+    * Per row: canonicalize columns to strings — integers render
+    * identically everywhere, so money doubles fingerprint as INTEGER
+    * CENTS (`round(x*100)` cast to long) and timestamps as INTEGER
+    * EPOCH DAYS, leaving zero float/decimal/date rendering surface
+    * between engines (NULL → a sentinel so NULL ≠ ''). md5 the joined
+    * row, fold the digest's first 8 hex chars into a <2^63 integer
     * with pure `ascii(substr)` arithmetic — every function in the
     * chain exists with identical semantics in Spark and DuckDB, which
     * is what makes the fingerprint ENGINE-PORTABLE (Spark's xxhash64
-    * would be cheaper but proprietary to Spark). Both combiners are
-    * commutative+associative, so the aggregate partial-combines
+    * would be cheaper but proprietary to Spark). All three combiners
+    * are commutative+associative, so the aggregate partial-combines
     * map-side, shuffles ONE row per partition, and never sorts:
     * scan-speed at 100 TB. XOR alone is blind to duplicate-pair
-    * insertion (x ⊕ x = 0); the decimal SUM catches exactly that, and
-    * COUNT anchors cardinality. */
+    * insertion (x ⊕ x = 0); the SUM catches exactly that, and COUNT
+    * anchors cardinality. The SUM is folded mod 2^61−1 (a Mersenne
+    * prime) and cast to BIGINT so the OUTPUT dtype is plain int64 on
+    * both engines — no DECIMAL(38,0)/HUGEINT dtype class for a
+    * driver-side hasher to render differently. The widening happens
+    * only INSIDE the aggregate (Spark decimal accumulator / DuckDB
+    * HUGEINT accumulator — exact up to ~10^19 rows), and the final
+    * `% 2^61−1` collapses it back to a value < 2^61 that int64 holds
+    * exactly. */
+  /** Mersenne-prime modulus 2^61−1 for the engine-portable modular
+    * SUM combiner: both engines do exact integer arithmetic below it,
+    * and the final residue always fits a BIGINT. */
+  val FpMod = 2305843009213693951L
   /** Engine-portable 60-bit row signature: md5 of the
     * '|'-joined canonical strings (NULL → ' ' sentinel), first 8 hex
     * chars folded with ascii·256^i arithmetic. Hex ascii < 128, so the
@@ -57,31 +70,73 @@ object Profile {
     }.reduce(_ + _)
   }
 
+  /** Decoded value of one md5 hex digit — plain arithmetic (`ascii`,
+    * compare, multiply) that evaluates identically in Spark and
+    * DuckDB. '0'-'9' → 0-9, 'a'-'f' → 10-15. */
+  private def hexDigit(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ascii(c) - lit(48) - when(ascii(c) >= 97, lit(39)).otherwise(lit(0))
+
   /** Key-derived bucket id in [0, nBuckets): first 4 md5 hex chars of
     * the '|'-joined KEY (not the payload — an edited row must land in
-    * the same bucket on both snapshots). `conv(hex,16,10)` here ==
-    * DuckDB's `CAST('0x'||hex AS INTEGER)`. */
-  def keyBucket(keyCols: Seq[org.apache.spark.sql.Column], nBuckets: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(concat_ws("|", keyCols: _*)), 1, 4), 16, 10)
-      .cast("long") % nBuckets
+    * the same bucket on both snapshots), decoded with portable
+    * hex-digit arithmetic into a uniform value in [0, 65536) and
+    * reduced mod nBuckets. For power-of-two nBuckets (65536 % n == 0)
+    * the buckets are exactly uniform over the md5's first two bytes. */
+  def keyBucket(keyCols: Seq[org.apache.spark.sql.Column], nBuckets: Int): org.apache.spark.sql.Column = {
+    val h = md5(concat_ws("|", keyCols.map(c => coalesce(c, lit(" "))): _*))
+    (0 until 4).map { i =>
+      hexDigit(substring(h, i + 1, 1)).cast("long") * lit(1L << (4 * (3 - i)))
+    }.reduce(_ + _) % nBuckets
+  }
+
+  /** Modular SUM combiner: widen inside the aggregate, collapse the
+    * final residue to a plain BIGINT (see object Scaladoc). */
+  private def modSum(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sum((sig % FpMod).cast("decimal(38,0)")) % FpMod).cast("long")
 
   def tableFingerprint(t: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
     t.select(rowSig(cols).as("sig"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(sig)").as("xor_sig"),
-        sum(col("sig").cast("decimal(38,0)")).as("sum_sig"))
+        modSum(col("sig")).as("sum_sig"))
+
+  /** Canonical fingerprint columns for lineitem's business key +
+    * measures + dates: every column renders as an integer or a raw
+    * string on both engines. */
+  private[graft] def lineitemCanonCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("l_orderkey").cast("string"),
+    col("l_linenumber").cast("string"),
+    round(col("l_quantity") * 100).cast("long").cast("string"),
+    round(col("l_extendedprice") * 100).cast("long").cast("string"),
+    datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+      .cast("string"),
+    col("l_returnflag"), col("l_linestatus"))
 
   /** Demo [table_fingerprint]: fingerprint of lineitem's business key
     * + measures + dates — the reconciliation check after a migration
     * copies the fact table. */
   def lineitemFingerprint(s: SparkSession, d: String): DataFrame =
-    tableFingerprint(Tables.lineitem(s, d), Seq(
-      col("l_orderkey").cast("string"),
-      col("l_linenumber").cast("string"),
-      col("l_quantity").cast("decimal(18,2)").cast("string"),
-      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
-      col("l_shipdate").cast("date").cast("string"),
-      col("l_returnflag"), col("l_linestatus")))
+    tableFingerprint(Tables.lineitem(s, d), lineitemCanonCols)
+
+  /** Bucketed fingerprint [fingerprint_buckets]: the reconciliation
+    * DRILL-DOWN. When two snapshots' table fingerprints disagree, the
+    * per-bucket vector (keyBucket over the BUSINESS KEY, so an edited
+    * row lands in the same bucket on both sides) answers "WHICH shard
+    * differs" from the two 64-row artifacts alone — no row shipping.
+    * Same one-scan / partial-agg / one-row-per-partition-per-bucket
+    * shuffle discipline as the global fingerprint. */
+  def fingerprintBuckets(t: DataFrame, keyCols: Seq[org.apache.spark.sql.Column],
+      cols: Seq[org.apache.spark.sql.Column], nBuckets: Int): DataFrame =
+    t.select(keyBucket(keyCols, nBuckets).as("bucket"), rowSig(cols).as("sig"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(sig)").as("xor_sig"),
+        modSum(col("sig")).as("sum_sig"))
+
+  def lineitemFingerprintBuckets(s: SparkSession, d: String): DataFrame =
+    fingerprintBuckets(Tables.lineitem(s, d),
+      Seq(col("l_orderkey").cast("string"), col("l_linenumber").cast("string")),
+      lineitemCanonCols, 64)
 
   /** Profile of the orders table's key/status/price columns. */
   def ordersProfile(s: SparkSession, d: String): DataFrame =

@@ -215,6 +215,36 @@ class ExplainPlanSpec extends SparkSpec {
       s"NOT IN lost its null-aware anti join:\n$plan")
   }
 
+  test("q47: both window passes ride ONE exchange+sort (no re-shuffle between)") {
+    val plan = CoreOps.q47MovingAvg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window [") => i
+    }
+    assert(winIdx.size == 2,
+      s"expected exactly two Window operators (lag/lead + year stats), " +
+        s"got ${winIdx.size}:\n$plan")
+    // hash(n_name) satisfies ClusteredDistribution(n_name, yr) and the
+    // (n_name, yr, mon) sort covers the (n_name, yr) prefix, so the
+    // second window must reuse the first's exchange AND sort — a
+    // redundant exchange here is a full re-shuffle of the aggregate
+    val between = lines.slice(winIdx.min + 1, winIdx.max)
+    assert(!between.exists(l => l.contains("Exchange") || l.contains("Sort ")),
+      s"the year window re-shuffled/re-sorted instead of riding the " +
+        s"sequence window's layout:\n${between.mkString("\n")}")
+  }
+
+  test("q51: both running-max fills land in ONE Window operator") {
+    val plan = CoreOps.q51CumulativeAlign(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toVector
+    assert(winLines.exists(l => l.contains("book_cum") && l.contains("ship_cum")),
+      s"the two alignment max-fills split into separate Window passes " +
+        s"(two sorts of the joined frame instead of one):\n" +
+        winLines.mkString("\n"))
+  }
+
   test("merge_upsert: one hash join on compacted sides, no window over history") {
     val plan = Changelog.mergeUpsert(spark, sfDir)
       .queryExecution.executedPlan.toString

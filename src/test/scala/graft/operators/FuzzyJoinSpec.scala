@@ -38,4 +38,28 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty) // the dataset genuinely exercises the join
   }
+
+  // The prefix filter's whole claim is LOSSLESSNESS: blocking must
+  // produce the same pair set as the full token self-join it avoids.
+  test("prefix-filtered cosine join == brute-force all-pairs referee") {
+    import org.apache.spark.sql.functions._
+    val t = 0.9
+    val got = FuzzyJoin.cosineJoin(spark, sfDir, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val wn = FuzzyJoin.weightedVectors(spark, sfDir)
+    val brute = wn.as("a").join(wn.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(round(sum(col("a.wn") * col("b.wn")), 6).as("sim"))
+      .filter(col("sim") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+
+    assert(got.nonEmpty, "threshold too high — the referee is vacuous")
+    assert(got === brute,
+      s"blocking dropped or invented pairs: only-engine=${got -- brute}, " +
+        s"only-brute=${brute -- got}")
+  }
 }

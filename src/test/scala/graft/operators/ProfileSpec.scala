@@ -61,5 +61,36 @@ class ProfileSpec extends AnyFunSuite {
     assert(dupPair !== a, "x XOR x = 0 must not fool the combined signature")
     assert(dupPair.getLong(1) === a.getLong(1),
       "sanity: the duplicated pair IS invisible to XOR alone")
+
+    // the modular SUM residue must be a plain long below the modulus
+    assert(a.getLong(2) >= 0L && a.getLong(2) < Profile.FpMod,
+      "sum_sig must be the int64 residue, never a wider dtype")
+  }
+
+  // The bucketed fingerprint's job is LOCALIZATION: a value edit must
+  // move exactly one bucket's (xor, sum) — and no bucket's count —
+  // because the bucket id hashes only the business KEY.
+  test("bucketed fingerprint localizes a single edit to exactly one bucket") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      Profile.fingerprintBuckets(df, Seq(col("k").cast("string")),
+        Seq(col("k").cast("string"), col("v")), 64)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val a = buckets(base)
+    assert(a.keySet.forall(b => b >= 0 && b < 64))
+    assert(a.size > 32, "400 keys over 64 uniform buckets should hit most")
+
+    val edited = buckets(base.withColumn("v",
+      when(col("k") === 117L, lit("vX")).otherwise(col("v"))))
+    assert(a.keySet === edited.keySet, "same keys must occupy same buckets")
+    assert(a.view.mapValues(_._1).toMap === edited.view.mapValues(_._1).toMap,
+      "a value edit must not move any bucket's row count")
+    val moved = a.keySet.filter(b => a(b) != edited(b))
+    assert(moved.size === 1,
+      s"one edited row must change exactly one bucket, got $moved")
   }
 }

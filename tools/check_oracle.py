@@ -29,6 +29,16 @@ def canon(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Both sides of the gate, on the record: the engine writes env.json
+    # (Spark/Java/TZ), the oracle side prints its own versions here.
+    import os, platform
+    eng_env = {}
+    if os.path.exists(f"{out_dir}/env.json"):
+        eng_env = json.load(open(f"{out_dir}/env.json"))
+    print(f"ENV oracle: duckdb={duckdb.__version__} "
+          f"python={platform.python_version()}")
+    print(f"ENV engine: " + (" ".join(f"{k}={v}" for k, v in
+                                      sorted(eng_env.items())) or "(no env.json)"))
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
