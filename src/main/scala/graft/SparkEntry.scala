@@ -186,6 +186,8 @@ object SparkEntry {
     "q22_global_sales"   -> CoreOps.q22GlobalSales _,
     "stream_neardup_parity" ->
       graft.streaming.StreamGates.streamNearDupParity _,
+    "stream_quantile_parity" ->
+      graft.streaming.StreamGates.streamQuantileParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
     "g3_triangle_count"  -> EventOps.triangleCount _,
@@ -1246,6 +1248,11 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS neardup_parity,
         |       CAST(1 AS BOOLEAN) AS incremental_stream,
         |       (SELECT COUNT(*) FROM documents) AS n_rows""".stripMargin,
+    "stream_quantile_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
+        |       CAST(3 AS BIGINT) AS n_batches,
+        |       (SELECT COUNT(*) FROM orders
+        |        WHERE o_totalprice IS NOT NULL) AS n_rows""".stripMargin,
     "compact_small_files" ->
       """SELECT CAST(1 AS BOOLEAN) AS content_equal,
         |       CAST(1 AS BOOLEAN) AS layout_ok,

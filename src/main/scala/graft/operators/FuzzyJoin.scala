@@ -66,52 +66,149 @@ object FuzzyJoin {
     * the third industrial fuzzy-join member after edit distance and
     * Jaro-Winkler: all document pairs whose TF-IDF token vectors have
     * cosine ≥ t. The naive form is the full token self-join (every
-    * shared stopword multiplies); the scale shape here is the
-    * PREFIX-FILTER set-similarity join (Chaudhuri et al. 2006 /
-    * Bayardo et al. 2007 all-pairs): sort each doc's tokens by a
-    * global rarest-first order (df asc), keep the PREFIX whose
-    * residual L2 norm is < t, and generate candidates only where a
-    * PREFIX token of one side meets a token of the other. Lossless by
-    * the Cauchy-Schwarz bound: if no shared token touches either
-    * prefix, every shared token lies in one side's suffix, so
-    * dot ≤ ‖suffix‖·1 < t. Candidates then verify EXACTLY via a
-    * shared-token join restricted to the candidate pairs. Work is
-    * Σ_token |prefix postings|·|postings| + Σ_cand |doc| instead of
-    * Σ_token |postings|², and common tokens (high df, low idf weight)
-    * fall out of prefixes first — precisely the postings that explode
-    * the naive join. Weights reuse the tf·ln(N/df) convention of
+    * shared stopword multiplies). Two lossless physical strategies,
+    * chosen by a COST ESTIMATE from vocabulary-level stats (an AQE-
+    * style decision — blocking selectivity is a data property, not a
+    * constant):
+    *
+    *  - [[cosinePrefixJoin]] — the PREFIX-FILTER set-similarity join
+    *    (Chaudhuri et al. 2006 / Bayardo et al. 2007 all-pairs).
+    *    Candidate volume Σ_token |prefix postings|·|postings| — near-
+    *    linear on Zipfian corpora where rare tokens are discriminating.
+    *  - [[cosineAllPairsJoin]] — blocked all-pairs over compact
+    *    hash-sorted vectors (the [[graft.functions.Similarity]]
+    *    embeddingNearDupBlocked shape adapted to sparse token
+    *    vectors). O(n²/2) merge-dot kernels, zero pair shuffle.
+    *
+    * On THIS synthetic corpus the documents are template-heavy (median
+    * pairwise cosine ≈ 0.6): measured at sf0.1, the prefix filter
+    * admits 12.38M of 12.5M possible pairs, so the "optimized" path
+    * pays a 90M-row candidate dedup shuffle (measured 37 s) to avoid
+    * ~nothing — the estimator sees that from two vocabulary aggregates
+    * and takes the all-pairs kernel (~1 s) instead. A Zipfian corpus
+    * flips the decision; FuzzyJoinSpec pins BOTH paths to the same
+    * pair set. Weights reuse the tf·ln(N/df) convention of
     * [[graft.functions.TextOps.tfidf]]. */
   def cosineJoin(s: SparkSession, d: String, t: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wn = weightedVectors(s, d)
-    // Prefix mark: commonest-first running Σwn² is exactly the
-    // rarest-first residual norm² including the current token, so
-    // in_prefix ⟺ residual² ≥ t². The 1e-9 margin keeps float jitter
-    // in the running sum from shaving a boundary token off the prefix
-    // (blocking must stay lossless; verification is exact anyway).
+    // Selectivity estimate: candidate volume = Σ_τ prefix(τ)·postings(τ)
+    // from two vocabulary-sized aggregates (rows = distinct tokens,
+    // never data-sized); one bounded 1-row collect, same contract as
+    // the merge cutoff / stratum offsets elsewhere in the suite.
+    val est = prefixPostings(wn, t)
+      .groupBy(col("token")).agg(count(lit(1)).as("np"))
+      .join(wn.groupBy(col("token")).agg(count(lit(1)).as("nf")), Seq("token"))
+      .agg(sum(col("np") * col("nf")).as("volume"))
+      .crossJoin(wn.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs")))
+      .head()
+    val (volume, nDocs) = (est.getLong(0), est.getLong(1))
+    if (volume.toDouble > nDocs.toDouble * nDocs / 4)
+      cosineAllPairsJoin(wn, t)
+    else cosinePrefixJoin(wn, t)
+  }
+
+  /** Prefix postings of every doc under threshold t: sort each doc's
+    * tokens by the global rarest-first order (df asc), keep the head
+    * whose residual L2 norm is ≥ t — equivalently, the commonest-first
+    * running Σwn² (which IS the rarest-first residual including the
+    * current token) stays ≥ t². The 1e-9 margin keeps float jitter in
+    * the running sum from shaving a boundary token off the prefix
+    * (blocking must stay lossless; verification is exact anyway). */
+  private def prefixPostings(wn: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val revCum = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").desc, col("token").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pref = wn
-      .withColumn("rev_cum", sum(col("wn") * col("wn")).over(revCum))
+    wn.withColumn("rev_cum", sum(col("wn") * col("wn")).over(revCum))
       .filter(col("rev_cum") >= (t - 1e-9) * (t - 1e-9))
       .select(col("doc_id"), col("token"))
+  }
+
+  /** Compact vector form: one row per doc, token-hash-sorted parallel
+    * primitive arrays (the merge-dot kernel's input). 64-bit token
+    * hashes: collision odds ~vocab²/2^65, immaterial. */
+  private def packedVectors(wn: DataFrame): DataFrame =
+    wn.select(col("doc_id"), xxhash64(col("token")).as("h"), col("wn"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("h"), col("wn")))).as("v"))
+      .select(col("doc_id"),
+        expr("transform(v, x -> x.h)").as("hs"),
+        expr("transform(v, x -> x.wn)").as("ws"))
+
+  /** Merge-intersection dot over hash-sorted sparse vectors with
+    * Spark/DuckDB round-HALF_UP parity on the emitted value. */
+  private def dotVerify(pairs: DataFrame, t: Double): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .as[(Long, Long, Array[Long], Array[Double], Array[Long], Array[Double])]
+      .mapPartitions(_.flatMap { case (a, b, ha, wa, hb, wb) =>
+        var i = 0; var j = 0; var dot = 0.0
+        while (i < ha.length && j < hb.length) {
+          if (ha(i) == hb(j)) { dot += wa(i) * wb(j); i += 1; j += 1 }
+          else if (ha(i) < hb(j)) i += 1
+          else j += 1
+        }
+        if (dot < t - 1e-6) Iterator.empty
+        else {
+          val sim = BigDecimal(dot)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (sim >= t) Iterator.single((a, b, sim)) else Iterator.empty
+        }
+      })
+      .toDF("doc_a", "doc_b", "sim")
+  }
+
+  /** Prefix-filtered path: candidates only where a PREFIX token of one
+    * side meets a token of the other. Lossless by the Cauchy-Schwarz
+    * bound: if no shared token touches either prefix, every shared
+    * token lies in one side's suffix, so dot ≤ ‖suffix‖·1 < t. The
+    * exact verify attaches broadcast compact vectors to the deduped
+    * candidates and runs the merge-dot kernel — never a relational
+    * token join, which would shuffle |cand|·|doc| rows. */
+  private[graft] def cosinePrefixJoin(wn: DataFrame, t: Double): DataFrame = {
+    val pref = prefixPostings(wn, t)
     val full = wn.select(col("doc_id"), col("token"))
-    def half(p: DataFrame, f: DataFrame): DataFrame =
-      p.as("p").join(f.as("f"), col("p.token") === col("f.token"))
-        .filter(col("p.doc_id") =!= col("f.doc_id"))
-        .select(least(col("p.doc_id"), col("f.doc_id")).as("doc_a"),
-          greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
-    val cand = half(pref, full).distinct()
-    // exact verify: shared-token join restricted to candidate pairs
-    val va = wn.select(col("doc_id").as("doc_a"), col("token"), col("wn").as("wa"))
-    val vb = wn.select(col("doc_id").as("b_id"), col("token").as("b_token"),
-      col("wn").as("wb"))
-    cand.join(va, Seq("doc_a"))
-      .join(vb, col("doc_b") === col("b_id") && col("token") === col("b_token"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(round(sum(col("wa") * col("wb")), 6).as("sim"))
-      .filter(col("sim") >= t)
+    val cand = pref.as("p").join(full.as("f"),
+        col("p.token") === col("f.token"))
+      .filter(col("p.doc_id") =!= col("f.doc_id"))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
+      .distinct()
+    val packed = packedVectors(wn)
+    dotVerify(cand
+      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("ws").as("wa"))), Seq("doc_a"))
+      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("ws").as("wb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("wa"),
+        col("hb"), col("wb")), t)
+  }
+
+  /** Blocked all-pairs path for degenerate blocking: replicate each
+    * compact vector to its nBlocks block-pairs (Similarity's
+    * responsibility scheme — every unordered pair met exactly once),
+    * equi-join on the block-pair id, and stream every pair through the
+    * merge-dot kernel INSIDE the join stage — the wide rows are
+    * pipelined into the filter, never shuffled or materialized. */
+  private[graft] def cosineAllPairsJoin(wn: DataFrame, t: Double,
+      nBlocks: Int = 8): DataFrame = {
+    val rep = packedVectors(wn)
+      .withColumn("blk", pmod(col("doc_id"), lit(nBlocks)).cast("int"))
+      .select(col("doc_id"), col("hs"), col("ws"), col("blk"),
+        explode(transform(sequence(lit(0), lit(nBlocks - 1)),
+          o => least(col("blk"), o) * nBlocks + greatest(col("blk"), o)))
+          .as("bp"))
+    val a = rep.select(col("bp"), col("doc_id").as("doc_a"),
+      col("hs").as("ha"), col("ws").as("wa"), col("blk").as("ba"))
+    val b = rep.select(col("bp"), col("doc_id").as("doc_b"),
+      col("hs").as("hb"), col("ws").as("wb"), col("blk").as("bb"))
+    dotVerify(a.join(b, Seq("bp"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("ba"), col("bb")) * nBlocks +
+          greatest(col("ba"), col("bb")) === col("bp"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("wa"),
+        col("hb"), col("wb")), t)
   }
 
   /** L2-normalized TF-IDF token vectors (doc_id, token, df, wn) —

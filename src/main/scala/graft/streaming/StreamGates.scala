@@ -538,4 +538,103 @@ object StreamGates {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
+
+  /** Gate query [stream_quantile_parity]: quantile summaries MERGE
+    * across micro-batches — the last sketch family (after HLL a15,
+    * count-min a18, percentile_approx a14) proven mergeable across the
+    * batch/stream boundary. Each micro-batch reduces to a k-point
+    * quantile GRID (percentile_approx at i/k, i=1..k, plus the batch
+    * count) appended to an external parquet state store — a classic
+    * mergeable summary: a batch's grid pins every batch-local rank to
+    * within n_b·(1/k + 1/acc), so the union of grids pins global ranks
+    * to within Σ n_b·(1/k + 1/acc) = N·ε. The merged p-quantile
+    * estimate is the first grid value whose cumulative weight (each
+    * point carries n_b/k) reaches p·N — one sort over ≤ 3k rows, NOT
+    * over data. The gate then computes the estimate's TRUE rank
+    * against every value (exact lt/le counts, a14's rank-error
+    * contract) and requires it inside p·N ± εN with ε = 2/k + 1/acc
+    * (2/k: one 1/k for the grid's rank uncertainty, one for the
+    * crossing-point discretization). Rank-error, never value-error:
+    * sketch VALUES legitimately move with batch boundaries; ranks are
+    * the contract. State is O(k·batches) regardless of N — the shape
+    * that lets a 100 TB stream keep running percentiles without
+    * holding data. */
+  def streamQuantileParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iso = isolated(s)
+    val base = Files.createTempDirectory("graft_sqp").toString
+    val k = 100
+    val acc = 10000
+    try {
+      val inDir = s"$base/in"
+      val vals = Tables.orders(iso, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_totalprice").isNotNull)
+      if (vals.head(1).isEmpty)
+        return Seq((false, 0L, 0L))
+          .toDF("quantile_parity", "n_batches", "n_rows")
+      // three key-range chunks → three micro-batches (maxFilesPerTrigger=1)
+      val cuts = vals.stat
+        .approxQuantile("o_orderkey", Array(1.0 / 3, 2.0 / 3), 0.001)
+      Seq(
+        vals.filter(col("o_orderkey") <= cuts(0)),
+        vals.filter(col("o_orderkey") > cuts(0) && col("o_orderkey") <= cuts(1)),
+        vals.filter(col("o_orderkey") > cuts(1)))
+        .foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+
+      val gridStore = s"$base/grid"
+      Seq.empty[(Int, Double, Long)].toDF("i", "v", "n_b")
+        .write.mode("overwrite").parquet(gridStore)
+      val probes = array((1 to k).map(i => lit(i.toDouble / k)): _*)
+      @volatile var nBatches = 0L
+      var q: StreamingQuery = null
+      try {
+        q = iso.readStream.schema(vals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch
+              .agg(percentile_approx(col("o_totalprice"), probes, lit(acc))
+                .as("g"), count(lit(1)).as("n_b"))
+              .select(posexplode(col("g")).as(Seq("i", "v")), col("n_b"))
+              .write.mode("append").parquet(gridStore)
+            nBatches += 1
+          }
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      // merged estimate per probe p: cumulative-weight crossing point.
+      // The single-partition window runs over <= k*batches grid rows
+      // (300 here) — state-sized, never data-sized.
+      val grid = iso.read.parquet(gridStore)
+        .withColumn("w", col("n_b").cast("double") / k)
+      val cum = grid.withColumn("cum",
+        sum(col("w")).over(Window.orderBy(col("v"), col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = grid.agg(sum(col("w")).as("n_total"))
+      val ps = Seq(0.25, 0.5, 0.75).toDF("p")
+      val est = cum.crossJoin(total).crossJoin(ps)
+        .groupBy(col("p"), col("n_total"))
+        .agg(min(when(col("cum") >= col("p") * col("n_total"), col("v")))
+          .as("est"))
+      // exact rank referee: a14's lt/le contract with eps = 2/k + 1/acc
+      val eps = 2.0 / k + 1.0 / acc
+      val gate = vals.crossJoin(broadcast(est))
+        .groupBy(col("p"), col("est"), col("n_total"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") < col("est"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("o_totalprice") <= col("est"), 1L).otherwise(0L)).as("le"))
+        .select(((col("lt") <= col("p") * col("n") + lit(eps) * col("n") + 1) &&
+          (col("le") >= col("p") * col("n") - lit(eps) * col("n") - 1))
+          .as("ok"))
+        .agg(coalesce(expr("bool_and(ok)"), lit(false)).as("qp"))
+        .crossJoin(vals.agg(count(lit(1)).as("n_rows")))
+        .select((col("qp") && lit(nBatches) === 3L).as("quantile_parity"),
+          lit(nBatches).as("n_batches"), col("n_rows"))
+      val rows = gate.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
 }

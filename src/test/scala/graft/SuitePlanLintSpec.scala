@@ -21,7 +21,7 @@ class SuitePlanLintSpec extends SparkSpec {
     "a15_hll_merge", "p3_bloom_join", "sim_semdedup", "a18_count_min",
     "stream_batch_parity", "stream_dedup_parity", "stream_upsert_parity",
     "stream_availablenow_parity", "stream_neardup_parity",
-    "stream_session_parity",
+    "stream_session_parity", "stream_quantile_parity",
     "compact_small_files", "p4_nested_pruning", "skew_aqe_join",
     "s1_csv_roundtrip", "s7_orc_roundtrip", "s8_json_roundtrip",
     "s9_partitioned_sink", "s10_schema_evolution", "eth_csv_pipeline",

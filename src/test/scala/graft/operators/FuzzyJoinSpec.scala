@@ -39,27 +39,36 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.nonEmpty) // the dataset genuinely exercises the join
   }
 
-  // The prefix filter's whole claim is LOSSLESSNESS: blocking must
-  // produce the same pair set as the full token self-join it avoids.
-  test("prefix-filtered cosine join == brute-force all-pairs referee") {
+  // Both physical strategies' whole claim is LOSSLESSNESS: each must
+  // produce the same pair set as the full token self-join it avoids —
+  // and the adaptive entry must agree with both.
+  test("both cosine-join paths == brute-force token self-join referee") {
     import org.apache.spark.sql.functions._
     val t = 0.9
-    val got = FuzzyJoin.cosineJoin(spark, sfDir, t).collect()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
     val wn = FuzzyJoin.weightedVectors(spark, sfDir)
-    val brute = wn.as("a").join(wn.as("b"),
+    val brute = pairs(wn.as("a").join(wn.as("b"),
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(round(sum(col("a.wn") * col("b.wn")), 6).as("sim"))
-      .filter(col("sim") >= t)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    spark.catalog.clearCache()
+      .filter(col("sim") >= t))
+    assert(brute.nonEmpty, "threshold too high — the referee is vacuous")
 
-    assert(got.nonEmpty, "threshold too high — the referee is vacuous")
-    assert(got === brute,
-      s"blocking dropped or invented pairs: only-engine=${got -- brute}, " +
-        s"only-brute=${brute -- got}")
+    val prefix = pairs(FuzzyJoin.cosinePrefixJoin(wn, t))
+    assert(prefix === brute,
+      s"prefix blocking dropped or invented pairs: " +
+        s"only-prefix=${prefix -- brute}, only-brute=${brute -- prefix}")
+
+    val allPairs = pairs(FuzzyJoin.cosineAllPairsJoin(wn, t))
+    assert(allPairs === brute,
+      s"blocked all-pairs dropped or invented pairs: " +
+        s"only-ap=${allPairs -- brute}, only-brute=${brute -- allPairs}")
+
+    val adaptive = pairs(FuzzyJoin.cosineJoin(spark, sfDir, t))
+    spark.catalog.clearCache()
+    assert(adaptive === brute, "adaptive entry diverged from the referee")
   }
 }

@@ -37,6 +37,15 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getLong(2) > 0)
   }
 
+  test("micro-batch quantile grids merge within the rank-error contract") {
+    val row = StreamGates.streamQuantileParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "merged per-batch quantile grids broke the p·N ± εN rank bound")
+    assert(row(0).getLong(1) === 3L, "stream did not run as 3 micro-batches")
+    assert(row(0).getLong(2) > 0)
+  }
+
   test("gates leave the caller session's shuffle partitions untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     StreamGates.streamAvailableNowParity(spark, sfDir).collect()
