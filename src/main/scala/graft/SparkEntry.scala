@@ -212,6 +212,8 @@ object SparkEntry {
     "q47_moving_avg"     -> CoreOps.q47MovingAvg _,
     "q51_cumulative_align" -> CoreOps.q51CumulativeAlign _,
     "fuzzy_cosine_join"  -> ((s, d) => FuzzyJoin.cosineJoin(s, d)),
+    "q67_rollup_topk"    -> ((s, d) => CoreOps.q67RollupTopk(s, d)),
+    "ev_sliding_distinct" -> ((s, d) => Gates.slidingDistinctGate(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -2227,6 +2229,34 @@ object SparkEntry {
          |  CAST(book_cum AS DOUBLE) AS book_cum,
          |  CAST(ship_cum AS DOUBLE) AS ship_cum
          |FROM f WHERE book_cum > ship_cum""".stripMargin,
+    // TPC-DS Q67 shape: rollup grains ranked together within each
+    // priority; fully tie-broken on non-null keys so NULLS FIRST/LAST
+    // defaults never engage
+    "q67_rollup_topk" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CAST(month(o_orderdate) AS INTEGER) AS mon, o_totalprice
+        |  FROM orders),
+        |rolled AS (
+        |  SELECT o_orderpriority, yr, mon,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec,
+        |         CAST(GROUPING(yr) AS INT) AS g_y,
+        |         CAST(GROUPING(mon) AS INT) AS g_m
+        |  FROM base GROUP BY ROLLUP(o_orderpriority, yr, mon)),
+        |r AS (
+        |  SELECT *, rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY spend_dec DESC, g_y, g_m,
+        |             coalesce(yr, -1), coalesce(mon, -1)) AS rnk
+        |  FROM rolled)
+        |SELECT o_orderpriority, yr, mon, g_y, g_m,
+        |       CAST(spend_dec AS DOUBLE) AS spend, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    // in-engine sketch gate (DuckDB's HLL is a different sketch): the
+    // booleans are the contract, n_days anchors the calendar
+    "ev_sliding_distinct" ->
+      """SELECT CAST(1 AS BOOLEAN) AS sliding_distinct_ok,
+        |       (SELECT COUNT(DISTINCT CAST(ts AS DATE))
+        |        FROM events) AS n_days""".stripMargin,
     "s12_csv_dialect" ->
       """WITH h AS (
         |  SELECT c_custkey,

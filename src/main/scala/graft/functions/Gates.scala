@@ -123,6 +123,54 @@ object Gates {
         .as("within_err"))
   }
 
+  /** Sliding count-distinct gate [ev_sliding_distinct]: the "7-day
+    * rolling uniques" production pattern — ONE mergeable HLL sketch per
+    * day (partial-agg'd map-side like any aggregate), then the rolling
+    * window UNIONS the ≤7 daily sketches per anchor day instead of
+    * re-scanning seven days of raw events for every day of output. At
+    * 100 TB the raw-rescan formulation reads 7× the corpus; this one
+    * reads it once and then works over one sketch row per day — the
+    * day-grain window is CALENDAR-bounded (rows = days, never data
+    * volume), so the empty-PARTITION-BY window is state-sized by the
+    * same argument as the a15/a18 sketch-blob collects. The RANGE frame
+    * on epoch-day keeps absent calendar days from silently widening
+    * the window (a ROWS frame would span 7 PRESENT days, not 7
+    * calendar days).
+    *
+    * Gate: every day's windowed estimate within relErr of the EXACT
+    * 7-day distinct — the referee explodes each distinct (day, user)
+    * pair to the ≤7 anchor windows it covers and counts exactly, one
+    * bounded shuffle of (day, user) pairs. In-engine booleans (DuckDB's
+    * HLL is a different sketch; no cross-engine value oracle), vs a
+    * constant oracle — the a15 convention. */
+  def slidingDistinctGate(s: SparkSession, d: String, relErr: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val pairs = ev.distinct() // one row per (day, user): feeds BOTH paths
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val daily = pairs.groupBy(col("dn"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daily.withColumn("est",
+      hll_sketch_estimate(hll_union_agg(col("sk")).over(
+        Window.orderBy(col("dn")).rangeBetween(-6, 0))))
+      .select(col("dn"), col("est"))
+    val exact = pairs
+      .select(explode(sequence(col("dn"), col("dn") + 6)).as("dn"),
+        col("user_id"))
+      .groupBy(col("dn"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val gate = est.join(exact, Seq("dn")) // inner: only days with data anchor
+      .select((abs(col("est") - col("exact")) <= col("exact") * relErr)
+        .as("ok"))
+      .agg(coalesce(expr("bool_and(ok)"), lit(false)).as("sliding_distinct_ok"))
+      .crossJoin(est.agg(count(lit(1)).as("n_days")))
+    val rows = gate.collect()
+    pairs.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+  }
+
   /** Count-min-sketch gate [a18_count_min]: the frequency sibling of
     * the HLL gate [a15] — per-month CMS sketches over l_partkey,
     * merged on read, must bound the true counts of the heaviest keys.

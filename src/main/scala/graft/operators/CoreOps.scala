@@ -2042,6 +2042,34 @@ object CoreOps {
         col("nsum").cast(DoubleType).as("nsum"))
   }
 
+  /** Rollup + window rank across subtotal grains [Q67] (the TPC-DS Q67
+    * shape): revenue rolled up over (priority, year, month) — detail
+    * rows AND their (priority, year), (priority), () subtotals from
+    * ONE Expand-aggregate — then rank() WITHIN each priority across
+    * every grain at once, keeping the top-k. This is the "which months
+    * / years / whole line dominate each category" report; the rollup
+    * means subtotals rank against the detail rows they summarize.
+    * Ordering is fully tie-broken on non-null keys (grouping flags +
+    * coalesced time keys) so rank is deterministic and the NULLS
+    * FIRST/LAST default difference between engines never engages. */
+  def q67RollupTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderpriority"),
+      year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"),
+      col("o_totalprice"))
+    val rolled = base.rollup(col("o_orderpriority"), col("yr"), col("mon"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend_dec"),
+        grouping(col("yr")).cast("int").as("g_y"),
+        grouping(col("mon")).cast("int").as("g_m"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("spend_dec").desc, col("g_y").asc, col("g_m").asc,
+        coalesce(col("yr"), lit(-1)).asc, coalesce(col("mon"), lit(-1)).asc)
+    rolled.withColumn("rnk", rank().over(w)).filter(col("rnk") <= k)
+      .select(col("o_orderpriority"), col("yr"), col("mon"),
+        col("g_y"), col("g_m"),
+        col("spend_dec").cast(DoubleType).as("spend"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Cumulative-sum alignment across channels [Q51] (the TPC-DS Q51
     * shape): bookings (orders ⋈ customer ⋈ nation by order month) and
     * shipments (lineitem ⋈ supplier ⋈ nation by ship month) each get a

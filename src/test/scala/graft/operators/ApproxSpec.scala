@@ -35,4 +35,11 @@ class ApproxSpec extends SparkSpec {
     assert(r.getBoolean(1), "direct sketch broke the CMS bound")
     assert(r.getBoolean(2), "per-month merge diverged from one-pass sketch")
   }
+
+  test("sliding 7-day distinct: windowed sketch union tracks the exact referee") {
+    val r = graft.functions.Gates.slidingDistinctGate(spark, sfDir).head()
+    assert(r.getBoolean(0),
+      "a day's windowed HLL-union estimate left the relative-error band")
+    assert(r.getLong(1) > 5, "too few days to exercise the rolling window")
+  }
 }
