@@ -219,19 +219,26 @@ object FuzzyJoin {
     * downstream branches (caller-owned lifetime, clearCache between
     * queries — same convention as TextOps.tfidf). */
   private[graft] def weightedVectors(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist(lvl)
+    // df comes from a partial-agg'd groupBy + join — NOT a token-
+    // partitioned window, which would funnel a hot stopword's whole
+    // posting list through one task. The L2 norm, by contrast, IS a
+    // doc-partitioned window (bounded by document length at any
+    // corpus size): it saves re-shuffling the full weighted frame
+    // through a groupBy + join-back.
     val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = tf.join(dfr, Seq("token")).crossJoin(nDocs)
-      .select(col("doc_id"), col("token"), col("df"),
-        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
-    val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nm"))
-    w.join(nrm, Seq("doc_id")).filter(col("nm") > 0)
+    tf.join(dfr, Seq("token")).crossJoin(nDocs)
+      .withColumn("w", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("nm", sqrt(sum(col("w") * col("w"))
+        .over(Window.partitionBy(col("doc_id")))))
+      .filter(col("nm") > 0)
       .select(col("doc_id"), col("token"), col("df"),
         (col("w") / col("nm")).as("wn"))
       .persist(lvl)
