@@ -69,4 +69,38 @@ object AggLawsProps extends Properties("AggLaws") {
       }
       total(p1) == total(p2)
     }
+
+  // The fingerprint's three combiners recomputed by an INDEPENDENT
+  // driver-side implementation (MessageDigest md5 + the same ascii·256^i
+  // fold, exact BigInt arithmetic for the modular sum) must match the
+  // engine under ANY partitioning — this is the law that makes the
+  // signature trustworthy for cross-cluster reconciliation, and the
+  // BigInt reference pins the mod-2^61−1 fold exactly (an accumulator
+  // overflow or a wrong widening would diverge here).
+  property("table fingerprint equals the BigInt reference under any partitioning") =
+    Prop.forAll(rowsGen, partGen) { (xs, p) =>
+      import spark.implicits._
+      import graft.operators.Profile
+      val rows = xs.zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+      val row = Profile.tableFingerprint(
+        rows.toDF("id", "k", "v").repartition(p),
+        Seq(col("id").cast("string"), col("k"), col("v").cast("string"))).head()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sigs = rows.map { case (i, s, v) =>
+        val hex = md.digest(s"$i|$s|$v".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (0 until 8).map(j => hex(j).toLong << (8 * j)).sum
+      }
+      val fpMod = BigInt(Profile.FpMod)
+      val wantXor = sigs.foldLeft(0L)(_ ^ _)
+      val wantSum =
+        if (sigs.isEmpty) None
+        else Some((sigs.map(x => BigInt(x) % fpMod).sum % fpMod).toLong)
+      row.getLong(0) == rows.size.toLong &&
+        (if (sigs.isEmpty) row.isNullAt(1) else row.getLong(1) == wantXor) &&
+        (wantSum match {
+          case None    => row.isNullAt(2)
+          case Some(w) => row.getLong(2) == w
+        })
+    }
 }
