@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * by construction on both sides.
   */
 object Multimodal {
+  // ImageIO's default stream factory writes every stream through a
+  // DISK-cache created under a global lock — with 32 concurrent decode
+  // tasks the codecs convoy on that lock (measured: 25× total CPU, no
+  // wall win, after the kernels went partition-parallel). Memory-backed
+  // streams decode small payloads lock-free. Set once per JVM/executor
+  // (object init runs on each executor the kernel loads on).
+  ImageIO.setUseCache(false)
+
   // ------------------------------------------------------ planted raster
   // Channel values are mod-256 linear forms in (id, x, y): trivial for
   // the DuckDB oracle to evaluate, non-constant along every axis so a
@@ -91,11 +99,20 @@ object Multimodal {
 
   /** The binary media table: one encoded image per document row. The
     * payload travels through a typed Dataset boundary exactly as a
-    * parquet binary column would — downstream stages see bytes only. */
+    * parquet binary column would — downstream stages see bytes only.
+    *
+    * The id frame repartitions to the session's default parallelism
+    * BEFORE rendering: the documents scan is a tiny file (1–3 splits
+    * locally), and without this the CPU-bound encode+decode kernels ran
+    * in 3 tasks on a 32-core box (measured: mm_decode 5.1 s, 3 tasks,
+    * zero shuffle). Only 8-byte ids shuffle — free at any scale — and
+    * a real lake, where the payloads come FROM a many-split scan,
+    * inherits the scan's parallelism instead of this fixture's. */
   private def mediaTable(s: SparkSession, d: String) = {
     import s.implicits._
     graft.Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => MediaIn(id, encodeImage(id))))
   }
 
