@@ -196,12 +196,15 @@ object Bench {
     SparkEntry.queries.get("a5_global_agg").foreach(_(spark, sfDir).count())
 
     // a failed query records -1, never a bogus elapsed time
-    def onePass(): (Map[String, Double], Map[String, QMetrics]) = {
+    def onePass(): (Map[String, Double], Map[String, QMetrics],
+        Map[String, Map[String, Long]]) = {
+      val counters = scala.collection.mutable.Map[String, Map[String, Long]]()
       val results = SparkEntry.queries.map { case (name, fn) =>
         // queries that persist intermediates (dedup/LSH) must not leak
         // cached blocks into later queries: a full storage pool evicts
         // blocks mid-query and recompute cascades (round-1 dedup_corpus)
         spark.catalog.clearCache()
+        Counters.clear()
         current = name
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
         val t0 = System.nanoTime()
@@ -211,6 +214,10 @@ object Bench {
             false
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        // operator-emitted loop/path counters (cc_rounds, fuzzy path…):
+        // recorded synchronously on this driver thread during fn
+        val snap = Counters.drain()
+        if (snap.nonEmpty) counters(name) = snap
         spark.sparkContext.clearJobGroup()
         drainShort()
         name -> (if (ok) elapsed else -1.0)
@@ -219,26 +226,35 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val snap = metrics.asScala.toMap // materialized before the clear
       metrics.clear(); stageOwner.clear()
-      (results.toMap, snap)
+      (results.toMap, snap, counters.toMap)
     }
     val passes = (1 to nRuns).map(_ => onePass())
 
     val names = SparkEntry.queries.keys.toSeq
-    // per query: min over successful passes; metrics from that pass
-    val best: Map[String, (Double, QMetrics)] = names.map { n =>
-      val timed = passes.map { case (r, m) => (r(n), m.getOrElse(n, new QMetrics)) }
+    // per query: min over successful passes; metrics + counters from
+    // that pass
+    val best: Map[String, (Double, QMetrics, Map[String, Long])] = names.map { n =>
+      val timed = passes.map { case (r, m, c) =>
+        (r(n), m.getOrElse(n, new QMetrics), c.getOrElse(n, Map.empty[String, Long]))
+      }
       val ok = timed.filter(_._1 >= 0)
-      n -> (if (ok.isEmpty) (-1.0, new QMetrics) else ok.minBy(_._1))
+      n -> (if (ok.isEmpty) (-1.0, new QMetrics, Map.empty[String, Long])
+            else ok.minBy(_._1))
     }.toMap
 
     def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
     val ms = names.map { n =>
       val m = best(n)._2
+      val ctr = best(n)._3
+      val ctrStr = if (ctr.isEmpty) ""
+        else ctr.toSeq.sorted
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","counters":{""", ",", "}")
       s""""$n":{"sec":${math.round(best(n)._1 * 1000) / 1000.0},""" +
         s""""jobs":${m.jobs},"stages":${m.stages},"tasks":${m.tasks},""" +
         s""""shuffle_read_mb":${mb(m.shuffleRead)},"shuffle_write_mb":${mb(m.shuffleWrite)},""" +
         s""""spill_mem_mb":${mb(m.memSpill)},"spill_disk_mb":${mb(m.diskSpill)},""" +
-        s""""gc_ms":${m.gcMs},"exec_ms":${m.execMs}}"""
+        s""""gc_ms":${m.gcMs},"exec_ms":${m.execMs}$ctrStr}"""
     }.mkString("{", ",", "}")
     val perRun = passes.map(_._1.values.filter(_ >= 0).sum)
       .map(t => math.round(t * 100) / 100.0).mkString("[", ",", "]")

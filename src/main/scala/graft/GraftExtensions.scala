@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.StringExpressions.Unaccent
-import graft.functions.VectorExpressions.{VecDot, VecNorm}
+import graft.functions.VectorExpressions.{MergeDot, VecDot, VecNorm}
 
 /** SparkSessionExtensions injection point: enables graft's native
   * expressions at session build time for any application via
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[VecNorm].getName, "vec_norm"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VecNorm(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("merge_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MergeDot].getName, "merge_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          MergeDot(exprs(0), exprs(1), exprs(2), exprs(3))))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("unaccent"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -212,6 +212,7 @@ object SparkEntry {
     "q47_moving_avg"     -> CoreOps.q47MovingAvg _,
     "q51_cumulative_align" -> CoreOps.q51CumulativeAlign _,
     "fuzzy_cosine_join"  -> ((s, d) => FuzzyJoin.cosineJoin(s, d)),
+    "fuzzy_cosine_zipf"  -> ((s, d) => FuzzyJoin.cosineZipf(s, d)),
     "q67_rollup_topk"    -> ((s, d) => CoreOps.q67RollupTopk(s, d)),
     "ev_sliding_distinct" -> ((s, d) => Gates.slidingDistinctGate(s, d)),
   )
@@ -1252,7 +1253,7 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM documents) AS n_rows""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
-        |       CAST(3 AS BIGINT) AS n_batches,
+        |       CAST(2 AS BIGINT) AS n_batches,
         |       (SELECT COUNT(*) FROM orders
         |        WHERE o_totalprice IS NOT NULL) AS n_rows""".stripMargin,
     "compact_small_files" ->
@@ -2059,7 +2060,7 @@ object SparkEntry {
         |  SELECT user_id, epoch_us(ts) AS us,
         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
         |           ORDER BY ts, event_id) AS prev_us
-        |  FROM events WHERE user_id < 100)
+        |  FROM events WHERE user_id < 60)
         |SELECT CAST(1 AS BOOLEAN) AS session_parity,
         |       CAST(SUM(CASE WHEN prev_us IS NULL
         |                       OR us - prev_us > 600000000
@@ -2157,6 +2158,38 @@ object SparkEntry {
         |  ON a.token = b.token AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING round(SUM(a.wn * b.wn), 6) >= 0.9""".stripMargin,
+    // same TF-IDF cosine referee over the deterministically reshaped
+    // Zipfian corpus (stopword/group/unique token spectrum) — this
+    // variant's cost estimate takes the PREFIX-FILTER physical path,
+    // so both branches of the adaptive join carry a correctness row
+    "fuzzy_cosine_zipf" ->
+      """WITH zdoc AS (
+        |  SELECT doc_id,
+        |         'c0 c1 c2 g' || CAST(doc_id // 4 AS VARCHAR) || '_0'
+        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_1'
+        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_2'
+        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_3'
+        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_4'
+        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_5'
+        |         || ' u' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM zdoc),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM zdoc),
+        |w AS (SELECT tf.doc_id, tf.token, tf * ln(n_docs / df) AS w
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY 1),
+        |wn AS (SELECT w.doc_id, token, w / nm AS wn
+        |       FROM w JOIN nrm USING (doc_id) WHERE nm > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(SUM(a.wn * b.wn), 6) AS sim
+        |FROM wn a JOIN wn b
+        |  ON a.token = b.token AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING round(SUM(a.wn * b.wn), 6) >= 0.75""".stripMargin,
     "q47_moving_avg" ->
       s"""WITH monthly AS (
          |  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,

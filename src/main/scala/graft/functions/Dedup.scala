@@ -387,6 +387,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // bench-visible loop diagnostics: a driver-vs-local jobs delta on
+    // dedup_corpus/dedup_cc_clusters is now attributable to either more
+    // propagation rounds (corpus regeneration changed the dup-graph
+    // diameter) or pure scheduler contention, from the metrics alone
+    graft.Counters.add("cc_rounds", iter.toLong)
+    graft.Counters.add("cc_edges", nEdges)
     edges.unpersist()
     labels
   }

@@ -29,9 +29,14 @@ object Multimodal {
   // DISK-cache created under a global lock — with 32 concurrent decode
   // tasks the codecs convoy on that lock (measured: 25× total CPU, no
   // wall win, after the kernels went partition-parallel). Memory-backed
-  // streams decode small payloads lock-free. Set once per JVM/executor
-  // (object init runs on each executor the kernel loads on).
-  ImageIO.setUseCache(false)
+  // streams decode small payloads lock-free. The encode/decode kernels
+  // each call [[disableImageIoDiskCache]] explicitly (idempotent, a
+  // volatile read per call), so the dependency is visible at the call
+  // sites and never rides on object-initialization order across
+  // executors; co-resident ImageIO users that want the disk cache can
+  // re-enable it between kernel runs without this object silently
+  // flipping it back at first touch.
+  private def disableImageIoDiskCache(): Unit = ImageIO.setUseCache(false)
 
   // ------------------------------------------------------ planted raster
   // Channel values are mod-256 linear forms in (id, x, y): trivial for
@@ -70,6 +75,7 @@ object Multimodal {
   /** Genuine encoded bytes — the fixture payload a binary lake column
     * would hold. JPEG for every third doc, PNG otherwise. */
   private[graft] def encodeImage(id: Long): Array[Byte] = {
+    disableImageIoDiskCache()
     val bos = new ByteArrayOutputStream()
     ImageIO.write(renderImage(id), plantFmt(id), bos)
     bos.toByteArray
@@ -79,6 +85,7 @@ object Multimodal {
     * from container sniffing on the BYTES (not from metadata we carry
     * along), the raster from the codec. */
   private[graft] def decodeImage(payload: Array[Byte]): (String, BufferedImage) = {
+    disableImageIoDiskCache()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
     try {
       val readers = ImageIO.getImageReaders(iis)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -107,6 +107,71 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Sparse-vector dot by sorted-key merge intersection:
+    * Σ wa[i]·wb[j] over positions where ha[i] == hb[j], with ha/hb
+    * each sorted ascending (the packed-vector layout of
+    * [[graft.operators.FuzzyJoin]]). A join's output rows stream
+    * through this inside whole-stage codegen reading UnsafeArrayData
+    * in place — the previous Dataset kernel decoded four primitive
+    * arrays per pair (n²/2 allocations on the all-pairs path; the r06
+    * driver measured 5.5 s GC for 6.15 s wall on fuzzy_cosine_join).
+    * Accumulation order is ascending-key, identical to the old kernel,
+    * so emitted values are bit-for-bit unchanged. */
+  case class MergeDot(first: Expression, second: Expression,
+      third: Expression, fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "merge_dot"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def isArr(e: Expression, et: DataType): Boolean = e.dataType match {
+        case ArrayType(t, _) => t == et
+        case _ => false
+      }
+      if (isArr(first, LongType) && isArr(third, LongType) &&
+          isArr(second, DoubleType) && isArr(fourth, DoubleType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<double>, " +
+          s"array<bigint>, array<double>) arguments")
+    }
+
+    override def nullSafeEval(ha: Any, wa: Any, hb: Any, wb: Any): Any = {
+      val ka = ha.asInstanceOf[ArrayData]; val va = wa.asInstanceOf[ArrayData]
+      val kb = hb.asInstanceOf[ArrayData]; val vb = wb.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var acc = 0.0
+      val na = ka.numElements(); val nb = kb.numElements()
+      while (i < na && j < nb) {
+        val x = ka.getLong(i); val y = kb.getLong(j)
+        if (x == y) { acc += va.getDouble(i) * vb.getDouble(j); i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (ha, wa, hb, wb) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $i = 0; int $j = 0;
+           |int $na = $ha.numElements(); int $nb = $hb.numElements();
+           |double $acc = 0.0;
+           |while ($i < $na && $j < $nb) {
+           |  long $x = $ha.getLong($i); long $y = $hb.getLong($j);
+           |  if ($x == $y) { $acc += $wa.getDouble($i) * $wb.getDouble($j); $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression, q: Expression): MergeDot =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
   private def arrD(c: Column): Column =
     org.apache.spark.sql.functions.transform(c, x => x.cast(DoubleType))
 
@@ -142,6 +207,14 @@ object VectorExpressions {
     call_function("vec_norm", a)
   }
 
+  /** Merge-intersection sparse dot over (keys, weights, keys, weights)
+    * columns — keys array<bigint> sorted ascending, weights
+    * array<double> parallel to them. */
+  def mergeDot(ha: Column, wa: Column, hb: Column, wb: Column): Column = {
+    register(SparkSession.active)
+    call_function("merge_dot", ha, wa, hb, wb)
+  }
+
   /** SQL registration: makes vec_dot/vec_norm usable from spark.sql
     * and the Column API. Inputs must be array<double> (the Column
     * wrappers cast elementwise). */
@@ -150,5 +223,8 @@ object VectorExpressions {
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm", exprs => VecNorm(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "merge_dot", exprs => MergeDot(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 }

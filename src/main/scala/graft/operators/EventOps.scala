@@ -309,6 +309,7 @@ object EventOps {
     }
     val out = rank.select(col("node"), round(col("pr"), 6).as("pr"))
       .orderBy(col("pr").desc, col("node").asc)
+    graft.Counters.add("pr_iters", iters.toLong)
     edges.unpersist(); nodes.unpersist()
     out
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.StringExpressions
+import graft.functions.{StringExpressions, VectorExpressions}
 
 /** Edit-distance fuzzy join — the entity-resolution primitive (typo'd
   * names, OCR'd labels, near-identical URLs) that naively is an N²
@@ -89,8 +89,18 @@ object FuzzyJoin {
     * flips the decision; FuzzyJoinSpec pins BOTH paths to the same
     * pair set. Weights reuse the tf·ln(N/df) convention of
     * [[graft.functions.TextOps.tfidf]]. */
-  def cosineJoin(s: SparkSession, d: String, t: Double = 0.9): DataFrame = {
-    val wn = weightedVectors(s, d)
+  def cosineJoin(s: SparkSession, d: String, t: Double = 0.9): DataFrame =
+    cosineJoinOf(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text")), t)
+
+  /** Adaptive cosine join over any (doc_id, text) frame — the entry
+    * [[cosineJoin]] binds to the documents table; [[cosineZipf]] binds
+    * to the Zipfian-reshaped frame so BOTH physical paths carry a
+    * driver correctness row (the synthetic corpus is template-heavy and
+    * only ever exercises the all-pairs branch). */
+  def cosineJoinOf(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
+    import s.implicits._
+    val wn = weightedVectorsOf(docs)
     // Selectivity estimate: candidate volume = Σ_τ prefix(τ)·postings(τ)
     // from two vocabulary-sized aggregates (rows = distinct tokens,
     // never data-sized); one bounded 1-row collect, same contract as
@@ -102,10 +112,42 @@ object FuzzyJoin {
       .crossJoin(wn.select(col("doc_id")).distinct()
         .agg(count(lit(1)).as("n_docs")))
       .head()
+    // empty corpus (or all-zero-norm docs): the SUM over zero rows is
+    // NULL — short-circuit to an empty pair frame instead of NPE
+    if (est.isNullAt(0) || est.getLong(1) == 0L)
+      return Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "sim")
     val (volume, nDocs) = (est.getLong(0), est.getLong(1))
-    if (volume.toDouble > nDocs.toDouble * nDocs / 4)
-      cosineAllPairsJoin(wn, t)
+    val takeAllPairs = volume.toDouble > nDocs.toDouble * nDocs / 4
+    // bench-visible record of the chosen physical path
+    graft.Counters.add(
+      if (takeAllPairs) "fuzzy_path_allpairs" else "fuzzy_path_prefix", 1L)
+    if (takeAllPairs) cosineAllPairsJoin(wn, t)
     else cosinePrefixJoin(wn, t)
+  }
+
+  /** [fuzzy_cosine_zipf]: the adaptive join over a Zipfian-reshaped
+    * corpus derived deterministically from the documents table (the
+    * corpus_diff planting pattern — the oracle reconstructs the
+    * identical frame in SQL). Each doc gets 3 corpus-wide stopwords
+    * (df = N ⇒ idf 0: the term the prefix filter must discard), six
+    * 4-doc-group tokens (the discriminating near-dup signal), and one
+    * unique token — a df spectrum {N, ~4, 1} whose prefix postings are
+    * tiny, so the cost estimate takes [[cosinePrefixJoin]] and the
+    * driver's correctness row exercises the path the template-heavy
+    * real corpus never reaches. */
+  def cosineZipf(s: SparkSession, d: String, t: Double = 0.75): DataFrame =
+    cosineJoinOf(s, zipfCorpus(s, d), t)
+
+  /** Zipfian token frame: deterministic (doc_id, text) reshape of the
+    * documents table (ids only; content is id-derived so DuckDB can
+    * rebuild it exactly). */
+  private[graft] def zipfCorpus(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4").cast("string")
+    val toks = Seq(lit("c0"), lit("c1"), lit("c2")) ++
+      (0 to 5).map(k => concat(lit("g"), g, lit("_" + k))) :+
+      concat(lit("u"), col("doc_id").cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat_ws(" ", toks: _*).as("text"))
   }
 
   /** Prefix postings of every doc under threshold t: sort each doc's
@@ -137,36 +179,41 @@ object FuzzyJoin {
         expr("transform(v, x -> x.wn)").as("ws"))
 
   /** Merge-intersection dot over hash-sorted sparse vectors with
-    * Spark/DuckDB round-HALF_UP parity on the emitted value. */
-  private def dotVerify(pairs: DataFrame, t: Double): DataFrame = {
-    import pairs.sparkSession.implicits._
+    * Spark/DuckDB round-HALF_UP parity on the emitted value. The dot
+    * runs in the codegen'd [[VectorExpressions.MergeDot]] expression,
+    * pipelined inside the join stage over UnsafeArrayData in place —
+    * the previous Dataset kernel decoded four primitive arrays per
+    * pair (n²/2 allocations on the all-pairs path: 5.5 s GC for 6.15 s
+    * wall in the r06 driver metrics). Spark's `round` on DoubleType is
+    * the same Double.toString-backed BigDecimal HALF_UP the old kernel
+    * applied, so emitted values are bit-identical. */
+  private def dotVerify(pairs: DataFrame, t: Double): DataFrame =
     pairs
-      .as[(Long, Long, Array[Long], Array[Double], Array[Long], Array[Double])]
-      .mapPartitions(_.flatMap { case (a, b, ha, wa, hb, wb) =>
-        var i = 0; var j = 0; var dot = 0.0
-        while (i < ha.length && j < hb.length) {
-          if (ha(i) == hb(j)) { dot += wa(i) * wb(j); i += 1; j += 1 }
-          else if (ha(i) < hb(j)) i += 1
-          else j += 1
-        }
-        if (dot < t - 1e-6) Iterator.empty
-        else {
-          val sim = BigDecimal(dot)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (sim >= t) Iterator.single((a, b, sim)) else Iterator.empty
-        }
-      })
-      .toDF("doc_a", "doc_b", "sim")
-  }
+      .select(col("doc_a"), col("doc_b"),
+        VectorExpressions.mergeDot(
+          col("ha"), col("wa"), col("hb"), col("wb")).as("dot"))
+      .filter(col("dot") >= t - 1e-6)
+      .select(col("doc_a"), col("doc_b"), round(col("dot"), 6).as("sim"))
+      .filter(col("sim") >= t)
 
   /** Prefix-filtered path: candidates only where a PREFIX token of one
     * side meets a token of the other. Lossless by the Cauchy-Schwarz
     * bound: if no shared token touches either prefix, every shared
     * token lies in one side's suffix, so dot ≤ ‖suffix‖·1 < t. The
-    * exact verify attaches broadcast compact vectors to the deduped
-    * candidates and runs the merge-dot kernel — never a relational
-    * token join, which would shuffle |cand|·|doc| rows. */
-  private[graft] def cosinePrefixJoin(wn: DataFrame, t: Double): DataFrame = {
+    * exact verify attaches compact vectors to the deduped candidates
+    * and runs the merge-dot kernel — never a relational token join,
+    * which would shuffle |cand|·|doc| rows.
+    *
+    * The attach is SIZE-GATED (r06 verdict): the vector frame is one
+    * compact row per document, so broadcasting it is only legal while
+    * it fits an executor — at corpus scale the broadcast side IS the
+    * corpus and would OOM every executor. Under `attachBudgetBytes`
+    * (default: the session's autoBroadcastJoinThreshold) the attach is
+    * a broadcast hash join; above it, a shuffle join on doc_id —
+    * candidates and vectors are both doc-keyed, so the sort-merge
+    * co-partitions and nothing is replicated. */
+  private[graft] def cosinePrefixJoin(wn: DataFrame, t: Double,
+      attachBudgetBytes: Long = -1L): DataFrame = {
     val pref = prefixPostings(wn, t)
     val full = wn.select(col("doc_id"), col("token"))
     val cand = pref.as("p").join(full.as("f"),
@@ -176,13 +223,26 @@ object FuzzyJoin {
         greatest(col("p.doc_id"), col("f.doc_id")).as("doc_b"))
       .distinct()
     val packed = packedVectors(wn)
-    dotVerify(cand
-      .join(broadcast(packed.select(col("doc_id").as("doc_a"),
-        col("hs").as("ha"), col("ws").as("wa"))), Seq("doc_a"))
-      .join(broadcast(packed.select(col("doc_id").as("doc_b"),
-        col("hs").as("hb"), col("ws").as("wb"))), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("wa"),
-        col("hb"), col("wb")), t)
+    // attach-side size from vocabulary-level stats over the cached wn
+    // frame: ~20 B per (hash, weight) entry + per-doc row overhead
+    val st = wn.agg(count(lit(1)).as("entries"),
+      count_distinct(col("doc_id")).as("docs")).head()
+    val estBytes = st.getLong(0) * 20L + st.getLong(1) * 64L
+    val budget = if (attachBudgetBytes >= 0L) attachBudgetBytes
+      else wn.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val bcast = budget > 0L && estBytes <= budget
+    graft.Counters.add(
+      if (bcast) "fuzzy_attach_broadcast" else "fuzzy_attach_shuffle", 1L)
+    val a = packed.select(col("doc_id").as("doc_a"),
+      col("hs").as("ha"), col("ws").as("wa"))
+    val b = packed.select(col("doc_id").as("doc_b"),
+      col("hs").as("hb"), col("ws").as("wb"))
+    val attached =
+      if (bcast) cand.join(broadcast(a), Seq("doc_a"))
+        .join(broadcast(b), Seq("doc_b"))
+      else cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    dotVerify(attached.select(col("doc_a"), col("doc_b"),
+      col("ha"), col("wa"), col("hb"), col("wb")), t)
   }
 
   /** Blocked all-pairs path for degenerate blocking: replicate each
@@ -199,10 +259,22 @@ object FuzzyJoin {
         explode(transform(sequence(lit(0), lit(nBlocks - 1)),
           o => least(col("blk"), o) * nBlocks + greatest(col("blk"), o)))
           .as("bp"))
+    // EXPLICIT partition count on the join inputs: the pair volume is
+    // n²/2 merge-dot evaluations but the shuffled BYTES are tiny (one
+    // compact vector row per doc per block-pair), so AQE's byte-based
+    // partition coalescing would fold the kernel stage onto 1-2 cores
+    // (measured: 17.5 s coalesced vs 4.5 s at full width at sf0.1 —
+    // CPU-bound stages must size by work, not bytes). A user-specified
+    // repartition-by-number is exempt from AQE coalescing, and both
+    // sides hash the same key at the same width, so the join adds no
+    // further exchange.
+    val nParts = wn.sparkSession.sparkContext.defaultParallelism
     val a = rep.select(col("bp"), col("doc_id").as("doc_a"),
       col("hs").as("ha"), col("ws").as("wa"), col("blk").as("ba"))
+      .repartition(nParts, col("bp"))
     val b = rep.select(col("bp"), col("doc_id").as("doc_b"),
       col("hs").as("hb"), col("ws").as("wb"), col("blk").as("bb"))
+      .repartition(nParts, col("bp"))
     dotVerify(a.join(b, Seq("bp"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("ba"), col("bb")) * nBlocks +
@@ -215,13 +287,25 @@ object FuzzyJoin {
     * shared by the prefix-filtered join and its brute-force referee.
     * (doc, token, tf) is one partial-agg'd shuffle; df folds out of
     * the SAME frame (one row per doc-token pair, so count(*) per
-    * token IS df — no second corpus pass). Persisted: multiple
-    * downstream branches (caller-owned lifetime, clearCache between
-    * queries — same convention as TextOps.tfidf). */
-  private[graft] def weightedVectors(s: SparkSession, d: String): DataFrame = {
+    * token IS df — no second corpus pass).
+    *
+    * Cache lifecycle (r06 advice — the old double-persist had no
+    * unpersist path, so repeated adaptive-join calls accumulated
+    * cached partitions): the tf frame is persisted only long enough to
+    * feed the df aggregate and the weight join, then the result is
+    * EAGERLY localCheckpoint'ed — materialized into GC-reclaimable
+    * block-manager blocks with the window/join lineage truncated — and
+    * tf is unpersisted before returning. Dropping the returned frame
+    * releases the blocks via the ContextCleaner; nothing outlives the
+    * caller. */
+  private[graft] def weightedVectors(s: SparkSession, d: String): DataFrame =
+    weightedVectorsOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  private[graft] def weightedVectorsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tf = Tables.documents(s, d)
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -233,15 +317,17 @@ object FuzzyJoin {
     // corpus size): it saves re-shuffling the full weighted frame
     // through a groupBy + join-back.
     val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
-    tf.join(dfr, Seq("token")).crossJoin(nDocs)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val wn = tf.join(dfr, Seq("token")).crossJoin(nDocs)
       .withColumn("w", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("nm", sqrt(sum(col("w") * col("w"))
         .over(Window.partitionBy(col("doc_id")))))
       .filter(col("nm") > 0)
       .select(col("doc_id"), col("token"), col("df"),
         (col("w") / col("nm")).as("wn"))
-      .persist(lvl)
+      .localCheckpoint() // eager: materializes, truncates lineage
+    tf.unpersist()
+    wn
   }
 
   /** Same over any single-column `name` frame of distinct strings. */

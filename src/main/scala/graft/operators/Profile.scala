@@ -54,7 +54,18 @@ object Profile {
     * only INSIDE the aggregate (Spark decimal accumulator / DuckDB
     * HUGEINT accumulator — exact up to ~10^19 rows), and the final
     * `% 2^61−1` collapses it back to a value < 2^61 that int64 holds
-    * exactly. */
+    * exactly.
+    *
+    * FORMAT BREAK (signature v2, 2026-08): the r06 canonicalization
+    * changed the wire format — sum_sig became the mod-2^61−1 BIGINT
+    * residue (previously an unreduced DECIMAL(38,0)), and
+    * [[keyBucket]] now coalesces NULL key columns to the ' ' sentinel
+    * where concat_ws previously SKIPPED them (a NULL key component
+    * now occupies a '|' slot). Fingerprints and bucket assignments
+    * recorded under the v1 scheme are NOT comparable to v2 output:
+    * cross-snapshot reconciliation across the boundary reports
+    * spurious diffs. Re-fingerprint stored baselines once with the
+    * current code before trusting a cross-version comparison. */
   /** Mersenne-prime modulus 2^61−1 for the engine-portable modular
     * SUM combiner: both engines do exact integer arithmetic below it,
     * and the final residue always fits a BIGINT. */

@@ -42,10 +42,16 @@ object StreamGates {
     graft.Fs.deleteRecursively(p)
 
   /** Gate-private child session: inherits the context's defaults (UTC,
-    * codegen, etc.) but owns its SQLConf and temp-view catalog. */
+    * codegen, etc.) but owns its SQLConf and temp-view catalog. The
+    * shuffle width is deliberately tiny: stateful streaming allocates
+    * one state-store instance per shuffle partition PER MICRO-BATCH
+    * (each with its own checkpoint files), so gate cost scales with
+    * width × batches while the gate data is KB-sized. Overridable for
+    * A/B probes via -Dgraft.gate.partitions. */
   private def isolated(s: SparkSession): SparkSession = {
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions",
+      sys.props.getOrElse("graft.gate.partitions", "4"))
     iso
   }
 
@@ -127,7 +133,7 @@ object StreamGates {
     // (full-corpus streaming dominated the bench at larger SFs); the
     // identical filter is applied to the batch mirrors below
     val ev = Tables.events(iso, d)
-      .filter(col("user_id") < 100)
+      .filter(col("user_id") < 60)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
     // an empty slice (tiny SF, reshaped events) must fail the gate as
@@ -231,9 +237,12 @@ object StreamGates {
           col("value"), col("props"))
       if (ev.head(1).isEmpty)
         return Seq((false, 0L)).toDF("upsert_parity", "n_rows")
-      // three single-file chunks -> three micro-batches at one file each
-      (0 until 3).foreach { i =>
-        ev.filter(pmod(col("event_id"), lit(3)) === i)
+      // two single-file chunks -> two micro-batches at one file each —
+      // the minimum where an INCREMENTAL merge actually runs (the gate
+      // pins nBatches >= 2); the third chunk of earlier rounds only
+      // added fixed micro-batch latency
+      (0 until 2).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(2)) === i)
           .coalesce(1).write.mode("append").parquet(inDir)
       }
       val states = Seq(s"$base/state0", s"$base/state1")
@@ -363,7 +372,7 @@ object StreamGates {
     * batch, or same batch with smaller doc_id). The referee reruns
     * the BATCH LSH over the whole corpus and re-orients each pair by
     * the RECORDED arrival order — so the gate is deterministic even
-    * if the file source reorders the three chunks. Stream dup set
+    * if the file source reorders the chunks. Stream dup set
     * must equal the referee's exactly (set equality, not recall). */
   def streamNearDupParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -376,13 +385,15 @@ object StreamGates {
       if (docs.head(1).isEmpty)
         return Seq((false, false, 0L))
           .toDF("neardup_parity", "incremental_stream", "n_rows")
-      // three id-range chunks → three micro-batches (range split keeps
-      // arrival order ≈ id order; the referee doesn't depend on it)
-      val cuts = docs.stat.approxQuantile("doc_id", Array(1.0 / 3, 2.0 / 3), 0.001)
+      // two id-range chunks → two micro-batches (range split keeps
+      // arrival order ≈ id order; the referee doesn't depend on it).
+      // Two is the minimum that exercises BOTH candidate sources —
+      // store-join (cross-batch) and within-batch — at one less batch
+      // of fixed micro-batch latency than the earlier 3-chunk split.
+      val cuts = docs.stat.approxQuantile("doc_id", Array(0.5), 0.001)
       Seq(
         docs.filter(col("doc_id") <= cuts(0)),
-        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
-        docs.filter(col("doc_id") > cuts(1)))
+        docs.filter(col("doc_id") > cuts(0)))
         .foreach(_.coalesce(1).write.mode("append").parquet(inDir))
 
       val bandStore = s"$base/bands"
@@ -393,13 +404,12 @@ object StreamGates {
         .write.mode("overwrite").parquet(bandStore)
       empty.toDF().write.mode("overwrite").parquet(shingleStore)
 
-      @volatile var batchNo = 0L
       var q: StreamingQuery = null
       try {
         q = iso.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
             val sh = Dedup.shingleHashesOf(batch)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val bands = Dedup.minhashBandsOf(sh).toDF()
@@ -425,15 +435,19 @@ object StreamGates {
                 if (j >= 0.6) Iterator.single(db) else Iterator.empty
               })
               .toDF("doc_id").distinct()
+            // decisions are batch-keyed and overwritten (not appended)
+            // so a micro-batch retry / checkpoint replay can't
+            // duplicate rows — same idempotence discipline as the
+            // quantile gate's grid store
             batch.select(col("doc_id"))
-              .withColumn("batch_no", lit(batchNo))
+              .withColumn("batch_no", lit(bid))
               .join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
               .na.fill(false, Seq("is_dup"))
-              .write.mode("append").parquet(decisionStore)
+              .write.mode("overwrite").parquet(s"$decisionStore/batch=$bid")
             bands.write.mode("append").parquet(bandStore)
             sh.toDF().write.mode("append").parquet(shingleStore)
             sh.unpersist()
-            batchNo += 1
+            ()
           }
           .option("checkpointLocation", s"$base/ckpt").start()
         q.processAllAvailable()
@@ -443,6 +457,7 @@ object StreamGates {
       // re-oriented by recorded (batch_no, doc_id) arrival — the later
       // endpoint is the duplicate
       val decisions = iso.read.parquet(decisionStore)
+        .select(col("doc_id"), col("batch_no"), col("is_dup"))
       val arrival = decisions.select(col("doc_id"), col("batch_no"))
       val shAll = Dedup.shingleHashesOf(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -456,13 +471,16 @@ object StreamGates {
           col("doc_b")).otherwise(col("doc_a")).as("doc_id"))
         .distinct()
       val streamDups = decisions.filter(col("is_dup")).select(col("doc_id"))
+      // batch count from the store's distinct batch ids (replay-proof),
+      // not a driver-side counter
       val gate = symDiffEmpty(streamDups, refDups, Seq("doc_id"))
-        .crossJoin(decisions.agg(count(lit(1)).as("n_decided")))
+        .crossJoin(decisions.agg(count(lit(1)).as("n_decided"),
+          countDistinct(col("batch_no")).as("n_batches")))
         .crossJoin(streamDups.agg(count(lit(1)).as("n_dups")))
         .select(
           (col("l_only") === 0 && col("r_only") === 0 && col("n_dups") > 0)
             .as("neardup_parity"),
-          (lit(batchNo) === 3L).as("incremental_stream"),
+          (col("n_batches") === 2L).as("incremental_stream"),
           col("n_decided").as("n_rows"))
       val rows = gate.collect()
       shAll.unpersist()
@@ -488,8 +506,9 @@ object StreamGates {
     val base = Files.createTempDirectory("graft_ssp").toString
     try {
       val inDir = s"$base/in"
+      // slice pinned to the oracle's WHERE user_id < 60 (SparkEntry)
       val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 100)
+        .filter(col("user_id") < 60)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
       val maxRow = ev.agg(max(col("ts"))).head()
@@ -574,32 +593,35 @@ object StreamGates {
       if (vals.head(1).isEmpty)
         return Seq((false, 0L, 0L))
           .toDF("quantile_parity", "n_batches", "n_rows")
-      // three key-range chunks → three micro-batches (maxFilesPerTrigger=1)
+      // two key-range chunks → two micro-batches (maxFilesPerTrigger=1).
+      // Two is the minimal count that proves a cross-batch MERGE; the
+      // third chunk of earlier rounds only re-proved it at +1 batch of
+      // fixed micro-batch latency.
       val cuts = vals.stat
-        .approxQuantile("o_orderkey", Array(1.0 / 3, 2.0 / 3), 0.001)
+        .approxQuantile("o_orderkey", Array(0.5), 0.001)
       Seq(
         vals.filter(col("o_orderkey") <= cuts(0)),
-        vals.filter(col("o_orderkey") > cuts(0) && col("o_orderkey") <= cuts(1)),
-        vals.filter(col("o_orderkey") > cuts(1)))
+        vals.filter(col("o_orderkey") > cuts(0)))
         .foreach(_.coalesce(1).write.mode("append").parquet(inDir))
 
       val gridStore = s"$base/grid"
-      Seq.empty[(Int, Double, Long)].toDF("i", "v", "n_b")
-        .write.mode("overwrite").parquet(gridStore)
       val probes = array((1 to k).map(i => lit(i.toDouble / k)): _*)
-      @volatile var nBatches = 0L
       var q: StreamingQuery = null
       try {
         q = iso.readStream.schema(vals.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            // idempotent under micro-batch retry / checkpoint replay:
+            // each batch's grid lands in its OWN batch-keyed partition
+            // dir, overwritten (not appended) on re-execution — a
+            // replayed batch can never double its grid weights
             batch
               .agg(percentile_approx(col("o_totalprice"), probes, lit(acc))
                 .as("g"), count(lit(1)).as("n_b"))
-              .select(posexplode(col("g")).as(Seq("i", "v")), col("n_b"))
-              .write.mode("append").parquet(gridStore)
-            nBatches += 1
+              .select(posexplode(col("g")).as(Seq("i", "v")), col("n_b"),
+                lit(bid).as("batch_id"))
+              .write.mode("overwrite").parquet(s"$gridStore/batch=$bid")
           }
           .option("checkpointLocation", s"$base/ckpt").start()
         q.processAllAvailable()
@@ -607,8 +629,15 @@ object StreamGates {
 
       // merged estimate per probe p: cumulative-weight crossing point.
       // The single-partition window runs over <= k*batches grid rows
-      // (300 here) — state-sized, never data-sized.
-      val grid = iso.read.parquet(gridStore)
+      // (200 here) — state-sized, never data-sized. n_batches derives
+      // from the store's distinct batch ids, not a driver-side counter
+      // a checkpoint replay could double-increment.
+      // root-path read (the store root holds only batch=N partition
+      // dirs): a batch=* glob would make FileStreamSink's literal-path
+      // metadata probe log a scary-but-benign FileNotFoundException
+      val grid0 = iso.read.parquet(gridStore)
+      val nBatches = grid0.select(col("batch_id")).distinct().count()
+      val grid = grid0
         .withColumn("w", col("n_b").cast("double") / k)
       val cum = grid.withColumn("cum",
         sum(col("w")).over(Window.orderBy(col("v"), col("i"))
@@ -631,7 +660,7 @@ object StreamGates {
           .as("ok"))
         .agg(coalesce(expr("bool_and(ok)"), lit(false)).as("qp"))
         .crossJoin(vals.agg(count(lit(1)).as("n_rows")))
-        .select((col("qp") && lit(nBatches) === 3L).as("quantile_parity"),
+        .select((col("qp") && lit(nBatches) === 2L).as("quantile_parity"),
           lit(nBatches).as("n_batches"), col("n_rows"))
       val rows = gate.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)

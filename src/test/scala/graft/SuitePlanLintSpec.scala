@@ -19,7 +19,7 @@ class SuitePlanLintSpec extends SparkSpec {
   private val eager = Set(
     "a14_quantile_gate", "dedup_simhash", "sim_lsh_topk", "sim_ivf_topk",
     "a15_hll_merge", "p3_bloom_join", "sim_semdedup", "a18_count_min",
-    "ev_sliding_distinct", "fuzzy_cosine_join",
+    "ev_sliding_distinct", "fuzzy_cosine_join", "fuzzy_cosine_zipf",
     "stream_batch_parity", "stream_dedup_parity", "stream_upsert_parity",
     "stream_availablenow_parity", "stream_neardup_parity",
     "stream_session_parity", "stream_quantile_parity",

@@ -43,4 +43,44 @@ class VectorExpressionsSpec extends SparkSpec {
     val r = df.select(VectorExpressions.vecDot(col("a"), col("b"))).collect().head
     assert(r.isNullAt(0))
   }
+
+  test("merge_dot == scala merge kernel over sorted sparse vectors") {
+    import spark.implicits._
+    // deterministic sparse vectors with partial key overlap
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 50).map { i =>
+      val ka = (1 to 20).map(_ => rnd.nextInt(40).toLong).distinct.sorted.toArray
+      val kb = (1 to 20).map(_ => rnd.nextInt(40).toLong).distinct.sorted.toArray
+      (i.toLong, ka, ka.map(_ => rnd.nextDouble()),
+        kb, kb.map(_ => rnd.nextDouble()))
+    }
+    def ref(ha: Array[Long], wa: Array[Double],
+        hb: Array[Long], wb: Array[Double]): Double = {
+      var i = 0; var j = 0; var acc = 0.0
+      while (i < ha.length && j < hb.length) {
+        if (ha(i) == hb(j)) { acc += wa(i) * wb(j); i += 1; j += 1 }
+        else if (ha(i) < hb(j)) i += 1 else j += 1
+      }
+      acc
+    }
+    val want = rows.map(r => r._1 -> ref(r._2, r._3, r._4, r._5)).toMap
+    val got = rows.toDF("id", "ha", "wa", "hb", "wb")
+      .select(col("id"), VectorExpressions.mergeDot(
+        col("ha"), col("wa"), col("hb"), col("wb")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bit-identical: same ascending-key accumulation order
+    assert(got === want)
+    assert(want.values.exists(_ != 0.0), "fixture never intersects")
+  }
+
+  test("merge_dot via SQL registration and null propagation") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT merge_dot(array(1L, 3L), array(2.0d, 5.0d), " +
+        "array(3L, 4L), array(10.0d, 1.0d)) AS d, " +
+        "merge_dot(CAST(NULL AS ARRAY<BIGINT>), array(1.0d), " +
+        "array(1L), array(1.0d)) AS n").collect().head
+    assert(r.getDouble(0) === 50.0)
+    assert(r.isNullAt(1))
+  }
 }

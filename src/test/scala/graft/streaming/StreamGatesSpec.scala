@@ -33,7 +33,7 @@ class StreamGatesSpec extends SparkSpec {
     assert(row.length === 1)
     assert(row(0).getBoolean(0),
       "streamed near-dup decisions != arrival-oriented batch LSH pairs")
-    assert(row(0).getBoolean(1), "stream did not run as 3 micro-batches")
+    assert(row(0).getBoolean(1), "stream did not run as 2 micro-batches")
     assert(row(0).getLong(2) > 0)
   }
 
@@ -42,7 +42,7 @@ class StreamGatesSpec extends SparkSpec {
     assert(row.length === 1)
     assert(row(0).getBoolean(0),
       "merged per-batch quantile grids broke the p·N ± εN rank bound")
-    assert(row(0).getLong(1) === 3L, "stream did not run as 3 micro-batches")
+    assert(row(0).getLong(1) === 2L, "stream did not run as 2 micro-batches")
     assert(row(0).getLong(2) > 0)
   }
 
