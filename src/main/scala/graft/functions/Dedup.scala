@@ -50,17 +50,45 @@ object Dedup {
     * a billion times combines map-side instead of sorting through one
     * window task; the join back is co-partitioned on the paragraph;
     * the per-doc rebuild holds only that doc's own paragraphs. */
+  /** Fixed-width pseudo-paragraph rows (doc_id, pidx, para): the
+    * whitespace tokenization chunked `paraTokens` tokens at a time,
+    * 1-based pidx, last chunk short. A primitive mapPartitions kernel,
+    * NOT the transform/sequence/slice/array_join HOF stack it replaces
+    * — higher-order functions evaluate per element through boxed
+    * lambdas outside codegen, and the triple-nested form was the top
+    * executor-CPU line of the whole suite (43 s CPU inside
+    * dedup_cc_clusters at sf0.1; the kernel is string split + slice).
+    * Output strings are identical to the HOF formulation (empty text →
+    * one empty paragraph, same boundaries), so both oracles are
+    * unaffected. */
+  private[graft] def paragraphsOf(docs: DataFrame,
+      paraTokens: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = (toks.length + paraTokens - 1) / paraTokens
+        (0 until n).iterator.map { i =>
+          val from = i * paraTokens
+          val until = math.min(from + paraTokens, toks.length)
+          val sb = new java.lang.StringBuilder()
+          var k = from
+          while (k < until) {
+            if (k > from) sb.append(' ')
+            sb.append(toks(k)); k += 1
+          }
+          (id, i + 1, sb.toString)
+        }
+      })
+      .toDF("doc_id", "pidx", "para")
+  }
+
   def paragraphDedup(s: SparkSession, d: String, paraTokens: Int = 10): DataFrame = {
     // both the keeper election and the join-back read this — persist,
     // or the corpus scan+chunk runs once per branch (same caller-owned
     // clearCache lifetime convention as TextOps.tfidf)
-    val paras = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, cast(ceil(size(t) / $paraTokens.0) as int)),
-           |  i -> array_join(slice(t, (i-1)*$paraTokens + 1, $paraTokens), ' '))"""
-          .stripMargin)).as(Seq("p0", "para")))
-      .select(col("doc_id"), (col("p0") + 1).as("pidx"), col("para"))
+    val paras = paragraphsOf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), paraTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = paras.groupBy(col("para"))
       .agg(min(struct(col("doc_id"), col("pidx"))).as("k"))
@@ -480,12 +508,8 @@ object Dedup {
     // and the union in connectedComponents all re-read it; without the
     // persist each of those re-runs tokenize+chunk over the raw text
     // (measured 10.4 s → the fix target at sf0.1).
-    val paras = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, cast(ceil(size(t) / $paraTokens.0) as int)),
-           |  i -> array_join(slice(t, (i-1)*$paraTokens + 1, $paraTokens), ' '))"""
-          .stripMargin)).as("para"))
+    val paras = paragraphsOf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), paraTokens)
       .select(col("doc_id"), xxhash64(col("para")).as("pk"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
