@@ -70,6 +70,11 @@ object Decontam {
         explode(gramKey(TextOps.wordNgrams("tk", n))).as("g"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the join reads it twice: the train branch and
+    // the AQE-broadcast eval branch otherwise start concurrently
+    // against a cold cache and EACH recomputes the full gram pipeline
+    // (measured: two extra ~10 s subtree executions at sf0.1)
+    grams.count()
     val train = grams.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("g"))
     val eval_ = grams.filter(col("split") === "test")

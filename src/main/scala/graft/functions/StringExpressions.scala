@@ -7,8 +7,9 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native string-canonicalization expression (SURVEY.md §2.8 extension
@@ -150,6 +151,69 @@ object StringExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  private val GramSep = UTF8String.fromString(" ")
+
+  /** Word n-gram kernel over a token ArrayData: one UTF8String concat
+    * per gram, no per-element lambda dispatch. Shared by interpreted
+    * eval and the generated code (the expression emits one static call
+    * per row). Matches the SQL formulation gram-for-gram:
+    * size < n → empty array; grams are n consecutive tokens joined by
+    * a single space. */
+  def wordNgramsJava(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](len - n + 1)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(GramSep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Word n-grams as a native expression [word_ngrams(tokens, n)] —
+    * the HOF formulation (transform ∘ sequence ∘ slice ∘ array_join)
+    * evaluates per gram through boxed interpreted lambdas outside
+    * whole-stage codegen and was the dominant CPU line of the
+    * decontamination and repetition-signal queries; this emits one
+    * static-kernel call per row inside the codegen'd stage. */
+  case class WordNgrams(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, int) arguments, got " +
+            s"(${left.dataType.sql}, ${right.dataType.sql})")
+      }
+
+    override def nullSafeEval(tokens: Any, n: Any): Any =
+      wordNgramsJava(tokens.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, n) =>
+        s"${ev.value} = graft.functions.StringExpressions.wordNgramsJava($t, $n);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): WordNgrams =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column-API entry point for [[WordNgrams]]. */
+  def wordNgrams(tokens: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function("word_ngrams", tokens,
+      org.apache.spark.sql.functions.lit(n))
+  }
+
   /** Column-API entry point; registration is idempotent and
     * session-scoped (same route as [[VectorExpressions.vecDot]]). */
   def unaccent(c: Column): Column = {
@@ -170,5 +234,7 @@ object StringExpressions {
       "unaccent", exprs => Unaccent(exprs.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgrams(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -165,10 +165,7 @@ object TextOps {
     * ([[Decontam]]); the DuckDB mirror is l[i] || ' ' || l[i+1] … over
     * generate_series, so both engines emit identical gram strings. */
   private[functions] def wordNgrams(t: String, n: Int): Column =
-    expr(s"""CASE WHEN size($t) < $n THEN array()
-            |ELSE transform(sequence(1, size($t) - ${n - 1}),
-            |               i -> array_join(slice($t, i, $n), ' '))
-            |END""".stripMargin)
+    StringExpressions.wordNgrams(col(t), n)
 
   /** Repetition-based quality signals [REPETITION] (the Gopher-style
     * filters): fraction of the token stream covered by the single most
