@@ -276,6 +276,7 @@ object Dedup {
     // (Bench does) or use minhashLshOf with a caller-owned persist.
     val shingles = shingleHashes(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingles.count() // populate before concurrent branches race it
     minhashLshOf(shingles, threshold)
   }
 
@@ -367,8 +368,14 @@ object Dedup {
     * iteration-count-free. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge directions from ONE pass over `pairs`: the union-of-two-
+    // selects formulation computed the whole upstream pair pipeline
+    // (LSH verify, paragraph linkage) once per union branch — Catalyst
+    // does not share common subtrees across union children
+    val edgesRaw = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edgesRaw.count()
     val nParts = math.max(1, math.min(sc.defaultParallelism,
@@ -436,6 +443,9 @@ object Dedup {
     // the scan (the round-1 dedup_corpus 5 s → 52 s bench regression).
     val shingles = shingleHashes(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before the band self-join + the two verify attach
+    // joins read it concurrently (cold-cache race = 4x shingle kernel)
+    shingles.count()
     val nearDup = minhashLshOf(shingles, threshold)
       .select(col("doc_a"), col("doc_b"))
     val exactDup = Tables.documents(s, d)
@@ -513,6 +523,10 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("para")).as("pk"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the edge job: the df aggregate, both self-join
+    // sides and their broadcast builds otherwise start concurrently
+    // against a cold cache and each recomputes tokenize+chunk+hash
+    paras.count()
     val linkable = paras.join(
       paras.groupBy(col("pk")).agg(count(lit(1)).as("df"))
         .where(col("df").between(2, maxDf)),
