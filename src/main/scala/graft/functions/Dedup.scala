@@ -206,6 +206,7 @@ object Dedup {
     // tokenize+hash kernel scans the corpus once, not per side
     val sh = shingleHashes(s, d).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // populate before the self-join's sides race a cold cache
     val e = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("shh"))
     val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shh"))
     val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shh"))

@@ -145,6 +145,7 @@ object TextOps {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // populate before the join branches race a cold cache
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("token")).crossJoin(nDocs)

@@ -310,6 +310,7 @@ object FuzzyJoin {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist(lvl)
+    tf.count() // populate before the df branch and the join race it
     // df comes from a partial-agg'd groupBy + join — NOT a token-
     // partitioned window, which would funnel a hot stopword's whole
     // posting list through one task. The L2 norm, by contrast, IS a
