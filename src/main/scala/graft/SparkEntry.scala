@@ -105,6 +105,7 @@ object SparkEntry {
     "x15_array_hof"      -> CoreOps.x15ArrayHof _,
     "w3_sliding_sum"     -> CoreOps.w3SlidingSum _,
     "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
+    "decon_semantic"     -> ((s, d) => Decontam.semanticOverlap(s, d)),
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
     "j12_interval_overlap" -> RangeJoin.balanceBandDemo _,
@@ -844,6 +845,25 @@ object SparkEntry {
         |       COUNT(DISTINCT g) AS n_shared_ngrams,
         |       COUNT(DISTINCT test_doc) AS n_test_docs
         |FROM tr JOIN te USING (g) GROUP BY 1""".stripMargin,
+    // planted semantic contamination (corpus_diff pattern): the eval
+    // slice is vec_id%20==0, with every %40==0 member carrying train
+    // vector vec_id+1's exact embedding; same left-to-right cosine
+    // fold as the sim_* oracles, 6-decimal rounded on both engines
+    "decon_semantic" ->
+      s"""WITH v0 AS (SELECT vec_id,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |            FROM embeddings),
+         |ev AS (SELECT e.vec_id AS eid, s.v AS qv
+         |       FROM v0 e JOIN v0 s
+         |         ON s.vec_id = CASE WHEN e.vec_id % 40 = 0
+         |                            THEN e.vec_id + 1 ELSE e.vec_id END
+         |       WHERE e.vec_id % 20 = 0),
+         |tr AS (SELECT vec_id, v FROM v0 WHERE vec_id % 20 <> 0),
+         |sc AS (SELECT tr.vec_id AS train_vec, ev.eid,
+         |              round($cosSql, 6) AS cos6
+         |       FROM tr CROSS JOIN ev)
+         |SELECT train_vec, COUNT(*) AS n_eval_hits, MAX(cos6) AS max_cos
+         |FROM sc WHERE cos6 >= 0.8 GROUP BY 1""".stripMargin,
     // recency order on epoch micros (not raw ts): the engine floors
     // nanos to micros, so the oracle must rank at the same precision
     "upsert_latest" ->

@@ -28,7 +28,7 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame =
     graft.Tables.embeddings(s, d)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
 
@@ -36,18 +36,18 @@ object Similarity {
     * order as [[dot]]/the DuckDB oracle's list_sum, so results are
     * bit-identical; a tight double[] loop instead of per-element boxed
     * HigherOrderFunction evaluation (HOFs don't codegen). */
-  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def dotArr(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
-  private def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
+  private[graft] def normArr(a: Array[Double]): Double = math.sqrt(dotArr(a, a))
 
   /** Collect + broadcast one side as primitive arrays (norms
     * precomputed) — the build side of a broadcast nested-loop join,
     * viable whenever that side fits an executor (queries always;
     * the corpus for the exact-all-pairs baseline only). */
-  private def broadcastVecs(s: SparkSession, df: DataFrame) = {
+  private[graft] def broadcastVecs(s: SparkSession, df: DataFrame) = {
     val arr = df.collect().map { r =>
       val v = r.getSeq[Double](1).toArray
       (r.getLong(0), v, normArr(v))

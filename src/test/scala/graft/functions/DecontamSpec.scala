@@ -61,4 +61,20 @@ class DecontamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(viaString === viaHash && viaString.nonEmpty)
   }
+
+  test("semantic decon surfaces exactly the planted embedding copies") {
+    import org.apache.spark.sql.functions.col
+    val rows = Decontam.semanticOverlap(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // planted: eval member e (e%40==0) carries train vec e+1's exact
+    // embedding, so the contaminated set is {e+1 : e%40==0, e+1 in
+    // corpus} with max_cos exactly 1.0; the background tops out ~0.51,
+    // far under the 0.8 threshold, so nothing else may appear
+    val ids = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val want = ids.filter(e => e % 40 == 0 && ids.contains(e + 1)).map(_ + 1)
+    assert(rows.map(_._1).toSet === want)
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, hits, mx) => hits >= 1L && mx === 1.0 })
+  }
 }
