@@ -173,6 +173,18 @@ class ExplainPlanSpec extends SparkSpec {
         s"window sort (one task per hot boilerplate paragraph):\n$plan")
   }
 
+  test("semantic decon ships only hit rows: one exchange, no join operator") {
+    val plan = graft.functions.Decontam.semanticOverlap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the eval suite rides a driver broadcast into the map kernel, so
+    // the ONLY exchange is the per-doc hit aggregation — a relational
+    // join against the corpus-sized side would add joins/exchanges
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly the hit-aggregation exchange:\n$plan")
+    assert(!plan.contains("Join"),
+      s"train×eval must go through the broadcast kernel, not a join:\n$plan")
+  }
+
   test("url extraction is map-only: no exchange anywhere in the plan") {
     val plan = graft.functions.TextOps.urlExtract(spark, sfDir)
       .queryExecution.executedPlan.toString
