@@ -105,6 +105,7 @@ object SparkEntry {
     "x15_array_hof"      -> CoreOps.x15ArrayHof _,
     "w3_sliding_sum"     -> CoreOps.w3SlidingSum _,
     "decon_ngram_overlap" -> ((s, d) => Decontam.ngramOverlap(s, d)),
+    "decon_ngram_hashed" -> ((s, d) => Decontam.ngramOverlapHashed(s, d)),
     "decon_semantic"     -> ((s, d) => Decontam.semanticOverlap(s, d)),
     "upsert_latest"      -> Changelog.upsertLatest _,
     "range_join_binned"  -> RangeJoin.priceBandDemo _,
@@ -831,20 +832,12 @@ object SparkEntry {
         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id""".stripMargin,
     // same md5-bucket split rule as split_assign; trigram overlap
     // between the train and test splits
-    "decon_ngram_overlap" ->
-      """WITH tk AS (SELECT doc_id,
-        |  CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 AS b,
-        |  string_split(text, ' ') AS l FROM documents),
-        |g AS (SELECT DISTINCT doc_id, b,
-        |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
-        |      FROM (SELECT doc_id, b, l,
-        |              unnest(generate_series(1, len(l) - 2)) AS i FROM tk)),
-        |tr AS (SELECT doc_id AS train_doc, g FROM g WHERE b < 90),
-        |te AS (SELECT doc_id AS test_doc, g FROM g WHERE b >= 95)
-        |SELECT train_doc,
-        |       COUNT(DISTINCT g) AS n_shared_ngrams,
-        |       COUNT(DISTINCT test_doc) AS n_test_docs
-        |FROM tr JOIN te USING (g) GROUP BY 1""".stripMargin,
+    "decon_ngram_overlap" -> deconNgramSql,
+    // the hashed (xxhash64-keyed) scale path produces the IDENTICAL
+    // report — 64-bit collisions are a birthday-bound non-event at any
+    // realistic gram vocabulary — so the same string-gram oracle gates
+    // the pipeline a 100 TB run would actually execute
+    "decon_ngram_hashed" -> deconNgramSql,
     // planted semantic contamination (corpus_diff pattern): the eval
     // slice is vec_id%20==0, with every %40==0 member carrying train
     // vector vec_id+1's exact embedding; same left-to-right cosine
@@ -2367,6 +2360,24 @@ object SparkEntry {
        |$steps
        |SELECT node, round(pr, 6) AS pr FROM r$iters""".stripMargin
   }
+
+  /** One definition backing BOTH n-gram decontamination oracles: the
+    * string-keyed engine path and the xxhash64-keyed scale path emit
+    * the identical report, so they share this SQL verbatim. */
+  private val deconNgramSql =
+    """WITH tk AS (SELECT doc_id,
+      |  CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 AS b,
+      |  string_split(text, ' ') AS l FROM documents),
+      |g AS (SELECT DISTINCT doc_id, b,
+      |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+      |      FROM (SELECT doc_id, b, l,
+      |              unnest(generate_series(1, len(l) - 2)) AS i FROM tk)),
+      |tr AS (SELECT doc_id AS train_doc, g FROM g WHERE b < 90),
+      |te AS (SELECT doc_id AS test_doc, g FROM g WHERE b >= 95)
+      |SELECT train_doc,
+      |       COUNT(DISTINCT g) AS n_shared_ngrams,
+      |       COUNT(DISTINCT test_doc) AS n_test_docs
+      |FROM tr JOIN te USING (g) GROUP BY 1""".stripMargin
 
   /** Sequential-fold dot product / norms — same left-to-right double
     * summation order as Similarity.dot/norm, so values are bit-identical. */

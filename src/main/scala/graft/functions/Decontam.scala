@@ -37,6 +37,17 @@ object Decontam {
         Sampling.splitName(Sampling.splitBucket(col("text"))).as("split"),
         col("text")), n)
 
+  /** Driver entry for the hashed scale path: identical report to
+    * [[ngramOverlap]] (DecontamSpec proves hashed == string on corpora
+    * where both run), so the SAME DuckDB string-gram oracle gates it —
+    * the driver row certifies the 8-byte-key pipeline a 100 TB run
+    * would actually execute, not just the small-data referee. */
+  def ngramOverlapHashed(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    ngramOverlapHashedOf(
+      Tables.documents(s, d).select(col("doc_id"),
+        Sampling.splitName(Sampling.splitBucket(col("text"))).as("split"),
+        col("text")), n)
+
   /** Same over any (doc_id, split, text) frame — specs drive this with
     * hand-built corpora where the overlap set is known exactly.
     * The grams persist is CALLER-owned (same convention as
