@@ -217,6 +217,7 @@ object SparkEntry {
     "fuzzy_cosine_zipf"  -> ((s, d) => FuzzyJoin.cosineZipf(s, d)),
     "q67_rollup_topk"    -> ((s, d) => CoreOps.q67RollupTopk(s, d)),
     "ev_sliding_distinct" -> ((s, d) => Gates.slidingDistinctGate(s, d)),
+    "dedup_substring"    -> ((s, d) => Dedup.substringDedup(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -2317,6 +2318,39 @@ object SparkEntry {
         |         AS n_quote,
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
         |FROM h""".stripMargin,
+    // repeated-substring dedup: 8-token sliding windows occurring >1
+    // time corpus-wide, merged into maximal per-doc spans (window
+    // islands); 1-based positions on both engines, dup_tokens = exact
+    // union size of flagged positions
+    "dedup_substring" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+        |            FROM documents),
+        |g AS (SELECT doc_id, i AS pos, CAST(len(l) AS INTEGER) AS n_tokens,
+        |        list_aggregate(l[i:i+7], 'string_agg', ' ') AS gram
+        |      FROM (SELECT doc_id, l,
+        |              unnest(generate_series(1, len(l) - 7)) AS i FROM tk)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        |f AS (SELECT doc_id, pos, n_tokens FROM g
+        |      WHERE gram IN (SELECT gram FROM dup)),
+        |brk AS (SELECT doc_id, pos, n_tokens,
+        |          CASE WHEN lag(pos) OVER w IS NULL
+        |                 OR pos - lag(pos) OVER w >= 8 THEN 1 ELSE 0
+        |          END AS brk
+        |        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (SELECT doc_id, pos, n_tokens,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM brk),
+        |sp AS (SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1,
+        |         COUNT(*) AS ng, max(n_tokens) AS nt
+        |       FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id,
+        |  CAST(SUM(ng) AS BIGINT) AS n_dup_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens,
+        |  max(nt) AS n_tokens,
+        |  CAST(SUM(p1 - p0 + 8) AS BIGINT) / max(nt) AS dup_ratio
+        |FROM sp GROUP BY doc_id""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

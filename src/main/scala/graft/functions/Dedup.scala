@@ -546,4 +546,90 @@ object Dedup {
         col("cluster_size"),
         (col("doc_id") === col("component")).as("is_canonical"))
   }
+
+  /** Gram-position rows (doc_id, pos, gram, n_tokens): every `gramLen`-
+    * token window of the whitespace tokenization, 1-based pos, via the
+    * same primitive-kernel discipline as [[paragraphsOf]] (the HOF
+    * transform/sequence/slice/array_join stack evaluates per element
+    * through boxed lambdas outside codegen). */
+  private[graft] def gramPositionsOf(docs: DataFrame,
+      gramLen: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val nt = toks.length
+        (0 to nt - gramLen).iterator.map { i =>
+          val sb = new java.lang.StringBuilder()
+          var k = i
+          while (k < i + gramLen) {
+            if (k > i) sb.append(' ')
+            sb.append(toks(k)); k += 1
+          }
+          (id, i + 1, sb.toString, nt)
+        }
+      })
+      .toDF("doc_id", "pos", "gram", "n_tokens")
+  }
+
+  /** Repeated-substring dedup [SUBSTR] (the "dedup at the substring
+    * level" pass of Lee et al. 2021, word-grain): flag every position
+    * whose `gramLen`-token window occurs MORE THAN ONCE corpus-wide
+    * (across documents or repeated within one), merge overlapping
+    * flagged windows into maximal duplicated spans per document, and
+    * report per-doc span statistics — the operator that catches the
+    * boilerplate paragraph-dedup misses (a licence header glued into
+    * otherwise-unique pages, a quoted passage) because the unit is any
+    * sliding window, not a fixed chunk boundary.
+    *
+    * Scale shape: gram occurrence counting is a partial-agg'd
+    * groupBy(gram) — a billion-fold repeated boilerplate gram combines
+    * map-side instead of funnelling one reducer; the duplicated-gram
+    * set (HAVING count>1) is typically corpus-fraction-tiny, so the
+    * flag join back is AQE-broadcast when it measures small and a
+    * plain shuffle join when it doesn't. Span merging is a per-doc
+    * window (partition cardinality bounded by document length, never
+    * corpus size). Two passes read the gram frame (count, then flag),
+    * so it is persisted with the caller-owned clearCache lifetime
+    * convention (TextOps.tfidf); at 100 TB you would drop the persist
+    * and pay the second map-side scan instead of caching corpus×L
+    * rows. Gram keys stay strings here to keep the DuckDB oracle
+    * exact; the production key is xxhash64(gram) — 8-byte shuffle
+    * keys, same discipline (and same birthday-bound argument) as
+    * [[paraClusters]] and Decontam's hashed path.
+    *
+    * Span semantics: flagged windows [p, p+L−1] overlapping (next
+    * start < prev start + L) merge into one span of
+    * last_p − first_p + L tokens; merely adjacent spans stay separate
+    * islands but token coverage is additive either way, so dup_tokens
+    * is the exact size of the duplicated-position union. */
+  def substringDedup(s: SparkSession, d: String, gramLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramPositionsOf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), gramLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // populate before the count/flag branches race a cold cache
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+      .select(col("gram"))
+    val flagged = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("pos"), col("n_tokens"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    flagged
+      .withColumn("brk",
+        when(prev.isNull || col("pos") - prev >= gramLen, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"),
+        count(lit(1)).as("ng"), max(col("n_tokens")).as("nt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ng")).as("n_dup_grams"),
+        count(lit(1)).as("n_islands"),
+        sum(col("p1") - col("p0") + gramLen).as("dup_tokens"),
+        max(col("nt")).as("n_tokens"))
+      .withColumn("dup_ratio", col("dup_tokens") / col("n_tokens"))
+  }
 }

@@ -166,4 +166,29 @@ class DedupSpec extends SparkSpec {
     assert(rows(1L) == ((1L, 3L, true)) && !rows(2L)._3 && !rows(3L)._3)
     assert(rows(5L) == ((5L, 2L, true)) && rows(6L) == ((5L, 2L, false)))
   }
+
+  test("substringDedup flags cross-doc shared spans and in-doc repeats, merges islands") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("substr").toString
+    Seq(
+      // docs 0/1 share exactly one 8-gram ("a b c d e f g h": doc0
+      // pos 1, doc1 pos 2); every other window differs
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "x a b c d e f g h y z w"),
+      (2L, "p q r s t u v w0 w1 w2"), // all windows unique corpus-wide
+      (3L, "r r r r r r r r r r"))    // one gram repeated at pos 1,2,3
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.substringDedup(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    spark.catalog.clearCache() // grams cache is caller-owned
+    assert(rows.keySet == Set(0L, 1L, 3L)) // doc 2 has no dup window
+    assert(rows(0L) == ((1L, 1L, 8L, 12)))
+    assert(rows(1L) == ((1L, 1L, 8L, 12)))
+    // 3 flagged positions one token apart merge into a single span
+    // covering the whole 10-token doc
+    assert(rows(3L) == ((3L, 1L, 10L, 10)))
+  }
 }
