@@ -218,6 +218,7 @@ object SparkEntry {
     "q67_rollup_topk"    -> ((s, d) => CoreOps.q67RollupTopk(s, d)),
     "ev_sliding_distinct" -> ((s, d) => Gates.slidingDistinctGate(s, d)),
     "dedup_substring"    -> ((s, d) => Dedup.substringDedup(s, d)),
+    "text_quality_model" -> TextOps.qualityModel _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -2351,6 +2352,22 @@ object SparkEntry {
         |  max(nt) AS n_tokens,
         |  CAST(SUM(p1 - p0 + 8) AS BIGINT) / max(nt) AS dup_ratio
         |FROM sp GROUP BY doc_id""".stripMargin,
+    // hashed-feature linear quality model: md5 bucket -> deterministic
+    // stand-in weight (bucket*37 % 97 - 48), mean-pooled, thresholded;
+    // integer score sums so both engines agree bit-for-bit
+    "text_quality_model" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(tk) AS INTEGER) AS n_tokens,
+        |        CAST(list_sum(list_transform(tk, x ->
+        |          (CAST(('0x' || substring(md5(x), 1, 4)) AS INTEGER)
+        |             % 256 * 37) % 97 - 48)) AS BIGINT) AS score_sum
+        |      FROM t)
+        |SELECT doc_id, n_tokens, score_sum,
+        |  score_sum / n_tokens AS mean_score,
+        |  score_sum / n_tokens > 0 AS keep
+        |FROM s""".stripMargin,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

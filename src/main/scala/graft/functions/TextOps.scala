@@ -46,6 +46,35 @@ object TextOps {
       (col("n_chars") / size(t)).as("chars_per_token"))
   }
 
+  /** Model-based quality scoring [QMODEL] (the fasttext-classifier
+    * shape every production pipeline runs: CCNet/RefinedWeb/Gopher all
+    * gate on a learned doc score): hash each token into a bucket,
+    * look up the bucket's weight, mean-pool over the document,
+    * threshold into a keep decision. The weight table here is a
+    * deterministic stand-in formula — (bucket·37) mod 97 − 48, a fixed
+    * pseudo-random weight per bucket — because no trained model ships
+    * with the testdata; a real deployment swaps ONLY the weight
+    * lookup (a broadcast float array indexed by the same hash), the
+    * plumbing (hash → lookup → pool → gate) is exactly this.
+    *
+    * Scale: pure map-side expression work over the token array — no
+    * shuffle, no UDF; at 100 TB it runs at scan parallelism with
+    * doc_id/text column pruning, which is precisely why hashed linear
+    * models (not transformer scorers) are the industry default for
+    * corpus-wide quality gates. */
+  def qualityModel(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val weight = (x: Column) =>
+      ((conv(substring(md5(x), 1, 4), 16, 10).cast("int") % 256) * 37) % 97 - 48
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      aggregate(transform(t, weight), lit(0L), (acc, x) => acc + x)
+        .as("score_sum"))
+      .withColumn("mean_score", col("score_sum") / col("n_tokens"))
+      .withColumn("keep", col("score_sum") / col("n_tokens") > 0)
+  }
+
   /** Language ID by stopword-hit heuristic: fraction of tokens in a
     * small English function-word list; `en` above threshold else `und`.
     * (The corpus is synthetic — the heuristic and its oracle just have

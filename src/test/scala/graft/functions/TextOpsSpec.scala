@@ -32,6 +32,35 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("qualityModel matches an independent JVM reference scorer") {
+    // reference implementation: same hash->bucket->weight->sum chain,
+    // computed with MessageDigest instead of Catalyst expressions
+    def refScore(text: String): (Int, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = text.split(" ", -1)
+      val sum = toks.map { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .take(2).map(b => f"$b%02x").mkString
+        val b = Integer.parseInt(hex, 16) % 256
+        ((b * 37) % 97 - 48).toLong
+      }.sum
+      (toks.length, sum)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> refScore(r.getString(1))).toMap
+    val out = TextOps.qualityModel(spark, sfDir).collect()
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val (nt, sc) = docs(r.getLong(0))
+      assert(r.getInt(1) === nt && r.getLong(2) === sc)
+      assert(r.getBoolean(4) === (sc.toDouble / nt > 0))
+    }
+    // the threshold must actually split the corpus, not rubber-stamp it
+    val kept = out.count(_.getBoolean(4))
+    assert(kept > 0 && kept < out.length)
+  }
+
   test("langId predicts a label for every doc") {
     val df = TextOps.langId(spark, sfDir)
     assert(df.filter(col("predicted_lang").isNull).count() === 0)
