@@ -219,6 +219,7 @@ object SparkEntry {
     "ev_sliding_distinct" -> ((s, d) => Gates.slidingDistinctGate(s, d)),
     "dedup_substring"    -> ((s, d) => Dedup.substringDedup(s, d)),
     "text_quality_model" -> TextOps.qualityModel _,
+    "decon_bloom"        -> ((s, d) => Decontam.ngramOverlapBloom(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -840,6 +841,10 @@ object SparkEntry {
     // realistic gram vocabulary — so the same string-gram oracle gates
     // the pipeline a 100 TB run would actually execute
     "decon_ngram_hashed" -> deconNgramSql,
+    // Bloom prefilter + exact verify join: no false negatives, FPs die
+    // in the verify, so the report is IDENTICAL to the exact overlap —
+    // the same oracle certifies the sketch-prefiltered scale path
+    "decon_bloom"        -> deconNgramSql,
     // planted semantic contamination (corpus_diff pattern): the eval
     // slice is vec_id%20==0, with every %40==0 member carrying train
     // vector vec_id+1's exact embedding; same left-to-right cosine

@@ -120,6 +120,89 @@ object Decontam {
   def ngramOverlapHashedOf(docs: DataFrame, n: Int): DataFrame =
     overlapOf(docs, n, arr => transform(arr, g => xxhash64(g)))
 
+  /** Bloom-prefiltered decontamination [DECON-BLOOM]: the semi-join
+    * reduction a 100 TB decon run actually executes. The eval side is
+    * suite-size-bounded by construction, so its gram set compresses
+    * into an m-bit Bloom bitmap (k Kirsch-Mitzenmacher probe
+    * positions from xxhash64 + murmur3); the bitmap ships to every
+    * executor as a words-array LITERAL, and the corpus-sized train
+    * side is prefiltered MAP-SIDE — only grams whose k bits are all
+    * set ever reach the shuffle. Bloom filters have no false
+    * negatives, so the exact verify join on the survivors returns the
+    * IDENTICAL report to [[ngramOverlap]] (the same DuckDB oracle
+    * gates both); false positives cost one extra joined row each,
+    * never correctness. Contrast with the `p3_bloom_join` gate, which
+    * exercises Spark's AUTOMATIC runtime bloom injection — this is
+    * the explicit, sketch-as-data form you reach for when the build
+    * side is known-bounded and the filter must survive across stages.
+    *
+    * The bitmap build is distributed (probe positions → distinct →
+    * per-word bit_or); the driver collects only m/64 longs (32 KB at
+    * the default logM=18), never a gram. In production m scales with
+    * the eval suite (bits ≈ 10× expected grams keeps FP under ~1%);
+    * it is NOT corpus-dependent, which is the whole point. */
+  def ngramOverlapBloom(s: SparkSession, d: String, n: Int = 3,
+      logM: Int = 18, k: Int = 3): DataFrame =
+    bloomOverlapOf(
+      Tables.documents(s, d).select(col("doc_id"),
+        Sampling.splitName(Sampling.splitBucket(col("text"))).as("split"),
+        col("text")), n, logM, k)
+
+  private[graft] def bloomOverlapOf(docs: DataFrame, n: Int,
+      logM: Int, k: Int): DataFrame = {
+    val m = 1L << logM
+    val nWords = (1 << logM) / 64
+    val grams = docs
+      .select(col("doc_id"), col("split"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("split"),
+        explode(TextOps.wordNgrams("tk", n)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // populate before the build/probe branches race it
+    // Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m
+    def probe(i: Int): Column =
+      pmod(xxhash64(col("g")) + lit(i.toLong) * hash(col("g")).cast("long"),
+        lit(m))
+    val evalG = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("g"))
+    val wordRows = evalG
+      .select(explode(array((0 until k).map(probe): _*)).as("pos"))
+      .distinct()
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        col("pos").bitwiseAND(lit(63L)).cast("int").as("b"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
+      .collect()
+    val bitmap = new Array[Long](nWords)
+    wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bm = lit(bitmap)
+    // per-probe (word, bit) columns, then one codegen'd bit test —
+    // the Scala functions API only shifts by Int literals, so the
+    // column-shift goes through expr()
+    val probed = grams.filter(col("split") === "train")
+      .select(Seq(col("doc_id").as("train_doc"), col("g")) ++
+        (0 until k).flatMap(i => Seq(
+          element_at(bm, shiftright(probe(i), 6).cast("int") + 1)
+            .as(s"w$i"),
+          probe(i).bitwiseAND(lit(63L)).cast("int").as(s"b$i"))): _*)
+    val hit = (0 until k)
+      .map(i => expr(s"(shiftright(w$i, b$i) & 1) = 1"))
+      .reduce(_ && _)
+    val survivors = probed.filter(hit).select(col("train_doc"), col("g"))
+    // pruning on the record (cheap: both counts scan the cached gram
+    // frame map-side): survivors/train_grams is the sketch's measured
+    // selectivity — FP-rate drift after an eval-suite change shows up
+    // in the metrics line instead of as silent join growth
+    graft.Counters.add("bloom_train_grams",
+      grams.filter(col("split") === "train").count())
+    graft.Counters.add("bloom_survivors", survivors.count())
+    survivors.join(evalG, Seq("g"))
+      .groupBy(col("train_doc"))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("test_doc")).as("n_test_docs"))
+  }
+
   /** Shared overlap pipeline; `gramKey` maps the gram array before the
     * explode (identity = string keys, xxhash64 = the scale path). */
   private def overlapOf(docs: DataFrame, n: Int,

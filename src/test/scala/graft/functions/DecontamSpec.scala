@@ -62,6 +62,33 @@ class DecontamSpec extends AnyFunSuite {
     assert(viaString === viaHash && viaString.nonEmpty)
   }
 
+  test("bloom-prefiltered report equals the exact report and actually prunes") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        Sampling.splitName(Sampling.splitBucket(col("text"))).as("split"),
+        col("text"))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = toSet(Decontam.ngramOverlapOf(docs, n = 3))
+    spark.catalog.clearCache()
+    // no false negatives + exact verify ⇒ identical report
+    graft.Counters.clear()
+    val bloom = toSet(Decontam.bloomOverlapOf(docs, n = 3, logM = 18, k = 3))
+    spark.catalog.clearCache()
+    assert(bloom === exact && bloom.nonEmpty)
+    val c = graft.Counters.drain()
+    // the prefilter must actually prune: at 2^18 bits the survivor set
+    // is a small fraction of the train grams
+    assert(c("bloom_survivors") < c("bloom_train_grams") / 2)
+    // a tiny bitmap (64 bits) saturates: every probe hits, nothing is
+    // pruned, and the verify join still yields the exact report — the
+    // degenerate-sketch safety property
+    val tiny = toSet(Decontam.bloomOverlapOf(docs, n = 3, logM = 6, k = 3))
+    spark.catalog.clearCache()
+    assert(tiny === exact)
+  }
+
   test("semantic decon surfaces exactly the planted embedding copies") {
     import org.apache.spark.sql.functions.col
     val rows = Decontam.semanticOverlap(spark, "/root/testdata/sf0.001").collect()
