@@ -220,6 +220,7 @@ object SparkEntry {
     "dedup_substring"    -> ((s, d) => Dedup.substringDedup(s, d)),
     "text_quality_model" -> TextOps.qualityModel _,
     "decon_bloom"        -> ((s, d) => Decontam.ngramOverlapBloom(s, d)),
+    "s13_dsv2_roundtrip" -> CoreOps.s13SegRoundtrip _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -845,6 +846,19 @@ object SparkEntry {
     // in the verify, so the report is IDENTICAL to the exact overlap —
     // the same oracle certifies the sketch-prefiltered scale path
     "decon_bloom"        -> deconNgramSql,
+    // the DSv2 connector roundtrip must reproduce the direct-parquet
+    // aggregate exactly: segments are lossless and the pushed filter
+    // matches relational semantics
+    "s13_dsv2_roundtrip" ->
+      s"""SELECT l_returnflag,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM lineitem
+         |WHERE l_quantity > 25
+         |GROUP BY 1""".stripMargin,
     // planted semantic contamination (corpus_diff pattern): the eval
     // slice is vec_id%20==0, with every %40==0 member carrying train
     // vector vec_id+1's exact embedding; same left-to-right cosine

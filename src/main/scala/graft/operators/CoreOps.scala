@@ -1734,6 +1734,30 @@ object CoreOps {
         sum(col("c_custkey")).as("sum_keys"))
   }
 
+  /** DataSourceV2 roundtrip [S13]: a lineitem slice written as "gseg"
+    * columnar segments and read back through the engine's own
+    * DataSourceV2 connector ([[graft.sources.SegSource]]) with a
+    * pushed filter and a pruned projection, aggregated identically to
+    * the oracle's direct parquet read. This drives the full V2 scan
+    * machinery — TableProvider → ScanBuilder (pruneColumns +
+    * pushFilters) → planInputPartitions (zone-map file skipping) →
+    * PartitionReader — under the driver's correctness gate, not just
+    * specs. The filter lands both in the reader (row-grain) and in
+    * Spark's re-check (the parquet safety contract), so the result is
+    * exact regardless of which side wins. */
+  def s13SegRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Fs.scratchDir(s, "graft_gseg_roundtrip", d)
+    graft.sources.SegSource.write(
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_returnflag"), out)
+    s.read.format("gseg").load(out)
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+  }
+
   /** JSON-lines roundtrip [S8]: the row-oriented interchange format —
     * written and re-read with an explicit schema (doubles, longs, and
     * ISO-serialized timestamps must all survive the text round-trip),

@@ -30,7 +30,11 @@ class SuitePlanLintSpec extends SparkSpec {
     "b1_bucketed_join", "p1_partition_pruning", "p2_dynamic_pruning",
     "merge_upsert", "sample_stratified", "sample_cap_per_source",
     "mix_weighted", "pack_chunks", "dedup_cc_clusters", "emb_covariance",
-    "s11_zstd_roundtrip", "s12_csv_dialect")
+    "s11_zstd_roundtrip", "s12_csv_dialect",
+    // r07 late additions: substring dedup counts its gram cache on
+    // construction, bloom decon collects the bitmap, the DSv2
+    // roundtrip writes segments
+    "dedup_substring", "decon_bloom", "s13_dsv2_roundtrip")
 
   test("no lazily-built query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq
