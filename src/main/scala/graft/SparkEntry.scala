@@ -221,6 +221,7 @@ object SparkEntry {
     "text_quality_model" -> TextOps.qualityModel _,
     "decon_bloom"        -> ((s, d) => Decontam.ngramOverlapBloom(s, d)),
     "s13_dsv2_roundtrip" -> CoreOps.s13SegRoundtrip _,
+    "s14_dsv2_agg_pushdown" -> CoreOps.s14SegAggPushdown _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -859,6 +860,15 @@ object SparkEntry {
          |FROM lineitem
          |WHERE l_quantity > 25
          |GROUP BY 1""".stripMargin,
+    // header-answered aggregates must equal the relational recompute
+    "s14_dsv2_agg_pushdown" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  COUNT(l_partkey) AS n_partkey,
+         |  MIN(l_orderkey) AS min_okey,
+         |  MAX(l_orderkey) AS max_okey,
+         |  MIN(l_quantity) AS min_qty,
+         |  MAX(l_quantity) AS max_qty
+         |FROM lineitem""".stripMargin,
     // planted semantic contamination (corpus_diff pattern): the eval
     // slice is vec_id%20==0, with every %40==0 member carrying train
     // vector vec_id+1's exact embedding; same left-to-right cosine

@@ -1758,6 +1758,28 @@ object CoreOps {
         sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
   }
 
+  /** DSv2 aggregate pushdown [S14]: unfiltered global COUNT/MIN/MAX
+    * over the gseg table, answered from segment HEADERS — the
+    * metadata-only fast path lakehouse formats serve `SELECT count(*)`
+    * from. The scan emits one partial row per file (no column block is
+    * opened) and Spark's final aggregate merges them; the oracle
+    * recomputes the same aggregates relationally from parquet, so the
+    * header stats are certified exact, not just plausible. The write
+    * half runs through the V2 commit protocol like [[s13SegRoundtrip]]. */
+  def s14SegAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Fs.scratchDir(s, "graft_gseg_agg", d)
+    graft.sources.SegSource.write(
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
+        "l_quantity", "l_extendedprice"), out)
+    s.read.format("gseg").load(out).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_partkey")).as("n_partkey"),
+      min(col("l_orderkey")).as("min_okey"),
+      max(col("l_orderkey")).as("max_okey"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"))
+  }
+
   /** JSON-lines roundtrip [S8]: the row-oriented interchange format —
     * written and re-read with an explicit schema (doubles, longs, and
     * ISO-serialized timestamps must all survive the text round-trip),

@@ -2,25 +2,27 @@ package graft.sources
 
 import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** "gseg" — a minimal columnar segment format with a full
-  * DataSourceV2 READ integration, built to demonstrate (and test)
-  * the three scan-side contracts a 100 TB source lives or dies by:
+  * DataSourceV2 integration (read AND write), built to demonstrate
+  * the scan- and commit-side contracts a 100 TB source lives or dies
+  * by:
   *
   *  1. COLUMN PRUNING that actually skips bytes: each segment stores
   *     columns as independent length-prefixed blocks, so a reader
@@ -28,9 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     of decoding them ([[SegScanBuilder.pruneColumns]] →
   *     [[SegPartitionReader]]).
   *  2. PLANNING-TIME FILE SKIPPING: segment headers carry per-column
-  *     min/max for numeric columns; [[SegScan.planInputPartitions]]
+  *     typed min/max (exact — long stats stay longs, never rounded
+  *     through double) plus null counts; [[SegScan.planInputPartitions]]
   *     drops whole files whose range cannot satisfy the pushed
-  *     filters — the same zone-map idea parquet row-group stats and
+  *     filters — the zone-map idea parquet row-group stats and
   *     lakehouse manifests implement, at file grain.
   *  3. FILTER PUSHDOWN with the parquet-style safety contract:
   *     supported comparisons are evaluated inside the reader (rows
@@ -38,24 +41,40 @@ import org.apache.spark.unsafe.types.UTF8String
   *     filters, so Spark re-checks them — pushdown is a performance
   *     statement, never a correctness dependency, and filter columns
   *     are guaranteed to stay in the required schema.
+  *  4. AGGREGATE PUSHDOWN, metadata-only: unfiltered global
+  *     COUNT/MIN/MAX queries are answered from segment HEADERS — one
+  *     partial row per file, zero column blocks read — the
+  *     manifest-level fast path every lakehouse table format serves
+  *     `SELECT count(*)` from. Declined (safely, Spark falls back to
+  *     a normal scan) whenever filters or group-bys are present or a
+  *     stat-less (string) column is aggregated.
+  *  5. A real COMMIT PROTOCOL on the write side: task writers emit
+  *     hidden `.tmp-` segments and a commit message; the driver-side
+  *     job commit renames winners into place and job abort deletes
+  *     them — a speculative or retried task attempt can never leave a
+  *     half-segment visible. Overwrite goes through
+  *     [[SupportsTruncate]]; old segments are removed inside commit,
+  *     after every new segment is safely staged.
   *
-  * The write side is deliberately plain (one segment per partition,
-  * buffered in memory, local-FS java.io): segment layout is the point
-  * here, not a second committer; a production writer would stream
-  * through the Hadoop FileSystem API with a size-capped segment roll.
-  * Supported types: long, int, double, string, with per-column null
-  * bitmaps. Layout per file:
+  * Segments buffer per task (segment size = task partition size);
+  * a production writer would roll segments at a byte budget and stage
+  * through the Hadoop FileSystem API instead of java.io — the commit
+  * choreography is the part that transfers. Supported types: long,
+  * int, double, string, with per-column null bitmaps.
   *
-  *   "GSEG" magic, version byte, int nRows, int nCols,
+  * Layout per file (v2):
+  *   "GSEG" magic, version byte (2), int nRows, int nCols,
   *   per column: name (len-prefixed UTF-8), type tag byte,
-  *               long blockBytes, double min, double max (NaN for
-  *               non-numeric / all-null),
+  *               long blockBytes, long nNulls, byte hasStats,
+  *               long minBits, long maxBits (raw value for long/int,
+  *               doubleToLongBits for double; absent semantics when
+  *               hasStats=0 — string columns or all-null blocks),
   *   per column block: nRows-bit null bitmap (packed bytes), then
   *               non-null values (fixed width; strings len-prefixed).
   */
 object SegSource {
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
-  private[sources] val Version: Byte = 1
+  private[sources] val Version: Byte = 2
 
   private[sources] def tag(dt: DataType): Byte = dt match {
     case LongType    => 0
@@ -72,30 +91,24 @@ object SegSource {
     case 3 => StringType
   }
 
-  /** Write `df` as one .gseg segment per partition under `dir`.
-    * Empty partitions produce no file. */
-  def write(df: DataFrame, dir: String): Unit = {
-    val schema = df.schema
-    schema.fields.foreach(f => tag(f.dataType)) // validate types up front
-    graft.Fs.deleteRecursively(dir)
-    Files.createDirectories(Paths.get(dir))
-    df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val rows = it.toArray
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        writeSegment(rows, schema, f"$dir/part-$pid%05d.gseg")
-      }
-    }
-  }
+  /** Convenience writer: route `df` through the V2 write path
+    * (`format("gseg").mode(Overwrite)`), one segment per partition. */
+  def write(df: DataFrame, dir: String): Unit =
+    df.write.format("gseg").mode("overwrite").save(dir)
 
-  private def writeSegment(rows: Array[Row], schema: StructType,
-      file: String): Unit = {
+  // ---------------- segment encoding ----------------
+
+  /** Cell representation inside the writer: boxed Long/Int/Double, or
+    * UTF-8 bytes for strings; null for null. */
+  private[sources] def writeSegment(rows: collection.IndexedSeq[Array[AnyRef]],
+      schema: StructType, file: String): Unit = {
     val n = rows.length
     val nCols = schema.length
-    // encode each column block (null bitmap + values) independently
     val blocks = new Array[Array[Byte]](nCols)
-    val mins = new Array[Double](nCols)
-    val maxs = new Array[Double](nCols)
+    val nNulls = new Array[Long](nCols)
+    val hasStats = new Array[Boolean](nCols)
+    val minBits = new Array[Long](nCols)
+    val maxBits = new Array[Long](nCols)
     var c = 0
     while (c < nCols) {
       val bo = new java.io.ByteArrayOutputStream()
@@ -103,40 +116,52 @@ object SegSource {
       val bitmap = new Array[Byte]((n + 7) / 8)
       var i = 0
       while (i < n) {
-        if (rows(i).isNullAt(c)) bitmap(i >> 3) =
-          (bitmap(i >> 3) | (1 << (i & 7))).toByte
+        if (rows(i)(c) == null) {
+          bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
+          nNulls(c) += 1
+        }
         i += 1
       }
       o.write(bitmap)
-      var mn = Double.NaN
-      var mx = Double.NaN
-      def acc(v: Double): Unit = {
-        if (mn.isNaN || v < mn) mn = v
-        if (mx.isNaN || v > mx) mx = v
-      }
+      var mnL = Long.MaxValue; var mxL = Long.MinValue
+      var mnD = Double.PositiveInfinity; var mxD = Double.NegativeInfinity
+      var seen = false
       i = 0
       schema(c).dataType match {
         case LongType => while (i < n) {
-          if (!rows(i).isNullAt(c)) {
-            val v = rows(i).getLong(c); o.writeLong(v); acc(v.toDouble)
+          val v = rows(i)(c)
+          if (v != null) {
+            val l = v.asInstanceOf[java.lang.Long].longValue()
+            o.writeLong(l); seen = true
+            if (l < mnL) mnL = l
+            if (l > mxL) mxL = l
           }
           i += 1
         }
         case IntegerType => while (i < n) {
-          if (!rows(i).isNullAt(c)) {
-            val v = rows(i).getInt(c); o.writeInt(v); acc(v.toDouble)
+          val v = rows(i)(c)
+          if (v != null) {
+            val x = v.asInstanceOf[java.lang.Integer].intValue()
+            o.writeInt(x); seen = true
+            if (x < mnL) mnL = x.toLong
+            if (x > mxL) mxL = x.toLong
           }
           i += 1
         }
         case DoubleType => while (i < n) {
-          if (!rows(i).isNullAt(c)) {
-            val v = rows(i).getDouble(c); o.writeDouble(v); acc(v)
+          val v = rows(i)(c)
+          if (v != null) {
+            val d = v.asInstanceOf[java.lang.Double].doubleValue()
+            o.writeDouble(d); seen = true
+            if (d < mnD) mnD = d
+            if (d > mxD) mxD = d
           }
           i += 1
         }
         case StringType => while (i < n) {
-          if (!rows(i).isNullAt(c)) {
-            val b = rows(i).getString(c).getBytes(UTF_8)
+          val v = rows(i)(c)
+          if (v != null) {
+            val b = v.asInstanceOf[Array[Byte]]
             o.writeInt(b.length); o.write(b)
           }
           i += 1
@@ -145,7 +170,15 @@ object SegSource {
       }
       o.flush()
       blocks(c) = bo.toByteArray
-      mins(c) = mn; maxs(c) = mx
+      schema(c).dataType match {
+        case LongType | IntegerType if seen =>
+          hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
+        case DoubleType if seen =>
+          hasStats(c) = true
+          minBits(c) = java.lang.Double.doubleToLongBits(mnD)
+          maxBits(c) = java.lang.Double.doubleToLongBits(mxD)
+        case _ => ()
+      }
       c += 1
     }
     val out = new DataOutputStream(
@@ -159,7 +192,9 @@ object SegSource {
         out.writeInt(nm.length); out.write(nm)
         out.writeByte(tag(schema(c).dataType))
         out.writeLong(blocks(c).length.toLong)
-        out.writeDouble(mins(c)); out.writeDouble(maxs(c))
+        out.writeLong(nNulls(c))
+        out.writeByte(if (hasStats(c)) 1 else 0)
+        out.writeLong(minBits(c)); out.writeLong(maxBits(c))
         c += 1
       }
       blocks.foreach(out.write)
@@ -169,7 +204,20 @@ object SegSource {
   // ---------------- header / schema ----------------
 
   private[sources] case class ColMeta(name: String, tag: Byte,
-      bytes: Long, min: Double, max: Double)
+      bytes: Long, nNulls: Long, hasStats: Boolean,
+      minBits: Long, maxBits: Long) {
+    /** Exact typed stat values (None for string / all-null). */
+    def minVal: Option[Any] = statVal(minBits)
+    def maxVal: Option[Any] = statVal(maxBits)
+    private def statVal(bits: Long): Option[Any] =
+      if (!hasStats) None
+      else tag match {
+        case 0 => Some(bits)
+        case 1 => Some(bits.toInt)
+        case 2 => Some(java.lang.Double.longBitsToDouble(bits))
+        case _ => None
+      }
+  }
   private[sources] case class SegHeader(nRows: Int, cols: Array[ColMeta]) {
     def schema: StructType =
       StructType(cols.map(c => StructField(c.name, dtype(c.tag))))
@@ -179,14 +227,14 @@ object SegSource {
     val magic = new Array[Byte](4)
     in.readFully(magic)
     require(magic.sameElements(Magic) && in.readByte() == Version,
-      "not a gseg v1 file")
+      "not a gseg v2 file")
     val n = in.readInt()
     val nCols = in.readInt()
     val cols = Array.fill(nCols) {
       val nm = new Array[Byte](in.readInt())
       in.readFully(nm)
       ColMeta(new String(nm, UTF_8), in.readByte(), in.readLong(),
-        in.readDouble(), in.readDouble())
+        in.readLong(), in.readByte() == 1, in.readLong(), in.readLong())
     }
     SegHeader(n, cols)
   }
@@ -203,70 +251,78 @@ object SegSource {
       s"gseg path is not a directory: $dir")
     val s = Files.list(p)
     try s.iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".gseg")).toSeq.sorted
+      .filter(f => f.endsWith(".gseg") &&
+        !Paths.get(f).getFileName.toString.startsWith("."))
+      .toSeq.sorted
     finally s.close()
   }
 
   // ---------------- filter support ----------------
 
-  /** File-grain zone-map check: can `file`'s per-column [min,max]
-    * possibly satisfy `f`? Conservative: unknown shapes keep the file.
-    * Only numeric columns carry stats (string min/max stay NaN, which
-    * fails every comparison below and so keeps the file). */
+  /** Exact cross-type ordering for zone-map and row-grain comparison:
+    * BigDecimal on both sides, so a long column never rounds through
+    * double on its way to a verdict. */
+  private def bd(v: Any): Option[java.math.BigDecimal] = v match {
+    case l: Long => Some(java.math.BigDecimal.valueOf(l))
+    case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
+    case s: Short => Some(java.math.BigDecimal.valueOf(s.toLong))
+    case b: Byte => Some(java.math.BigDecimal.valueOf(b.toLong))
+    case d: Double if !d.isNaN && !d.isInfinite =>
+      Some(java.math.BigDecimal.valueOf(d))
+    case f: Float if !f.isNaN && !f.isInfinite =>
+      Some(java.math.BigDecimal.valueOf(f.toDouble))
+    case d: java.math.BigDecimal => Some(d)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case _ => None
+  }
+
+  /** File-grain zone-map check: can `f` possibly match given the
+    * header's per-column [min,max]? Conservative: unknown shapes and
+    * stat-less columns keep the file. */
   private[sources] def mayMatch(h: SegHeader, f: Filter): Boolean = {
     val byName = h.cols.map(c => c.name -> c).toMap
-    def num(v: Any): Option[Double] = v match {
-      case l: Long => Some(l.toDouble)
-      case i: Int => Some(i.toDouble)
-      case d: Double => Some(d)
-      case f2: Float => Some(f2.toDouble)
-      case s: Short => Some(s.toDouble)
-      case b: Byte => Some(b.toDouble)
-      case _ => None
-    }
-    def stats(attr: String): Option[(Double, Double)] =
-      byName.get(attr).collect {
-        case c if !c.min.isNaN && !c.max.isNaN => (c.min, c.max)
-      }
+    def range(attr: String): Option[(java.math.BigDecimal, java.math.BigDecimal)] =
+      for {
+        c <- byName.get(attr)
+        mn <- c.minVal.flatMap(bd)
+        mx <- c.maxVal.flatMap(bd)
+      } yield (mn, mx)
     f match {
-      case EqualTo(a, v) => (stats(a), num(v)) match {
-        case (Some((mn, mx)), Some(x)) => x >= mn && x <= mx
+      case EqualTo(a, v) => (range(a), bd(v)) match {
+        case (Some((mn, mx)), Some(x)) =>
+          x.compareTo(mn) >= 0 && x.compareTo(mx) <= 0
         case _ => true
       }
-      case GreaterThan(a, v) => (stats(a), num(v)) match {
-        case (Some((_, mx)), Some(x)) => mx > x
+      case GreaterThan(a, v) => (range(a), bd(v)) match {
+        case (Some((_, mx)), Some(x)) => mx.compareTo(x) > 0
         case _ => true
       }
-      case GreaterThanOrEqual(a, v) => (stats(a), num(v)) match {
-        case (Some((_, mx)), Some(x)) => mx >= x
+      case GreaterThanOrEqual(a, v) => (range(a), bd(v)) match {
+        case (Some((_, mx)), Some(x)) => mx.compareTo(x) >= 0
         case _ => true
       }
-      case LessThan(a, v) => (stats(a), num(v)) match {
-        case (Some((mn, _)), Some(x)) => mn < x
+      case LessThan(a, v) => (range(a), bd(v)) match {
+        case (Some((mn, _)), Some(x)) => mn.compareTo(x) < 0
         case _ => true
       }
-      case LessThanOrEqual(a, v) => (stats(a), num(v)) match {
-        case (Some((mn, _)), Some(x)) => mn <= x
+      case LessThanOrEqual(a, v) => (range(a), bd(v)) match {
+        case (Some((mn, _)), Some(x)) => mn.compareTo(x) <= 0
         case _ => true
       }
+      case IsNull(a) => byName.get(a).forall(_.nNulls > 0)
       case And(l, r) => mayMatch(h, l) && mayMatch(h, r)
       case _ => true
     }
   }
 
-  /** Row-grain evaluation of the pushed subset inside the reader.
-    * Returns true when the filter shape is not one we push (those
-    * are never in the pushed array, but stay conservative). */
+  /** Row-grain evaluation of the pushed subset inside the reader. */
   private[sources] def evalFilter(f: Filter, get: String => Any): Boolean = {
     def cmp(a: String, v: Any): Option[Int] = {
       val x = get(a)
       if (x == null) None
       else (x, v) match {
-        case (l: Long, _) => numOf(v).map(d => java.lang.Double.compare(l.toDouble, d))
-        case (i: Int, _) => numOf(v).map(d => java.lang.Double.compare(i.toDouble, d))
-        case (d: Double, _) => numOf(v).map(o => java.lang.Double.compare(d, o))
         case (s: UTF8String, vs: String) => Some(s.toString.compareTo(vs))
-        case _ => None
+        case _ => for (l <- bd(x); r <- bd(v)) yield l.compareTo(r)
       }
     }
     f match {
@@ -281,15 +337,6 @@ object SegSource {
       case _ => true
     }
   }
-  private def numOf(v: Any): Option[Double] = v match {
-    case l: Long => Some(l.toDouble)
-    case i: Int => Some(i.toDouble)
-    case d: Double => Some(d)
-    case f: Float => Some(f.toDouble)
-    case s: Short => Some(s.toDouble)
-    case b: Byte => Some(b.toDouble)
-    case _ => None
-  }
 
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
@@ -297,6 +344,58 @@ object SegSource {
          IsNotNull(_) => true
     case And(l, r) => supportedFilter(l) && supportedFilter(r)
     case _ => false
+  }
+
+  // ---------------- aggregate pushdown support ----------------
+
+  /** One pushed aggregate the headers can answer. */
+  private[sources] sealed trait HeaderAgg { def outType: DataType }
+  private[sources] case object AggCountStar extends HeaderAgg {
+    val outType: DataType = LongType
+  }
+  private[sources] case class AggCountCol(col: String) extends HeaderAgg {
+    val outType: DataType = LongType
+  }
+  private[sources] case class AggMin(col: String, outType: DataType)
+    extends HeaderAgg
+  private[sources] case class AggMax(col: String, outType: DataType)
+    extends HeaderAgg
+
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  /** Translate `agg` into header-answerable form, or None to decline
+    * (Spark then falls back to a normal scan — never wrong, only
+    * slower). Stats exist for numeric columns only, so MIN/MAX on a
+    * string column declines the whole aggregation. */
+  private[sources] def translateAggs(agg: Aggregation,
+      schema: StructType): Option[Seq[HeaderAgg]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+    val out = agg.aggregateExpressions().map {
+      case _: CountStar => AggCountStar
+      case c: Count if !c.isDistinct =>
+        fieldName(c.column()).filter(fields.contains) match {
+          case Some(n) => AggCountCol(n)
+          case None => return None
+        }
+      case m: Min =>
+        fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
+          case Some((n, dt)) if dt != StringType => AggMin(n, dt)
+          case _ => return None
+        }
+      case m: Max =>
+        fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
+          case Some((n, dt)) if dt != StringType => AggMax(n, dt)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(out.toSeq)
   }
 }
 
@@ -316,19 +415,26 @@ class SegDataSource extends TableProvider with DataSourceRegister {
 }
 
 class SegTable(tschema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gseg:$path"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SegWriteBuilder(path, info.schema())
 }
 
+// ---------------- read side ----------------
+
 class SegScanBuilder(full: StructType, path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Option[Seq[SegSource.HeaderAgg]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -343,64 +449,120 @@ class SegScanBuilder(full: StructType, path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = SegScan(path, required, pushed)
+  /** Metadata-only aggregates: accept only when headers can answer
+    * EXACTLY — no pushed filters (stats describe whole files), no
+    * group-bys, and every function is COUNT/MIN/MAX over a column
+    * with stats. Partial semantics (supportCompletePushDown stays
+    * false): one buffer row per file, Spark merges. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    SegSource.translateAggs(agg, full) match {
+      case some @ Some(_) => aggs = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = SegScan(path, required, pushed, aggs)
 }
 
 case class SegInputPartition(file: String) extends InputPartition
 
 case class SegScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = required
+    pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggs match {
+    case Some(as) => StructType(as.zipWithIndex.map { case (a, i) =>
+      StructField(s"agg_$i", a.outType)
+    })
+    case None => required
+  }
   override def toBatch: Batch = this
-  override def description(): String =
-    s"gseg path=$path ReadColumns=[${required.fieldNames.mkString(",")}] " +
+  override def description(): String = {
+    val base = s"gseg path=$path " +
+      s"ReadColumns=[${required.fieldNames.mkString(",")}] " +
       s"PushedFilters=[${pushed.mkString(", ")}]"
+    aggs match {
+      case Some(as) => base + s" PushedAggregates=[${as.mkString(", ")}]"
+      case None => base
+    }
+  }
 
   /** One partition per surviving segment. This is the split-planning
-    * hook: header min/max zone maps are consulted against the pushed
-    * filters and non-matching FILES never become tasks. (A production
-    * source would additionally coalesce small segments into shared
-    * splits; segment=split keeps the demo honest.) */
+    * hook: header zone maps are consulted against the pushed filters
+    * and non-matching FILES never become tasks. (A production source
+    * would additionally coalesce small segments into shared splits;
+    * segment=split keeps the demo honest.) */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = SegSource.listSegments(path)
-    val kept = files.filter(f => {
-      val h = SegSource.headerOf(f)
-      pushed.forall(SegSource.mayMatch(h, _))
-    })
+    val kept =
+      if (aggs.isDefined) files // aggregates only push with no filters
+      else files.filter(f => {
+        val h = SegSource.headerOf(f)
+        pushed.forall(SegSource.mayMatch(h, _))
+      })
     graft.Counters.add("gseg_files_total", files.size.toLong)
     graft.Counters.add("gseg_files_skipped", (files.size - kept.size).toLong)
     kept.map(SegInputPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    SegReaderFactory(required, pushed)
+    SegReaderFactory(required, pushed, aggs)
 }
 
-case class SegReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SegPartitionReader(p.asInstanceOf[SegInputPartition].file,
-      required, pushed)
+case class SegReaderFactory(required: StructType, pushed: Array[Filter],
+    aggs: Option[Seq[SegSource.HeaderAgg]]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[SegInputPartition].file
+    aggs match {
+      case Some(as) => new SegAggReader(file, as)
+      case None => new SegPartitionReader(file, required, pushed)
+    }
+  }
+}
+
+/** Metadata-only reader for pushed aggregates: emits exactly ONE row
+  * per segment, computed from the header — no column block is ever
+  * opened. MIN/MAX of an all-null block surface as null (partial-agg
+  * semantics: Spark's merge ignores null partials). */
+class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg])
+    extends PartitionReader[InternalRow] {
+  import SegSource._
+  private var done = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val h = headerOf(file)
+    val byName = h.cols.map(c => c.name -> c).toMap
+    val vals: Array[Any] = aggs.map {
+      case AggCountStar => h.nRows.toLong
+      case AggCountCol(n) => h.nRows.toLong - byName(n).nNulls
+      case AggMin(n, _) => byName(n).minVal.orNull
+      case AggMax(n, _) => byName(n).maxVal.orNull
+    }.toArray
+    current = new GenericInternalRow(vals)
+    done = true
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Decodes ONLY the columns the scan needs (union of projection and
   * pushed-filter references), seeking past every other block, then
   * streams rows through the pushed filters. Column-at-a-time decode
-  * into primitive/object arrays, row emission after. */
+  * into object arrays, row emission after. */
 class SegPartitionReader(file: String, required: StructType,
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   import SegSource._
 
   private val header = headerOf(file)
-  private val filterCols: Set[String] = {
-    def refs(f: Filter): Seq[String] = f.references.toSeq
-    pushed.flatMap(refs).toSet
-  }
+  private val filterCols: Set[String] =
+    pushed.flatMap(_.references.toSeq).toSet
   private val neededNames: Seq[String] = {
     val req = required.fieldNames.toSeq
     req ++ header.cols.map(_.name).filter(n =>
       filterCols.contains(n) && !req.contains(n))
   }
-  // decoded column storage, by needed-column index
   private val colIdx = neededNames.zipWithIndex.toMap
   private val decoded = new Array[Array[Any]](neededNames.size)
 
@@ -452,8 +614,7 @@ class SegPartitionReader(file: String, required: StructType,
   }
 
   private var row = -1
-  private val outIdx: Array[Int] =
-    required.fieldNames.map(colIdx)
+  private val outIdx: Array[Int] = required.fieldNames.map(colIdx)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -473,5 +634,95 @@ class SegPartitionReader(file: String, required: StructType,
     false
   }
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ---------------- write side ----------------
+
+class SegWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      SegBatchWrite(path, schema, truncateFirst)
+  }
+}
+
+case class SegCommitMessage(partitionId: Int, tmpFile: String)
+  extends WriterCommitMessage
+
+/** Job-level commit: every task stages a hidden `.tmp-` segment and
+  * reports it; only the driver's commit renames winners into place
+  * (and, for Overwrite, removes the previous generation — after the
+  * new one is fully staged, so an aborted job leaves the old data
+  * intact). Spark's commit coordinator guarantees one committed
+  * attempt per partition, so renames never race. */
+case class SegBatchWrite(path: String, schema: StructType,
+    truncateFirst: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    SegWriterFactory(path, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: SegCommitMessage => m }
+    if (truncateFirst)
+      SegSource.listSegments(path).foreach(f =>
+        Files.deleteIfExists(Paths.get(f)))
+    msgs.foreach { m =>
+      Files.move(Paths.get(m.tmpFile),
+        Paths.get(f"$path/part-${m.partitionId}%05d.gseg"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: SegCommitMessage => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(m.tmpFile)))
+}
+
+case class SegWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new SegDataWriter(path, schema, partitionId, taskId)
+}
+
+/** Buffers the partition's rows as writer cells (boxed primitives /
+  * UTF-8 byte arrays), encodes one segment on task commit into a
+  * hidden temp file, and hands the path to the job commit. Abort (or
+  * a lost speculative attempt) deletes the temp — a half-written
+  * segment can never be listed, because [[SegSource.listSegments]]
+  * ignores dot-files. */
+class SegDataWriter(path: String, schema: StructType, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
+  private val tmp = f"$path/.tmp-$partitionId%05d-$taskId.gseg"
+
+  override def write(r: InternalRow): Unit = {
+    val cells = new Array[AnyRef](schema.length)
+    var c = 0
+    while (c < schema.length) {
+      if (!r.isNullAt(c)) cells(c) = schema(c).dataType match {
+        case LongType => java.lang.Long.valueOf(r.getLong(c))
+        case IntegerType => java.lang.Integer.valueOf(r.getInt(c))
+        case DoubleType => java.lang.Double.valueOf(r.getDouble(c))
+        case StringType => r.getUTF8String(c).getBytes
+        case other => throw new IllegalArgumentException(
+          s"gseg write: unsupported $other")
+      }
+      c += 1
+    }
+    buf += cells
+  }
+
+  override def commit(): WriterCommitMessage = {
+    SegSource.writeSegment(buf, schema, tmp)
+    SegCommitMessage(partitionId, tmp)
+  }
+
+  override def abort(): Unit = Files.deleteIfExists(Paths.get(tmp))
   override def close(): Unit = ()
 }

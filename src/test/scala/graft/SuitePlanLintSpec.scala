@@ -34,7 +34,8 @@ class SuitePlanLintSpec extends SparkSpec {
     // r07 late additions: substring dedup counts its gram cache on
     // construction, bloom decon collects the bitmap, the DSv2
     // roundtrip writes segments
-    "dedup_substring", "decon_bloom", "s13_dsv2_roundtrip")
+    "dedup_substring", "decon_bloom", "s13_dsv2_roundtrip",
+    "s14_dsv2_agg_pushdown")
 
   test("no lazily-built query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq

@@ -86,6 +86,76 @@ class SegSourceSpec extends SparkSpec {
       c("gseg_files_total") * (nSegs - 1))
   }
 
+  // aggregate plans have an exchange, so AQE wraps them and the scan
+  // only shows in the plan string (the bare collectFirst the pruning
+  // test uses sees no BatchScanExec under AdaptiveSparkPlanExec)
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("aggregate pushdown answers COUNT/MIN/MAX from headers exactly") {
+    val df = spark.read.format("gseg").load(segDir).agg(
+      count(lit(1)).as("n"), count(col("l_partkey")).as("nc"),
+      min(col("l_orderkey")).as("mn"), max(col("l_quantity")).as("mx"))
+    assert(scanDesc(df).contains("PushedAggregates=[AggCountStar"))
+    // header-derived values equal the relational recompute from parquet
+    val want = graft.Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)), count(col("l_partkey")), min(col("l_orderkey")),
+      max(col("l_quantity"))).collect().head
+    assert(df.collect().head === want)
+  }
+
+  test("aggregate pushdown declines filters, group-bys, and string min") {
+    val t = spark.read.format("gseg").load(segDir)
+    // a pushed filter makes header stats unusable for the whole file
+    val filtered = t.filter(col("l_quantity") > 25).agg(min(col("l_orderkey")))
+    assert(!scanDesc(filtered).contains("PushedAggregates"))
+    assert(filtered.collect().head.getLong(0) ===
+      graft.Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 25)
+        .agg(min(col("l_orderkey"))).collect().head.getLong(0))
+    // group-by: headers have no per-group stats
+    val grouped = t.groupBy(col("l_returnflag")).agg(max(col("l_quantity")))
+    assert(!scanDesc(grouped).contains("PushedAggregates"))
+    // string columns carry no stats, so the whole aggregation declines
+    val strMin = t.agg(min(col("l_returnflag")), count(lit(1)))
+    assert(!scanDesc(strMin).contains("PushedAggregates"))
+    assert(strMin.collect().head.getString(0) ===
+      graft.Tables.lineitem(spark, sfDir).agg(min(col("l_returnflag")))
+        .collect().head.getString(0))
+  }
+
+  test("write path: task abort deletes the staged temp; dot-files are never listed") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val d = java.nio.file.Files.createTempDirectory("gsegcommit").toString
+    SegSource.write(
+      graft.Tables.lineitem(spark, sfDir).select("l_orderkey").limit(10), d)
+    val before = SegSource.listSegments(d)
+    // simulate a failed attempt: a writer stages rows then aborts
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_orderkey",
+        org.apache.spark.sql.types.LongType)))
+    val w = new SegDataWriter(d, schema, partitionId = 7, taskId = 99L)
+    w.write(InternalRow(1L))
+    val msg = w.commit().asInstanceOf[SegCommitMessage]
+    // staged but not job-committed: invisible to readers
+    assert(new java.io.File(msg.tmpFile).exists())
+    assert(SegSource.listSegments(d) === before)
+    w.abort()
+    assert(!new java.io.File(msg.tmpFile).exists())
+    // reader state unchanged throughout
+    assert(spark.read.format("gseg").load(d).count() === 10L)
+  }
+
+  test("overwrite truncates the previous generation atomically at commit") {
+    val d = java.nio.file.Files.createTempDirectory("gsegow").toString
+    val t = graft.Tables.lineitem(spark, sfDir).select("l_orderkey")
+    SegSource.write(t.limit(100), d)
+    assert(spark.read.format("gseg").load(d).count() === 100L)
+    SegSource.write(t.limit(7), d)
+    assert(spark.read.format("gseg").load(d).count() === 7L)
+  }
+
   test("unsupported filter shapes are not claimed as pushed") {
     val df = spark.read.format("gseg").load(segDir)
       .filter(col("l_returnflag").startsWith("A")) // StringStartsWith: not pushed
