@@ -222,6 +222,9 @@ object SparkEntry {
     "decon_bloom"        -> ((s, d) => Decontam.ngramOverlapBloom(s, d)),
     "s13_dsv2_roundtrip" -> CoreOps.s13SegRoundtrip _,
     "s14_dsv2_agg_pushdown" -> CoreOps.s14SegAggPushdown _,
+    "q88_time_bands"     -> CoreOps.q88TimeBands _,
+    "mix_temperature"    -> ((s, d) => Sampling.mixTemperature(s, d)),
+    "ev_ewma"            -> ((s, d) => EventOps.ewma(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -869,6 +872,59 @@ object SparkEntry {
          |  MIN(l_quantity) AS min_qty,
          |  MAX(l_quantity) AS max_qty
          |FROM lineitem""".stripMargin,
+    // TPC-DS Q88 shape: the textbook 8-scalar-subquery formulation
+    // reads the fact table 8 times; the engine folds all bands into
+    // ONE conditional aggregate over ONE scan
+    "q88_time_bands" ->
+      """SELECT
+        |  COUNT(CASE WHEN l_quantity >= 1 AND l_quantity < 7 THEN 1 END) AS b1,
+        |  COUNT(CASE WHEN l_quantity >= 7 AND l_quantity < 13 THEN 1 END) AS b2,
+        |  COUNT(CASE WHEN l_quantity >= 13 AND l_quantity < 19 THEN 1 END) AS b3,
+        |  COUNT(CASE WHEN l_quantity >= 19 AND l_quantity < 25 THEN 1 END) AS b4,
+        |  COUNT(CASE WHEN l_quantity >= 25 AND l_quantity < 31 THEN 1 END) AS b5,
+        |  COUNT(CASE WHEN l_quantity >= 31 AND l_quantity < 37 THEN 1 END) AS b6,
+        |  COUNT(CASE WHEN l_quantity >= 37 AND l_quantity < 43 THEN 1 END) AS b7,
+        |  COUNT(CASE WHEN l_quantity >= 43 AND l_quantity < 51 THEN 1 END) AS b8
+        |FROM lineitem
+        |WHERE l_discount <= 0.08 OR l_tax >= 0.04""".stripMargin,
+    // temperature mixing: quota arithmetic is all-integer (isqrt
+    // weights, div/mod largest remainder) so no float share ever
+    // feeds a floor — engines cannot disagree at a quota boundary
+    "mix_temperature" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+        |t AS (SELECT SUM(w) AS tw FROM w),
+        |q0 AS (SELECT lang, w, 300 * w // tw AS q, (300 * w) % tw AS rem
+        |       FROM w, t),
+        |lo AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rrank,
+        |         (SELECT 300 - SUM(q) FROM q0) AS leftover FROM q0),
+        |quota AS (SELECT lang,
+        |            CAST(q + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+        |                 AS BIGINT) AS quota
+        |          FROM lo),
+        |r AS (SELECT doc_id, lang, row_number() OVER
+        |        (PARTITION BY lang ORDER BY doc_id) AS src_rank
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, quota.quota AS quota,
+        |       CAST(src_rank AS BIGINT) AS src_rank
+        |FROM r JOIN quota USING (lang) WHERE src_rank <= quota.quota""".stripMargin,
+    // sequential recurrence: the recursive CTE replays the identical
+    // alpha*x + (1-alpha)*prev double chain in (ts, event_id) order
+    "ev_ewma" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS ewma
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_id, o.value, o.rn,
+        |         0.2 * o.value + (1 - 0.2) * r.ewma
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, event_id, round(ewma, 6) AS ewma FROM r""".stripMargin,
     // planted semantic contamination (corpus_diff pattern): the eval
     // slice is vec_id%20==0, with every %40==0 member carrying train
     // vector vec_id+1's exact embedding; same left-to-right cosine

@@ -181,6 +181,46 @@ object Sampling {
         (col("grank") / col("w")).as("mix_key"))
   }
 
+  /** Temperature-scaled source mixing [MIX-TEMP]: the multilingual
+    * rebalancing step of an LLM data mix — per-stratum quotas
+    * proportional to n^α (α = 1/2 here), so low-resource strata are
+    * upsampled relative to their raw share (en at 218/500 raw docs
+    * gets 92/300 budget slots, not 131). Quota arithmetic is ALL
+    * INTEGER: the weight is isqrt(n) (floor-sqrt — exact cross-engine
+    * because IEEE sqrt is correctly rounded, the same canonicalization
+    * discipline as the fingerprint's cents), base quota is
+    * (budget·w) div W, and the leftover slots go by largest integer
+    * remainder (budget·w mod W) with stratum-name tie-break — no
+    * float share ever feeds a floor, so engines can't disagree at a
+    * boundary. Per-stratum selection reuses the two-phase bucketed
+    * ranks ([[stratumRanks]] — never one task per stratum); quotas are
+    * computed driver-side from the per-stratum counts (rows = number
+    * of strata, the same bounded-collect contract as stratified
+    * sampling) and broadcast back. */
+  def mixTemperature(s: SparkSession, d: String, budget: Int = 300): DataFrame = {
+    val nP = math.max(1, s.sparkContext.defaultParallelism)
+    val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val w = counts.map { case (k, n) => (k, math.sqrt(n.toDouble).toLong) }
+    val totW = w.map(_._2).sum
+    val base = w.map { case (k, wi) =>
+      (k, budget * wi / totW, budget * wi % totW)
+    }
+    val leftover = (budget - base.map(_._2).sum).toInt
+    val bonus = base.sortBy { case (k, _, rem) => (-rem, k) }
+      .take(leftover).map(_._1).toSet
+    val quotas = base.map { case (k, q, _) =>
+      (k, q + (if (bonus.contains(k)) 1L else 0L))
+    }
+    val qDf = broadcast(s.createDataFrame(quotas.toSeq).toDF("lang", "quota"))
+    stratumRanks(docs, "lang", nP)
+      .join(qDf, Seq("lang"))
+      .filter(col("grank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("quota"),
+        col("grank").as("src_rank"))
+  }
+
   /** Deterministic train/val/test assignment [SPLIT]: bucket =
     * 16 bits of md5(text) mod 100, thresholded into splits. Hashing
     * CONTENT (not doc_id) gives the two properties a training split

@@ -2164,4 +2164,26 @@ object CoreOps {
         col("book_cum").cast(DoubleType).as("book_cum"),
         col("ship_cum").cast(DoubleType).as("ship_cum"))
   }
+
+  /** One-pass multi-band conditional aggregation [Q88] (the TPC-DS Q88
+    * shape): eight "how many qualifying rows fall in band i" counters
+    * that the textbook SQL writes as eight scalar subqueries
+    * cross-joined into one row — eight FULL SCANS of the fact table.
+    * Here all eight land in ONE aggregate over ONE scan
+    * (`count(when(band_i, 1))` per band): at 100 TB the difference is
+    * reading the table once vs eight times, and the partial aggregation
+    * ships exactly eight longs per task regardless of data volume.
+    * Bands are quantity deciles crossed with a shared row filter (the
+    * Q88 household-demographics analogue), chosen so every band is
+    * non-empty at every SF. */
+  def q88TimeBands(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_discount") <= 0.08 || col("l_tax") >= 0.04)
+    def band(lo: Int, hi: Int) =
+      count(when(col("l_quantity") >= lo && col("l_quantity") < hi, 1))
+    li.agg(
+      band(1, 7).as("b1"), band(7, 13).as("b2"), band(13, 19).as("b3"),
+      band(19, 25).as("b4"), band(25, 31).as("b5"), band(31, 37).as("b6"),
+      band(37, 43).as("b7"), band(43, 51).as("b8"))
+  }
 }

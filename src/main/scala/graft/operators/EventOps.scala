@@ -428,4 +428,39 @@ object EventOps {
       .select(col("user_id"), col("session_seq").cast(IntegerType).as("session_seq"),
         col("n_events"), col("start_us"), col("end_us"), col("sum_value"))
   }
+
+  /** Exponentially-weighted moving average per user [EWMA]:
+    * ewmaᵢ = α·xᵢ + (1−α)·ewmaᵢ₋₁ over each user's events in
+    * (ts, event_id) order — the smoothing/decay primitive behind
+    * anomaly baselines and rate estimators. This is a GENUINE
+    * sequential recurrence, the rare case where typed per-group
+    * imperative code beats SQL: the closed-form window rewrite
+    * (Σ xⱼ·(1−α)^(rn−j) via pow) overflows (1−α)^(−rn) past a few
+    * hundred rows per key, and no associative aggregate computes it.
+    * groupByKey shuffles by user_id once; each group sorts its OWN
+    * history in memory (state is per-user history — the identical
+    * boundedness contract as sessionization's flatMapGroupsWithState;
+    * hot users salt-split upstream if a single history outgrows a
+    * task). Arithmetic is the literal α·x + (1−α)·prev, left to
+    * right, so the oracle's recursive CTE reproduces every double
+    * bit-for-bit; 6-decimal round on both sides. */
+  def ewma(s: SparkSession, d: String, alpha: Double = 0.2): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var prev = 0.0
+        var first = true
+        evs.iterator.map { case (_, eventId, _, x) =>
+          prev = if (first) { first = false; x } else alpha * x + (1 - alpha) * prev
+          (user, eventId, prev)
+        }
+      }
+      .toDF("user_id", "event_id", "ewma")
+      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+  }
 }

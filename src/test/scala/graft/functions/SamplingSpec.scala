@@ -108,6 +108,27 @@ class SamplingSpec extends SparkSpec {
     assert(uncovered === 0)
   }
 
+  test("temperature mix: quotas sum to budget and flatten the skew") {
+    val out = Sampling.mixTemperature(spark, sfDir, budget = 60)
+    val quotas = out.groupBy(col("lang")).agg(
+      max(col("quota")).as("q"), count(lit(1)).as("taken")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every stratum fills its quota exactly and the total is the budget
+    quotas.foreach { case (lang, q, taken) =>
+      assert(q === taken, s"$lang took $taken of quota $q") }
+    assert(quotas.map(_._3).sum === 60L)
+    // temperature flattens: the dominant stratum's budget share must
+    // sit strictly below its raw corpus share
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val (topLang, topN) = counts.maxBy(_._2)
+    val topQuota = quotas.find(_._1 == topLang).get._2.toDouble
+    assert(topQuota / 60.0 < topN / total,
+      s"$topLang budget share not flattened below raw share")
+  }
+
   test("global row number: contiguous ids in doc_id order, adversarial ids") {
     import spark.implicits._
     // clustered ids (empty buckets between), a negative id (clamps to

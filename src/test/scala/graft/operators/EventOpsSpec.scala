@@ -128,4 +128,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("close") === 20.0)
     assert(row.getAs[Long]("n_events") === 4L)
   }
+
+  test("ewma: recurrence matches a driver-side fold per user") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = EventOps.ewma(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        var prev = 0.0; var first = true
+        evs.sortBy(e => (e._3, e._2)).map { case (u, id, _, x) =>
+          prev = if (first) { first = false; x } else 0.2 * x + 0.8 * prev
+          // same HALF_UP decimal rounding as Spark's round() on doubles
+          (u, id) -> java.math.BigDecimal.valueOf(prev)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+      }
+    assert(got.size === want.size)
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-9, s"mismatch at $k: ${got(k)} vs $v") }
+  }
 }

@@ -265,4 +265,20 @@ class ExplainPlanSpec extends SparkSpec {
     assert(plan.contains("max_by"),
       s"expected max_by compaction feeding the merge join:\n$plan")
   }
+
+  test("q88: all eight bands ride ONE scan of the fact table") {
+    val df = CoreOps.q88TimeBands(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1,
+      s"the multi-band aggregate split into $scans scans (the 8-subquery " +
+        s"anti-pattern this operator exists to avoid):\n$plan")
+    // the one-pass counters must equal independently-computed filters
+    val row = df.head()
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter("l_discount <= 0.08 OR l_tax >= 0.04")
+    assert(row.getLong(0) === li.filter("l_quantity >= 1 AND l_quantity < 7").count())
+    assert(row.getLong(7) === li.filter("l_quantity >= 43 AND l_quantity < 51").count())
+    assert((0 until 8).map(row.getLong).forall(_ > 0), s"empty band in $row")
+  }
 }
