@@ -225,6 +225,8 @@ object SparkEntry {
     "q88_time_bands"     -> CoreOps.q88TimeBands _,
     "mix_temperature"    -> ((s, d) => Sampling.mixTemperature(s, d)),
     "ev_ewma"            -> ((s, d) => EventOps.ewma(s, d)),
+    "a26_heavy_hitters"  -> ((s, d) => CoreOps.a26HeavyHitters(s, d)),
+    "a27_hll_intersection" -> ((s, d) => Gates.hllIntersectionGate(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -909,6 +911,26 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, quota.quota AS quota,
         |       CAST(src_rank AS BIGINT) AS src_rank
         |FROM r JOIN quota USING (lang) WHERE src_rank <= quota.quota""".stripMargin,
+    // sketch-pruned exact heavy hitters: the SpaceSaving candidate
+    // superset is a pigeonhole theorem, so the thresholded counts are
+    // exact under any partitioning and the oracle is plain SQL
+    "a26_heavy_hitters" ->
+      """WITH k AS (SELECT CASE WHEN event_id % 10 < 3 THEN user_id % 7
+        |                       ELSE event_id + 7 END AS hkey
+        |           FROM events)
+        |SELECT hkey, COUNT(*) AS cnt FROM k GROUP BY 1
+        |HAVING COUNT(*) >= ceil(0.01 * (SELECT COUNT(*) FROM events))""".stripMargin,
+    // inclusion-exclusion audience overlap: the exact referee is the
+    // value column; the sketch error bounds are in-engine booleans
+    // (DuckDB's HLL is a different sketch)
+    "a27_hll_intersection" ->
+      """WITH b AS (SELECT user_id, COUNT(DISTINCT event_type) AS nt
+        |           FROM events WHERE event_type IN ('click', 'view')
+        |           GROUP BY 1)
+        |SELECT COUNT(CASE WHEN nt = 2 THEN 1 END) AS exact_both,
+        |       CAST(1 AS BOOLEAN) AS inter_within_err,
+        |       CAST(1 AS BOOLEAN) AS union_within_err
+        |FROM b""".stripMargin,
     // sequential recurrence: the recursive CTE replays the identical
     // alpha*x + (1-alpha)*prev double chain in (ts, event_id) order
     "ev_ewma" ->

@@ -189,6 +189,48 @@ object Gates {
     * seed/width mismatch or a byte-order bug would break it). The
     * driver-side merge touches only the ~80 monthly sketch blobs —
     * bounded by the calendar, not the data. */
+  /** Sketch set-intersection gate [a27_hll_intersection]: estimate
+    * |clickers ∩ viewers| by inclusion–exclusion over three HLL
+    * sketches (|A| + |B| − |A∪B|) — the audience-overlap pattern
+    * where A and B are far too large to materialize and intersect
+    * exactly. The union sketch is hll_union_agg over the SAME
+    * per-type sketches that fed the |A|/|B| estimates, so the whole
+    * report derives from ONE corpus pass producing two sketch rows
+    * (bytes, not data). Error compounds through the subtraction
+    * (three ±relErr estimates against a difference), so the bound is
+    * checked against the UNION size, not the (smaller) intersection —
+    * the standard caveat of inclusion–exclusion on sketches, stated
+    * rather than hidden. The exact intersection (one distinct-pair
+    * aggregate, the referee) is emitted as a value column so the
+    * oracle pins it; the bound booleans are in-engine (DuckDB's HLL
+    * is a different sketch). */
+  def hllIntersectionGate(s: SparkSession, d: String,
+      relErr: Double = 0.05): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("user_id"))
+    val sketches = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = sketches.agg(
+      sum(when(col("event_type") === "click",
+        hll_sketch_estimate(col("sk")))).as("est_a"),
+      sum(when(col("event_type") === "view",
+        hll_sketch_estimate(col("sk")))).as("est_b"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"))
+    val exact = ev.groupBy(col("user_id"))
+      .agg(count_distinct(col("event_type")).as("nt"))
+      .agg(count(when(col("nt") === 2, 1)).as("exact_both"),
+        count(lit(1)).as("exact_union"))
+    est.crossJoin(exact).select(
+      col("exact_both"),
+      (abs(col("est_inter") - col("exact_both")) <=
+        lit(3 * relErr) * col("exact_union")).as("inter_within_err"),
+      (abs(col("est_union") - col("exact_union")) <=
+        lit(relErr) * col("exact_union")).as("union_within_err"))
+  }
+
   def countMinGate(s: SparkSession, d: String, eps: Double = 0.001,
       confidence: Double = 0.99, nProbes: Int = 5): DataFrame = {
     import s.implicits._

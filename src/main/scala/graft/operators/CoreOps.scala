@@ -2165,6 +2165,67 @@ object CoreOps {
         col("ship_cum").cast(DoubleType).as("ship_cum"))
   }
 
+  /** Threshold heavy hitters via sketch-pruned EXACT counting [A26]:
+    * all keys with frequency ≥ φ·N, computed in two passes — a
+    * per-partition SpaceSaving sketch (capacity ⌈1/φ⌉) nominates
+    * candidates, then an exact count runs over candidate rows only.
+    * The candidate superset is a THEOREM, not luck: a key with global
+    * count ≥ φ·N has local count ≥ φ·n_p in at least one partition
+    * (pigeonhole), and SpaceSaving at capacity 1/φ retains every key
+    * with local count ≥ n_p·φ — so the final answer is exact and
+    * deterministic under ANY partitioning, even though the sketch's
+    * interior state is partition-order dependent.
+    *
+    * Why not just groupBy the key? The derived key space here is
+    * ~70% singletons (most rows are their own key — the URL/user-agent
+    * /IP shape of real clickstream hot-key mining): a full aggregate
+    * carries reduce state and shuffle volume proportional to the
+    * NUMBER OF DISTINCT KEYS (≈ N), while the sketch pass ships at
+    * most cap·P candidate longs and the exact pass shuffles only rows
+    * whose key survived nomination (~30% here; the hot slice). The
+    * broadcast of candidates is bounded by cap·P by construction —
+    * never data-sized. */
+  def a26HeavyHitters(s: SparkSession, d: String, phi: Double = 0.01): DataFrame = {
+    import s.implicits._
+    val cap = math.ceil(1.0 / phi).toInt
+    // 30% of events concentrate onto 7 hot keys, the rest are
+    // singleton keys (unique event_ids offset out of the hot range)
+    val keyed = Tables.events(s, d).select(
+      when(col("event_id") % 10 < 3, pmod(col("user_id"), lit(7)))
+        .otherwise(col("event_id") + 7).as("hkey"))
+    heavyHittersOf(keyed.as[Long], phi)
+  }
+
+  /** The φ-heavy-hitter core over any key stream — property tests
+    * drive this with adversarial partitionings and verify the answer
+    * never changes. */
+  def heavyHittersOf(keys: org.apache.spark.sql.Dataset[Long],
+      phi: Double): DataFrame = {
+    val cap = math.ceil(1.0 / phi).toInt
+    val keyed = keys.toDF("hkey")
+    val total = keyed.count()
+    val threshold = math.ceil(phi * total).toLong
+    val cands = keys.mapPartitions { it =>
+      val counts = new scala.collection.mutable.LongMap[Long]()
+      it.foreach { k =>
+        if (counts.contains(k)) counts(k) += 1
+        else if (counts.size < cap) counts(k) = 1L
+        else {
+          // evict a minimum-count key; the newcomer inherits count+1
+          // (the SpaceSaving overestimate that preserves retention)
+          var minK = 0L; var minV = Long.MaxValue
+          counts.foreach { case (kk, vv) => if (vv < minV) { minK = kk; minV = vv } }
+          counts.remove(minK)
+          counts(k) = minV + 1
+        }
+      }
+      counts.keysIterator
+    }(org.apache.spark.sql.Encoders.scalaLong).toDF("hkey").distinct()
+    keyed.join(broadcast(cands), Seq("hkey"), "left_semi")
+      .groupBy(col("hkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** One-pass multi-band conditional aggregation [Q88] (the TPC-DS Q88
     * shape): eight "how many qualifying rows fall in band i" counters
     * that the textbook SQL writes as eight scalar subqueries

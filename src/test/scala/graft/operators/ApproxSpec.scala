@@ -42,4 +42,34 @@ class ApproxSpec extends SparkSpec {
       "a day's windowed HLL-union estimate left the relative-error band")
     assert(r.getLong(1) > 5, "too few days to exercise the rolling window")
   }
+
+  test("heavy hitters: exact and partition-invariant on adversarial skew") {
+    import spark.implicits._
+    // 3 hot keys (300/200/150 of 1000 rows), 350 singletons; phi=0.1
+    // ⇒ threshold 100 ⇒ exactly the 3 hot keys qualify. Interleave the
+    // hot keys with singleton noise so SpaceSaving evicts constantly.
+    val rows: Seq[Long] =
+      (0 until 300).map(_ => 1L) ++ (0 until 200).map(_ => 2L) ++
+        (0 until 150).map(_ => 3L) ++ (0 until 350).map(i => 1000L + i)
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    val want = Map(1L -> 300L, 2L -> 200L, 3L -> 150L)
+    for (nPart <- Seq(1, 2, 7, 16)) {
+      val ds = spark.sparkContext.parallelize(shuffled, nPart).toDS()
+      val got = CoreOps.heavyHittersOf(ds, 0.1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"wrong hitter set at $nPart partitions")
+    }
+  }
+
+  test("hll intersection gate: bounds hold, referee matches direct count") {
+    val r = graft.functions.Gates.hllIntersectionGate(spark, sfDir).head()
+    val direct = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .filter(col("nt") === 2).count()
+    assert(r.getLong(0) === direct)
+    assert(r.getBoolean(1), "inclusion-exclusion estimate out of bound")
+    assert(r.getBoolean(2), "union estimate out of bound")
+  }
 }
