@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsofJoin, Basket, Changelog, Compaction, CoreOps, EventOps, FuzzyJoin, Profile, RangeJoin, Skew, ZOrder}
-import graft.functions.{Decontam, Dedup, Gates, Ivf, Multimodal, Sampling, Similarity, TextOps}
+import graft.functions.{Decontam, Dedup, Gates, Ivf, Multimodal, Pq, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -227,6 +227,7 @@ object SparkEntry {
     "ev_ewma"            -> ((s, d) => EventOps.ewma(s, d)),
     "a26_heavy_hitters"  -> ((s, d) => CoreOps.a26HeavyHitters(s, d)),
     "a27_hll_intersection" -> ((s, d) => Gates.hllIntersectionGate(s, d)),
+    "sim_pq_topk"        -> ((s, d) => Pq.pqRecallGate(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -526,6 +527,13 @@ object SparkEntry {
     "sim_ivf_topk" ->
       """SELECT CAST(1 AS BOOLEAN) AS full_probe_exact,
         |       CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
+    // PQ gate: ADC identity + re-ranked recall are in-engine booleans
+    // (no SQL engine re-derives k-means cells); the corpus count is
+    // the oracle-pinned value column
+    "sim_pq_topk" ->
+      """SELECT CAST(1 AS BOOLEAN) AS adc_consistent,
+        |       CAST(1 AS BOOLEAN) AS recall_ok,
+        |       (SELECT COUNT(*) FROM embeddings) AS n_vectors""".stripMargin,
     // §2.7 streaming gate: real file-stream pipelines (append mode,
     // watermark, EventTimeTimeout session flush) checked stream==batch
     // inside Spark; DuckDB verifies the booleans (StreamGates).

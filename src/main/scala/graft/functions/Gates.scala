@@ -39,7 +39,7 @@ object Gates {
     * persists above never outlive the gate call, so sessions without
     * Bench/Verify's clearCache-between-queries discipline (specs,
     * interactive use) can't accumulate cached corpora. */
-  private def sealGate(s: SparkSession, gate: DataFrame,
+  private[functions] def sealGate(s: SparkSession, gate: DataFrame,
       cached: org.apache.spark.sql.Dataset[_]*): DataFrame = {
     val rows = gate.collect()
     cached.foreach(_.unpersist())
