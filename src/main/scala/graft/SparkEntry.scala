@@ -228,6 +228,8 @@ object SparkEntry {
     "a26_heavy_hitters"  -> ((s, d) => CoreOps.a26HeavyHitters(s, d)),
     "a27_hll_intersection" -> ((s, d) => Gates.hllIntersectionGate(s, d)),
     "sim_pq_topk"        -> ((s, d) => Pq.pqRecallGate(s, d)),
+    "a28_winsorized_mean" -> CoreOps.a28WinsorizedMean _,
+    "w11_gaps_islands"   -> CoreOps.w11GapsIslands _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -919,6 +921,32 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, quota.quota AS quota,
         |       CAST(src_rank AS BIGINT) AS src_rank
         |FROM r JOIN quota USING (lang) WHERE src_rank <= quota.quota""".stripMargin,
+    // winsorized mean: exact quantile_cont == percentile interpolation
+    // (a22 parity); the clipped sum is exact DECIMAL on both engines
+    "a28_winsorized_mean" ->
+      """WITH p AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, 0.05) AS p05,
+        |             quantile_cont(l_extendedprice, 0.95) AS p95
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  COUNT(CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95
+        |        THEN 1 END) AS n_clipped,
+        |  round(CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+        |                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS wins_mean
+        |FROM lineitem l JOIN p USING (l_returnflag) GROUP BY 1""".stripMargin,
+    // gaps-and-islands: day minus per-user day-rank is constant on
+    // consecutive runs
+    "w11_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |              FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY day) AS INTEGER) AS grp
+        |      FROM days)
+        |SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+        |       COUNT(*) AS n_days
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     // sketch-pruned exact heavy hitters: the SpaceSaving candidate
     // superset is a pigeonhole theorem, so the thresholded counts are
     // exact under any partitioning and the oracle is plain SQL

@@ -2165,6 +2165,51 @@ object CoreOps {
         col("ship_cum").cast(DoubleType).as("ship_cum"))
   }
 
+  /** Winsorized mean per group [A28]: clip at the exact 5th/95th
+    * percentile, then average — the outlier-robust aggregation feature
+    * pipelines use before normalization. Two passes: exact per-group
+    * percentiles (one sort-based aggregate, group-count-bounded
+    * output) broadcast back onto the fact rows, then clip + sum. The
+    * clipped sum routes through DECIMAL(18,6) so it is exact and
+    * order-independent under any partitioning (the a24 discipline);
+    * the final division is one double op on identical inputs, so
+    * engines agree bit-for-bit before the 6-decimal round. */
+  def a28WinsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val pct = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(pct), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_extendedprice") < col("p05") ||
+          col("l_extendedprice") > col("p95"), 1)).as("n_clipped"),
+        sum(least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("wsum"))
+      .select(col("l_returnflag"), col("n"), col("n_clipped"),
+        round(col("wsum") / col("n"), 6).as("wins_mean"))
+  }
+
+  /** Gaps-and-islands over the calendar [W11]: maximal runs of
+    * consecutive ACTIVE days per user (an island breaks on any silent
+    * calendar day) — the streak/engagement primitive. The classic
+    * row_number trick: within a user, day − rank(day) is constant
+    * exactly on consecutive runs, so islands fall out of ONE
+    * per-user window plus one aggregate — no self-join, no iteration;
+    * shuffle is one exchange on user_id over the (user, day) DISTINCT
+    * frame (days, not events — bounded by calendar × users). */
+  def w11GapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+  }
+
   /** Threshold heavy hitters via sketch-pruned EXACT counting [A26]:
     * all keys with frequency ≥ φ·N, computed in two passes — a
     * per-partition SpaceSaving sketch (capacity ⌈1/φ⌉) nominates

@@ -109,4 +109,41 @@ class HistogramWindowSpec extends SparkSpec {
     assert(w.filter(col("gap_next").isNull).count() ===
       w.select("c_mktsegment").distinct().count())
   }
+
+  test("a28 winsorized mean: clipping bounds hold, mean between p05 and p95") {
+    val pct = Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    CoreOps.a28WinsorizedMean(spark, sfDir).collect().foreach { r =>
+      val (p05, p95) = pct(r.getString(0))
+      val m = r.getDouble(3)
+      assert(m >= p05 && m <= p95, s"winsorized mean $m outside [$p05,$p95]")
+      // ~10% of each group sits outside the 5th..95th percentile band
+      val frac = r.getLong(2).toDouble / r.getLong(1)
+      assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac implausible")
+    }
+  }
+
+  test("w11 islands: consecutive days merge, any silent day splits") {
+    val rows = CoreOps.w11GapsIslands(spark, sfDir).collect()
+    // island internal consistency: span == n_days (no gap inside)
+    rows.foreach { r =>
+      val span = r.getDate(2).toLocalDate.toEpochDay -
+        r.getDate(1).toLocalDate.toEpochDay + 1
+      assert(span === r.getLong(3), s"gap inside island $r")
+    }
+    // islands of one user never touch: next start > prior end + 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, is) =>
+      val sorted = is.sortBy(_.getDate(1).toLocalDate.toEpochDay).toSeq
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1).getDate(1).toLocalDate.toEpochDay >
+          pair(0).getDate(2).toLocalDate.toEpochDay + 1, "adjacent islands")
+      }
+    }
+    // total island days == distinct (user, day) pairs
+    val tot = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(rows.map(_.getLong(3)).sum === tot)
+  }
 }
