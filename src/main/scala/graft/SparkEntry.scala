@@ -230,6 +230,7 @@ object SparkEntry {
     "sim_pq_topk"        -> ((s, d) => Pq.pqRecallGate(s, d)),
     "a28_winsorized_mean" -> CoreOps.a28WinsorizedMean _,
     "w11_gaps_islands"   -> CoreOps.w11GapsIslands _,
+    "stream_dsv2_parity" -> graft.streaming.StreamGates.streamSegParity _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1414,6 +1415,13 @@ object SparkEntry {
         |       CAST(2 AS BIGINT) AS n_batches,
         |       (SELECT COUNT(*) FROM orders
         |        WHERE o_totalprice IS NOT NULL) AS n_rows""".stripMargin,
+    // gseg micro-batch source: parity booleans in-engine, group count
+    // anchored relationally
+    "stream_dsv2_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS first_batch_parity,
+        |       CAST(1 AS BOOLEAN) AS final_parity,
+        |       (SELECT COUNT(DISTINCT event_type) FROM events
+        |        WHERE user_id < 40) AS n_types""".stripMargin,
     "compact_small_files" ->
       """SELECT CAST(1 AS BOOLEAN) AS content_equal,
         |       CAST(1 AS BOOLEAN) AS layout_ok,

@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -662,6 +664,87 @@ object StreamGates {
         .crossJoin(vals.agg(count(lit(1)).as("n_rows")))
         .select((col("qp") && lit(nBatches) === 2L).as("quantile_parity"),
           lit(nBatches).as("n_batches"), col("n_rows"))
+      val rows = gate.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
+  /** Gate query [stream_dsv2_parity]: the gseg DataSourceV2 connector
+    * serves MICRO-BATCH reads through the same scan stack as batch —
+    * segments arrive (committed by the V2 batch writer, renamed into
+    * the stream directory under monotone names), each name range
+    * becomes exactly one micro-batch, and checkpointed offsets replan
+    * identical file sets. Booleans:
+    *  - first_batch_parity: after only generation-0 segments exist,
+    *    the complete-mode aggregate equals the batch aggregate of
+    *    slice A alone — the stream really consumed ONE increment;
+    *  - final_parity: after generation-1 arrives, the aggregate
+    *    equals the full slice's (and sums ride DECIMAL, so equality
+    *    is exact under any partitioning). Both true together prove
+    *    the source planned the two name ranges as two increments.
+    * n_types anchors the oracle relationally. */
+  def streamSegParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = Files.createTempDirectory("graft_seg_stream").toString
+    try {
+      val streamDir = s"$base/stream"
+      Files.createDirectories(java.nio.file.Paths.get(streamDir))
+      val ev = Tables.events(iso, d).filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val halfA = ev.filter(col("event_id") % 2 === 0)
+      val halfB = ev.filter(col("event_id") % 2 === 1)
+
+      // stage a generation through the V2 writer, then rename its
+      // committed segments into the stream dir under a monotone prefix
+      def arrive(df: DataFrame, gen: Int): Unit = {
+        val tmp = s"$base/gen$gen"
+        graft.sources.SegSource.write(df, tmp)
+        val dir = java.nio.file.Paths.get(tmp)
+        val listing = java.nio.file.Files.list(dir)
+        try listing.iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".gseg")).sortBy(_.toString)
+          .foreach { f =>
+            java.nio.file.Files.move(f, java.nio.file.Paths.get(
+              f"$streamDir/b$gen%04d-${f.getFileName.toString}"))
+          }
+        finally listing.close()
+      }
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .as("sv"))
+
+      arrive(halfA, 0)
+      var q: StreamingQuery = null
+      var firstOk = false
+      try {
+        q = agg(iso.readStream.format("gseg")
+          .schema(ev.schema).load(streamDir))
+          .writeStream.outputMode(OutputMode.Complete)
+          .format("memory").queryName("seg_stream")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+        val got1 = iso.table("seg_stream").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        val want1 = agg(halfA).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        firstOk = got1 == want1 && got1.nonEmpty
+        arrive(halfB, 1)
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      val streamAgg = iso.table("seg_stream")
+        .select(col("event_type"), col("n"), col("sv"))
+      val gate = graft.functions.Gates.symDiffEmpty(streamAgg, agg(ev),
+        Seq("event_type", "n", "sv"))
+        .crossJoin(streamAgg.agg(count(lit(1)).as("n_types")))
+        .select(
+          lit(firstOk).as("first_batch_parity"),
+          (col("l_only") === 0 && col("r_only") === 0).as("final_parity"),
+          col("n_types"))
       val rows = gate.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))

@@ -51,4 +51,14 @@ class StreamGatesSpec extends SparkSpec {
     StreamGates.streamAvailableNowParity(spark, sfDir).collect()
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
   }
+
+  test("gseg micro-batch source: per-generation and final parity hold") {
+    val row = StreamGates.streamSegParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "first micro-batch did not equal slice A's batch aggregate")
+    assert(row(0).getBoolean(1),
+      "final complete-mode aggregate diverged from the full batch")
+    assert(row(0).getLong(2) > 0)
+  }
 }
