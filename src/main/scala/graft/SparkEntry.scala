@@ -231,6 +231,9 @@ object SparkEntry {
     "a28_winsorized_mean" -> CoreOps.a28WinsorizedMean _,
     "w11_gaps_islands"   -> CoreOps.w11GapsIslands _,
     "stream_dsv2_parity" -> graft.streaming.StreamGates.streamSegParity _,
+    "ev_ab_ttest"        -> EventOps.abTtest _,
+    "sim_mips_reduction" -> ((s, d) => Gates.mipsReductionGate(s, d)),
+    "q34_frequent_carts" -> ((s, d) => CoreOps.q34FrequentCarts(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -922,6 +925,49 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, quota.quota AS quota,
         |       CAST(src_rank AS BIGINT) AS src_rank
         |FROM r JOIN quota USING (lang) WHERE src_rank <= quota.quota""".stripMargin,
+    // Welch A/B readout: DECIMAL moments (the a24 widening), then one
+    // fixed double formula over identical inputs on both engines
+    "ev_ab_ttest" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0
+        |             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0
+        |             THEN CAST(value AS DECIMAL(28,6))
+        |                * CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_a,
+        |    COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |             THEN CAST(value AS DECIMAL(28,6))
+        |                * CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_b
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT *,
+        |    greatest(0, (sxx_a - sx_a*sx_a/n_a)/(n_a-1)) / n_a AS va,
+        |    greatest(0, (sxx_b - sx_b*sx_b/n_b)/(n_b-1)) / n_b AS vb
+        |  FROM m)
+        |SELECT event_type, n_a, n_b,
+        |  round(sx_a/n_a, 6) AS mean_a, round(sx_b/n_b, 6) AS mean_b,
+        |  round((sx_a/n_a - sx_b/n_b) / sqrt(va + vb), 6) AS t_welch,
+        |  round((va+vb)*(va+vb) /
+        |        (va*va/(n_a-1) + vb*vb/(n_b-1)), 4) AS df_welch
+        |FROM v""".stripMargin,
+    // MIPS reduction: set equality checked in-engine; query count
+    // anchored relationally
+    "sim_mips_reduction" ->
+      """SELECT CAST(1 AS BOOLEAN) AS reduction_exact,
+        |       (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |         AS n_queries""".stripMargin,
+    // TPC-DS Q34 shape: band-sized carts, repeat customers
+    "q34_frequent_carts" ->
+      """WITH carts AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
+        |  GROUP BY 1 HAVING COUNT(*) BETWEEN 5 AND 7)
+        |SELECT o_custkey, COUNT(*) AS n_bulk_orders
+        |FROM orders JOIN carts ON o_orderkey = l_orderkey
+        |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     // winsorized mean: exact quantile_cont == percentile interpolation
     // (a22 parity); the clipped sum is exact DECIMAL on both engines
     "a28_winsorized_mean" ->

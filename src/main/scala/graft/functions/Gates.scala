@@ -189,6 +189,24 @@ object Gates {
     * seed/width mismatch or a byte-order bug would break it). The
     * driver-side merge touches only the ~80 monthly sketch blobs —
     * bounded by the calendar, not the data. */
+  /** MIPS-reduction gate [sim_mips_reduction]: searching the
+    * one-dimension-augmented corpus by NEAREST L2 must return exactly
+    * the brute-force maximum-inner-product top-k — the identity
+    * |q̂−x̂|² = |q|² + M² − 2·q·x makes the two rankings equal, which
+    * is what lets the library's L2 ANN indexes (IVF, PQ) serve MIPS
+    * without modification. Checked as set equality per query
+    * ([[Similarity.mipsTopK]] vs [[Similarity.mipsViaL2TopK]]); the
+    * query count anchors the oracle. */
+  def mipsReductionGate(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val brute = Similarity.mipsTopK(s, d, nQueries, k)
+    val viaL2 = Similarity.mipsViaL2TopK(s, d, nQueries, k)
+    symDiffEmpty(viaL2, brute, Seq("query_id", "vec_id"))
+      .crossJoin(brute.agg(countDistinct(col("query_id")).as("n_queries")))
+      .select((col("l_only") === 0 && col("r_only") === 0)
+        .as("reduction_exact"), col("n_queries"))
+  }
+
   /** Sketch set-intersection gate [a27_hll_intersection]: estimate
     * |clickers ∩ viewers| by inclusion–exclusion over three HLL
     * sketches (|A| + |B| − |A∪B|) — the audience-overlap pattern

@@ -413,4 +413,66 @@ object Similarity {
       // orders "-0.0" ≠ "0.0" even though the values are equal
       .select(col("i"), col("j"), (round(col("cov"), 6) + 0.0).as("cov"))
   }
+
+  /** Brute-force maximum-inner-product top-k (MIPS — the retrieval
+    * metric of un-normalized embedding models, where cosine and L2
+    * neighbors differ). Same one-pass broadcast-query shape as
+    * [[cosineTopK]]. */
+  def mipsTopK(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val bc = broadcastVecs(s, vectors(s, d).filter(col("vec_id") < nQueries))
+    val scored = vectors(s, d)
+      .select(col("vec_id").as("_1"), col("v").as("_2"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, v) =>
+          qs.iterator.filter(_._1 != id).map { case (qid, qv, _) =>
+            (qid, id, dotArr(qv, v))
+          }
+        }
+      }.toDF("query_id", "vec_id", "ip")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+  }
+
+  /** MIPS via the L2 reduction: append one dimension
+    * x̂ = [x, sqrt(M² − |x|²)] (M = max corpus norm), q̂ = [q, 0] —
+    * then |q̂ − x̂|² = |q|² + M² − 2·q·x, so NEAREST-neighbor search on
+    * the augmented vectors ranks exactly by inner product. This is
+    * the standard trick that lets every L2 ANN index in this library
+    * ([[graft.functions.Ivf]], [[graft.functions.Pq]]) serve MIPS
+    * unchanged; M comes from one corpus-pass max aggregate. */
+  def mipsViaL2TopK(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val base = vectors(s, d)
+      .select(col("vec_id").as("_1"), col("v").as("_2"))
+      .as[(Long, Array[Double])]
+    val m2 = base.map { case (_, v) => dotArr(v, v) }
+      .agg(max(col("value"))).head().getDouble(0)
+    val bc = broadcastVecs(s, vectors(s, d).filter(col("vec_id") < nQueries))
+    val scored = base.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, v) =>
+        val aug = java.util.Arrays.copyOf(v, v.length + 1)
+        aug(v.length) = math.sqrt(math.max(0.0, m2 - dotArr(v, v)))
+        qs.iterator.filter(_._1 != id).map { case (qid, qv, _) =>
+          val qAug = java.util.Arrays.copyOf(qv, qv.length + 1)
+          var acc = 0.0; var i = 0
+          while (i < qAug.length) {
+            val t = qAug(i) - aug(i); acc += t * t; i += 1
+          }
+          (qid, id, acc)
+        }
+      }
+    }.toDF("query_id", "vec_id", "dist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+  }
 }

@@ -2210,6 +2210,23 @@ object CoreOps {
       .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
   }
 
+  /** Repeat-bulk-buyer report [Q34] (the TPC-DS Q34 shape): orders
+    * whose line count falls in a band, then the customers holding ≥2
+    * such orders. Two hash aggregates and one join — the order-size
+    * aggregate shuffles (orderkey, count) pairs with map-side
+    * combine, and the HAVING prunes before the customer join, so the
+    * join's build side is only band-qualified orders. */
+  def q34FrequentCarts(s: SparkSession, d: String,
+      lo: Int = 5, hi: Int = 7, minOrders: Int = 2): DataFrame = {
+    val carts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= lo && col("n_items") <= hi)
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(carts, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_bulk_orders"))
+      .filter(col("n_bulk_orders") >= minOrders)
+  }
+
   /** Threshold heavy hitters via sketch-pruned EXACT counting [A26]:
     * all keys with frequency ≥ φ·N, computed in two passes — a
     * per-partition SpaceSaving sketch (capacity ⌈1/φ⌉) nominates

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -427,6 +427,46 @@ object EventOps {
         sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
       .select(col("user_id"), col("session_seq").cast(IntegerType).as("session_seq"),
         col("n_events"), col("start_us"), col("end_us"), col("sum_value"))
+  }
+
+  /** A/B experiment readout [AB]: per event_type, Welch's unequal-
+    * variance t statistic between two deterministic arms (user_id
+    * parity — the hash-bucket assignment of a real experiment). ONE
+    * conditional aggregate computes n/Σx/Σx² for both arms in a
+    * single pass (no per-arm scans, no join); the moment sums ride
+    * DECIMAL so they are exact and order-independent, and t/df are
+    * then a fixed double formula over identical inputs on both
+    * engines. The 100 TB story is the single-pass shape: group count
+    * × 6 numbers cross the wire, never data. */
+  def abTtest(s: SparkSession, d: String): DataFrame = {
+    // DECIMAL(18,6) moments: the a24 discipline (and its proven
+    // cross-engine product/sum widening) — (18,6)² widens inside both
+    // engines' 38-digit budget
+    val isA = col("user_id") % 2 === 0
+    val x = col("value").cast(DecimalType(18, 6))
+    val agg = Tables.events(s, d).groupBy(col("event_type")).agg(
+      count(when(isA, 1)).as("n_a"),
+      sum(when(isA, x)).cast(DoubleType).as("sx_a"),
+      sum(when(isA, x * x)).cast(DoubleType).as("sxx_a"),
+      count(when(!isA, 1)).as("n_b"),
+      sum(when(!isA, x)).cast(DoubleType).as("sx_b"),
+      sum(when(!isA, x * x)).cast(DoubleType).as("sxx_b"))
+    def mean(sx: Column, n: Column) = sx / n
+    def vars(sxx: Column, sx: Column, n: Column) =
+      greatest(lit(0.0), (sxx - sx * sx / n) / (n - 1))
+    agg.select(col("event_type"), col("n_a"), col("n_b"),
+        round(mean(col("sx_a"), col("n_a")), 6).as("mean_a"),
+        round(mean(col("sx_b"), col("n_b")), 6).as("mean_b"),
+        (vars(col("sxx_a"), col("sx_a"), col("n_a")) / col("n_a")).as("va"),
+        (vars(col("sxx_b"), col("sx_b"), col("n_b")) / col("n_b")).as("vb"),
+        (mean(col("sx_a"), col("n_a")) - mean(col("sx_b"), col("n_b")))
+          .as("diff"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        round(col("diff") / sqrt(col("va") + col("vb")), 6).as("t_welch"),
+        round((col("va") + col("vb")) * (col("va") + col("vb")) /
+          (col("va") * col("va") / (col("n_a") - 1) +
+            col("vb") * col("vb") / (col("n_b") - 1)), 4).as("df_welch"))
   }
 
   /** Exponentially-weighted moving average per user [EWMA]:

@@ -140,4 +140,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Map(
       (0, 0) -> 1.0, (0, 1) -> 2.0, (1, 0) -> 2.0, (1, 1) -> 4.0))
   }
+
+  test("MIPS L2-reduction ranking is exact, incl. hand-built skewed norms") {
+    val r = Gates.mipsReductionGate(spark, sfDir).head()
+    assert(r.getBoolean(0), "augmented-L2 ranking diverged from brute MIPS")
+    assert(r.getLong(1) === 20L)
+    // the synthetic corpus's gaussian norms concentrate, so ALSO pin
+    // the reduction on vectors whose norms differ wildly — where MIPS
+    // genuinely diverges from cosine: v1 has the best direction for
+    // q=(1,0) but v2's sheer length wins the inner product
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mips").toString
+    (Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(5.0f, 5.0f), 0), (3L, Array(0.2f, 0.1f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val mips = Similarity.mipsTopK(spark, d, nQueries = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mips === Set((0L, 2L), (0L, 1L)), s"wrong MIPS order: $mips")
+    val red = Gates.mipsReductionGate(spark, d, nQueries = 1, k = 2).head()
+    assert(red.getBoolean(0))
+  }
 }

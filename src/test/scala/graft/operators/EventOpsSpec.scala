@@ -129,6 +129,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_events") === 4L)
   }
 
+  test("ab_ttest: arms partition each group; t sign follows the mean gap") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = EventOps.abTtest(spark, sfDir).collect()
+    val totals = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === totals(r.getString(0)))
+      val gap = r.getDouble(3) - r.getDouble(4)
+      val t = r.getDouble(5)
+      assert(math.signum(gap) === math.signum(t) || gap == 0.0,
+        s"t sign disagrees with mean gap in $r")
+      assert(!t.isInfinite, s"degenerate t in $r")
+      assert(r.getDouble(6) > 0.0, s"nonpositive Welch df in $r")
+    }
+  }
+
   test("ewma: recurrence matches a driver-side fold per user") {
     val sfDir = "/root/testdata/sf0.001"
     val got = EventOps.ewma(spark, sfDir)
