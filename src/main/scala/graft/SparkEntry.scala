@@ -234,6 +234,8 @@ object SparkEntry {
     "ev_ab_ttest"        -> EventOps.abTtest _,
     "sim_mips_reduction" -> ((s, d) => Gates.mipsReductionGate(s, d)),
     "q34_frequent_carts" -> ((s, d) => CoreOps.q34FrequentCarts(s, d)),
+    "g4_shortest_path"   -> ((s, d) => CoreOps.g4ShortestPath(s, d)),
+    "mm_wav_stats"       -> Multimodal.wavStats _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -960,6 +962,43 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS reduction_exact,
         |       (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
         |         AS n_queries""".stripMargin,
+    // BFS hop distances; the oracle explores (node, dist) pairs under
+    // UNION-dedup and MINs, the engine discovers each node once via
+    // frontier anti-joins — identical distances
+    "g4_shortest_path" ->
+      """WITH RECURSIVE
+        |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |pr AS (SELECT a.p AS pa, b.p AS pb
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+        |e AS (SELECT pa AS src, pb AS dst FROM pr
+        |      UNION ALL SELECT pb, pa FROM pr),
+        |walk(node, dist) AS (
+        |  SELECT (SELECT MIN(src) FROM e), 0
+        |  UNION
+        |  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.dist < 8)
+        |SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+        |FROM walk GROUP BY 1""".stripMargin,
+    // planted 16-bit PCM: the oracle evaluates the same mod-2^16
+    // linear form; all-integer outputs
+    "mm_wav_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+        |         200 + doc_id % 300 AS n
+        |  FROM documents),
+        |x AS (SELECT doc_id, rate, n,
+        |        ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+        |      FROM (SELECT doc_id, rate, n,
+        |              unnest(generate_series(0, CAST(n AS INTEGER) - 1)) AS i
+        |            FROM s))
+        |SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |       CAST(MAX(abs(v)) AS INTEGER) AS peak
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
     // TPC-DS Q34 shape: band-sized carts, repeat customers
     "q34_frequent_carts" ->
       """WITH carts AS (

@@ -336,4 +336,81 @@ object Multimodal {
         }
       }).toDF()
   }
+
+  // ------------------------------------------------------ planted audio
+  // 16-bit mono PCM; samples are a mod-2^16 linear form in (id, i) so
+  // the oracle can evaluate them, non-constant in both so a stride or
+  // endianness bug cannot pass.
+  private[graft] def plantAudioRate(id: Long): Int =
+    if (id % 2 == 0) 8000 else 16000
+  private[graft] def plantAudioLen(id: Long): Int = 200 + (id % 300).toInt
+  private[graft] def plantSample(id: Long, i: Int): Int =
+    (((id * 31 + i * 7L) % 65536) - 32768).toInt
+
+  /** Genuine RIFF/WAVE bytes, header hand-assembled (44-byte PCM
+    * canonical layout, all little-endian) — so the DECODE side goes
+    * through the real javax.sound codec rather than inverting our own
+    * writer. */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val rate = plantAudioRate(id)
+    val n = plantAudioLen(id)
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(rate).putInt(rate * 2)  // byte rate
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { bb.putShort(plantSample(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  case class WavStats(doc_id: Long, sample_rate: Int, n_samples: Long,
+    sum_abs: Long, sum_sq: Long, peak: Int)
+
+  /** Audio column stats [MM-WAV]: the audio leg of the multimodal
+    * surface — real RIFF/WAVE payloads decoded through
+    * javax.sound.sampled (header parse + PCM frame extraction by the
+    * platform codec, NOT by inverting our writer), then per-doc
+    * integer signal stats: sample count, Σ|x|, Σx², peak. All-integer
+    * outputs (exact at any scale, no float drift for the oracle to
+    * chase); map-only kernel at the id frame's parallelism, the same
+    * batch shape as the image decoders. */
+  def wavStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val payload = encodeWav(id)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unexpected decoded format $fmt")
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0
+          var i = 0
+          val n = raw.length / 2
+          while (i < n) {
+            val v = bb.getShort(i * 2).toInt
+            val a = math.abs(v)
+            sumAbs += a; sumSq += v.toLong * v
+            if (a > peak) peak = a
+            i += 1
+          }
+          WavStats(id, fmt.getSampleRate.toInt, n, sumAbs, sumSq, peak)
+        } finally ais.close()
+      }).toDF()
+  }
 }

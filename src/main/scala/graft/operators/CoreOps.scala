@@ -1034,6 +1034,65 @@ object CoreOps {
         |FROM reach GROUP BY node""".stripMargin)
   }
 
+  // ---------------------------------------------------------- G4 shortest paths
+  /** Single-source shortest paths [G4]: BFS hop distances over the
+    * part co-occurrence graph (parts appearing together in an order —
+    * the basket graph of [[Basket]]; at bench SF this is a ~15k-node
+    * giant component, avg degree ~60). The fact table is aggregated
+    * into the edge frame FIRST (the g1 discipline: never iterate over
+    * facts); BFS then expands a frontier per round with an anti-join
+    * against settled nodes, so each node is discovered exactly once at
+    * its minimum distance — no walk enumeration, no exponential
+    * blowup on cycles. Rounds = graph diameter (capped), each round
+    * one join over the edge frame; `localCheckpoint` truncates the
+    * growing lineage exactly like pagerank, and the round count lands
+    * in bench counters. The oracle's recursive CTE explores (node,
+    * dist) pairs under UNION-dedup and takes MIN — same distances. */
+  def g4ShortestPath(s: SparkSession, d: String, minCo: Int = 1,
+      maxHops: Int = 8): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = li.toDF("ok", "pa")
+    val b = li.toDF("ok", "pb")
+    val pairs = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCo)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      .persist()
+    val source = edges.agg(min(col("src"))).head().getLong(0)
+    val out = bfsFrom(edges, source, maxHops)
+    edges.unpersist()
+    out
+  }
+
+  /** The BFS core over any (src, dst) edge frame — property tests
+    * drive this with hand-built cyclic/disconnected graphs. */
+  def bfsFrom(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var dist = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var more = true
+    while (more && hop < maxHops) {
+      hop += 1
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      more = next.limit(1).count() > 0
+      if (more) {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+      graft.Counters.add("bfs_rounds", 1L)
+    }
+    dist.select(col("node"), col("dist").cast(IntegerType).as("dist"))
+  }
+
   // ---------------------------------------------------------------- J9 set ops
   /** Relational set operations [J9]: UNION (distinct), INTERSECT,
     * EXCEPT over two derived key sets, surfaced as one row of counts.

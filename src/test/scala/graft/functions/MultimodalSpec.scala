@@ -131,4 +131,24 @@ class MultimodalSpec extends SparkSpec {
       ("src0", "jpeg") -> 1L, ("src4", "png") -> 1L, ("src5", "riff") -> 1L,
       ("src-2", "png") -> 1L, ("src0", "unknown") -> 1L))
   }
+
+  test("wav stats: the real codec's samples reproduce the planted signal") {
+    val rows = Multimodal.wavStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.plantAudioLen(id)
+      var sumAbs = 0L; var sumSq = 0L; var peak = 0
+      (0 until n).foreach { i =>
+        val v = Multimodal.plantSample(id, i)
+        sumAbs += math.abs(v); sumSq += v.toLong * v
+        peak = math.max(peak, math.abs(v))
+      }
+      assert(r.getInt(1) === Multimodal.plantAudioRate(id))
+      assert(r.getLong(2) === n.toLong)
+      assert(r.getLong(3) === sumAbs, s"sum_abs mismatch for doc $id")
+      assert(r.getLong(4) === sumSq)
+      assert(r.getInt(5) === peak)
+    }
+  }
 }

@@ -129,6 +129,22 @@ class EventOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_events") === 4L)
   }
 
+  test("bfs: cycles, diamond shortcuts, unreachable nodes, hop cap") {
+    import spark.implicits._
+    // 0-1-2-3-0 cycle, diamond 1-4 / 2-4, chain 4-5-6, island 9-10
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (1L, 4L),
+      (2L, 4L), (4L, 5L), (5L, 6L), (9L, 10L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = CoreOps.bfsFrom(edges, 0L, maxHops = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 4), s"wrong distances: $got")
+    // hop cap truncates the frontier, never corrupts settled nodes
+    val capped = CoreOps.bfsFrom(edges, 0L, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped === got.filter(_._2 <= 2))
+  }
+
   test("ab_ttest: arms partition each group; t sign follows the mean gap") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = EventOps.abTtest(spark, sfDir).collect()
