@@ -236,6 +236,9 @@ object SparkEntry {
     "q34_frequent_carts" -> ((s, d) => CoreOps.q34FrequentCarts(s, d)),
     "g4_shortest_path"   -> ((s, d) => CoreOps.g4ShortestPath(s, d)),
     "mm_wav_stats"       -> Multimodal.wavStats _,
+    "asof_nearest"       -> AsofJoin.clickNearestPurchase _,
+    "ev_cumulative_users" -> CoreOps.evCumulativeUsers _,
+    "x19_bitwise_suite"  -> CoreOps.x19BitwiseSuite _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -962,6 +965,46 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS reduction_exact,
         |       (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
         |         AS n_queries""".stripMargin,
+    // nearest-either-direction as-of: purchases unique per (user, ts)
+    // so argmin by (|gap|, backward-on-tie) pins a unique match
+    "asof_nearest" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts AS purchase_ts, MIN(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT c.click_id, p.purchase_id,
+        |         epoch_us(p.purchase_ts) AS purchase_us,
+        |         epoch_us(p.purchase_ts) - epoch_us(c.ts) AS g,
+        |         row_number() OVER (PARTITION BY c.click_id
+        |           ORDER BY abs(epoch_us(p.purchase_ts) - epoch_us(c.ts)),
+        |                    (epoch_us(p.purchase_ts) - epoch_us(c.ts)) > 0)
+        |           AS rn
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.user_id)
+        |SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |       k.purchase_id, k.purchase_us, k.g AS gap_us
+        |FROM clicks c
+        |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k USING (click_id)""".stripMargin,
+    // cumulative distinct = running sum of first-seen counts
+    "ev_cumulative_users" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        |           FROM events GROUP BY 1),
+        |n AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM n""".stripMargin,
+    // bitwise aggregate + scalar surface; all-integer
+    "x19_bitwise_suite" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  bit_and(o_custkey) AS band, bit_or(o_custkey) AS bor,
+        |  bit_xor(o_custkey) AS bxor,
+        |  CAST(SUM(xor(o_custkey, o_custkey >> 3)) AS BIGINT) AS sum_mix,
+        |  CAST(SUM(o_custkey & 255) AS BIGINT) AS sum_low,
+        |  CAST(SUM((o_custkey & 15) << 2) AS BIGINT) AS sum_shift
+        |FROM orders GROUP BY 1""".stripMargin,
     // BFS hop distances; the oracle explores (node, dist) pairs under
     // UNION-dedup and MINs, the engine discovers each node once via
     // frontier anti-joins — identical distances

@@ -147,4 +147,43 @@ object AsofJoin {
         unix_micros(col("click_ts")).as("click_us"),
         (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
+
+  /** Nearest-either-direction as-of [asof_nearest]: each click joins
+    * the user's CLOSEST purchase in time, backward or forward — the
+    * "nearest observation" variant sensor alignment and attribution
+    * both need. Composes the two directed as-ofs (each one
+    * union-and-scan shuffle) and resolves per row by |gap| with the
+    * backward side winning exact ties; purchases are pre-deduped to
+    * one row per (user, ts), so |gap| + direction pins a unique
+    * match and the oracle's argmin over the raw candidate set agrees
+    * exactly. Signed gap output (negative = purchase before click). */
+  def clickNearestPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+      .agg(min(col("event_id")).as("purchase_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("click_id"),
+        col("purchase_id").as(s"pid_$tag"),
+        unix_micros(col("purchase_ts")).as(s"pus_$tag"))
+    val back = side(asofJoin(clicks, purchases,
+      key = "user_id", leftTs = "ts", rightTs = "purchase_ts",
+      rightTie = "purchase_id", rightCols = Seq("purchase_id", "purchase_ts")), "b")
+    val fwd = side(asofJoinForward(clicks, purchases,
+      key = "user_id", leftTs = "ts", rightTs = "purchase_ts",
+      rightTie = "purchase_id", rightCols = Seq("purchase_id", "purchase_ts")), "f")
+    val cUs = unix_micros(col("ts"))
+    val gapB = cUs - col("pus_b") // >= 0 when present
+    val gapF = col("pus_f") - cUs
+    val takeBack = col("pus_b").isNotNull &&
+      (col("pus_f").isNull || gapB <= gapF)
+    clicks.join(back, Seq("click_id"), "left")
+      .join(fwd, Seq("click_id"), "left")
+      .select(col("click_id"), col("user_id"), cUs.as("click_us"),
+        when(takeBack, col("pid_b")).otherwise(col("pid_f")).as("purchase_id"),
+        when(takeBack, col("pus_b")).otherwise(col("pus_f")).as("purchase_us"),
+        (when(takeBack, col("pus_b")).otherwise(col("pus_f")) - cUs).as("gap_us"))
+  }
 }

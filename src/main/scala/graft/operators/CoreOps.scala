@@ -1034,6 +1034,37 @@ object CoreOps {
         |FROM reach GROUP BY node""".stripMargin)
   }
 
+  /** Cumulative distinct users [EV-CUM]: users-to-date per calendar
+    * day WITHOUT a rolling distinct over history — distinct-to-date =
+    * running sum of FIRST-SEEN counts, so the corpus is read once
+    * (per-user min day, partial-agg'd), and the cumulative window
+    * runs over the day-grain frame (rows = calendar days, never data
+    * volume — the ev_sliding_distinct boundedness argument; a naive
+    * rescan computes day-N's distinct over N days of raw events). */
+  def evCumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    firstSeen.withColumn("cum_users",
+      sum(col("new_users")).over(Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Bitwise suite [X19]: bit_and/bit_or/bit_xor aggregates plus
+    * shift/mask/xor scalar expressions — the key-packing and
+    * bitmap-flag surface (the fingerprint and Bloom operators build
+    * on exactly these primitives). All-integer, partial-agg'd. */
+  def x19BitwiseSuite(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(o_custkey)").as("band"),
+        expr("bit_or(o_custkey)").as("bor"),
+        expr("bit_xor(o_custkey)").as("bxor"),
+        sum(expr("o_custkey ^ shiftright(o_custkey, 3)")).as("sum_mix"),
+        sum(expr("o_custkey & 255")).as("sum_low"),
+        sum(expr("shiftleft(o_custkey & 15, 2)")).as("sum_shift"))
+
   // ---------------------------------------------------------- G4 shortest paths
   /** Single-source shortest paths [G4]: BFS hop distances over the
     * part co-occurrence graph (parts appearing together in an order —

@@ -122,4 +122,31 @@ class AsofJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"forward as-of grew a join:\n$plan")
   }
+
+  test("nearest as-of: closer side wins, backward wins exact ties") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("asofnear").toString
+    val t0 = 1700000000000L
+    def ev(id: Long, offMs: Long, typ: String) =
+      (id, new Timestamp(t0 + offMs), 1L, typ, 1.0, "{}")
+    Seq(
+      ev(1, 1000, "purchase"),  // 4s before click A
+      ev(2, 5000, "click"),     // A: nearest is purchase id 3 (+2s fwd)
+      ev(3, 7000, "purchase"),
+      ev(4, 20000, "click"),    // B: equidistant 3s both ways -> backward
+      ev(5, 17000, "purchase"),
+      ev(6, 23000, "purchase"),
+      ev(7, 90000, "click"),    // C: only earlier purchases exist
+      (8L, new Timestamp(t0), 2L, "click", 1.0, "{}")) // D: user 2, no purchase
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = AsofJoin.clickNearestPurchase(spark, d).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(5))))).toMap
+    assert(got === Map(
+      2L -> Some((3L, 2000000L)),   // forward, +2s
+      4L -> Some((5L, -3000000L)),  // tie -> backward, -3s
+      7L -> Some((6L, -67000000L)), // only backward available
+      8L -> None))
+  }
 }
