@@ -941,10 +941,10 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN user_id % 2 = 0
         |             THEN CAST(value AS DECIMAL(28,6))
         |                * CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_a,
-        |    COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
-        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |    COUNT(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0
         |             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_b,
-        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0
         |             THEN CAST(value AS DECIMAL(28,6))
         |                * CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_b
         |  FROM events GROUP BY 1),

@@ -199,12 +199,18 @@ object Gates {
     * query count anchors the oracle. */
   def mipsReductionGate(s: SparkSession, d: String, nQueries: Int = 20,
       k: Int = 5): DataFrame = {
+    // brute feeds both anti-join directions plus the query count, and
+    // viaL2 both directions — persist, or each subtree re-runs the
+    // full corpus scoring pass (the pqRecallGate discipline)
     val brute = Similarity.mipsTopK(s, d, nQueries, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val viaL2 = Similarity.mipsViaL2TopK(s, d, nQueries, k)
-    symDiffEmpty(viaL2, brute, Seq("query_id", "vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sealGate(s, symDiffEmpty(viaL2, brute, Seq("query_id", "vec_id"))
       .crossJoin(brute.agg(countDistinct(col("query_id")).as("n_queries")))
       .select((col("l_only") === 0 && col("r_only") === 0)
-        .as("reduction_exact"), col("n_queries"))
+        .as("reduction_exact"), col("n_queries")),
+      brute, viaL2)
   }
 
   /** Sketch set-intersection gate [a27_hll_intersection]: estimate

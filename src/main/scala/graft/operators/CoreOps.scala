@@ -1091,8 +1091,17 @@ object CoreOps {
     val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
       .persist()
-    val source = edges.agg(min(col("src"))).head().getLong(0)
-    val out = bfsFrom(edges, source, maxHops)
+    val srcRow = edges.agg(min(col("src"))).head()
+    if (srcRow.isNullAt(0)) {
+      // no edges at all: degrade like the oracle's recursive base —
+      // one (NULL, 0) row — instead of dereferencing a null MIN
+      edges.unpersist()
+      return s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(null, 0)),
+        StructType(Seq(StructField("node", LongType),
+          StructField("dist", IntegerType))))
+    }
+    val out = bfsFrom(edges, srcRow.getLong(0), maxHops)
     edges.unpersist()
     out
   }
@@ -1118,8 +1127,11 @@ object CoreOps {
       if (more) {
         dist = dist.union(next).localCheckpoint()
         frontier = next
+        // counted only for rounds that DISCOVER nodes, so the metric
+        // equals the reached depth (the terminal empty probe is not
+        // a round)
+        graft.Counters.add("bfs_rounds", 1L)
       }
-      graft.Counters.add("bfs_rounds", 1L)
     }
     dist.select(col("node"), col("dist").cast(IntegerType).as("dist"))
   }
@@ -2339,7 +2351,6 @@ object CoreOps {
     * never data-sized. */
   def a26HeavyHitters(s: SparkSession, d: String, phi: Double = 0.01): DataFrame = {
     import s.implicits._
-    val cap = math.ceil(1.0 / phi).toInt
     // 30% of events concentrate onto 7 hot keys, the rest are
     // singleton keys (unique event_ids offset out of the hot range)
     val keyed = Tables.events(s, d).select(
@@ -2350,14 +2361,24 @@ object CoreOps {
 
   /** The φ-heavy-hitter core over any key stream — property tests
     * drive this with adversarial partitionings and verify the answer
-    * never changes. */
+    * never changes. cap is STRICTLY greater than 1/φ: SpaceSaving
+    * guarantees retention only for keys with local count strictly
+    * above n_p/cap, and the pigeonhole delivers ≥ φ·n_p — at
+    * cap = ⌊1/φ⌋+1 the strict inequality n_p/cap < φ·n_p always
+    * holds, closing the boundary case where a key with global count
+    * exactly ⌈φN⌉ spread evenly could slip the nomination. The key
+    * stream is persisted across its two passes (plus the total
+    * count), and the thresholded result — ≤ 1/φ rows by definition —
+    * is evaluated eagerly so the cache never outlives the call. */
   def heavyHittersOf(keys: org.apache.spark.sql.Dataset[Long],
       phi: Double): DataFrame = {
-    val cap = math.ceil(1.0 / phi).toInt
-    val keyed = keys.toDF("hkey")
+    val s = keys.sparkSession
+    val cap = (1.0 / phi).toInt + 1
+    val keys2 = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = keys2.toDF("hkey")
     val total = keyed.count()
     val threshold = math.ceil(phi * total).toLong
-    val cands = keys.mapPartitions { it =>
+    val cands = keys2.mapPartitions { it =>
       val counts = new scala.collection.mutable.LongMap[Long]()
       it.foreach { k =>
         if (counts.contains(k)) counts(k) += 1
@@ -2373,9 +2394,12 @@ object CoreOps {
       }
       counts.keysIterator
     }(org.apache.spark.sql.Encoders.scalaLong).toDF("hkey").distinct()
-    keyed.join(broadcast(cands), Seq("hkey"), "left_semi")
+    val result = keyed.join(broadcast(cands), Seq("hkey"), "left_semi")
       .groupBy(col("hkey")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
+    val rows = result.collect()
+    keys2.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** One-pass multi-band conditional aggregation [Q88] (the TPC-DS Q88

@@ -441,7 +441,11 @@ object EventOps {
   def abTtest(s: SparkSession, d: String): DataFrame = {
     // DECIMAL(18,6) moments: the a24 discipline (and its proven
     // cross-engine product/sum widening) — (18,6)² widens inside both
-    // engines' 38-digit budget
+    // engines' 38-digit budget. Arms are (% 2 == 0) vs (% 2 != 0):
+    // both engines give % the dividend's sign, so `= 1` would drop
+    // negative ids from BOTH arms while !isA keeps them — the
+    // inequality keeps engine and oracle membership identical for
+    // any id sign.
     val isA = col("user_id") % 2 === 0
     val x = col("value").cast(DecimalType(18, 6))
     val agg = Tables.events(s, d).groupBy(col("event_type")).agg(

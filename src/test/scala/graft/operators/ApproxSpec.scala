@@ -61,6 +61,24 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: exact-threshold key spread evenly survives nomination") {
+    import spark.implicits._
+    // the strict-inequality boundary: key 1 has EXACTLY ceil(phi*N)
+    // occurrences (100 of N=1000 at phi=0.1) spread exactly evenly —
+    // 10 per partition, arriving LAST after 90 singletons have filled
+    // and churned the sketch. cap = floor(1/phi)+1 makes n_p/cap
+    // strictly below the local count, so retention is guaranteed;
+    // at cap = 1/phi exactly, this construction could evict it.
+    val perPart = (0 until 10).map { p =>
+      (0 until 90).map(i => 10000L + p * 90 + i) ++ Seq.fill(10)(1L)
+    }
+    val rdd = spark.sparkContext.makeRDD(
+      perPart.map(_.toSeq), 10).flatMap(identity)
+    val got = CoreOps.heavyHittersOf(rdd.toDS(), 0.1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 100L), s"boundary key lost: $got")
+  }
+
   test("hll intersection gate: bounds hold, referee matches direct count") {
     val r = graft.functions.Gates.hllIntersectionGate(spark, sfDir).head()
     val direct = Tables.events(spark, sfDir)
