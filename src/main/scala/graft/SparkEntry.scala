@@ -239,6 +239,7 @@ object SparkEntry {
     "asof_nearest"       -> AsofJoin.clickNearestPurchase _,
     "ev_cumulative_users" -> CoreOps.evCumulativeUsers _,
     "x19_bitwise_suite"  -> CoreOps.x19BitwiseSuite _,
+    "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -556,6 +557,19 @@ object SparkEntry {
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_jaccard" -> jaccardOracle,
+    // containment normalizes by the smaller shingle set (the
+    // quote/excerpt detector); same shingle CTE as the jaccard family
+    "dedup_containment" ->
+      s"""WITH
+         |$shingleJaccardCte
+         |cp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         COUNT(*) / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n))
+         |           AS containment
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, containment
+         |FROM cp WHERE containment >= 0.8""".stripMargin,
     // minhashLsh verifies every LSH candidate with the exact shingle
     // Jaccard, and P(candidate miss at j>=0.6) = (1-0.6^2)^32 ~= 6e-7,
     // so its output equals the exact-Jaccard oracle.

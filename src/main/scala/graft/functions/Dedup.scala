@@ -220,6 +220,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment near-dup [dedup_containment]:
+    * C = |A∩B| / min(|A|,|B|) ≥ threshold — the quote/excerpt
+    * detector. Jaccard normalizes by the UNION, so a short document
+    * fully embedded in a long one scores low (|A|/|B| at best) and
+    * slips a Jaccard dedup; containment normalizes by the smaller
+    * set, so full embedding scores 1.0 regardless of the size gap.
+    * Identical shared-shingle blocking join and integer-count math as
+    * [[ngramJaccard]] (this is the small-data referee; the scale path
+    * for containment is the same MinHash-LSH banding, whose collision
+    * probability is monotone in Jaccard and is used as the RECALL
+    * stage with this as the exact verify). */
+  def containmentPairs(s: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingleHashes(s, d).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // populate before the self-join's sides race a cold cache
+    val e = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("shh"))
+    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shh"))
+    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shh"))
+    a.join(b, Seq("shh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   val MinhashK = 64   // signature length
   val BandR    = 2    // rows per band -> 32 bands
 

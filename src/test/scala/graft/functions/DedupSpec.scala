@@ -191,4 +191,25 @@ class DedupSpec extends SparkSpec {
     // covering the whole 10-token doc
     assert(rows(3L) == ((3L, 1L, 10L, 10)))
   }
+
+  test("containment catches an embedded excerpt that Jaccard dilutes") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("contain").toString
+    // doc 1 is a verbatim 6-token excerpt of 20-token doc 0:
+    // every doc-1 shingle (4) appears in doc 0 (18) -> containment 1.0
+    // while jaccard = 4/18 is far under any dedup threshold
+    val long0 = (0 until 20).map(i => s"t$i").mkString(" ")
+    val excerpt = (7 until 13).map(i => s"t$i").mkString(" ")
+    Seq((0L, long0), (1L, excerpt), (2L, "u0 u1 u2 u3 u4 u5"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val cont = Dedup.containmentPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    spark.catalog.clearCache()
+    assert(cont === Map((0L, 1L) -> 1.0), s"wrong containment pairs: $cont")
+    val jac = Dedup.ngramJaccard(spark, d).collect()
+    spark.catalog.clearCache()
+    assert(jac.isEmpty, "jaccard unexpectedly flagged the excerpt pair")
+  }
 }
