@@ -201,7 +201,17 @@ object Dedup {
     * bit-exact vs the SQL oracle. The shared-shingle join is the
     * blocking step — disjoint docs never meet — and carries only
     * (long, long, int) rows through the shuffle. */
-  def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame =
+    sharedShingleCounts(s, d)
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Shared-shingle pair counts (doc_a, doc_b, na, nb, common) — the
+    * blocking join both set-similarity referees ([[ngramJaccard]],
+    * [[containmentPairs]]) score from; only the normalizer differs. */
+  private def sharedShingleCounts(s: SparkSession, d: String): DataFrame = {
     // both join sides come from this one frame; persist so the
     // tokenize+hash kernel scans the corpus once, not per side
     val sh = shingleHashes(s, d).toDF()
@@ -214,10 +224,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Asymmetric containment near-dup [dedup_containment]:
@@ -232,22 +238,12 @@ object Dedup {
     * probability is monotone in Jaccard and is used as the RECALL
     * stage with this as the exact verify). */
   def containmentPairs(s: SparkSession, d: String,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = shingleHashes(s, d).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // populate before the self-join's sides race a cold cache
-    val e = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("shh"))
-    val a = e.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shh"))
-    val b = e.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shh"))
-    a.join(b, Seq("shh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
+      threshold: Double = 0.8): DataFrame =
+    sharedShingleCounts(s, d)
       .withColumn("containment",
         col("common") / least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
-  }
 
   val MinhashK = 64   // signature length
   val BandR    = 2    // rows per band -> 32 bands

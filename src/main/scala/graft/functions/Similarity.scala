@@ -456,12 +456,14 @@ object Similarity {
       .agg(max(col("value"))).head().getDouble(0)
     val bc = broadcastVecs(s, vectors(s, d).filter(col("vec_id") < nQueries))
     val scored = base.mapPartitions { it =>
-      val qs = bc.value
+      // augment queries ONCE per partition ([q, 0]), not per pair
+      val qAugs = bc.value.map { case (qid, qv, _) =>
+        (qid, java.util.Arrays.copyOf(qv, qv.length + 1))
+      }
       it.flatMap { case (id, v) =>
         val aug = java.util.Arrays.copyOf(v, v.length + 1)
         aug(v.length) = math.sqrt(math.max(0.0, m2 - dotArr(v, v)))
-        qs.iterator.filter(_._1 != id).map { case (qid, qv, _) =>
-          val qAug = java.util.Arrays.copyOf(qv, qv.length + 1)
+        qAugs.iterator.filter(_._1 != id).map { case (qid, qAug) =>
           var acc = 0.0; var i = 0
           while (i < qAug.length) {
             val t = qAug(i) - aug(i); acc += t * t; i += 1
