@@ -240,6 +240,7 @@ object SparkEntry {
     "ev_cumulative_users" -> CoreOps.evCumulativeUsers _,
     "x19_bitwise_suite"  -> CoreOps.x19BitwiseSuite _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -546,6 +547,12 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS adc_consistent,
         |       CAST(1 AS BOOLEAN) AS recall_ok,
         |       (SELECT COUNT(*) FROM embeddings) AS n_vectors""".stripMargin,
+    // PQ over the MIPS augmentation: recall boolean in-engine, the
+    // expected referee row count anchored relationally
+    "sim_pq_mips" ->
+      """SELECT CAST(1 AS BOOLEAN) AS mips_recall_ok,
+        |       (SELECT 5 * COUNT(*) FROM embeddings WHERE vec_id < 20)
+        |         AS n_expected""".stripMargin,
     // §2.7 streaming gate: real file-stream pipelines (append mode,
     // watermark, EventTimeTimeout session flush) checked stream==batch
     // inside Spark; DuckDB verifies the booleans (StreamGates).

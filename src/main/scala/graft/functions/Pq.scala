@@ -134,13 +134,19 @@ object Pq {
   private[functions] def adcScores(
       vecs: Dataset[(Long, Array[Double])],
       encoded: Dataset[(Long, Array[Int])],
-      books: Array[Array[Array[Double]]], nQueries: Int): DataFrame = {
+      books: Array[Array[Array[Double]]], nQueries: Int,
+      queryVecs: Option[Dataset[(Long, Array[Double])]] = None): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val m = books.length
     val ksub = books(0).length
     val dsub = books(0)(0).length
-    val qs = vecs.filter(_._1 < nQueries).collect().sortBy(_._1)
+    // queryVecs overrides the query side for ASYMMETRIC metrics (the
+    // MIPS reduction augments the corpus with sqrt(M^2-|x|^2) but the
+    // query with a literal 0 — scoring queries from the corpus frame
+    // would add a spurious (q_aug - x_aug)^2 term)
+    val qs = queryVecs.getOrElse(vecs)
+      .filter(_._1 < nQueries).collect().sortBy(_._1)
     val bcQ = s.sparkContext.broadcast(qs)
     val bcB = s.sparkContext.broadcast(books)
     encoded.mapPartitions { it =>
@@ -187,7 +193,8 @@ object Pq {
   private[functions] def adcRerankTopK(
       vecs: Dataset[(Long, Array[Double])],
       scores: DataFrame, nQueries: Int, k: Int,
-      shortlistFactor: Int): DataFrame = {
+      shortlistFactor: Int,
+      queryVecs: Option[Dataset[(Long, Array[Double])]] = None): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val wA = Window.partitionBy(col("query_id"))
@@ -195,7 +202,8 @@ object Pq {
     val short = scores.withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= k * shortlistFactor)
       .select(col("query_id"), col("vec_id"))
-    val qMap = vecs.filter(_._1 < nQueries).collect().toMap
+    val qMap = queryVecs.getOrElse(vecs)
+      .filter(_._1 < nQueries).collect().toMap
     val bcQ = s.sparkContext.broadcast(qMap)
     val rescored = vecs.toDF("vec_id", "v")
       .join(broadcast(short), Seq("vec_id"))
@@ -230,6 +238,51 @@ object Pq {
       .orderBy(col("dist").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+  }
+
+  /** PQ-serves-MIPS gate [sim_pq_mips]: the L2 index really does run
+    * maximum-inner-product retrieval UNCHANGED once the corpus is
+    * routed through the augmentation of [[Similarity.mipsViaL2TopK]] —
+    * corpus vectors gain the √(M²−|x|²) coordinate, queries a literal
+    * 0, and the SAME train/encode/ADC/re-rank pipeline as
+    * [[pqRecallGate]] then retrieves by inner product. This executes
+    * the composition the MIPS-reduction gate only proves in exact
+    * arithmetic: quantization error now sits on top of the reduction,
+    * and the gate holds the re-ranked recall floor against the brute
+    * MIPS referee. dim+1 = 65 splits into m=13 five-dim subspaces. */
+  def pqMipsGate(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = 13, ksub: Int = 64, shortlistFactor: Int = 8,
+      floor: Double = 0.8): DataFrame = {
+    import s.implicits._
+    val vecs = Ivf.vectors(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    val m2 = vecs.map { case (_, v) => Similarity.dotArr(v, v) }
+      .agg(max(col("value"))).head().getDouble(0)
+    val aug = vecs.map { case (id, v) =>
+      val a = java.util.Arrays.copyOf(v, v.length + 1)
+      a(v.length) = math.sqrt(math.max(0.0, m2 - Similarity.dotArr(v, v)))
+      (id, a)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    aug.count()
+    val augQ = vecs.map { case (id, v) =>
+      (id, java.util.Arrays.copyOf(v, v.length + 1))
+    }
+    val books = trainCodebooks(aug, m, ksub)
+    val scores = adcScores(aug, encode(aug, books), books, nQueries,
+      queryVecs = Some(augQ))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = adcRerankTopK(aug, scores, nQueries, k, shortlistFactor,
+      queryVecs = Some(augQ))
+    val brute = Similarity.mipsTopK(s, d, nQueries, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = approx.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = brute.agg(count(lit(1)).as("total"))
+    Gates.sealGate(s, hits.crossJoin(tot)
+      .select((col("hits") >= col("total") * floor).as("mips_recall_ok"),
+        col("total").as("n_expected")),
+      vecs, aug, scores, brute)
   }
 
   /** PQ ANN gate [sim_pq_topk]: (1) the lookup-table scores equal the

@@ -60,6 +60,15 @@ class PqSpec extends SparkSpec {
     c1.foreach { case (id, codes) => assert(codes.sameElements(c4(id))) }
   }
 
+  test("PQ over the MIPS augmentation holds the recall floor") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = Pq.pqMipsGate(spark, d).head()
+      info(s"$d: mips_recall_ok=${r.getBoolean(0)} n=${r.getLong(1)}")
+      assert(r.getBoolean(0), s"PQ-MIPS recall under floor at $d")
+      assert(r.getLong(1) === 100L)
+    }
+  }
+
   test("gate: booleans true, corpus count pinned") {
     val r = Pq.pqRecallGate(spark, sfDir).head()
     assert(r.getBoolean(0), "ADC consistency boolean false")
