@@ -241,6 +241,7 @@ object SparkEntry {
     "x19_bitwise_suite"  -> CoreOps.x19BitwiseSuite _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
+    "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -547,6 +548,13 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS adc_consistent,
         |       CAST(1 AS BOOLEAN) AS recall_ok,
         |       (SELECT COUNT(*) FROM embeddings) AS n_vectors""".stripMargin,
+    // dynamic partition overwrite: en carries generation 2 (doubled
+    // n_chars), every other partition keeps generation 1
+    "s15_dynamic_overwrite" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 2 * n_chars
+        |                     ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // PQ over the MIPS augmentation: recall boolean in-engine, the
     // expected referee row count anchored relationally
     "sim_pq_mips" ->

@@ -1909,6 +1909,33 @@ object CoreOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Dynamic partition overwrite [S15]: INSERT-OVERWRITE that
+    * replaces ONLY the partitions present in the incoming batch —
+    * the daily-reload contract of a partitioned 100 TB table (static
+    * overwrite mode would TRUNCATE the whole table first; dynamic
+    * deletes exactly the touched partition directories at commit).
+    * Writes the full corpus partitioned by lang, then overwrites the
+    * 'en' slice with recomputed rows (doubled n_chars) under
+    * partitionOverwriteMode=dynamic on the WRITER ONLY (per-write
+    * option, not a session flag — a concurrent static-mode writer is
+    * unaffected). The re-read aggregate proves untouched partitions
+    * kept their generation-1 rows while 'en' carries generation 2 —
+    * an accidental truncate or a partition-path miss both break it. */
+  def s15DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Fs.scratchDir(s, "graft_dynover", d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    docs.filter(col("lang") === "en")
+      .withColumn("n_chars", col("n_chars") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Schema-evolution read [S10]: a real lake's dataset directory
     * contains file GENERATIONS — old files written before a column
     * existed next to new files that carry it. Writes two parquet

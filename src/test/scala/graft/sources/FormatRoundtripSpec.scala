@@ -98,4 +98,23 @@ class FormatRoundtripSpec extends SparkSpec {
       // the option is load-bearing, not decorative
     } finally deleteRecursively(dir)
   }
+
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val got = graft.operators.CoreOps.s15DynamicOverwrite(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", col("n_chars") * 2)
+          .otherwise(col("n_chars"))).as("sc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every partition present (a static overwrite would have truncated
+    // the non-en partitions away), en carrying the doubled generation
+    assert(got === want)
+    assert(got.size > 1, "only one lang partition — truncation undetectable")
+    // the mode is a per-write option, never session state
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      === before)
+  }
 }
