@@ -242,6 +242,7 @@ object SparkEntry {
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
+    "a31_weighted_median" -> CoreOps.a31WeightedMedian _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -548,6 +549,21 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS adc_consistent,
         |       CAST(1 AS BOOLEAN) AS recall_ok,
         |       (SELECT COUNT(*) FROM embeddings) AS n_vectors""".stripMargin,
+    // weighted median: integer cumulative-weight crossing (2*cum >= tot)
+    // so no half-total float is ever compared
+    "a31_weighted_median" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
+        |       CAST(MAX(tot) AS BIGINT) AS total_weight
+        |FROM w WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
     // dynamic partition overwrite: en carries generation 2 (doubled
     // n_chars), every other partition keeps generation 1
     "s15_dynamic_overwrite" ->

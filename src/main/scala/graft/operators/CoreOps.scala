@@ -1700,6 +1700,35 @@ object CoreOps {
         max(col("cnt")).as("n_orders"))
   }
 
+  // ---------------------------------------------------------------- A31 weighted median
+  /** Exact weighted median [A31]: the smallest value whose cumulative
+    * weight reaches half the group's total — the robust center of a
+    * weighted distribution (price weighted by quantity here; quality
+    * scores weighted by token counts in a data pipeline). Same
+    * spill-safe shape as the scalable median [[a12MedianScalable]]:
+    * ONE per-group sort window carries the running weight, a count
+    * window the total, and the crossing row is selected by integer
+    * comparison (2·cum ≥ tot with integer weights — no half-total
+    * float ever compared, so engines cannot disagree at the
+    * boundary). min() picks the first crossing under the unique
+    * (value, key) sort. */
+  def a31WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val byGroup = Window.partitionBy(col("l_returnflag"))
+    val ordered = byGroup.orderBy(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("wgt"))
+      .withColumn("cum", sum(col("wgt")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wgt")).over(byGroup))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
+        max(col("tot")).as("total_weight"))
+  }
+
   // ---------------------------------------------------------------- X13 string→date parse
   /** Month-string → date parse (graphs.ipynb to_datetime('%m-%Y')):
     * format out and parse back, so both directions are exercised. [X13] */

@@ -125,6 +125,25 @@ class HistogramWindowSpec extends SparkSpec {
     }
   }
 
+  test("a31 weighted median: crossing row, heavy tail, exact-half tie") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("wmed").toString
+    Seq(
+      // group A: weights 1,1,10 -> total 12, crossing at value 3.0
+      ("A", 1.0, 1L, 1, 1.0), ("A", 2.0, 2L, 1, 1.0), ("A", 3.0, 3L, 1, 10.0),
+      // group B: heavy head 5,1,1 -> crossing at the FIRST value
+      ("B", 1.0, 4L, 1, 5.0), ("B", 2.0, 5L, 1, 1.0), ("B", 3.0, 6L, 1, 1.0),
+      // group C: exact half at row 1 (2*1 >= 2) -> lower value wins
+      ("C", 10.0, 7L, 1, 1.0), ("C", 20.0, 8L, 1, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey",
+        "l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = CoreOps.a31WeightedMedian(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === Map("A" -> ((3.0, 12L)), "B" -> ((1.0, 7L)),
+      "C" -> ((10.0, 2L))), s"wrong weighted medians: $got")
+  }
+
   test("w11 islands: consecutive days merge, any silent day splits") {
     val rows = CoreOps.w11GapsIslands(spark, sfDir).collect()
     // island internal consistency: span == n_days (no gap inside)
