@@ -243,6 +243,7 @@ object SparkEntry {
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
     "a31_weighted_median" -> CoreOps.a31WeightedMedian _,
+    "ev_holt"            -> ((s, d) => EventOps.holt(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1141,6 +1142,27 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS inter_within_err,
         |       CAST(1 AS BOOLEAN) AS union_within_err
         |FROM b""".stripMargin,
+    // Holt level+trend: the recursive CTE carries BOTH state columns;
+    // alpha=0.5 / beta=0.25 are binary-exact so every multiply is
+    // bit-reproducible
+    "ev_holt" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn,
+        |         value AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_id, o.value, o.rn,
+        |         0.5 * o.value + (1 - 0.5) * (r.level + r.trend),
+        |         0.25 * ((0.5 * o.value + (1 - 0.5) * (r.level + r.trend))
+        |                 - r.level) + (1 - 0.25) * r.trend
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, event_id, level, trend
+        |FROM r""".stripMargin,
     // sequential recurrence: the recursive CTE replays the identical
     // alpha*x + (1-alpha)*prev double chain in (ts, event_id) order
     "ev_ewma" ->

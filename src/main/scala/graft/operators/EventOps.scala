@@ -488,6 +488,45 @@ object EventOps {
     * task). Arithmetic is the literal α·x + (1−α)·prev, left to
     * right, so the oracle's recursive CTE reproduces every double
     * bit-for-bit; 6-decimal round on both sides. */
+  /** Holt double-exponential smoothing per user [HOLT]: the
+    * level+trend recurrence (levelᵢ = α·xᵢ + (1−α)(levelᵢ₋₁+trendᵢ₋₁);
+    * trendᵢ = β(levelᵢ−levelᵢ₋₁) + (1−β)trendᵢ₋₁) — the two-state big
+    * sibling of [[ewma]], same typed sorted-group fold and the same
+    * boundedness contract. α=0.5 and β=0.25 are BINARY-EXACT
+    * constants, so every multiply is reproducible to the bit and the
+    * oracle's two-column recursive CTE replays the identical double
+    * chain. */
+  def holt(s: SparkSession, d: String, alpha: Double = 0.5,
+      beta: Double = 0.25): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var level = 0.0; var trend = 0.0; var first = true
+        evs.iterator.map { case (_, eventId, _, x) =>
+          if (first) { first = false; level = x; trend = 0.0 }
+          else {
+            val prev = level
+            level = alpha * x + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+          }
+          (user, eventId, level, trend)
+        }
+      }
+      .toDF("user_id", "event_id", "level", "trend")
+      // emitted UNROUNDED: the dyadic α/β keep the state a dyadic
+      // rational, so values genuinely land on exact .xxxxxx5 decimal
+      // boundaries where the engines' round() implementations differ
+      // (exact-decimal HALF_UP vs a ×10⁶ double multiply — measured on
+      // this corpus); the raw doubles are bit-identical on both
+      // engines, so the compare canonicalizes them identically
+      .select(col("user_id"), col("event_id"), col("level"), col("trend"))
+  }
+
   def ewma(s: SparkSession, d: String, alpha: Double = 0.2): DataFrame = {
     import s.implicits._
     Tables.events(s, d)

@@ -163,6 +163,32 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: two-state recurrence matches a driver-side fold per user") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = EventOps.holt(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val want = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        var level = 0.0; var trend = 0.0; var first = true
+        evs.sortBy(e => (e._3, e._2)).map { case (u, id, _, x) =>
+          if (first) { first = false; level = x; trend = 0.0 }
+          else {
+            val prev = level
+            level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (level - prev) + 0.75 * trend
+          }
+          (u, id) -> ((level, trend))
+        }
+      }.toMap
+    assert(got.size === want.size)
+    // unrounded output: the typed fold must be BIT-identical
+    want.foreach { case (k, (l, t)) =>
+      assert(got(k) === ((l, t)), s"mismatch at $k: ${got(k)} vs ($l, $t)") }
+  }
+
   test("ewma: recurrence matches a driver-side fold per user") {
     val sfDir = "/root/testdata/sf0.001"
     val got = EventOps.ewma(spark, sfDir)
