@@ -244,6 +244,7 @@ object SparkEntry {
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
     "a31_weighted_median" -> CoreOps.a31WeightedMedian _,
     "ev_holt"            -> ((s, d) => EventOps.holt(s, d)),
+    "text_jsd"           -> ((s, d) => TextOps.jsDivergence(s, d)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1142,6 +1143,26 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS inter_within_err,
         |       CAST(1 AS BOOLEAN) AS union_within_err
         |FROM b""".stripMargin,
+    // Jensen-Shannon drift between slices: exact counts, doubles only
+    // in the division/log, same 0.5*SUM + 0.5*SUM fold order
+    "text_jsd" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |           FROM documents WHERE lang IN ('en', 'fr')),
+        |c AS (SELECT lang, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |a AS (SELECT token, c AS ca FROM c WHERE lang = 'en'),
+        |b AS (SELECT token, c AS cb FROM c WHERE lang = 'fr'),
+        |j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.token = b.token),
+        |pq AS (SELECT ca / (SELECT tot FROM tot WHERE lang = 'en') AS p,
+        |              cb / (SELECT tot FROM tot WHERE lang = 'fr') AS q
+        |       FROM j),
+        |terms AS (SELECT p, q, (p + q) / 2 AS m FROM pq)
+        |SELECT round(SUM(CASE WHEN p > 0 THEN p * ln(p / m) END) * 0.5
+        |           + SUM(CASE WHEN q > 0 THEN q * ln(q / m) END) * 0.5, 6)
+        |         AS jsd,
+        |       COUNT(*) AS vocab_union
+        |FROM terms""".stripMargin,
     // Holt level+trend: the recursive CTE carries BOTH state columns;
     // alpha=0.5 / beta=0.25 are binary-exact so every multiply is
     // bit-reproducible

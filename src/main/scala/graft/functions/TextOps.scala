@@ -435,4 +435,46 @@ object TextOps {
       .join(dfs, Seq("term"))
       .select(col("term"), col("df"), col("postings"))
   }
+
+  /** Unigram-distribution shift between two corpus slices [text_jsd]:
+    * Jensen–Shannon divergence between the en and fr token
+    * distributions — the drift monitor a data pipeline runs between
+    * corpus snapshots, source mixes, or train/eval splits (symmetric,
+    * bounded by ln 2, defined even where one side's probability is 0).
+    * Shape: one token-count aggregate per slice (partial-agg'd — the
+    * shuffle carries (lang, token) pairs, never token instances), a
+    * FULL OUTER join on the union vocabulary (vocab-sized, not
+    * data-sized), slice totals broadcast from a 2-row aggregate, then
+    * the Σ p·ln(p/m) terms fold in one final aggregate. Exact integer
+    * counts; doubles only in the division/log; 6-decimal round
+    * absorbs the unordered-sum ulp drift. */
+  def jsDivergence(s: SparkSession, d: String,
+      langA: String = "en", langB: String = "fr"): DataFrame = {
+    val toks = graft.Tables.documents(s, d)
+      .filter(col("lang").isin(langA, langB))
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two scalar slice totals (bounded collect, the stratum-counts
+    // convention); dividing by literals keeps the plan join-free
+    val totals = toks.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def side(l: String, cName: String): DataFrame =
+      toks.filter(col("lang") === l).select(col("token"), col("c").as(cName))
+    val out = side(langA, "ca")
+      .join(side(langB, "cb"), Seq("token"), "full_outer")
+      .select(
+        (coalesce(col("ca"), lit(0L)) / lit(totals(langA))).as("p"),
+        (coalesce(col("cb"), lit(0L)) / lit(totals(langB))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(
+        sum(when(col("p") > 0, col("p") * log(col("p") / col("m")))).as("kl_a"),
+        sum(when(col("q") > 0, col("q") * log(col("q") / col("m")))).as("kl_b"),
+        count(lit(1)).as("vocab_union"))
+      .select(round((col("kl_a") * 0.5 + col("kl_b") * 0.5), 6).as("jsd"),
+        col("vocab_union"))
+    val rows = out.collect()
+    toks.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
 }

@@ -202,4 +202,24 @@ class TextOpsSpec extends SparkSpec {
       .groupBy(org.apache.spark.sql.functions.col("keep")).count().count()
     assert(keeps === 2, "thresholds no longer split the corpus")
   }
+
+  test("jsd: 0 on identical slices, ln 2 on disjoint vocab, mid between") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("jsd").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def jsd(): Double = {
+      val r = TextOps.jsDivergence(spark, d).head()
+      r.getDouble(0)
+    }
+    write(Seq((0L, "a b c", "en"), (1L, "a b c", "fr")))
+    assert(jsd() === 0.0)
+    write(Seq((0L, "a b c", "en"), (1L, "x y z", "fr")))
+    assert(math.abs(jsd() - math.log(2)) < 1e-6, "disjoint vocab != ln 2")
+    write(Seq((0L, "a a b b", "en"), (1L, "a b b b", "fr")))
+    val mid = jsd()
+    assert(mid > 0.0 && mid < math.log(2), s"mid-overlap jsd $mid out of range")
+  }
 }
