@@ -245,6 +245,7 @@ object SparkEntry {
     "a31_weighted_median" -> CoreOps.a31WeightedMedian _,
     "ev_holt"            -> ((s, d) => EventOps.holt(s, d)),
     "text_jsd"           -> ((s, d) => TextOps.jsDivergence(s, d)),
+    "ev_scan_gate"       -> EventOps.scanGate _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1638,6 +1639,15 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS final_parity,
         |       (SELECT COUNT(DISTINCT event_type) FROM events
         |        WHERE user_id < 40) AS n_types""".stripMargin,
+    // chunked-scan precision contract: the booleans compare the
+    // two-phase affine scan against the single-task fold IN-ENGINE
+    // (no SQL oracle can replay the composed-carry float sequence);
+    // n_rows anchors the join cardinality relationally
+    "ev_scan_gate" ->
+      """SELECT CAST(1 AS BOOLEAN) AS ewma_round6_exact,
+        |       CAST(1 AS BOOLEAN) AS holt_within_tol,
+        |       CAST(1 AS BOOLEAN) AS multi_chunk,
+        |       (SELECT COUNT(*) FROM events) AS n_rows""".stripMargin,
     "compact_small_files" ->
       """SELECT CAST(1 AS BOOLEAN) AS content_equal,
         |       CAST(1 AS BOOLEAN) AS layout_ok,

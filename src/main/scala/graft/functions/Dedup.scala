@@ -233,10 +233,16 @@ object Dedup {
     * slips a Jaccard dedup; containment normalizes by the smaller
     * set, so full embedding scores 1.0 regardless of the size gap.
     * Identical shared-shingle blocking join and integer-count math as
-    * [[ngramJaccard]] (this is the small-data referee; the scale path
-    * for containment is the same MinHash-LSH banding, whose collision
-    * probability is monotone in Jaccard and is used as the RECALL
-    * stage with this as the exact verify). */
+    * [[ngramJaccard]] (this is the small-data referee). NOTE on the
+    * scale path: MinHash-LSH banding recall is monotone in JACCARD,
+    * and the pair this detector exists for — short excerpt inside a
+    * long doc — is precisely high-containment/LOW-Jaccard (a 6-of-20
+    * token quote is J≈0.22, ≈20% band-miss at r=2/b=32), so plain
+    * banding is the wrong recall stage here. A containment-aware
+    * candidate stage — prefix filtering on the smaller set's rarest
+    * shingles, or one-sided MinHash (signatures of A∩B normalized by
+    * min|·|) — is what a 100 TB deployment would block with, keeping
+    * this exact count as the verify. */
   def containmentPairs(s: SparkSession, d: String,
       threshold: Double = 0.8): DataFrame =
     sharedShingleCounts(s, d)

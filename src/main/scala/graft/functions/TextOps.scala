@@ -459,6 +459,14 @@ object TextOps {
     // convention); dividing by literals keeps the plan join-free
     val totals = toks.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // an absent/empty slice would otherwise surface as a bare
+    // NoSuchElementException from the map (and then a 0-divide in p/q);
+    // fail with the actual diagnosis instead — JSD between an empty
+    // distribution and anything is undefined, that's data, not a bug
+    require(totals.contains(langA) && totals.contains(langB),
+      s"jsDivergence: empty token slice for " +
+        s"${Seq(langA, langB).filterNot(totals.contains).mkString(",")} — " +
+        s"JSD against an empty distribution is undefined")
     def side(l: String, cName: String): DataFrame =
       toks.filter(col("lang") === l).select(col("token"), col("c").as(cName))
     val out = side(langA, "ca")

@@ -2408,9 +2408,11 @@ object CoreOps {
   def a26HeavyHitters(s: SparkSession, d: String, phi: Double = 0.01): DataFrame = {
     import s.implicits._
     // 30% of events concentrate onto 7 hot keys, the rest are
-    // singleton keys (unique event_ids offset out of the hot range)
+    // singleton keys (unique event_ids offset out of the hot range).
+    // % (not pmod) so engine and oracle agree for ANY id sign — both
+    // engines give % the dividend's sign, the abTtest discipline
     val keyed = Tables.events(s, d).select(
-      when(col("event_id") % 10 < 3, pmod(col("user_id"), lit(7)))
+      when(col("event_id") % 10 < 3, col("user_id") % 7)
         .otherwise(col("event_id") + 7).as("hkey"))
     heavyHittersOf(keyed.as[Long], phi)
   }

@@ -476,28 +476,70 @@ object EventOps {
   /** Exponentially-weighted moving average per user [EWMA]:
     * ewmaᵢ = α·xᵢ + (1−α)·ewmaᵢ₋₁ over each user's events in
     * (ts, event_id) order — the smoothing/decay primitive behind
-    * anomaly baselines and rate estimators. This is a GENUINE
-    * sequential recurrence, the rare case where typed per-group
-    * imperative code beats SQL: the closed-form window rewrite
-    * (Σ xⱼ·(1−α)^(rn−j) via pow) overflows (1−α)^(−rn) past a few
-    * hundred rows per key, and no associative aggregate computes it.
-    * groupByKey shuffles by user_id once; each group sorts its OWN
-    * history in memory (state is per-user history — the identical
-    * boundedness contract as sessionization's flatMapGroupsWithState;
-    * hot users salt-split upstream if a single history outgrows a
-    * task). Arithmetic is the literal α·x + (1−α)·prev, left to
-    * right, so the oracle's recursive CTE reproduces every double
-    * bit-for-bit; 6-decimal round on both sides. */
+    * anomaly baselines and rate estimators. A genuine sequential
+    * recurrence (the closed-form window rewrite Σ xⱼ·(1−α)^(rn−j)
+    * overflows (1−α)^(−rn) past a few hundred rows per key) — but an
+    * AFFINE one (state' = A·state + b), so per-chunk transforms
+    * compose and the two-phase chunked scan in [[affineScan]] runs it
+    * with per-task memory bounded by the CHUNK, not the user's whole
+    * history. Arithmetic inside each chunk is the literal
+    * α·x + (1−α)·prev, left to right, matching the oracle's recursive
+    * CTE; 6-decimal round on both sides (see [[affineScan]] for the
+    * chunk-carry precision contract). */
+  def ewma(s: SparkSession, d: String, alpha: Double = 0.2,
+      chunkMicros: Long = DefaultChunkMicros): DataFrame =
+    affineScan(s, d, EwmaRec(alpha), chunkMicros)
+      .select(col("user_id"), col("event_id"),
+        round(col("s0"), 6).as("ewma"))
+
   /** Holt double-exponential smoothing per user [HOLT]: the
     * level+trend recurrence (levelᵢ = α·xᵢ + (1−α)(levelᵢ₋₁+trendᵢ₋₁);
-    * trendᵢ = β(levelᵢ−levelᵢ₋₁) + (1−β)trendᵢ₋₁) — the two-state big
-    * sibling of [[ewma]], same typed sorted-group fold and the same
-    * boundedness contract. α=0.5 and β=0.25 are BINARY-EXACT
-    * constants, so every multiply is reproducible to the bit and the
-    * oracle's two-column recursive CTE replays the identical double
-    * chain. */
+    * trendᵢ = β(levelᵢ−levelᵢ₋₁) + (1−β)trendᵢ₋₁) — the two-state
+    * sibling of [[ewma]], same [[affineScan]] execution. α=0.5 and
+    * β=0.25 are BINARY-EXACT constants, so the in-chunk multiplies
+    * are reproducible to the bit and the oracle's two-column
+    * recursive CTE replays the identical double chain.
+    *
+    * Emitted UNROUNDED: the dyadic α/β keep the state a dyadic
+    * rational, so values genuinely land on exact .xxxxxx5 decimal
+    * boundaries where the engines' round() implementations differ
+    * (exact-decimal HALF_UP vs a ×10⁶ double multiply — measured on
+    * this corpus); the raw doubles agree on both engines, so the
+    * compare canonicalizes them identically. */
   def holt(s: SparkSession, d: String, alpha: Double = 0.5,
-      beta: Double = 0.25): DataFrame = {
+      beta: Double = 0.25,
+      chunkMicros: Long = HoltChunkMicros): DataFrame =
+    affineScan(s, d, HoltRec(alpha, beta), chunkMicros)
+      .select(col("user_id"), col("event_id"),
+        col("s0").as("level"), col("s1").as("trend"))
+
+  /** Single-task-per-user reference folds — the REFEREES the property
+    * suite checks [[affineScan]] against (bit-parity where the scan's
+    * contract promises it, bounded ulp drift where it doesn't). Kept
+    * out of the query surface: their per-task memory is the user's
+    * whole history, exactly the bound the scan removes. */
+  private[graft] def ewmaFold(s: SparkSession, d: String,
+      alpha: Double = 0.2): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var prev = 0.0
+        var first = true
+        evs.iterator.map { case (_, eventId, _, x) =>
+          prev = if (first) { first = false; x } else alpha * x + (1 - alpha) * prev
+          (user, eventId, prev)
+        }
+      }
+      .toDF("user_id", "event_id", "s0")
+  }
+
+  private[graft] def holtFold(s: SparkSession, d: String,
+      alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
@@ -517,33 +559,267 @@ object EventOps {
           (user, eventId, level, trend)
         }
       }
-      .toDF("user_id", "event_id", "level", "trend")
-      // emitted UNROUNDED: the dyadic α/β keep the state a dyadic
-      // rational, so values genuinely land on exact .xxxxxx5 decimal
-      // boundaries where the engines' round() implementations differ
-      // (exact-decimal HALF_UP vs a ×10⁶ double multiply — measured on
-      // this corpus); the raw doubles are bit-identical on both
-      // engines, so the compare canonicalizes them identically
-      .select(col("user_id"), col("event_id"), col("level"), col("trend"))
+      .toDF("user_id", "event_id", "s0", "s1")
   }
 
-  def ewma(s: SparkSession, d: String, alpha: Double = 0.2): DataFrame = {
+  /** Default chunk width for [[affineScan]]: one event-time day.
+    * On the test corpus (30 days) this makes typical users genuinely
+    * multi-chunk, so the driver rows exercise the composed-carry path,
+    * while a hot user's per-task bound is its busiest DAY, not its
+    * lifetime. */
+  val DefaultChunkMicros: Long = 86400L * 1000000L
+
+  /** Holt's oracle-facing chunk width: one event-time QUARTER, sized
+    * so the 30-day corpus stays single-chunk per user. Measured
+    * necessity, not caution: Holt's dyadic α/β park state values
+    * EXACTLY on .xxxxxx5 decimal boundaries (the c409956 round-tie
+    * trap), where the composed carry's O(ε) rounding difference vs the
+    * fold — harmless for any non-boundary value — flips the oracle's
+    * 6-decimal canonicalization (17 of 100k rows flipped at sf0.1 with
+    * 1-day chunks; EWMA's non-dyadic α measured ZERO flips at both
+    * SFs, hence its tighter default). Multi-chunk Holt is exercised by
+    * the [ev_scan_gate] driver row and EventOpsSpec at 1-day/1-hour
+    * widths under the documented O(ε/α) tolerance. */
+  val HoltChunkMicros: Long = 90L * 86400L * 1000000L
+
+  /** Gate query [ev_scan_gate]: the chunked scan's precision contract,
+    * proven in-engine where no SQL oracle can replay it (same booleans
+    * +constant-oracle pattern as the stream gates). Both recurrences
+    * run MULTI-CHUNK (1-day chunks over the 30-day corpus — the
+    * composed-carry path genuinely engages, pinned by the multi_chunk
+    * boolean) against the single-task folds:
+    *  - ewma_round6_exact: EWMA's 6-decimal surface is IDENTICAL to
+    *    the fold's — the contraction keeps carry drift orders below
+    *    the round (measured zero flips; this gate keeps it that way);
+    *  - holt_within_tol: Holt's raw doubles stay within 1e-9 absolute
+    *    of the fold (the O(ε/α) contract — bit-parity is only
+    *    promised single-chunk, see [[HoltChunkMicros]]);
+    *  - multi_chunk: the corpus really split into more chunks than
+    *    users, so the above was not vacuously single-chunk.
+    * n_rows anchors the oracle relationally (= events count). */
+  def scanGate(s: SparkSession, d: String): DataFrame = {
+    val w = DefaultChunkMicros
+    val ew = affineScan(s, d, EwmaRec(0.2), w)
+      .select(col("user_id"), col("event_id"), round(col("s0"), 6).as("a"))
+      .join(ewmaFold(s, d)
+        .select(col("user_id"), col("event_id"), round(col("s0"), 6).as("b")),
+        Seq("user_id", "event_id"))
+      .agg(sum(when(col("a") =!= col("b"), 1L).otherwise(0L)).as("ewma_flips"),
+        count(lit(1)).as("n_ewma"))
+    val ho = affineScan(s, d, HoltRec(0.5, 0.25), w)
+      .select(col("user_id"), col("event_id"), col("s0").as("l1"), col("s1").as("t1"))
+      .join(holtFold(s, d)
+        .select(col("user_id"), col("event_id"), col("s0").as("l2"), col("s1").as("t2")),
+        Seq("user_id", "event_id"))
+      .agg(max(greatest(abs(col("l1") - col("l2")), abs(col("t1") - col("t2"))))
+        .as("holt_dev"), count(lit(1)).as("n_holt"))
+    val chunks = Tables.events(s, d)
+      .agg(countDistinct(col("user_id"),
+          floor(unix_micros(col("ts")) / w)).as("n_chunks"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    val out = ew.crossJoin(ho).crossJoin(chunks)
+      .select(
+        (col("ewma_flips") === 0 && col("n_ewma") === col("n_events"))
+          .as("ewma_round6_exact"),
+        (col("holt_dev") < 1e-9 && col("n_holt") === col("n_events"))
+          .as("holt_within_tol"),
+        (col("n_chunks") > col("n_users")).as("multi_chunk"),
+        col("n_events").as("n_rows"))
+    val rows = out.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** An affine per-user recurrence sᵢ = M(xᵢ)·sᵢ₋₁ + b(xᵢ), with the
+    * user's FIRST event resetting the state. `dim` ≤ 2 here; `step`
+    * is the literal fold arithmetic (the op sequence the oracle
+    * replays), `mat`/`vec` the same step as an explicit affine map. */
+  private[graft] sealed trait AffineRec extends Serializable {
+    def dim: Int
+    def init(x: Double): Array[Double]
+    def step(st: Array[Double], x: Double): Unit // in place, fold ops
+    def mat(x: Double): Array[Double]            // dim×dim row-major
+    def vec(x: Double): Array[Double]
+  }
+  private[graft] final case class EwmaRec(alpha: Double) extends AffineRec {
+    val dim = 1
+    def init(x: Double) = Array(x)
+    def step(st: Array[Double], x: Double): Unit =
+      st(0) = alpha * x + (1 - alpha) * st(0)
+    def mat(x: Double) = Array(1 - alpha)
+    def vec(x: Double) = Array(alpha * x)
+  }
+  private[graft] final case class HoltRec(alpha: Double, beta: Double)
+      extends AffineRec {
+    val dim = 2
+    def init(x: Double) = Array(x, 0.0)
+    def step(st: Array[Double], x: Double): Unit = {
+      val prev = st(0)
+      st(0) = alpha * x + (1 - alpha) * (st(0) + st(1))
+      st(1) = beta * (st(0) - prev) + (1 - beta) * st(1)
+    }
+    // level' = (1−α)·level + (1−α)·trend + α·x
+    // trend' = −αβ·level + (1−αβ)·trend + αβ·x
+    def mat(x: Double) = Array(1 - alpha, 1 - alpha, -alpha * beta,
+      1 - alpha * beta)
+    def vec(x: Double) = Array(alpha * x, alpha * beta * x)
+  }
+
+  /** One event-time chunk of one user's history: the composed affine
+    * transform (m·s + b) of the whole chunk for a started state, the
+    * chunk's exit state when the user STARTS here (first event resets),
+    * and the chunk's sorted events for the final replay. */
+  private[graft] final case class ChunkSum(user: Long, chunk: Long,
+      m: Array[Double], b: Array[Double], resetOut: Array[Double],
+      evs: Array[(Long, Long, Double)])
+
+  /** Two-phase chunked execution of an affine per-user recurrence
+    * [SCAN] — the scale-out form of the classic parallel prefix over
+    * an associative operator (affine maps compose:
+    * (M₂,b₂)∘(M₁,b₁) = (M₂M₁, M₂b₁+b₂)):
+    *
+    *  1. CHUNK: events shuffle once on (user, ⌊ts/W⌋); each task sorts
+    *     only its chunk (per-task memory = one user-DAY by default,
+    *     never a lifetime history — the bound the single-task fold
+    *     could only document).
+    *  2. CARRY: per chunk, the composed affine map (dim ≤ 2: a handful
+    *     of doubles) flows to a per-user prefix fold over CHUNK
+    *     SUMMARIES — n_chunks tiny rows per user, not events.
+    *  3. REPLAY: carries join back (co-partitioned equi-join on
+    *     (user, chunk)) and each chunk replays its events from its
+    *     carry-in with the LITERAL fold arithmetic.
+    *
+    * Precision contract: within a chunk the op sequence is exactly
+    * the sequential fold's, so a user whose history fits one chunk is
+    * BIT-IDENTICAL to the fold (and to the oracle's recursive CTE).
+    * Across chunks the carry is the composed-map value, whose
+    * rounding differs from the fold's by O(ε) — and because both
+    * recurrences are CONTRACTIONS (|spectral radius| = 1−α for EWMA,
+    * √(1−αβ... ) ≈ 0.71 for Holt at the defaults), a carry
+    * perturbation decays geometrically with every subsequent event:
+    * the deviation vs the fold is O(ε/α) relative, independent of
+    * history length — orders of magnitude inside the 6-decimal
+    * round both oracle gates apply (EventOpsSpec pins bit-parity for
+    * single-chunk histories, partition-invariance bitwise, and the
+    * ulp bound on adversarial multi-chunk inputs). */
+  private[graft] def affineScan(s: SparkSession, d: String, rec: AffineRec,
+      chunkMicros: Long): DataFrame =
+    affineScanOf(Tables.events(s, d), rec, chunkMicros)
+
+  /** Same scan over a caller-provided events frame (lets the property
+    * suite drive adversarial histories and partitionings). */
+  private[graft] def affineScanOf(events: DataFrame, rec: AffineRec,
+      chunkMicros: Long): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    Tables.events(s, d)
+    val dim = rec.dim
+    def compose(m2: Array[Double], b2: Array[Double],
+        m1: Array[Double], b1: Array[Double]): (Array[Double], Array[Double]) = {
+      val m = new Array[Double](dim * dim)
+      val b = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          var acc = 0.0
+          var k = 0
+          while (k < dim) { acc += m2(i * dim + k) * m1(k * dim + j); k += 1 }
+          m(i * dim + j) = acc
+          j += 1
+        }
+        var accB = b2(i)
+        var k = 0
+        while (k < dim) { accB += m2(i * dim + k) * b1(k); k += 1 }
+        b(i) = accB
+        i += 1
+      }
+      (m, b)
+    }
+    def apply(m: Array[Double], b: Array[Double],
+        st: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = b(i)
+        var k = 0
+        while (k < dim) { acc += m(i * dim + k) * st(k); k += 1 }
+        out(i) = acc
+        i += 1
+      }
+      out
+    }
+
+    val chunked = events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"))
       .as[(Long, Long, Long, Double)]
+      .groupByKey(t => (t._1, Math.floorDiv(t._3, chunkMicros)))
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
+        val (user, chunk) = key
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        // identity map ∘ element maps, left to right
+        var m = Array.tabulate(dim * dim)(i => if (i % (dim + 1) == 0) 1.0 else 0.0)
+        var b = new Array[Double](dim)
+        val reset = rec.init(evs(0)._4)
+        var i = 0
+        while (i < evs.length) {
+          val x = evs(i)._4
+          val (m2, b2) = compose(rec.mat(x), rec.vec(x), m, b)
+          m = m2; b = b2
+          if (i > 0) rec.step(reset, x)
+          i += 1
+        }
+        ChunkSum(user, chunk, m, b, reset,
+          evs.map(e => (e._2, e._3, e._4)))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // phase 2: per-user prefix over chunk summaries (n_chunks tiny
+    // rows per user — per-task memory is the summary count, events
+    // never pass through this stage). Empty carry array = "user
+    // starts in this chunk" (the reset path).
+    val carries = chunked
+      .map(c => (c.user, c.chunk, c.m, c.b, c.resetOut))
       .groupByKey(_._1)
       .flatMapGroups { (user, it) =>
-        val evs = it.toArray.sortBy(e => (e._3, e._2))
-        var prev = 0.0
-        var first = true
-        evs.iterator.map { case (_, eventId, _, x) =>
-          prev = if (first) { first = false; x } else alpha * x + (1 - alpha) * prev
-          (user, eventId, prev)
+        val sums = it.toArray.sortBy(_._2)
+        var started = false
+        var st: Array[Double] = null
+        sums.iterator.map { case (_, chunk, m, b, reset) =>
+          val carryIn = if (started) st else Array.empty[Double]
+          st = if (!started) { started = true; reset } else apply(m, b, st)
+          (user, chunk, carryIn)
         }
       }
-      .toDF("user_id", "event_id", "ewma")
-      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+      .toDF("user_id", "chunk", "carry")
+
+    // phase 3: replay each chunk from its carry-in with fold ops
+    val out = chunked
+      .joinWith(carries.as[(Long, Long, Array[Double])],
+        chunked("user") === carries("user_id") &&
+          chunked("chunk") === carries("chunk"))
+      .flatMap { case (cs, (_, _, carry)) =>
+        var st: Array[Double] = null
+        var i = 0
+        val res = new Array[(Long, Long, Double, Double)](cs.evs.length)
+        while (i < cs.evs.length) {
+          val (eid, _, x) = cs.evs(i)
+          if (i == 0 && carry.isEmpty) st = rec.init(x)
+          else {
+            if (i == 0) st = carry.clone()
+            rec.step(st, x)
+          }
+          res(i) = (cs.user, eid, st(0), if (dim > 1) st(1) else 0.0)
+          i += 1
+        }
+        res
+      }
+      .toDF("user_id", "event_id", "s0", "s1")
+    // the persisted chunk frame is read twice (summaries + replay);
+    // Bench's per-query clearCache releases it, matching the other
+    // persist-using operators' discipline
+    out.select(
+      (col("user_id") +: col("event_id") +:
+        (0 until dim).map(i => col(s"s$i"))): _*)
   }
 }

@@ -545,6 +545,32 @@ class SegMicroBatchStream(path: String, required: StructType,
 
   private def names(): Seq[String] = SegSource.listSegments(path)
 
+  /** Monotone-name violation detector. A file whose name sorts at or
+    * below a batch's start watermark can never join a live batch (the
+    * name range has moved past it) — if the writer convention is
+    * violated, that file is silently LOST. `planned` accumulates every
+    * name this instance has put in a batch; names ≤ the start
+    * watermark that were never planned are counted and logged, so the
+    * violation is observable in metrics instead of silent. On
+    * checkpoint recovery the set is seeded from the recovered start
+    * offset (names ≤ start are assumed to be the committed set —
+    * auditing THAT remembered set across restarts is what a persisted
+    * per-batch file log, FileStreamSource-style, would add). */
+  private val planned = scala.collection.mutable.Set[String]()
+  private var seeded = false
+  private def detectLate(ns: Seq[String], lo: String): Unit = synchronized {
+    if (!seeded) { planned ++= ns.filter(_ <= lo); seeded = true }
+    val late = ns.filter(n => n <= lo && !planned.contains(n))
+    if (late.nonEmpty) {
+      graft.Counters.add("gseg_stream_late_files", late.size.toLong)
+      System.err.println(
+        s"[gseg] WARNING: ${late.size} segment(s) below the committed " +
+          s"watermark were never planned (monotone-name violation, " +
+          s"rows lost): ${late.take(3).mkString(", ")}")
+      planned ++= late // count each violation once, not per trigger
+    }
+  }
+
   override def initialOffset(): Offset = SegOffset("")
   override def latestOffset(): Offset = {
     val ns = names()
@@ -562,7 +588,10 @@ class SegMicroBatchStream(path: String, required: StructType,
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[SegOffset].watermark
     val hi = end.asInstanceOf[SegOffset].watermark
-    val batch = names().filter(n => n > lo && n <= hi)
+    val ns = names()
+    detectLate(ns, lo)
+    val batch = ns.filter(n => n > lo && n <= hi)
+    synchronized { planned ++= batch }
     val kept = batch.filter(f => {
       val h = SegSource.headerOf(f)
       pushed.forall(SegSource.mayMatch(h, _))

@@ -163,6 +163,119 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def syntheticEvents(evs: Seq[(Long, Long, Long, Double)],
+      parts: Int): org.apache.spark.sql.DataFrame = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    evs.toDF("user_id", "event_id", "ts_us", "value")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .repartition(parts)
+  }
+
+  private def driverEwma(evs: Seq[(Long, Long, Long, Double)], alpha: Double)
+      : Map[(Long, Long), Double] =
+    evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var prev = 0.0; var first = true
+      es.sortBy(e => (e._3, e._2)).map { case (u, id, _, x) =>
+        prev = if (first) { first = false; x } else alpha * x + (1 - alpha) * prev
+        (u, id) -> prev
+      }
+    }.toMap
+
+  test("affineScan: single-chunk histories are BIT-identical to the fold") {
+    val evs = (0 until 4).flatMap { u =>
+      (0 until 50).map(i =>
+        (u.toLong, i.toLong, i.toLong * 1000000L, math.sin(u * 100 + i) * 37.5))
+    }
+    val df = syntheticEvents(evs, 7)
+    // chunk width far above the whole span -> one chunk per user
+    val got = EventOps.affineScanOf(df, EventOps.EwmaRec(0.2), 1L << 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = driverEwma(evs, 0.2)
+    assert(got.size === want.size)
+    want.foreach { case (k, v) => assert(got(k) === v, s"bit mismatch at $k") }
+  }
+
+  test("affineScan: partition-invariant bitwise under adversarial partitionings") {
+    val evs = (0 until 6).flatMap { u =>
+      (0 until 80).map(i =>
+        (u.toLong, i.toLong, i.toLong * 500000L, math.cos(u * 31 + i) * 12.25))
+    }
+    // multi-chunk on purpose: W = 5 s of event time over a 40 s span
+    val w = 5000000L
+    val ref = EventOps.affineScanOf(syntheticEvents(evs, 1),
+        EventOps.HoltRec(0.5, 0.25), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    for (parts <- Seq(2, 13)) {
+      val got = EventOps.affineScanOf(
+          syntheticEvents(scala.util.Random.shuffle(evs), parts),
+          EventOps.HoltRec(0.5, 0.25), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got === ref, s"partitioning $parts changed the scan output")
+    }
+  }
+
+  test("affineScan: multi-chunk carries stay within the contraction bound") {
+    // adversarial: every event its own chunk (W=1us of event time) ->
+    // the ENTIRE chain runs through composed carries
+    val evs = (0 until 5).flatMap { u =>
+      (0 until 200).map(i =>
+        (u.toLong, i.toLong, i.toLong * 1000000L,
+          math.sin(u * 7 + i * 1.3) * 1000.0))
+    }
+    val df = syntheticEvents(evs, 5)
+    val gotE = EventOps.affineScanOf(df, EventOps.EwmaRec(0.2), 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val wantE = driverEwma(evs, 0.2)
+    wantE.foreach { case (k, v) =>
+      assert(math.abs(gotE(k) - v) < 1e-9 * math.max(1.0, math.abs(v)),
+        s"ewma drift at $k: ${gotE(k)} vs $v") }
+    // Holt, same adversarial chunking, two-state bound
+    val gotH = EventOps.affineScanOf(df, EventOps.HoltRec(0.5, 0.25), 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      var level = 0.0; var trend = 0.0; var first = true
+      es.sortBy(e => (e._3, e._2)).foreach { case (u, id, _, x) =>
+        if (first) { first = false; level = x; trend = 0.0 }
+        else {
+          val prev = level
+          level = 0.5 * x + 0.5 * (level + trend)
+          trend = 0.25 * (level - prev) + 0.75 * trend
+        }
+        val (gl, gt) = gotH((u, id))
+        assert(math.abs(gl - level) < 1e-9 * math.max(1.0, math.abs(level)) &&
+          math.abs(gt - trend) < 1e-9 * math.max(1.0, math.abs(trend)),
+          s"holt drift at ($u,$id): ($gl,$gt) vs ($level,$trend)")
+      }
+    }
+  }
+
+  test("affineScan: first-event reset lands in the user's earliest chunk") {
+    // users whose first event sits just before a chunk boundary, so the
+    // reset and the boundary interact; also a single-event user
+    val evs = Seq(
+      (1L, 0L, 999999L, 42.0), (1L, 1L, 1000001L, -7.0), (1L, 2L, 2500000L, 3.0),
+      (2L, 0L, 5000000L, 11.0))
+    val got = EventOps.affineScanOf(syntheticEvents(evs, 3),
+        EventOps.EwmaRec(0.2), 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = driverEwma(evs, 0.2)
+    assert(got.size === want.size)
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-12, s"reset mismatch at $k") }
+  }
+
+  test("scanGate: all booleans true on the corpus") {
+    val r = EventOps.scanGate(SparkTestSession.spark, "/root/testdata/sf0.001").head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2),
+      s"scan gate failed: $r")
+    assert(r.getLong(3) > 0)
+  }
+
   test("holt: two-state recurrence matches a driver-side fold per user") {
     val sfDir = "/root/testdata/sf0.001"
     val got = EventOps.holt(spark, sfDir).collect()
