@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -15,27 +16,61 @@ import graft.Tables
   *     catalog that removes most of the item stream map-side (here a
   *     left-semi join against the frequent-item set).
   *  2. Pair fan-out is per-basket quadratic: each basket of k items
-  *     emits k(k-1)/2 pairs via the orderkey self-join. TPC-H baskets
-  *     are ≤7 lines so the fan-out is bounded by construction;
-  *     production baskets (a crawler session, a power user's cart)
-  *     need a basket-size cap or per-basket sampling first — the same
-  *     bounded-fan-out contract the LSH band join documents.
+  *     emits k(k-1)/2 pairs via the orderkey self-join, so ONE
+  *     pathological basket (a crawler session, a power user's cart)
+  *     can emit more pairs than the rest of the corpus combined.
+  *     [[capBaskets]] enforces the bound: baskets over the cap are
+  *     deterministically down-sampled to it (hash-ranked, so the kept
+  *     subset is an unbiased pseudo-random sample, stable across
+  *     partitionings and reruns), and every engagement is
+  *     counter-recorded. TPC-H baskets are ≤7 lines so the cap never
+  *     engages on the oracle-gated rows — capped ≡ uncapped below the
+  *     cap is the property BasketSpec pins.
   *  3. Support counting is ONE partial-agg'd hash aggregate on the
   *     (a, b) pair key; no row ever carries basket contents.
   */
 object Basket {
+  /** Per-basket fan-out guard: keep at most `cap` items per basket,
+    * chosen by xxhash64 rank (deterministic sample — item-id order
+    * would bias toward low ids). Baskets at or under the cap pass
+    * through untouched, so the guard is semantics-free exactly until
+    * the moment it is needed; engagements land in bench metrics as
+    * `<counterPrefix>_capped_baskets`. The window's partition key is
+    * the pair join's own shuffle key, so the added cost is one
+    * in-partition sort, not a new shuffle shape. */
+  def capBaskets(items: DataFrame, keyCol: String, itemCol: String,
+      cap: Int, counterPrefix: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(xxhash64(col(keyCol), col(itemCol)), col(itemCol))
+    val ranked = items.withColumn("_rnk", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exactly one row per basket that EXCEEDS the cap carries rank
+    // cap+1 — counting those counts capped baskets, one small job over
+    // the already-shuffled frame
+    val capped = ranked.filter(col("_rnk") === cap + 1).count()
+    graft.Counters.add(s"${counterPrefix}_capped_baskets", capped)
+    ranked.filter(col("_rnk") <= cap).drop("_rnk")
+  }
+
+  /** Default basket cap: 64 items ⇒ ≤ 2,016 pairs per basket. TPC-H
+    * orders hold ≤7 lines, so the oracle rows run uncapped semantics
+    * through the capped code path. */
+  val DefaultBasketCap = 64
+
   /** Part pairs co-ordered in ≥ `minsup` distinct orders. The apriori
     * step is a pure optimization (pairs it removes cannot pass the
     * HAVING), so the oracle states the plain self-join + HAVING and
     * the engine must produce exactly that result through pruning. */
-  def frequentPairs(s: SparkSession, d: String, minsup: Int = 2): DataFrame = {
+  def frequentPairs(s: SparkSession, d: String, minsup: Int = 2,
+      maxBasketSize: Int = DefaultBasketCap): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val freq = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_ord"))
       .filter(col("n_ord") >= minsup)
       .select(col("l_partkey"))
-    val fli = li.join(freq, Seq("l_partkey"), "left_semi")
+    val fli = capBaskets(li.join(freq, Seq("l_partkey"), "left_semi"),
+      "l_orderkey", "l_partkey", maxBasketSize, "mb")
     fli.as("a").join(fli.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))

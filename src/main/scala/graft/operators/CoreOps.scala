@@ -1082,7 +1082,12 @@ object CoreOps {
   def g4ShortestPath(s: SparkSession, d: String, minCo: Int = 1,
       maxHops: Int = 8): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    // the edge build shares Basket's per-basket-quadratic fan-out, so
+    // it shares the same cap (never engages at TPC-H's ≤7-line
+    // baskets; counter-recorded when a skewed basket stream would)
+    val li = Basket.capBaskets(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", Basket.DefaultBasketCap, "g4")
     val a = li.toDF("ok", "pa")
     val b = li.toDF("ok", "pb")
     val pairs = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))

@@ -21,6 +21,46 @@ class BasketSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("capBaskets: identity when every basket is at or under the cap") {
+    import spark.implicits._
+    graft.Counters.clear()
+    val items = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 99L))
+      .toDF("bk", "item")
+    val got = Basket.capBaskets(items, "bk", "item", 3, "spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 99L)))
+    assert(graft.Counters.drain().getOrElse("spec_capped_baskets", -1L) === 0L)
+  }
+
+  test("capBaskets: oversized baskets cut to the cap, deterministically, counted") {
+    import spark.implicits._
+    graft.Counters.clear()
+    val items = ((0 until 20).map(i => (1L, i.toLong)) ++
+      Seq((2L, 5L), (2L, 6L))).toDF("bk", "item")
+    def run(parts: Int) = Basket.capBaskets(items.repartition(parts),
+        "bk", "item", 4, "spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(1)
+    assert(a.count(_._1 == 1L) === 4, s"basket 1 not capped: $a")
+    assert(a.count(_._1 == 2L) === 2, "under-cap basket disturbed")
+    // hash-ranked keep-set is partition-invariant
+    assert(run(7) === a)
+    val ctr = graft.Counters.drain().getOrElse("spec_capped_baskets", 0L)
+    assert(ctr >= 1L, s"cap engagement not counted: $ctr") // ≥: two runs
+  }
+
+  test("frequentPairs: a cap below basket size bounds the pair fan-out") {
+    // TPC-H baskets are <=7; cap at 2 so the cap REALLY engages, and
+    // every surviving basket emits at most 1 pair
+    val capped = Basket.frequentPairs(spark, sfDir, minsup = 2,
+      maxBasketSize = 2)
+    val counted = capped.agg(sum(col("support"))).head()
+    val full = Basket.frequentPairs(spark, sfDir)
+      .agg(sum(col("support"))).head()
+    assert(counted.isNullAt(0) ||
+      counted.getLong(0) <= full.getLong(0))
+  }
+
   test("unpivot melts the wide aggregate losslessly") {
     val wide = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
