@@ -215,6 +215,7 @@ object SparkEntry {
     "q51_cumulative_align" -> CoreOps.q51CumulativeAlign _,
     "fuzzy_cosine_join"  -> ((s, d) => FuzzyJoin.cosineJoin(s, d)),
     "fuzzy_cosine_zipf"  -> ((s, d) => FuzzyJoin.cosineZipf(s, d)),
+    "fuzzy_cosine_shuffle" -> ((s, d) => FuzzyJoin.cosineZipfShuffle(s, d)),
     "q67_rollup_topk"    -> ((s, d) => CoreOps.q67RollupTopk(s, d)),
     "ev_sliding_distinct" -> ((s, d) => Gates.slidingDistinctGate(s, d)),
     "dedup_substring"    -> ((s, d) => Dedup.substringDedup(s, d)),
@@ -279,6 +280,38 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by [fuzzy_cosine_zipf] and [fuzzy_cosine_shuffle]: one
+    * logical query, two physical attach branches (broadcast vs
+    * doc_id sort-merge), both driver-gated against the same SQL. */
+  private val zipfCosineOracle: String =
+    """WITH zdoc AS (
+      |  SELECT doc_id,
+      |         'c0 c1 c2 g' || CAST(doc_id // 4 AS VARCHAR) || '_0'
+      |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_1'
+      |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_2'
+      |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_3'
+      |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_4'
+      |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_5'
+      |         || ' u' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM zdoc),
+      |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM zdoc),
+      |w AS (SELECT tf.doc_id, tf.token, tf * ln(n_docs / df) AS w
+      |      FROM tf JOIN df USING (token) CROSS JOIN n),
+      |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY 1),
+      |wn AS (SELECT w.doc_id, token, w / nm AS wn
+      |       FROM w JOIN nrm USING (doc_id) WHERE nm > 0)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(SUM(a.wn * b.wn), 6) AS sim
+      |FROM wn a JOIN wn b
+      |  ON a.token = b.token AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING round(SUM(a.wn * b.wn), 6) >= 0.75""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -2554,34 +2587,7 @@ object SparkEntry {
     // Zipfian corpus (stopword/group/unique token spectrum) — this
     // variant's cost estimate takes the PREFIX-FILTER physical path,
     // so both branches of the adaptive join carry a correctness row
-    "fuzzy_cosine_zipf" ->
-      """WITH zdoc AS (
-        |  SELECT doc_id,
-        |         'c0 c1 c2 g' || CAST(doc_id // 4 AS VARCHAR) || '_0'
-        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_1'
-        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_2'
-        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_3'
-        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_4'
-        |         || ' g' || CAST(doc_id // 4 AS VARCHAR) || '_5'
-        |         || ' u' || CAST(doc_id AS VARCHAR) AS text
-        |  FROM documents),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |        FROM zdoc),
-        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
-        |       FROM tok GROUP BY 1, 2),
-        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM zdoc),
-        |w AS (SELECT tf.doc_id, tf.token, tf * ln(n_docs / df) AS w
-        |      FROM tf JOIN df USING (token) CROSS JOIN n),
-        |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY 1),
-        |wn AS (SELECT w.doc_id, token, w / nm AS wn
-        |       FROM w JOIN nrm USING (doc_id) WHERE nm > 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       round(SUM(a.wn * b.wn), 6) AS sim
-        |FROM wn a JOIN wn b
-        |  ON a.token = b.token AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2
-        |HAVING round(SUM(a.wn * b.wn), 6) >= 0.75""".stripMargin,
+    "fuzzy_cosine_zipf" -> zipfCosineOracle,
     "q47_moving_avg" ->
       s"""WITH monthly AS (
          |  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,
@@ -2745,6 +2751,10 @@ object SparkEntry {
         |  score_sum / n_tokens AS mean_score,
         |  score_sum / n_tokens > 0 AS keep
         |FROM s""".stripMargin,
+    // the shuffle-attach variant is result-identical to the Zipf row
+    // by construction (only the attach's physical branch differs), so
+    // it shares the oracle verbatim
+    "fuzzy_cosine_shuffle" -> zipfCosineOracle,
   )
 
   /** Unrolled PageRank CTE chain mirroring EventOps.pageRank step for

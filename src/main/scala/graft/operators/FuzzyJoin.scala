@@ -98,7 +98,8 @@ object FuzzyJoin {
     * to the Zipfian-reshaped frame so BOTH physical paths carry a
     * driver correctness row (the synthetic corpus is template-heavy and
     * only ever exercises the all-pairs branch). */
-  def cosineJoinOf(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
+  def cosineJoinOf(s: SparkSession, docs: DataFrame, t: Double,
+      attachBudgetBytes: Long = -1L): DataFrame = {
     import s.implicits._
     val wn = weightedVectorsOf(docs)
     // Selectivity estimate: candidate volume = Σ_τ prefix(τ)·postings(τ)
@@ -122,7 +123,7 @@ object FuzzyJoin {
     graft.Counters.add(
       if (takeAllPairs) "fuzzy_path_allpairs" else "fuzzy_path_prefix", 1L)
     if (takeAllPairs) cosineAllPairsJoin(wn, t)
-    else cosinePrefixJoin(wn, t)
+    else cosinePrefixJoin(wn, t, attachBudgetBytes)
   }
 
   /** [fuzzy_cosine_zipf]: the adaptive join over a Zipfian-reshaped
@@ -137,6 +138,17 @@ object FuzzyJoin {
     * real corpus never reaches. */
   def cosineZipf(s: SparkSession, d: String, t: Double = 0.75): DataFrame =
     cosineJoinOf(s, zipfCorpus(s, d), t)
+
+  /** [fuzzy_cosine_shuffle]: the same Zipfian prefix-path join with
+    * the attach budget pinned to ZERO, so the exact-verify vector
+    * attach takes its doc_id SORT-MERGE branch — the branch a
+    * corpus-scale run takes when the vector frame outgrows an executor
+    * broadcast. Result-identical to [fuzzy_cosine_zipf] (the gate is
+    * the same oracle SQL); what this row adds is a driver-green
+    * CORRECTNESS entry + `fuzzy_attach_shuffle` counter for the one
+    * physical branch that previously lived only in FuzzyJoinSpec. */
+  def cosineZipfShuffle(s: SparkSession, d: String, t: Double = 0.75): DataFrame =
+    cosineJoinOf(s, zipfCorpus(s, d), t, attachBudgetBytes = 0L)
 
   /** Zipfian token frame: deterministic (doc_id, text) reshape of the
     * documents table (ids only; content is id-derived so DuckDB can
