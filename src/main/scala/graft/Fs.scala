@@ -45,6 +45,27 @@ object Fs {
     dir
   }
 
+  /** tmpfs-backed base for KB-scale gate scaffolding (stream-gate
+    * inputs, checkpoints, external state stores): each micro-batch
+    * writes offset/commit logs and state files whose fsync latency on
+    * a disk-backed /tmp dominates the gates' fixed floor; on /dev/shm
+    * it's a memory write. Falls back to java.io.tmpdir when no
+    * writable tmpfs exists. Production checkpoints belong on durable
+    * storage — this is for the parity gates' throwaway dirs only,
+    * which are deleted within the query that made them. */
+  lazy val fastTmpBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    base
+  }
+
+  /** Temp dir on the fast base (see [[fastTmpBase]]). */
+  def fastTempDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(fastTmpBase, prefix)
+
   private val exitCleanup =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
   private def cleanupOnExit(dir: String): Unit =

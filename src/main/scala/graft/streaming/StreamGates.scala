@@ -30,7 +30,7 @@ import graft.operators.{Changelog, EventOps}
   *
   * SESSION ISOLATION: stateful streaming allocates one state-store
   * partition per shuffle partition PER MICRO-BATCH, so each gate pins
-  * shuffle partitions to 4 — on a gate-private `newSession()` child,
+  * shuffle partitions to 2 — on a gate-private `newSession()` child,
   * never the caller's session. The pin lives and dies with the child
   * (shared SparkContext, own SQLConf/temp views), so a concurrent
   * query on the caller's session can never observe it and there is no
@@ -53,7 +53,21 @@ object StreamGates {
   private def isolated(s: SparkSession): SparkSession = {
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions",
-      sys.props.getOrElse("graft.gate.partitions", "4"))
+      sys.props.getOrElse("graft.gate.partitions", "2"))
+    // AQE is a pure fixed cost at gate scale: every shuffle becomes
+    // its own query-stage JOB (plan, schedule, drain — tens of ms
+    // each), re-optimized to learn what is already known (the data is
+    // KB-sized). The gates' cost is job COUNT, not data; the bench
+    // queries proper keep AQE on.
+    iso.conf.set("spark.sql.adaptive.enabled",
+      sys.props.getOrElse("graft.gate.aqe", "false"))
+    // the engine's automatic no-data batches re-run every stateful
+    // operator once more after each data batch that moves the
+    // watermark; the gates already deliver EXPLICIT finalization
+    // batches (the sentinel files), so the automatic ones only double
+    // the per-drain batch count
+    iso.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      sys.props.getOrElse("graft.gate.nodata", "false"))
     iso
   }
 
@@ -74,7 +88,7 @@ object StreamGates {
   def streamDedupParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_sdp").toString
+    val base = graft.Fs.fastTempDir("graft_sdp").toString
     try {
     val inDir = s"$base/in"
     val ev = Tables.events(iso, d)
@@ -127,7 +141,7 @@ object StreamGates {
   def streamBatchParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_sbp").toString
+    val base = graft.Fs.fastTempDir("graft_sbp").toString
     try {
     val inDir = s"$base/in"
     // parity holds per event, so a deterministic user slice proves the
@@ -227,7 +241,7 @@ object StreamGates {
   def streamUpsertParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_sup").toString
+    val base = graft.Fs.fastTempDir("graft_sup").toString
     // the temp tree (input chunks, two state dirs, checkpoint) must not
     // outlive the gate even when a micro-batch or the collect throws —
     // a failing gate re-run per bench pass would otherwise accrete dirs
@@ -300,7 +314,7 @@ object StreamGates {
   def streamAvailableNowParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_san").toString
+    val base = graft.Fs.fastTempDir("graft_san").toString
     try {
       val inDir = s"$base/in"
       val outDir = s"$base/out"
@@ -380,7 +394,7 @@ object StreamGates {
     import s.implicits._
     import graft.functions.Dedup
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_snd").toString
+    val base = graft.Fs.fastTempDir("graft_snd").toString
     try {
       val inDir = s"$base/in"
       val docs = Tables.documents(iso, d).select(col("doc_id"), col("text"))
@@ -505,7 +519,7 @@ object StreamGates {
   def streamSessionParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_ssp").toString
+    val base = graft.Fs.fastTempDir("graft_ssp").toString
     try {
       val inDir = s"$base/in"
       // slice pinned to the oracle's WHERE user_id < 60 (SparkEntry)
@@ -584,7 +598,7 @@ object StreamGates {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_sqp").toString
+    val base = graft.Fs.fastTempDir("graft_sqp").toString
     val k = 100
     val acc = 10000
     try {
@@ -686,7 +700,7 @@ object StreamGates {
   def streamSegParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
-    val base = Files.createTempDirectory("graft_seg_stream").toString
+    val base = graft.Fs.fastTempDir("graft_seg_stream").toString
     try {
       val streamDir = s"$base/stream"
       Files.createDirectories(java.nio.file.Paths.get(streamDir))
