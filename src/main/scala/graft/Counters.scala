@@ -24,6 +24,11 @@ object Counters {
   def add(name: String, n: Long): Unit =
     reg.merge(name, n, (a, b) => a + b)
 
+  /** Non-destructive read of one counter (0 when unset) — lets a gate
+    * assert on a counter mid-query without stealing it from Bench's
+    * per-query drain. */
+  def peek(name: String): Long = reg.getOrDefault(name, 0L)
+
   def snapshot(): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     reg.asScala.toMap

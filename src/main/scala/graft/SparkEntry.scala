@@ -247,6 +247,8 @@ object SparkEntry {
     "ev_holt"            -> ((s, d) => EventOps.holt(s, d)),
     "text_jsd"           -> ((s, d) => TextOps.jsDivergence(s, d)),
     "ev_scan_gate"       -> EventOps.scanGate _,
+    "s16_dsv2_limit_topn" -> CoreOps.s16SegLimitTopn _,
+    "s17_dsv2_runtime_filter" -> CoreOps.s17SegRuntimeFilter _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1672,6 +1674,32 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS final_parity,
         |       (SELECT COUNT(DISTINCT event_type) FROM events
         |        WHERE user_id < 40) AS n_types""".stripMargin,
+    // gseg limit/TopN pushdown: row count and top-k value sum are
+    // relational (the top-50 VALUE multiset is tie-deterministic, and
+    // the sum rides decimal on both engines); the pushdown-evidence
+    // booleans (plan string, planner skip counters) are in-engine
+    "s16_dsv2_limit_topn" ->
+      """SELECT CAST(1 AS BOOLEAN) AS limit_pushed,
+        |       CAST(1 AS BOOLEAN) AS limit_skipped,
+        |       (SELECT LEAST(COUNT(*), 100) FROM orders) AS n_limit,
+        |       CAST(1 AS BOOLEAN) AS topn_pushed,
+        |       CAST(1 AS BOOLEAN) AS topn_skipped,
+        |       (SELECT CAST(SUM(v) AS DOUBLE) FROM
+        |          (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |           FROM orders ORDER BY o_totalprice DESC LIMIT 50))
+        |         AS topk_sum""".stripMargin,
+    // gseg runtime (DPP) filtering: the join aggregate is relational;
+    // the predicate-arrival and segment-skip booleans are in-engine
+    "s17_dsv2_runtime_filter" ->
+      """WITH dim AS (SELECT DISTINCT user_id, user_id // 16 AS grp
+        |             FROM events)
+        |SELECT CAST(1 AS BOOLEAN) AS runtime_pushed,
+        |       CAST(1 AS BOOLEAN) AS files_skipped,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_value
+        |FROM events e JOIN dim ON e.user_id = dim.user_id
+        |WHERE dim.grp = 0""".stripMargin,
     // chunked-scan precision contract: the booleans compare the
     // two-phase affine scan against the single-task fold IN-ENGINE
     // (no SQL oracle can replay the composed-carry float sequence);

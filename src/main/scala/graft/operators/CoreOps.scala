@@ -1916,6 +1916,85 @@ object CoreOps {
       max(col("l_quantity")).as("max_qty"))
   }
 
+  /** DSv2 limit/TopN pushdown gate [S16]: LIMIT k is served from
+    * segment headers (files taken from the front until row counts
+    * cover k; the reader also stops at k survivors), and ORDER BY
+    * <numeric> LIMIT k keeps only segments whose [min,max] can hold a
+    * top-k row (the τ pigeonhole in SegScan.planInputPartitions) —
+    * the early-termination contracts a `SELECT ... LIMIT` dashboard
+    * query relies on against a lakehouse table. Relational columns
+    * (row count, top-k value sum) are oracle-recomputed from parquet;
+    * the pushdown-evidence booleans (plan string + counter deltas)
+    * are in-engine, constant-oracle. Top-k compares the VALUE
+    * multiset (a tie at the kth value may swap rows, never values). */
+  def s16SegLimitTopn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = graft.Fs.scratchDir(s, "graft_gseg_ltn", d)
+    // range layout on the SORT key: TopN's τ-pruning works off header
+    // [min,max] on o_totalprice, so segments must own tight ranges of
+    // it (clustering by the dominant sort key is exactly what a
+    // lakehouse table optimizing for top-k dashboards does)
+    graft.sources.SegSource.write(
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_totalprice")), out)
+    val lim0 = graft.Counters.peek("gseg_limit_files_skipped")
+    val limDf = s.read.format("gseg").load(out).limit(100)
+    val nLimit = limDf.count()
+    val limitPushed = limDf.queryExecution.executedPlan.toString
+      .contains("PushedLimit=")
+    val limitSkipped = graft.Counters.peek("gseg_limit_files_skipped") > lim0
+    val top0 = graft.Counters.peek("gseg_topn_files_skipped")
+    val topDf = s.read.format("gseg").load(out)
+      .orderBy(col("o_totalprice").desc).limit(50)
+      .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("topk_sum"))
+    val topkSum = topDf.head().getDouble(0)
+    val topnPushed = topDf.queryExecution.executedPlan.toString
+      .contains("PushedTopN=")
+    val topnSkipped = graft.Counters.peek("gseg_topn_files_skipped") > top0
+    Seq((limitPushed, limitSkipped, nLimit, topnPushed, topnSkipped, topkSum))
+      .toDF("limit_pushed", "limit_skipped", "n_limit",
+        "topn_pushed", "topn_skipped", "topk_sum")
+  }
+
+  /** DSv2 runtime filtering gate [S17]: the DPP analogue for V2 scans
+    * — after the broadcast side of a selective join executes, Spark
+    * hands the scan an IN-predicate over the join key
+    * (SupportsRuntimeV2Filtering.filter) and planInputPartitions runs
+    * it through the same zone maps as compile-time filters, so
+    * segments outside the surviving key range never become tasks. The
+    * fact is range-laid-out on user_id and the dim (a FILE-backed
+    * frame — an in-memory dim folds its filter into a LocalRelation
+    * and DPP declines) selects users 0..15, so ~7 of 8 segments skip.
+    * Join result columns are oracle-recomputed relationally; the
+    * runtime-evidence booleans are counter deltas. DPP confs are
+    * pinned on a gate-private child session, never the caller's. */
+  def s17SegRuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    iso.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
+    val out = graft.Fs.scratchDir(iso, "graft_gseg_dpp", d)
+    val dimDir = graft.Fs.scratchDir(iso, "graft_gseg_dppdim", d)
+    graft.sources.SegSource.write(
+      Tables.events(iso, d).select(col("user_id"), col("event_id"), col("value"))
+        .repartitionByRange(8, col("user_id")), out)
+    Tables.events(iso, d).select(col("user_id")).distinct()
+      .withColumn("grp", expr("user_id div 16"))
+      .write.mode("overwrite").parquet(dimDir)
+    val p0 = graft.Counters.peek("gseg_runtime_predicates")
+    val f0 = graft.Counters.peek("gseg_files_skipped")
+    val joined = iso.read.format("gseg").load(out)
+      .join(iso.read.parquet(dimDir).filter(col("grp") === 0), Seq("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+    val row = joined.head()
+    val runtimePushed = graft.Counters.peek("gseg_runtime_predicates") > p0
+    val filesSkipped = graft.Counters.peek("gseg_files_skipped") > f0
+    Seq((runtimePushed, filesSkipped, row.getLong(0), row.getDouble(1)))
+      .toDF("runtime_pushed", "files_skipped", "n_rows", "sum_value")
+  }
+
   /** JSON-lines roundtrip [S8]: the row-oriented interchange format —
     * written and re-read with an explicit schema (doubles, longs, and
     * ISO-serialized timestamps must all survive the text round-trip),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -262,7 +262,7 @@ object SegSource {
   /** Exact cross-type ordering for zone-map and row-grain comparison:
     * BigDecimal on both sides, so a long column never rounds through
     * double on its way to a verdict. */
-  private def bd(v: Any): Option[java.math.BigDecimal] = v match {
+  private[sources] def bd(v: Any): Option[java.math.BigDecimal] = v match {
     case l: Long => Some(java.math.BigDecimal.valueOf(l))
     case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
     case s: Short => Some(java.math.BigDecimal.valueOf(s.toLong))
@@ -310,6 +310,17 @@ object SegSource {
         case _ => true
       }
       case IsNull(a) => byName.get(a).forall(_.nNulls > 0)
+      case In(a, vs) => range(a) match {
+        case Some((mn, mx)) =>
+          // a null in the IN-list matches nothing; the file survives
+          // if ANY value could sit inside its range (or a value is of
+          // a shape the stats can't judge)
+          vs.exists(v => bd(v) match {
+            case Some(x) => x.compareTo(mn) >= 0 && x.compareTo(mx) <= 0
+            case None => v != null
+          })
+        case None => true
+      }
       case And(l, r) => mayMatch(h, l) && mayMatch(h, r)
       case _ => true
     }
@@ -333,6 +344,7 @@ object SegSource {
       case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
       case IsNull(a) => get(a) == null
       case IsNotNull(a) => get(a) != null
+      case In(a, vs) => vs.exists(v => v != null && cmp(a, v).contains(0))
       case And(l, r) => evalFilter(l, get) && evalFilter(r, get)
       case _ => true
     }
@@ -341,10 +353,59 @@ object SegSource {
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
          LessThan(_, _) | LessThanOrEqual(_, _) | IsNull(_) |
-         IsNotNull(_) => true
+         IsNotNull(_) | In(_, _) => true
     case And(l, r) => supportedFilter(l) && supportedFilter(r)
     case _ => false
   }
+
+  // ---------------- runtime (V2 Predicate) filter support ----------------
+
+  private def v2LitValue(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+    e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value() match {
+          case u: UTF8String => Some(u.toString)
+          case v => Some(v)
+        }
+      case _ => None
+    }
+
+  /** Translate the runtime V2 predicates Spark's dynamic pruning
+    * injects (IN / = / AND over one column) into the same V1 Filter
+    * shapes the zone-map and row-grain evaluators already speak.
+    * Unknown shapes translate to None and are simply not used for
+    * skipping — runtime filters are an OPTIMIZATION contract (Spark
+    * re-applies the join), so dropping one is always safe. */
+  private[sources] def predicateToFilter(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Filter] = {
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty =>
+        for {
+          a <- fieldName(ch.head)
+          vs <- Some(ch.tail.flatMap(v2LitValue))
+          if vs.length == ch.length - 1
+        } yield In(a, vs.toArray)
+      case "=" if ch.length == 2 =>
+        for { a <- fieldName(ch(0)); v <- v2LitValue(ch(1)) }
+          yield EqualTo(a, v)
+      case "AND" if ch.length == 2 =>
+        (ch(0), ch(1)) match {
+          case (l: org.apache.spark.sql.connector.expressions.filter.Predicate,
+                r: org.apache.spark.sql.connector.expressions.filter.Predicate) =>
+            for { lf <- predicateToFilter(l); rf <- predicateToFilter(r) }
+              yield And(lf, rf)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** A pushed ORDER BY <col> LIMIT k (single numeric key). */
+  private[sources] case class TopNPush(col: String, desc: Boolean,
+      nullsFirst: Boolean, k: Int)
 
   // ---------------- aggregate pushdown support ----------------
 
@@ -361,7 +422,7 @@ object SegSource {
   private[sources] case class AggMax(col: String, outType: DataType)
     extends HeaderAgg
 
-  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+  private[sources] def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         Some(nr.fieldNames.head)
@@ -432,10 +493,50 @@ class SegTable(tschema: StructType, path: String)
 
 class SegScanBuilder(full: StructType, path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[SegSource.HeaderAgg]] = None
+  private var limit: Option[Int] = None
+  private var topN: Option[SegSource.TopNPush] = None
+
+  /** Both limit and TopN are PARTIAL pushes by design: Spark keeps the
+    * global Limit / TakeOrderedAndProject, so scan-side skipping is a
+    * performance statement, never a correctness dependency (the same
+    * contract as the re-checked filters). Scala requires one explicit
+    * override where the two traits' defaults meet. */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** LIMIT k: always accepted — the reader stops emitting after k
+    * surviving rows per partition, and (filter-free scans only)
+    * planning takes segments from the front until their header row
+    * counts cover k, skipping the rest. `isPartiallyPushed` stays at
+    * its default TRUE, so Spark keeps the global limit — pushdown is a
+    * performance statement here exactly as with filters. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** ORDER BY <numeric col> [ASC|DESC] LIMIT k: accepted when headers
+    * can bound it — single sort key with stats and no pushed filters
+    * (filtered row counts would make the header-count pigeonhole
+    * unsound). Planning keeps only segments that can hold a top-k row;
+    * Spark still runs the real TopN over what survives
+    * (isPartiallyPushed = true). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (pushed.nonEmpty || orders.length != 1) return false
+    val o = orders(0)
+    SegSource.fieldName(o.expression()) match {
+      case Some(n) if full.fields.exists(f =>
+          f.name == n && f.dataType != StringType) =>
+        topN = Some(SegSource.TopNPush(n,
+          o.direction() == SortDirection.DESCENDING,
+          o.nullOrdering() == NullOrdering.NULLS_FIRST, l))
+        true
+      case _ => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -463,14 +564,37 @@ class SegScanBuilder(full: StructType, path: String) extends ScanBuilder
     }
   }
 
-  override def build(): Scan = SegScan(path, required, pushed, aggs)
+  override def build(): Scan =
+    SegScan(path, required, pushed, aggs, limit, topN)
 }
 
 case class SegInputPartition(file: String) extends InputPartition
 
 case class SegScan(path: String, required: StructType,
-    pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]])
-    extends Scan with Batch {
+    pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]],
+    limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Runtime (DPP-style) filters, delivered by Spark after the
+    * filtering side of a join has executed — arrives before
+    * planInputPartitions, where they feed the same zone-map check as
+    * compile-time filters AND the row-grain reader. Purely additive:
+    * Spark re-evaluates the join, so an untranslatable predicate is
+    * dropped, never wrong. */
+  @transient private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (aggs.isDefined) Array.empty // header-agg answers must see every file
+    else required.fields.filter(_.dataType != StringType).map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtime = predicates.flatMap(SegSource.predicateToFilter(_).toSeq)
+    graft.Counters.add("gseg_runtime_predicates", predicates.length.toLong)
+  }
   override def readSchema(): StructType = aggs match {
     case Some(as) => StructType(as.zipWithIndex.map { case (a, i) =>
       StructField(s"agg_$i", a.outType)
@@ -484,7 +608,10 @@ case class SegScan(path: String, required: StructType,
   override def description(): String = {
     val base = s"gseg path=$path " +
       s"ReadColumns=[${required.fieldNames.mkString(",")}] " +
-      s"PushedFilters=[${pushed.mkString(", ")}]"
+      s"PushedFilters=[${pushed.mkString(", ")}]" +
+      limit.map(l => s" PushedLimit=$l").getOrElse("") +
+      topN.map(t => s" PushedTopN=(${t.col}," +
+        s"${if (t.desc) "DESC" else "ASC"},${t.k})").getOrElse("")
     aggs match {
       case Some(as) => base + s" PushedAggregates=[${as.mkString(", ")}]"
       case None => base
@@ -492,24 +619,87 @@ case class SegScan(path: String, required: StructType,
   }
 
   /** One partition per surviving segment. This is the split-planning
-    * hook: header zone maps are consulted against the pushed filters
-    * and non-matching FILES never become tasks. (A production source
-    * would additionally coalesce small segments into shared splits;
-    * segment=split keeps the demo honest.) */
+    * hook, in three layers:
+    *  1. zone maps vs (compile-time ∪ runtime) filters — non-matching
+    *     FILES never become tasks;
+    *  2. a pushed LIMIT takes files from the front until header row
+    *     counts cover k (only legal with zero filters: filtered
+    *     survivor counts are unknowable from headers);
+    *  3. a pushed TopN keeps only files that can hold a top-k row:
+    *     order files by min (DESC sort; by max for ASC), accumulate
+    *     non-null counts to k — every one of those rows is ≥ its
+    *     file's min, so the kth-best value is ≥ the boundary τ — then
+    *     drop files whose max < τ (min > τ for ASC). Sound because
+    *     header stats are exact; declined when nulls could lead the
+    *     ordering (NULLS FIRST with nulls present) or when non-null
+    *     counts never reach k.
+    * (A production source would additionally coalesce small segments
+    * into shared splits; segment=split keeps the demo honest.) */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = SegSource.listSegments(path)
+    val allFilters = pushed ++ runtime
     val kept =
       if (aggs.isDefined) files // aggregates only push with no filters
       else files.filter(f => {
         val h = SegSource.headerOf(f)
-        pushed.forall(SegSource.mayMatch(h, _))
+        allFilters.forall(SegSource.mayMatch(h, _))
       })
+    val afterLimit = (limit, topN) match {
+      case (Some(k), None) if allFilters.isEmpty && aggs.isEmpty =>
+        var need = k.toLong
+        val taken = kept.takeWhile { f =>
+          val take = need > 0
+          if (take) need -= SegSource.headerOf(f).nRows.toLong
+          take
+        }
+        graft.Counters.add("gseg_limit_files_skipped",
+          (kept.size - taken.size).toLong)
+        taken
+      case (_, Some(t)) if allFilters.isEmpty && aggs.isEmpty =>
+        val stats = kept.map { f =>
+          val h = SegSource.headerOf(f)
+          val cm = h.cols.find(_.name == t.col)
+          val nonNull = h.nRows.toLong - cm.map(_.nNulls).getOrElse(0L)
+          (f, cm.flatMap(_.minVal).flatMap(SegSource.bd),
+            cm.flatMap(_.maxVal).flatMap(SegSource.bd),
+            nonNull, cm.map(_.nNulls).getOrElse(0L))
+        }
+        val anyNulls = stats.exists(_._5 > 0)
+        val haveStats = stats.forall(s => s._2.isDefined && s._3.isDefined)
+        val survivors =
+          if ((t.nullsFirst && anyNulls) || !haveStats) kept
+          else {
+            // boundary τ from the pigeonhole over exact header counts
+            val ordered =
+              if (t.desc) stats.sortBy(_._2.get).reverse // by min desc
+              else stats.sortBy(_._3.get)                // by max asc
+            var acc = 0L
+            var tau: Option[java.math.BigDecimal] = None
+            val it = ordered.iterator
+            while (it.hasNext && acc < t.k) {
+              val s = it.next()
+              acc += s._4
+              tau = if (t.desc) s._2 else s._3
+            }
+            if (acc < t.k) kept // fewer than k sortable rows: keep all
+            else kept.zip(stats.map(x => (x._2, x._3))).collect {
+              case (f, (mn, mx))
+                if !(t.desc && mx.get.compareTo(tau.get) < 0) &&
+                   !(!t.desc && mn.get.compareTo(tau.get) > 0) => f
+            }
+          }
+        graft.Counters.add("gseg_topn_files_skipped",
+          (kept.size - survivors.size).toLong)
+        survivors
+      case _ => kept
+    }
     graft.Counters.add("gseg_files_total", files.size.toLong)
-    graft.Counters.add("gseg_files_skipped", (files.size - kept.size).toLong)
-    kept.map(SegInputPartition.apply).toArray
+    graft.Counters.add("gseg_files_skipped", (files.size - afterLimit.size).toLong)
+    afterLimit.map(SegInputPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    SegReaderFactory(required, pushed, aggs)
+    SegReaderFactory(required, pushed ++ runtime, aggs,
+      if (topN.isEmpty) limit else None)
 }
 
 /** Streaming offset: the lexicographic watermark — the greatest
@@ -605,12 +795,14 @@ class SegMicroBatchStream(path: String, required: StructType,
 }
 
 case class SegReaderFactory(required: StructType, pushed: Array[Filter],
-    aggs: Option[Seq[SegSource.HeaderAgg]]) extends PartitionReaderFactory {
+    aggs: Option[Seq[SegSource.HeaderAgg]], limit: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[SegInputPartition].file
     aggs match {
       case Some(as) => new SegAggReader(file, as)
-      case None => new SegPartitionReader(file, required, pushed)
+      case None => new SegPartitionReader(file, required, pushed,
+        limit.getOrElse(Int.MaxValue))
     }
   }
 }
@@ -648,7 +840,8 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg])
   * streams rows through the pushed filters. Column-at-a-time decode
   * into object arrays, row emission after. */
 class SegPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], limit: Int = Int.MaxValue)
+    extends PartitionReader[InternalRow] {
   import SegSource._
 
   private val header = headerOf(file)
@@ -710,10 +903,15 @@ class SegPartitionReader(file: String, required: StructType,
   }
 
   private var row = -1
+  private var emitted = 0
   private val outIdx: Array[Int] = required.fieldNames.map(colIdx)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed LIMIT: stop after `limit` SURVIVING rows — correct at any
+    // filter combination because the limit counts post-filter rows and
+    // Spark re-applies the global limit (isPartiallyPushed)
+    if (emitted >= limit) return false
     val n = header.nRows
     while ({ row += 1; row < n }) {
       def get(name: String): Any = decoded(colIdx(name))(row)
@@ -724,6 +922,7 @@ class SegPartitionReader(file: String, required: StructType,
           vals(i) = decoded(outIdx(i))(row); i += 1
         }
         current = new GenericInternalRow(vals)
+        emitted += 1
         return true
       }
     }

@@ -232,4 +232,125 @@ class SegSourceSpec extends SparkSpec {
     graft.Fs.deleteRecursively(base)
     graft.Fs.deleteRecursively(java.nio.file.Paths.get(s"$dir-ckpt"))
   }
+
+  // ---- limit / TopN pushdown + runtime filtering (round 8) ----
+
+  private lazy val rangeDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("gsegrange").toString
+    SegSource.write(
+      graft.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartitionByRange(4, col("l_orderkey")), d)
+    d
+  }
+
+  test("pushed LIMIT lands in the scan and skips trailing segments") {
+    graft.Counters.clear()
+    val df = spark.read.format("gseg").load(rangeDir).limit(5)
+    assert(df.count() === 5L)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit=5"))
+    assert(graft.Counters.peek("gseg_limit_files_skipped") > 0L,
+      "limit did not skip whole segments at planning time")
+    // with a pushed filter, segment skipping by header counts would be
+    // unsound — the reader's early stop still applies, the planner's
+    // file cut must NOT
+    graft.Counters.clear()
+    val filtered = spark.read.format("gseg").load(rangeDir)
+      .filter(col("l_quantity") > 25).limit(5)
+    assert(filtered.count() === 5L)
+    assert(graft.Counters.peek("gseg_limit_files_skipped") === 0L)
+  }
+
+  test("pushed TopN prunes segments that cannot hold a top-k row, both directions") {
+    val ref = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    for (desc <- Seq(true, false)) {
+      graft.Counters.clear()
+      val key = if (desc) col("l_orderkey").desc else col("l_orderkey").asc
+      val got = spark.read.format("gseg").load(rangeDir)
+        .orderBy(key).limit(7)
+      val gotRows = got.collect().map(_.toSeq).toSeq
+      val wantRows = ref.orderBy(key).limit(7).collect().map(_.toSeq).toSeq
+      // ties on the sort key may reorder payload rows: compare as
+      // multisets, plus the key sequence exactly
+      assert(gotRows.map(_.head) === wantRows.map(_.head))
+      assert(gotRows.sortBy(_.toString) === wantRows.sortBy(_.toString))
+      assert(got.queryExecution.executedPlan.toString.contains("PushedTopN="))
+      assert(graft.Counters.peek("gseg_topn_files_skipped") > 0L,
+        s"TopN (desc=$desc) pruned nothing over range-partitioned segments")
+    }
+  }
+
+  test("TopN declines filters, multi-key sorts, and string keys") {
+    // with a filter: pushTopN must refuse (header counts are pre-filter)
+    val f = spark.read.format("gseg").load(rangeDir)
+      .filter(col("l_quantity") > 10).orderBy(col("l_orderkey")).limit(3)
+    assert(!f.queryExecution.executedPlan.toString.contains("PushedTopN="))
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .filter(col("l_quantity") > 10).orderBy(col("l_orderkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(f.collect().map(_.getLong(0)).toSeq === want)
+    // string key: no stats, decline
+    val s2 = spark.read.format("gseg").load(segDir)
+      .orderBy(col("l_returnflag")).limit(3)
+    assert(!s2.queryExecution.executedPlan.toString.contains("PushedTopN="))
+    assert(s2.count() === 3L)
+  }
+
+  test("TopN survives nulls in the sort key (kept or declined, never wrong)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegnulltop").toString
+    val src = ((1L to 40L).map(i => (i, Option(i * 2))) ++
+      (41L to 50L).map(i => (i, None: Option[Long]))).toDF("id", "k")
+    SegSource.write(src.repartitionByRange(4, col("id")), d)
+    for (key <- Seq(col("k").desc, col("k").asc, col("k").desc_nulls_first,
+        col("k").asc_nulls_last)) {
+      val got = spark.read.format("gseg").load(d).orderBy(key).limit(6)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      val want = src.orderBy(key).limit(6)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(got.map(_._2) === want.map(_._2), s"order mismatch for $key")
+    }
+  }
+
+  test("runtime V2 filtering: DPP-injected predicates skip segments") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegdpp").toString
+    // fact laid out so each segment owns a tight user range
+    val fact = (0L until 4000L).map(i => (i % 40, i))
+      .toDF("user_id", "event_id")
+    SegSource.write(fact.repartitionByRange(4, col("user_id")), d)
+    // dim from a FILE source: an in-memory dim constant-folds its
+    // filter into a LocalRelation, and DPP requires a live selective
+    // Filter on the build side. grp = user_id/10 makes grp=0 a NARROW
+    // key range (users 0..9), so only ~1 of 4 segments can match.
+    val dimDir = java.nio.file.Files.createTempDirectory("gsegdppdim").toString
+    (0L until 40L).map(i => (i, i / 10)).toDF("user_id", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      graft.Counters.clear()
+      val joined = spark.read.format("gseg").load(d)
+        .join(dim.filter(col("grp") === 0), Seq("user_id"))
+      val got = joined.agg(count(lit(1))).head().getLong(0)
+      val want = fact.join(
+          (0L until 40L).map(i => (i, i / 10)).toDF("user_id", "grp")
+            .filter(col("grp") === 0), Seq("user_id"))
+        .agg(count(lit(1))).head().getLong(0)
+      assert(got === want && got > 0L)
+      assert(graft.Counters.peek("gseg_runtime_predicates") > 0L,
+        "no runtime predicate reached the scan — DPP did not fire")
+      assert(graft.Counters.peek("gseg_files_skipped") > 0L,
+        "the runtime IN-filter pruned no segments despite a narrow key range")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
