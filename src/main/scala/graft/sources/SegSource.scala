@@ -574,7 +574,37 @@ case class SegScan(path: String, required: StructType,
     pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]],
     limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Header-derived table statistics [STATS]: exact row count and the
+    * PRUNED byte size (only the required columns' block bytes, summed
+    * over segments that survive the compile-time zone maps) — so a
+    * narrow projection of a wide table reports its true scan cost and
+    * Spark's join planning (broadcast threshold, AQE) sees a real
+    * number instead of defaultSizeInBytes=MaxValue. Costs one header
+    * read per file at plan time, which planInputPartitions pays
+    * anyway. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val files = SegSource.listSegments(path)
+    val surviving = files.map(SegSource.headerOf)
+      .filter(h => pushed.forall(SegSource.mayMatch(h, _)))
+    val wanted = required.fieldNames.toSet
+    var rows = 0L
+    var bytes = 0L
+    surviving.foreach { h =>
+      rows += h.nRows.toLong
+      h.cols.foreach(c => if (wanted.contains(c.name)) bytes += c.bytes)
+    }
+    val rowsF = rows; val bytesF = math.max(bytes, 1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytesF)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowsF)
+    }
+  }
 
   /** Runtime (DPP-style) filters, delivered by Spark after the
     * filtering side of a join has executed — arrives before

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** r08 sf1 scale probe (measured-not-argued, BASELINE.md format):
+  * decon_bloom, g4_shortest_path, mb_frequent_pairs at sf0.1 and the
+  * 10× /tmp/graft_sf1 frames, on the Bench shape (local[32], 32
+  * shuffle partitions). Prints per-run wall + job counts + the
+  * operators' own counters. Generate the 10× frames first (see
+  * BASELINE.md repro); run:
+  * sbt "Test/runMain graft.Sf1Probe". */
+object Sf1Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      })
+    val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "decon_bloom" -> ((s, d) => graft.functions.Decontam.ngramOverlapBloom(s, d)),
+        "g4_shortest_path" -> ((s, d) => graft.operators.CoreOps.g4ShortestPath(s, d)),
+        "mb_frequent_pairs" -> ((s, d) => graft.operators.Basket.frequentPairs(s, d)))
+    // warm the JVM so the first timed row isn't cold JIT
+    queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
+    for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
+      for ((name, fn) <- queries) {
+        spark.catalog.clearCache()
+        Counters.clear()
+        Thread.sleep(200); jobs = 0
+        val t0 = System.nanoTime()
+        val n = fn(spark, d).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"PROBE $name%-18s $d%-22s $sec%6.2f s  jobs=$jobs%-3d rows=$n " +
+          Counters.drain().toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(" "))
+      }
+    }
+    spark.stop()
+  }
+}

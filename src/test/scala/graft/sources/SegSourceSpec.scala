@@ -314,6 +314,25 @@ class SegSourceSpec extends SparkSpec {
     }
   }
 
+  test("estimateStatistics reports exact rows and PRUNED bytes") {
+    val total = graft.Tables.lineitem(spark, sfDir).count()
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.stats
+    val narrow = statsOf(spark.read.format("gseg").load(segDir)
+      .select("l_orderkey"))
+    val wide = statsOf(spark.read.format("gseg").load(segDir))
+    assert(narrow.rowCount.contains(BigInt(total)),
+      s"rowCount ${narrow.rowCount} != $total")
+    // a 1-of-5-column projection must cost a fraction of the table
+    assert(narrow.sizeInBytes * 2 < wide.sizeInBytes,
+      s"pruned size ${narrow.sizeInBytes} not < half of ${wide.sizeInBytes}")
+    // zone-map-surviving subset: a filter outside every segment's
+    // range reports (near) zero
+    val none = statsOf(spark.read.format("gseg").load(segDir)
+      .filter(col("l_orderkey") === -1L))
+    assert(none.rowCount.forall(_ == 0))
+  }
+
   test("runtime V2 filtering: DPP-injected predicates skip segments") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("gsegdpp").toString
