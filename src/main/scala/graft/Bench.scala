@@ -326,9 +326,20 @@ object Bench {
             .map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty)
       }
+      // signature = jobs:stages:shuffleKB@1-significant-figure. Task
+      // counts and exact shuffle bytes JITTER run-to-run under AQE
+      // (measured: profile_orders 4:4:4:3926 vs 4:4:5:4220 on
+      // back-to-back identical binaries) — a signature that flags
+      // those cries wolf; real plan changes move job/stage counts or
+      // shuffle volume by integer factors, which 1 sig-fig keeps.
       def sigOf(n: String): String = {
         val m = best(n)._2
-        s"${m.jobs}:${m.stages}:${m.tasks}:${m.shuffleRead / 1024 + m.shuffleWrite / 1024}"
+        val kb = (m.shuffleRead + m.shuffleWrite) / 1024
+        val coarse = if (kb <= 0) 0L else {
+          val d = math.pow(10, math.floor(math.log10(kb.toDouble))).toLong
+          (kb / d) * d
+        }
+        s"${m.jobs}:${m.stages}:$coarse"
       }
       val entry: ObjectNode = mapper.createObjectNode()
       entry.put("run_at", java.time.Instant.now().toString)
