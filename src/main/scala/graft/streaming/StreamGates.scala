@@ -91,10 +91,13 @@ object StreamGates {
     val base = graft.Fs.fastTempDir("graft_sdp").toString
     try {
     val inDir = s"$base/in"
+    // the slice is re-scanned by the write, the dup filter, and the
+    // compare mirrors — cache it for the gate's lifetime (KB-sized)
     val ev = Tables.events(iso, d)
       .filter(col("user_id") < 50)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxRow = ev.agg(max(col("ts"))).head()
     if (maxRow.isNullAt(0))
       return Seq((false, 0L)).toDF("dedup_parity", "n_rows")
@@ -125,6 +128,7 @@ object StreamGates {
           .as("dedup_parity"),
         col("n_stream").as("n_rows"))
     val rows = gate.collect()
+    ev.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     // cleanup must run on the throw paths too (failed micro-batch,
     // unreadable state): a failing gate re-run per pass would accrete dirs
@@ -152,6 +156,7 @@ object StreamGates {
       .filter(col("user_id") < 60)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 4 compare mirrors re-scan it
     // an empty slice (tiny SF, reshaped events) must fail the gate as
     // data, not NPE on max(ts): return the all-false row the n_win>0 /
     // n_sess>0 terms would have produced, before any stream starts
@@ -221,6 +226,7 @@ object StreamGates {
     // accumulating across Bench/Verify/spec invocations
     val result = winParity.crossJoin(sessParity)
     val rows = result.collect()
+    ev.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -251,6 +257,7 @@ object StreamGates {
         .filter(col("user_id") < 60)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (ev.head(1).isEmpty)
         return Seq((false, 0L)).toDF("upsert_parity", "n_rows")
       // two single-file chunks -> two micro-batches at one file each —
@@ -292,6 +299,7 @@ object StreamGates {
             lit(nBatches) >= 2 && col("n_state") > 0).as("upsert_parity"),
           col("n_state").as("n_rows"))
       val rows = gate.collect()
+      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -323,6 +331,7 @@ object StreamGates {
         .filter(col("user_id") < 80)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (ev.head(1).isEmpty)
         return Seq((false, 0L)).toDF("availablenow_parity", "n_rows")
       // one incremental drain: AvailableNow must terminate on its own
@@ -358,6 +367,7 @@ object StreamGates {
             .as("availablenow_parity"),
           col("n_out").as("n_rows"))
       val rows = gate.collect()
+      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -398,6 +408,7 @@ object StreamGates {
     try {
       val inDir = s"$base/in"
       val docs = Tables.documents(iso, d).select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // chunk cuts, chunk writes, referee shingles
       if (docs.head(1).isEmpty)
         return Seq((false, false, 0L))
           .toDF("neardup_parity", "incremental_stream", "n_rows")
@@ -500,6 +511,7 @@ object StreamGates {
           col("n_decided").as("n_rows"))
       val rows = gate.collect()
       shAll.unpersist()
+      docs.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -527,6 +539,7 @@ object StreamGates {
         .filter(col("user_id") < 60)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxRow = ev.agg(max(col("ts"))).head()
       if (maxRow.isNullAt(0))
         return Seq((false, 0L)).toDF("session_parity", "n_sessions")
@@ -570,6 +583,7 @@ object StreamGates {
             .as("session_parity"),
           col("n_sess").as("n_sessions"))
       val rows = gate.collect()
+      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -606,6 +620,7 @@ object StreamGates {
       val vals = Tables.orders(iso, d)
         .select(col("o_orderkey"), col("o_totalprice"))
         .filter(col("o_totalprice").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // quantile cut, 2 chunk writes, exact-rank referee
       if (vals.head(1).isEmpty)
         return Seq((false, 0L, 0L))
           .toDF("quantile_parity", "n_batches", "n_rows")
@@ -679,6 +694,7 @@ object StreamGates {
         .select((col("qp") && lit(nBatches) === 2L).as("quantile_parity"),
           lit(nBatches).as("n_batches"), col("n_rows"))
       val rows = gate.collect()
+      vals.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -707,6 +723,7 @@ object StreamGates {
       val ev = Tables.events(iso, d).filter(col("user_id") < 40)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // two generation writes + two batch referees
       val halfA = ev.filter(col("event_id") % 2 === 0)
       val halfB = ev.filter(col("event_id") % 2 === 1)
 
@@ -760,6 +777,7 @@ object StreamGates {
           (col("l_only") === 0 && col("r_only") === 0).as("final_parity"),
           col("n_types"))
       val rows = gate.collect()
+      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
