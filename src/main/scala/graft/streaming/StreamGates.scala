@@ -71,6 +71,41 @@ object StreamGates {
     iso
   }
 
+  /** Per-JVM prebuilt sentinel micro-batch files. A sentinel's only
+    * job is to carry an event time far past every real row (so the
+    * watermark jumps) and to BE a batch (so the jumped watermark takes
+    * effect) — it does not need a data-dependent timestamp, so the
+    * 1-row parquet is built ONCE per (JVM, ts) through Spark and then
+    * dropped into gate input dirs with a ~1 ms file copy instead of a
+    * ~250 ms single-row write job per sentinel per gate per pass.
+    * Fixed times sit in 2100, beyond any test corpus. */
+  private[streaming] val Sentinel1Ms = 4102444800000L // 2100-01-01 UTC
+  private[streaming] val Sentinel2Ms = Sentinel1Ms + 60000L
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.nio.file.Path]()
+  private def dropSentinel(s: SparkSession, tsMs: Long, inDir: String): Unit = {
+    val part = sentinelCache.computeIfAbsent(tsMs, _ => {
+      import s.implicits._
+      val dir = graft.Fs.fastTempDir("graft_sentinel")
+      // lives for the JVM (that's the point); deleted on exit so
+      // repeated bench/verify JVMs can't accrete dirs on the tmpfs
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      Seq((-1L, new Timestamp(tsMs), -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val l = java.nio.file.Files.list(dir)
+      try l.iterator().asScala
+        .find(f => f.toString.endsWith(".parquet") &&
+          !f.getFileName.toString.startsWith("."))
+        .getOrElse(throw new IllegalStateException("sentinel part missing"))
+      finally l.close()
+    })
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(inDir,
+      s"sentinel-$tsMs-${System.nanoTime()}.parquet"))
+    ()
+  }
+
   private def safeStop(q: StreamingQuery): Unit =
     if (q != null) try q.stop() catch { case _: Throwable => () }
 
@@ -165,15 +200,9 @@ object StreamGates {
       return Seq((false, false))
         .toDF("tumbling_parity", "sessions_flushed_parity")
     ev.write.mode("overwrite").parquet(inDir)
-    val maxMs = maxRow.getTimestamp(0).getTime
-
     var tq: StreamingQuery = null
     var sq: StreamingQuery = null
     def drain(): Unit = { tq.processAllAvailable(); sq.processAllAvailable() }
-    def sentinel(offMs: Long): Unit =
-      Seq((-1L, new Timestamp(maxMs + offMs), -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("append").parquet(inDir)
     try {
       tq = Streams.tumblingCounts(Streams.readEventStream(iso, inDir))
         .writeStream.outputMode(OutputMode.Append)
@@ -187,8 +216,8 @@ object StreamGates {
         .format("memory").queryName("sbp_sessions")
         .option("checkpointLocation", s"$base/ckpt_s").start()
       drain()
-      sentinel(4L * 3600 * 1000); drain()
-      sentinel(4L * 3600 * 1000 + 60000); drain()
+      dropSentinel(iso, Sentinel1Ms, inDir); drain()
+      dropSentinel(iso, Sentinel2Ms, inDir); drain()
     } finally { safeStop(tq); safeStop(sq) }
 
     // tumbling windows: decimal-summed on both sides, so sum_value is
@@ -544,13 +573,8 @@ object StreamGates {
       if (maxRow.isNullAt(0))
         return Seq((false, 0L)).toDF("session_parity", "n_sessions")
       ev.write.mode("overwrite").parquet(inDir)
-      val maxMs = maxRow.getTimestamp(0).getTime
 
       var q: StreamingQuery = null
-      def sentinel(offMs: Long): Unit =
-        Seq((-1L, new Timestamp(maxMs + offMs), -1L, "sentinel", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .write.mode("append").parquet(inDir)
       try {
         q = Streams.sessionWindows(Streams.readEventStream(iso, inDir))
           .writeStream.outputMode(OutputMode.Append)
@@ -560,8 +584,8 @@ object StreamGates {
         // first sentinel advances the watermark past every real
         // session; the second gives the engine the batch in which
         // finalization actually fires
-        sentinel(4L * 3600 * 1000); q.processAllAvailable()
-        sentinel(4L * 3600 * 1000 + 60000); q.processAllAvailable()
+        dropSentinel(iso, Sentinel1Ms, inDir); q.processAllAvailable()
+        dropSentinel(iso, Sentinel2Ms, inDir); q.processAllAvailable()
       } finally safeStop(q)
 
       val cols = Seq("sess_start", "sess_end", "user_id", "n_events",
