@@ -446,19 +446,29 @@ object StreamGates {
       // Two is the minimum that exercises BOTH candidate sources —
       // store-join (cross-batch) and within-batch — at one less batch
       // of fixed micro-batch latency than the earlier 3-chunk split.
-      val cuts = docs.stat.approxQuantile("doc_id", Array(0.5), 0.001)
+      // The cut is the id-range MIDPOINT from the same min/max agg
+      // (chunk balance is not a correctness input — both chunks are
+      // non-empty for any ≥2 distinct ids — and the former
+      // approxQuantile charged a dedicated sketch job for balance
+      // nothing consumed).
+      val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val cut = mm.getLong(0) / 2 + mm.getLong(1) / 2
       Seq(
-        docs.filter(col("doc_id") <= cuts(0)),
-        docs.filter(col("doc_id") > cuts(0)))
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut))
         .foreach(_.coalesce(1).write.mode("append").parquet(inDir))
 
       val bandStore = s"$base/bands"
       val shingleStore = s"$base/shingles"
       val decisionStore = s"$base/decisions"
+      // stores materialize lazily: batch 1 reads the typed EMPTY frame
+      // (no priming write jobs), later batches read the parquet the
+      // earlier ones appended
       val empty = Dedup.shingleHashesOf(docs.limit(0))
-      Dedup.minhashBandsOf(empty).toDF()
-        .write.mode("overwrite").parquet(bandStore)
-      empty.toDF().write.mode("overwrite").parquet(shingleStore)
+      def readStore(path: String, orElse: DataFrame): DataFrame =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+          iso.read.parquet(path)
+        else orElse
 
       var q: StreamingQuery = null
       try {
@@ -469,7 +479,7 @@ object StreamGates {
             val sh = Dedup.shingleHashesOf(batch)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val bands = Dedup.minhashBandsOf(sh).toDF()
-            val seenBands = iso.read.parquet(bandStore)
+            val seenBands = readStore(bandStore, Dedup.minhashBandsOf(empty).toDF())
             val candStore = bands.as("x").join(seenBands.as("y"),
                 col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
               .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
@@ -477,7 +487,7 @@ object StreamGates {
                 col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
                   col("x.doc_id") < col("y.doc_id"))
               .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-            val allSh = iso.read.parquet(shingleStore).union(sh.toDF())
+            val allSh = readStore(shingleStore, empty.toDF()).union(sh.toDF())
             val dupIds = candStore.union(candBatch).distinct()
               .join(allSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
                 Seq("doc_a"))
