@@ -326,20 +326,23 @@ object Bench {
             .map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty)
       }
-      // signature = jobs:stages:shuffleKB@1-significant-figure. Task
-      // counts and exact shuffle bytes JITTER run-to-run under AQE
-      // (measured: profile_orders 4:4:4:3926 vs 4:4:5:4220 on
-      // back-to-back identical binaries) — a signature that flags
-      // those cries wolf; real plan changes move job/stage counts or
-      // shuffle volume by integer factors, which 1 sig-fig keeps.
+      // signature = jobs:stages:shuffleKB (raw). Task counts are
+      // excluded and the shuffle term compares under a ±50% RATIO
+      // tolerance rather than equality: exact bytes jitter run-to-run
+      // under AQE (measured: profile_orders 3926 vs 4220 KB on
+      // identical binaries, which also straddles any fixed rounding
+      // boundary) while real plan changes move volume by integer
+      // factors. Job/stage counts compare exactly.
       def sigOf(n: String): String = {
         val m = best(n)._2
-        val kb = (m.shuffleRead + m.shuffleWrite) / 1024
-        val coarse = if (kb <= 0) 0L else {
-          val d = math.pow(10, math.floor(math.log10(kb.toDouble))).toLong
-          (kb / d) * d
-        }
-        s"${m.jobs}:${m.stages}:$coarse"
+        s"${m.jobs}:${m.stages}:${(m.shuffleRead + m.shuffleWrite) / 1024}"
+      }
+      def sigChanged(prev: String, cur: String): Boolean = {
+        val (p, c) = (prev.split(':'), cur.split(':'))
+        if (p.length != 3 || c.length != 3) return prev != cur
+        if (p(0) != c(0) || p(1) != c(1)) return true
+        val (pk, ck) = (p(2).toDouble max 1.0, c(2).toDouble max 1.0)
+        ck / pk > 1.5 || pk / ck > 1.5
       }
       val entry: ObjectNode = mapper.createObjectNode()
       entry.put("run_at", java.time.Instant.now().toString)
@@ -354,7 +357,7 @@ object Bench {
         qs.put(n, math.round(best(n)._1 * 1000) / 1000.0)
         val sig = sigOf(n)
         sigs.put(n, sig)
-        if (prevSigs.get(n).exists(_ != sig)) changed.add(n)
+        if (prevSigs.get(n).exists(sigChanged(_, sig))) changed.add(n)
       }
       root.add(entry)
       mapper.writerWithDefaultPrettyPrinter().writeValue(trendPath.toFile, root)
