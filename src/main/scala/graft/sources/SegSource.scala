@@ -73,6 +73,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *               non-null values (fixed width; strings len-prefixed).
   */
 object SegSource {
+  /** Read/write option declaring the identity partition column for
+    * storage-partitioned layout (our stand-in for the catalog
+    * metadata a real lakehouse table carries). */
+  val PartitionColOption = "partition_col"
+
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   private[sources] val Version: Byte = 2
 
@@ -484,14 +489,17 @@ class SegTable(tschema: StructType, path: String)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SegScanBuilder(tschema, path)
+    new SegScanBuilder(tschema, path,
+      Option(options.get(SegSource.PartitionColOption)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SegWriteBuilder(path, info.schema())
+    new SegWriteBuilder(path, info.schema(),
+      Option(info.options().get(SegSource.PartitionColOption)))
 }
 
 // ---------------- read side ----------------
 
-class SegScanBuilder(full: StructType, path: String) extends ScanBuilder
+class SegScanBuilder(full: StructType, path: String,
+    partitionCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -565,17 +573,75 @@ class SegScanBuilder(full: StructType, path: String) extends ScanBuilder
   }
 
   override def build(): Scan =
-    SegScan(path, required, pushed, aggs, limit, topN)
+    SegScan(path, required, pushed, aggs, limit, topN,
+      // LongType only: the HasPartitionKey row must carry exactly the
+      // key expression's type, and the header-stats recovery
+      // normalizes through long
+      partitionCol.filter(c => full.fields.exists(f => f.name == c &&
+        f.dataType == LongType)))
 }
 
 case class SegInputPartition(file: String) extends InputPartition
 
+/** One storage partition = every segment holding key value `key`;
+  * reports the key so Spark's storage-partitioned join can align the
+  * two sides' partitions without an exchange. */
+case class SegKeyedPartition(files: Seq[String], key: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
 case class SegScan(path: String, required: StructType,
     pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]],
-    limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None)
+    limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None,
+    partitionCol: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Storage-partitioned layout, recovered from HEADERS: with
+    * `partition_col` declared and every segment holding exactly one
+    * key value (min==max, no nulls — what the keyed writer produces),
+    * segments group into one InputPartition per key, each reporting
+    * its key via HasPartitionKey, and the scan advertises
+    * KeyGroupedPartitioning(identity(col)). Two gseg tables laid out
+    * on the same key then JOIN WITHOUT EITHER SIDE SHUFFLING (Spark's
+    * storage-partitioned join, spark.sql.sources.v2.bucketing.enabled)
+    * — the Iceberg/Delta bucketed-table contract, at 100 TB the
+    * difference between a join that moves nothing and one that moves
+    * both tables. Any segment violating the one-value invariant
+    * degrades the whole scan to unknown partitioning (never wrong,
+    * only shuffled). */
+  @transient private lazy val keyGroups
+      : Option[Seq[(Long, Seq[String])]] = partitionCol.flatMap { pc =>
+    val files = SegSource.listSegments(path)
+    val kv = files.map { f =>
+      val cm = SegSource.headerOf(f).cols.find(_.name == pc)
+      val ok = cm.exists(c => c.hasStats && c.nNulls == 0 &&
+        c.minBits == c.maxBits)
+      (f, if (ok) cm.get.minVal.map {
+        case l: Long => l
+        case i: Int => i.toLong
+      } else None)
+    }
+    if (files.isEmpty || kv.exists(_._2.isEmpty)) None
+    else Some(kv.groupBy(_._2.get).toSeq.sortBy(_._1)
+      .map { case (k, fs) => (k, fs.map(_._1)) })
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyGroups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(partitionCol.get)), gs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Header-derived table statistics [STATS]: exact row count and the
     * PRUNED byte size (only the required columns' block bytes, summed
@@ -616,7 +682,10 @@ case class SegScan(path: String, required: StructType,
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (aggs.isDefined) Array.empty // header-agg answers must see every file
+    if (aggs.isDefined || keyGroups.isDefined) Array.empty
+    // header-agg answers must see every file; a key-grouped scan's
+    // partition count is part of its reported partitioning contract,
+    // so runtime pruning (which drops groups) is declined there
     else required.fields.filter(_.dataType != StringType).map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
@@ -666,6 +735,20 @@ case class SegScan(path: String, required: StructType,
     * (A production source would additionally coalesce small segments
     * into shared splits; segment=split keeps the demo honest.) */
   override def planInputPartitions(): Array[InputPartition] = {
+    // key-grouped layout: one partition per key value (files within a
+    // group may still be zone-map-pruned by pushed filters — that
+    // empties a group without changing the partition COUNT the
+    // reported partitioning promised)
+    keyGroups match {
+      case Some(gs) if aggs.isEmpty =>
+        val kept = gs.map { case (k, fs) =>
+          SegKeyedPartition(fs.filter(f =>
+            pushed.forall(SegSource.mayMatch(SegSource.headerOf(f), _))), k)
+        }
+        graft.Counters.add("gseg_key_groups", gs.size.toLong)
+        return kept.toArray[InputPartition]
+      case _ => ()
+    }
     val files = SegSource.listSegments(path)
     val allFilters = pushed ++ runtime
     val kept =
@@ -827,14 +910,35 @@ class SegMicroBatchStream(path: String, required: StructType,
 case class SegReaderFactory(required: StructType, pushed: Array[Filter],
     aggs: Option[Seq[SegSource.HeaderAgg]], limit: Option[Int] = None)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[SegInputPartition].file
-    aggs match {
-      case Some(as) => new SegAggReader(file, as)
-      case None => new SegPartitionReader(file, required, pushed,
-        limit.getOrElse(Int.MaxValue))
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case SegKeyedPartition(files, _) =>
+        new SegChainReader(files, required, pushed)
+      case SegInputPartition(file) => aggs match {
+        case Some(as) => new SegAggReader(file, as)
+        case None => new SegPartitionReader(file, required, pushed,
+          limit.getOrElse(Int.MaxValue))
+      }
     }
+}
+
+/** All segments of one partition-key value, read back to back. */
+class SegChainReader(files: Seq[String], required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private var idx = -1
+  private var cur: SegPartitionReader = null
+  override def next(): Boolean = {
+    while (true) {
+      if (cur != null && cur.next()) return true
+      idx += 1
+      if (idx >= files.length) return false
+      if (cur != null) cur.close()
+      cur = new SegPartitionReader(files(idx), required, pushed)
+    }
+    false
   }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Metadata-only reader for pushed aggregates: emits exactly ONE row
@@ -964,17 +1068,37 @@ class SegPartitionReader(file: String, required: StructType,
 
 // ---------------- write side ----------------
 
-class SegWriteBuilder(path: String, schema: StructType)
+class SegWriteBuilder(path: String, schema: StructType,
+    partitionCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+
+  /** With `partition_col`, the write declares an identity-clustered
+    * required distribution plus an in-partition sort on the key, so
+    * Spark delivers each task contiguous runs per key value and the
+    * task writer ROLLS one segment per value — the layout the
+    * storage-partitioned-join scan groups by. Without the option the
+    * distribution is unspecified (plain one-segment-per-task). */
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+    override def requiredDistribution(): Distribution =
+      partitionCol.map(c =>
+          Distributions.clustered(Array(Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression)))
+        .getOrElse(Distributions.unspecified())
+    override def requiredOrdering(): Array[V2SortOrder] =
+      partitionCol.map(c => Array(
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+        .getOrElse(Array.empty)
     override def toBatch: BatchWrite =
-      SegBatchWrite(path, schema, truncateFirst)
+      SegBatchWrite(path, schema, truncateFirst, partitionCol)
   }
 }
 
-case class SegCommitMessage(partitionId: Int, tmpFile: String)
+case class SegCommitMessage(partitionId: Int, tmpFiles: Seq[String])
   extends WriterCommitMessage
 
 /** Job-level commit: every task stages a hidden `.tmp-` segment and
@@ -984,11 +1108,12 @@ case class SegCommitMessage(partitionId: Int, tmpFile: String)
   * intact). Spark's commit coordinator guarantees one committed
   * attempt per partition, so renames never race. */
 case class SegBatchWrite(path: String, schema: StructType,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, partitionCol: Option[String] = None)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    SegWriterFactory(path, schema)
+    SegWriterFactory(path, schema, partitionCol)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -997,22 +1122,24 @@ case class SegBatchWrite(path: String, schema: StructType,
       SegSource.listSegments(path).foreach(f =>
         Files.deleteIfExists(Paths.get(f)))
     msgs.foreach { m =>
-      Files.move(Paths.get(m.tmpFile),
-        Paths.get(f"$path/part-${m.partitionId}%05d.gseg"),
-        StandardCopyOption.REPLACE_EXISTING)
+      m.tmpFiles.zipWithIndex.foreach { case (tmp, i) =>
+        Files.move(Paths.get(tmp),
+          Paths.get(f"$path/part-${m.partitionId}%05d-$i%03d.gseg"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: SegCommitMessage => m }
-      .foreach(m => Files.deleteIfExists(Paths.get(m.tmpFile)))
+      .foreach(_.tmpFiles.foreach(t => Files.deleteIfExists(Paths.get(t))))
 }
 
-case class SegWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+case class SegWriterFactory(path: String, schema: StructType,
+    partitionCol: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SegDataWriter(path, schema, partitionId, taskId)
+    new SegDataWriter(path, schema, partitionId, taskId, partitionCol)
 }
 
 /** Buffers the partition's rows as writer cells (boxed primitives /
@@ -1022,9 +1149,10 @@ case class SegWriterFactory(path: String, schema: StructType)
   * segment can never be listed, because [[SegSource.listSegments]]
   * ignores dot-files. */
 class SegDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, partitionCol: Option[String] = None)
+    extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
-  private val tmp = f"$path/.tmp-$partitionId%05d-$taskId.gseg"
+  private val keyIdx = partitionCol.map(schema.fieldIndex)
 
   override def write(r: InternalRow): Unit = {
     val cells = new Array[AnyRef](schema.length)
@@ -1044,10 +1172,39 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
   }
 
   override def commit(): WriterCommitMessage = {
-    SegSource.writeSegment(buf, schema, tmp)
-    SegCommitMessage(partitionId, tmp)
+    // keyed mode: the required ordering delivered rows sorted by the
+    // key, so each distinct value is a contiguous run — one segment
+    // per run gives the scan's key-grouper min==max stats to read the
+    // value back from (no format change needed)
+    val runs: Seq[collection.IndexedSeq[Array[AnyRef]]] = keyIdx match {
+      case None => Seq(buf)
+      case Some(ki) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[collection.IndexedSeq[Array[AnyRef]]]
+        var start = 0
+        var i = 1
+        while (i <= buf.length) {
+          if (i == buf.length || buf(i)(ki) != buf(start)(ki)) {
+            out += buf.slice(start, i)
+            start = i
+          }
+          i += 1
+        }
+        out.toSeq
+    }
+    val tmps = runs.zipWithIndex.map { case (run, i) =>
+      val tmp = f"$path/.tmp-$partitionId%05d-$taskId-$i%03d.gseg"
+      SegSource.writeSegment(run, schema, tmp)
+      tmp
+    }
+    staged = tmps
+    SegCommitMessage(partitionId, tmps)
   }
 
-  override def abort(): Unit = Files.deleteIfExists(Paths.get(tmp))
+  // tmps exist only once commit() started writing them; a throw there
+  // (or a later job abort) cleans the dot-files best-effort
+  @volatile private var staged: Seq[String] = Nil
+  override def abort(): Unit =
+    staged.foreach(t => Files.deleteIfExists(Paths.get(t)))
   override def close(): Unit = ()
 }
