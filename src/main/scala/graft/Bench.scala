@@ -235,12 +235,15 @@ object Bench {
             false
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // operator-emitted loop/path counters (cc_rounds, fuzzy path…):
-        // recorded synchronously on this driver thread during fn
-        val snap = Counters.drain()
-        if (snap.nonEmpty) counters(name) = snap
         spark.sparkContext.clearJobGroup()
         drainShort()
+        // operator-emitted loop/path counters (cc_rounds, fuzzy path…):
+        // most record synchronously on this driver thread during fn;
+        // observed-metric counters (capBaskets) arrive on the listener
+        // bus, which drainShort's stability wait has just let settle —
+        // hence drain AFTER it
+        val snap = Counters.drain()
+        if (snap.nonEmpty) counters(name) = snap
         name -> (if (ok) elapsed else -1.0)
       }
       drainStable()

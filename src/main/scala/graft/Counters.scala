@@ -40,4 +40,41 @@ object Counters {
   def drain(): Map[String, Long] = {
     val s = snapshot(); clear(); s
   }
+
+  /** Namespace marking an observed metric as counter-bound. */
+  private val ObsPrefix = "graft_ctr_"
+  private val hooked =
+    java.util.Collections.newSetFromMap(
+      new ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** LAZY counter: attach `expr` as an observed metric on `df`, routed
+    * into this registry when a query over the frame actually EXECUTES
+    * — the side effect rides the caller's own job instead of an eager
+    * count() at DataFrame-construction time (and a frame that is never
+    * executed records nothing). Self-join-safe: both branches of a
+    * self-joined observed frame see every row, Spark keys the metric
+    * by dataframe id, and the harvest takes one branch's (complete)
+    * value. Delivery is via the async listener bus — synchronous
+    * readers (specs, Bench) must wait for arrival
+    * (`snapshot().contains`) rather than assume the counter landed
+    * when the action returned. */
+  def observeInto(df: org.apache.spark.sql.DataFrame, name: String,
+      expr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    if (hooked.add(s))
+      s.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (n, row) =>
+              if (n.startsWith(ObsPrefix) && row.length > 0 && !row.isNullAt(0))
+                add(n.stripPrefix(ObsPrefix), row.getLong(0))
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    df.observe(ObsPrefix + name, expr)
+  }
 }

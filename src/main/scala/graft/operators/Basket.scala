@@ -37,19 +37,27 @@ object Basket {
     * the moment it is needed; engagements land in bench metrics as
     * `<counterPrefix>_capped_baskets`. The window's partition key is
     * the pair join's own shuffle key, so the added cost is one
-    * in-partition sort, not a new shuffle shape. */
+    * in-partition sort, not a new shuffle shape.
+    *
+    * PURE: the returned frame is a lazy description — no persist, no
+    * job at construction time. Self-join consumers (frequentPairs,
+    * g4's edge build) still pay ONE shuffle: both branches' exchanges
+    * are identical, so Spark's exchange/stage reuse computes the
+    * shuffle once (the deterministic xxhash64 rank makes per-branch
+    * recomputation of the window above it safe). Cap engagements are
+    * counted IN the caller's own job — exactly one row per
+    * over-cap basket carries rank cap+1 — via an observed metric
+    * routed to [[graft.Counters]]; delivery is async (see
+    * [[graft.Counters.observeInto]]), so the counter lands shortly
+    * after the consuming action, not during DataFrame construction. */
   def capBaskets(items: DataFrame, keyCol: String, itemCol: String,
       cap: Int, counterPrefix: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(xxhash64(col(keyCol), col(itemCol)), col(itemCol))
     val ranked = items.withColumn("_rnk", row_number().over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exactly one row per basket that EXCEEDS the cap carries rank
-    // cap+1 — counting those counts capped baskets, one small job over
-    // the already-shuffled frame
-    val capped = ranked.filter(col("_rnk") === cap + 1).count()
-    graft.Counters.add(s"${counterPrefix}_capped_baskets", capped)
-    ranked.filter(col("_rnk") <= cap).drop("_rnk")
+    graft.Counters.observeInto(ranked, s"${counterPrefix}_capped_baskets",
+        coalesce(sum(when(col("_rnk") === cap + 1, 1L)), lit(0L)))
+      .filter(col("_rnk") <= cap).drop("_rnk")
   }
 
   /** Default basket cap: 64 items ⇒ ≤ 2,016 pairs per basket. TPC-H

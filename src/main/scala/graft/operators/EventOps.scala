@@ -509,7 +509,7 @@ object EventOps {
   def holt(s: SparkSession, d: String, alpha: Double = 0.5,
       beta: Double = 0.25,
       chunkMicros: Long = HoltChunkMicros): DataFrame =
-    affineScan(s, d, HoltRec(alpha, beta), chunkMicros)
+    affineScan(s, d, HoltRec(alpha, beta), chunkMicros, anchorToMin = true)
       .select(col("user_id"), col("event_id"),
         col("s0").as("level"), col("s1").as("trend"))
 
@@ -579,7 +579,15 @@ object EventOps {
     * 1-day chunks; EWMA's non-dyadic α measured ZERO flips at both
     * SFs, hence its tighter default). Multi-chunk Holt is exercised by
     * the [ev_scan_gate] driver row and EventOpsSpec at 1-day/1-hour
-    * widths under the documented O(ε/α) tolerance. */
+    * widths under the documented O(ε/α) tolerance.
+    *
+    * The single-chunk guarantee holds for ANY corpus dates because the
+    * holt path anchors the chunk grid to the corpus min timestamp
+    * (`anchorToMin` in [[affineScanOf]]) — with the epoch-aligned grid
+    * it held only when the corpus didn't straddle a multiple-of-90-days
+    * boundary (the r8 corpus cleared the next one by just ~47 days, so
+    * a regenerated corpus at shifted dates could have silently split
+    * users into two chunks and re-exposed the round-tie flips). */
   val HoltChunkMicros: Long = 90L * 86400L * 1000000L
 
   /** Gate query [ev_scan_gate]: the chunked scan's precision contract,
@@ -703,13 +711,20 @@ object EventOps {
     * single-chunk histories, partition-invariance bitwise, and the
     * ulp bound on adversarial multi-chunk inputs). */
   private[graft] def affineScan(s: SparkSession, d: String, rec: AffineRec,
-      chunkMicros: Long): DataFrame =
-    affineScanOf(Tables.events(s, d), rec, chunkMicros)
+      chunkMicros: Long, anchorToMin: Boolean = false): DataFrame =
+    affineScanOf(Tables.events(s, d), rec, chunkMicros, anchorToMin)
 
   /** Same scan over a caller-provided events frame (lets the property
-    * suite drive adversarial histories and partitionings). */
+    * suite drive adversarial histories and partitionings).
+    *
+    * `anchorToMin` anchors the chunk grid to the corpus min timestamp
+    * (chunk = ⌊(ts − min ts)/W⌋ instead of the epoch-aligned
+    * ⌊ts/W⌋), making "corpus span < W ⇒ single-chunk" hold for any
+    * dates. Computed IN-PLAN as a broadcast one-row aggregate over the
+    * pruned ts column (a cheap extra stage, no eager driver job), so
+    * the returned frame stays a lazy description. */
   private[graft] def affineScanOf(events: DataFrame, rec: AffineRec,
-      chunkMicros: Long): DataFrame = {
+      chunkMicros: Long, anchorToMin: Boolean = false): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val dim = rec.dim
@@ -749,12 +764,18 @@ object EventOps {
       out
     }
 
-    val chunked = events
+    val base = events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"))
-      .as[(Long, Long, Long, Double)]
-      .groupByKey(t => (t._1, Math.floorDiv(t._3, chunkMicros)))
-      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double)]) =>
+    val anchored =
+      if (anchorToMin)
+        base.crossJoin(org.apache.spark.sql.functions.broadcast(
+          base.agg(min(col("ts_us")).as("anchor_us"))))
+      else base.withColumn("anchor_us", lit(0L))
+    val chunked = anchored
+      .as[(Long, Long, Long, Double, Long)]
+      .groupByKey(t => (t._1, Math.floorDiv(t._3 - t._5, chunkMicros)))
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Double, Long)]) =>
         val (user, chunk) = key
         val evs = it.toArray.sortBy(e => (e._3, e._2))
         // identity map ∘ element maps, left to right

@@ -614,9 +614,17 @@ case class SegScan(path: String, required: StructType,
     * difference between a join that moves nothing and one that moves
     * both tables. Any segment violating the one-value invariant
     * degrades the whole scan to unknown partitioning (never wrong,
-    * only shuffled). */
+    * only shuffled).
+    *
+    * Guarded on `aggs.isEmpty`: a header-agg scan plans per-file
+    * buffer partitions (no HasPartitionKey, different count), so a
+    * key-grouped `outputPartitioning` there would advertise a layout
+    * the actual partitions don't honor. With the guard HERE, every
+    * consumer (outputPartitioning, planInputPartitions,
+    * filterAttributes) sees the same answer by construction. */
   @transient private lazy val keyGroups
-      : Option[Seq[(Long, Seq[String])]] = partitionCol.flatMap { pc =>
+      : Option[Seq[(Long, Seq[String])]] =
+    (if (aggs.isDefined) None else partitionCol).flatMap { pc =>
     val files = SegSource.listSegments(path)
     val kv = files.map { f =>
       val cm = SegSource.headerOf(f).cols.find(_.name == pc)
@@ -740,7 +748,7 @@ case class SegScan(path: String, required: StructType,
     // empties a group without changing the partition COUNT the
     // reported partitioning promised)
     keyGroups match {
-      case Some(gs) if aggs.isEmpty =>
+      case Some(gs) => // keyGroups already implies aggs.isEmpty
         val kept = gs.map { case (k, fs) =>
           SegKeyedPartition(fs.filter(f =>
             pushed.forall(SegSource.mayMatch(SegSource.headerOf(f), _))), k)

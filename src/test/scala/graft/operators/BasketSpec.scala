@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 
 class BasketSpec extends SparkSpec {
+  /** capBaskets counts engagements via an observed metric delivered on
+    * the async listener bus — poll for arrival instead of assuming the
+    * counter landed when collect() returned. */
+  private def awaitCounter(name: String, timeoutMs: Long = 10000): Option[Long] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var got = graft.Counters.snapshot().get(name)
+    while (got.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      got = graft.Counters.snapshot().get(name)
+    }
+    got
+  }
+
   test("frequent pairs: apriori pruning never changes the answer") {
     // brute-force reference on the real data: pair support via a plain
     // self-join with NO item prefilter
@@ -29,7 +42,8 @@ class BasketSpec extends SparkSpec {
     val got = Basket.capBaskets(items, "bk", "item", 3, "spec")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 99L)))
-    assert(graft.Counters.drain().getOrElse("spec_capped_baskets", -1L) === 0L)
+    assert(awaitCounter("spec_capped_baskets").contains(0L))
+    graft.Counters.clear()
   }
 
   test("capBaskets: oversized baskets cut to the cap, deterministically, counted") {
@@ -45,8 +59,9 @@ class BasketSpec extends SparkSpec {
     assert(a.count(_._1 == 2L) === 2, "under-cap basket disturbed")
     // hash-ranked keep-set is partition-invariant
     assert(run(7) === a)
-    val ctr = graft.Counters.drain().getOrElse("spec_capped_baskets", 0L)
+    val ctr = awaitCounter("spec_capped_baskets").getOrElse(0L)
     assert(ctr >= 1L, s"cap engagement not counted: $ctr") // ≥: two runs
+    graft.Counters.clear()
   }
 
   test("frequentPairs: a cap below basket size bounds the pair fan-out") {

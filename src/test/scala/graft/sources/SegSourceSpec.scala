@@ -139,10 +139,11 @@ class SegSourceSpec extends SparkSpec {
     w.write(InternalRow(1L))
     val msg = w.commit().asInstanceOf[SegCommitMessage]
     // staged but not job-committed: invisible to readers
-    assert(new java.io.File(msg.tmpFile).exists())
+    assert(msg.tmpFiles.nonEmpty &&
+      msg.tmpFiles.forall(f => new java.io.File(f).exists()))
     assert(SegSource.listSegments(d) === before)
     w.abort()
-    assert(!new java.io.File(msg.tmpFile).exists())
+    assert(msg.tmpFiles.forall(f => !new java.io.File(f).exists()))
     // reader state unchanged throughout
     assert(spark.read.format("gseg").load(d).count() === 10L)
   }
@@ -371,5 +372,74 @@ class SegSourceSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("storage-partitioned join: keyed writes join without a shuffle") {
+    val dA = java.nio.file.Files.createTempDirectory("gsegspjA").toString
+    val dB = java.nio.file.Files.createTempDirectory("gsegspjB").toString
+    val left = spark.range(1000)
+      .select((col("id") % 8).as("k"), col("id").as("v"))
+    val right = spark.range(500)
+      .select((col("id") % 8).as("k"), (col("id") * 2).as("w"))
+    left.write.format("gseg")
+      .option(SegSource.PartitionColOption, "k").mode("overwrite").save(dA)
+    right.write.format("gseg")
+      .option(SegSource.PartitionColOption, "k").mode("overwrite").save(dB)
+    // keyed writer rolled one single-value segment per key per task
+    assert(SegSource.listSegments(dA).size === 8)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      graft.Counters.clear()
+      val a = spark.read.format("gseg")
+        .option(SegSource.PartitionColOption, "k").load(dA)
+      val b = spark.read.format("gseg")
+        .option(SegSource.PartitionColOption, "k").load(dB)
+      val j = a.join(b, "k")
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join still shuffled:\n${j.queryExecution.executedPlan}")
+      val got = j.agg(count(lit(1)), sum(col("v") + col("w")))
+        .collect().head
+      val want = left.join(right, "k").agg(count(lit(1)), sum(col("v") + col("w")))
+        .collect().head
+      assert(got === want && got.getLong(0) > 0L)
+      // ≥ 16 (8 per side): planInputPartitions re-runs across planning
+      // phases and the counter sums
+      assert(graft.Counters.peek("gseg_key_groups") >= 16L,
+        "scan did not plan key-grouped partitions")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("partition_col + agg pushdown: partitioning contract degrades together") {
+    val d = java.nio.file.Files.createTempDirectory("gsegspagg").toString
+    spark.range(1000).select((col("id") % 8).as("k"), col("id").as("v"))
+      .write.format("gseg")
+      .option(SegSource.PartitionColOption, "k").mode("overwrite").save(d)
+    val df = spark.read.format("gseg")
+      .option(SegSource.PartitionColOption, "k").load(d)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    // agg reached the headers...
+    assert(scan.description().contains("PushedAggregates"))
+    // ...and the SAME scan must NOT advertise key-grouped partitioning,
+    // because an agg scan plans per-file buffer partitions (the r8
+    // contract bug: partitioning said key-grouped, partitions weren't)
+    assert(scan.asInstanceOf[SegScan].outputPartitioning().isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+    val got = df.collect().head
+    assert(got.getLong(0) === 1000L && got.getLong(1) === 0L &&
+      got.getLong(2) === 999L)
   }
 }
