@@ -249,6 +249,7 @@ object SparkEntry {
     "ev_scan_gate"       -> EventOps.scanGate _,
     "s16_dsv2_limit_topn" -> CoreOps.s16SegLimitTopn _,
     "s17_dsv2_runtime_filter" -> CoreOps.s17SegRuntimeFilter _,
+    "s18_dsv2_spj_join"  -> CoreOps.s18SegSpjJoin _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1661,7 +1662,8 @@ object SparkEntry {
     "stream_neardup_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS neardup_parity,
         |       CAST(1 AS BOOLEAN) AS incremental_stream,
-        |       (SELECT COUNT(*) FROM documents) AS n_rows""".stripMargin,
+        |       (SELECT COUNT(*) FROM documents
+        |        WHERE doc_id < 2000) AS n_rows""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
         |       CAST(2 AS BIGINT) AS n_batches,
@@ -1700,6 +1702,17 @@ object SparkEntry {
         |         AS sum_value
         |FROM events e JOIN dim ON e.user_id = dim.user_id
         |WHERE dim.grp = 0""".stripMargin,
+    // gseg storage-partitioned join: the join aggregate is relational
+    // (k is derived from the join key, so the plain orderkey join
+    // states the same result); the key-grouped-planning and
+    // no-shuffle-below-the-join booleans are in-engine plan evidence
+    "s18_dsv2_spj_join" ->
+      """SELECT CAST(1 AS BOOLEAN) AS spj_join,
+        |       CAST(1 AS BOOLEAN) AS spj_shuffle_free,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
     // chunked-scan precision contract: the booleans compare the
     // two-phase affine scan against the single-task fold IN-ENGINE
     // (no SQL oracle can replay the composed-carry float sequence);

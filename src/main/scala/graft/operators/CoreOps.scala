@@ -1995,6 +1995,66 @@ object CoreOps {
       .toDF("runtime_pushed", "files_skipped", "n_rows", "sum_value")
   }
 
+  /** DSv2 storage-partitioned join [S18]: two gseg tables written
+    * identity-clustered on the same key column join WITHOUT EITHER
+    * SIDE SHUFFLING — Spark's storage-partitioned join
+    * (KeyGroupedPartitioning + HasPartitionKey under
+    * spark.sql.sources.v2.bucketing.enabled), the Iceberg/Delta
+    * bucketed-table contract. At 100 TB this is the difference between
+    * a fact⋈fact join that moves NOTHING at query time (the layout
+    * investment was paid once, at write) and one that shuffles both
+    * tables every query. Confs pin on a gate-private child session:
+    * SPJ on, broadcast off (so the claim is proven against a real
+    * sort-merge join, not a trivially-shuffle-free broadcast), AQE off
+    * (AdaptiveSparkPlanExec hides the tree from plan.collect — with it
+    * off the absence-of-Exchange evidence is a tree assertion, not a
+    * string grep). Relational columns are oracle-recomputed from
+    * parquet (the k terms are derived from the join key, so the plain
+    * orderkey join states the same result); spj booleans + the
+    * gseg_key_groups counter delta are in-engine evidence. */
+  def s18SegSpjJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    // the join's keys are (k, orderkey) while the layout clusters on k
+    // alone; with this off Spark accepts a partition-key SUBSET of the
+    // join keys as co-partitioned (orderkey equality rides the
+    // in-partition sort) — exactly the bucketed-fact-join shape
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val dirA = graft.Fs.scratchDir(iso, "graft_gseg_spja", d)
+    val dirB = graft.Fs.scratchDir(iso, "graft_gseg_spjb", d)
+    val kCol = graft.sources.SegSource.PartitionColOption
+    Tables.orders(iso, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(32L)).as("k"))
+      .write.format("gseg").option(kCol, "k").mode("overwrite").save(dirA)
+    Tables.lineitem(iso, d)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(col("l_orderkey"), lit(32L)).as("k"))
+      .write.format("gseg").option(kCol, "k").mode("overwrite").save(dirB)
+    val a = iso.read.format("gseg").option(kCol, "k").load(dirA)
+    val b = iso.read.format("gseg").option(kCol, "k").load(dirB)
+    val joined = a.join(b,
+      a("k") === b("k") && a("o_orderkey") === b("l_orderkey"))
+    val kg0 = graft.Counters.peek("gseg_key_groups")
+    val smj = joined.queryExecution.executedPlan.collectFirst {
+      case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+    }
+    val shuffleFree = smj.exists(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty)
+    val row = joined
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .head()
+    val keyGrouped = graft.Counters.peek("gseg_key_groups") > kg0
+    Seq((smj.isDefined && keyGrouped, shuffleFree,
+        row.getLong(0), row.getDouble(1)))
+      .toDF("spj_join", "spj_shuffle_free", "n_rows", "sum_price")
+  }
+
   /** JSON-lines roundtrip [S8]: the row-oriented interchange format —
     * written and re-read with an explicit schema (doubles, longs, and
     * ISO-serialized timestamps must all survive the text round-trip),

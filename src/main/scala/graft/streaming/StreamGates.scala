@@ -79,6 +79,10 @@ object StreamGates {
     * dropped into gate input dirs with a ~1 ms file copy instead of a
     * ~250 ms single-row write job per sentinel per gate per pass.
     * Fixed times sit in 2100, beyond any test corpus. */
+  /** Cap on the near-dup gate's corpus (id-prefix slice; see
+    * [[streamNearDupParity]]). */
+  private[streaming] val GateDocCap = 2000L
+
   private[streaming] val Sentinel1Ms = 4102444800000L // 2100-01-01 UTC
   private[streaming] val Sentinel2Ms = Sentinel1Ms + 60000L
   private val sentinelCache =
@@ -436,11 +440,16 @@ object StreamGates {
     val base = graft.Fs.fastTempDir("graft_snd").toString
     try {
       val inDir = s"$base/in"
+      // Gate corpus cap: parity is a correctness contract, so its cost
+      // should be CONSTANT in corpus size, not proportional — unbounded
+      // LSH scale is dedup_minhash_lsh's job. doc_ids are dense from 0,
+      // so an id-prefix slice keeps ≤2000 docs at any SF (the whole
+      // corpus at sf≤0.01; planted near-dups are ~5% of docs, so the
+      // slice always retains pairs), same discipline as the event
+      // gates' user_id slices.
       val docs = Tables.documents(iso, d).select(col("doc_id"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // chunk cuts, chunk writes, referee shingles
-      if (docs.head(1).isEmpty)
-        return Seq((false, false, 0L))
-          .toDF("neardup_parity", "incremental_stream", "n_rows")
+        .filter(col("doc_id") < GateDocCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // chunk cuts, chunk writes
       // two id-range chunks → two micro-batches (range split keeps
       // arrival order ≈ id order; the referee doesn't depend on it).
       // Two is the minimum that exercises BOTH candidate sources —
@@ -450,8 +459,12 @@ object StreamGates {
       // (chunk balance is not a correctness input — both chunks are
       // non-empty for any ≥2 distinct ids — and the former
       // approxQuantile charged a dedicated sketch job for balance
-      // nothing consumed).
+      // nothing consumed). A null min doubles as the emptiness probe —
+      // no separate head(1) job.
       val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (mm.isNullAt(0))
+        return Seq((false, false, 0L))
+          .toDF("neardup_parity", "incremental_stream", "n_rows")
       val cut = mm.getLong(0) / 2 + mm.getLong(1) / 2
       Seq(
         docs.filter(col("doc_id") <= cut),
@@ -519,13 +532,20 @@ object StreamGates {
         q.processAllAvailable()
       } finally safeStop(q)
 
-      // batch referee: same LSH over the whole corpus, each pair
+      // batch referee: same LSH over the whole gate corpus, each pair
       // re-oriented by recorded (batch_no, doc_id) arrival — the later
-      // endpoint is the duplicate
+      // endpoint is the duplicate. Shingles come from the stream's own
+      // store (every doc passed through exactly one batch, which wrote
+      // its shingles) — re-shingling the corpus was the referee's
+      // single biggest CPU line and proved nothing extra: shingle
+      // correctness is DedupSpec's job, this gate proves the
+      // incremental LSH decisions match the batch LSH over the SAME
+      // shingles.
       val decisions = iso.read.parquet(decisionStore)
         .select(col("doc_id"), col("batch_no"), col("is_dup"))
       val arrival = decisions.select(col("doc_id"), col("batch_no"))
-      val shAll = Dedup.shingleHashesOf(docs)
+      val shAll = iso.read.parquet(shingleStore)
+        .as[Dedup.DocShingles](org.apache.spark.sql.Encoders.product[Dedup.DocShingles])
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val refDups = Dedup.minhashLshOf(shAll, 0.6)
         .join(arrival.select(col("doc_id").as("doc_a"), col("batch_no").as("ba")),
@@ -655,15 +675,16 @@ object StreamGates {
         .select(col("o_orderkey"), col("o_totalprice"))
         .filter(col("o_totalprice").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // quantile cut, 2 chunk writes, exact-rank referee
-      if (vals.head(1).isEmpty)
-        return Seq((false, 0L, 0L))
-          .toDF("quantile_parity", "n_batches", "n_rows")
       // two key-range chunks → two micro-batches (maxFilesPerTrigger=1).
       // Two is the minimal count that proves a cross-batch MERGE; the
       // third chunk of earlier rounds only re-proved it at +1 batch of
-      // fixed micro-batch latency.
+      // fixed micro-batch latency. An empty sketch doubles as the
+      // emptiness probe — no separate head(1) job.
       val cuts = vals.stat
         .approxQuantile("o_orderkey", Array(0.5), 0.001)
+      if (cuts.isEmpty)
+        return Seq((false, 0L, 0L))
+          .toDF("quantile_parity", "n_batches", "n_rows")
       Seq(
         vals.filter(col("o_orderkey") <= cuts(0)),
         vals.filter(col("o_orderkey") > cuts(0)))

@@ -389,7 +389,11 @@ class SegSourceSpec extends SparkSpec {
     assert(SegSource.listSegments(dA).size === 8)
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // AQE's AdaptiveSparkPlanExec hides the tree from plan.collect —
+      // with it off, the absence-of-Exchange assertion is real, not
+      // vacuous
+      "spark.sql.adaptive.enabled" -> "false")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
@@ -399,7 +403,11 @@ class SegSourceSpec extends SparkSpec {
       val b = spark.read.format("gseg")
         .option(SegSource.PartitionColOption, "k").load(dB)
       val j = a.join(b, "k")
-      val shuffles = j.queryExecution.executedPlan.collect {
+      val smj = j.queryExecution.executedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }
+      assert(smj.isDefined, "expected a sort-merge join")
+      val shuffles = smj.get.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
       assert(shuffles.isEmpty,
