@@ -190,6 +190,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamNearDupParity _,
     "stream_quantile_parity" ->
       graft.streaming.StreamGates.streamQuantileParity _,
+    "stream_join_parity" ->
+      graft.streaming.StreamGates.streamJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
     "g3_triangle_count"  -> EventOps.triangleCount _,
@@ -1664,6 +1666,17 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS incremental_stream,
         |       (SELECT COUNT(*) FROM documents
         |        WHERE doc_id < 2000) AS n_rows""".stripMargin,
+    // stream-stream join: the parity boolean is in-engine (stream
+    // pair set == batch pair set); n_rows anchors relationally — the
+    // oracle restates the same time-bounded view⋈click self-join
+    "stream_join_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS join_parity,
+        |       (SELECT COUNT(*) FROM events v JOIN events c
+        |        ON v.user_id = c.user_id
+        |        AND c.ts >= v.ts
+        |        AND c.ts <= v.ts + INTERVAL '2 hours'
+        |        WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |        AND v.user_id < 200) AS n_rows""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
         |       CAST(2 AS BIGINT) AS n_batches,

@@ -642,6 +642,90 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_join_parity]: the watermarked STREAM-STREAM
+    * inner join — the last stateful streaming operator without a
+    * driver row (tumbling agg, dedup, sessions ×2, upsert, quantile
+    * merge, neardup store all have gates; joins lived only in
+    * StreamsSpec's MemoryStream tests). Two REAL file streams — the
+    * slice's view events and click events in separate dirs, each
+    * split at the slice's time MIDPOINT into two files with
+    * maxFilesPerTrigger=1 — so matches must span micro-batch
+    * boundaries in BOTH directions: a view buffered in join state
+    * matches a click that arrives one batch later, and a late view
+    * matches an already-buffered click. The watermark (45 days)
+    * exceeds the corpus span, so no state is evicted mid-drain and
+    * stream==batch equality is exact; the time-bound join condition
+    * is still what makes the state provably prunable at production
+    * watermarks (eviction semantics are StreamsSpec's left-outer
+    * coverage). Parity: the appended (view_id, click_id) pair set
+    * equals the BATCH join of the same slices through the identical
+    * declarative plan (withWatermark is a no-op in batch execution —
+    * one definition, two engines); n_rows anchors relationally via
+    * the oracle's self-join count. Slice capped at user_id < 200
+    * (dense ids ⇒ constant gate cost at any SF, the GateDocCap
+    * discipline); cross-midpoint matches land in bench counters as
+    * sjp_cross_batch_pairs — diagnostic, not oracle-gated, because
+    * their existence depends on the corpus, not the engine. */
+  def streamJoinParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_sjp").toString
+    try {
+      val viewDir = s"$base/views"
+      val clickDir = s"$base/clicks"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      if (mm.isNullAt(0))
+        return Seq((false, 0L)).toDF("join_parity", "n_rows")
+      val cutMs =
+        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+      val views = ev.filter(col("event_type") === "view")
+      val clicks = ev.filter(col("event_type") === "click")
+      for ((df, dir) <- Seq((views, viewDir), (clicks, clickDir));
+           firstHalf <- Seq(true, false))
+        df.filter(if (firstHalf) unix_millis(col("ts")) <= cutMs
+                  else unix_millis(col("ts")) > cutMs)
+          .coalesce(1).write.mode("append").parquet(dir)
+
+      var q: StreamingQuery = null
+      try {
+        q = Streams.viewClickJoin(
+            iso.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(viewDir),
+            iso.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(clickDir),
+            watermark = "45 days", window = "2 hours")
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("sjp_join")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      val pairCols = Seq("view_id", "click_id")
+      val streamPairs = iso.table("sjp_join")
+      val batchPairs = Streams.viewClickJoin(views, clicks,
+        watermark = "45 days", window = "2 hours")
+      graft.Counters.add("sjp_cross_batch_pairs",
+        streamPairs.filter(unix_millis(col("view_ts")) <= cutMs &&
+          unix_millis(col("click_ts")) > cutMs).count())
+      val gate = symDiffEmpty(streamPairs.select(pairCols.map(col): _*),
+          batchPairs.select(pairCols.map(col): _*), pairCols)
+        .crossJoin(streamPairs.agg(count(lit(1)).as("n_pairs")))
+        .select(
+          (col("l_only") === 0 && col("r_only") === 0 && col("n_pairs") > 0)
+            .as("join_parity"),
+          col("n_pairs").as("n_rows"))
+      val rows = gate.collect()
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_quantile_parity]: quantile summaries MERGE
     * across micro-batches — the last sketch family (after HLL a15,
     * count-min a18, percentile_approx a14) proven mergeable across the

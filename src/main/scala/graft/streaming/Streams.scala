@@ -94,7 +94,8 @@ object Streams {
     * state is provably prunable — without the time bound the engine
     * would have to keep every row forever. */
   def viewClickJoin(views: DataFrame, clicks: DataFrame,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      window: String = "15 minutes"): DataFrame = {
     val v = views.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
     val c = clicks.withWatermark("ts", watermark)
@@ -102,7 +103,7 @@ object Streams {
     v.join(c,
       v("user_id") === c("user_id") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr("INTERVAL 15 MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
       .select(v("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

@@ -46,6 +46,14 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getLong(2) > 0)
   }
 
+  test("stream-stream join pairs equal the batch join across micro-batches") {
+    val row = StreamGates.streamJoinParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "watermarked stream-stream join pairs != batch join pairs")
+    assert(row(0).getLong(1) > 0, "no view->click pairs joined")
+  }
+
   test("gates leave the caller session's shuffle partitions untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     StreamGates.streamAvailableNowParity(spark, sfDir).collect()
