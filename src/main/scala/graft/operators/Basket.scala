@@ -65,10 +65,57 @@ object Basket {
     * through the capped code path. */
   val DefaultBasketCap = 64
 
+  /** Per-pair co-occurrence counts over capped baskets — the shared
+    * core of [[frequentPairs]] and g4's edge build. Replaces the
+    * earlier sort-merge SELF-JOIN of the capped frame (two window
+    * branches + join machinery over the same shuffle) with a
+    * sort-group KERNEL: [[capBaskets]]'s window already delivers rows
+    * clustered by basket (its required sort — WindowExec's output
+    * order, preserved by the narrow project above it), so one
+    * mapPartitions pass buffers ≤cap items per basket and emits every
+    * (a, b) value-pair with a < b directly — identical multiset to the
+    * self-join's `x.item < y.item` output (value comparison: duplicate
+    * items never self-pair, multiplicities multiply) for ANY row
+    * order, since membership only depends on the buffered set. Plan:
+    * ONE shuffle of items (the window's), per-basket-quadratic
+    * map-side fan-out bounded by the cap, then the partial-agg'd hash
+    * aggregate on the pair key — at 100 TB the items move once and
+    * the pairs partial-reduce before they move. */
+  def pairCounts(items: DataFrame, keyCol: String, itemCol: String,
+      cap: Int, counterPrefix: String): DataFrame = {
+    val s = items.sparkSession
+    import s.implicits._
+    capBaskets(items, keyCol, itemCol, cap, counterPrefix)
+      .select(col(keyCol).cast("long"), col(itemCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[(Long, Long)] {
+          private var pending: Iterator[(Long, Long)] = Iterator.empty
+          private def refill(): Unit =
+            while (!pending.hasNext && it.hasNext) {
+              val k = it.head._1
+              val xs = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (it.hasNext && it.head._1 == k) xs += it.next()._2
+              pending = xs.indices.iterator.flatMap(i =>
+                xs.indices.iterator
+                  .filter(j => xs(i) < xs(j))
+                  .map(j => (xs(i), xs(j))))
+            }
+          override def hasNext: Boolean = { refill(); pending.hasNext }
+          override def next(): (Long, Long) = { refill(); pending.next() }
+        }
+      }
+      .toDF("pair_a", "pair_b")
+      .groupBy(col("pair_a"), col("pair_b"))
+      .agg(count(lit(1)).as("support"))
+  }
+
   /** Part pairs co-ordered in ≥ `minsup` distinct orders. The apriori
     * step is a pure optimization (pairs it removes cannot pass the
     * HAVING), so the oracle states the plain self-join + HAVING and
-    * the engine must produce exactly that result through pruning. */
+    * the engine must produce exactly that result through pruning —
+    * executed via the [[pairCounts]] sort-group kernel, not a join. */
   def frequentPairs(s: SparkSession, d: String, minsup: Int = 2,
       maxBasketSize: Int = DefaultBasketCap): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -77,14 +124,10 @@ object Basket {
       .agg(count(lit(1)).as("n_ord"))
       .filter(col("n_ord") >= minsup)
       .select(col("l_partkey"))
-    val fli = capBaskets(li.join(freq, Seq("l_partkey"), "left_semi"),
-      "l_orderkey", "l_partkey", maxBasketSize, "mb")
-    fli.as("a").join(fli.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("support"))
+    pairCounts(li.join(freq, Seq("l_partkey"), "left_semi"),
+        "l_orderkey", "l_partkey", maxBasketSize, "mb")
+      .select(col("pair_a").as("part_a"), col("pair_b").as("part_b"),
+        col("support"))
       .filter(col("support") >= minsup)
   }
 }

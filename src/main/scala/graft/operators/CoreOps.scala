@@ -1084,14 +1084,14 @@ object CoreOps {
     import s.implicits._
     // the edge build shares Basket's per-basket-quadratic fan-out, so
     // it shares the same cap (never engages at TPC-H's ≤7-line
-    // baskets; counter-recorded when a skewed basket stream would)
-    val li = Basket.capBaskets(
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
-      "l_orderkey", "l_partkey", Basket.DefaultBasketCap, "g4")
-    val a = li.toDF("ok", "pa")
-    val b = li.toDF("ok", "pb")
-    val pairs = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+    // baskets; counter-recorded when a skewed basket stream would) and
+    // the same sort-group pair kernel — one lineitem shuffle, no
+    // self-join
+    val pairs = Basket.pairCounts(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", Basket.DefaultBasketCap, "g4")
+      .select(col("pair_a").as("pa"), col("pair_b").as("pb"),
+        col("support").as("n"))
       .filter(col("n") >= minCo)
     val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
