@@ -192,6 +192,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamQuantileParity _,
     "stream_join_parity" ->
       graft.streaming.StreamGates.streamJoinParity _,
+    "stream_tws_parity" ->
+      graft.streaming.StreamGates.streamTwsParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
     "g3_triangle_count"  -> EventOps.triangleCount _,
@@ -1677,6 +1679,13 @@ object SparkEntry {
         |        AND c.ts <= v.ts + INTERVAL '2 hours'
         |        WHERE v.event_type = 'view' AND c.event_type = 'click'
         |        AND v.user_id < 200) AS n_rows""".stripMargin,
+    // transformWithState running totals: parity boolean in-engine
+    // (stream state totals == batch aggregate per user); n_users
+    // anchors relationally
+    "stream_tws_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS tws_parity,
+        |       (SELECT COUNT(DISTINCT user_id) FROM events
+        |        WHERE user_id < 60) AS n_users""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
         |       CAST(2 AS BIGINT) AS n_batches,

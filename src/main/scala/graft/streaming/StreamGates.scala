@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.Tables
 import graft.operators.{Changelog, EventOps}
@@ -720,6 +721,82 @@ object StreamGates {
           (col("l_only") === 0 && col("r_only") === 0 && col("n_pairs") > 0)
             .as("join_parity"),
           col("n_pairs").as("n_rows"))
+      val rows = gate.collect()
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
+  /** Gate query [stream_tws_parity]: the transformWithState
+    * arbitrary-stateful API (Spark 4's successor to
+    * mapGroupsWithState: typed state variables, timers, TTL, and the
+    * RocksDB state-store backend this gate PINS — changelog-
+    * checkpointed state bounded by disk, not executor heap). Per-user
+    * running (n, Σvalue) totals accumulate across two micro-batches
+    * (time-midpoint file split, maxFilesPerTrigger=1 — most users have
+    * events in both halves, so ValueState genuinely carries across the
+    * batch boundary and a state-reset bug can't pass). Update-mode
+    * output re-emits touched users per batch; the count is monotone,
+    * so max_by(n) per user is the final total — it must equal the
+    * batch aggregate: n exactly, the double sum within the same ulp
+    * tolerance as the session gate (stream folds arrival-order
+    * doubles, batch sums DECIMAL). n_users anchors relationally. */
+  def streamTwsParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Fs.fastTempDir("graft_stw").toString
+    try {
+      val inDir = s"$base/in"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 60)
+        .select(col("user_id"), col("value"), col("ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      if (mm.isNullAt(0))
+        return Seq((false, 0L)).toDF("tws_parity", "n_users")
+      val cutMs =
+        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+      for (firstHalf <- Seq(true, false))
+        ev.filter(if (firstHalf) unix_millis(col("ts")) <= cutMs
+                  else unix_millis(col("ts")) > cutMs)
+          .select(col("user_id"), col("value"))
+          .coalesce(1).write.mode("append").parquet(inDir)
+
+      var q: StreamingQuery = null
+      try {
+        q = Streams.runningTotalsTws(
+            iso.readStream
+              .schema(StructType(Seq(
+                StructField("user_id", LongType),
+                StructField("value", DoubleType))))
+              .option("maxFilesPerTrigger", "1").parquet(inDir)
+              .as[(Long, Double)](org.apache.spark.sql.Encoders
+                .product[(Long, Double)]))
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName("stw_totals")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      val streamTotals = iso.table("stw_totals")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"),
+          max_by(col("sum_value"), col("n_events")).as("sum_v"))
+      val batchTotals = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_b"))
+      val joined = streamTotals.join(batchTotals, Seq("user_id"), "full_outer")
+      val gate = joined.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("n").isNull || col("nb").isNull ||
+            col("n") =!= col("nb") ||
+            abs(col("sum_v") - col("sum_b")) >= 1e-6, 1L)
+            .otherwise(0L)).as("bad"))
+        .select((col("bad") === 0 && col("n_users") > 0).as("tws_parity"),
+          col("n_users"))
       val rows = gate.collect()
       ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)

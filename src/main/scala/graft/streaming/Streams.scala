@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` stream shape
@@ -168,6 +169,46 @@ object Streams {
             next
           }
       }
+  }
+
+  /** transformWithState processor: per-user running (n, Σvalue) in a
+    * single ValueState cell — the arbitrary-stateful-API-v2 twin of
+    * [[runningUserTotals]]'s mapGroupsWithState. The new API is what
+    * production state logic should target: typed state VARIABLES
+    * (value/list/map per key, independently evolvable), event- and
+    * processing-time timers, TTL per state, and initial-state
+    * bootstrap — none of which the single-opaque-blob GroupState can
+    * express. State here is one (long, double) per user, backed by the
+    * RocksDB state-store provider the gate pins (changelog-
+    * checkpointed at scale, not JVM-heap-resident like the default
+    * HDFS-backed map — the difference between state bounded by disk
+    * and state bounded by executor memory at 100 TB key counts). */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var cur = if (st.exists()) st.get() else (0L, 0.0)
+      rows.foreach { r => cur = (cur._1 + 1, cur._2 + r._2) }
+      st.update(cur)
+      Iterator.single((key, cur._1, cur._2))
+    }
+  }
+
+  /** Running per-user totals through transformWithState (update mode:
+    * each micro-batch re-emits the touched users' current totals, so
+    * the LATEST row per user is the running answer — max n_events,
+    * since the count is monotone). */
+  def runningTotalsTws(events: Dataset[(Long, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value")
   }
 
   /** Epoch micros from a Timestamp — getTime() alone truncates to

@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** r08 sf1 scale probe (measured-not-argued, BASELINE.md format):
-  * decon_bloom, g4_shortest_path, mb_frequent_pairs at sf0.1 and the
-  * 10× /tmp/graft_sf1 frames, on the Bench shape (local[32], 32
-  * shuffle partitions). Prints per-run wall + job counts + the
-  * operators' own counters. Generate the 10× frames first (see
-  * BASELINE.md repro); run:
-  * sbt "Test/runMain graft.Sf1Probe". */
+/** r09 sf1 scale probe (measured-not-argued, BASELINE.md format):
+  * the sort-group pair kernel (g4_shortest_path, mb_frequent_pairs)
+  * and the gseg storage-partitioned join (s18) at sf0.1 and the 10×
+  * /tmp/graft_sf1 frames, on the Bench shape (local[32], 32 shuffle
+  * partitions). Prints per-run wall + job counts + the operators' own
+  * counters. Generate the 10× frames first (see BASELINE.md repro —
+  * r09 adds orders.parquet with the same replica offsets as
+  * lineitem); run: sbt "Test/runMain graft.Sf1Probe". */
 object Sf1Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -27,9 +28,9 @@ object Sf1Probe {
       })
     val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq(
-        "decon_bloom" -> ((s, d) => graft.functions.Decontam.ngramOverlapBloom(s, d)),
         "g4_shortest_path" -> ((s, d) => graft.operators.CoreOps.g4ShortestPath(s, d)),
-        "mb_frequent_pairs" -> ((s, d) => graft.operators.Basket.frequentPairs(s, d)))
+        "mb_frequent_pairs" -> ((s, d) => graft.operators.Basket.frequentPairs(s, d)),
+        "s18_dsv2_spj_join" -> ((s, d) => graft.operators.CoreOps.s18SegSpjJoin(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

@@ -54,6 +54,14 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getLong(1) > 0, "no view->click pairs joined")
   }
 
+  test("transformWithState running totals equal the batch aggregate") {
+    val row = StreamGates.streamTwsParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "transformWithState per-user totals != batch aggregate")
+    assert(row(0).getLong(1) > 0, "no users streamed")
+  }
+
   test("gates leave the caller session's shuffle partitions untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     StreamGates.streamAvailableNowParity(spark, sfDir).collect()
