@@ -194,6 +194,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamJoinParity _,
     "stream_tws_parity" ->
       graft.streaming.StreamGates.streamTwsParity _,
+    "stream_outer_join_parity" ->
+      graft.streaming.StreamGates.streamOuterJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
     "g2_pagerank"        -> ((s, d) => EventOps.pageRank(s, d)),
     "g3_triangle_count"  -> EventOps.triangleCount _,
@@ -1679,6 +1681,17 @@ object SparkEntry {
         |        AND c.ts <= v.ts + INTERVAL '2 hours'
         |        WHERE v.event_type = 'view' AND c.event_type = 'click'
         |        AND v.user_id < 200) AS n_rows""".stripMargin,
+    // left-outer stream-stream join: watermark-finalized null rows;
+    // parity boolean in-engine, n_rows anchored by the oracle's
+    // left-join count (every view survives)
+    "stream_outer_join_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS outer_join_parity,
+        |       (SELECT COUNT(*) FROM events v LEFT JOIN events c
+        |        ON v.user_id = c.user_id AND c.event_type = 'click'
+        |        AND c.ts >= v.ts
+        |        AND c.ts <= v.ts + INTERVAL '2 hours'
+        |        WHERE v.event_type = 'view' AND v.user_id < 200)
+        |         AS n_rows""".stripMargin,
     // transformWithState running totals: parity boolean in-engine
     // (stream state totals == batch aggregate per user); n_users
     // anchors relationally

@@ -727,6 +727,94 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_outer_join_parity]: the LEFT OUTER
+    * stream-stream join — the delayed-null semantics the inner gate
+    * can't exercise: an unmatched view may only emit (with null click
+    * columns) once the WATERMARK has passed its entire join window,
+    * because until then a matching click could still arrive. Same
+    * two-dirs / midpoint-split / maxFilesPerTrigger=1 arrival as
+    * [stream_join_parity] but with the production-shaped 30-minute
+    * watermark, so state eviction is LIVE during the run (a batch-1
+    * view is evictable only once no batch-2 click could match it —
+    * the time-bound condition makes that provable, which is the whole
+    * contract); sentinels then arrive on BOTH dirs (the global
+    * watermark is the min across sources) to push the watermark past
+    * every real view's window and flush the unmatched rows, one
+    * finalization batch later. Parity: the appended (view_id,
+    * click_id|null) set equals the batch LEFT join from the identical
+    * declarative definition; n_rows anchors via the oracle's
+    * left-join count (≥ the view count — every view survives). */
+  def streamOuterJoinParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_soj").toString
+    try {
+      val viewDir = s"$base/views"
+      val clickDir = s"$base/clicks"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      if (mm.isNullAt(0))
+        return Seq((false, 0L)).toDF("outer_join_parity", "n_rows")
+      val cutMs =
+        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+      val views = ev.filter(col("event_type") === "view")
+      val clicks = ev.filter(col("event_type") === "click")
+      for ((df, dir) <- Seq((views, viewDir), (clicks, clickDir));
+           firstHalf <- Seq(true, false))
+        df.filter(if (firstHalf) unix_millis(col("ts")) <= cutMs
+                  else unix_millis(col("ts")) > cutMs)
+          .coalesce(1).write.mode("append").parquet(dir)
+
+      var q: StreamingQuery = null
+      try {
+        q = Streams.viewClickLeftOuter(
+            iso.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(viewDir),
+            iso.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(clickDir),
+            watermark = "30 minutes", window = "2 hours")
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("soj_join")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable()
+        // watermark must pass every view's [ts, ts+2h] window before
+        // its unmatched null row may emit; the second sentinel gives
+        // the engine the batch where the jumped watermark takes effect
+        dropSentinel(iso, Sentinel1Ms, viewDir)
+        dropSentinel(iso, Sentinel1Ms, clickDir)
+        q.processAllAvailable()
+        dropSentinel(iso, Sentinel2Ms, viewDir)
+        dropSentinel(iso, Sentinel2Ms, clickDir)
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      // sentinel rows (user -1) ride the streams only to move the
+      // watermark; they never compare
+      val key = Seq("view_id", "ck")
+      val streamRows = iso.table("soj_join").filter(col("user_id") >= 0)
+        .select(col("view_id"), coalesce(col("click_id"), lit(-1L)).as("ck"))
+      val batchRows = Streams.viewClickLeftOuter(views, clicks,
+          watermark = "30 minutes", window = "2 hours")
+        .select(col("view_id"), coalesce(col("click_id"), lit(-1L)).as("ck"))
+      val gate = symDiffEmpty(streamRows, batchRows, key)
+        .crossJoin(streamRows.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("ck") === -1L, 1L).otherwise(0L)).as("n_null")))
+        .select(
+          (col("l_only") === 0 && col("r_only") === 0 &&
+            col("n_rows") > 0 && col("n_null") > 0)
+            .as("outer_join_parity"),
+          col("n_rows"))
+      val rows = gate.collect()
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_tws_parity]: the transformWithState
     * arbitrary-stateful API (Spark 4's successor to
     * mapGroupsWithState: typed state variables, timers, TTL, and the

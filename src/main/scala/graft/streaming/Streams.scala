@@ -119,7 +119,8 @@ object Streams {
     * provable point after which "no match" is final. Same bounded
     * per-side state as the inner variant. */
   def viewClickLeftOuter(views: DataFrame, clicks: DataFrame,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      window: String = "15 minutes"): DataFrame = {
     val v = views.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
     val c = clicks.withWatermark("ts", watermark)
@@ -128,7 +129,7 @@ object Streams {
     v.join(c,
       v("user_id") === col("c_user_id") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr("INTERVAL 15 MINUTES"),
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"),
       "left_outer")
       .select(v("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))

@@ -62,6 +62,14 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getLong(1) > 0, "no users streamed")
   }
 
+  test("left-outer stream-stream join flushes unmatched views as nulls") {
+    val row = StreamGates.streamOuterJoinParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "left-outer stream-stream join rows != batch left join")
+    assert(row(0).getLong(1) > 0, "no rows emitted")
+  }
+
   test("gates leave the caller session's shuffle partitions untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     StreamGates.streamAvailableNowParity(spark, sfDir).collect()
