@@ -114,6 +114,64 @@ object StreamGates {
   private def safeStop(q: StreamingQuery): Unit =
     if (q != null) try q.stop() catch { case _: Throwable => () }
 
+  /** Per-JVM cache of the two join gates' identical source layout:
+    * the user<200 view/click slices, each time-midpoint-split into two
+    * single-file chunks (the sentinel-cache discipline — build the
+    * parquet ONCE per (corpus dir, JVM) through Spark, then populate
+    * each gate's private input dirs with ~1 ms file copies instead of
+    * four write jobs per gate per pass). Returns (viewChunks,
+    * clickChunks, cutMs); empty chunk lists signal an empty slice. */
+  private case class JoinSlices(viewFiles: Seq[java.nio.file.Path],
+      clickFiles: Seq[java.nio.file.Path], cutMs: Long)
+  private val joinSliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JoinSlices]()
+  private def joinSlicesOf(iso: SparkSession, d: String): JoinSlices =
+    joinSliceCache.computeIfAbsent(d, _ => {
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        if (mm.isNullAt(0)) JoinSlices(Nil, Nil, 0L)
+        else {
+          val cutMs =
+            (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+          val root = graft.Fs.fastTempDir("graft_joinslice")
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => graft.Fs.deleteRecursively(root)))
+          def write(df: DataFrame, sub: String): java.nio.file.Path = {
+            val dir = root.resolve(sub)
+            df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+            val l = java.nio.file.Files.list(dir)
+            try l.iterator().asScala
+              .find(f => f.toString.endsWith(".parquet") &&
+                !f.getFileName.toString.startsWith("."))
+              .getOrElse(throw new IllegalStateException(s"$sub part missing"))
+            finally l.close()
+          }
+          def halves(df: DataFrame, tag: String): Seq[java.nio.file.Path] = Seq(
+            write(df.filter(unix_millis(col("ts")) <= cutMs), s"$tag-a"),
+            write(df.filter(unix_millis(col("ts")) > cutMs), s"$tag-b"))
+          JoinSlices(
+            halves(ev.filter(col("event_type") === "view"), "v"),
+            halves(ev.filter(col("event_type") === "click"), "c"), cutMs)
+        }
+      } finally ev.unpersist()
+    })
+  /** Drop the cached chunk files into a gate-private dir, in order
+    * (earlier names list first — FileStreamSource takes oldest/first,
+    * so chunk A stays micro-batch 1). */
+  private def dropChunks(files: Seq[java.nio.file.Path], inDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f,
+        java.nio.file.Paths.get(inDir, f"chunk-$i%02d.parquet"))
+    }
+  }
+
   /** Gate query [stream_dedup_parity]: dropDuplicatesWithinWatermark
     * really deduplicates ACROSS micro-batches while keeping only
     * watermark-bounded state. A user slice streams through the dedup
@@ -674,31 +732,25 @@ object StreamGates {
     try {
       val viewDir = s"$base/views"
       val clickDir = s"$base/clicks"
-      val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 200 &&
-          col("event_type").isin("view", "click"))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-      if (mm.isNullAt(0))
+      // source layout from the per-JVM cache (shared with the outer
+      // gate — identical slices, built once); batch mirrors read the
+      // same files, so stream and referee see byte-identical input
+      val sl = joinSlicesOf(iso, d)
+      if (sl.viewFiles.isEmpty)
         return Seq((false, 0L)).toDF("join_parity", "n_rows")
-      val cutMs =
-        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
-      val views = ev.filter(col("event_type") === "view")
-      val clicks = ev.filter(col("event_type") === "click")
-      for ((df, dir) <- Seq((views, viewDir), (clicks, clickDir));
-           firstHalf <- Seq(true, false))
-        df.filter(if (firstHalf) unix_millis(col("ts")) <= cutMs
-                  else unix_millis(col("ts")) > cutMs)
-          .coalesce(1).write.mode("append").parquet(dir)
+      val cutMs = sl.cutMs
+      dropChunks(sl.viewFiles, viewDir)
+      dropChunks(sl.clickFiles, clickDir)
+      val views = iso.read.parquet(viewDir)
+      val clicks = iso.read.parquet(clickDir)
+      val schema = views.schema
 
       var q: StreamingQuery = null
       try {
         q = Streams.viewClickJoin(
-            iso.readStream.schema(ev.schema)
+            iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(viewDir),
-            iso.readStream.schema(ev.schema)
+            iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(clickDir),
             watermark = "45 days", window = "2 hours")
           .writeStream.outputMode(OutputMode.Append)
@@ -722,7 +774,6 @@ object StreamGates {
             .as("join_parity"),
           col("n_pairs").as("n_rows"))
       val rows = gate.collect()
-      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -751,31 +802,24 @@ object StreamGates {
     try {
       val viewDir = s"$base/views"
       val clickDir = s"$base/clicks"
-      val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 200 &&
-          col("event_type").isin("view", "click"))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-      if (mm.isNullAt(0))
+      // same cached source layout as the inner gate; the batch mirrors
+      // re-read the gate dirs LAZILY, so they must filter out the
+      // sentinel rows (user -1) this gate later drops into those dirs
+      val sl = joinSlicesOf(iso, d)
+      if (sl.viewFiles.isEmpty)
         return Seq((false, 0L)).toDF("outer_join_parity", "n_rows")
-      val cutMs =
-        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
-      val views = ev.filter(col("event_type") === "view")
-      val clicks = ev.filter(col("event_type") === "click")
-      for ((df, dir) <- Seq((views, viewDir), (clicks, clickDir));
-           firstHalf <- Seq(true, false))
-        df.filter(if (firstHalf) unix_millis(col("ts")) <= cutMs
-                  else unix_millis(col("ts")) > cutMs)
-          .coalesce(1).write.mode("append").parquet(dir)
+      dropChunks(sl.viewFiles, viewDir)
+      dropChunks(sl.clickFiles, clickDir)
+      val views = iso.read.parquet(viewDir).filter(col("user_id") >= 0)
+      val clicks = iso.read.parquet(clickDir).filter(col("user_id") >= 0)
+      val schema = iso.read.parquet(viewDir).schema
 
       var q: StreamingQuery = null
       try {
         q = Streams.viewClickLeftOuter(
-            iso.readStream.schema(ev.schema)
+            iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(viewDir),
-            iso.readStream.schema(ev.schema)
+            iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(clickDir),
             watermark = "30 minutes", window = "2 hours")
           .writeStream.outputMode(OutputMode.Append)
@@ -810,7 +854,6 @@ object StreamGates {
             .as("outer_join_parity"),
           col("n_rows"))
       val rows = gate.collect()
-      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
