@@ -43,9 +43,12 @@ object Counters {
 
   /** Namespace marking an observed metric as counter-bound. */
   private val ObsPrefix = "graft_ctr_"
+  // weak keys: the hook registry must not pin child sessions in memory
+  // for the JVM's lifetime (synchronized — registration is rare)
   private val hooked =
-    java.util.Collections.newSetFromMap(
-      new ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   /** LAZY counter: attach `expr` as an observed metric on `df`, routed
     * into this registry when a query over the frame actually EXECUTES

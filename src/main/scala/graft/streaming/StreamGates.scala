@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.Tables
 import graft.operators.{Changelog, EventOps}
@@ -871,7 +871,12 @@ object StreamGates {
     * so max_by(n) per user is the final total — it must equal the
     * batch aggregate: n exactly, the double sum within the same ulp
     * tolerance as the session gate (stream folds arrival-order
-    * doubles, batch sums DECIMAL). n_users anchors relationally. */
+    * doubles, batch sums DECIMAL). The processor carries TWO
+    * independently-typed state variables per key — ValueState totals
+    * plus a MapState of per-event-type tallies (its key count must
+    * equal the batch countDistinct exactly) — the multi-variable
+    * layout GroupState's single blob can't express. n_users anchors
+    * relationally. */
   def streamTwsParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
@@ -882,7 +887,7 @@ object StreamGates {
       val inDir = s"$base/in"
       val ev = Tables.events(iso, d)
         .filter(col("user_id") < 60)
-        .select(col("user_id"), col("value"), col("ts"))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       if (mm.isNullAt(0))
@@ -892,7 +897,7 @@ object StreamGates {
       for (firstHalf <- Seq(true, false))
         ev.filter(if (firstHalf) unix_millis(col("ts")) <= cutMs
                   else unix_millis(col("ts")) > cutMs)
-          .select(col("user_id"), col("value"))
+          .select(col("user_id"), col("event_type"), col("value"))
           .coalesce(1).write.mode("append").parquet(inDir)
 
       var q: StreamingQuery = null
@@ -901,10 +906,11 @@ object StreamGates {
             iso.readStream
               .schema(StructType(Seq(
                 StructField("user_id", LongType),
+                StructField("event_type", StringType),
                 StructField("value", DoubleType))))
               .option("maxFilesPerTrigger", "1").parquet(inDir)
-              .as[(Long, Double)](org.apache.spark.sql.Encoders
-                .product[(Long, Double)]))
+              .as[(Long, String, Double)](org.apache.spark.sql.Encoders
+                .product[(Long, String, Double)]))
           .writeStream.outputMode(OutputMode.Update())
           .format("memory").queryName("stw_totals")
           .option("checkpointLocation", s"$base/ckpt").start()
@@ -914,16 +920,18 @@ object StreamGates {
       val streamTotals = iso.table("stw_totals")
         .groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n"),
-          max_by(col("sum_value"), col("n_events")).as("sum_v"))
+          max_by(col("sum_value"), col("n_events")).as("sum_v"),
+          max(col("n_types")).as("nt"))
       val batchTotals = ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("nb"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast("double").as("sum_b"))
+            .cast("double").as("sum_b"),
+          countDistinct(col("event_type")).as("ntb"))
       val joined = streamTotals.join(batchTotals, Seq("user_id"), "full_outer")
       val gate = joined.agg(
           count(lit(1)).as("n_users"),
           sum(when(col("n").isNull || col("nb").isNull ||
-            col("n") =!= col("nb") ||
+            col("n") =!= col("nb") || col("nt") =!= col("ntb") ||
             abs(col("sum_v") - col("sum_b")) >= 1e-6, 1L)
             .otherwise(0L)).as("bad"))
         .select((col("bad") === 0 && col("n_users") > 0).as("tws_parity"),

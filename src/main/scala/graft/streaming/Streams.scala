@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` stream shape
@@ -185,31 +186,51 @@ object Streams {
     * HDFS-backed map — the difference between state bounded by disk
     * and state bounded by executor memory at 100 TB key counts). */
   class RunningTotalsProcessor
-      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+      extends StatefulProcessor[Long, (Long, String, Double),
+        (Long, Long, Double, Long)] {
     @transient private var st: ValueState[(Long, Double)] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    // second, independently-typed state VARIABLE on the same key — the
+    // capability GroupState's single opaque blob can't express: the
+    // per-type tallies evolve (add a type, never rewrite the totals
+    // cell), and at scale each map entry is its own store key
+    @transient private var types: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[(Long, Double)]("totals",
         org.apache.spark.sql.Encoders.product[(Long, Double)],
         TTLConfig.NONE)
-    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
-        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      types = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double, Long)] = {
       var cur = if (st.exists()) st.get() else (0L, 0.0)
-      rows.foreach { r => cur = (cur._1 + 1, cur._2 + r._2) }
+      rows.foreach { r =>
+        cur = (cur._1 + 1, cur._2 + r._3)
+        types.updateValue(r._2,
+          (if (types.containsKey(r._2)) types.getValue(r._2) else 0L) + 1L)
+      }
       st.update(cur)
-      Iterator.single((key, cur._1, cur._2))
+      var nTypes = 0L
+      val it = types.keys()
+      while (it.hasNext) { it.next(); nTypes += 1 }
+      Iterator.single((key, cur._1, cur._2, nTypes))
     }
   }
 
   /** Running per-user totals through transformWithState (update mode:
     * each micro-batch re-emits the touched users' current totals, so
     * the LATEST row per user is the running answer — max n_events,
-    * since the count is monotone). */
-  def runningTotalsTws(events: Dataset[(Long, Double)]): DataFrame = {
+    * since the count is monotone). ValueState carries (n, Σvalue);
+    * MapState carries per-event-type tallies, surfaced as the running
+    * distinct-type count. */
+  def runningTotalsTws(events: Dataset[(Long, String, Double)]): DataFrame = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
-      .toDF("user_id", "n_events", "sum_value")
+      .toDF("user_id", "n_events", "sum_value", "n_types")
   }
 
   /** Epoch micros from a Timestamp — getTime() alone truncates to
