@@ -114,13 +114,27 @@ object StreamGates {
   private def safeStop(q: StreamingQuery): Unit =
     if (q != null) try q.stop() catch { case _: Throwable => () }
 
+  /** The join gates' shared time-bound window. */
+  private[streaming] val JoinWindow = "2 hours"
+
   /** Per-JVM cache of the two join gates' identical source layout:
-    * the user<200 view/click slices, each time-midpoint-split into two
+    * the user<200 view/click slices, each time-split into two
     * single-file chunks (the sentinel-cache discipline — build the
     * parquet ONCE per (corpus dir, JVM) through Spark, then populate
     * each gate's private input dirs with ~1 ms file copies instead of
-    * four write jobs per gate per pass). Returns (viewChunks,
-    * clickChunks, cutMs); empty chunk lists signal an empty slice. */
+    * four write jobs per gate per pass).
+    *
+    * The cut is NOT a blind midpoint: it is placed strictly BETWEEN
+    * the earliest matched pair's view and click timestamps (view ≤
+    * cut < click), so at least one match is GUARANTEED to span the
+    * micro-batch boundary — the view must survive in join state
+    * across the batch for its click to find it. A blind midpoint
+    * measured ZERO straddling pairs on this corpus
+    * (sjp_cross_batch_pairs), making the cross-batch-state claim
+    * vacuously true; the pair-anchored cut makes it load-bearing.
+    * Falls back to the midpoint when no strictly-later pair exists.
+    * Returns (viewChunks, clickChunks, cutMs); empty chunk lists
+    * signal an empty slice. */
   private case class JoinSlices(viewFiles: Seq[java.nio.file.Path],
       clickFiles: Seq[java.nio.file.Path], cutMs: Long)
   private val joinSliceCache =
@@ -137,8 +151,22 @@ object StreamGates {
         val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
         if (mm.isNullAt(0)) JoinSlices(Nil, Nil, 0L)
         else {
+          val vs = ev.filter(col("event_type") === "view")
+          val cs = ev.filter(col("event_type") === "click")
+          val firstPair = vs.as("v").join(cs.as("c"),
+              col("v.user_id") === col("c.user_id") &&
+                col("c.ts") > col("v.ts") &&
+                col("c.ts") <= col("v.ts") + expr(s"INTERVAL $JoinWindow"))
+            .select(unix_millis(col("v.ts")).as("vms"),
+              unix_millis(col("c.ts")).as("cms"),
+              col("v.event_id").as("vid"), col("c.event_id").as("cid"))
+            .orderBy(col("vms"), col("cms"), col("vid"), col("cid"))
+            .limit(1).collect()
           val cutMs =
-            (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+            if (firstPair.nonEmpty)
+              (firstPair(0).getLong(0) + firstPair(0).getLong(1)) / 2
+            else
+              (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
           val root = graft.Fs.fastTempDir("graft_joinslice")
           Runtime.getRuntime.addShutdownHook(
             new Thread(() => graft.Fs.deleteRecursively(root)))
@@ -707,11 +735,13 @@ object StreamGates {
     * merge, neardup store all have gates; joins lived only in
     * StreamsSpec's MemoryStream tests). Two REAL file streams — the
     * slice's view events and click events in separate dirs, each
-    * split at the slice's time MIDPOINT into two files with
-    * maxFilesPerTrigger=1 — so matches must span micro-batch
-    * boundaries in BOTH directions: a view buffered in join state
-    * matches a click that arrives one batch later, and a late view
-    * matches an already-buffered click. The watermark (45 days)
+    * time-split into two files with maxFilesPerTrigger=1 at a cut
+    * placed BETWEEN a matched pair's view and click (see
+    * [[joinSlicesOf]]) — so at least one match GENUINELY spans the
+    * micro-batch boundary: the view must survive in join state across
+    * the batch for its later click to find it (with click ≥ view and
+    * time-ordered chunks, that is the only direction a straddle can
+    * take; the counter pins it non-vacuous). The watermark (45 days)
     * exceeds the corpus span, so no state is evicted mid-drain and
     * stream==batch equality is exact; the time-bound join condition
     * is still what makes the state provably prunable at production
@@ -752,7 +782,7 @@ object StreamGates {
               .option("maxFilesPerTrigger", "1").parquet(viewDir),
             iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(clickDir),
-            watermark = "45 days", window = "2 hours")
+            watermark = "45 days", window = JoinWindow)
           .writeStream.outputMode(OutputMode.Append)
           .format("memory").queryName("sjp_join")
           .option("checkpointLocation", s"$base/ckpt").start()
@@ -762,7 +792,7 @@ object StreamGates {
       val pairCols = Seq("view_id", "click_id")
       val streamPairs = iso.table("sjp_join")
       val batchPairs = Streams.viewClickJoin(views, clicks,
-        watermark = "45 days", window = "2 hours")
+        watermark = "45 days", window = JoinWindow)
       graft.Counters.add("sjp_cross_batch_pairs",
         streamPairs.filter(unix_millis(col("view_ts")) <= cutMs &&
           unix_millis(col("click_ts")) > cutMs).count())
@@ -783,9 +813,10 @@ object StreamGates {
     * can't exercise: an unmatched view may only emit (with null click
     * columns) once the WATERMARK has passed its entire join window,
     * because until then a matching click could still arrive. Same
-    * two-dirs / midpoint-split / maxFilesPerTrigger=1 arrival as
-    * [stream_join_parity] but with the production-shaped 30-minute
-    * watermark, so state eviction is LIVE during the run (a batch-1
+    * two-dirs / pair-anchored time split / maxFilesPerTrigger=1
+    * arrival as [stream_join_parity] but with the production-shaped
+    * 30-minute watermark, so state eviction is LIVE during the run (a
+    * batch-1
     * view is evictable only once no batch-2 click could match it —
     * the time-bound condition makes that provable, which is the whole
     * contract); sentinels then arrive on BOTH dirs (the global
@@ -821,7 +852,7 @@ object StreamGates {
               .option("maxFilesPerTrigger", "1").parquet(viewDir),
             iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(clickDir),
-            watermark = "30 minutes", window = "2 hours")
+            watermark = "30 minutes", window = JoinWindow)
           .writeStream.outputMode(OutputMode.Append)
           .format("memory").queryName("soj_join")
           .option("checkpointLocation", s"$base/ckpt").start()
@@ -843,7 +874,7 @@ object StreamGates {
       val streamRows = iso.table("soj_join").filter(col("user_id") >= 0)
         .select(col("view_id"), coalesce(col("click_id"), lit(-1L)).as("ck"))
       val batchRows = Streams.viewClickLeftOuter(views, clicks,
-          watermark = "30 minutes", window = "2 hours")
+          watermark = "30 minutes", window = JoinWindow)
         .select(col("view_id"), coalesce(col("click_id"), lit(-1L)).as("ck"))
       val gate = symDiffEmpty(streamRows, batchRows, key)
         .crossJoin(streamRows.agg(count(lit(1)).as("n_rows"),

@@ -30,7 +30,18 @@ object Sf1Probe {
       Seq(
         "g4_shortest_path" -> ((s, d) => graft.operators.CoreOps.g4ShortestPath(s, d)),
         "mb_frequent_pairs" -> ((s, d) => graft.operators.Basket.frequentPairs(s, d)),
-        "s18_dsv2_spj_join" -> ((s, d) => graft.operators.CoreOps.s18SegSpjJoin(s, d)))
+        "s18_dsv2_spj_join" -> ((s, d) => graft.operators.CoreOps.s18SegSpjJoin(s, d)),
+        // gate-cost-cap claims measured: the r9 stream gates slice by
+        // user_id/doc_id prefixes, so their cost should be CONSTANT
+        // when the corpus grows 10× with replicas outside the slices
+        "stream_join_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamJoinParity(s, d)),
+        "stream_outer_join_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamOuterJoinParity(s, d)),
+        "stream_tws_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamTwsParity(s, d)),
+        "stream_neardup_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamNearDupParity(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

@@ -47,11 +47,17 @@ class StreamGatesSpec extends SparkSpec {
   }
 
   test("stream-stream join pairs equal the batch join across micro-batches") {
+    graft.Counters.clear()
     val row = StreamGates.streamJoinParity(spark, sfDir).collect()
     assert(row.length === 1)
     assert(row(0).getBoolean(0),
       "watermarked stream-stream join pairs != batch join pairs")
     assert(row(0).getLong(1) > 0, "no view->click pairs joined")
+    // the pair-anchored cut guarantees at least one match spans the
+    // micro-batch boundary — the cross-batch-state claim is not
+    // allowed to be vacuous (recorded synchronously by the gate)
+    assert(graft.Counters.peek("sjp_cross_batch_pairs") >= 1L,
+      "no matched pair straddled the batch cut")
   }
 
   test("transformWithState running totals equal the batch aggregate") {
