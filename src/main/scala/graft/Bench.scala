@@ -77,7 +77,7 @@ object Bench {
     * budget on the rollup itself; then it gives way (last) while
     * per-query failure entries never do. */
   private[graft] def summaryLine(times: Seq[(String, Double)], sfName: String,
-      budget: Int = 1700): String = {
+      budget: Int = 1700, sigChanged: Seq[String] = Nil): String = {
     def r2(d: Double): Double = math.round(d * 100) / 100.0
     def fmt(v: Double): String =
       if (v < 0) "-1" else if (v >= 100) f"$v%.1f" else f"$v%.2f"
@@ -91,12 +91,23 @@ object Bench {
         "\"" + f + "\":[" + ts.size + "," + r2(oks.map(_._2).sum) + "," +
           (ts.size - oks.size) + "]"
       }.mkString("{", ",", "}")
+    // plan-drift self-report: the count is exact, the name list is
+    // capped (first 3, sorted) so the field has a fixed byte ceiling
+    // and can't displace failure entries from the budget. Full list
+    // in TRENDS.json.
+    val sigStr =
+      if (sigChanged.isEmpty) ""
+      else {
+        val names = sigChanged.sorted.take(3)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""""sig_changed":${sigChanged.size},"sig_changed_names":$names,"""
+      }
     def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)],
         fams: String) = {
       val qs = kept.map { case (n, v) => "\"" + n + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","families":$fams,"queries":$qs,""" +
-        s""""n_queries":${times.size},""" +
+        s""""n_queries":${times.size},$sigStr""" +
         s""""omitted":${omitted.size},"omitted_sec":${r2(omitted.map(_._2).sum)},""" +
         s""""value":$total,"unit":"sec","sf":"$sfName"}"""
     }
@@ -132,16 +143,21 @@ object Bench {
     def forQuery(name: String): QMetrics =
       metrics.computeIfAbsent(name, _ => new QMetrics)
     // jobs carry the query name as their job group; stages inherit it
-    // through the job that submitted them. A job group that is NOT a
-    // registered query name still maps to the current query — Spark's
-    // own machinery overwrites the group on threads it owns (e.g.
-    // StreamExecution sets the stream's runId UUID), and those
-    // micro-batch jobs belong to whichever query is running
+    // through the job that submitted them. Spark's own machinery
+    // overwrites the group on threads it owns — StreamExecution sets
+    // the stream's runId UUID — so those resolve through the gates'
+    // runId→query registry (Counters.streamOwner): attribution then
+    // survives listener-bus lag, where a gate's last micro-batch
+    // events land after `current` has moved to the next query (the r9
+    // driver run's phantom stream_session_parity signature change).
+    // Only a group that is neither a query name nor a registered
+    // stream falls back to the current query.
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val name = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
-          .filter(knownQueries.contains)
+          .flatMap(g => if (knownQueries.contains(g)) Some(g)
+                        else Counters.streamOwner(g))
           .getOrElse(current)
         val m = forQuery(name)
         m.synchronized { m.jobs += 1 }
@@ -241,7 +257,12 @@ object Bench {
         // most record synchronously on this driver thread during fn;
         // observed-metric counters (capBaskets) arrive on the listener
         // bus, which drainShort's stability wait has just let settle —
-        // hence drain AFTER it
+        // hence drain AFTER it. That wait polls the SPARK listener's
+        // counters as a PROXY for the ExecutionListenerBus having
+        // drained, so an observed metric delivered later is lost (or,
+        // pre-clear, misattributed): counters are best-effort
+        // DIAGNOSTICS, never gate inputs — gates that assert on a
+        // counter poll Counters.snapshot().contains inside the query
         val snap = Counters.drain()
         if (snap.nonEmpty) counters(name) = snap
         name -> (if (ok) elapsed else -1.0)
@@ -305,6 +326,7 @@ object Bench {
     // box noise; changed signature = a real plan change, listed in
     // `signature_changed`. Skipped for SPARK_GRAFT_BENCH_ONLY subset
     // runs (a partial suite would poison the ledger).
+    var changedNames: Seq[String] = Nil
     if (only.isEmpty) try {
       import com.fasterxml.jackson.databind.ObjectMapper
       import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
@@ -360,14 +382,17 @@ object Bench {
         qs.put(n, math.round(best(n)._1 * 1000) / 1000.0)
         val sig = sigOf(n)
         sigs.put(n, sig)
-        if (prevSigs.get(n).exists(sigChanged(_, sig))) changed.add(n)
+        if (prevSigs.get(n).exists(sigChanged(_, sig))) {
+          changed.add(n); changedNames = changedNames :+ n
+        }
       }
       root.add(entry)
       mapper.writerWithDefaultPrettyPrinter().writeValue(trendPath.toFile, root)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] TRENDS.json append failed: ${e.getMessage}") }
     System.err.println(detail)
-    val summary = summaryLine(names.map(n => n -> best(n)._1), sfName)
+    val summary = summaryLine(names.map(n => n -> best(n)._1), sfName,
+      sigChanged = changedNames)
     try spark.stop() catch { case _: Throwable => () }
     println(summary)
     System.out.flush()

@@ -41,6 +41,26 @@ object Counters {
     val s = snapshot(); clear(); s
   }
 
+  /** runId → driver-query-name registry for streaming jobs. Spark's
+    * StreamExecution overwrites the job group on its micro-batch
+    * thread with the stream's runId UUID, so [[Bench]]'s listener
+    * can't attribute those jobs by group name; worse, listener-bus
+    * delivery is async, so under driver-box contention a gate's last
+    * micro-batch job EVENTS can arrive after Bench's short drain has
+    * moved `current` to the next query — the r9 driver run charged 2
+    * such jobs to stream_session_parity and flagged a phantom plan
+    * change in TRENDS. Gates register their stream's runId at start;
+    * Bench resolves UUID job groups here FIRST, falling back to
+    * `current` only for genuinely unattributable work. Never cleared:
+    * entries are ~50 bytes and bounded by streams-started-per-JVM,
+    * and late events must resolve after the owning query finished. */
+  private val streamOwners = new ConcurrentHashMap[String, String]()
+  def registerStreamOwner(runId: String, query: String): Unit = {
+    streamOwners.put(runId, query); ()
+  }
+  def streamOwner(jobGroup: String): Option[String] =
+    Option(streamOwners.get(jobGroup))
+
   /** Namespace marking an observed metric as counter-bound. */
   private val ObsPrefix = "graft_ctr_"
   // weak keys: the hook registry must not pin child sessions in memory
@@ -50,17 +70,38 @@ object Counters {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
+  // dedup guard: one add per (execution, metric). A QueryExecution is
+  // one physical execution, but the listener fires onSuccess once per
+  // ACTION over the frame — a consumer that runs the same observed
+  // frame twice (e.g. count() then collect()) re-executes and would
+  // double-count without keying on qe.id. Bounded FIFO so the set
+  // can't grow with JVM lifetime.
+  private val seenExecs =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean]() {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > 4096
+      })
+
   /** LAZY counter: attach `expr` as an observed metric on `df`, routed
     * into this registry when a query over the frame actually EXECUTES
     * — the side effect rides the caller's own job instead of an eager
     * count() at DataFrame-construction time (and a frame that is never
-    * executed records nothing). Self-join-safe: both branches of a
-    * self-joined observed frame see every row, Spark keys the metric
-    * by dataframe id, and the harvest takes one branch's (complete)
-    * value. Delivery is via the async listener bus — synchronous
-    * readers (specs, Bench) must wait for arrival
-    * (`snapshot().contains`) rather than assume the counter landed
-    * when the action returned. */
+    * executed records nothing). Adds are keyed on the QueryExecution
+    * id, so counters are per-EXECUTION accumulating: repeated actions
+    * over the same Dataset (collect() twice, collect()+show()) share
+    * one QueryExecution and record ONCE, while each plan that re-runs
+    * the observe — a derived frame, or count()'s own internal
+    * aggregate execution — records once more. Callers treating the
+    * value as a gauge must read it off a single materialization.
+    * NOTE a non-reused self-join of an observed frame has two
+    * executing CollectMetrics branches inside ONE execution and Spark
+    * surfaces a single merged metric row for the name — do not observe
+    * a frame you will self-join without persisting it first. Delivery
+    * is via the async listener bus — synchronous readers (specs,
+    * Bench) must wait for arrival (`snapshot().contains`) rather than
+    * assume the counter landed when the action returned. */
   def observeInto(df: org.apache.spark.sql.DataFrame, name: String,
       expr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession
@@ -71,7 +112,8 @@ object Counters {
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (n, row) =>
-              if (n.startsWith(ObsPrefix) && row.length > 0 && !row.isNullAt(0))
+              if (n.startsWith(ObsPrefix) && row.length > 0 && !row.isNullAt(0)
+                  && seenExecs.put(s"${qe.id}#$n", java.lang.Boolean.TRUE) == null)
                 add(n.stripPrefix(ObsPrefix), row.getLong(0))
             }
           override def onFailure(funcName: String,

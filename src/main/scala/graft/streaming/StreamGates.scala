@@ -114,6 +114,19 @@ object StreamGates {
   private def safeStop(q: StreamingQuery): Unit =
     if (q != null) try q.stop() catch { case _: Throwable => () }
 
+  /** Register a just-started stream's runId as owned by driver query
+    * `gate` and return it. StreamExecution stamps micro-batch jobs
+    * with the runId as job group, so without this [[graft.Bench]] can
+    * only attribute them to "whatever query is current when the
+    * listener event ARRIVES" — which, on a contended box, can be the
+    * NEXT query (r9's phantom stream_session_parity signature drift).
+    * Registration happens on the gate's driver thread before the
+    * first processAllAvailable, i.e. before any micro-batch job. */
+  private def owned(q: StreamingQuery, gate: String): StreamingQuery = {
+    graft.Counters.registerStreamOwner(q.runId.toString, gate)
+    q
+  }
+
   /** The join gates' shared time-bound window. */
   private[streaming] val JoinWindow = "2 hours"
 
@@ -194,9 +207,17 @@ object StreamGates {
     * so chunk A stays micro-batch 1). */
   private def dropChunks(files: Seq[java.nio.file.Path], inDir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // FileStreamSource orders by mtime (ties broken by listing order);
+    // copies land ~1ms apart, so ties are real. Stamp strictly increasing
+    // mtimes 1s apart so "oldest first" deterministically equals chunk
+    // index — otherwise a reordered pair on both sources can jump the
+    // global watermark past a pre-cut chunk and late-drop it.
+    val base = System.currentTimeMillis() - files.size * 1000L
     files.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.copy(f,
+      val dst = java.nio.file.Files.copy(f,
         java.nio.file.Paths.get(inDir, f"chunk-$i%02d.parquet"))
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
   }
 
@@ -233,10 +254,10 @@ object StreamGates {
 
     var q: StreamingQuery = null
     try {
-      q = Streams.dedupedEvents(Streams.readEventStream(iso, inDir))
+      q = owned(Streams.dedupedEvents(Streams.readEventStream(iso, inDir))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName("sdp_dedup")
-        .option("checkpointLocation", s"$base/ckpt").start()
+        .option("checkpointLocation", s"$base/ckpt").start(), "stream_dedup_parity")
       q.processAllAvailable()
       // duplicates arrive as their own micro-batch: per-key state must
       // have survived the first batch boundary for these to be dropped
@@ -295,17 +316,17 @@ object StreamGates {
     var sq: StreamingQuery = null
     def drain(): Unit = { tq.processAllAvailable(); sq.processAllAvailable() }
     try {
-      tq = Streams.tumblingCounts(Streams.readEventStream(iso, inDir))
+      tq = owned(Streams.tumblingCounts(Streams.readEventStream(iso, inDir))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName("sbp_tumbling")
-        .option("checkpointLocation", s"$base/ckpt_t").start()
-      sq = Streams.closedSessionsFlushed(
+        .option("checkpointLocation", s"$base/ckpt_t").start(), "stream_batch_parity")
+      sq = owned(Streams.closedSessionsFlushed(
           Streams.readEventStream(iso, inDir)
             .select("event_id", "ts", "user_id", "event_type", "value")
             .as[Streams.EventRow])
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName("sbp_sessions")
-        .option("checkpointLocation", s"$base/ckpt_s").start()
+        .option("checkpointLocation", s"$base/ckpt_s").start(), "stream_batch_parity")
       drain()
       dropSentinel(iso, Sentinel1Ms, inDir); drain()
       dropSentinel(iso, Sentinel2Ms, inDir); drain()
@@ -395,7 +416,7 @@ object StreamGates {
       @volatile var nBatches = 0L
       var q: StreamingQuery = null
       try {
-        q = iso.readStream.schema(ev.schema)
+        q = owned(iso.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -405,7 +426,7 @@ object StreamGates {
             cur = 1 - cur
             nBatches += 1
           }
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_upsert_parity")
         q.processAllAvailable()
       } finally safeStop(q)
 
@@ -458,12 +479,12 @@ object StreamGates {
       def drainOnce(): Boolean = {
         var q: StreamingQuery = null
         try {
-          q = iso.readStream.schema(ev.schema).parquet(inDir)
+          q = owned(iso.readStream.schema(ev.schema).parquet(inDir)
             .writeStream.format("parquet")
             .option("path", outDir)
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow())
-            .outputMode(OutputMode.Append).start()
+            .outputMode(OutputMode.Append).start(), "stream_availablenow_parity")
           q.awaitTermination(180000)
         } finally safeStop(q)
       }
@@ -572,7 +593,7 @@ object StreamGates {
 
       var q: StreamingQuery = null
       try {
-        q = iso.readStream.schema(docs.schema)
+        q = owned(iso.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -615,7 +636,7 @@ object StreamGates {
             sh.unpersist()
             ()
           }
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_neardup_parity")
         q.processAllAvailable()
       } finally safeStop(q)
 
@@ -693,10 +714,10 @@ object StreamGates {
 
       var q: StreamingQuery = null
       try {
-        q = Streams.sessionWindows(Streams.readEventStream(iso, inDir))
+        q = owned(Streams.sessionWindows(Streams.readEventStream(iso, inDir))
           .writeStream.outputMode(OutputMode.Append)
           .format("memory").queryName("ssp_sessions")
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_session_parity")
         q.processAllAvailable()
         // first sentinel advances the watermark past every real
         // session; the second gives the engine the batch in which
@@ -777,7 +798,7 @@ object StreamGates {
 
       var q: StreamingQuery = null
       try {
-        q = Streams.viewClickJoin(
+        q = owned(Streams.viewClickJoin(
             iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(viewDir),
             iso.readStream.schema(schema)
@@ -785,7 +806,7 @@ object StreamGates {
             watermark = "45 days", window = JoinWindow)
           .writeStream.outputMode(OutputMode.Append)
           .format("memory").queryName("sjp_join")
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_join_parity")
         q.processAllAvailable()
       } finally safeStop(q)
 
@@ -847,7 +868,7 @@ object StreamGates {
 
       var q: StreamingQuery = null
       try {
-        q = Streams.viewClickLeftOuter(
+        q = owned(Streams.viewClickLeftOuter(
             iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(viewDir),
             iso.readStream.schema(schema)
@@ -855,7 +876,7 @@ object StreamGates {
             watermark = "30 minutes", window = JoinWindow)
           .writeStream.outputMode(OutputMode.Append)
           .format("memory").queryName("soj_join")
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_outer_join_parity")
         q.processAllAvailable()
         // watermark must pass every view's [ts, ts+2h] window before
         // its unmatched null row may emit; the second sentinel gives
@@ -933,7 +954,7 @@ object StreamGates {
 
       var q: StreamingQuery = null
       try {
-        q = Streams.runningTotalsTws(
+        q = owned(Streams.runningTotalsTws(
             iso.readStream
               .schema(StructType(Seq(
                 StructField("user_id", LongType),
@@ -944,7 +965,7 @@ object StreamGates {
                 .product[(Long, String, Double)]))
           .writeStream.outputMode(OutputMode.Update())
           .format("memory").queryName("stw_totals")
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_tws_parity")
         q.processAllAvailable()
       } finally safeStop(q)
 
@@ -961,9 +982,16 @@ object StreamGates {
       val joined = streamTotals.join(batchTotals, Seq("user_id"), "full_outer")
       val gate = joined.agg(
           count(lit(1)).as("n_users"),
+          // RELATIVE tolerance: the stream side folds doubles in
+          // arrival order over the user's whole slice, so accumulated
+          // rounding grows with per-user event count and magnitude —
+          // an absolute 1e-6 bound would flake at larger corpora
+          // while 1e-9·|sum| tracks double precision (~1e-16/op ×
+          // thousands of ops) with 6 orders of headroom
           sum(when(col("n").isNull || col("nb").isNull ||
             col("n") =!= col("nb") || col("nt") =!= col("ntb") ||
-            abs(col("sum_v") - col("sum_b")) >= 1e-6, 1L)
+            abs(col("sum_v") - col("sum_b")) >=
+              greatest(abs(col("sum_b")), lit(1.0)) * 1e-9, 1L)
             .otherwise(0L)).as("bad"))
         .select((col("bad") === 0 && col("n_users") > 0).as("tws_parity"),
           col("n_users"))
@@ -1025,7 +1053,7 @@ object StreamGates {
       val probes = array((1 to k).map(i => lit(i.toDouble / k)): _*)
       var q: StreamingQuery = null
       try {
-        q = iso.readStream.schema(vals.schema)
+        q = owned(iso.readStream.schema(vals.schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -1040,7 +1068,7 @@ object StreamGates {
                 lit(bid).as("batch_id"))
               .write.mode("overwrite").parquet(s"$gridStore/batch=$bid")
           }
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_quantile_parity")
         q.processAllAvailable()
       } finally safeStop(q)
 
@@ -1138,11 +1166,11 @@ object StreamGates {
       var q: StreamingQuery = null
       var firstOk = false
       try {
-        q = agg(iso.readStream.format("gseg")
+        q = owned(agg(iso.readStream.format("gseg")
           .schema(ev.schema).load(streamDir))
           .writeStream.outputMode(OutputMode.Complete)
           .format("memory").queryName("seg_stream")
-          .option("checkpointLocation", s"$base/ckpt").start()
+          .option("checkpointLocation", s"$base/ckpt").start(), "stream_dsv2_parity")
         q.processAllAvailable()
         val got1 = iso.table("seg_stream").collect()
           .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap

@@ -117,6 +117,30 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(node.get("queries").get("stream_9_broken").asInt == -1)
   }
 
+  test("signature drift is self-reported: exact count, capped name list") {
+    val changed = Seq("stream_session_parity", "a10_median",
+      "q17_small_qty", "g4_shortest_path", "dedup_corpus")
+    val node = mapper.readTree(
+      Bench.summaryLine(bigSuite(150), "sf0.1", sigChanged = changed))
+    assert(node.get("sig_changed").asInt == 5, "count is exact")
+    val names = node.get("sig_changed_names")
+    assert(names.size == 3, "name list capped at 3")
+    // deterministic: first 3 sorted, so the judge sees the same names
+    // the TRENDS ledger leads with
+    assert(names.get(0).asText == "a10_median")
+    // and the field must not blow the budget at full scale
+    val big = Bench.summaryLine(suite250, "sf0.1",
+      sigChanged = suite250.take(40).map(_._1))
+    assert(big.length <= 1700, s"line is ${big.length} chars")
+    assert(mapper.readTree(big).get("sig_changed").asInt == 40)
+  }
+
+  test("no drift, no field: the common case costs zero bytes") {
+    val node = mapper.readTree(Bench.summaryLine(bigSuite(10), "sf0.1"))
+    assert(node.get("sig_changed") == null)
+    assert(node.get("sig_changed_names") == null)
+  }
+
   test("familyOf strips trailing digits from the head token only") {
     assert(Bench.familyOf("q17_small_qty") == "q")
     assert(Bench.familyOf("a10_median") == "a")
