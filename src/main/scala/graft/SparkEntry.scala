@@ -194,6 +194,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamJoinParity _,
     "stream_tws_parity" ->
       graft.streaming.StreamGates.streamTwsParity _,
+    "stream_tws_timer_parity" ->
+      graft.streaming.StreamGates.streamTwsTimerParity _,
     "stream_outer_join_parity" ->
       graft.streaming.StreamGates.streamOuterJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
@@ -256,6 +258,7 @@ object SparkEntry {
     "s16_dsv2_limit_topn" -> CoreOps.s16SegLimitTopn _,
     "s17_dsv2_runtime_filter" -> CoreOps.s17SegRuntimeFilter _,
     "s18_dsv2_spj_join"  -> CoreOps.s18SegSpjJoin _,
+    "s19_dsv2_agg_degrade" -> CoreOps.s19SegAggDegrade _,
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1699,6 +1702,23 @@ object SparkEntry {
       """SELECT CAST(1 AS BOOLEAN) AS tws_parity,
         |       (SELECT COUNT(DISTINCT user_id) FROM events
         |        WHERE user_id < 60) AS n_users""".stripMargin,
+    // tws event-time timers: parity + flushed-is-last-session are
+    // in-engine booleans; the timer-flush COUNT is relational (every
+    // user's final session dangles, so flushes == distinct users) and
+    // the session count reuses the lag/cumsum formulation
+    "stream_tws_timer_parity" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_us
+        |  FROM events WHERE user_id < 60)
+        |SELECT CAST(1 AS BOOLEAN) AS timer_parity,
+        |       (SELECT COUNT(DISTINCT user_id) FROM events
+        |        WHERE user_id < 60) AS n_timer_flushed,
+        |       CAST(SUM(CASE WHEN prev_us IS NULL
+        |                       OR us - prev_us > 600000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
         |       CAST(2 AS BIGINT) AS n_batches,
@@ -1744,10 +1764,22 @@ object SparkEntry {
     "s18_dsv2_spj_join" ->
       """SELECT CAST(1 AS BOOLEAN) AS spj_join,
         |       CAST(1 AS BOOLEAN) AS spj_shuffle_free,
+        |       CAST(1 AS BOOLEAN) AS spj_aqe_join,
+        |       CAST(1 AS BOOLEAN) AS spj_aqe_shuffle_free,
         |       COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS sum_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+    // agg-pushdown/SPJ degrade: plan-evidence booleans in-engine; the
+    // header-served aggregate values are relational (proving the
+    // headers answer with the TRUE count/min/max)
+    "s19_dsv2_agg_degrade" ->
+      """SELECT CAST(1 AS BOOLEAN) AS agg_pushed,
+        |       CAST(1 AS BOOLEAN) AS spj_declined,
+        |       COUNT(*) AS n_rows,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
     // chunked-scan precision contract: the booleans compare the
     // two-phase affine scan against the single-task fold IN-ENGINE
     // (no SQL oracle can replay the composed-carry float sequence);

@@ -88,27 +88,47 @@ object Basket {
     capBaskets(items, keyCol, itemCol, cap, counterPrefix)
       .select(col(keyCol).cast("long"), col(itemCol).cast("long"))
       .as[(Long, Long)]
-      .mapPartitions { rows =>
-        val it = rows.buffered
-        new Iterator[(Long, Long)] {
-          private var pending: Iterator[(Long, Long)] = Iterator.empty
-          private def refill(): Unit =
-            while (!pending.hasNext && it.hasNext) {
-              val k = it.head._1
-              val xs = scala.collection.mutable.ArrayBuffer.empty[Long]
-              while (it.hasNext && it.head._1 == k) xs += it.next()._2
-              pending = xs.indices.iterator.flatMap(i =>
-                xs.indices.iterator
-                  .filter(j => xs(i) < xs(j))
-                  .map(j => (xs(i), xs(j))))
-            }
-          override def hasNext: Boolean = { refill(); pending.hasNext }
-          override def next(): (Long, Long) = { refill(); pending.next() }
-        }
-      }
+      .mapPartitions(pairIterator)
       .toDF("pair_a", "pair_b")
       .groupBy(col("pair_a"), col("pair_b"))
       .agg(count(lit(1)).as("support"))
+  }
+
+  /** The per-partition pair kernel, with the contiguity contract it
+    * depends on ENFORCED: [[capBaskets]]'s window sorts each physical
+    * partition by (key asc, rank order), so keys must arrive
+    * non-decreasing — a key reappearing after its group closed means
+    * some plan change broke the clustering, and the kernel would
+    * silently UNDERCOUNT cross pairs (a split group pairs only within
+    * its fragments). The O(1)-memory monotonicity assertion turns
+    * that silent wrong answer into a loud failure; BasketSpec feeds
+    * it adversarial orderings directly. */
+  private[operators] def pairIterator(
+      rows: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val it = rows.buffered
+    new Iterator[(Long, Long)] {
+      private var lastKey = Long.MinValue
+      private var first = true
+      private var pending: Iterator[(Long, Long)] = Iterator.empty
+      private def refill(): Unit =
+        while (!pending.hasNext && it.hasNext) {
+          val k = it.head._1
+          if (!first && k <= lastKey)
+            throw new IllegalStateException(
+              s"pairCounts contiguity contract violated: basket key $k " +
+                s"after $lastKey — upstream no longer delivers rows " +
+                "sorted by basket within the partition")
+          first = false; lastKey = k
+          val xs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (it.hasNext && it.head._1 == k) xs += it.next()._2
+          pending = xs.indices.iterator.flatMap(i =>
+            xs.indices.iterator
+              .filter(j => xs(i) < xs(j))
+              .map(j => (xs(i), xs(j))))
+        }
+      override def hasNext: Boolean = { refill(); pending.hasNext }
+      override def next(): (Long, Long) = { refill(); pending.next() }
+    }
   }
 
   /** Part pairs co-ordered in ≥ `minsup` distinct orders. The apriori

@@ -2008,10 +2008,18 @@ object CoreOps {
     * sort-merge join, not a trivially-shuffle-free broadcast), AQE off
     * (AdaptiveSparkPlanExec hides the tree from plan.collect — with it
     * off the absence-of-Exchange evidence is a tree assertion, not a
-    * string grep). Relational columns are oracle-recomputed from
-    * parquet (the k terms are derived from the join key, so the plain
-    * orderkey join states the same result); spj booleans + the
-    * gseg_key_groups counter delta are in-engine evidence. */
+    * string grep). A SECOND pass then re-proves the claim under the
+    * PRODUCTION-DEFAULT planner: AQE ON, the same join executed, and
+    * the adaptive FINAL plan (AdaptiveSparkPlanExec.executedPlan,
+    * valid only post-execution) asserted to hold the sort-merge join
+    * with zero exchanges — no ShuffleExchange node and no
+    * ShuffleQueryStage (AQE wraps materialized shuffles in stages, so
+    * absence must be checked at both node kinds), plus the AQE row
+    * bit-matching the non-AQE row. Relational columns are
+    * oracle-recomputed from parquet (the k terms are derived from the
+    * join key, so the plain orderkey join states the same result);
+    * spj booleans + the gseg_key_groups counter delta are in-engine
+    * evidence. */
   def s18SegSpjJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = s.newSession()
@@ -2050,9 +2058,85 @@ object CoreOps {
         sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
       .head()
     val keyGrouped = graft.Counters.peek("gseg_key_groups") > kg0
+
+    // pass 2: same join under the production-default ADAPTIVE planner.
+    // The final plan only exists after execution, so execute first,
+    // then assert on AdaptiveSparkPlanExec.executedPlan.
+    val iso2 = s.newSession()
+    iso2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso2.conf.set("spark.sql.adaptive.enabled", "true")
+    iso2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val a2 = iso2.read.format("gseg").option(kCol, "k").load(dirA)
+    val b2 = iso2.read.format("gseg").option(kCol, "k").load(dirB)
+    val agg2 = a2.join(b2,
+        a2("k") === b2("k") && a2("o_orderkey") === b2("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+    val row2 = agg2.head()
+    val finalPlan = agg2.queryExecution.executedPlan.collectFirst {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        ad.executedPlan
+    }
+    // scope the absence check to the join subtree (the global agg
+    // above it legitimately exchanges to a single partition)
+    val aqeSmjNode = finalPlan.flatMap(_.collectFirst {
+      case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+    })
+    val aqeSmj = aqeSmjNode.isDefined
+    val aqeShuffleFree = aqeSmjNode.exists(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q
+    }.isEmpty)
+    val aqeSameRow = row2.getLong(0) == row.getLong(0) &&
+      row2.getDouble(1) == row.getDouble(1)
+
     Seq((smj.isDefined && keyGrouped, shuffleFree,
+        aqeSmj && aqeSameRow, aqeShuffleFree,
         row.getLong(0), row.getDouble(1)))
-      .toDF("spj_join", "spj_shuffle_free", "n_rows", "sum_price")
+      .toDF("spj_join", "spj_shuffle_free", "spj_aqe_join",
+        "spj_aqe_shuffle_free", "n_rows", "sum_price")
+  }
+
+  /** DSv2 agg-pushdown × partitioning degrade [S19]: the contract
+    * that two scan capabilities which CANNOT both hold must degrade
+    * TOGETHER, proven in an oracle-gated row (previously only
+    * SegSourceSpec pinned it). A gseg table laid out with
+    * partition_col=k is read by a header-servable global aggregate:
+    * the scan must (a) ACCEPT the agg pushdown — count/min/max
+    * answered from segment headers, one buffer row per file — and
+    * (b) DECLINE key-grouped partitioning on that same scan, because
+    * an agg scan plans per-file buffer partitions, and advertising
+    * KeyGroupedPartitioning over partitions that no longer carry
+    * HasPartitionKey rows is exactly the r8 contract bug (a consumer
+    * planning an SPJ against the advertised layout would be wrong).
+    * Booleans are in-engine plan evidence; the aggregate values are
+    * relational and must equal DuckDB's over the source parquet —
+    * which also proves the header-served answers are the TRUE ones. */
+  def s19SegAggDegrade(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = s.newSession()
+    val dir = graft.Fs.scratchDir(iso, "graft_gseg_aggdeg", d)
+    val kCol = graft.sources.SegSource.PartitionColOption
+    Tables.orders(iso, d)
+      .select(col("o_orderkey"), pmod(col("o_orderkey"), lit(16L)).as("k"))
+      .write.format("gseg").option(kCol, "k").mode("overwrite").save(dir)
+    val df = iso.read.format("gseg").option(kCol, "k").load(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    val aggPushed = scan.exists(_.description().contains("PushedAggregates"))
+    val spjDeclined = scan.exists(_.asInstanceOf[graft.sources.SegScan]
+      .outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+    val row = df.head()
+    Seq((aggPushed, spjDeclined,
+        row.getLong(0), row.getLong(1), row.getLong(2)))
+      .toDF("agg_pushed", "spj_declined", "n_rows", "min_key", "max_key")
   }
 
   /** JSON-lines roundtrip [S8]: the row-oriented interchange format —

@@ -46,15 +46,21 @@ object StreamGates {
 
   /** Gate-private child session: inherits the context's defaults (UTC,
     * codegen, etc.) but owns its SQLConf and temp-view catalog. The
-    * shuffle width is deliberately tiny: stateful streaming allocates
-    * one state-store instance per shuffle partition PER MICRO-BATCH
-    * (each with its own checkpoint files), so gate cost scales with
-    * width × batches while the gate data is KB-sized. Overridable for
-    * A/B probes via -Dgraft.gate.partitions. */
+    * shuffle width is deliberately MINIMAL (1): stateful streaming
+    * allocates one state-store instance per shuffle partition PER
+    * MICRO-BATCH (each with its own checkpoint files; a stream-stream
+    * join runs FOUR stores per partition, RocksDB gates pay a native
+    * instance init each), so gate cost scales with width × batches
+    * while the gate data is KB-sized — measured 2→1 partitions:
+    * stream family 27.1 s → 23.9 s at identical per-gate job counts.
+    * Width is a gate-harness knob, not an operator property: the
+    * operators' multi-partition behavior is what the full-width bench
+    * queries and specs exercise. Overridable for A/B probes via
+    * -Dgraft.gate.partitions. */
   private def isolated(s: SparkSession): SparkSession = {
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions",
-      sys.props.getOrElse("graft.gate.partitions", "2"))
+      sys.props.getOrElse("graft.gate.partitions", "1"))
     // AQE is a pure fixed cost at gate scale: every shuffle becomes
     // its own query-stage JOB (plan, schedule, drain — tens of ms
     // each), re-optimized to learn what is already known (the data is
@@ -814,18 +820,27 @@ object StreamGates {
       val streamPairs = iso.table("sjp_join")
       val batchPairs = Streams.viewClickJoin(views, clicks,
         watermark = "45 days", window = JoinWindow)
-      graft.Counters.add("sjp_cross_batch_pairs",
-        streamPairs.filter(unix_millis(col("view_ts")) <= cutMs &&
-          unix_millis(col("click_ts")) > cutMs).count())
+      // cross-batch pair count rides the gate's own collect (one job,
+      // not a separate count() action); harvested into Counters below
       val gate = symDiffEmpty(streamPairs.select(pairCols.map(col): _*),
           batchPairs.select(pairCols.map(col): _*), pairCols)
-        .crossJoin(streamPairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(streamPairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(unix_millis(col("view_ts")) <= cutMs &&
+            unix_millis(col("click_ts")) > cutMs, 1L).otherwise(0L))
+            .as("n_cross")))
         .select(
           (col("l_only") === 0 && col("r_only") === 0 && col("n_pairs") > 0)
             .as("join_parity"),
-          col("n_pairs").as("n_rows"))
+          col("n_pairs").as("n_rows"),
+          col("n_cross"))
       val rows = gate.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+      if (rows.nonEmpty && !rows(0).isNullAt(2))
+        graft.Counters.add("sjp_cross_batch_pairs", rows(0).getLong(2))
+      val out = gate.select(col("join_parity"), col("n_rows"))
+      s.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+        out.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
@@ -996,6 +1011,105 @@ object StreamGates {
         .select((col("bad") === 0 && col("n_users") > 0).as("tws_parity"),
           col("n_users"))
       val rows = gate.collect()
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
+  /** Gate query [stream_tws_timer_parity]: transformWithState
+    * EVENT-TIME TIMERS — the one arbitrary-state surface
+    * [[streamTwsParity]] leaves unexercised (its processor runs
+    * TimeMode.None: no timers, no watermark coupling), and the one a
+    * production tws sessionizer needs: the engine fires
+    * handleExpiredTimer when the watermark proves a session
+    * unextendable, flushing the per-user dangling final session that
+    * gap-closure alone would hold in state forever. The whole slice
+    * arrives as micro-batch 1, so every registered timer CROSSES a
+    * batch boundary by construction: it fires in the sentinel batches
+    * (2–3), whose watermark advance is the only thing that can flush.
+    * Three claims, all load-bearing:
+    *  - the emitted session set (gap-closed ∪ timer-flushed) equals
+    *    the batch sessionization exactly on (user, bounds, count),
+    *    sums within per-session double-fold tolerance;
+    *  - the timer-flushed subset is EXACTLY the per-user last session
+    *    (a premature firing would flush a non-final session and break
+    *    this; the processor's watermark re-check is what's tested);
+    *  - n_timer_flushed is pinned RELATIONALLY by the oracle to
+    *    COUNT(DISTINCT user_id) — every user has exactly one dangling
+    *    session, so the non-vacuity count is oracle-exact, not just
+    *    spec-asserted ≥ 1 (stt_timer_flushed also lands in bench
+    *    metrics). */
+  def streamTwsTimerParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    // tws state variables + timers are column families — RocksDB-only
+    // (HDFSBackedStateStoreProvider cannot create them), and the
+    // backend a production tws deployment runs anyway
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Fs.fastTempDir("graft_stt").toString
+    try {
+      val inDir = s"$base/in"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 60)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxRow = ev.agg(max(col("ts"))).head()
+      if (maxRow.isNullAt(0))
+        return Seq((false, 0L, 0L))
+          .toDF("timer_parity", "n_timer_flushed", "n_sessions")
+      ev.write.mode("overwrite").parquet(inDir)
+
+      var q: StreamingQuery = null
+      try {
+        q = owned(Streams.sessionsTwsTimers(
+            Streams.readEventStream(iso, inDir)
+              .select("event_id", "ts", "user_id", "event_type", "value")
+              .as[Streams.EventRow])
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("stt_sessions")
+          .option("checkpointLocation", s"$base/ckpt").start(),
+          "stream_tws_timer_parity")
+        q.processAllAvailable()
+        dropSentinel(iso, Sentinel1Ms, inDir); q.processAllAvailable()
+        dropSentinel(iso, Sentinel2Ms, inDir); q.processAllAvailable()
+      } finally safeStop(q)
+
+      val sessKeys = Seq("user_id", "start_us", "end_us", "n_events")
+      val streamSess = iso.table("stt_sessions").filter(col("user_id") >= 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchSess = EventOps.sessionizeOf(ev)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("sum_value").as("batch_sum"))
+      // claim 1: full session-set parity (exact keys, tolerant sums)
+      val setPar = symDiffEmpty(streamSess, batchSess, sessKeys)
+        .crossJoin(streamSess.join(batchSess, sessKeys)
+          .agg(coalesce(max(abs(col("sum_value") - col("batch_sum"))), lit(0.0))
+            .as("max_diff"),
+            count(lit(1)).as("n_sess")))
+        .select((col("l_only") === 0 && col("r_only") === 0 &&
+          col("max_diff") < 1e-6).as("set_ok"), col("n_sess"))
+      // claim 2: the timer-flushed subset is exactly each user's LAST
+      // session of the batch mirror
+      val flushed = streamSess.filter(col("by_timer"))
+        .select(col("user_id"), col("end_us"))
+      val lastPerUser = batchSess.groupBy(col("user_id"))
+        .agg(max(col("end_us")).as("end_us"))
+      val flushPar = symDiffEmpty(flushed, lastPerUser, Seq("user_id", "end_us"))
+        .crossJoin(flushed.agg(count(lit(1)).as("n_flushed")))
+        .select((col("l_only") === 0 && col("r_only") === 0).as("flush_ok"),
+          col("n_flushed"))
+      val gate = setPar.crossJoin(flushPar)
+        .select(
+          (col("set_ok") && col("flush_ok") && col("n_flushed") > 0)
+            .as("timer_parity"),
+          col("n_flushed").as("n_timer_flushed"),
+          col("n_sess").as("n_sessions"))
+      val rows = gate.collect()
+      if (rows.nonEmpty) graft.Counters.add("stt_timer_flushed",
+        if (rows(0).isNullAt(1)) 0L else rows(0).getLong(1))
+      streamSess.unpersist()
       ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))

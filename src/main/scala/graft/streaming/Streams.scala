@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` stream shape
@@ -238,6 +238,77 @@ object Streams {
     * with the batch paths' unix_micros on real event data. */
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  /** A session emitted by [[sessionsTwsTimers]]; `by_timer` marks
+    * rows flushed by an event-time TIMER firing (the dangling final
+    * session per user) vs closed in-line by a gap. */
+  case class TwsSession(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, sum_value: Double, by_timer: Boolean)
+
+  /** transformWithState sessionizer driven by EVENT-TIME TIMERS — the
+    * arbitrary-state surface [[RunningTotalsProcessor]] leaves
+    * unexercised (it runs TimeMode.None: no timers, no watermark
+    * coupling). This is the production sessionizer shape on the new
+    * API: per-key session state in a ValueState, and a REGISTERED
+    * timer at (last event + gap) so the engine itself tells the
+    * processor when the watermark has proven a session unextendable —
+    * the tws twin of [[closedSessionsFlushed]]'s EventTimeTimeout,
+    * but with timers as first-class SET-valued objects (register /
+    * delete / list per key) rather than GroupState's single slot.
+    *
+    * Timer hygiene rules a production processor needs, both applied
+    * here: (1) re-registering on new input must DELETE the stale
+    * timer first — timers are a set, and an orphaned earlier expiry
+    * would fire spuriously; (2) handleExpiredTimer must re-check the
+    * flush condition against live state (watermark ≥ last + gap) —
+    * defense in depth if a stale timer survives anyway, so a timer
+    * can never flush a session that later input has extended. */
+  class TimerSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EventRow, TwsSession] {
+    @transient private var sess: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        tv: TimerValues): Iterator[TwsSession] = {
+      val prior = if (sess.exists()) Some(sess.get()) else None
+      val (cur, closed) = foldSessions(key, rows, prior, gapMs)
+      cur.foreach { st =>
+        sess.update(st)
+        val timers = getHandle.listTimers()
+        while (timers.hasNext) getHandle.deleteTimer(timers.next())
+        // clamp above the current watermark: a late session already
+        // behind it still needs a FUTURE firing to ever flush
+        getHandle.registerTimer(
+          math.max(st.last_us / 1000 + gapMs, tv.getCurrentWatermarkInMs() + 1))
+      }
+      closed.iterator.map(c => TwsSession(c.user_id, c.start_us, c.end_us,
+        c.n_events, c.sum_value, by_timer = false))
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TwsSession] = {
+      if (!sess.exists()) return Iterator.empty
+      val st = sess.get()
+      if (tv.getCurrentWatermarkInMs() < st.last_us / 1000 + gapMs)
+        return Iterator.empty // stale timer; the live one fires later
+      sess.clear()
+      Iterator.single(TwsSession(key, st.start_us, st.last_us, st.n, st.sum,
+        by_timer = true))
+    }
+  }
+
+  /** Gap-based sessionization through transformWithState event-time
+    * timers (append mode: a session row is emitted exactly once, when
+    * closed by a gap or flushed by its timer). Union of both emission
+    * paths equals the batch sessionization of the same input. */
+  def sessionsTwsTimers(events: Dataset[EventRow], gapMs: Long = 600000L,
+      watermark: String = "30 minutes"): Dataset[TwsSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,

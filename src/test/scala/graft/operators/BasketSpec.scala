@@ -64,6 +64,50 @@ class BasketSpec extends SparkSpec {
     graft.Counters.clear()
   }
 
+  test("pairIterator: sorted-by-basket input emits exactly the a<b pairs") {
+    val rows = Iterator((1L, 3L), (1L, 1L), (1L, 2L), (2L, 9L), (3L, 4L), (3L, 4L))
+    val got = Basket.pairIterator(rows).toSeq
+    // value comparison: duplicates never self-pair, multiplicities multiply
+    assert(got.sorted === Seq((1L, 2L), (1L, 3L), (2L, 3L)).sorted)
+  }
+
+  test("pairIterator: adversarial ordering trips the contiguity guard") {
+    // a basket key reappearing after its group closed = broken
+    // clustering; the kernel must fail loudly, never undercount
+    val bad = Iterator((1L, 10L), (2L, 20L), (1L, 11L))
+    val ex = intercept[IllegalStateException] {
+      Basket.pairIterator(bad).toList
+    }
+    assert(ex.getMessage.contains("contiguity"))
+    // equal-key interleave (descending) is equally broken
+    val desc = Iterator((5L, 1L), (4L, 1L))
+    intercept[IllegalStateException] { Basket.pairIterator(desc).toList }
+    // empty input is fine
+    assert(Basket.pairIterator(Iterator.empty).isEmpty)
+  }
+
+  test("observeInto: re-executing the same frame records its counter once") {
+    import spark.implicits._
+    graft.Counters.clear()
+    val items = ((0 until 9).map(i => (1L, i.toLong))).toDF("bk", "item")
+    val capped = Basket.capBaskets(items, "bk", "item", 4, "dup")
+    capped.collect() // execution 1, action 1
+    capped.collect() // SAME QueryExecution, action 2 — must not re-add
+    // both actions fire onSuccess; poll until at least one delivery
+    // landed, then give the second event time to (wrongly) double
+    assert(awaitCounter("dup_capped_baskets").contains(1L))
+    Thread.sleep(300)
+    assert(graft.Counters.snapshot().get("dup_capped_baskets").contains(1L),
+      "second action over the same execution double-counted")
+    // a NEW frame over the same input is a new execution: accumulates
+    Basket.capBaskets(items, "bk", "item", 4, "dup").collect()
+    val deadline = System.nanoTime() + 10000L * 1000000L
+    while (!graft.Counters.snapshot().get("dup_capped_baskets").contains(2L)
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(graft.Counters.snapshot().get("dup_capped_baskets").contains(2L))
+    graft.Counters.clear()
+  }
+
   test("frequentPairs: a cap below basket size bounds the pair fan-out") {
     // TPC-H baskets are <=7; cap at 2 so the cap REALLY engages, and
     // every surviving basket emits at most 1 pair

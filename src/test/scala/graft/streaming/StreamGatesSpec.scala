@@ -68,6 +68,22 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getLong(1) > 0, "no users streamed")
   }
 
+  test("tws event-time timers flush exactly the dangling final sessions") {
+    graft.Counters.clear()
+    val row = StreamGates.streamTwsTimerParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "timer-driven tws sessions != batch sessionization, or a timer " +
+        "flushed a non-final session")
+    // non-vacuity: registered-in-batch-1 timers really fired in the
+    // sentinel batches — at least one flush, recorded for bench
+    assert(row(0).getLong(1) >= 1L, "no timer-fired flush happened")
+    assert(graft.Counters.peek("stt_timer_flushed") >= 1L,
+      "timer-flush count not counter-recorded")
+    assert(row(0).getLong(2) >= row(0).getLong(1),
+      "sessions must be at least the flushed finals")
+  }
+
   test("left-outer stream-stream join flushes unmatched views as nulls") {
     val row = StreamGates.streamOuterJoinParity(spark, sfDir).collect()
     assert(row.length === 1)
