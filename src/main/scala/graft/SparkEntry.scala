@@ -196,6 +196,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamTwsParity _,
     "stream_tws_timer_parity" ->
       graft.streaming.StreamGates.streamTwsTimerParity _,
+    "stream_tws_init_parity" ->
+      graft.streaming.StreamGates.streamTwsInitParity _,
     "stream_outer_join_parity" ->
       graft.streaming.StreamGates.streamOuterJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
@@ -1719,6 +1721,24 @@ object SparkEntry {
         |                       OR us - prev_us > 600000000
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x""".stripMargin,
+    // tws initial-state bootstrap: totals parity is in-engine; the
+    // emitting-user and seeded-then-extended counts are relational,
+    // sharing the gate's (MIN+MAX)//2 midpoint arithmetic exactly
+    "stream_tws_init_parity" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |             AS cut
+        |           FROM events WHERE user_id < 60)
+        |SELECT CAST(1 AS BOOLEAN) AS init_parity,
+        |       (SELECT COUNT(DISTINCT user_id) FROM events, b
+        |        WHERE user_id < 60 AND epoch_us(ts) > b.cut) AS n_users,
+        |       (SELECT COUNT(DISTINCT e2.user_id) FROM events e2, b
+        |        WHERE e2.user_id < 60 AND epoch_us(e2.ts) > b.cut
+        |          AND EXISTS (SELECT 1 FROM events e1
+        |                      WHERE e1.user_id = e2.user_id
+        |                        AND e1.user_id < 60
+        |                        AND epoch_us(e1.ts) <= b.cut))
+        |         AS n_boot_users
+        |FROM b""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
         |       CAST(2 AS BIGINT) AS n_batches,

@@ -1115,6 +1115,104 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_tws_init_parity]: transformWithState
+    * INITIAL-STATE BOOTSTRAP — the third arbitrary-state capability
+    * (after state variables and event-time timers) and the one every
+    * production migration needs: seed the new stateful job's state
+    * from a batch table so only the increment replays, not history.
+    * The user<60 slice splits at its time midpoint: half A becomes a
+    * BATCH per-user (n, Σvalue) aggregate handed to
+    * StatefulProcessorWithInitialState.handleInitialState; ONLY half
+    * B streams. Parity: the stream's final per-user totals must equal
+    * the batch aggregate over the WHOLE slice for every emitting user
+    * — which can only hold if the bootstrap landed (half A's
+    * contribution never streamed) AND the fold continued from it.
+    * Non-vacuity is relational: n_boot_users (emitting users that
+    * also have half-A events — each one proves seeded-then-extended
+    * state) is oracle-pinned via the same midpoint arithmetic in SQL,
+    * as is n_users (distinct post-cut users). */
+  def streamTwsInitParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Fs.fastTempDir("graft_sti").toString
+    try {
+      val inDir = s"$base/in"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 60)
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mm = ev.agg(min(col("us")), max(col("us"))).head()
+      if (mm.isNullAt(0))
+        return Seq((false, 0L, 0L))
+          .toDF("init_parity", "n_users", "n_boot_users")
+      // same integer arithmetic as the oracle's (MIN+MAX)//2
+      val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+      val halfA = ev.filter(col("us") <= cutUs)
+      val halfB = ev.filter(col("us") > cutUs)
+      halfB.select(col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(inDir)
+
+      // the batch past: one (n, Σ) row per half-A user
+      val initState = halfA.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sv"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+
+      var q: StreamingQuery = null
+      try {
+        q = owned(Streams.bootstrappedTotalsTws(
+            iso.readStream
+              .schema(StructType(Seq(
+                StructField("user_id", LongType),
+                StructField("event_type", StringType),
+                StructField("value", DoubleType))))
+              .parquet(inDir)
+              .as[(Long, String, Double)](org.apache.spark.sql.Encoders
+                .product[(Long, String, Double)]),
+            initState)
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName("sti_totals")
+          .option("checkpointLocation", s"$base/ckpt").start(),
+          "stream_tws_init_parity")
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      val streamTotals = iso.table("sti_totals")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"),
+          max_by(col("sum_value"), col("n_events")).as("sum_v"))
+      val batchTotals = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_b"))
+      val bootUsers = halfB.select(col("user_id")).distinct()
+        .join(halfA.select(col("user_id")).distinct(), Seq("user_id"),
+          "left_semi")
+      val joined = streamTotals.join(batchTotals, Seq("user_id"), "full_outer")
+      val gate = joined.agg(
+          count(lit(1)).as("n_all"),
+          sum(when(col("n").isNotNull, 1L).otherwise(0L)).as("n_users"),
+          sum(when(col("n").isNotNull && (col("nb").isNull ||
+            col("n") =!= col("nb") ||
+            abs(col("sum_v") - col("sum_b")) >=
+              greatest(abs(col("sum_b")), lit(1.0)) * 1e-9), 1L)
+            .otherwise(0L)).as("bad"))
+        .crossJoin(bootUsers.agg(count(lit(1)).as("n_boot")))
+        .select(
+          (col("bad") === 0 && col("n_users") > 0 && col("n_boot") > 0)
+            .as("init_parity"),
+          col("n_users"), col("n_boot").as("n_boot_users"))
+      val rows = gate.collect()
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_quantile_parity]: quantile summaries MERGE
     * across micro-batches — the last sketch family (after HLL a15,
     * count-min a18, percentile_approx a14) proven mergeable across the

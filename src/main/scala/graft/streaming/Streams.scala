@@ -310,6 +310,50 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** [[RunningTotalsProcessor]]'s per-user (n, Σvalue) fold, with the
+    * third arbitrary-state capability the totals and timer processors
+    * leave unexercised: INITIAL-STATE BOOTSTRAP. handleInitialState
+    * seeds each key's ValueState from a batch-computed (n, Σ) row
+    * BEFORE any stream input arrives — how a production stateful job
+    * migrates (from an old pipeline's table), backfills, or restarts
+    * without replaying history: the state's past comes from a batch
+    * aggregate, only the increment streams. */
+  class BootstrappedTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, String, Double), (Long, Long, Double), (Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        TTLConfig.NONE)
+    override def handleInitialState(key: Long, initial: (Long, Double),
+        tv: TimerValues): Unit =
+      st.update(initial)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var cur = if (st.exists()) st.get() else (0L, 0.0)
+      rows.foreach(r => cur = (cur._1 + 1, cur._2 + r._3))
+      st.update(cur)
+      Iterator.single((key, cur._1, cur._2))
+    }
+  }
+
+  /** Running totals bootstrapped from a batch state: `initial` holds
+    * one (n, Σvalue) per user (the past); `events` stream only the
+    * increment. Update mode — latest row per user is the running
+    * answer, which must equal the batch aggregate over past ∪
+    * increment. */
+  def bootstrappedTotalsTws(events: Dataset[(Long, String, Double)],
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, Double)])
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new BootstrappedTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(), initial)
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, sum_value: Double)

@@ -41,7 +41,17 @@ object Sf1Probe {
         "stream_tws_parity" -> ((s, d) =>
           graft.streaming.StreamGates.streamTwsParity(s, d)),
         "stream_neardup_parity" -> ((s, d) =>
-          graft.streaming.StreamGates.streamNearDupParity(s, d)))
+          graft.streaming.StreamGates.streamNearDupParity(s, d)),
+        // r10 additions: the timer/init tws gates (user<60 slice ⇒
+        // constant cost at 10×) and the agg-degrade scan row (header
+        // agg over 10× segments: jobs constant, wall grows only with
+        // the one-time layout write)
+        "stream_tws_timer_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamTwsTimerParity(s, d)),
+        "stream_tws_init_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamTwsInitParity(s, d)),
+        "s19_dsv2_agg_degrade" -> ((s, d) =>
+          graft.operators.CoreOps.s19SegAggDegrade(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

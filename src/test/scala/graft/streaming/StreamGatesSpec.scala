@@ -84,6 +84,17 @@ class StreamGatesSpec extends SparkSpec {
       "sessions must be at least the flushed finals")
   }
 
+  test("tws initial state seeds the fold; stream continues from the batch past") {
+    val row = StreamGates.streamTwsInitParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "bootstrapped totals != batch aggregate over past ∪ increment")
+    assert(row(0).getLong(1) > 0, "no users streamed the increment")
+    // ≥1 user must have state seeded by handleInitialState AND then
+    // extended by stream input — otherwise the bootstrap is vacuous
+    assert(row(0).getLong(2) >= 1L, "no seeded-then-extended user")
+  }
+
   test("left-outer stream-stream join flushes unmatched views as nulls") {
     val row = StreamGates.streamOuterJoinParity(spark, sfDir).collect()
     assert(row.length === 1)
