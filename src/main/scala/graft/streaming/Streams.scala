@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` stream shape
@@ -352,6 +352,41 @@ object Streams {
       .transformWithState(new BootstrappedTotalsProcessor,
         TimeMode.None(), OutputMode.Update(), initial)
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Last-K rolling window per key in a LIST state variable — the
+    * third tws state type (ValueState: totals/sessions, MapState:
+    * per-type tallies, ListState: this bounded recent-history
+    * buffer). The production shape is online feature maintenance: "a
+    * user's last K transaction amounts" kept exactly, appended per
+    * batch and trimmed to K, so state per key is K values — bounded
+    * regardless of stream length — while a windowed aggregate can't
+    * express "last K events" (it windows TIME, not count). Emits the
+    * rolling sum and fill level after each batch touching the key. */
+  class LastKProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Double), (Long, Double, Long)] {
+    @transient private var buf: ListState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Double]("lastk",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[(Long, Double, Long)] = {
+      val incoming = rows.map(_._2).toArray
+      val prior = if (buf.exists()) buf.get().toArray else Array.empty[Double]
+      val kept = (prior ++ incoming).takeRight(k)
+      buf.put(kept) // replace, don't append: the trim IS the contract
+      Iterator.single((key, kept.sum, kept.length.toLong))
+    }
+  }
+
+  /** Per-user last-K rolling sum through [[LastKProcessor]] (update
+    * mode: the latest row per user carries the current window). */
+  def lastKRollingSum(events: Dataset[(Long, Double)], k: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new LastKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "lastk_sum", "lastk_n")
   }
 
   case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)

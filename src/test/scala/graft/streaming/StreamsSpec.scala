@@ -308,6 +308,39 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((7L, 1L, 3.0)), s"dangling session not flushed: $got")
   }
 
+  test("ListState last-K window appends across batches and trims to K") {
+    // tws needs RocksDB (state variables are column families); use a
+    // child session so the conf never leaks to other tests
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    iso.conf.set("spark.sql.shuffle.partitions", "1")
+    import iso.implicits._
+    implicit val sqlCtx = iso.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.lastKRollingSum(mem.toDS(), k = 3)
+      .writeStream.format("memory").queryName("lastk")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 1 gets 2 values, user 2 gets 4 (already > K)
+      mem.addData((1L, 1.0), (1L, 2.0),
+        (2L, 10.0), (2L, 20.0), (2L, 30.0), (2L, 40.0))
+      q.processAllAvailable()
+      // batch 2: user 1's buffer must have SURVIVED (1,2)+(3,4)→(2,3,4)
+      mem.addData((1L, 3.0), (1L, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest window per user: u1 = 2+3+4 (cross-batch append + trim),
+    // u2 = 20+30+40 (trimmed within one batch)
+    val rows = iso.table("lastk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val u1 = rows.filter(_._1 == 1L).maxBy(_._2)
+    assert(u1._2 === 9.0 && u1._3 === 3L,
+      s"user 1 window wrong: $rows (ListState did not persist/trim)")
+    assert(rows.exists(t => t._1 == 2L && t._2 === 90.0 && t._3 === 3L),
+      s"user 2 window wrong: $rows")
+  }
+
   test("batch sessionize agrees with streaming session count per user") {
     // EventOps.sessionize over testdata: session boundaries respect the gap
     val sess = EventOps.sessionize(spark, sfDir)
