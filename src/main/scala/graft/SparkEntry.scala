@@ -198,6 +198,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamTwsTimerParity _,
     "stream_tws_init_parity" ->
       graft.streaming.StreamGates.streamTwsInitParity _,
+    "stream_lastk_parity" ->
+      graft.streaming.StreamGates.streamLastKParity _,
     "stream_outer_join_parity" ->
       graft.streaming.StreamGates.streamOuterJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
@@ -1721,6 +1723,24 @@ object SparkEntry {
         |                       OR us - prev_us > 600000000
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x""".stripMargin,
+    // ListState last-K window: fully relational — the stream's
+    // per-user output relation IS the compared result (event-time
+    // order + integer cents make it engine-exact)
+    "stream_lastk_parity" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                    AS cents
+        |           FROM events WHERE user_id < 60),
+        |r AS (SELECT user_id, cents,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY us DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id,
+        |       CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS lastk_n,
+        |       CAST(SUM(CASE WHEN rn <= 5 THEN cents ELSE 0 END) AS BIGINT)
+        |         AS lastk_cents
+        |FROM r GROUP BY user_id""".stripMargin,
     // tws initial-state bootstrap: totals parity is in-engine; the
     // emitting-user and seeded-then-extended counts are relational,
     // sharing the gate's (MIN+MAX)//2 midpoint arithmetic exactly

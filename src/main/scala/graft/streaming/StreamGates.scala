@@ -1213,6 +1213,96 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_lastk_parity]: the first stream gate whose
+    * ENTIRE output is relational — no parity booleans; the returned
+    * per-user relation itself meets the DuckDB oracle row-for-row.
+    * [[Streams.OrderedLastKProcessor]] maintains each user's last-K
+    * events BY EVENT TIME in a tws ListState (exact integer cents, so
+    * no fold-order drift), which a SQL row_number window can state
+    * exactly. The input splits at a TAIL cut — the ~(2·|users|+1)-th
+    * event from the end — so micro-batch 2 holds ~2 events per user:
+    * most users' K=5 window MUST pull values buffered from batch 1,
+    * making ListState persistence across the batch boundary
+    * load-bearing for nearly every output row (a midpoint cut would
+    * leave every user ≥K post-cut events and the buffer handoff
+    * untested — the last-K window concentrates at the end).
+    * Provably-cross-batch users (0 < post-cut < K ≤ total) land in
+    * bench counters; StreamsSpec pins the trim/append mechanics. */
+  def streamLastKParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 5
+    val iso = isolated(s)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Fs.fastTempDir("graft_slk").toString
+    try {
+      val inDir = s"$base/in"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 60)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (ev.head(1).isEmpty)
+        return Seq.empty[(Long, Long, Long)]
+          .toDF("user_id", "lastk_n", "lastk_cents")
+      val tailN = 2 * 60 + 1
+      val cutUs = ev.orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(tailN).agg(min(col("ts_us"))).head().getLong(0)
+      val halfA = ev.filter(col("ts_us") <= cutUs)
+      val halfB = ev.filter(col("ts_us") > cutUs)
+      def one(df: org.apache.spark.sql.DataFrame, sub: String) = {
+        val dir = s"$base/$sub"
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try l.iterator().asScala
+          .find(f => f.toString.endsWith(".parquet") &&
+            !f.getFileName.toString.startsWith("."))
+          .getOrElse(throw new IllegalStateException(s"$sub part missing"))
+        finally l.close()
+      }
+      dropChunks(Seq(one(halfA, "a"), one(halfB, "b")), inDir)
+
+      var q: StreamingQuery = null
+      try {
+        q = owned(Streams.orderedLastK(
+            iso.readStream
+              .schema(StructType(Seq(
+                StructField("user_id", LongType),
+                StructField("ts_us", LongType),
+                StructField("event_id", LongType),
+                StructField("cents", LongType))))
+              .option("maxFilesPerTrigger", "1").parquet(inDir)
+              .as[(Long, Long, Long, Long)](org.apache.spark.sql.Encoders
+                .product[(Long, Long, Long, Long)]),
+            K)
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName("slk_lastk")
+          .option("checkpointLocation", s"$base/ckpt").start(),
+          "stream_lastk_parity")
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      val res = iso.table("slk_lastk")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("lastk_n"), col("n_seen")).as("lastk_n"),
+          max_by(col("lastk_cents"), col("n_seen")).as("lastk_cents"))
+      val rows = res.collect()
+      // provably cross-batch rows: batch 2 touched the user with too
+      // few post-cut events to fill K alone — diagnostic, spec-pinned
+      val nCross = halfB.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nb"))
+        .join(ev.groupBy(col("user_id")).agg(count(lit(1)).as("nt")),
+          Seq("user_id"))
+        .filter(col("nb") > 0 && col("nb") < K && col("nt") >= K)
+        .count()
+      graft.Counters.add("lastk_cross_batch_users", nCross)
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_quantile_parity]: quantile summaries MERGE
     * across micro-batches — the last sketch family (after HLL a15,
     * count-min a18, percentile_approx a14) proven mergeable across the

@@ -389,6 +389,54 @@ object Streams {
       .toDF("user_id", "lastk_sum", "lastk_n")
   }
 
+  /** [[LastKProcessor]] made DETERMINISTIC and exact, so its output
+    * can meet a relational oracle row-for-row:
+    *  - event-time ordered, not arrival-ordered: each batch's rows
+    *    for a key are sorted by (ts_us, event_id) before appending,
+    *    and the gate feeds time-split chunks (batch N's times all
+    *    precede batch N+1's), so the buffer is globally the user's
+    *    LAST K events by event time — a SQL row_number window can
+    *    state the same thing;
+    *  - integer cents, not doubles: values arrive as DECIMAL(18,2)
+    *    scaled to Long cents, so the window sum is exact integer
+    *    arithmetic — no fold-order ulp drift between engines.
+    * Emits (key, n_seen, lastk_n, lastk_cents); n_seen is strictly
+    * monotone per key, so "latest row per key" is max_by(n_seen). */
+  class OrderedLastKProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long, Long),
+        (Long, Long, Long, Long)] {
+    @transient private var buf: ListState[Long] = _
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("lastk",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val batch = rows.toArray.sortBy(r => (r._2, r._3)) // (ts_us, event_id)
+      val prior = if (buf.exists()) buf.get().toArray else Array.empty[Long]
+      val kept = (prior ++ batch.map(_._4)).takeRight(k)
+      buf.put(kept)
+      val n = (if (seen.exists()) seen.get() else 0L) + batch.length
+      seen.update(n)
+      Iterator.single((key, n, kept.length.toLong, kept.sum))
+    }
+  }
+
+  /** Event-time last-K window per user over (user_id, ts_us,
+    * event_id, cents) rows; see [[OrderedLastKProcessor]]. */
+  def orderedLastK(events: Dataset[(Long, Long, Long, Long)],
+      k: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new OrderedLastKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_seen", "lastk_n", "lastk_cents")
+  }
+
   case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, sum_value: Double)

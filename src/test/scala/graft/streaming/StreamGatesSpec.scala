@@ -95,6 +95,19 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getLong(2) >= 1L, "no seeded-then-extended user")
   }
 
+  test("last-K window relation: tail cut forces cross-batch ListState reads") {
+    graft.Counters.clear()
+    val rows = StreamGates.streamLastKParity(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no per-user last-K rows emitted")
+    // every user's window is bounded by K and non-empty
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 5),
+      "lastk_n outside [1, K]")
+    // the tail cut must make the cross-batch buffer handoff
+    // load-bearing for at least one user (in practice: most)
+    assert(graft.Counters.peek("lastk_cross_batch_users") >= 1L,
+      "no user's window provably spanned the batch boundary")
+  }
+
   test("left-outer stream-stream join flushes unmatched views as nulls") {
     val row = StreamGates.streamOuterJoinParity(spark, sfDir).collect()
     assert(row.length === 1)
