@@ -200,6 +200,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamTwsInitParity _,
     "stream_lastk_parity" ->
       graft.streaming.StreamGates.streamLastKParity _,
+    "stream_tws_restart_parity" ->
+      graft.streaming.StreamGates.streamTwsRestartParity _,
     "stream_outer_join_parity" ->
       graft.streaming.StreamGates.streamOuterJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
@@ -1723,6 +1725,24 @@ object SparkEntry {
         |                       OR us - prev_us > 600000000
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x""".stripMargin,
+    // tws checkpoint-restart recovery: totals parity + the
+    // reprocessed-nothing input check are in-engine; user counts are
+    // relational via the init gate's midpoint arithmetic
+    "stream_tws_restart_parity" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |             AS cut
+        |           FROM events WHERE user_id < 60)
+        |SELECT CAST(1 AS BOOLEAN) AS restart_parity,
+        |       (SELECT COUNT(DISTINCT user_id) FROM events, b
+        |        WHERE user_id < 60 AND epoch_us(ts) > b.cut) AS n_users,
+        |       (SELECT COUNT(DISTINCT e2.user_id) FROM events e2, b
+        |        WHERE e2.user_id < 60 AND epoch_us(e2.ts) > b.cut
+        |          AND EXISTS (SELECT 1 FROM events e1
+        |                      WHERE e1.user_id = e2.user_id
+        |                        AND e1.user_id < 60
+        |                        AND epoch_us(e1.ts) <= b.cut))
+        |         AS n_boot_users
+        |FROM b""".stripMargin,
     // ListState last-K window: fully relational — the stream's
     // per-user output relation IS the compared result (event-time
     // order + integer cents make it engine-exact)

@@ -1303,6 +1303,119 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_tws_restart_parity]: tws STATE RECOVERY
+    * ACROSS QUERY RESTARTS — the crash-recovery claim no other gate
+    * makes. [stream_availablenow_parity] proves exactly-once file
+    * ingest across runs, but its pipeline is STATELESS; this gate
+    * stops a transformWithState query after the slice's first half,
+    * then starts a NEW StreamingQuery on the same checkpoint for the
+    * second half: the RocksDB ValueState AND MapState written by run
+    * 1 must be restored (changelog/snapshot replay) for run 2's
+    * emitted totals to match the whole-slice batch aggregate.
+    * Anti-vacuity on two axes:
+    *  - a fresh-start bug that re-read ALL files with empty state
+    *    would accidentally produce correct totals — excluded by
+    *    asserting run 2's total input rows equal the second half's
+    *    count (the file-source offset log is what's being trusted);
+    *  - a state-loss bug yields half-B-only counts for every seeded
+    *    user — n/n_types/sum all mismatch; n_boot_users (users with
+    *    events in BOTH halves) is oracle-pinned via the same
+    *    (MIN+MAX)//2 midpoint arithmetic as the init gate. */
+  def streamTwsRestartParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Fs.fastTempDir("graft_str").toString
+    try {
+      val inDir = s"$base/in"
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < 60)
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mm = ev.agg(min(col("us")), max(col("us"))).head()
+      if (mm.isNullAt(0))
+        return Seq((false, 0L, 0L))
+          .toDF("restart_parity", "n_users", "n_boot_users")
+      val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+      val halfA = ev.filter(col("us") <= cutUs)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val halfB = ev.filter(col("us") > cutUs)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val nB = halfB.count()
+      halfA.write.mode("overwrite").parquet(inDir)
+
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      // the memory sink refuses checkpoint recovery (it is not
+      // fault-tolerant) — the restart story needs a recoverable sink,
+      // so each run's emissions land via foreachBatch in run-tagged,
+      // batch-keyed parquet (overwrite per batch id = idempotent
+      // under replay, the quantile/neardup gates' store discipline)
+      val outStore = s"$base/out"
+      def runOnce(tag: String): Long = {
+        var q: StreamingQuery = null
+        try {
+          q = owned(Streams.runningTotalsTws(
+              iso.readStream.schema(schema).parquet(inDir)
+                .as[(Long, String, Double)](org.apache.spark.sql.Encoders
+                  .product[(Long, String, Double)]))
+            .writeStream.outputMode(OutputMode.Update())
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$outStore/run=$tag/batch=$bid")
+              ()
+            }
+            .option("checkpointLocation", s"$base/ckpt").start(),
+            "stream_tws_restart_parity")
+          q.processAllAvailable()
+          q.recentProgress.map(_.numInputRows).sum
+        } finally safeStop(q)
+      }
+      runOnce("r1")
+      // the "crash": run 1's StreamExecution is gone; new data lands
+      halfB.write.mode("append").parquet(inDir)
+      // run 2 = a NEW query on the same checkpoint: offsets say "skip
+      // half A", the state store says "here are run 1's totals"
+      val run2Rows = runOnce("r2")
+
+      // run 2's store holds only batch-2 emissions: the users half B
+      // touched, each with totals that must already INCLUDE half A
+      val streamTotals = iso.read.parquet(s"$outStore/run=r2")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"),
+          max_by(col("sum_value"), col("n_events")).as("sum_v"),
+          max(col("n_types")).as("nt"))
+      val batchTotals = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_b"),
+          countDistinct(col("event_type")).as("ntb"))
+      val bootUsers = halfB.select(col("user_id")).distinct()
+        .join(halfA.select(col("user_id")).distinct(), Seq("user_id"),
+          "left_semi")
+      val joined = streamTotals.join(batchTotals, Seq("user_id"), "left")
+      val gate = joined.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("nb").isNull || col("n") =!= col("nb") ||
+            col("nt") =!= col("ntb") ||
+            abs(col("sum_v") - col("sum_b")) >=
+              greatest(abs(col("sum_b")), lit(1.0)) * 1e-9, 1L)
+            .otherwise(0L)).as("bad"))
+        .crossJoin(bootUsers.agg(count(lit(1)).as("n_boot")))
+        .select(
+          (col("bad") === 0 && col("n_users") > 0 && col("n_boot") > 0 &&
+            lit(run2Rows) === nB).as("restart_parity"),
+          col("n_users"), col("n_boot").as("n_boot_users"))
+      val rows = gate.collect()
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_quantile_parity]: quantile summaries MERGE
     * across micro-batches — the last sketch family (after HLL a15,
     * count-min a18, percentile_approx a14) proven mergeable across the

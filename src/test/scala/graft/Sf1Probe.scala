@@ -50,6 +50,10 @@ object Sf1Probe {
           graft.streaming.StreamGates.streamTwsTimerParity(s, d)),
         "stream_tws_init_parity" -> ((s, d) =>
           graft.streaming.StreamGates.streamTwsInitParity(s, d)),
+        "stream_lastk_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamLastKParity(s, d)),
+        "stream_tws_restart_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamTwsRestartParity(s, d)),
         "s19_dsv2_agg_degrade" -> ((s, d) =>
           graft.operators.CoreOps.s19SegAggDegrade(s, d)))
     // warm the JVM so the first timed row isn't cold JIT

@@ -108,6 +108,17 @@ class StreamGatesSpec extends SparkSpec {
       "no user's window provably spanned the batch boundary")
   }
 
+  test("tws state survives a query restart from the checkpoint") {
+    val row = StreamGates.streamTwsRestartParity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getBoolean(0),
+      "run 2's totals != whole-slice batch aggregate (state not " +
+        "recovered), or run 2 reprocessed already-committed files")
+    assert(row(0).getLong(1) > 0, "no users emitted in run 2")
+    assert(row(0).getLong(2) >= 1L,
+      "no user had state seeded by run 1 and extended by run 2")
+  }
+
   test("left-outer stream-stream join flushes unmatched views as nulls") {
     val row = StreamGates.streamOuterJoinParity(spark, sfDir).collect()
     assert(row.length === 1)
