@@ -75,7 +75,12 @@ object Counters {
   // ACTION over the frame — a consumer that runs the same observed
   // frame twice (e.g. count() then collect()) re-executes and would
   // double-count without keying on qe.id. Bounded FIFO so the set
-  // can't grow with JVM lifetime.
+  // can't grow with JVM lifetime. EVICTION HORIZON: the 4096-entry cap
+  // is shared across all metric names, so in a long-lived JVM a frame
+  // whose second action fires after 4096 OTHER observed executions
+  // interleaved is re-admitted and counts once more — bounded drift,
+  // acceptable because these are diagnostics (Bench drains per query,
+  // ~dozens of observations each; nothing here gates correctness).
   private val seenExecs =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, java.lang.Boolean]() {

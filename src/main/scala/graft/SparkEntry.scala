@@ -202,6 +202,10 @@ object SparkEntry {
       graft.streaming.StreamGates.streamLastKParity _,
     "stream_tws_restart_parity" ->
       graft.streaming.StreamGates.streamTwsRestartParity _,
+    "stream_static_join_parity" ->
+      graft.streaming.StreamGates.streamStaticJoinParity _,
+    "stream_state_reader" ->
+      graft.streaming.StreamGates.streamStateReader _,
     "stream_outer_join_parity" ->
       graft.streaming.StreamGates.streamOuterJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
@@ -1779,6 +1783,34 @@ object SparkEntry {
         |                        AND epoch_us(e1.ts) <= b.cut))
         |         AS n_boot_users
         |FROM b""".stripMargin,
+    // stream-static enrichment join: pair parity is in-engine; the
+    // row count is relational (left join against the unique-key
+    // customer dim preserves events) and the users-in-both-batches
+    // count shares the init/restart gates' midpoint arithmetic
+    "stream_static_join_parity" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |             AS cut
+        |           FROM events WHERE user_id < 60)
+        |SELECT CAST(1 AS BOOLEAN) AS static_join_parity,
+        |       (SELECT COUNT(*) FROM events WHERE user_id < 60) AS n_rows,
+        |       (SELECT COUNT(DISTINCT e2.user_id) FROM events e2, b
+        |        WHERE e2.user_id < 60 AND epoch_us(e2.ts) > b.cut
+        |          AND EXISTS (SELECT 1 FROM events e1
+        |                      WHERE e1.user_id = e2.user_id
+        |                        AND e1.user_id < 60
+        |                        AND epoch_us(e1.ts) <= b.cut))
+        |         AS n_multi_batch_users
+        |FROM b""".stripMargin,
+    // statestore batch reader: value/map state parity booleans are
+    // in-engine; the state tables' CARDINALITIES are relational —
+    // one ValueState row per user, one MapState row per (user, type)
+    "stream_state_reader" ->
+      """SELECT CAST(1 AS BOOLEAN) AS state_reader_parity,
+        |       (SELECT COUNT(DISTINCT user_id) FROM events
+        |        WHERE user_id < 60) AS n_users,
+        |       (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type
+        |                              FROM events WHERE user_id < 60))
+        |         AS n_type_entries""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
         |       CAST(2 AS BIGINT) AS n_batches,

@@ -517,7 +517,13 @@ object Dedup {
       explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.blk").as("blk"), col("b.bv").as("bv"))
-    keyed.as("x")
+    // strategy PINNED to sort-merge: the blocked self-join's input size
+    // sits near AQE's broadcast threshold at bench scale, so runtime
+    // stats flipped the physical plan between boxes (r10: a driver-only
+    // 13→12-job signature change) — a user hint survives AQE re-planning,
+    // keeping one signature everywhere, and SMJ is the only strategy
+    // that's also right at 100 TB (broadcasting the banded corpus is not)
+    keyed.as("x").hint("merge")
       .join(keyed.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))

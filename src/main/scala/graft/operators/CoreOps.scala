@@ -2129,10 +2129,18 @@ object CoreOps {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
         r.scan
     }
-    val aggPushed = scan.exists(_.description().contains("PushedAggregates"))
-    val spjDeclined = scan.exists(_.asInstanceOf[graft.sources.SegScan]
-      .outputPartitioning().isInstanceOf[
-        org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+    // typed evidence, defaulting FALSE on a non-match: if the connector
+    // ever serves pushed-agg reads through a different Scan class, the
+    // gate must report the contract unproven, not crash on a cast (and
+    // the typed aggs accessor beats grepping description() text — the
+    // exact weaker-evidence style the s18 plan pass disavows)
+    val (aggPushed, spjDeclined) = scan match {
+      case Some(sc: graft.sources.SegScan) =>
+        (sc.aggs.exists(_.nonEmpty),
+          sc.outputPartitioning().isInstanceOf[
+            org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+      case _ => (false, false)
+    }
     val row = df.head()
     Seq((aggPushed, spjDeclined,
         row.getLong(0), row.getLong(1), row.getLong(2)))

@@ -90,6 +90,13 @@ object StreamGates {
     * [[streamNearDupParity]]). */
   private[streaming] val GateDocCap = 2000L
 
+  /** The tws/stateful gates' shared user slice width: every gate that
+    * filters `user_id < TwsUsers` AND every derived constant (the
+    * lastk tail cut, the oracle SQL's `WHERE user_id < 60`) must agree
+    * — a one-sided edit would silently shrink cross-batch coverage to
+    * whatever the anti-vacuity counters still tolerate. */
+  private[streaming] val TwsUsers = 60L
+
   private[streaming] val Sentinel1Ms = 4102444800000L // 2100-01-01 UTC
   private[streaming] val Sentinel2Ms = Sentinel1Ms + 60000L
   private val sentinelCache =
@@ -225,6 +232,78 @@ object StreamGates {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
+  }
+
+  /** Per-JVM cache of the tws-family gates' shared source layout —
+    * the [[joinSlicesOf]] discipline extended to the `user_id <
+    * TwsUsers` slice all six tws/state gates stream: build the slice
+    * parquet ONCE per (corpus dir, JVM), pre-split at the oracle's
+    * midpoint, then populate each gate's private input dir with ~1 ms
+    * file copies. Before this cache, each tws gate re-derived the
+    * slice with its own scan + min/max agg + 1-2 write jobs — the
+    * stream family's single largest fixed cost (r10: four gates ×
+    * ~4 jobs/pass).
+    *
+    * Layout: `full` carries the slice in [[Streams.eventSchema]]
+    * column order (so a gate can file-copy it straight into a
+    * readEventStream dir, sentinel-style); the halves split at cutUs
+    * = (MIN(us)+MAX(us))/2 — the SAME integer arithmetic as the
+    * init/restart oracles' `(MIN+MAX)//2` — and carry
+    * (event_id, user_id, event_type, value, us) so both the 3-column
+    * tws streams and the static-join gate (which needs event_id) read
+    * them with their own pruned schemas. nB is halfB's row count,
+    * cached so the restart gate's reprocessed-nothing check costs no
+    * extra job per pass. None = empty slice (tiny SF): gates return
+    * their all-false rows without starting a stream. */
+  private case class TwsSlice(full: java.nio.file.Path,
+      halfA: java.nio.file.Path, halfB: java.nio.file.Path,
+      cutUs: Long, nB: Long)
+  private val twsSliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[TwsSlice]]()
+  private def twsSliceOf(iso: SparkSession, d: String): Option[TwsSlice] =
+    twsSliceCache.computeIfAbsent(d, _ => {
+      val ev = Tables.events(iso, d)
+        .filter(col("user_id") < TwsUsers)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"),
+          unix_micros(col("ts")).as("us"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val mm = ev.agg(min(col("us")), max(col("us"))).head()
+        if (mm.isNullAt(0)) None
+        else {
+          val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+          val nB = ev.filter(col("us") > cutUs).count()
+          val root = graft.Fs.fastTempDir("graft_twsslice")
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => graft.Fs.deleteRecursively(root)))
+          def write(df: DataFrame, sub: String): java.nio.file.Path = {
+            val dir = root.resolve(sub)
+            df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+            val l = java.nio.file.Files.list(dir)
+            try l.iterator().asScala
+              .find(f => f.toString.endsWith(".parquet") &&
+                !f.getFileName.toString.startsWith("."))
+              .getOrElse(throw new IllegalStateException(s"$sub part missing"))
+            finally l.close()
+          }
+          val halfCols = Seq(col("event_id"), col("user_id"),
+            col("event_type"), col("value"), col("us"))
+          Some(TwsSlice(
+            write(ev.select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props")), "full"),
+            write(ev.filter(col("us") <= cutUs).select(halfCols: _*), "a"),
+            write(ev.filter(col("us") > cutUs).select(halfCols: _*), "b"),
+            cutUs, nB))
+        }
+      } finally ev.unpersist()
+    })
+  /** Copy one cached slice file into a gate-private input dir. */
+  private def dropFile(f: java.nio.file.Path, inDir: String,
+      name: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    java.nio.file.Files.copy(f, java.nio.file.Paths.get(inDir, name))
+    ()
   }
 
   /** Gate query [stream_dedup_parity]: dropDuplicatesWithinWatermark
@@ -952,20 +1031,14 @@ object StreamGates {
     val base = graft.Fs.fastTempDir("graft_stw").toString
     try {
       val inDir = s"$base/in"
-      val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 60)
-        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-      if (mm.isNullAt(0))
-        return Seq((false, 0L)).toDF("tws_parity", "n_users")
-      val cutMs =
-        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
-      for (firstHalf <- Seq(true, false))
-        ev.filter(if (firstHalf) unix_millis(col("ts")) <= cutMs
-                  else unix_millis(col("ts")) > cutMs)
-          .select(col("user_id"), col("event_type"), col("value"))
-          .coalesce(1).write.mode("append").parquet(inDir)
+      // source layout from the per-JVM slice cache: the two midpoint
+      // halves become the two micro-batches, and the batch mirror
+      // reads the cached full file instead of re-scanning the corpus
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty) return Seq((false, 0L)).toDF("tws_parity", "n_users")
+      val sl = slOpt.get
+      dropChunks(Seq(sl.halfA, sl.halfB), inDir)
+      val ev = iso.read.parquet(sl.full.toString)
 
       var q: StreamingQuery = null
       try {
@@ -1011,7 +1084,6 @@ object StreamGates {
         .select((col("bad") === 0 && col("n_users") > 0).as("tws_parity"),
           col("n_users"))
       val rows = gate.collect()
-      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -1050,16 +1122,16 @@ object StreamGates {
     val base = graft.Fs.fastTempDir("graft_stt").toString
     try {
       val inDir = s"$base/in"
-      val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 60)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"), col("props"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val maxRow = ev.agg(max(col("ts"))).head()
-      if (maxRow.isNullAt(0))
+      // whole slice as micro-batch 1 via a file copy of the cached
+      // full-slice parquet (eventSchema column order — the stream
+      // reads it like any other events dir); batch mirrors read the
+      // same file
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty)
         return Seq((false, 0L, 0L))
           .toDF("timer_parity", "n_timer_flushed", "n_sessions")
-      ev.write.mode("overwrite").parquet(inDir)
+      dropFile(slOpt.get.full, inDir, "slice.parquet")
+      val ev = iso.read.parquet(slOpt.get.full.toString)
 
       var q: StreamingQuery = null
       try {
@@ -1110,7 +1182,6 @@ object StreamGates {
       if (rows.nonEmpty) graft.Counters.add("stt_timer_flushed",
         if (rows(0).isNullAt(1)) 0L else rows(0).getLong(1))
       streamSess.unpersist()
-      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -1139,21 +1210,18 @@ object StreamGates {
     val base = graft.Fs.fastTempDir("graft_sti").toString
     try {
       val inDir = s"$base/in"
-      val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 60)
-        .select(col("user_id"), col("event_type"), col("value"),
-          unix_micros(col("ts")).as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mm = ev.agg(min(col("us")), max(col("us"))).head()
-      if (mm.isNullAt(0))
+      // cached slice halves: the cache's cut uses the SAME integer
+      // arithmetic as the oracle's (MIN+MAX)//2; only half B streams
+      // (a ~1 ms file copy), half A seeds the bootstrap state
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty)
         return Seq((false, 0L, 0L))
           .toDF("init_parity", "n_users", "n_boot_users")
-      // same integer arithmetic as the oracle's (MIN+MAX)//2
-      val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
-      val halfA = ev.filter(col("us") <= cutUs)
-      val halfB = ev.filter(col("us") > cutUs)
-      halfB.select(col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").parquet(inDir)
+      val sl = slOpt.get
+      dropFile(sl.halfB, inDir, "half-b.parquet")
+      val halfA = iso.read.parquet(sl.halfA.toString)
+      val halfB = iso.read.parquet(sl.halfB.toString)
+      val ev = iso.read.parquet(sl.full.toString)
 
       // the batch past: one (n, Σ) row per half-A user
       val initState = halfA.groupBy(col("user_id"))
@@ -1208,7 +1276,6 @@ object StreamGates {
             .as("init_parity"),
           col("n_users"), col("n_boot").as("n_boot_users"))
       val rows = gate.collect()
-      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -1237,17 +1304,23 @@ object StreamGates {
     val base = graft.Fs.fastTempDir("graft_slk").toString
     try {
       val inDir = s"$base/in"
-      val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 60)
+      // slice from the per-JVM cache (the cached emptiness probe also
+      // replaces the old head(1) job); this gate re-splits at its own
+      // TAIL cut, so only the two half writes below are gate-private
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty)
+        return Seq.empty[(Long, Long, Long)]
+          .toDF("user_id", "lastk_n", "lastk_cents")
+      val ev = iso.read.parquet(slOpt.get.full.toString)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"),
           (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
             * 100).cast("long").as("cents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (ev.head(1).isEmpty)
-        return Seq.empty[(Long, Long, Long)]
-          .toDF("user_id", "lastk_n", "lastk_cents")
-      val tailN = 2 * 60 + 1
+      // tail width rides the shared slice constant: ~2 events per user
+      // land in batch 2 (the oracle SQL's `user_id < 60` is the same
+      // TwsUsers — a one-sided edit would silently shrink coverage)
+      val tailN = 2 * TwsUsers.toInt + 1
       val cutUs = ev.orderBy(col("ts_us").desc, col("event_id").desc)
         .limit(tailN).agg(min(col("ts_us"))).head().getLong(0)
       val halfA = ev.filter(col("ts_us") <= cutUs)
@@ -1310,46 +1383,80 @@ object StreamGates {
     * stops a transformWithState query after the slice's first half,
     * then starts a NEW StreamingQuery on the same checkpoint for the
     * second half: the RocksDB ValueState AND MapState written by run
-    * 1 must be restored (changelog/snapshot replay) for run 2's
-    * emitted totals to match the whole-slice batch aggregate.
+    * 1 must be restored for run 2's emitted totals to match the
+    * whole-slice batch aggregate — and the recovery path is the one a
+    * real deployment runs: CHANGELOG CHECKPOINTING is enabled, so run
+    * 2 rebuilds state by replaying per-batch changelog files against
+    * the last snapshot instead of uploading/downloading full RocksDB
+    * snapshots per batch (the at-scale default; snapshot-only replay
+    * is the fallback this gate deliberately does not exercise).
     * Anti-vacuity on two axes:
     *  - a fresh-start bug that re-read ALL files with empty state
     *    would accidentally produce correct totals — excluded by
     *    asserting run 2's total input rows equal the second half's
     *    count (the file-source offset log is what's being trusted);
+    *    counted by a StreamingQueryListener keyed on run 2's runId
+    *    (recentProgress is a ring buffer capped at
+    *    numRecentProgressUpdates — a >100-batch run would undercount
+    *    there), read only after the terminated event (the bus is
+    *    FIFO, so every progress event has landed by then);
     *  - a state-loss bug yields half-B-only counts for every seeded
     *    user — n/n_types/sum all mismatch; n_boot_users (users with
     *    events in BOTH halves) is oracle-pinned via the same
-    *    (MIN+MAX)//2 midpoint arithmetic as the init gate. */
+    *    (MIN+MAX)//2 midpoint arithmetic as the init gate.
+    * A degenerate slice (min ts == max ts ⇒ empty half B) returns the
+    * all-false row up front instead of failing on an empty-run read. */
   def streamTwsRestartParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
     iso.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    iso.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     val base = graft.Fs.fastTempDir("graft_str").toString
     try {
       val inDir = s"$base/in"
-      val ev = Tables.events(iso, d)
-        .filter(col("user_id") < 60)
-        .select(col("user_id"), col("event_type"), col("value"),
-          unix_micros(col("ts")).as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mm = ev.agg(min(col("us")), max(col("us"))).head()
-      if (mm.isNullAt(0))
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty || slOpt.get.nB == 0L)
         return Seq((false, 0L, 0L))
           .toDF("restart_parity", "n_users", "n_boot_users")
-      val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
-      val halfA = ev.filter(col("us") <= cutUs)
-        .select(col("user_id"), col("event_type"), col("value"))
-      val halfB = ev.filter(col("us") > cutUs)
-        .select(col("user_id"), col("event_type"), col("value"))
-      val nB = halfB.count()
-      halfA.write.mode("overwrite").parquet(inDir)
+      val sl = slOpt.get
+      val nB = sl.nB
+      val halfA = iso.read.parquet(sl.halfA.toString)
+      val halfB = iso.read.parquet(sl.halfB.toString)
+      val ev = iso.read.parquet(sl.full.toString)
+      dropFile(sl.halfA, inDir, "half-a.parquet")
 
       val schema = StructType(Seq(
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
+      // per-run input-row counts land in a runId-keyed map via the
+      // listener; progress events carry their runId, so registering
+      // before start() can't miss an early first batch
+      val inputRows =
+        new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
+      val terminated =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+      val lis = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          inputRows.merge(e.progress.runId, e.progress.numInputRows,
+            (a, b) => a + b)
+          ()
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = {
+          terminated.add(e.runId); ()
+        }
+      }
+      iso.streams.addListener(lis)
       // the memory sink refuses checkpoint recovery (it is not
       // fault-tolerant) — the restart story needs a recoverable sink,
       // so each run's emissions land via foreachBatch in run-tagged,
@@ -1372,15 +1479,22 @@ object StreamGates {
             .option("checkpointLocation", s"$base/ckpt").start(),
             "stream_tws_restart_parity")
           q.processAllAvailable()
-          q.recentProgress.map(_.numInputRows).sum
         } finally safeStop(q)
+        // FIFO bus: once the terminated event is visible, every
+        // progress event for this run has already been delivered
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!terminated.contains(q.runId) && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        inputRows.getOrDefault(q.runId, 0L)
       }
-      runOnce("r1")
-      // the "crash": run 1's StreamExecution is gone; new data lands
-      halfB.write.mode("append").parquet(inDir)
-      // run 2 = a NEW query on the same checkpoint: offsets say "skip
-      // half A", the state store says "here are run 1's totals"
-      val run2Rows = runOnce("r2")
+      val run2Rows = try {
+        runOnce("r1")
+        // the "crash": run 1's StreamExecution is gone; new data lands
+        dropFile(sl.halfB, inDir, "half-b.parquet")
+        // run 2 = a NEW query on the same checkpoint: offsets say "skip
+        // half A", the state store says "here are run 1's totals"
+        runOnce("r2")
+      } finally iso.streams.removeListener(lis)
 
       // run 2's store holds only batch-2 emissions: the users half B
       // touched, each with totals that must already INCLUDE half A
@@ -1411,7 +1525,6 @@ object StreamGates {
             lit(run2Rows) === nB).as("restart_parity"),
           col("n_users"), col("n_boot").as("n_boot_users"))
       val rows = gate.collect()
-      ev.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -1607,6 +1720,181 @@ object StreamGates {
           col("n_types"))
       val rows = gate.collect()
       ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
+  /** Gate query [stream_static_join_parity]: the STREAM-STATIC
+    * enrichment join — [[Streams.enrichedByUser]], the join shape a
+    * 100 TB ingest pipeline runs most (every micro-batch enriched
+    * against a reference dim) and the one streaming helper that had
+    * no driver row (spec-only until r11). Unlike the stream-stream
+    * gates there is NO state and NO watermark: the dim is a batch
+    * frame broadcast-replanned per micro-batch, which is exactly the
+    * property under test — two micro-batches (the cached midpoint
+    * halves) must each join against the same static customer dim and
+    * together emit exactly the batch join of the whole slice.
+    * Parity: the appended (event_id, segment) set equals the batch
+    * left join through the identical declarative definition (every
+    * slice user has a customer row here, but left-outer is the
+    * production contract — an unmatched event must survive, not
+    * vanish). n_rows is relational (left join against the unique-key
+    * dim preserves event count); n_multi_batch_users (users with
+    * events in BOTH halves — each proves the dim served more than
+    * one batch) is oracle-pinned via the same (MIN+MAX)//2 midpoint
+    * arithmetic as the init/restart gates. */
+  def streamStaticJoinParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_ssj").toString
+    try {
+      val inDir = s"$base/in"
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty)
+        return Seq((false, 0L, 0L))
+          .toDF("static_join_parity", "n_rows", "n_multi_batch_users")
+      val sl = slOpt.get
+      dropChunks(Seq(sl.halfA, sl.halfB), inDir)
+      val dim = Tables.customer(iso, d)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType)))
+
+      var q: StreamingQuery = null
+      try {
+        q = owned(Streams.enrichedByUser(
+            iso.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(inDir),
+            dim)
+          .select(col("event_id"), col("user_id"), col("segment"))
+          .writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("ssj_enriched")
+          .option("checkpointLocation", s"$base/ckpt").start(),
+          "stream_static_join_parity")
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      // unmatched rows keep a sentinel segment so nulls participate in
+      // the set equality instead of collapsing under the join keys
+      val key = Seq("event_id", "seg")
+      val streamRows = iso.table("ssj_enriched")
+        .select(col("event_id"), coalesce(col("segment"), lit("∅")).as("seg"))
+      val batchRows = Streams.enrichedByUser(
+          iso.read.parquet(sl.full.toString).select(col("event_id"),
+            col("user_id")), dim)
+        .select(col("event_id"), coalesce(col("segment"), lit("∅")).as("seg"))
+      val multiBatch = iso.read.parquet(sl.halfB.toString)
+        .select(col("user_id")).distinct()
+        .join(iso.read.parquet(sl.halfA.toString)
+          .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+      val gate = symDiffEmpty(streamRows, batchRows, key)
+        .crossJoin(streamRows.agg(count(lit(1)).as("n_rows")))
+        .crossJoin(multiBatch.agg(count(lit(1)).as("n_multi")))
+        .select(
+          (col("l_only") === 0 && col("r_only") === 0 &&
+            col("n_rows") > 0 && col("n_multi") > 0)
+            .as("static_join_parity"),
+          col("n_rows"),
+          col("n_multi").as("n_multi_batch_users"))
+      val rows = gate.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
+  /** Gate query [stream_state_reader]: the `statestore` BATCH data
+    * source — Spark 4's state reader — makes checkpointed streaming
+    * state itself a queryable relation. This is the strongest
+    * possible recovery claim (the restart gate proves state survives
+    * only through OUTPUT parity; this reads the state files directly)
+    * and the operational tool every production stateful job
+    * eventually needs: inspect a live checkpoint's per-key state
+    * without replaying the stream. A tws running-totals query
+    * consumes the whole cached slice as one micro-batch and stops;
+    * then BOTH state variables are read back from the retained
+    * checkpoint by name and compared against batch aggregates of the
+    * same input:
+    *  - ValueState `totals` (key.value, value._1, value._2) must
+    *    equal the per-user (count, Σvalue) — counts exact, the
+    *    arrival-order double fold within the tws gates' relative
+    *    tolerance;
+    *  - MapState `types` rows (key, map key, map value) must equal
+    *    the per-(user, event_type) counts EXACTLY — one state-store
+    *    row per map entry, the layout the processor's scaladoc
+    *    claims.
+    * n_users (ValueState row count) and n_type_entries (MapState row
+    * count) are oracle-pinned: COUNT(DISTINCT user_id) and the
+    * distinct (user, type) pair count — so the state tables' very
+    * CARDINALITIES meet DuckDB, not just in-engine booleans. */
+  def streamStateReader(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Fs.fastTempDir("graft_ssr").toString
+    try {
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty)
+        return Seq((false, 0L, 0L))
+          .toDF("state_reader_parity", "n_users", "n_type_entries")
+      val sl = slOpt.get
+      dropFile(sl.full, inDir, "slice.parquet")
+      val ev = iso.read.parquet(sl.full.toString)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      var q: StreamingQuery = null
+      try {
+        q = owned(Streams.runningTotalsTws(
+            iso.readStream.schema(schema).parquet(inDir)
+              .as[(Long, String, Double)](org.apache.spark.sql.Encoders
+                .product[(Long, String, Double)]))
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName("ssr_totals")
+          .option("checkpointLocation", ckpt).start(),
+          "stream_state_reader")
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      // state AS a relation: one row per key (ValueState), one row
+      // per (key, map key) (MapState) out of the last committed batch
+      val vState = iso.read.format("statestore")
+        .option("stateVarName", "totals").load(ckpt)
+        .select(col("key.value").as("user_id"),
+          col("value._1").as("n"), col("value._2").as("sum_v"))
+      val mState = iso.read.format("statestore")
+        .option("stateVarName", "types").load(ckpt)
+        .select(col("key.value").as("user_id"),
+          col("user_map_key.value").as("event_type"),
+          col("user_map_value.value").as("n"))
+      val batchTotals = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_b"))
+      val batchTypes = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val vOk = vState.join(batchTotals, Seq("user_id"), "full_outer")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n").isNull || col("nb").isNull ||
+            col("n") =!= col("nb") ||
+            abs(col("sum_v") - col("sum_b")) >=
+              greatest(abs(col("sum_b")), lit(1.0)) * 1e-9, 1L)
+            .otherwise(0L)).as("v_bad"))
+      val mOk = symDiffEmpty(mState, batchTypes,
+          Seq("user_id", "event_type", "n"))
+        .crossJoin(mState.agg(count(lit(1)).as("n_type_entries")))
+        .select((col("l_only") === 0 && col("r_only") === 0).as("m_ok"),
+          col("n_type_entries"))
+      val gate = vOk.crossJoin(mOk)
+        .select(
+          (col("v_bad") === 0 && col("m_ok") && col("n_users") > 0 &&
+            col("n_type_entries") > 0).as("state_reader_parity"),
+          col("n_users"), col("n_type_entries"))
+      val rows = gate.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }

@@ -275,8 +275,11 @@ object Streams {
       val (cur, closed) = foldSessions(key, rows, prior, gapMs)
       cur.foreach { st =>
         sess.update(st)
-        val timers = getHandle.listTimers()
-        while (timers.hasNext) getHandle.deleteTimer(timers.next())
+        // materialize before deleting: iterating a state-store iterator
+        // while mutating the store is provider-defined behavior (RocksDB
+        // snapshots it; another backend may not) — a one-element list
+        // per key costs nothing and removes the dependency
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
         // clamp above the current watermark: a late session already
         // behind it still needs a FUTURE firing to ever flush
         getHandle.registerTimer(
@@ -354,43 +357,51 @@ object Streams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
-  /** Last-K rolling window per key in a LIST state variable — the
-    * third tws state type (ValueState: totals/sessions, MapState:
-    * per-type tallies, ListState: this bounded recent-history
-    * buffer). The production shape is online feature maintenance: "a
-    * user's last K transaction amounts" kept exactly, appended per
-    * batch and trimmed to K, so state per key is K values — bounded
-    * regardless of stream length — while a windowed aggregate can't
-    * express "last K events" (it windows TIME, not count). Emits the
-    * rolling sum and fill level after each batch touching the key. */
-  class LastKProcessor(k: Int)
-      extends StatefulProcessor[Long, (Long, Double), (Long, Double, Long)] {
-    @transient private var buf: ListState[Double] = _
+  /** Per-user (n, Σvalue) fold whose ValueState carries a
+    * processing-time TTL — the one state-lifecycle knob every other
+    * processor here runs with TTLConfig.NONE. TTL is the state-GC
+    * contract for keys that stop arriving (abandoned users, expired
+    * devices): the store drops a key's value `ttl` after its last
+    * WRITE, and the next input for that key folds from empty. TTL is
+    * processing-time-based by definition, so its expiry cannot meet a
+    * deterministic DuckDB oracle (a wall-clock race would flake the
+    * driver gate) — the contract is pinned at spec level instead
+    * (StreamsSpec: a controlled pause longer than the TTL between
+    * batches ⇒ the key re-folds from empty; a TTL far longer than the
+    * test ⇒ state survives), and the README capability matrix records
+    * why this row is spec-only. */
+  class TtlTotalsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      buf = getHandle.getListState[Double]("lastk",
-        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      st = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        new TTLConfig(ttl))
     override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
-        tv: TimerValues): Iterator[(Long, Double, Long)] = {
-      val incoming = rows.map(_._2).toArray
-      val prior = if (buf.exists()) buf.get().toArray else Array.empty[Double]
-      val kept = (prior ++ incoming).takeRight(k)
-      buf.put(kept) // replace, don't append: the trim IS the contract
-      Iterator.single((key, kept.sum, kept.length.toLong))
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var cur = if (st.exists()) st.get() else (0L, 0.0)
+      rows.foreach(r => cur = (cur._1 + 1, cur._2 + r._2))
+      st.update(cur)
+      Iterator.single((key, cur._1, cur._2))
     }
   }
 
-  /** Per-user last-K rolling sum through [[LastKProcessor]] (update
-    * mode: the latest row per user carries the current window). */
-  def lastKRollingSum(events: Dataset[(Long, Double)], k: Int = 5): DataFrame = {
+  /** Running totals with a per-key state TTL; see
+    * [[TtlTotalsProcessor]] for why this surface is spec-gated.
+    * TimeMode.ProcessingTime is REQUIRED: TTL expiry is measured
+    * against the batch's processing-time clock, so the engine rejects
+    * a TTL state in TimeMode.None at init. */
+  def ttlTotals(events: Dataset[(Long, Double)],
+      ttl: java.time.Duration): DataFrame = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .transformWithState(new LastKProcessor(k),
-        TimeMode.None(), OutputMode.Update())
-      .toDF("user_id", "lastk_sum", "lastk_n")
+      .transformWithState(new TtlTotalsProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value")
   }
 
-  /** [[LastKProcessor]] made DETERMINISTIC and exact, so its output
-    * can meet a relational oracle row-for-row:
+  /** The last-K-per-key ListState window, DETERMINISTIC and exact, so
+    * its output can meet a relational oracle row-for-row:
     *  - event-time ordered, not arrival-ordered: each batch's rows
     *    for a key are sorted by (ts_us, event_id) before appending,
     *    and the gate feeds time-split chunks (batch N's times all

@@ -308,37 +308,116 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((7L, 1L, 3.0)), s"dangling session not flushed: $got")
   }
 
-  test("ListState last-K window appends across batches and trims to K") {
-    // tws needs RocksDB (state variables are column families); use a
-    // child session so the conf never leaks to other tests
+  // tws needs RocksDB (state variables are column families); a child
+  // session keeps the conf from leaking to other tests
+  private def rocksSession() = {
     val iso = spark.newSession()
     iso.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     iso.conf.set("spark.sql.shuffle.partitions", "1")
+    iso
+  }
+
+  test("ListState last-K window appends across batches, trims to K, " +
+      "and sorts within-batch rows by event time") {
+    val iso = rocksSession()
     import iso.implicits._
     implicit val sqlCtx = iso.sqlContext
-    val mem = MemoryStream[(Long, Double)]
-    val q = Streams.lastKRollingSum(mem.toDS(), k = 3)
+    // rows are (user_id, ts_us, event_id, cents); batch 1 arrives
+    // OUT of time order so the processor's in-batch sort is live
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streams.orderedLastK(mem.toDS(), k = 3)
       .writeStream.format("memory").queryName("lastk")
       .outputMode(OutputMode.Update).start()
     try {
-      // batch 1: user 1 gets 2 values, user 2 gets 4 (already > K)
-      mem.addData((1L, 1.0), (1L, 2.0),
-        (2L, 10.0), (2L, 20.0), (2L, 30.0), (2L, 40.0))
+      // user 1: 2 values (unsorted arrival); user 2: 4 (already > K)
+      mem.addData((1L, 20L, 2L, 200L), (1L, 10L, 1L, 100L),
+        (2L, 1L, 3L, 10L), (2L, 2L, 4L, 20L),
+        (2L, 3L, 5L, 30L), (2L, 4L, 6L, 40L))
       q.processAllAvailable()
-      // batch 2: user 1's buffer must have SURVIVED (1,2)+(3,4)→(2,3,4)
-      mem.addData((1L, 3.0), (1L, 4.0))
+      // batch 2: user 1's buffer must have SURVIVED — (100,200) +
+      // (300,400) → kept (200,300,400)
+      mem.addData((1L, 30L, 7L, 300L), (1L, 40L, 8L, 400L))
       q.processAllAvailable()
     } finally q.stop()
-    // latest window per user: u1 = 2+3+4 (cross-batch append + trim),
-    // u2 = 20+30+40 (trimmed within one batch)
+    // latest row per user = max n_seen
     val rows = iso.table("lastk").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val u1 = rows.filter(_._1 == 1L).maxBy(_._2)
-    assert(u1._2 === 9.0 && u1._3 === 3L,
-      s"user 1 window wrong: $rows (ListState did not persist/trim)")
-    assert(rows.exists(t => t._1 == 2L && t._2 === 90.0 && t._3 === 3L),
+    assert(u1._3 === 3L && u1._4 === 900L,
+      s"user 1 window wrong: $rows (ListState did not persist/trim/sort)")
+    assert(rows.exists(t => t._1 == 2L && t._3 === 3L && t._4 === 90L),
       s"user 2 window wrong: $rows")
+  }
+
+  test("ValueState TTL: an expired key re-folds from empty; a long TTL survives") {
+    // TTL forces TimeMode.ProcessingTime, and in that mode the engine
+    // schedules timer-evaluation batches CONTINUOUSLY — neither
+    // processAllAvailable nor an AvailableNow drain ever stabilizes
+    // (the tws twin of the mapGroupsWithState ProcessingTimeTimeout
+    // trap, measured: 2400+ empty batches in 2 min). Each step instead
+    // runs its own query on a shared checkpoint (state carries across
+    // restarts like the restart gate) and stops once the data batch's
+    // output row has LANDED — a condition wait, not a drain; the empty
+    // timer batches emit nothing, so the buffer converges.
+    val iso = rocksSession()
+    import iso.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
+      StructType}
+    val schema = StructType(Seq(
+      StructField("_1", LongType), StructField("_2", DoubleType)))
+    def runCase(name: String, ttl: java.time.Duration,
+        pauseMs: Long): Set[(Long, Long, Double)] = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ttl_$name")
+      try {
+        val inDir = s"$base/in"
+        val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        def drainOneRow(): Unit = {
+          val before = got.synchronized(got.size)
+          val q = Streams.ttlTotals(
+              iso.readStream.schema(schema).parquet(inDir)
+                .as[(Long, Double)](org.apache.spark.sql.Encoders
+                  .product[(Long, Double)]), ttl)
+            .writeStream.outputMode(OutputMode.Update)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val rows = b.collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+              got.synchronized { got ++= rows }
+              ()
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try {
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            while (got.synchronized(got.size) == before &&
+                System.nanoTime() < deadline)
+              Thread.sleep(25)
+            assert(got.synchronized(got.size) > before,
+              s"$name run emitted no row within the deadline")
+          } finally q.stop()
+        }
+        Seq((1L, 10.0), (1L, 5.0)).toDF("_1", "_2")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        drainOneRow()
+        Thread.sleep(pauseMs)
+        Seq((1L, 1.0)).toDF("_1", "_2")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        drainOneRow()
+        got.synchronized(got.toSet)
+      } finally graft.Fs.deleteRecursively(base)
+    }
+    // expiry side: TTL 500 ms, a 2 s pause between runs GUARANTEES the
+    // store's processing-time clock passes last-write + TTL — the
+    // one-sided construction that makes a wall-clock contract
+    // deterministic; the no-expiry side uses a TTL far longer than any
+    // test run instead of racing the clock
+    val short = runCase("short", java.time.Duration.ofMillis(500), 2000L)
+    assert(short.contains((1L, 2L, 15.0)), s"pre-expiry fold wrong: $short")
+    assert(short.contains((1L, 1L, 1.0)),
+      s"state not expired — fold continued past TTL: $short")
+    val long = runCase("long", java.time.Duration.ofHours(1), 0L)
+    assert(long.contains((1L, 3L, 16.0)),
+      s"long-TTL state did not survive the restart boundary: $long")
   }
 
   test("batch sessionize agrees with streaming session count per user") {
