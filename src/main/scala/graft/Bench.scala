@@ -339,17 +339,31 @@ object Bench {
             case _ => mapper.createArrayNode()
           }
         else mapper.createArrayNode()
-      // compare against the most recent entry at the SAME sf — an
-      // sf0.001 smoke entry must not flag every sf0.1 query as changed
-      val prevSigs: Map[String, String] = {
+      // compare against the ACCEPTED-SIGNATURE SET from the last 8
+      // entries at the SAME sf (an sf0.001 smoke entry must not flag
+      // every sf0.1 query as changed). A set, not just the latest
+      // entry: queries whose plan sits near an AQE runtime threshold
+      // legitimately flip between two physical variants run-to-run
+      // (r10: dedup_simhash's exchange-reuse flip, 13:13:58 ↔
+      // 12:12:44, driver-only) — against a single previous signature
+      // such a query flags FOREVER, drowning the drift signal. Against
+      // the set, each genuinely new signature flags exactly once and
+      // then becomes accepted; a benign A↔B oscillation goes quiet
+      // after both variants have been seen. The window bounds memory
+      // of retired plans so a regression to a months-old shape still
+      // flags.
+      val prevSigSets: Map[String, Seq[String]] = {
         import scala.jdk.CollectionConverters._
         (root.size() - 1 to 0 by -1).iterator
           .map(root.get)
-          .find(e => e.get("sf") != null && e.get("sf").asText() == sfName)
-          .flatMap(e => Option(e.get("signatures")))
-          .map(_.properties().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap)
-          .getOrElse(Map.empty)
+          .filter(e => e.get("sf") != null && e.get("sf").asText() == sfName)
+          .take(8)
+          .flatMap(e => Option(e.get("signatures")).iterator
+            .flatMap(_.properties().asScala.iterator
+              .map(en => en.getKey -> en.getValue.asText())))
+          .toSeq
+          .groupMap(_._1)(_._2)
+          .view.mapValues(_.distinct).toMap
       }
       // signature = jobs:stages:shuffleKB (raw). Task counts are
       // excluded and the shuffle term compares under a ±50% RATIO
@@ -382,7 +396,8 @@ object Bench {
         qs.put(n, math.round(best(n)._1 * 1000) / 1000.0)
         val sig = sigOf(n)
         sigs.put(n, sig)
-        if (prevSigs.get(n).exists(sigChanged(_, sig))) {
+        // changed = differs from EVERY accepted variant (new plan)
+        if (prevSigSets.get(n).exists(_.forall(sigChanged(_, sig)))) {
           changed.add(n); changedNames = changedNames :+ n
         }
       }

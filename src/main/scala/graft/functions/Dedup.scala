@@ -517,13 +517,15 @@ object Dedup {
       explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.blk").as("blk"), col("b.bv").as("bv"))
-    // strategy PINNED to sort-merge: the blocked self-join's input size
-    // sits near AQE's broadcast threshold at bench scale, so runtime
-    // stats flipped the physical plan between boxes (r10: a driver-only
-    // 13→12-job signature change) — a user hint survives AQE re-planning,
-    // keeping one signature everywhere, and SMJ is the only strategy
-    // that's also right at 100 TB (broadcasting the banded corpus is not)
-    keyed.as("x").hint("merge")
+    // NOT strategy-hinted: the self-join's signature flips between two
+    // benign variants run-to-run (AQE exchange reuse near a runtime
+    // threshold — r10's driver-only 13:13:58 ↔ 12:12:44 flip, same
+    // results, LESS shuffle on the reused side). Pinning sort-merge was
+    // tried and measured WORSE on both axes (shuffle 58 KB → 1.1 MB and
+    // the flip persisted); the flip is instead whitelisted by TRENDS'
+    // accepted-signature sets (Bench.scala), which is where benign
+    // plan oscillation belongs — in the ledger, not the plan.
+    keyed.as("x")
       .join(keyed.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
