@@ -57,6 +57,12 @@ def main():
             SELECT vec_id + r*10000 AS vec_id, embedding, label
             FROM src, range(10) t(r)""",
     }
+    # dims pass through UNREPLICATED: at a real 10x only facts grow;
+    # the reference universe (customers, parts, regions) stays fixed —
+    # which is also what dim-reading probes (stream_static_join_parity's
+    # broadcast customer join) need to prove dim cost stays constant
+    for table in ("customer", "supplier", "part", "nation", "region"):
+        copies[table] = "SELECT * FROM src"
     for table, sel in copies.items():
         con.execute(f"CREATE OR REPLACE VIEW src AS "
                     f"SELECT * FROM read_parquet('{SRC}/{table}.parquet')")
