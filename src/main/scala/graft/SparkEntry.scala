@@ -60,6 +60,7 @@ object SparkEntry {
     "x_scalar_suite"     -> CoreOps.xScalarSuite _,
     "s1_csv_roundtrip"   -> CoreOps.s1CsvRoundtrip _,
     "s7_orc_roundtrip"   -> CoreOps.s7OrcRoundtrip _,
+    "s20_xml_roundtrip"  -> CoreOps.s20XmlRoundtrip _,
     "eth_csv_pipeline"   -> graft.queries.EthParity.csvPipelineOverTestdata _,
     "s2_json_map_explode" -> CoreOps.s2JsonMapExplode _,
     "w1_window_rank"     -> CoreOps.w1WindowRank _,
@@ -206,6 +207,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamStaticJoinParity _,
     "stream_state_reader" ->
       graft.streaming.StreamGates.streamStateReader _,
+    "stream_state_changefeed" ->
+      graft.streaming.StreamGates.streamStateChangefeed _,
     "stream_outer_join_parity" ->
       graft.streaming.StreamGates.streamOuterJoinParity _,
     "compact_small_files" -> Compaction.compactSmallFiles _,
@@ -258,6 +261,8 @@ object SparkEntry {
     "asof_nearest"       -> AsofJoin.clickNearestPurchase _,
     "ev_cumulative_users" -> CoreOps.evCumulativeUsers _,
     "x19_bitwise_suite"  -> CoreOps.x19BitwiseSuite _,
+    "x20_variant_suite"  -> CoreOps.x20VariantSuite _,
+    "x21_collation_suite" -> CoreOps.x21CollationSuite _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -573,6 +578,11 @@ object SparkEntry {
          |       MAX(l_shipdate) AS max_shipdate
          |FROM lineitem""".stripMargin,
     "s8_json_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+         |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
+         |       MAX(l_shipdate) AS max_shipdate
+         |FROM lineitem""".stripMargin,
+    "s20_xml_roundtrip" ->
       s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
          |       MAX(l_shipdate) AS max_shipdate
@@ -1108,6 +1118,46 @@ object SparkEntry {
         |  CAST(SUM(o_custkey & 255) AS BIGINT) AS sum_low,
         |  CAST(SUM((o_custkey & 15) << 2) AS BIGINT) AS sum_shift
         |FROM orders GROUP BY 1""".stripMargin,
+    // VARIANT access matrix: the oracle recomputes every leg
+    // relationally from the base columns — poison rows (key ≡ 0 mod 7)
+    // fail try_parse_json, `cust` exists only on even keys, the JSON
+    // null rides keys ≡ 0 mod 3, money through DECIMAL on both sides
+    "x20_variant_suite" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_parsed,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 2 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 3 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_json_null,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+        |    THEN CAST(substr(o_orderpriority, 1, 1) AS INTEGER) END)
+        |    AS BIGINT) AS sum_pd,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_prio_ok
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // UTF8_LCASE collation: the oracle states the same semantics with
+    // lower() — grouping merges fabricated case variants, spellings
+    // stay countable, predicates follow the collation
+    "x21_collation_suite" ->
+      """SELECT lower(brand_mixed) AS brand_lc,
+        |       COUNT(*) AS n_parts,
+        |       COUNT(DISTINCT brand_mixed) AS n_spellings,
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       MIN(p_partkey) AS min_key,
+        |       CAST(SUM(CASE WHEN lower(brand_mixed) LIKE 'brand#1%'
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_b1x
+        |FROM (SELECT CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+        |                  WHEN p_partkey % 3 = 1 THEN lower(p_brand)
+        |                  ELSE p_brand END AS brand_mixed,
+        |             p_retailprice, p_partkey
+        |      FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // BFS hop distances; the oracle explores (node, dist) pairs under
     // UNION-dedup and MINs, the engine discovers each node once via
     // frontier anti-joins — identical distances
@@ -1811,6 +1861,28 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type
         |                              FROM events WHERE user_id < 60))
         |         AS n_type_entries""".stripMargin,
+    // statestore change feed: the three parity axes (intermediate,
+    // final, per-batch key sets) are in-engine; the changelog's
+    // cardinality (one commit per half-slice user) and the straddler
+    // count are relational via the family's midpoint arithmetic
+    "stream_state_changefeed" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |             AS cut
+        |           FROM events WHERE user_id < 60)
+        |SELECT CAST(1 AS BOOLEAN) AS changefeed_parity,
+        |       CAST((SELECT COUNT(DISTINCT user_id) FROM events, b
+        |             WHERE user_id < 60 AND epoch_us(ts) <= b.cut)
+        |          + (SELECT COUNT(DISTINCT user_id) FROM events, b
+        |             WHERE user_id < 60 AND epoch_us(ts) > b.cut)
+        |         AS BIGINT) AS n_changes,
+        |       (SELECT COUNT(DISTINCT e2.user_id) FROM events e2, b
+        |        WHERE e2.user_id < 60 AND epoch_us(e2.ts) > b.cut
+        |          AND EXISTS (SELECT 1 FROM events e1
+        |                      WHERE e1.user_id = e2.user_id
+        |                        AND e1.user_id < 60
+        |                        AND epoch_us(e1.ts) <= b.cut))
+        |         AS n_straddlers
+        |FROM b""".stripMargin,
     "stream_quantile_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS quantile_parity,
         |       CAST(2 AS BIGINT) AS n_batches,

@@ -1812,6 +1812,24 @@ object CoreOps {
           StructField("l_extendedprice", DoubleType),
           StructField("l_shipdate", TimestampType)))
         s.read.schema(schema).json(out)
+      case "xml" =>
+        // XML (built into Spark 4): the interchange format config/feed
+        // pipelines still move. rowTag frames each record; explicit
+        // schema on read (inference widens numerics and reads
+        // timestamps as strings). Element-per-field XML is the most
+        // verbose encoding here — the roundtrip proves the reader's
+        // type coercion, not a storage recommendation (a lake
+        // re-encodes XML feeds to parquet on ingest, s1/s7-style).
+        slice.write.mode("overwrite").option("rowTag", "item")
+          .format("xml").save(out)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_partkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("l_shipdate", TimestampType)))
+        s.read.schema(schema).option("rowTag", "item")
+          .format("xml").load(out)
     }
     back.agg(count(lit(1)).as("n_rows"),
       sum(col("l_quantity")).as("sum_qty"),
@@ -1836,6 +1854,13 @@ object CoreOps {
     * but exercising the compression-codec axis of the parquet sink. */
   def s11ZstdRoundtrip(s: SparkSession, d: String): DataFrame =
     formatRoundtrip(s, d, "zstd")
+
+  /** XML roundtrip [S20]: same contract as [[s7OrcRoundtrip]] over
+    * Spark 4's built-in XML source — rowTag record framing out and
+    * back, schema-typed read (longs, doubles, an ISO-8601 timestamp),
+    * aggregate must match the oracle's direct parquet read. */
+  def s20XmlRoundtrip(s: SparkSession, d: String): DataFrame =
+    formatRoundtrip(s, d, "xml")
 
   /** CSV dialect roundtrip [S12]: RFC 4180's hard cases — fields with
     * embedded delimiters, embedded double-quotes, and embedded
@@ -2716,5 +2741,90 @@ object CoreOps {
       band(1, 7).as("b1"), band(7, 13).as("b2"), band(13, 19).as("b3"),
       band(19, 25).as("b4"), band(25, 31).as("b5"), band(31, 37).as("b6"),
       band(37, 43).as("b7"), band(43, 51).as("b8"))
+  }
+
+  /** VARIANT suite [X20]: Spark 4's open-ended semi-structured type —
+    * the scale story for ragged metadata (crawler headers, telemetry
+    * blobs) is parse ONCE into VARIANT's binary encoding, then every
+    * downstream `variant_get` is an O(path) binary probe instead of a
+    * re-parse of the JSON text, and the parquet writer can shred
+    * frequently-accessed paths into columns. The suite assembles a
+    * ragged JSON document per order (nested object always; `cust` only
+    * on even keys; an explicit JSON null on keys ≡ 0 mod 3; every 7th
+    * row poisoned with malformed text) and exercises the full access
+    * matrix: `try_parse_json` (poison → SQL NULL, not a crash —
+    * ANSI-mode `parse_json` would kill the stage), typed `variant_get`
+    * on top-level and nested paths (exact DECIMAL extraction for the
+    * money sum), `try_variant_get` on the sometimes-absent field, and
+    * `is_variant_null` separating JSON null from absent. The oracle
+    * recomputes every leg relationally from the base columns — the
+    * variant path must round-trip to exactly the relational truth. */
+  def x20VariantSuite(s: SparkSession, d: String): DataFrame = {
+    val ks = col("o_orderkey")
+    val doc = when(ks % 7 === 0, lit("{not json")).otherwise(concat(
+      lit("{\"id\":"), ks.cast(StringType),
+      lit(",\"price\":"), dec(col("o_totalprice")).cast(StringType),
+      lit(",\"meta\":{\"prio\":\""), col("o_orderpriority"),
+      lit("\",\"pd\":"), substring(col("o_orderpriority"), 1, 1),
+      lit("}"),
+      when(ks % 2 === 0,
+        concat(lit(",\"cust\":"), col("o_custkey").cast(StringType)))
+        .otherwise(lit("")),
+      when(ks % 3 === 0, lit(",\"nul\":null")).otherwise(lit("")),
+      lit("}")))
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        try_parse_json(doc).as("v"))
+      .select(col("o_orderstatus"), col("v"),
+        variant_get(col("v"), "$.price", "decimal(18,2)").as("price"),
+        try_variant_get(col("v"), "$.cust", "bigint").as("cust"),
+        is_variant_null(variant_get(col("v"), "$.nul", "variant")).as("jn"),
+        variant_get(col("v"), "$.meta.pd", "int").as("pd"),
+        (variant_get(col("v"), "$.meta.prio", "string")
+          === col("o_orderpriority")).as("prio_ok"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_parsed"),
+        sum(col("price")).cast(DoubleType).as("sum_price"),
+        count(col("cust")).as("n_cust"),
+        sum(when(col("jn"), 1L).otherwise(0L)).as("n_json_null"),
+        sum(col("pd")).as("sum_pd"),
+        sum(when(col("prio_ok"), 1L).otherwise(0L)).as("n_prio_ok"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Collation suite [X21]: case-insensitive semantics as a COLUMN
+    * PROPERTY instead of a materialized `lower()` — Spark 4's
+    * `collate(c, "UTF8_LCASE")` makes comparison, grouping, and
+    * string predicates case-insensitive inside the hash aggregate
+    * itself. At 100 TB the difference from `groupBy(lower(c))` is no
+    * second string allocation per row on the hot path, and (unlike a
+    * lowercased copy) the group still carries the original spellings —
+    * which the suite counts per group (`n_spellings`) to prove the
+    * grouping really merged case variants rather than normalizing
+    * them. Case variance is fabricated deterministically (partkey mod
+    * 3 → UPPER / lower / original brand) so every group at every SF
+    * genuinely mixes spellings; a collated `startswith` leg shows
+    * predicates follow the collation too. Output keys are re-cast to
+    * the default collation (a plain lowercase string) so the result
+    * schema meets the oracle's VARCHAR exactly. */
+  def x21CollationSuite(s: SparkSession, d: String): DataFrame = {
+    val mixed = Tables.part(s, d).select(
+      when(col("p_partkey") % 3 === 0, upper(col("p_brand")))
+        .when(col("p_partkey") % 3 === 1, lower(col("p_brand")))
+        .otherwise(col("p_brand")).as("brand_mixed"),
+      col("p_retailprice"), col("p_partkey"))
+    mixed
+      .groupBy(collate(col("brand_mixed"), "UTF8_LCASE").as("bk"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("brand_mixed")).as("n_spellings"),
+        sum(dec(col("p_retailprice"))).cast(DoubleType).as("sum_price"),
+        min(col("p_partkey")).as("min_key"),
+        sum(when(startswith(collate(col("brand_mixed"), "UTF8_LCASE"),
+          lit("bRaNd#1")), 1L).otherwise(0L)).as("n_b1x"))
+      .select(lower(col("bk")).cast(StringType).as("brand_lc"),
+        col("n_parts"), col("n_spellings"), col("sum_price"),
+        col("min_key"), col("n_b1x"))
+      .orderBy(col("brand_lc"))
   }
 }

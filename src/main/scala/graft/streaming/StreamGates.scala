@@ -1898,4 +1898,131 @@ object StreamGates {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
+
+  /** Gate query [stream_state_changefeed]: the statestore source's
+    * CHANGE FEED — `readChangeFeed=true` replays the per-batch state
+    * CHANGELOG (what RocksDB changelog checkpointing actually writes
+    * at scale) instead of the latest snapshot. Where
+    * [[streamStateReader]] proves final state is a relation, this
+    * proves state HISTORY is one: every (batch, key) delta the store
+    * committed is observable, ordered, and reconciles both ways. A
+    * tws running-totals query consumes the cached slice as TWO
+    * micro-batches (the oracle-midpoint halves); then the ValueState
+    * `totals` feed from batch 0 is checked on three axes:
+    *  - INTERMEDIATE truth: batch-0 rows must equal half-A-only
+    *    per-user aggregates (counts exact, sums within the family
+    *    tolerance) — a reader that served final state under a
+    *    change-feed label would fail here on every straddler;
+    *  - FINAL truth: the last change per key must equal the
+    *    full-slice aggregates — changelog replay converges to the
+    *    snapshot the plain reader serves;
+    *  - SHAPE: each batch's updated-key set must equal that half's
+    *    distinct users (an Update-mode tws commits exactly the keys
+    *    it saw), and every change_type must be "update" (this
+    *    processor never clears state).
+    * n_changes (= |users(A)| + |users(B)|) and n_straddlers (users
+    * updated in BOTH batches — each one a key whose two feed rows
+    * differ, so the feed provably carries per-batch deltas) are
+    * oracle-pinned via the family's (MIN+MAX)//2 midpoint
+    * arithmetic. */
+  def streamStateChangefeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    iso.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val base = graft.Fs.fastTempDir("graft_scf").toString
+    try {
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      val slOpt = twsSliceOf(iso, d)
+      if (slOpt.isEmpty || slOpt.get.nB == 0L)
+        return Seq((false, 0L, 0L))
+          .toDF("changefeed_parity", "n_changes", "n_straddlers")
+      val sl = slOpt.get
+      dropFile(sl.halfA, inDir, "half-a.parquet")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      var q: StreamingQuery = null
+      try {
+        q = owned(Streams.runningTotalsTws(
+            iso.readStream.schema(schema).parquet(inDir)
+              .as[(Long, String, Double)](org.apache.spark.sql.Encoders
+                .product[(Long, String, Double)]))
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName("scf_totals")
+          .option("checkpointLocation", ckpt).start(),
+          "stream_state_changefeed")
+        q.processAllAvailable() // batch 0 = half A
+        dropFile(sl.halfB, inDir, "half-b.parquet")
+        q.processAllAvailable() // batch 1 = half B
+      } finally safeStop(q)
+
+      // the changelog as a relation: one row per (batch, key) commit
+      val feed = iso.read.format("statestore")
+        .option("stateVarName", "totals")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ckpt)
+        .select(col("batch_id"), col("change_type"),
+          col("key.value").as("user_id"),
+          col("value._1").as("n"), col("value._2").as("sum_v"))
+        .persist() // ≤ 2×TwsUsers rows, read by six branches below
+      feed.count() // materialize NOW: the branches share one collect job,
+      // and an unmaterialized cache recomputes the changelog replay per
+      // branch (the persisted-frame-in-one-job trap)
+      try {
+        def totals(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("nb"),
+            sum(col("value")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_b"))
+        def misfolds(state: DataFrame, batch: DataFrame) =
+          state.join(batch, Seq("user_id"), "full_outer")
+            .agg(sum(when(col("n").isNull || col("nb").isNull ||
+              col("n") =!= col("nb") ||
+              abs(col("sum_v") - col("sum_b")) >=
+                greatest(abs(col("sum_b")), lit(1.0)) * 1e-9, 1L)
+              .otherwise(0L)))
+        val halfA = iso.read.parquet(sl.halfA.toString)
+        val halfB = iso.read.parquet(sl.halfB.toString)
+        val batch0 = feed.filter(col("batch_id") === 0)
+        val interBad = misfolds(batch0, totals(halfA)).toDF("b0_bad")
+        val lastPer = feed.groupBy(col("user_id")).agg(
+          max_by(col("n"), col("batch_id")).as("n"),
+          max_by(col("sum_v"), col("batch_id")).as("sum_v"))
+        val finalBad = misfolds(lastPer,
+          totals(iso.read.parquet(sl.full.toString))).toDF("fin_bad")
+        val set0 = symDiffEmpty(batch0.select(col("user_id")),
+            halfA.select(col("user_id")).distinct(), Seq("user_id"))
+          .toDF("a_l", "a_r")
+        val set1 = symDiffEmpty(
+            feed.filter(col("batch_id") === 1).select(col("user_id")),
+            halfB.select(col("user_id")).distinct(), Seq("user_id"))
+          .toDF("b_l", "b_r")
+        val meta = feed.agg(count(lit(1)).as("n_changes"),
+          sum(when(col("change_type") =!= "update", 1L).otherwise(0L))
+            .as("n_nonupdate"))
+        val straddle = feed.groupBy(col("user_id"))
+          .agg(countDistinct(col("batch_id")).as("nbat"))
+          .agg(sum(when(col("nbat") === 2, 1L).otherwise(0L))
+            .as("n_straddlers"))
+        val gate = interBad.crossJoin(finalBad).crossJoin(set0)
+          .crossJoin(set1).crossJoin(meta).crossJoin(straddle)
+          .select(
+            (col("b0_bad") === 0 && col("fin_bad") === 0 &&
+              col("a_l") === 0 && col("a_r") === 0 &&
+              col("b_l") === 0 && col("b_r") === 0 &&
+              col("n_nonupdate") === 0 && col("n_changes") > 0 &&
+              col("n_straddlers") > 0).as("changefeed_parity"),
+            col("n_changes"), col("n_straddlers"))
+        val rows = gate.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+      } finally { feed.unpersist(); () }
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
 }

@@ -28,6 +28,26 @@ class FormatRoundtripSpec extends SparkSpec {
   test("orc roundtrip preserves rows")  { roundtrip("orc") }
   test("json roundtrip preserves rows") { roundtrip("json") }
 
+  test("xml roundtrip preserves rows and frames records by rowTag") {
+    val dir = java.nio.file.Files.createTempDirectory("rt_xml").toString
+    try {
+      val src = Tables.supplier(spark, sfDir)
+      src.write.mode("overwrite").option("rowTag", "supplier")
+        .format("xml").save(dir)
+      // the rowTag must be load-bearing in the emitted bytes, not a
+      // silently-dropped option
+      val sample = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".xml")).headOption
+        .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        .getOrElse("")
+      assert(sample.contains("<supplier>"), "rowTag missing from output")
+      val back = spark.read.schema(src.schema)
+        .option("rowTag", "supplier").format("xml").load(dir)
+      assert(back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq ===
+        src.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
+    } finally deleteRecursively(dir)
+  }
+
   test("csv with quote-doubling roundtrips embedded delimiters/quotes/newlines") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rt_csvdialect").toString
