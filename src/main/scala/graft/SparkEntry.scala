@@ -586,7 +586,7 @@ object SparkEntry {
       s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
          |       CAST(SUM($decPrice) AS DOUBLE) AS sum_price,
          |       MAX(l_shipdate) AS max_shipdate
-         |FROM lineitem""".stripMargin,
+         |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin,
     "eth_csv_pipeline" ->
       s"""SELECT strftime(o_orderdate, '%m-%Y') AS month,
          |       COUNT(*) AS n_tx,

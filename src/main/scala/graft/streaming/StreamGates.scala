@@ -1942,7 +1942,12 @@ object StreamGates {
         return Seq((false, 0L, 0L))
           .toDF("changefeed_parity", "n_changes", "n_straddlers")
       val sl = slOpt.get
-      dropFile(sl.halfA, inDir, "half-a.parquet")
+      // both halves land BEFORE the query starts; maxFilesPerTrigger=1
+      // still yields two micro-batches, and dropChunks stamps strictly
+      // increasing mtimes so "oldest first" deterministically means
+      // half A = batch 0 (same-ms copies tie otherwise) — one drain
+      // cycle replaces the drop/drain/drop/drain round-trip
+      dropChunks(Seq(sl.halfA, sl.halfB), inDir)
       val schema = StructType(Seq(
         StructField("user_id", LongType),
         StructField("event_type", StringType),
@@ -1950,16 +1955,15 @@ object StreamGates {
       var q: StreamingQuery = null
       try {
         q = owned(Streams.runningTotalsTws(
-            iso.readStream.schema(schema).parquet(inDir)
+            iso.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+              .parquet(inDir)
               .as[(Long, String, Double)](org.apache.spark.sql.Encoders
                 .product[(Long, String, Double)]))
           .writeStream.outputMode(OutputMode.Update())
           .format("memory").queryName("scf_totals")
           .option("checkpointLocation", ckpt).start(),
           "stream_state_changefeed")
-        q.processAllAvailable() // batch 0 = half A
-        dropFile(sl.halfB, inDir, "half-b.parquet")
-        q.processAllAvailable() // batch 1 = half B
+        q.processAllAvailable() // batch 0 = half A, batch 1 = half B
       } finally safeStop(q)
 
       // the changelog as a relation: one row per (batch, key) commit

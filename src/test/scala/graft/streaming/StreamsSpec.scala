@@ -394,6 +394,21 @@ class StreamsSpec extends SparkSpec {
               Thread.sleep(25)
             assert(got.synchronized(got.size) > before,
               s"$name run emitted no row within the deadline")
+            // do NOT stop between the output landing and the batch
+            // COMMIT: a torn run replays the data batch on the next
+            // run's recovery, which rewrites the key's TTL clock and
+            // (measured, rare) turns the expiry case into a fresh fold
+            // — wait until the commit log catches the offset log
+            def maxId(sub: String): Long = {
+              val fs = new java.io.File(s"$base/ckpt/$sub").listFiles()
+              if (fs == null) -1L
+              else fs.flatMap(f =>
+                scala.util.Try(f.getName.toLong).toOption)
+                .foldLeft(-1L)(math.max)
+            }
+            while (maxId("commits") < maxId("offsets") &&
+                System.nanoTime() < deadline)
+              Thread.sleep(25)
           } finally q.stop()
         }
         Seq((1L, 10.0), (1L, 5.0)).toDF("_1", "_2")
@@ -418,6 +433,74 @@ class StreamsSpec extends SparkSpec {
     val long = runCase("long", java.time.Duration.ofHours(1), 0L)
     assert(long.contains((1L, 3L, 16.0)),
       s"long-TTL state did not survive the restart boundary: $long")
+  }
+
+  test("statestore change feed records clear() as a delete row") {
+    // pins the changelog semantics stream_state_changefeed's
+    // all-updates assertion rests on: a processor that CLEARS state
+    // produces change_type="delete" for that (batch, key) — so a gate
+    // seeing only "update" rows really is observing a clear-free run,
+    // not a reader that collapses deletes away
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      StatefulProcessor, TTLConfig, ValueState}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
+      StructType}
+    class ClearOnSecondProcessor
+        extends StatefulProcessor[Long, (Long, Double), (Long, Long)] {
+      @transient private var st: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Long]("cnt",
+          org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+          tv: TimerValues): Iterator[(Long, Long)] = {
+        val cur = (if (st.exists()) st.get() else 0L) + rows.size
+        if (cur >= 2) { st.clear(); Iterator.single((key, -cur)) }
+        else { st.update(cur); Iterator.single((key, cur)) }
+      }
+    }
+    val iso = rocksSession()
+    iso.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    import iso.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cfdel")
+    try {
+      val inDir = s"$base/in"
+      val schema = StructType(Seq(
+        StructField("_1", LongType), StructField("_2", DoubleType)))
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        Seq((1L, 10.0)).toDF("_1", "_2")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        q = iso.readStream.schema(schema).parquet(inDir)
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new ClearOnSecondProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("k", "v")
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName("cfdel")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        q.processAllAvailable() // batch 0: cnt 0→1, an update commit
+        Seq((1L, 5.0)).toDF("_1", "_2")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable() // batch 1: cnt reaches 2 → clear()
+      } finally if (q != null) q.stop()
+      val feed = iso.read.format("statestore")
+        .option("stateVarName", "cnt")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(s"$base/ckpt")
+        .select(col("batch_id"), col("change_type"), col("key.value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(feed.contains((0L, "update", 1L)),
+        s"batch-0 update missing from change feed: $feed")
+      assert(feed.contains((1L, "delete", 1L)),
+        s"clear() did not surface as a delete row: $feed")
+      assert(!feed.contains((1L, "update", 1L)),
+        s"cleared batch must not also report an update: $feed")
+    } finally graft.Fs.deleteRecursively(base)
   }
 
   test("batch sessionize agrees with streaming session count per user") {
