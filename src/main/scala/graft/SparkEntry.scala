@@ -263,6 +263,8 @@ object SparkEntry {
     "x19_bitwise_suite"  -> CoreOps.x19BitwiseSuite _,
     "x20_variant_suite"  -> CoreOps.x20VariantSuite _,
     "x21_collation_suite" -> CoreOps.x21CollationSuite _,
+    "sql_pipe_suite"     -> CoreOps.sqlPipeSuite _,
+    "sql_udf_suite"      -> CoreOps.sqlUdfSuite _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1140,6 +1142,34 @@ object SparkEntry {
         |    AS BIGINT) AS n_prio_ok
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // Pipe-syntax chain: the oracle is the identical relational
+    // program in nested SQL — EliminatePipeOperators guarantees the
+    // engine plans the pipe form to the same logical plan
+    "sql_pipe_suite" ->
+      """SELECT o.o_orderpriority AS prio,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        |FROM lineitem JOIN orders o ON l_orderkey = o.o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY 1""".stripMargin,
+    // SQL-language UDFs inline at analysis time, so the oracle states
+    // the same arithmetic with the function bodies substituted; the
+    // DECIMAL(38,4) return type is exact-widening (no rounding at the
+    // function boundary to disagree about)
+    "sql_udf_suite" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 30 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |         AS DECIMAL(38,4))) AS DOUBLE) AS sum_net,
+        |       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // UTF8_LCASE collation: the oracle states the same semantics with
     // lower() — grouping merges fabricated case variants, spellings
     // stay countable, predicates follow the collation

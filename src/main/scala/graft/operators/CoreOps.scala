@@ -2831,4 +2831,69 @@ object CoreOps {
         col("min_key"), col("n_b1x"))
       .orderBy(col("brand_lc"))
   }
+
+  // ---------------------------------------------------------------- SQL pipe syntax
+  /** SQL pipe-operator suite [SQL-PIPE]: Spark 4's `|>` chain — WHERE,
+    * EXTEND, JOIN, AGGREGATE..GROUP BY, a post-aggregation WHERE (the
+    * HAVING position) and ORDER BY — expressing a fact⋈dim rollup as a
+    * linear dataflow. `EliminatePipeOperators` folds every stage into
+    * the ordinary logical plan during analysis, so the chain plans
+    * EXACTLY like the equivalent nested SQL: the shipdate filter still
+    * pushes into the parquet scan, the aggregate still runs
+    * partial+final, AQE still broadcasts the small post-filter side.
+    * New surface, zero new execution model — which is the point: pipe
+    * programs a 100 TB user writes incrementally inherit every
+    * Catalyst optimization for free. Money through DECIMAL(18,2) per
+    * the house rule (order-independent exact sums). */
+  def sqlPipeSuite(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_pipe")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_pipe")
+    s.sql(
+      """FROM graft_li_pipe
+        ||> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev_dec
+        ||> JOIN graft_ord_pipe o ON l_orderkey = o.o_orderkey
+        ||> AGGREGATE COUNT(*) AS n_items,
+        |             CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+        |             CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        |   GROUP BY o.o_orderpriority AS prio
+        ||> WHERE n_items > 1
+        ||> ORDER BY prio""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- SQL-language UDFs
+  /** SQL-language UDF suite [SQL-UDF]: CREATE TEMPORARY FUNCTION with
+    * a SQL body. `ResolveSQLFunctions` INLINES the body into the
+    * calling plan during analysis — no black-box function boundary, no
+    * serialization wall — so the aggregate below runs as ordinary
+    * whole-stage-codegen'd CASE/decimal arithmetic, exactly as if the
+    * user had typed it inline. This is the engine's "functions, not
+    * UDFs" rule surfaced to SQL users: a named, shareable abstraction
+    * with zero execution cost, where a Scala UDF would break codegen
+    * and a Python UDF adds a per-batch IPC hop at 100 TB. The declared
+    * RETURNS types are exact-widening (DECIMAL(38,4) holds any product
+    * of two DECIMAL(18,2)s), so no value rounds at the function
+    * boundary and the oracle can inline the same arithmetic. */
+  def sqlUdfSuite(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_udf")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+        |  price DOUBLE, disc DOUBLE) RETURNS DECIMAL(38,4)
+        |RETURN CAST(price AS DECIMAL(18,2))
+        |       * (1 - CAST(disc AS DECIMAL(18,2)))""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_band(q DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN q < 10 THEN 'low'
+        |            WHEN q < 30 THEN 'mid'
+        |            ELSE 'high' END""".stripMargin)
+    s.sql(
+      """SELECT graft_band(l_quantity) AS band,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(graft_net(l_extendedprice, l_discount)) AS DOUBLE)
+        |         AS sum_net,
+        |       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
+        |FROM graft_li_udf GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

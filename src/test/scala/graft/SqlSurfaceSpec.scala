@@ -18,4 +18,48 @@ class SqlSurfaceSpec extends SparkSpec {
       .select("event_type").distinct().count()
     assert(viaSql === viaDf)
   }
+
+  test("pipe-syntax chain folds to the standard plan (pushdown intact)") {
+    val df = operators.CoreOps.sqlPipeSuite(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    // the |> WHERE stage's shipdate predicate must reach the parquet
+    // scan as a pushed filter — EliminatePipeOperators folded the
+    // chain into an ordinary plan that Catalyst optimizes end-to-end
+    assert(phys.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to scan:\n$phys")
+    // and the pipe program computes exactly what its nested-SQL twin
+    // computes (the oracle states the same program for DuckDB; this
+    // pins the equivalence inside the engine too)
+    val nested = spark.sql(
+      """SELECT o.o_orderpriority AS prio, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        |FROM graft_li_pipe JOIN graft_ord_pipe o ON l_orderkey = o.o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin)
+    assert(df.collect().toSeq === nested.collect().toSeq)
+  }
+
+  test("SQL-language UDFs inline: no function boundary in the plan") {
+    val df = operators.CoreOps.sqlUdfSuite(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // ResolveSQLFunctions must have substituted both bodies — a
+    // surviving SQLFunctionNode/expression would be a black-box call
+    // site (the thing the engine's no-UDF rule exists to prevent)
+    assert(!optimized.contains("SQLFunction"),
+      s"SQL function survived inlining:\n$optimized")
+    // inlined plan computes what the hand-inlined expressions compute
+    val inline = spark.sql(
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 30 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,4))) AS DOUBLE) AS sum_net,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
+        |FROM graft_li_udf GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(df.collect().toSeq === inline.collect().toSeq)
+  }
 }
