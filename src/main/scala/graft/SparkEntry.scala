@@ -195,6 +195,8 @@ object SparkEntry {
       graft.streaming.StreamGates.streamJoinParity _,
     "stream_tws_parity" ->
       graft.streaming.StreamGates.streamTwsParity _,
+    "tws_batch_unified" ->
+      graft.streaming.StreamGates.twsBatchUnified _,
     "stream_tws_timer_parity" ->
       graft.streaming.StreamGates.streamTwsTimerParity _,
     "stream_tws_init_parity" ->
@@ -1790,6 +1792,12 @@ object SparkEntry {
     // anchors relationally
     "stream_tws_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS tws_parity,
+        |       (SELECT COUNT(DISTINCT user_id) FROM events
+        |        WHERE user_id < 60) AS n_users""".stripMargin,
+    // same processor, batch execution mode: parity frame pinned to
+    // the identical slice-user count
+    "tws_batch_unified" ->
+      """SELECT CAST(1 AS BOOLEAN) AS tws_batch_parity,
         |       (SELECT COUNT(DISTINCT user_id) FROM events
         |        WHERE user_id < 60) AS n_users""".stripMargin,
     // tws event-time timers: parity + flushed-is-last-session are

@@ -1088,6 +1088,66 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [tws_batch_unified]: the SAME StatefulProcessor as
+    * [[streamTwsParity]], executed as a BATCH operator — Spark 4
+    * routes transformWithState on a batch relation through
+    * `TransformWithStateExec.generateSparkPlanForBatchQueries`, so
+    * state logic written once runs under both execution modes (the
+    * unified-API claim, executed rather than cited; the backfill /
+    * reprocess-history path every production streaming job eventually
+    * needs). Here each user's full slice arrives in ONE
+    * handleInputRows call over an ephemeral per-partition state
+    * store: the emitted totals must equal the relational aggregate —
+    * n and the MapState distinct-type count exactly, the double fold
+    * within the family's relative tolerance (batch tws folds doubles
+    * in partition iteration order, the referee sums DECIMAL).
+    * Output is aggregated with the stream gate's max/max_by shape so
+    * a mode that re-emitted per-row instead of per-key would also be
+    * caught by n (monotone count) disagreeing with the referee.
+    * n_users is oracle-pinned to the slice's COUNT(DISTINCT user). */
+  def twsBatchUnified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch-mode stateful execution still resolves its ephemeral
+    // stores through the driver's StateStoreCoordinator endpoint,
+    // which Spark only materializes when a STREAMING query manager's
+    // lazy coordinator is first touched — force it here so this gate
+    // doesn't depend on a streaming gate having run earlier in the
+    // JVM (the accessor is private[sql], which is public bytecode)
+    iso.streams.getClass.getMethod("stateStoreCoordinator")
+      .invoke(iso.streams)
+    val slOpt = twsSliceOf(iso, d)
+    if (slOpt.isEmpty)
+      return Seq((false, 0L)).toDF("tws_batch_parity", "n_users")
+    val ev = iso.read.parquet(slOpt.get.full.toString)
+    val batchTws = Streams.runningTotalsTws(
+      ev.select(col("user_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)](org.apache.spark.sql.Encoders
+          .product[(Long, String, Double)]))
+    val twsTotals = batchTws.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"),
+        max_by(col("sum_value"), col("n_events")).as("sum_v"),
+        max(col("n_types")).as("nt"))
+    val refTotals = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_b"),
+        countDistinct(col("event_type")).as("ntb"))
+    val gate = twsTotals.join(refTotals, Seq("user_id"), "full_outer")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n").isNull || col("nb").isNull ||
+          col("n") =!= col("nb") || col("nt") =!= col("ntb") ||
+          abs(col("sum_v") - col("sum_b")) >=
+            greatest(abs(col("sum_b")), lit(1.0)) * 1e-9, 1L)
+          .otherwise(0L)).as("bad"))
+      .select((col("bad") === 0 && col("n_users") > 0)
+        .as("tws_batch_parity"), col("n_users"))
+    val rows = gate.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+  }
+
   /** Gate query [stream_tws_timer_parity]: transformWithState
     * EVENT-TIME TIMERS — the one arbitrary-state surface
     * [[streamTwsParity]] leaves unexercised (its processor runs

@@ -318,6 +318,32 @@ class StreamsSpec extends SparkSpec {
     iso
   }
 
+  test("transformWithState runs in BATCH mode through the same processor") {
+    val iso = rocksSession()
+    import iso.implicits._
+    // batch-mode stateful exec resolves ephemeral stores through the
+    // driver coordinator that only streaming normally materializes
+    iso.streams.getClass.getMethod("stateStoreCoordinator")
+      .invoke(iso.streams)
+    val rows = mkEvents.map(e => (e.user_id, e.event_type, e.value))
+    val out = Streams.runningTotalsTws(iso.createDataset(rows))
+    // the plan must route through the stateful operator itself (the
+    // unified-API claim), not some aggregate fallback
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TransformWithState"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val expected = rows.groupBy(_._1).view.mapValues { es =>
+      (es.size.toLong, es.map(_._3).sum, es.map(_._2).distinct.size.toLong)
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (n, sv, nt)) =>
+      assert(got(k)._1 === n && got(k)._3 === nt)
+      assert(math.abs(got(k)._2 - sv) < 1e-9)
+    }
+  }
+
   test("ListState last-K window appends across batches, trims to K, " +
       "and sorts within-batch rows by event time") {
     val iso = rocksSession()
