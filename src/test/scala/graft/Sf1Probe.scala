@@ -55,7 +55,13 @@ object Sf1Probe {
         "stream_tws_restart_parity" -> ((s, d) =>
           graft.streaming.StreamGates.streamTwsRestartParity(s, d)),
         "s19_dsv2_agg_degrade" -> ((s, d) =>
-          graft.operators.CoreOps.s19SegAggDegrade(s, d)))
+          graft.operators.CoreOps.s19SegAggDegrade(s, d)),
+        // r11 additions: the changefeed gate (state-sized changelog
+        // read, not corpus-sized) and batch-mode tws (slice-capped)
+        "stream_state_changefeed" -> ((s, d) =>
+          graft.streaming.StreamGates.streamStateChangefeed(s, d)),
+        "tws_batch_unified" -> ((s, d) =>
+          graft.streaming.StreamGates.twsBatchUnified(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
