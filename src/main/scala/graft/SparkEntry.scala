@@ -267,6 +267,8 @@ object SparkEntry {
     "x21_collation_suite" -> CoreOps.x21CollationSuite _,
     "sql_pipe_suite"     -> CoreOps.sqlPipeSuite _,
     "sql_udf_suite"      -> CoreOps.sqlUdfSuite _,
+    "sql_groupall_suite" -> CoreOps.sqlGroupAllSuite _,
+    "sql_var_suite"      -> CoreOps.sqlVarSuite _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1172,6 +1174,37 @@ object SparkEntry {
         |         AS DECIMAL(38,4))) AS DOUBLE) AS sum_net,
         |       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // GROUP BY ALL / ORDER BY ALL expand at analysis time; the oracle
+    // states the expanded ordinal form (year() is BIGINT in DuckDB —
+    // cast to the INT Spark's year() returns; avg_rev divides the
+    // already-double sum so no decimal-division scale is in play)
+    "sql_groupall_suite" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS rev,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) AS avg_rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // session variables fold to literals before optimization; the
+    // oracle inlines the data-derived cutoff as a scalar subquery
+    // (MAX/2 is exact — no float tie) and the lateral-alias
+    // arithmetic verbatim
+    "sql_var_suite" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST((SELECT MAX(l_quantity) / 2 FROM lineitem) AS DOUBLE)
+        |         AS cut,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS gross,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) AS per_item
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT MAX(l_quantity) / 2 FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // UTF8_LCASE collation: the oracle states the same semantics with
     // lower() — grouping merges fabricated case variants, spellings
     // stay countable, predicates follow the collation

@@ -2896,4 +2896,71 @@ object CoreOps {
         |       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
         |FROM graft_li_udf GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  // ---------------------------------------------------------------- GROUP BY ALL / ORDER BY ALL
+  /** GROUP BY ALL / ORDER BY ALL suite [SQL-ALL]: the exploratory-SQL
+    * resolution shorthands — ALL expands to every non-aggregate
+    * select-list expression (grouping) and to the full output list
+    * (ordering) at ANALYSIS time, so the executed plan is
+    * byte-identical to the written-out GROUP BY 1,2,3 / ORDER BY
+    * 1..6 form: same partial+final hash aggregate, same single sort,
+    * the date filter still pushed to the parquet scan. The value at
+    * 100 TB is what ALL prevents, not what it adds: a hand-listed
+    * GROUP BY that drifts out of sync with the select list silently
+    * regroups (the classic wrong-rollup bug); ALL makes the grouping
+    * key definitionally the dimension list. avg_rev divides the
+    * already-double sum (not DECIMAL/COUNT — decimal-division scale
+    * rounding differs across engines; double ÷ exact count is
+    * bit-deterministic on both). The oracle states the expanded
+    * form. */
+  def sqlGroupAllSuite(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_all")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       year(o_orderdate) AS yr,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS rev,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) AS avg_rev
+        |FROM graft_ord_all
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- session variables + EXECUTE IMMEDIATE
+  /** Session-variable suite [SQL-VAR]: DECLARE VARIABLE / SET VAR /
+    * EXECUTE IMMEDIATE ... USING — parameterized production SQL
+    * without string splicing. The cutoff is DATA-DERIVED
+    * (MAX(l_quantity)/2: max is exact, the halving dyadic — no
+    * cross-engine float tie to disagree on), bound into a statement
+    * TEXT held in a second variable, and passed positionally via
+    * USING `?` markers, so the executed query is a plan over
+    * literals: variable resolution happens before optimization and
+    * the predicate folds to a constant the scan can use. The
+    * statement text also exercises a LATERAL COLUMN ALIAS
+    * (`gross / n AS per_item` reuses two sibling aliases — resolved
+    * by projection layering, a resolution feature GROUP BY ALL
+    * cannot combine with, which is why it lives here). At 100 TB
+    * this surface is how schedulers template one audited query over
+    * many thresholds/dates with zero injection surface. The oracle
+    * inlines the derivation as a scalar subquery and the alias
+    * arithmetic verbatim. */
+  def sqlVarSuite(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_var")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_qty_cut DOUBLE")
+    s.sql("""SET VAR graft_qty_cut =
+            |  (SELECT MAX(l_quantity) / 2 FROM graft_li_var)""".stripMargin)
+    s.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+    s.sql(
+      """SET VAR graft_stmt =
+        |  'SELECT l_returnflag, COUNT(*) AS n, CAST(? AS DOUBLE) AS cut,
+        |          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS gross,
+        |          CAST(gross / n AS DOUBLE) AS per_item
+        |   FROM graft_li_var WHERE l_quantity > ?
+        |   GROUP BY l_returnflag ORDER BY l_returnflag'""".stripMargin)
+    s.sql("EXECUTE IMMEDIATE graft_stmt USING graft_qty_cut, graft_qty_cut")
+  }
 }

@@ -62,4 +62,38 @@ class SqlSurfaceSpec extends SparkSpec {
         |FROM graft_li_udf GROUP BY 1 ORDER BY 1""".stripMargin)
     assert(df.collect().toSeq === inline.collect().toSeq)
   }
+
+  test("GROUP BY ALL / ORDER BY ALL expand to the explicit plan") {
+    val df = operators.CoreOps.sqlGroupAllSuite(spark, sfDir)
+    // ALL resolves during analysis — the optimized plan must equal the
+    // hand-expanded form's, aggregate keys and sort order included
+    val expanded = spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       year(o_orderdate) AS yr, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS rev,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) AS avg_rev
+        |FROM graft_ord_all
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.canonicalized ===
+      expanded.queryExecution.optimizedPlan.canonicalized)
+    assert(df.collect().toSeq === expanded.collect().toSeq)
+  }
+
+  test("session variables fold to literals the scan can push") {
+    val df = operators.CoreOps.sqlVarSuite(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    // the USING-bound cutoff must reach the parquet scan as a pushed
+    // constant predicate — proof the variable resolved to a literal
+    // before optimization rather than surviving as an opaque reference
+    assert(phys.contains("GreaterThan(l_quantity,25.0)"),
+      s"variable cutoff not pushed as a literal:\n$phys")
+    // lateral alias arithmetic inside the statement text resolved to
+    // plain projection layering: per_item == gross / n exactly
+    df.collect().foreach { r =>
+      assert(r.getDouble(4) === r.getDouble(3) / r.getLong(1))
+    }
+  }
 }
