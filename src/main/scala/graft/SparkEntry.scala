@@ -269,6 +269,9 @@ object SparkEntry {
     "sql_udf_suite"      -> CoreOps.sqlUdfSuite _,
     "sql_groupall_suite" -> CoreOps.sqlGroupAllSuite _,
     "sql_var_suite"      -> CoreOps.sqlVarSuite _,
+    "s21_dsv2_delete"    -> CoreOps.s21DsvDelete _,
+    "s22_dsv2_update"    -> CoreOps.s22DsvUpdate _,
+    "s23_dsv2_merge"     -> CoreOps.s23DsvMerge _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1205,6 +1208,58 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity > (SELECT MAX(l_quantity) / 2 FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // group-based DELETE: the oracle is the table with the deleted
+    // predicate negated (copy-on-write leaves exactly the keepers)
+    "s21_dsv2_delete" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem
+        |WHERE NOT (l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // group-based UPDATE: the oracle applies the same SET expressions
+    // as CASE WHEN over the base table
+    "s22_dsv2_update" ->
+      """SELECT rf AS l_returnflag,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(disc AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_disc,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM (SELECT CASE WHEN l_quantity < 3
+        |               THEN 'U' || l_returnflag ELSE l_returnflag END AS rf,
+        |             CASE WHEN l_quantity < 3
+        |               THEN 0.0 ELSE l_discount END AS disc,
+        |             l_extendedprice
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MERGE upsert: the oracle reconstructs the post-merge table with
+    // a FULL OUTER JOIN of the target seed (even keys) and the source
+    // feed (every third key) — matched rows doubled and stamped 2,
+    // source-only rows inserted as 1, target-only rows untouched as 0
+    "s23_dsv2_merge" ->
+      """WITH t0 AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |     s0 AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |            FROM orders WHERE o_orderkey % 3 = 0),
+        |     merged AS (
+        |       SELECT COALESCE(t0.k, s0.k) AS k,
+        |              CASE WHEN t0.k IS NOT NULL AND s0.k IS NOT NULL
+        |                     THEN t0.qty + s0.qty
+        |                   WHEN t0.k IS NOT NULL THEN t0.qty
+        |                   ELSE s0.qty END AS qty,
+        |              CAST(CASE WHEN t0.k IS NOT NULL AND s0.k IS NOT NULL
+        |                     THEN 2
+        |                   WHEN t0.k IS NOT NULL THEN 0
+        |                   ELSE 1 END AS BIGINT) AS src
+        |       FROM t0 FULL OUTER JOIN s0 ON t0.k = s0.k)
+        |SELECT src, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // UTF8_LCASE collation: the oracle states the same semantics with
     // lower() — grouping merges fabricated case variants, spellings
     // stay countable, predicates follow the collation

@@ -2963,4 +2963,117 @@ object CoreOps {
         |   GROUP BY l_returnflag ORDER BY l_returnflag'""".stripMargin)
     s.sql("EXECUTE IMMEDIATE graft_stmt USING graft_qty_cut, graft_qty_cut")
   }
+
+  // ---------------------------------------------------------------- gseg SQL DML (row-level operations)
+  /** Shared setup for the gseg DML gates: a fresh session with the
+    * [[graft.sources.SegCatalog]] registered over a scratch
+    * warehouse, so `DELETE FROM` / `UPDATE` / `MERGE INTO` resolve
+    * `gseg_dml.dml.<t>` through the catalog to a
+    * [[graft.sources.SegDmlTable]]. A new session per invocation
+    * keeps the catalog instance (and its warehouse conf) off the
+    * shared session, and each gate rebuilds its table with an
+    * overwrite write, so repeat bench runs mutate a fresh copy. */
+  private def dmlSession(s: SparkSession, d: String,
+      tag: String): (SparkSession, String) = {
+    val iso = s.newSession()
+    val wh = graft.Fs.scratchDir(iso, s"graft_gseg_$tag", d)
+    iso.conf.set("spark.sql.catalog.gseg_dml", "graft.sources.SegCatalog")
+    iso.conf.set("spark.sql.catalog.gseg_dml.warehouse", wh)
+    (iso, wh)
+  }
+
+  /** DSv2 DELETE [S21]: `DELETE FROM` a gseg table through Spark's
+    * group-based row-level rewrite (RewriteDeleteFromTable →
+    * ReplaceData). The table is range-laid-out on the predicate
+    * column, so the row-level scan's header zone maps prune most
+    * segments at PLAN time: files that cannot hold a matching row
+    * are neither read nor rewritten (the copy-on-write contract —
+    * DML cost scales with affected groups, not table size; the
+    * pruning counters are spec-pinned in SegDmlSpec). Surviving
+    * groups are read whole, kept rows flow through the rewrite plan,
+    * and the commit swaps exactly the candidate generation. The
+    * oracle recomputes the post-DELETE table relationally. */
+  def s21DsvDelete(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml21")
+    graft.sources.SegSource.write(
+      Tables.lineitem(iso, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_quantity")),
+      s"$wh/dml/li")
+    iso.sql("DELETE FROM gseg_dml.dml.li WHERE l_quantity > 45")
+    iso.table("gseg_dml.dml.li")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DSv2 UPDATE [S22]: `UPDATE ... SET` through the same group-based
+    * rewrite (RewriteUpdateTable → ReplaceData) — candidate groups
+    * are rewritten with the SET expressions applied where the
+    * condition holds and rows carried unchanged otherwise; pruned
+    * groups are untouched bytes. SET exercises both a constant
+    * (l_discount = 0) and a computed string (a prefixed return
+    * flag), so the rewrite's expression path is covered, not just
+    * constant folding. Oracle: the same CASE WHEN applied
+    * relationally. */
+  def s22DsvUpdate(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml22")
+    graft.sources.SegSource.write(
+      Tables.lineitem(iso, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_quantity")),
+      s"$wh/dml/li")
+    iso.sql(
+      """UPDATE gseg_dml.dml.li
+        |SET l_discount = 0.0, l_returnflag = concat('U', l_returnflag)
+        |WHERE l_quantity < 3""".stripMargin)
+    iso.table("gseg_dml.dml.li")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_discount"))).cast(DoubleType).as("sum_disc"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DSv2 MERGE [S23]: `MERGE INTO` a gseg table (RewriteMergeIntoTable
+    * → ReplaceData) — the upsert shape every incremental 100 TB
+    * pipeline runs: a corrections feed updates matched keys and
+    * inserts new ones in ONE atomic statement. Target = per-order
+    * rows for even order keys (src = 0); source = every third order
+    * key, overlapping on multiples of six. MATCHED doubles the
+    * amount and stamps src = 2; NOT MATCHED inserts with src = 1 —
+    * so the three src classes partition the outcome and the readback
+    * aggregate proves matched/unmatched/inserted counts AND sums
+    * against a relational FULL OUTER JOIN oracle. Amounts stay
+    * 2-decimal-valued doubles (t + s = 2×price) so the DECIMAL(18,2)
+    * sum rounds identically in both engines. */
+  def s23DsvMerge(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml23")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("qty"), lit(0L).as("src")),
+      s"$wh/dml/t")
+    ord.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_merge_src")
+    iso.sql(
+      """MERGE INTO gseg_dml.dml.t t USING graft_merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN
+        |  UPDATE SET qty = t.qty + s.qty, src = CAST(2 AS BIGINT)
+        |WHEN NOT MATCHED THEN
+        |  INSERT (k, qty, src) VALUES (s.k, s.qty, CAST(1 AS BIGINT))"""
+        .stripMargin)
+    iso.table("gseg_dml.dml.t")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("src"))
+  }
 }

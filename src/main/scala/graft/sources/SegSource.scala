@@ -1144,10 +1144,12 @@ case class SegBatchWrite(path: String, schema: StructType,
 }
 
 case class SegWriterFactory(path: String, schema: StructType,
-    partitionCol: Option[String] = None) extends DataWriterFactory {
+    partitionCol: Option[String] = None, skipEmpty: Boolean = false)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SegDataWriter(path, schema, partitionId, taskId, partitionCol)
+    new SegDataWriter(path, schema, partitionId, taskId, partitionCol,
+      skipEmpty)
 }
 
 /** Buffers the partition's rows as writer cells (boxed primitives /
@@ -1157,7 +1159,8 @@ case class SegWriterFactory(path: String, schema: StructType,
   * segment can never be listed, because [[SegSource.listSegments]]
   * ignores dot-files. */
 class SegDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, partitionCol: Option[String] = None)
+    taskId: Long, partitionCol: Option[String] = None,
+    skipEmpty: Boolean = false)
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
   private val keyIdx = partitionCol.map(schema.fieldIndex)
@@ -1185,6 +1188,11 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     // per run gives the scan's key-grouper min==max stats to read the
     // value back from (no format change needed)
     val runs: Seq[collection.IndexedSeq[Array[AnyRef]]] = keyIdx match {
+      // skipEmpty (row-level rewrites): an empty partition stages no
+      // segment — a DML touching 2 files must not mint a file per
+      // shuffle partition. Plain writes keep the one-segment-per-task
+      // shape their tests and probes pin.
+      case None if skipEmpty && buf.isEmpty => Seq.empty
       case None => Seq(buf)
       case Some(ki) =>
         val out = scala.collection.mutable.ArrayBuffer
