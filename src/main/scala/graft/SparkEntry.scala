@@ -272,6 +272,7 @@ object SparkEntry {
     "s21_dsv2_delete"    -> CoreOps.s21DsvDelete _,
     "s22_dsv2_update"    -> CoreOps.s22DsvUpdate _,
     "s23_dsv2_merge"     -> CoreOps.s23DsvMerge _,
+    "s24_dsv2_merge_pruned" -> CoreOps.s24DsvMergePruned _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1245,6 +1246,32 @@ object SparkEntry {
         |            FROM orders WHERE o_orderkey % 2 = 0),
         |     s0 AS (SELECT o_orderkey AS k, o_totalprice AS qty
         |            FROM orders WHERE o_orderkey % 3 = 0),
+        |     merged AS (
+        |       SELECT COALESCE(t0.k, s0.k) AS k,
+        |              CASE WHEN t0.k IS NOT NULL AND s0.k IS NOT NULL
+        |                     THEN t0.qty + s0.qty
+        |                   WHEN t0.k IS NOT NULL THEN t0.qty
+        |                   ELSE s0.qty END AS qty,
+        |              CAST(CASE WHEN t0.k IS NOT NULL AND s0.k IS NOT NULL
+        |                     THEN 2
+        |                   WHEN t0.k IS NOT NULL THEN 0
+        |                   ELSE 1 END AS BIGINT) AS src
+        |       FROM t0 FULL OUTER JOIN s0 ON t0.k = s0.k)
+        |SELECT src, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MERGE under runtime group filtering: same reconstruction as
+    // s23, with the corrections feed confined to keys above
+    // floor(max*3/4) — the pruning is an execution property (counter-
+    // recorded, spec-pinned), so the oracle only restates semantics
+    "s24_dsv2_merge_pruned" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) * 3 // 4 AS cut FROM orders),
+        |     t0 AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |     s0 AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |            FROM orders, mx
+        |            WHERE o_orderkey % 3 = 0 AND o_orderkey > cut),
         |     merged AS (
         |       SELECT COALESCE(t0.k, s0.k) AS k,
         |              CASE WHEN t0.k IS NOT NULL AND s0.k IS NOT NULL

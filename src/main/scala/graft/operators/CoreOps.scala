@@ -3076,4 +3076,52 @@ object CoreOps {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("src"))
   }
+
+  /** DSv2 MERGE with RUNTIME GROUP FILTERING [S24]: the incremental-
+    * upsert shape that actually dominates at 100 TB — a corrections
+    * feed confined to a key region (here: order keys above 3/4 of the
+    * max, the "recent orders" tail) merged into a range-laid-out
+    * target. The ON condition references the source, so plan-time
+    * zone maps cannot prune anything (build candidates = all 8 range
+    * files); Spark's RowLevelOperationRuntimeGroupFiltering rule runs
+    * the match against the target FIRST, collects the distinct
+    * `_file` values of matched rows (the gseg metadata column), and
+    * delivers them to the row-level scan as In(_file, …) — so only
+    * the ~2 files whose ranges intersect the feed are read, rewritten
+    * and swapped; the other ~6 are never touched. Copy-on-write cost
+    * tracks the FEED's locality, not the table size: the contract
+    * that makes daily MERGE viable on a 100 TB table. Counters
+    * (gseg_rlo_candidates vs gseg_rlo_runtime_candidates vs
+    * gseg_rlo_replaced_files) record the narrowing in bench_metrics;
+    * SegDmlSpec pins it exactly (4→1) with survivor-mtime evidence.
+    * Oracle: the same FULL OUTER reconstruction as s23 with the feed
+    * cutoff stated as floor(max*3/4) integer arithmetic. */
+  def s24DsvMergePruned(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml24")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("qty"), lit(0L).as("src"))
+        .repartitionByRange(8, col("k")),
+      s"$wh/dml/t")
+    val cut = ord.agg(max(col("o_orderkey"))).head().getLong(0) * 3 / 4
+    ord.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") > cut)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_merge_pruned_src")
+    iso.sql(
+      """MERGE INTO gseg_dml.dml.t t USING graft_merge_pruned_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN
+        |  UPDATE SET qty = t.qty + s.qty, src = CAST(2 AS BIGINT)
+        |WHEN NOT MATCHED THEN
+        |  INSERT (k, qty, src) VALUES (s.k, s.qty, CAST(1 AS BIGINT))"""
+        .stripMargin)
+    iso.table("gseg_dml.dml.t")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("src"))
+  }
 }

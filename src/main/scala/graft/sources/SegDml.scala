@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL DML for the gseg connector: a directory-backed [[TableCatalog]]
@@ -121,10 +121,27 @@ class SegCatalog extends TableCatalog {
 }
 
 /** [[SegTable]] + SQL DML: row-level operations (group-based
-  * copy-on-write) and metadata TRUNCATE. */
+  * copy-on-write), metadata TRUNCATE, and the `_file` METADATA column
+  * (SupportsMetadataColumns) — the handle runtime group filtering
+  * prunes by: file names are the GROUP identity, so an In(_file, …)
+  * built from the rows a DML actually matches selects exactly the
+  * affected segments, with a broadcast set whose size is
+  * #affected-files, never #matching-rows (the Iceberg `_file`
+  * design; value-based filter attributes would broadcast data). */
 class SegDmlTable(tschema: StructType, path: String)
     extends SegTable(tschema, path)
-    with SupportsRowLevelOperations with TruncatableTable {
+    with SupportsRowLevelOperations with TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SegSource.FileMetaName
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "segment file path of the row (group identity)"
+    })
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -158,11 +175,20 @@ class SegRowLevelOperation(path: String, tschema: StructType,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"gseg row-level $cmd path=$path"
 
+  /** Ask the rewrite to project `_file` into the read relation: the
+    * runtime group-filtering rule resolves the scan's filter
+    * attributes against it on both the pruning side (this scan) and
+    * the build side (a regular batch scan of the original table). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(SegSource.FileMetaName))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegGroupScanBuilder(tschema, path, this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SegReplaceDataWrite(path, info.schema(), this)
+    new SegReplaceDataWrite(path, info.schema(), this, cmd)
 }
 
 /** Scan builder for a row-level operation. Spark's
@@ -179,14 +205,19 @@ class SegGroupScanBuilder(full: StructType, path: String,
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var emitFile: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(SegSource.supportedFilter)
     filters // group pruning only: every filter is residual by contract
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    emitFile =
+      requiredSchema.fieldNames.contains(SegSource.FileMetaName)
+    required = StructType(requiredSchema.fields
+      .filterNot(_.name == SegSource.FileMetaName))
+  }
 
   override def build(): Scan = {
     val files = SegSource.listSegments(path)
@@ -195,21 +226,72 @@ class SegGroupScanBuilder(full: StructType, path: String,
     op.candidates = cands
     graft.Counters.add("gseg_rlo_files_total", files.size.toLong)
     graft.Counters.add("gseg_rlo_candidates", cands.size.toLong)
-    SegGroupScan(cands, required)
+    new SegGroupScan(cands, required, emitFile, op)
   }
 }
 
-/** All rows of the candidate groups, one partition per segment. */
-case class SegGroupScan(files: Seq[String], required: StructType)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
+/** All rows of the candidate groups, one partition per segment.
+  *
+  * Implements SupportsRuntimeV2Filtering on the `_file` column, which
+  * is what turns plan-time zone-map candidates into the EXACT
+  * affected-group set: Spark's RowLevelOperationRuntimeGroupFiltering
+  * rule runs the DML condition against the ORIGINAL table first (a
+  * regular pruned/pushed gseg scan), collects the distinct `_file`
+  * values of matching rows, and delivers them here as In(_file, …)
+  * before planInputPartitions. Files outside the set provably hold no
+  * matching row, so dropping them from BOTH the rewrite read and the
+  * commit's replace set is lossless — and it is the only pruning
+  * available when the condition is unpushable (MERGE's source-
+  * dependent ON, subqueries, modulo math). At 100 TB this is the
+  * difference between rewriting the table and rewriting the touched
+  * files. Untranslatable predicates only ever WIDEN the set (never
+  * wrong, only more copy-on-write). */
+class SegGroupScan(allFiles: Seq[String], required: StructType,
+    emitFile: Boolean, op: SegRowLevelOperation)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  @volatile private var effective: Seq[String] = allFiles
+
+  override def readSchema(): StructType =
+    if (emitFile) StructType(required.fields :+
+      StructField(SegSource.FileMetaName, org.apache.spark.sql.types
+        .StringType, nullable = false))
+    else required
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(SegSource.FileMetaName))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val keep = predicates.flatMap(SegSource.predicateToFilter(_).toSeq)
+      .collect {
+        case org.apache.spark.sql.sources.In(a, vs)
+            if a == SegSource.FileMetaName =>
+          vs.collect { case s: String => s }.toSet
+        case org.apache.spark.sql.sources.EqualTo(a, v: String)
+            if a == SegSource.FileMetaName => Set(v)
+      }
+    if (keep.nonEmpty) {
+      val allowed = keep.reduce(_ intersect _)
+      effective = effective.filter(allowed.contains)
+      op.candidates = effective
+      graft.Counters.add("gseg_rlo_runtime_candidates",
+        effective.size.toLong)
+    }
+  }
+
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(SegInputPartition.apply).toArray[InputPartition]
-  override def createReaderFactory(): PartitionReaderFactory =
-    SegReaderFactory(required, Array.empty, None) // group-complete read
+    effective.map(SegInputPartition.apply).toArray[InputPartition]
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = SegReaderFactory(required, Array.empty, None) // group-complete read
+    if (emitFile) SegFileColumnFactory(inner) else inner
+  }
   override def description(): String =
-    s"gseg rlo group scan path over ${files.size} candidate file(s)"
+    s"gseg rlo group scan path over ${allFiles.size} candidate file(s)"
 }
 
 /** The ReplaceData write: rewritten rows (kept / updated / merged)
@@ -221,26 +303,31 @@ case class SegGroupScan(files: Seq[String], required: StructType)
   * single empty schema-bearing segment is written so the table stays
   * loadable. */
 class SegReplaceDataWrite(path: String, schema: StructType,
-    op: SegRowLevelOperation) extends WriteBuilder with Write
+    op: SegRowLevelOperation, cmd: RowLevelOperation.Command)
+    extends WriteBuilder with Write
     with BatchWrite {
   override def build(): Write = this
   override def toBatch: BatchWrite = this
 
   /** Spark 4's group-based rewrite PREPENDS an operation-code column
     * (RowDeltaUtils.OPERATION_COLUMN, `__row_operation`) to the
-    * replacement rows — the analyzed plan projects it even though
+    * replacement rows, and the requested `_file` metadata column may
+    * ride APPENDED — the analyzed plan projects them even when
     * LogicalWriteInfo.schema() reports only the table columns.
-    * Writers that track row provenance read it; this one projects it
-    * away and persists the data columns. */
-  private val dataSchema = StructType(
-    schema.fields.filterNot(_.name == "__row_operation"))
+    * Writers that track row provenance read them; this one projects
+    * them away and persists the data columns. */
+  private val dataSchema = StructType(schema.fields.filterNot(f =>
+    f.name == "__row_operation" || f.name == SegSource.FileMetaName))
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
+    if (sys.env.contains("GRAFT_RLO_DEBUG"))
+      System.err.println(s"[rlo-debug] cmd=$cmd info.schema=" +
+        schema.fieldNames.mkString(","))
     SegRloWriterFactory(
       SegWriterFactory(path, dataSchema, None, skipEmpty = true),
-      dataSchema)
+      dataSchema, cmd)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -257,7 +344,7 @@ class SegReplaceDataWrite(path: String, schema: StructType,
       }
     }
     if (SegSource.listSegments(path).isEmpty)
-      SegSource.writeSegment(Vector.empty, schema,
+      SegSource.writeSegment(Vector.empty, dataSchema,
         s"$path/rlo-$gen-empty.gseg")
     graft.Counters.add("gseg_rlo_replaced_files",
       op.candidates.size.toLong)
@@ -272,14 +359,20 @@ class SegReplaceDataWrite(path: String, schema: StructType,
 
 /** Wraps the ordinary segment writer with a
   * [[org.apache.spark.sql.catalyst.ProjectingInternalRow]] that keeps
-  * only the data ordinals. The incoming physical row is either
-  * exactly the data columns (width n) or `__row_operation` + data
-  * columns (width n+1, the group-based rewrite's shape) — decided on
-  * the first row, since LogicalWriteInfo.schema() reports only the
-  * table columns either way. Any other width is a loud error, never
-  * a misaligned segment. */
+  * only the data ordinals. The incoming physical row is one of
+  *   [data]               (width n)
+  *   [op, data]           (n+1 — `__row_operation` PREPENDED by the
+  *                         UPDATE/MERGE rewrites)
+  *   [data, _file]        (n+1 — the requested metadata column
+  *                         APPENDED, DELETE carries no op column)
+  *   [op, data, _file]    (n+2)
+  * decided on the first row, since LogicalWriteInfo.schema() reports
+  * only the table columns either way: the n+1 ambiguity resolves by
+  * COMMAND (DELETE never gets the op column). Any other width is a
+  * loud error, never a misaligned segment. */
 private[sources] case class SegRloWriterFactory(inner: SegWriterFactory,
-    dataSchema: StructType) extends DataWriterFactory {
+    dataSchema: StructType, cmd: RowLevelOperation.Command)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] = {
@@ -291,9 +384,17 @@ private[sources] case class SegRloWriterFactory(inner: SegWriterFactory,
       override def write(r: org.apache.spark.sql.catalyst.InternalRow)
           : Unit = {
         if (proj == null) {
-          val off = r.numFields - n
-          require(off == 0 || off == 1,
+          val extra = r.numFields - n
+          require(extra >= 0 && extra <= 2,
             s"gseg rlo write: row width ${r.numFields} vs $n data cols")
+          val off = extra match {
+            case 0 => 0
+            case 1 => if (cmd == RowLevelOperation.Command.DELETE) 0 else 1
+            case 2 => 1
+          }
+          if (sys.env.contains("GRAFT_RLO_DEBUG"))
+            System.err.println(s"[rlo-debug] cmd=$cmd width=${r.numFields}" +
+              s" n=$n off=$off")
           proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
             dataSchema, (off until off + n).toIndexedSeq)
         }

@@ -78,6 +78,11 @@ object SegSource {
     * metadata a real lakehouse table carries). */
   val PartitionColOption = "partition_col"
 
+  /** Name of the synthesized per-row metadata column carrying the
+    * row's segment path (SupportsMetadataColumns on catalog tables;
+    * the runtime group-filter attribute for row-level DML). */
+  val FileMetaName = "_file"
+
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   private[sources] val Version: Byte = 2
 
@@ -508,6 +513,7 @@ class SegScanBuilder(full: StructType, path: String,
   private var aggs: Option[Seq[SegSource.HeaderAgg]] = None
   private var limit: Option[Int] = None
   private var topN: Option[SegSource.TopNPush] = None
+  private var emitFile: Boolean = false
 
   /** Both limit and TopN are PARTIAL pushes by design: Spark keeps the
     * global Limit / TakeOrderedAndProject, so scan-side skipping is a
@@ -546,8 +552,17 @@ class SegScanBuilder(full: StructType, path: String,
     }
   }
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  /** `_file` is the gseg METADATA column (SupportsMetadataColumns on
+    * [[SegDmlTable]]) — a catalog table's read may request it (most
+    * importantly, the build side of row-level runtime group filtering
+    * projects it to compute the exact affected-file set). It is not a
+    * stored column: strip it from the data schema and have the reader
+    * synthesize it from the partition's segment path. */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    emitFile = requiredSchema.fieldNames.contains(SegSource.FileMetaName)
+    required = StructType(
+      requiredSchema.fields.filterNot(_.name == SegSource.FileMetaName))
+  }
 
   /** Accept the shapes the reader can evaluate; return EVERYTHING as
     * post-scan (the parquet contract): Spark re-checks pushed filters,
@@ -578,7 +593,8 @@ class SegScanBuilder(full: StructType, path: String,
       // key expression's type, and the header-stats recovery
       // normalizes through long
       partitionCol.filter(c => full.fields.exists(f => f.name == c &&
-        f.dataType == LongType)))
+        f.dataType == LongType)),
+      emitFile)
 }
 
 case class SegInputPartition(file: String) extends InputPartition
@@ -596,7 +612,7 @@ case class SegKeyedPartition(files: Seq[String], key: Long)
 case class SegScan(path: String, required: StructType,
     pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]],
     limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None, emitFile: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -624,7 +640,9 @@ case class SegScan(path: String, required: StructType,
     * filterAttributes) sees the same answer by construction. */
   @transient private lazy val keyGroups
       : Option[Seq[(Long, Seq[String])]] =
-    (if (aggs.isDefined) None else partitionCol).flatMap { pc =>
+    // emitFile also declines key-grouping: the _file synthesizer is a
+    // per-segment wrapper, and a metadata read has no join-layout use
+    (if (aggs.isDefined || emitFile) None else partitionCol).flatMap { pc =>
     val files = SegSource.listSegments(path)
     val kv = files.map { f =>
       val cm = SegSource.headerOf(f).cols.find(_.name == pc)
@@ -706,7 +724,10 @@ case class SegScan(path: String, required: StructType,
     case Some(as) => StructType(as.zipWithIndex.map { case (a, i) =>
       StructField(s"agg_$i", a.outType)
     })
-    case None => required
+    case None =>
+      if (emitFile) StructType(required.fields :+
+        StructField(SegSource.FileMetaName, StringType, nullable = false))
+      else required
   }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -818,9 +839,35 @@ case class SegScan(path: String, required: StructType,
     graft.Counters.add("gseg_files_skipped", (files.size - afterLimit.size).toLong)
     afterLimit.map(SegInputPartition.apply).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    SegReaderFactory(required, pushed ++ runtime, aggs,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = SegReaderFactory(required, pushed ++ runtime, aggs,
       if (topN.isEmpty) limit else None)
+    if (emitFile && aggs.isEmpty) SegFileColumnFactory(inner) else inner
+  }
+}
+
+/** Wraps a per-segment reader factory and appends the `_file`
+  * metadata column (the partition's segment path) to every row. Only
+  * per-file partitions can carry it — key-grouped chains decline
+  * emitFile at planning, so a [[SegKeyedPartition]] here is a bug. */
+case class SegFileColumnFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case SegInputPartition(file) =>
+        val d = inner.createReader(p)
+        new PartitionReader[InternalRow] {
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          private val fileRow = new GenericInternalRow(
+            Array[Any](UTF8String.fromString(file)))
+          override def next(): Boolean = d.next()
+          override def get(): InternalRow = joined(d.get(), fileRow)
+          override def close(): Unit = d.close()
+        }
+      case other => throw new IllegalStateException(
+        s"gseg: _file column over non-file partition $other")
+    }
 }
 
 /** Streaming offset: the lexicographic watermark — the greatest

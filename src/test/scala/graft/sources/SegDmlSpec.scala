@@ -113,6 +113,108 @@ class SegDmlSpec extends SparkSpec {
     assert(rows == want)
   }
 
+  test("MERGE runtime-prunes to the groups the source actually touches") {
+    val (iso, wh) = dml("mprune")
+    import iso.implicits._
+    // 4 range files on k; the corrections feed touches [10,20) only —
+    // plan-time zone maps CANNOT prune (the ON condition references
+    // the source), so build-time candidates = 4; the runtime group
+    // filter must narrow the rewrite to the single file holding the
+    // touched range, leaving the other three as untouched bytes
+    SegSource.write(
+      iso.range(0, 400).select($"id".as("k"), lit(1L).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    val before = SegSource.listSegments(s"$wh/ns/t")
+      .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f))).toMap
+    assert(before.size == 4)
+    iso.range(10, 20).select($"id".as("k"), lit(100L).as("v"))
+      .createOrReplaceTempView("mprune_src")
+    graft.Counters.drain()
+    iso.sql(
+      """MERGE INTO tc.ns.t t USING mprune_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+        .stripMargin)
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_rlo_candidates", -1L) == 4L)
+    assert(c.getOrElse("gseg_rlo_runtime_candidates", -1L) == 1L)
+    assert(c.getOrElse("gseg_rlo_replaced_files", -1L) == 1L)
+    val after = SegSource.listSegments(s"$wh/ns/t")
+    val survivors = after.filter(before.contains)
+    assert(survivors.size == 3)
+    survivors.foreach(f => assert(
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)) == before(f)))
+    val agg = iso.table("tc.ns.t").agg(sum($"v"), count(lit(1))).head()
+    assert(agg.getLong(1) == 400)
+    assert(agg.getLong(0) == 400L + 10 * 100)
+  }
+
+  test("runtime group filter narrows where zone maps cannot (unpushable one-group DELETE)") {
+    val (iso, wh) = dml("rtone")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 400).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    graft.Counters.drain()
+    // k % 400 = 395 holds for k=395 only — top file; modulo is not a
+    // pushdown shape, so build-time candidates stay 4 and the exact
+    // one-file narrowing is the runtime filter's work alone
+    iso.sql("DELETE FROM tc.ns.t WHERE k % 400 = 395")
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_rlo_candidates", -1L) == 4L)
+    assert(c.getOrElse("gseg_rlo_runtime_candidates", -1L) == 1L)
+    assert(c.getOrElse("gseg_rlo_replaced_files", -1L) == 1L)
+    assert(iso.table("tc.ns.t").count() == 399)
+    assert(iso.table("tc.ns.t").filter($"k" === 395).count() == 0)
+  }
+
+  test("a DML matching nothing rewrites nothing") {
+    val (iso, wh) = dml("nomatch")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 400).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    val before = SegSource.listSegments(s"$wh/ns/t")
+      .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f))).toMap
+    graft.Counters.drain()
+    // unpushable and never true: the runtime In-set is EMPTY, the
+    // effective group set empties, and the commit replaces zero files
+    iso.sql("DELETE FROM tc.ns.t WHERE k % 1000 = 777")
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_rlo_candidates", -1L) == 4L)
+    assert(c.getOrElse("gseg_rlo_runtime_candidates", -1L) == 0L)
+    assert(c.getOrElse("gseg_rlo_replaced_files", -1L) == 0L)
+    assert(c.getOrElse("gseg_rlo_new_files", -1L) == 0L)
+    val after = SegSource.listSegments(s"$wh/ns/t")
+    assert(after.toSet == before.keySet)
+    after.foreach(f => assert(
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)) == before(f)))
+    assert(iso.table("tc.ns.t").count() == 400)
+  }
+
+  test("_file metadata column is selectable and group-complete") {
+    val (iso, wh) = dml("filecol")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 400).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    val rows = iso.sql(
+      "SELECT _file, count(*) AS n FROM tc.ns.t GROUP BY _file")
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(1)).sum == 400L)
+    val names = SegSource.listSegments(s"$wh/ns/t").toSet
+    rows.foreach(r => assert(names.contains(r.getString(0))))
+  }
+
   test("TRUNCATE TABLE empties but keeps the table loadable; catalog lifecycle works") {
     val (iso, wh) = dml("cat")
     import iso.implicits._
