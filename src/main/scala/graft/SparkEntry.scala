@@ -273,6 +273,8 @@ object SparkEntry {
     "s22_dsv2_update"    -> CoreOps.s22DsvUpdate _,
     "s23_dsv2_merge"     -> CoreOps.s23DsvMerge _,
     "s24_dsv2_merge_pruned" -> CoreOps.s24DsvMergePruned _,
+    "s25_dsv2_add_column" -> CoreOps.s25DsvAddColumn _,
+    "s26_dsv2_merge_sync" -> CoreOps.s26DsvMergeSync _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1283,6 +1285,42 @@ object SparkEntry {
         |                   WHEN t0.k IS NOT NULL THEN 0
         |                   ELSE 1 END AS BIGINT) AS src
         |       FROM t0 FULL OUTER JOIN s0 ON t0.k = s0.k)
+        |SELECT src, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ALTER TABLE ADD COLUMN: generation 1 (even keys) predates the
+    // column and null-fills; generation 2 (odd keys) carries values —
+    // the oracle reconstructs both generations with UNION ALL
+    "s25_dsv2_add_column" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS qty,
+        |         CAST(NULL AS BIGINT) AS seg
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderkey % 4
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT COALESCE(seg, -1) AS seg_id, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MERGE snapshot-sync (full action matrix): target-only keys are
+    // DELETED by the not-matched-by-source leg, so the reconstruction
+    // keeps source-present keys only — matched rows summed and
+    // stamped 2, source-only rows inserted as 1
+    "s26_dsv2_merge_sync" ->
+      """WITH t0 AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |     s0 AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |            FROM orders WHERE o_orderkey % 3 = 0),
+        |     merged AS (
+        |       SELECT s0.k AS k,
+        |              CASE WHEN t0.k IS NOT NULL
+        |                     THEN t0.qty + s0.qty
+        |                   ELSE s0.qty END AS qty,
+        |              CAST(CASE WHEN t0.k IS NOT NULL THEN 2
+        |                   ELSE 1 END AS BIGINT) AS src
+        |       FROM s0 LEFT JOIN t0 ON t0.k = s0.k)
         |SELECT src, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       MIN(k) AS min_k, MAX(k) AS max_k

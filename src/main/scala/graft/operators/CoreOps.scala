@@ -3124,4 +3124,86 @@ object CoreOps {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("src"))
   }
+
+  /** DSv2 ALTER TABLE ADD COLUMN [S25]: catalog-path schema
+    * evolution — the sidecar schema gains a tail nullable column in
+    * ONE atomic metadata write and NO segment is rewritten; readers
+    * null-fill the column for segments written under the old schema
+    * (footer schema vs sidecar schema — the parquet/Iceberg
+    * add-column contract, and at 100 TB the only viable one: an
+    * ALTER that rewrote data would be a table copy). Generation 1
+    * (even order keys) is written BEFORE the column exists;
+    * generation 2 (odd keys) is inserted through the catalog WITH
+    * values. The readback groups over COALESCE(seg, -1), so the
+    * null-filled old generation and the valued new one must
+    * aggregate together — one wrong null-fill moves a row across
+    * groups. SegDmlSpec additionally pins that the old segments'
+    * bytes are untouched (mtime) and that DML over the new column
+    * works. Oracle: UNION ALL reconstruction with NULL for
+    * generation 1. */
+  def s25DsvAddColumn(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml25")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty")),
+      s"$wh/dml/t")
+    iso.sql("ALTER TABLE gseg_dml.dml.t ADD COLUMN seg BIGINT")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"),
+        (col("o_orderkey") % 4).as("seg"))
+      .createOrReplaceTempView("graft_addcol_src")
+    iso.sql(
+      "INSERT INTO gseg_dml.dml.t SELECT k, qty, seg FROM graft_addcol_src")
+    iso.table("gseg_dml.dml.t")
+      .groupBy(coalesce(col("seg"), lit(-1L)).as("seg_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("seg_id"))
+  }
+
+  /** DSv2 MERGE snapshot-sync [S26]: the full action matrix — WHEN
+    * MATCHED (update), WHEN NOT MATCHED (insert), and WHEN NOT
+    * MATCHED BY SOURCE (delete) in ONE atomic statement: the shape a
+    * real table-sync job runs to make the target equal
+    * "source-corrected target ∩ source-present keys". Honest scale
+    * note: the not-matched-by-source leg makes EVERY group a rewrite
+    * candidate by construction — any target row ANYWHERE might need
+    * deleting, so neither zone maps nor runtime group filtering can
+    * prune (the counters record candidates == all files; compare
+    * s24, where the same MERGE without that leg rewrites only the
+    * feed's files). A production sync over a 100 TB table should
+    * therefore prefer s24's shape plus a separate bounded
+    * anti-delete when it can bound key motion — this gate exists to
+    * prove the full matrix is CORRECT, with the cost stated, not
+    * hidden. Oracle: FULL OUTER reconstruction restricted to
+    * source-present keys. */
+  def s26DsvMergeSync(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml26")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("qty"), lit(0L).as("src"))
+        .repartitionByRange(8, col("k")),
+      s"$wh/dml/t")
+    ord.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_merge_sync_src")
+    iso.sql(
+      """MERGE INTO gseg_dml.dml.t t USING graft_merge_sync_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN
+        |  UPDATE SET qty = t.qty + s.qty, src = CAST(2 AS BIGINT)
+        |WHEN NOT MATCHED THEN
+        |  INSERT (k, qty, src) VALUES (s.k, s.qty, CAST(1 AS BIGINT))
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    iso.table("gseg_dml.dml.t")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("src"))
+  }
 }

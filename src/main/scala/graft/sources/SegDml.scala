@@ -33,11 +33,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    re-derives kept/updated/merged rows itself, and a reader that
   *    dropped rows would silently delete them);
   *  - the REPLACE-DATA write stages the rewritten generation as
-  *    hidden temp segments through the normal task-commit protocol,
-  *    and only the driver's job commit swaps it in: delete exactly
-  *    the candidate files the scan planned, rename the new
-  *    generation into place. Untouched files are never rewritten —
-  *    DML cost scales with affected groups, not table size.
+  *    hidden temp segments through the normal task-commit protocol;
+  *    the driver's job commit renames them to final (still
+  *    unreferenced) names and then performs ONE atomic generation-
+  *    manifest swap ([[SegManifest]]) — the commit point. The
+  *    superseded candidate files are GC'd after the swap, so a crash
+  *    at ANY instant leaves the table serving exactly one complete
+  *    generation (old before the swap, new after). Untouched files
+  *    are never rewritten — DML cost scales with affected groups,
+  *    not table size.
   */
 class SegCatalog extends TableCatalog {
   private var catName: String = _
@@ -52,11 +56,38 @@ class SegCatalog extends TableCatalog {
   }
   override def name(): String = catName
 
-  private def dirOf(ident: Identifier): java.nio.file.Path =
-    Paths.get((warehouse +: ident.namespace.toSeq :+ ident.name)
-      .mkString("/"))
+  /** Identifier → directory, with the traversal guard every
+    * path-backed catalog needs: a segment containing a separator or
+    * dot-dot would otherwise resolve outside the warehouse, and
+    * dropTable/renameTable recursively delete or move whatever it
+    * resolves to (ADVICE r11). Each part must be a plain file name
+    * and the normalized result must stay strictly under the root. */
+  private def dirOf(ident: Identifier): java.nio.file.Path = {
+    val parts = ident.namespace.toSeq :+ ident.name
+    parts.foreach(p => require(
+      p != null && p.nonEmpty && p != "." && p != ".." &&
+        !p.contains('/') && !p.contains('\\'),
+      s"gseg: invalid identifier segment '$p'"))
+    val root = Paths.get(warehouse).toAbsolutePath.normalize
+    val dir = parts.foldLeft(root)(_ resolve _).normalize
+    require(dir.startsWith(root) && dir != root,
+      s"gseg: identifier escapes the warehouse: ${parts.mkString(".")}")
+    dir
+  }
   private def sidecar(dir: java.nio.file.Path): java.nio.file.Path =
     dir.resolve(".schema.json")
+
+  /** Atomic sidecar write (temp + rename), so a concurrent reader
+    * never sees a truncated schema and an ALTER is all-or-nothing. */
+  private def writeSidecar(dir: java.nio.file.Path,
+      schema: StructType): Unit = {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(
+      s".schema.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.write(tmp, schema.json.getBytes(UTF_8))
+    Files.move(tmp, sidecar(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
@@ -71,21 +102,29 @@ class SegCatalog extends TableCatalog {
 
   /** Schema from the `.schema.json` sidecar when present (dot-file —
     * invisible to [[SegSource.listSegments]]), else inferred from the
-    * first segment header. The sidecar exists so a created-but-empty
-    * or deleted-to-empty table stays loadable. */
+    * first segment header. First catalog touch of a dir created by
+    * path-based writes is the MIGRATION moment: the inferred schema
+    * is persisted (so a deleted-to-empty table stays loadable) and a
+    * generation manifest is synthesized from the listing (so every
+    * later commit is an atomic swap). Both are idempotent
+    * write-if-missing under the single-writer contract. */
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     val sc = sidecar(dir)
-    if (Files.exists(sc)) {
-      val js = new String(Files.readAllBytes(sc), UTF_8)
-      new SegDmlTable(DataType.fromJson(js).asInstanceOf[StructType],
-        dir.toString)
-    } else {
-      if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
-      val files = SegSource.listSegments(dir.toString)
-      if (files.isEmpty) throw new NoSuchTableException(ident)
-      new SegDmlTable(SegSource.headerOf(files.head).schema, dir.toString)
-    }
+    val schema =
+      if (Files.exists(sc)) {
+        val js = new String(Files.readAllBytes(sc), UTF_8)
+        DataType.fromJson(js).asInstanceOf[StructType]
+      } else {
+        if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
+        val files = SegSource.resolveSegments(dir.toString)
+        if (files.isEmpty) throw new NoSuchTableException(ident)
+        val inferred = SegSource.headerOf(files.head).schema
+        writeSidecar(dir, inferred)
+        inferred
+      }
+    SegManifest.ensure(dir.toString)
+    new SegDmlTable(schema, dir.toString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -95,14 +134,53 @@ class SegCatalog extends TableCatalog {
     if (Files.exists(sidecar(dir)) || (Files.isDirectory(dir) &&
         SegSource.listSegments(dir.toString).nonEmpty))
       throw new TableAlreadyExistsException(ident)
-    Files.createDirectories(dir)
-    Files.write(sidecar(dir), schema.json.getBytes(UTF_8))
+    // `_file` / `__row_operation` are reserved (metadata column and
+    // rewrite marker): a stored column under either name would be
+    // silently shadowed on every read (ADVICE r11)
+    Seq(SegSource.FileMetaName,
+      org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN)
+      .foreach(r => require(!schema.fieldNames.contains(r),
+        s"gseg: '$r' is a reserved column name"))
+    schema.fields.foreach(f => SegSource.tag(f.dataType)) // supported types only
+    writeSidecar(dir, schema)
+    SegManifest.ensure(dir.toString)
     new SegDmlTable(schema, dir.toString)
   }
 
+  /** ALTER TABLE ADD COLUMN(S): sidecar-only schema evolution — the
+    * new column appends at tail position, nullable, and NO segment is
+    * rewritten: readers null-fill blocks absent from a segment's
+    * footer schema (the parquet/Iceberg add-column contract — at
+    * 100 TB an ALTER that rewrote data would not be an ALTER). Other
+    * changes (drops, renames, type changes, positions) are rejected
+    * loudly rather than half-supported. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException("gseg: ALTER TABLE")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val before = loadTable(ident).schema() // ensures sidecar + manifest
+    val after = changes.foldLeft(before) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "gseg: nested ADD COLUMN is unsupported")
+        val colName = add.fieldNames()(0)
+        require(add.isNullable,
+          s"gseg: new column '$colName' must be nullable " +
+            "(existing segments null-fill it)")
+        require(add.position() == null,
+          "gseg: ADD COLUMN supports tail position only")
+        require(colName != SegSource.FileMetaName && colName !=
+          org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN,
+          s"gseg: '$colName' is a reserved column name")
+        require(!sch.fieldNames.contains(colName),
+          s"gseg: column '$colName' already exists")
+        SegSource.tag(add.dataType()) // supported types only
+        sch.add(StructField(colName, add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"gseg: ALTER TABLE change $other")
+    }
+    writeSidecar(dir, after)
+    new SegDmlTable(after, dir.toString)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -150,16 +228,19 @@ class SegDmlTable(tschema: StructType, path: String)
         new SegRowLevelOperation(path, tschema, info.command())
     }
 
-  /** TRUNCATE TABLE: drop every segment, keep the table loadable (the
-    * schema survives in the sidecar written here if none exists). */
+  /** TRUNCATE TABLE: commit the empty generation first (one atomic
+    * manifest swap — readers flip from all to nothing, never a
+    * partial), then GC the old segments. The schema survives in the
+    * sidecar (written here if none exists). */
   override def truncateTable(): Boolean = {
     val sc = Paths.get(path).resolve(".schema.json")
     if (!Files.exists(sc)) {
       Files.createDirectories(Paths.get(path))
       Files.write(sc, tschema.json.getBytes(UTF_8))
     }
-    SegSource.listSegments(path).foreach(f =>
-      Files.deleteIfExists(Paths.get(f)))
+    val old = SegSource.resolveSegments(path)
+    if (SegManifest.exists(path)) SegManifest.swap(path, Seq.empty)
+    old.foreach(f => Files.deleteIfExists(Paths.get(f)))
     true
   }
 }
@@ -220,7 +301,7 @@ class SegGroupScanBuilder(full: StructType, path: String,
   }
 
   override def build(): Scan = {
-    val files = SegSource.listSegments(path)
+    val files = SegSource.resolveSegments(path)
     val cands = files.filter(f =>
       pushed.forall(SegSource.mayMatch(SegSource.headerOf(f), _)))
     op.candidates = cands
@@ -294,14 +375,31 @@ class SegGroupScan(allFiles: Seq[String], required: StructType,
     s"gseg rlo group scan path over ${allFiles.size} candidate file(s)"
 }
 
+/** Fault-injection seam for the DML commit protocol. Production code
+  * never sets it; SegDmlSpec kills the commit at a named point and
+  * proves the table still serves a complete generation. */
+object SegDml {
+  /** Called by [[SegReplaceDataWrite.commit]] at `"staged"` (new
+    * generation renamed to final names, manifest NOT yet swapped)
+    * and `"swapped"` (manifest swapped, old files NOT yet GC'd).
+    * A throw simulates a driver crash at that instant. */
+  @volatile private[graft] var commitHook: String => Unit = _ => ()
+}
+
 /** The ReplaceData write: rewritten rows (kept / updated / merged)
   * stage as temp segments through the normal task-commit protocol;
-  * job commit deletes the candidate generation and renames the new
-  * one in. Empty task partitions stage nothing (skipEmpty) so a DML
-  * touching 2 files doesn't mint 32 empty segments; if the swap
-  * would leave the table with zero segments (everything deleted), a
-  * single empty schema-bearing segment is written so the table stays
-  * loadable. */
+  * job commit renames them to final — still UNREFERENCED — names,
+  * then swaps the generation manifest atomically (THE commit point)
+  * and GC's the superseded candidates. A crash before the swap
+  * leaves the old generation fully live (staged files are orphans
+  * for [[SegManifest.vacuum]]); a crash after it serves the new
+  * generation completely (the un-GC'd candidates are orphans, same
+  * reclaim) — there is no partial state, which is what makes
+  * copy-on-write a table format rather than a directory convention
+  * at 100 TB commit sizes. Empty task partitions stage nothing
+  * (skipEmpty) so a DML touching 2 files doesn't mint 32 empty
+  * segments; an everything-deleted table is just an empty manifest
+  * (the sidecar keeps it loadable). */
 class SegReplaceDataWrite(path: String, schema: StructType,
     op: SegRowLevelOperation, cmd: RowLevelOperation.Command)
     extends WriteBuilder with Write
@@ -327,25 +425,36 @@ class SegReplaceDataWrite(path: String, schema: StructType,
         schema.fieldNames.mkString(","))
     SegRloWriterFactory(
       SegWriterFactory(path, dataSchema, None, skipEmpty = true),
-      dataSchema, cmd)
+      dataSchema, schema, cmd)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: SegCommitMessage => m }
-    // temps are fully staged before any delete: an abort up to this
-    // point leaves the old generation intact
-    op.candidates.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    val old = SegManifest.read(path).getOrElse(throw new IllegalStateException(
+      s"gseg rlo commit: no generation manifest at $path — row-level " +
+        "DML runs through the catalog, whose loadTable synthesizes one"))._2
+    val candNames =
+      op.candidates.map(f => Paths.get(f).getFileName.toString).toSet
     val gen = java.util.UUID.randomUUID.toString.take(8)
-    msgs.foreach { m =>
-      m.tmpFiles.zipWithIndex.foreach { case (tmp, i) =>
-        Files.move(Paths.get(tmp),
-          Paths.get(f"$path/rlo-$gen-${m.partitionId}%05d-$i%03d.gseg"),
+    // rename staged temps to their final names: generation-stamped,
+    // collision-free, and — critically — still absent from the
+    // manifest, so no reader resolves them yet
+    val newNames = msgs.flatMap { m =>
+      m.tmpFiles.zipWithIndex.map { case (tmp, i) =>
+        val name = f"rlo-$gen-${m.partitionId}%05d-$i%03d.gseg"
+        Files.move(Paths.get(tmp), Paths.get(s"$path/$name"),
           StandardCopyOption.REPLACE_EXISTING)
+        name
       }
+    }.toSeq
+    if (candNames.nonEmpty || newNames.nonEmpty) {
+      SegDml.commitHook("staged")
+      // THE commit point: one atomic pointer swap
+      SegManifest.swap(path, old.filterNot(candNames.contains) ++ newNames)
+      SegDml.commitHook("swapped")
+      // GC below the commit point: a crash here only leaks orphans
+      op.candidates.foreach(f => Files.deleteIfExists(Paths.get(f)))
     }
-    if (SegSource.listSegments(path).isEmpty)
-      SegSource.writeSegment(Vector.empty, dataSchema,
-        s"$path/rlo-$gen-empty.gseg")
     graft.Counters.add("gseg_rlo_replaced_files",
       op.candidates.size.toLong)
     graft.Counters.add("gseg_rlo_new_files",
@@ -366,13 +475,31 @@ class SegReplaceDataWrite(path: String, schema: StructType,
   *   [data, _file]        (n+1 — the requested metadata column
   *                         APPENDED, DELETE carries no op column)
   *   [op, data, _file]    (n+2)
-  * decided on the first row, since LogicalWriteInfo.schema() reports
-  * only the table columns either way: the n+1 ambiguity resolves by
-  * COMMAND (DELETE never gets the op column). Any other width is a
-  * loud error, never a misaligned segment. */
+  * decided on the first row. Resolution order: when
+  * LogicalWriteInfo.schema() (`reported`) names the extras, the
+  * ordinals come from its NAMES — any layout, no assumptions. When
+  * it reports only the table columns (the widths-diverge case), the
+  * n+1 ambiguity resolves by COMMAND (DELETE never gets the op
+  * column) and the chosen layout is VERIFIED structurally against
+  * the first row — the op slot must hold one of Spark's
+  * RowDeltaUtils op codes, the `_file` slot a segment path — so a
+  * future Spark changing the plan shape fails loudly at the first
+  * row, never as a misaligned segment (ADVICE r11). */
 private[sources] case class SegRloWriterFactory(inner: SegWriterFactory,
-    dataSchema: StructType, cmd: RowLevelOperation.Command)
+    dataSchema: StructType, reported: StructType,
+    cmd: RowLevelOperation.Command)
     extends DataWriterFactory {
+  import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+
+  private def opColName: String = RowDeltaUtils.OPERATION_COLUMN
+  private def isOpCode(v: Int): Boolean =
+    v == RowDeltaUtils.DELETE_OPERATION ||
+      v == RowDeltaUtils.UPDATE_OPERATION ||
+      v == RowDeltaUtils.INSERT_OPERATION ||
+      v == RowDeltaUtils.REINSERT_OPERATION ||
+      v == RowDeltaUtils.WRITE_OPERATION ||
+      v == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION
+
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] = {
@@ -380,23 +507,64 @@ private[sources] case class SegRloWriterFactory(inner: SegWriterFactory,
     new org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] {
       private val n = dataSchema.length
+
+      private def fail(r: org.apache.spark.sql.catalyst.InternalRow,
+          what: String): Nothing = throw new IllegalStateException(
+        s"gseg rlo write: $what (cmd=$cmd width=${r.numFields} n=$n " +
+          s"reported=${reported.fieldNames.mkString(",")}) — Spark's " +
+          "ReplaceData row layout changed; refusing to write a " +
+          "possibly misaligned segment")
+
+      /** The op slot must hold a RowDeltaUtils code; a data value in
+        * that position fails the write instead of shifting columns. */
+      private def checkOpSlot(
+          r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        val ok = !r.isNullAt(0) &&
+          (try isOpCode(r.getInt(0)) catch { case _: Exception => false })
+        if (!ok) fail(r, s"field 0 is not a $opColName op code")
+      }
+      /** The `_file` slot must hold a segment path. */
+      private def checkFileSlot(
+          r: org.apache.spark.sql.catalyst.InternalRow, i: Int): Unit = {
+        val ok = !r.isNullAt(i) &&
+          (try r.getUTF8String(i).toString.endsWith(".gseg")
+           catch { case _: Exception => false })
+        if (!ok) fail(r, s"field $i is not a segment path (_file)")
+      }
+
       private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
       override def write(r: org.apache.spark.sql.catalyst.InternalRow)
           : Unit = {
         if (proj == null) {
           val extra = r.numFields - n
-          require(extra >= 0 && extra <= 2,
-            s"gseg rlo write: row width ${r.numFields} vs $n data cols")
-          val off = extra match {
-            case 0 => 0
-            case 1 => if (cmd == RowLevelOperation.Command.DELETE) 0 else 1
-            case 2 => 1
-          }
+          if (extra < 0 || extra > 2)
+            fail(r, "row width outside [n, n+2]")
+          val ordinals: IndexedSeq[Int] =
+            if (reported.length == r.numFields && extra > 0) {
+              // Spark named the extras: trust the names, any layout
+              reported.fields.zipWithIndex.collect {
+                case (f, i) if f.name != opColName &&
+                  f.name != SegSource.FileMetaName => i
+              }.toIndexedSeq
+            } else {
+              val off = extra match {
+                case 0 => 0
+                case 1 =>
+                  if (cmd == RowLevelOperation.Command.DELETE) 0 else 1
+                case 2 => 1
+              }
+              // verify the command-based layout assumption structurally
+              if (off == 1) checkOpSlot(r)
+              if (extra - off == 1) checkFileSlot(r, r.numFields - 1)
+              (off until off + n)
+            }
+          if (ordinals.length != n)
+            fail(r, s"resolved ${ordinals.length} data ordinals")
           if (sys.env.contains("GRAFT_RLO_DEBUG"))
             System.err.println(s"[rlo-debug] cmd=$cmd width=${r.numFields}" +
-              s" n=$n off=$off")
+              s" n=$n ordinals=${ordinals.mkString(",")}")
           proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-            dataSchema, (off until off + n).toIndexedSeq)
+            dataSchema, ordinals)
         }
         proj.project(r)
         d.write(proj)

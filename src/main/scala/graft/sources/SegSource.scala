@@ -267,6 +267,14 @@ object SegSource {
     finally s.close()
   }
 
+  /** The segment set a READ of `dir` must serve: the generation
+    * manifest when one exists (catalog tables — the committed
+    * generation, never a mid-commit mixture; see [[SegManifest]]),
+    * else the directory listing (plain path-based dirs, original
+    * protocol). */
+  private[sources] def resolveSegments(dir: String): Seq[String] =
+    SegManifest.segments(dir).getOrElse(listSegments(dir))
+
   // ---------------- filter support ----------------
 
   /** Exact cross-type ordering for zone-map and row-grain comparison:
@@ -643,7 +651,7 @@ case class SegScan(path: String, required: StructType,
     // emitFile also declines key-grouping: the _file synthesizer is a
     // per-segment wrapper, and a metadata read has no join-layout use
     (if (aggs.isDefined || emitFile) None else partitionCol).flatMap { pc =>
-    val files = SegSource.listSegments(path)
+    val files = SegSource.resolveSegments(path)
     val kv = files.map { f =>
       val cm = SegSource.headerOf(f).cols.find(_.name == pc)
       val ok = cm.exists(c => c.hasStats && c.nNulls == 0 &&
@@ -679,7 +687,7 @@ case class SegScan(path: String, required: StructType,
     * anyway. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val files = SegSource.listSegments(path)
+    val files = SegSource.resolveSegments(path)
     val surviving = files.map(SegSource.headerOf)
       .filter(h => pushed.forall(SegSource.mayMatch(h, _)))
     val wanted = required.fieldNames.toSet
@@ -778,7 +786,7 @@ case class SegScan(path: String, required: StructType,
         return kept.toArray[InputPartition]
       case _ => ()
     }
-    val files = SegSource.listSegments(path)
+    val files = SegSource.resolveSegments(path)
     val allFilters = pushed ++ runtime
     val kept =
       if (aggs.isDefined) files // aggregates only push with no filters
@@ -1010,11 +1018,15 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg])
     if (done) return false
     val h = headerOf(file)
     val byName = h.cols.map(c => c.name -> c).toMap
+    // a column ABSENT from this segment (added by ALTER TABLE after
+    // it was written) is all-null here: COUNT contributes 0, MIN/MAX
+    // contribute a null partial (Spark's merge ignores it)
     val vals: Array[Any] = aggs.map {
       case AggCountStar => h.nRows.toLong
-      case AggCountCol(n) => h.nRows.toLong - byName(n).nNulls
-      case AggMin(n, _) => byName(n).minVal.orNull
-      case AggMax(n, _) => byName(n).maxVal.orNull
+      case AggCountCol(n) =>
+        byName.get(n).map(c => h.nRows.toLong - c.nNulls).getOrElse(0L)
+      case AggMin(n, _) => byName.get(n).flatMap(_.minVal).orNull
+      case AggMax(n, _) => byName.get(n).flatMap(_.maxVal).orNull
     }.toArray
     current = new GenericInternalRow(vals)
     done = true
@@ -1089,6 +1101,16 @@ class SegPartitionReader(file: String, required: StructType,
         }
       }
     } finally in.close()
+    // ALTER TABLE ADD COLUMN null-fill: a segment written before the
+    // column existed carries no block for it — serve all-null (the
+    // lakehouse schema-evolution read contract). Filters over such a
+    // column behave as over nulls (zone maps already keep the file
+    // conservatively: no stats, no verdict).
+    var ci = 0
+    while (ci < decoded.length) {
+      if (decoded(ci) == null) decoded(ci) = new Array[Any](header.nRows)
+      ci += 1
+    }
   }
 
   private var row = -1
@@ -1126,6 +1148,15 @@ class SegPartitionReader(file: String, required: StructType,
 class SegWriteBuilder(path: String, schema: StructType,
     partitionCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
+  // `_file` is the synthesized metadata column and `__row_operation`
+  // the rewrite op marker: a stored data column under either name
+  // would be silently shadowed on read (ADVICE r11), so the write
+  // rejects them up front
+  Seq(SegSource.FileMetaName,
+    org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN)
+    .foreach(r => require(!schema.fieldNames.contains(r),
+      s"gseg: '$r' is a reserved column name"))
+
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
@@ -1173,14 +1204,40 @@ case class SegBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: SegCommitMessage => m }
-    if (truncateFirst)
-      SegSource.listSegments(path).foreach(f =>
-        Files.deleteIfExists(Paths.get(f)))
-    msgs.foreach { m =>
-      m.tmpFiles.zipWithIndex.foreach { case (tmp, i) =>
-        Files.move(Paths.get(tmp),
-          Paths.get(f"$path/part-${m.partitionId}%05d-$i%03d.gseg"),
-          StandardCopyOption.REPLACE_EXISTING)
+    if (SegManifest.exists(path)) {
+      // manifest table (catalog): crash-atomic protocol. Final names
+      // are generation-stamped so they can never collide with (and
+      // REPLACE) a live segment; renamed files stay invisible to
+      // readers until the single manifest swap, after which the
+      // superseded generation is GC'd — a crash anywhere leaves the
+      // table serving exactly one complete generation.
+      val old = SegManifest.read(path).get._2
+      val gen = java.util.UUID.randomUUID.toString.take(8)
+      val newNames = msgs.flatMap { m =>
+        m.tmpFiles.zipWithIndex.map { case (tmp, i) =>
+          val name = f"part-$gen-${m.partitionId}%05d-$i%03d.gseg"
+          Files.move(Paths.get(tmp), Paths.get(s"$path/$name"),
+            StandardCopyOption.REPLACE_EXISTING)
+          name
+        }
+      }.toSeq
+      SegManifest.swap(path,
+        (if (truncateFirst) Seq.empty else old) ++ newNames)
+      if (truncateFirst)
+        old.foreach(n => Files.deleteIfExists(Paths.get(s"$path/$n")))
+    } else {
+      // plain path-based dir: original listing protocol (the stream
+      // sinks' monotone names and the specs' part- layout depend on
+      // it; durability here is Spark's job-level retry, as before)
+      if (truncateFirst)
+        SegSource.listSegments(path).foreach(f =>
+          Files.deleteIfExists(Paths.get(f)))
+      msgs.foreach { m =>
+        m.tmpFiles.zipWithIndex.foreach { case (tmp, i) =>
+          Files.move(Paths.get(tmp),
+            Paths.get(f"$path/part-${m.partitionId}%05d-$i%03d.gseg"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     }
   }

@@ -215,6 +215,159 @@ class SegDmlSpec extends SparkSpec {
     rows.foreach(r => assert(names.contains(r.getString(0))))
   }
 
+  test("a commit killed between staging and the manifest swap loses nothing") {
+    val (iso, wh) = dml("crash")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 400).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    // resolve once so loadTable synthesizes sidecar + manifest
+    assert(iso.table("tc.ns.t").count() == 400)
+    val dir = s"$wh/ns/t"
+    val genBefore = SegManifest.read(dir).get._1
+    // kill the driver "between the deletes and the moves" of the old
+    // protocol — here: after the new generation is fully staged under
+    // final names, strictly before the manifest swap
+    SegDml.commitHook = p =>
+      if (p == "staged") throw new RuntimeException("injected crash")
+    try {
+      // the cut splits a file, so the rewrite STAGES a non-empty new
+      // generation (kept rows) before the injected crash
+      val e = intercept[Exception](iso.sql("DELETE FROM tc.ns.t WHERE k >= 250"))
+      assert(Option(e.getMessage).exists(_.contains("injected crash")) ||
+        Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+          .exists(c => Option(c.getMessage).exists(_.contains("injected crash"))))
+    } finally SegDml.commitHook = _ => ()
+    // the manifest never moved: the table serves the OLD generation
+    // completely — same generation counter, same 400 rows
+    assert(SegManifest.read(dir).get._1 == genBefore)
+    assert(iso.table("tc.ns.t").count() == 400)
+    assert(iso.table("tc.ns.t").agg(max($"k")).head().getLong(0) == 399)
+    // the staged new generation is on disk but unreferenced; vacuum
+    // reclaims it and only it
+    val orphans = SegManifest.vacuum(dir)
+    assert(orphans.nonEmpty && orphans.forall(_.startsWith("rlo-")))
+    assert(iso.table("tc.ns.t").count() == 400)
+    // with the hook cleared the same DML commits atomically
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 250")
+    assert(iso.table("tc.ns.t").count() == 250)
+    assert(SegManifest.vacuum(dir).isEmpty)
+  }
+
+  test("a crash after the swap serves the new generation; vacuum reclaims the old") {
+    val (iso, wh) = dml("crash2")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"), lit(1L).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    assert(iso.table("tc.ns.t").count() == 100)
+    val dir = s"$wh/ns/t"
+    SegDml.commitHook = p =>
+      if (p == "swapped") throw new RuntimeException("injected crash")
+    try intercept[Exception](iso.sql("UPDATE tc.ns.t SET v = 2 WHERE k < 25"))
+    finally SegDml.commitHook = _ => ()
+    // commit point passed: the UPDATE is durable even though GC died
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getLong(0) == 125)
+    // the superseded candidate file is an orphan; vacuum reclaims it
+    // without changing what readers see
+    assert(SegManifest.vacuum(dir).nonEmpty)
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getLong(0) == 125)
+  }
+
+  test("INSERT INTO a manifest table commits via the manifest (append survives a stale listing)") {
+    val (iso, wh) = dml("append")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.a (k BIGINT, v BIGINT) USING gseg")
+    iso.sql("INSERT INTO tc.ns.a VALUES (1, 10), (2, 20)")
+    iso.sql("INSERT INTO tc.ns.a VALUES (3, 30)")
+    assert(iso.table("tc.ns.a").count() == 3)
+    val dir = s"$wh/ns/a"
+    val (gen, names) = SegManifest.read(dir).get
+    assert(gen >= 2) // create + two appends
+    assert(names.toSet ==
+      SegSource.listSegments(dir).map(f =>
+        java.nio.file.Paths.get(f).getFileName.toString).toSet)
+    // INSERT OVERWRITE replaces the generation atomically
+    iso.sql("INSERT OVERWRITE tc.ns.a VALUES (9, 90)")
+    assert(iso.table("tc.ns.a").count() == 1)
+    assert(SegManifest.vacuum(dir).isEmpty)
+  }
+
+  test("ALTER TABLE ADD COLUMN null-fills old segments without touching their bytes") {
+    val (iso, wh) = dml("alter")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"), lit(1.5).as("p"))
+        .repartitionByRange(2, $"k"),
+      s"$wh/ns/t")
+    assert(iso.table("tc.ns.t").count() == 100) // materialize manifest
+    val dir = s"$wh/ns/t"
+    val before = SegSource.resolveSegments(dir)
+      .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f))).toMap
+    iso.sql("ALTER TABLE tc.ns.t ADD COLUMN tag STRING")
+    // old segments: bytes untouched, column reads as null
+    SegSource.resolveSegments(dir).filter(before.contains).foreach(f =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)) == before(f)))
+    assert(iso.table("tc.ns.t").schema.fieldNames.toSeq ==
+      Seq("k", "p", "tag"))
+    assert(iso.table("tc.ns.t").filter($"tag".isNull).count() == 100)
+    // second generation carries values; both generations aggregate
+    iso.sql("INSERT INTO tc.ns.t VALUES (1000, 9.5, 'new')")
+    val agg = iso.table("tc.ns.t")
+      .agg(count(lit(1)), count($"tag"), min($"tag")).head()
+    assert(agg.getLong(0) == 101 && agg.getLong(1) == 1)
+    assert(agg.getString(2) == "new")
+    // filters and DML over the evolved column stay correct
+    assert(iso.table("tc.ns.t").filter($"tag" === "new").count() == 1)
+    iso.sql("DELETE FROM tc.ns.t WHERE tag = 'new'")
+    assert(iso.table("tc.ns.t").count() == 100)
+    // rejected shapes fail loudly
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ADD COLUMN _file STRING"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ADD COLUMN k BIGINT"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t DROP COLUMN p"))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes absent keys (snapshot sync)") {
+    val (iso, wh) = dml("msync")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 20).select($"id".as("k"), lit(1L).as("v")),
+      s"$wh/ns/t")
+    // source snapshot: [10, 30) — target keys < 10 must vanish
+    iso.range(10, 30).select($"id".as("k"), lit(7L).as("v"))
+      .createOrReplaceTempView("msync_src")
+    iso.sql(
+      """MERGE INTO tc.ns.t t USING msync_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = iso.table("tc.ns.t").orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == (10L until 30L).map(k => (k, 7L)))
+  }
+
+  test("reserved and traversal-unsafe identifiers are rejected") {
+    val (iso, wh) = dml("guard")
+    import iso.implicits._
+    // `_file` as a stored column: rejected at CREATE and at write
+    intercept[Exception](
+      iso.sql("CREATE TABLE tc.ns.bad (`_file` STRING, k BIGINT) USING gseg"))
+    intercept[Exception](
+      iso.range(0, 3).select($"id".as("_file"))
+        .write.format("gseg").mode("overwrite").save(s"$wh/plainbad"))
+    // identifier segments may not traverse out of the warehouse
+    intercept[Exception](
+      iso.sql(s"CREATE TABLE tc.`..`.esc (k BIGINT) USING gseg"))
+    assert(!new java.io.File(s"$wh/../esc").exists())
+  }
+
   test("TRUNCATE TABLE empties but keeps the table loadable; catalog lifecycle works") {
     val (iso, wh) = dml("cat")
     import iso.implicits._
