@@ -122,6 +122,57 @@ object Bench {
     out
   }
 
+  /** Accepted-signature sets from the LAST 8 ledger entries at the
+    * same sf (an sf0.001 smoke entry must not flag every sf0.1 query
+    * as changed). A set, not just the latest entry: queries whose
+    * plan sits near an AQE runtime threshold legitimately flip
+    * between two physical variants run-to-run (r10: dedup_simhash's
+    * exchange-reuse flip, 13:13:58 ↔ 12:12:44, driver-only) —
+    * against a single previous signature such a query flags FOREVER,
+    * drowning the drift signal. Against the set, each genuinely new
+    * signature flags exactly once and then becomes accepted; a
+    * benign A↔B oscillation goes quiet after both variants have been
+    * seen. The window bounds memory of retired plans so a regression
+    * to a months-old shape still flags. Both halves of the contract
+    * (flip-goes-quiet AND novel-shape-still-flags) are pinned in
+    * BenchSummarySpec. */
+  private[graft] def acceptedSigSets(
+      root: com.fasterxml.jackson.databind.node.ArrayNode,
+      sfName: String): Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    (root.size() - 1 to 0 by -1).iterator
+      .map(root.get)
+      .filter(e => e.get("sf") != null && e.get("sf").asText() == sfName)
+      .take(8)
+      .flatMap(e => Option(e.get("signatures")).iterator
+        .flatMap(_.properties().asScala.iterator
+          .map(en => en.getKey -> en.getValue.asText())))
+      .toSeq
+      .groupMap(_._1)(_._2)
+      .view.mapValues(_.distinct).toMap
+  }
+
+  /** Signature = jobs:stages:shuffleKB (raw). Task counts are
+    * excluded and the shuffle term compares under a ±50% RATIO
+    * tolerance rather than equality: exact bytes jitter run-to-run
+    * under AQE (measured: profile_orders 3926 vs 4220 KB on
+    * identical binaries, which also straddles any fixed rounding
+    * boundary) while real plan changes move volume by integer
+    * factors. Job/stage counts compare exactly. */
+  private[graft] def sigChanged(prev: String, cur: String): Boolean = {
+    val (p, c) = (prev.split(':'), cur.split(':'))
+    if (p.length != 3 || c.length != 3) return prev != cur
+    if (p(0) != c(0) || p(1) != c(1)) return true
+    val (pk, ck) = (p(2).toDouble max 1.0, c(2).toDouble max 1.0)
+    ck / pk > 1.5 || pk / ck > 1.5
+  }
+
+  /** Changed = differs from EVERY accepted variant (a genuinely new
+    * plan shape); a query with no history never flags. */
+  private[graft] def flagsAsChanged(prevSigSets: Map[String, Seq[String]],
+      name: String, sig: String): Boolean =
+    prevSigSets.get(name).exists(_.forall(sigChanged(_, sig)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -352,36 +403,10 @@ object Bench {
       // after both variants have been seen. The window bounds memory
       // of retired plans so a regression to a months-old shape still
       // flags.
-      val prevSigSets: Map[String, Seq[String]] = {
-        import scala.jdk.CollectionConverters._
-        (root.size() - 1 to 0 by -1).iterator
-          .map(root.get)
-          .filter(e => e.get("sf") != null && e.get("sf").asText() == sfName)
-          .take(8)
-          .flatMap(e => Option(e.get("signatures")).iterator
-            .flatMap(_.properties().asScala.iterator
-              .map(en => en.getKey -> en.getValue.asText())))
-          .toSeq
-          .groupMap(_._1)(_._2)
-          .view.mapValues(_.distinct).toMap
-      }
-      // signature = jobs:stages:shuffleKB (raw). Task counts are
-      // excluded and the shuffle term compares under a ±50% RATIO
-      // tolerance rather than equality: exact bytes jitter run-to-run
-      // under AQE (measured: profile_orders 3926 vs 4220 KB on
-      // identical binaries, which also straddles any fixed rounding
-      // boundary) while real plan changes move volume by integer
-      // factors. Job/stage counts compare exactly.
+      val prevSigSets = acceptedSigSets(root, sfName)
       def sigOf(n: String): String = {
         val m = best(n)._2
         s"${m.jobs}:${m.stages}:${(m.shuffleRead + m.shuffleWrite) / 1024}"
-      }
-      def sigChanged(prev: String, cur: String): Boolean = {
-        val (p, c) = (prev.split(':'), cur.split(':'))
-        if (p.length != 3 || c.length != 3) return prev != cur
-        if (p(0) != c(0) || p(1) != c(1)) return true
-        val (pk, ck) = (p(2).toDouble max 1.0, c(2).toDouble max 1.0)
-        ck / pk > 1.5 || pk / ck > 1.5
       }
       val entry: ObjectNode = mapper.createObjectNode()
       entry.put("run_at", java.time.Instant.now().toString)
@@ -396,8 +421,7 @@ object Bench {
         qs.put(n, math.round(best(n)._1 * 1000) / 1000.0)
         val sig = sigOf(n)
         sigs.put(n, sig)
-        // changed = differs from EVERY accepted variant (new plan)
-        if (prevSigSets.get(n).exists(_.forall(sigChanged(_, sig)))) {
+        if (flagsAsChanged(prevSigSets, n, sig)) {
           changed.add(n); changedNames = changedNames :+ n
         }
       }

@@ -258,10 +258,22 @@ object StreamGates {
   private case class TwsSlice(full: java.nio.file.Path,
       halfA: java.nio.file.Path, halfB: java.nio.file.Path,
       cutUs: Long, nB: Long)
+  /** The cache stores a LAZY holder so the Spark jobs of the build
+    * run under the holder's own init monitor, not the
+    * ConcurrentHashMap bin lock (computeIfAbsent pins the bin for
+    * its function's whole duration — ADVICE r11); a failed build
+    * leaves the lazy unset (Scala retries on next access) and
+    * [[buildTwsSlice]] deletes its partial temp root on the way out
+    * instead of leaving it for the shutdown hook. */
+  private final class TwsSliceHolder(iso: SparkSession, d: String) {
+    lazy val value: Option[TwsSlice] = buildTwsSlice(iso, d)
+  }
   private val twsSliceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[TwsSlice]]()
+    new java.util.concurrent.ConcurrentHashMap[String, TwsSliceHolder]()
   private def twsSliceOf(iso: SparkSession, d: String): Option[TwsSlice] =
-    twsSliceCache.computeIfAbsent(d, _ => {
+    twsSliceCache.computeIfAbsent(d, _ => new TwsSliceHolder(iso, d)).value
+  private def buildTwsSlice(iso: SparkSession, d: String)
+      : Option[TwsSlice] = {
       val ev = Tables.events(iso, d)
         .filter(col("user_id") < TwsUsers)
         .select(col("event_id"), col("ts"), col("user_id"),
@@ -277,6 +289,13 @@ object StreamGates {
           val root = graft.Fs.fastTempDir("graft_twsslice")
           Runtime.getRuntime.addShutdownHook(
             new Thread(() => graft.Fs.deleteRecursively(root)))
+          // a failed build must not strand a partial temp root until
+          // JVM exit: delete eagerly, rethrow (the lazy holder retries)
+          def cleanOnFail[T](body: => T): T =
+            try body catch {
+              case e: Throwable =>
+                graft.Fs.deleteRecursively(root); throw e
+            }
           def write(df: DataFrame, sub: String): java.nio.file.Path = {
             val dir = root.resolve(sub)
             df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
@@ -289,15 +308,15 @@ object StreamGates {
           }
           val halfCols = Seq(col("event_id"), col("user_id"),
             col("event_type"), col("value"), col("us"))
-          Some(TwsSlice(
+          cleanOnFail(Some(TwsSlice(
             write(ev.select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value"), col("props")), "full"),
             write(ev.filter(col("us") <= cutUs).select(halfCols: _*), "a"),
             write(ev.filter(col("us") > cutUs).select(halfCols: _*), "b"),
-            cutUs, nB))
+            cutUs, nB)))
         }
       } finally ev.unpersist()
-    })
+  }
   /** Copy one cached slice file into a gate-private input dir. */
   private def dropFile(f: java.nio.file.Path, inDir: String,
       name: String): Unit = {
@@ -1115,9 +1134,9 @@ object StreamGates {
     // which Spark only materializes when a STREAMING query manager's
     // lazy coordinator is first touched — force it here so this gate
     // doesn't depend on a streaming gate having run earlier in the
-    // JVM (the accessor is private[sql], which is public bytecode)
-    iso.streams.getClass.getMethod("stateStoreCoordinator")
-      .invoke(iso.streams)
+    // JVM (guarded: a Spark bump that renames the private accessor
+    // degrades loudly to a public-API no-op-stream warmup)
+    Streams.ensureStateStoreCoordinator(iso)
     val slOpt = twsSliceOf(iso, d)
     if (slOpt.isEmpty)
       return Seq((false, 0L)).toDF("tws_batch_parity", "n_users")

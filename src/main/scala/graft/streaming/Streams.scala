@@ -23,6 +23,45 @@ import org.apache.spark.sql.types._
 object Streams {
   private val Dec = DecimalType(18, 2)
 
+  /** Materialize the driver-side StateStoreCoordinator so BATCH-mode
+    * stateful execution (transformWithState over a batch frame) can
+    * resolve its ephemeral stores: Spark creates the coordinator only
+    * through the streaming query manager, lazily. Primary path forces
+    * the manager's `stateStoreCoordinator` accessor (private[sql] —
+    * public bytecode, so plain reflection); if a Spark upgrade renames
+    * that non-public member, the failure is caught LOUDLY and the
+    * fallback materializes the coordinator through public API alone:
+    * start-and-drain a zero-row no-op streaming query, whose
+    * StreamExecution touches the same lazy on construction. Either
+    * way the caller proceeds; StreamsSpec exercises the fallback
+    * directly. */
+  private[graft] def ensureStateStoreCoordinator(s: SparkSession): Unit =
+    try s.streams.getClass.getMethod("stateStoreCoordinator")
+      .invoke(s.streams)
+    catch {
+      case e @ (_: NoSuchMethodException | _: SecurityException |
+                _: IllegalAccessException) =>
+        System.err.println("[graft] StreamingQueryManager." +
+          "stateStoreCoordinator is gone (" + e.getClass.getSimpleName +
+          ") — the Spark-private accessor this build forced was " +
+          "renamed; falling back to a no-op streaming-query warmup")
+        warmupCoordinatorViaNoopStream(s)
+    }
+
+  /** Public-API coordinator warmup: one AvailableNow rate micro-batch
+    * into the noop sink — starts and finishes immediately (rate has
+    * nothing to serve), and query START is the part that counts. */
+  private[graft] def warmupCoordinatorViaNoopStream(s: SparkSession): Unit = {
+    val q = s.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.Fs.fastTempDir("graft_coordwarm").toString)
+      .start()
+    try q.awaitTermination(30000) finally q.stop()
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),

@@ -160,4 +160,57 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("n_queries").asInt ==
       SparkEntry.queries.size)
   }
+
+  /** A synthetic TRENDS ledger: `sigsPerEntry` maps query → signature
+    * for each successive entry (oldest first), all at `sf`. */
+  private def ledger(sf: String,
+      sigsPerEntry: Seq[Map[String, String]])
+      : com.fasterxml.jackson.databind.node.ArrayNode = {
+    val root = mapper.createArrayNode()
+    sigsPerEntry.foreach { sigs =>
+      val e = root.addObject()
+      e.put("sf", sf)
+      val s = e.putObject("signatures")
+      sigs.foreach { case (k, v) => s.put(k, v) }
+    }
+    root
+  }
+
+  test("accepted-set ledger: a seen A<->B flip goes quiet, a novel shape still flags") {
+    val A = "13:13:58"
+    val B = "12:12:44"
+    val C = "20:20:400" // genuinely different jobs/stages
+    val root = ledger("sf0.1", Seq(
+      Map("flippy" -> A), Map("flippy" -> B), Map("flippy" -> A)))
+    val sets = Bench.acceptedSigSets(root, "sf0.1")
+    assert(sets("flippy").toSet == Set(A, B))
+    // the anti-NOISE half: both variants are accepted — no flag
+    assert(!Bench.flagsAsChanged(sets, "flippy", A))
+    assert(!Bench.flagsAsChanged(sets, "flippy", B))
+    // the anti-REGRESSION half: a third shape differs from EVERY
+    // accepted variant and must flag (this is the direction the
+    // window exists to preserve — quieting flips must not quiet
+    // genuine drift)
+    assert(Bench.flagsAsChanged(sets, "flippy", C))
+    // shuffle-volume jitter inside the ±50% ratio band is not a new
+    // shape; beyond it (same jobs/stages) it is
+    assert(!Bench.flagsAsChanged(sets, "flippy", "13:13:70"))
+    assert(Bench.flagsAsChanged(sets, "flippy", "13:13:200"))
+  }
+
+  test("accepted-set ledger: window, sf isolation, and no-history cases") {
+    val shapes = (1 to 10).map(i => Map("q" -> s"$i:$i:10"))
+    val root = ledger("sf0.1", shapes)
+    val sets = Bench.acceptedSigSets(root, "sf0.1")
+    // only the LAST 8 entries are accepted: the two oldest shapes
+    // have aged out and regressing to one of them flags again
+    assert(sets("q").toSet == (3 to 10).map(i => s"$i:$i:10").toSet)
+    assert(Bench.flagsAsChanged(sets, "q", "1:1:10"))
+    assert(!Bench.flagsAsChanged(sets, "q", "10:10:10"))
+    // entries at another sf contribute nothing
+    assert(Bench.acceptedSigSets(root, "sf0.001").isEmpty)
+    // a query with no history never flags (first appearance is
+    // recorded, not reported)
+    assert(!Bench.flagsAsChanged(sets, "brand_new", "5:5:10"))
+  }
 }

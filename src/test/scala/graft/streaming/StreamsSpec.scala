@@ -536,4 +536,29 @@ class StreamsSpec extends SparkSpec {
     assert(bad.count() === 0)
     assert(sess.count() > 0)
   }
+
+  test("coordinator warmup fallback alone unblocks batch-mode transformWithState") {
+    // the degrade path twsBatchUnified takes if a Spark bump renames
+    // the private stateStoreCoordinator accessor: the PUBLIC-API
+    // warmup (no-op streaming query) must leave the driver
+    // coordinator materialized so batch-mode tws can resolve its
+    // ephemeral stores — no reflection anywhere on this path
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    Streams.warmupCoordinatorViaNoopStream(iso)
+    import iso.implicits._
+    val ev = Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
+      .toDS()
+    val out = Streams.runningTotalsTws(ev.toDF()
+        .as[(Long, String, Double)])
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_types")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((1L, 2L, 2L), (2L, 1L, 1L)),
+      s"batch tws wrong after fallback warmup: $out")
+    // and the guarded primary entry point stays callable end-to-end
+    Streams.ensureStateStoreCoordinator(iso)
+  }
 }
