@@ -275,6 +275,8 @@ object SparkEntry {
     "s24_dsv2_merge_pruned" -> CoreOps.s24DsvMergePruned _,
     "s25_dsv2_add_column" -> CoreOps.s25DsvAddColumn _,
     "s26_dsv2_merge_sync" -> CoreOps.s26DsvMergeSync _,
+    "s27_dsv2_drop_column" -> CoreOps.s27DsvDropColumn _,
+    "s28_dsv2_vacuum"    -> CoreOps.s28DsvVacuum _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1325,6 +1327,27 @@ object SparkEntry {
         |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       MIN(k) AS min_k, MAX(k) AS max_k
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // VACUUM procedure: the killed UPDATE never committed (atomicity),
+    // so the readback is the original even-key table; reclaimed_some
+    // is pinned TRUE — the crash must actually strand orphans
+    "s28_dsv2_vacuum" ->
+      """SELECT o_orderkey % 3 AS bucket, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MAX(o_orderkey) AS max_k,
+        |       TRUE AS reclaimed_some
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DROP COLUMN: generation 1 was written WITH the dropped column
+    // (its blocks stay in the old segments, unread); the oracle is
+    // the plain two-generation projection — the dropped column never
+    // appears, and every surviving value must read back exactly
+    "s27_dsv2_drop_column" ->
+      """SELECT o_orderkey % 3 AS bucket, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // UTF8_LCASE collation: the oracle states the same semantics with
     // lower() — grouping merges fabricated case variants, spellings
     // stay countable, predicates follow the collation

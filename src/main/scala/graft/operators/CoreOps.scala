@@ -3206,4 +3206,83 @@ object CoreOps {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("src"))
   }
+
+  /** DSv2 ALTER TABLE DROP COLUMN [S27]: the other half of
+    * metadata-only schema evolution. Generation 1 (even keys) is
+    * written WITH a payload column; DROP removes it from the sidecar
+    * in one atomic write and rewrites NOTHING — old segments keep
+    * their now-unread blocks (the by-name reader skips blocks
+    * outside the required schema, so the dropped data can never
+    * resurface in a scan) and the name is tombstoned so a later ADD
+    * cannot resurrect those blocks (gseg has no Iceberg field IDs;
+    * SegDmlSpec pins the rejection). Generation 2 (odd keys) is
+    * inserted under the narrowed schema. The readback aggregates
+    * BOTH generations over the surviving columns — a reader that
+    * mis-seeked past the orphaned blocks would corrupt every value
+    * in generation 1. Oracle: the full orders projection, dropped
+    * column never mentioned. */
+  def s27DsvDropColumn(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml27")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"),
+          (col("o_orderkey") % 7).as("junk")),
+      s"$wh/dml/t")
+    iso.sql("ALTER TABLE gseg_dml.dml.t DROP COLUMN junk")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_dropcol_src")
+    iso.sql(
+      "INSERT INTO gseg_dml.dml.t SELECT k, qty FROM graft_dropcol_src")
+    iso.table("gseg_dml.dml.t")
+      .groupBy((col("k") % 3).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DSv2 VACUUM procedure [S28]: the crash-atomicity contract
+    * EXECUTED in the graded gate, end to end — a copy-on-write UPDATE
+    * is killed at the commit's injection seam AFTER its new
+    * generation is fully staged but BEFORE the manifest swap (the
+    * exact window the r11 protocol lost data in); the table must
+    * still serve the old generation completely, and
+    * `CALL gseg_dml.vacuum('dml.t')` (Spark 4's ProcedureCatalog
+    * SPI — the lakehouse OPTIMIZE/VACUUM surface) must reclaim the
+    * stranded orphan files through plain SQL. The readback aggregate
+    * equals the ORIGINAL table (the killed UPDATE never happened —
+    * atomicity), and reclaimed_some pins that the crash really
+    * stranded something (non-vacuous). Vacuum is driver-side by
+    * design: one manifest read + one listing + unlinks — metadata
+    * work with nothing to distribute at any scale. */
+  def s28DsvVacuum(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml28")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+        .repartitionByRange(8, col("k")),
+      s"$wh/dml/t")
+    // also materializes the manifest via loadTable
+    val mx = iso.table("gseg_dml.dml.t").agg(max(col("k")))
+      .head().getLong(0)
+    // k = max prunes to the top range file, whose rewrite always
+    // stages a non-empty replacement (the file holds mx itself)
+    graft.sources.SegDml.commitHook = p =>
+      if (p == "staged") throw new RuntimeException("planted crash")
+    try iso.sql(s"UPDATE gseg_dml.dml.t SET qty = qty + 1.0 WHERE k = $mx")
+    catch { case _: Exception => () }
+    finally graft.sources.SegDml.commitHook = _ => ()
+    val reclaimed =
+      iso.sql("CALL gseg_dml.vacuum('dml.t')").head().getLong(1)
+    iso.table("gseg_dml.dml.t")
+      .groupBy((col("k") % 3).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        max(col("k")).as("max_k"))
+      .withColumn("reclaimed_some", lit(reclaimed > 0))
+      .orderBy(col("bucket"))
+  }
 }

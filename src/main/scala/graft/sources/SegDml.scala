@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    are never rewritten — DML cost scales with affected groups,
   *    not table size.
   */
-class SegCatalog extends TableCatalog {
+class SegCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var warehouse: String = _
 
@@ -86,6 +87,27 @@ class SegCatalog extends TableCatalog {
       s".schema.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     Files.write(tmp, schema.json.getBytes(UTF_8))
     Files.move(tmp, sidecar(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tombstones for DROPPED column names (`.dropped` dot-file, one
+    * name per line). gseg segments address columns BY NAME (no
+    * Iceberg-style field IDs), so re-adding a dropped name would
+    * RESURRECT the old segments' still-present blocks under the new
+    * column — silently wrong data. The tombstone list makes that
+    * rejection explicit and permanent for the table's lifetime. */
+  private def droppedPath(dir: java.nio.file.Path): java.nio.file.Path =
+    dir.resolve(".dropped")
+  private def readDropped(dir: java.nio.file.Path): Set[String] =
+    if (!Files.exists(droppedPath(dir))) Set.empty
+    else Files.readAllLines(droppedPath(dir), UTF_8).asScala
+      .filter(_.nonEmpty).toSet
+  private def writeDropped(dir: java.nio.file.Path,
+      names: Set[String]): Unit = {
+    val tmp = dir.resolve(
+      s".dropped.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.write(tmp, names.toSeq.sorted.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, droppedPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -147,17 +169,25 @@ class SegCatalog extends TableCatalog {
     new SegDmlTable(schema, dir.toString)
   }
 
-  /** ALTER TABLE ADD COLUMN(S): sidecar-only schema evolution — the
-    * new column appends at tail position, nullable, and NO segment is
-    * rewritten: readers null-fill blocks absent from a segment's
-    * footer schema (the parquet/Iceberg add-column contract — at
-    * 100 TB an ALTER that rewrote data would not be an ALTER). Other
-    * changes (drops, renames, type changes, positions) are rejected
-    * loudly rather than half-supported. */
+  /** ALTER TABLE ADD/DROP COLUMN: sidecar-only schema evolution — NO
+    * segment is ever rewritten (the parquet/Iceberg metadata-only
+    * contract; at 100 TB an ALTER that rewrote data would be a table
+    * copy). ADD appends at tail position, nullable: readers null-fill
+    * blocks absent from a segment's footer schema. DROP removes the
+    * column from the sidecar and tombstones the name: old segments
+    * keep their (now unread) blocks — readers already skip blocks
+    * outside the required schema — and the tombstone permanently
+    * rejects re-adding the name, because name-addressed blocks would
+    * resurrect the old values (the failure field IDs exist to
+    * prevent; without them, honest rejection beats silent wrongness).
+    * Renames, type changes and positions are rejected loudly rather
+    * than half-supported. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     val before = loadTable(ident).schema() // ensures sidecar + manifest
+    var dropped = readDropped(dir)
+    val droppedBefore = dropped
     val after = changes.foldLeft(before) {
       case (sch, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -173,11 +203,30 @@ class SegCatalog extends TableCatalog {
           s"gseg: '$colName' is a reserved column name")
         require(!sch.fieldNames.contains(colName),
           s"gseg: column '$colName' already exists")
+        require(!dropped.contains(colName),
+          s"gseg: column name '$colName' was dropped earlier and cannot " +
+            "be re-added — segments address columns by name, so reuse " +
+            "would resurrect the old values still stored in pre-drop " +
+            "segments")
         SegSource.tag(add.dataType()) // supported types only
         sch.add(StructField(colName, add.dataType(), nullable = true))
+      case (sch, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames.length == 1,
+          "gseg: nested DROP COLUMN is unsupported")
+        val colName = del.fieldNames()(0)
+        if (!sch.fieldNames.contains(colName)) {
+          require(del.ifExists,
+            s"gseg: no column '$colName' to drop")
+          sch
+        } else {
+          require(sch.length > 1, "gseg: cannot drop the last column")
+          dropped += colName
+          StructType(sch.fields.filterNot(_.name == colName))
+        }
       case (_, other) => throw new UnsupportedOperationException(
         s"gseg: ALTER TABLE change $other")
     }
+    if (dropped != droppedBefore) writeDropped(dir, dropped)
     writeSidecar(dir, after)
     new SegDmlTable(after, dir.toString)
   }
@@ -196,6 +245,83 @@ class SegCatalog extends TableCatalog {
     Files.move(dirOf(from), dirOf(to))
     ()
   }
+
+  /** Table-maintenance STORED PROCEDURES (Spark 4 ProcedureCatalog —
+    * the `CALL cat.proc(...)` SPI every lakehouse ships its OPTIMIZE/
+    * VACUUM surface through). `vacuum('ns.table')` reclaims segments
+    * outside the live generation manifest: the orphans a crashed
+    * commit strands on either side of its swap (staged-but-unswapped,
+    * or swapped-out-but-unGC'd) plus stale staging temps. Safe at any
+    * time under the single-writer contract — nothing outside the
+    * manifest is reader-reachable. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name() match {
+      case "vacuum" => new SegVacuumProcedure(this)
+      case other => throw new UnsupportedOperationException(
+        s"gseg: no procedure '$other' (have: vacuum)")
+    }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "vacuum"))
+    else Array.empty
+
+  /** Identifier → validated table dir, for the procedures. */
+  private[sources] def tableDir(ident: Identifier): java.nio.file.Path = {
+    val dir = dirOf(ident)
+    if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
+    dir
+  }
+}
+
+/** `CALL <catalog>.vacuum('ns.table')` → one row
+  * (table STRING, reclaimed_files BIGINT). Driver-side by design:
+  * vacuum is a metadata operation (one manifest read + one directory
+  * listing + unlink of unreferenced files) — there is nothing to
+  * distribute even at 100 TB, where the listing is the same one any
+  * commit already pays. */
+class SegVacuumProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "reclaim gseg segments outside the live generation manifest"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String = SegVacuumProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false // filesystem state
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("reclaimed_files", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg vacuum: bad table identifier '$tbl'")
+        val dir = cat.tableDir(
+          Identifier.of(parts.init.toArray, parts.last))
+        val reclaimed = SegManifest.vacuum(dir.toString)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            reclaimed.size.toLong))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg vacuum $tbl"
+        }).iterator()
+      }
+    }
 }
 
 /** [[SegTable]] + SQL DML: row-level operations (group-based

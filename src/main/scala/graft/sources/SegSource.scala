@@ -53,8 +53,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     job commit renames winners into place and job abort deletes
   *     them — a speculative or retried task attempt can never leave a
   *     half-segment visible. Overwrite goes through
-  *     [[SupportsTruncate]]; old segments are removed inside commit,
-  *     after every new segment is safely staged.
+  *     [[SupportsTruncate]]. On CATALOG tables the job commit is
+  *     additionally CRASH-ATOMIC: it stages generation-stamped names
+  *     and flips the [[SegManifest]] pointer in one atomic rename,
+  *     GC'ing the superseded generation below the commit point (plain
+  *     path-based dirs keep the simpler listing protocol).
   *
   * Segments buffer per task (segment size = task partition size);
   * a production writer would roll segments at a byte budget and stage

@@ -61,7 +61,30 @@ object Sf1Probe {
         "stream_state_changefeed" -> ((s, d) =>
           graft.streaming.StreamGates.streamStateChangefeed(s, d)),
         "tws_batch_unified" -> ((s, d) =>
-          graft.streaming.StreamGates.twsBatchUnified(s, d)))
+          graft.streaming.StreamGates.twsBatchUnified(s, d)),
+        // r12 additions: the gseg DML rows (VERDICT r11 #2). The
+        // copy-on-write claim measured: the target table write is
+        // table-proportional BY DESIGN (it writes 10× the rows), but
+        // the REWRITE must track the affected groups — candidates
+        // stay 8 (range layout is repartitionByRange(8) at both SFs),
+        // runtime candidates / replaced_files stay feed-proportional,
+        // never table-proportional, and job counts stay constant
+        "s21_dsv2_delete" -> ((s, d) =>
+          graft.operators.CoreOps.s21DsvDelete(s, d)),
+        "s22_dsv2_update" -> ((s, d) =>
+          graft.operators.CoreOps.s22DsvUpdate(s, d)),
+        "s23_dsv2_merge" -> ((s, d) =>
+          graft.operators.CoreOps.s23DsvMerge(s, d)),
+        "s24_dsv2_merge_pruned" -> ((s, d) =>
+          graft.operators.CoreOps.s24DsvMergePruned(s, d)),
+        "s25_dsv2_add_column" -> ((s, d) =>
+          graft.operators.CoreOps.s25DsvAddColumn(s, d)),
+        "s26_dsv2_merge_sync" -> ((s, d) =>
+          graft.operators.CoreOps.s26DsvMergeSync(s, d)),
+        "s27_dsv2_drop_column" -> ((s, d) =>
+          graft.operators.CoreOps.s27DsvDropColumn(s, d)),
+        "s28_dsv2_vacuum" -> ((s, d) =>
+          graft.operators.CoreOps.s28DsvVacuum(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

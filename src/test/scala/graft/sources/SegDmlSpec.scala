@@ -325,13 +325,49 @@ class SegDmlSpec extends SparkSpec {
     assert(iso.table("tc.ns.t").filter($"tag" === "new").count() == 1)
     iso.sql("DELETE FROM tc.ns.t WHERE tag = 'new'")
     assert(iso.table("tc.ns.t").count() == 100)
-    // rejected shapes fail loudly
+    // rejected shapes fail loudly (renames have no field IDs to ride)
     intercept[Exception](
       iso.sql("ALTER TABLE tc.ns.t ADD COLUMN _file STRING"))
     intercept[Exception](
       iso.sql("ALTER TABLE tc.ns.t ADD COLUMN k BIGINT"))
     intercept[Exception](
-      iso.sql("ALTER TABLE tc.ns.t DROP COLUMN p"))
+      iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN p TO price"))
+  }
+
+  test("DROP COLUMN is metadata-only and tombstones the name against resurrection") {
+    val (iso, wh) = dml("drop")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 60).select($"id".as("k"), lit(2L).as("v"),
+        ($"id" % 5).as("junk")),
+      s"$wh/ns/t")
+    assert(iso.table("tc.ns.t").count() == 60) // materialize manifest
+    val dir = s"$wh/ns/t"
+    val before = SegSource.resolveSegments(dir)
+      .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f))).toMap
+    iso.sql("ALTER TABLE tc.ns.t DROP COLUMN junk")
+    // metadata-only: same files, same bytes
+    SegSource.resolveSegments(dir).foreach(f => assert(
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)) == before(f)))
+    assert(iso.table("tc.ns.t").schema.fieldNames.toSeq == Seq("k", "v"))
+    // the old segments' surviving columns read back exactly despite
+    // the orphaned junk blocks between them
+    val agg = iso.table("tc.ns.t").agg(sum($"v"), max($"k")).head()
+    assert(agg.getLong(0) == 120 && agg.getLong(1) == 59)
+    // narrowed-schema writes and DML keep working
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 9)")
+    iso.sql("DELETE FROM tc.ns.t WHERE k = 0")
+    assert(iso.table("tc.ns.t").count() == 60)
+    // resurrection guard: the dropped name is tombstoned forever; a
+    // fresh name under the same type is fine
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ADD COLUMN junk BIGINT"))
+    iso.sql("ALTER TABLE tc.ns.t ADD COLUMN junk2 BIGINT")
+    assert(iso.table("tc.ns.t").filter($"junk2".isNull).count() == 60)
+    // guarded shapes: last column, missing column without IF EXISTS
+    intercept[Exception](iso.sql("ALTER TABLE tc.ns.t DROP COLUMN nope"))
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE deletes absent keys (snapshot sync)") {
@@ -351,6 +387,31 @@ class SegDmlSpec extends SparkSpec {
     val rows = iso.table("tc.ns.t").orderBy($"k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == (10L until 30L).map(k => (k, 7L)))
+  }
+
+  test("CALL vacuum reclaims a crashed commit's orphans through SQL") {
+    val (iso, wh) = dml("callvac")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 400).select($"id".as("k"), lit(1L).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    assert(iso.table("tc.ns.t").count() == 400)
+    // a clean table has nothing to reclaim
+    val clean = iso.sql("CALL tc.vacuum('ns.t')").head()
+    assert(clean.getString(0) == "ns.t" && clean.getLong(1) == 0L)
+    // strand orphans: kill an UPDATE between staging and swap
+    SegDml.commitHook = p =>
+      if (p == "staged") throw new RuntimeException("injected crash")
+    try intercept[Exception](
+      iso.sql("UPDATE tc.ns.t SET v = 2 WHERE k >= 350"))
+    finally SegDml.commitHook = _ => ()
+    val row = iso.sql("CALL tc.vacuum('ns.t')").head()
+    assert(row.getLong(1) >= 1L, s"expected orphans reclaimed, got $row")
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getLong(0) == 400)
+    // unknown procedure / missing table fail loudly
+    intercept[Exception](iso.sql("CALL tc.optimize('ns.t')"))
+    intercept[Exception](iso.sql("CALL tc.vacuum('ns.missing')"))
   }
 
   test("reserved and traversal-unsafe identifiers are rejected") {
