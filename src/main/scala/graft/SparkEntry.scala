@@ -277,6 +277,8 @@ object SparkEntry {
     "s26_dsv2_merge_sync" -> CoreOps.s26DsvMergeSync _,
     "s27_dsv2_drop_column" -> CoreOps.s27DsvDropColumn _,
     "s28_dsv2_vacuum"    -> CoreOps.s28DsvVacuum _,
+    "s29_dsv2_time_travel" -> CoreOps.s29DsvTimeTravel _,
+    "s30_dsv2_compact"   -> CoreOps.s30DsvCompact _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1338,6 +1340,32 @@ object SparkEntry {
         |       TRUE AS reclaimed_some
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // COMPACT procedure: a distributed rewrite must not change the
+    // data — the oracle is the plain even-key aggregate; layout_ok is
+    // pinned TRUE (16 fragments in, 2 segments out)
+    "s30_dsv2_compact" ->
+      """SELECT o_orderkey % 3 AS bucket, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MAX(o_orderkey) AS max_k,
+        |       TRUE AS layout_ok
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TIME TRAVEL: version 0 is the full even-key table, version 1
+    // (current) the table after deleting the k%4 residue class — the
+    // snapshot must reproduce rows the live generation no longer has
+    "s29_dsv2_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MAX(o_orderkey) AS max_k
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), COUNT(*),
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |       MAX(o_orderkey)
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+        |ORDER BY version""".stripMargin,
     // DROP COLUMN: generation 1 was written WITH the dropped column
     // (its blocks stay in the old segments, unread); the oracle is
     // the plain two-generation projection — the dropped column never

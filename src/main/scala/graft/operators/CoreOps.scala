@@ -3285,4 +3285,71 @@ object CoreOps {
       .withColumn("reclaimed_some", lit(reclaimed > 0))
       .orderBy(col("bucket"))
   }
+
+  /** DSv2 TIME TRAVEL [S29]: `VERSION AS OF` over retained generation
+    * snapshots — every manifest swap also writes `.manifest.v<gen>`,
+    * so a committed generation stays queryable (pinned file set,
+    * read-only, full scan machinery) until `CALL vacuum` retires it;
+    * the time-travel WINDOW is the vacuum cadence, the Delta/Iceberg
+    * retention model, and a travel past it fails loudly rather than
+    * reading dangling files. Here generation 0 is the full even-key
+    * table and generation 1 the same table after an (unpushable,
+    * runtime-group-filtered) DELETE of the k%4 residue class — the
+    * readback aggregates BOTH versions side by side, so the snapshot
+    * must reproduce rows the live generation no longer has. At 100 TB
+    * snapshots cost one small manifest file per commit; the data
+    * files are shared between generations (copy-on-write means only
+    * REPLACED groups diverge). Oracle: the two relational states
+    * UNION ALL'd. */
+  def s29DsvTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml29")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty")),
+      s"$wh/dml/t")
+    // materialize the manifest: this is generation 0
+    iso.table("gseg_dml.dml.t").count()
+    iso.sql("DELETE FROM gseg_dml.dml.t WHERE k % 4 = 0") // generation 1
+    def snap(versionSql: String, tag: Long): DataFrame =
+      iso.sql(
+        s"""SELECT k, qty FROM gseg_dml.dml.t $versionSql""")
+        .groupBy(lit(tag).as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+          max(col("k")).as("max_k"))
+    snap("VERSION AS OF 0", 0L).unionAll(snap("", 1L))
+      .orderBy(col("version"))
+  }
+
+  /** DSv2 COMPACT procedure [S30]: the OPTIMIZE maintenance shape —
+    * a table fragmented into 16 small segments (what streaming sinks
+    * and incremental DML leave behind; at 100 TB every file is a
+    * task + header parse + listing entry) is merged to 2 by
+    * `CALL gseg_dml.compact('dml.t', 2)`: a DISTRIBUTED shuffle-free
+    * rewrite (coalesce merges existing partitions in one read+write
+    * pass) committed with the same atomic manifest swap as every
+    * gseg commit, the fragmented generation retained for time travel
+    * until vacuum. The readback aggregate proves content survived
+    * the rewrite exactly; layout_ok pins the 16→2 file transition
+    * from the procedure's own result row. */
+  def s30DsvCompact(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml30")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+        .repartition(16),
+      s"$wh/dml/t")
+    iso.table("gseg_dml.dml.t").count() // manifest: generation 0
+    val r = iso.sql("CALL gseg_dml.compact('dml.t', 2)").head()
+    iso.table("gseg_dml.dml.t")
+      .groupBy((col("k") % 3).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        max(col("k")).as("max_k"))
+      .withColumn("layout_ok",
+        lit(r.getLong(1) == 16 && r.getLong(2) == 2))
+      .orderBy(col("bucket"))
+  }
 }

@@ -37,11 +37,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    the driver's job commit renames them to final (still
   *    unreferenced) names and then performs ONE atomic generation-
   *    manifest swap ([[SegManifest]]) — the commit point. The
-  *    superseded candidate files are GC'd after the swap, so a crash
+  *    superseded candidate files outlive the swap as history, so a crash
   *    at ANY instant leaves the table serving exactly one complete
   *    generation (old before the swap, new after). Untouched files
   *    are never rewritten — DML cost scales with affected groups,
-  *    not table size.
+  *    not table size — and the superseded candidates are RETAINED
+  *    as time-travel history until `CALL vacuum` reclaims them.
   */
 class SegCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -147,6 +148,47 @@ class SegCatalog extends TableCatalog
       }
     SegManifest.ensure(dir.toString)
     new SegDmlTable(schema, dir.toString)
+  }
+
+  /** TIME TRAVEL — `SELECT ... FROM t VERSION AS OF <gen>`: resolve
+    * the requested generation through its retained snapshot manifest
+    * and serve a READ-ONLY table pinned to exactly that file set.
+    * Generations live until `CALL vacuum` reclaims their superseded
+    * files (which retires the affected snapshots — a travel past the
+    * retention boundary fails loudly here, never as a dangling read).
+    * Schema note, stated honestly: gseg versions DATA, not schema —
+    * a snapshot reads under the CURRENT sidecar schema (added
+    * columns null-fill, dropped columns are gone from all versions),
+    * the trade every field-ID-less format makes. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val gen = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"gseg: VERSION AS OF wants a generation number, got '$version'")
+    }
+    val dir = tableDir(ident)
+    val schema = loadTable(ident).schema()
+    val names = SegManifest.readSnapshot(dir.toString, gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"gseg: no snapshot for generation $gen of ${ident.name} — " +
+          "never committed, or retired by vacuum"))
+    new SegSnapshotTable(schema, dir.toString, gen,
+      names.sorted.map(n => s"$dir/$n"))
+  }
+
+  /** `TIMESTAMP AS OF`: the latest generation whose snapshot was
+    * committed at or before the requested instant (micros in, snapshot
+    * mtime as the commit clock — a production catalog would store the
+    * commit timestamp in the snapshot itself). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    val cutMs = Math.floorDiv(timestampMicros, 1000L)
+    val gens = SegManifest.listSnapshots(dir.toString)
+    val gen = gens.filter(_._2 <= cutMs).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"gseg: no generation of ${ident.name} existed at or before " +
+          s"timestamp $timestampMicros (earliest retained: " +
+          s"${gens.headOption.map(_._1).getOrElse("none")})"))
+    loadTable(ident, gen.toString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -258,11 +300,14 @@ class SegCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "vacuum" => new SegVacuumProcedure(this)
+      case "compact" => new SegCompactProcedure(this)
       case other => throw new UnsupportedOperationException(
-        s"gseg: no procedure '$other' (have: vacuum)")
+        s"gseg: no procedure '$other' (have: vacuum, compact)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "vacuum"))
+    if (namespace.isEmpty)
+      Array(Identifier.of(namespace, "vacuum"),
+        Identifier.of(namespace, "compact"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -354,21 +399,137 @@ class SegDmlTable(tschema: StructType, path: String)
         new SegRowLevelOperation(path, tschema, info.command())
     }
 
-  /** TRUNCATE TABLE: commit the empty generation first (one atomic
+  /** TRUNCATE TABLE: commit the empty generation (one atomic
     * manifest swap — readers flip from all to nothing, never a
-    * partial), then GC the old segments. The schema survives in the
-    * sidecar (written here if none exists). */
+    * partial); the truncated generation stays time-travelable until
+    * vacuum. The schema survives in the sidecar (written here if
+    * none exists). Path-based dirs (no manifest) keep the original
+    * delete semantics. */
   override def truncateTable(): Boolean = {
     val sc = Paths.get(path).resolve(".schema.json")
     if (!Files.exists(sc)) {
       Files.createDirectories(Paths.get(path))
       Files.write(sc, tschema.json.getBytes(UTF_8))
     }
-    val old = SegSource.resolveSegments(path)
     if (SegManifest.exists(path)) SegManifest.swap(path, Seq.empty)
-    old.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    else SegSource.listSegments(path).foreach(f =>
+      Files.deleteIfExists(Paths.get(f)))
     true
   }
+}
+
+/** `CALL <catalog>.compact('ns.table', target_segments)` → one row
+  * (table STRING, before_files BIGINT, after_files BIGINT). The
+  * OPTIMIZE shape for gseg catalog tables: streaming sinks and
+  * incremental DML fragment a table into many small segments — every
+  * file is a task, a header parse and a listing entry, so at 100 TB a
+  * million 1 MB files scan an order of magnitude slower than eight
+  * thousand 128 MB ones. The rewrite is a DISTRIBUTED Spark job
+  * (read the live generation → coalesce(target) — a shuffle-free
+  * merge of existing partitions, one output pass — → stage as a
+  * plain path-based write in a hidden temp dir), and the COMMIT is
+  * the same atomic manifest swap every gseg commit uses; the
+  * fragmented generation stays time-travelable until vacuum. A no-op
+  * when the table already has ≤ target segments. */
+class SegCompactProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge a gseg table's segments down to target_segments files " +
+      "(atomic manifest-swap commit; old generation retained until vacuum)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String =
+        SegCompactProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_segments",
+          org.apache.spark.sql.types.IntegerType)
+          .defaultValue("1").build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("before_files", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("after_files", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val target = if (input.isNullAt(1)) 1 else input.getInt(1)
+        require(target >= 1, s"gseg compact: target_segments $target < 1")
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg compact: bad table identifier '$tbl'")
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        val dir = cat.tableDir(ident)
+        val schema = cat.loadTable(ident).schema() // ensures manifest
+        val live = SegSource.resolveSegments(dir.toString)
+        val after =
+          if (live.size <= target) live.size.toLong
+          else {
+            val spark = org.apache.spark.sql.SparkSession.active
+            val tmp = Files.createTempDirectory(dir, ".compact-tmp-")
+            try {
+              // distributed, shuffle-free: existing partitions merge
+              // into `target` output tasks in one read+write pass
+              spark.read.format("gseg").schema(schema)
+                .load(dir.toString)
+                .coalesce(target)
+                .write.format("gseg").mode("overwrite")
+                .save(tmp.toString)
+              val gen = java.util.UUID.randomUUID.toString.take(8)
+              val newNames = SegSource.listSegments(tmp.toString)
+                .zipWithIndex.map { case (f, i) =>
+                  val name = f"cmp-$gen-$i%05d.gseg"
+                  Files.move(Paths.get(f), dir.resolve(name),
+                    StandardCopyOption.REPLACE_EXISTING)
+                  name
+                }
+              SegManifest.swap(dir.toString, newNames)
+              newNames.size.toLong
+            } finally graft.Fs.deleteRecursively(tmp)
+          }
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            live.size.toLong, after))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg compact $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** A generation pinned by time travel: read-only (no write or DML
+  * capability — Spark rejects writes to time-travel relations, and
+  * this table could not express one anyway), scanning EXACTLY the
+  * snapshot's file set regardless of what later commits did to the
+  * directory or the live manifest. All scan-side machinery (column
+  * pruning, zone maps, pushdown, header aggs) works unchanged on the
+  * pinned set. */
+class SegSnapshotTable(tschema: StructType, path: String, gen: Long,
+    files: Seq[String])
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def name(): String = s"gseg:$path@v$gen"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SegScanBuilder(tschema, path, None, Some(files))
 }
 
 /** One DELETE/UPDATE/MERGE execution. The instance is the channel
@@ -507,7 +668,8 @@ class SegGroupScan(allFiles: Seq[String], required: StructType,
 object SegDml {
   /** Called by [[SegReplaceDataWrite.commit]] at `"staged"` (new
     * generation renamed to final names, manifest NOT yet swapped)
-    * and `"swapped"` (manifest swapped, old files NOT yet GC'd).
+    * and `"swapped"` (manifest swapped; superseded files persist
+    * as time-travel history by design).
     * A throw simulates a driver crash at that instant. */
   @volatile private[graft] var commitHook: String => Unit = _ => ()
 }
@@ -516,11 +678,11 @@ object SegDml {
   * stage as temp segments through the normal task-commit protocol;
   * job commit renames them to final — still UNREFERENCED — names,
   * then swaps the generation manifest atomically (THE commit point)
-  * and GC's the superseded candidates. A crash before the swap
-  * leaves the old generation fully live (staged files are orphans
-  * for [[SegManifest.vacuum]]); a crash after it serves the new
-  * generation completely (the un-GC'd candidates are orphans, same
-  * reclaim) — there is no partial state, which is what makes
+  * — the superseded candidates are retained as time-travel history
+  * until vacuum. A crash before the swap leaves the old generation
+  * fully live (staged files are orphans for [[SegManifest.vacuum]]);
+  * a crash after it serves the new generation completely — there is
+  * no partial state, which is what makes
   * copy-on-write a table format rather than a directory convention
   * at 100 TB commit sizes. Empty task partitions stage nothing
   * (skipEmpty) so a DML touching 2 files doesn't mint 32 empty
@@ -575,11 +737,12 @@ class SegReplaceDataWrite(path: String, schema: StructType,
     }.toSeq
     if (candNames.nonEmpty || newNames.nonEmpty) {
       SegDml.commitHook("staged")
-      // THE commit point: one atomic pointer swap
+      // THE commit point: one atomic pointer swap. The superseded
+      // candidate files are NOT deleted here — they remain the data
+      // of earlier generations' snapshots (time travel) until
+      // `CALL vacuum` retires them (the lakehouse retention model).
       SegManifest.swap(path, old.filterNot(candNames.contains) ++ newNames)
       SegDml.commitHook("swapped")
-      // GC below the commit point: a crash here only leaks orphans
-      op.candidates.foreach(f => Files.deleteIfExists(Paths.get(f)))
     }
     graft.Counters.add("gseg_rlo_replaced_files",
       op.candidates.size.toLong)

@@ -67,24 +67,36 @@ object SegManifest {
   /** THE commit point: write the next generation to a hidden temp,
     * fsync it, and atomically rename it over the manifest. Returns
     * the new generation number. Readers see the old set or the new
-    * set, never a mixture. */
+    * set, never a mixture. A SNAPSHOT copy (`.manifest.v<gen>`) is
+    * written BEFORE the pointer moves, so every committed generation
+    * is time-travelable (`VERSION AS OF` resolves through it) until
+    * [[vacuum]] retires it; a crash between snapshot and swap leaves
+    * a harmless never-committed snapshot that the retried commit
+    * overwrites under the same generation number. */
   def swap(dir: String, names: Seq[String]): Long = {
     names.foreach(n => require(
       n.nonEmpty && !n.exists(c => c == '\n' || c == '\r' || c == '/'),
       s"gseg: segment name breaks manifest framing: '$n'"))
     val gen = read(dir).map(_._1 + 1).getOrElse(0L)
     val body = ("gseg-manifest-v1" +: gen.toString +: names.sorted)
-      .mkString("\n")
-    val tmp = Paths.get(dir).resolve(
-      s".manifest.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    try {
-      ch.write(java.nio.ByteBuffer.wrap(body.getBytes(UTF_8)))
-      ch.force(true)
-    } finally ch.close()
-    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      .mkString("\n").getBytes(UTF_8)
+    def writeFsynced(target: Path, viaTmp: Boolean): Unit = {
+      val tmp = if (viaTmp) Paths.get(dir).resolve(
+        s".manifest.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+        else target
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(body))
+        ch.force(true)
+      } finally ch.close()
+      if (viaTmp)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeFsynced(snapshotPath(dir, gen), viaTmp = false)
+    writeFsynced(manifestPath(dir), viaTmp = true)
     // best-effort directory fsync so the rename itself is durable
     try {
       val dch = java.nio.channels.FileChannel.open(Paths.get(dir),
@@ -92,6 +104,37 @@ object SegManifest {
       try dch.force(true) finally dch.close()
     } catch { case _: Exception => () }
     gen
+  }
+
+  // ---------------- snapshots (time travel) ----------------
+
+  private[sources] def snapshotPath(dir: String, gen: Long): Path =
+    Paths.get(dir).resolve(s".manifest.v$gen")
+
+  /** Segment NAMES of a committed generation, if its snapshot is
+    * still retained (vacuum retires snapshots whose files it
+    * reclaims). */
+  def readSnapshot(dir: String, gen: Long): Option[Seq[String]] = {
+    val p = snapshotPath(dir, gen)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p, UTF_8).asScala.toSeq
+    require(lines.nonEmpty && lines.head == "gseg-manifest-v1",
+      s"gseg: unrecognized manifest header in $p")
+    Some(lines.drop(2).filter(_.nonEmpty))
+  }
+
+  /** Retained (generation, snapshot mtime millis), ascending — the
+    * TIMESTAMP AS OF resolution table. */
+  def listSnapshots(dir: String): Seq[(Long, Long)] = {
+    val l = Files.list(Paths.get(dir))
+    try l.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(".manifest.v") && !n.contains("tmp"))
+        scala.util.Try(n.stripPrefix(".manifest.v").toLong).toOption
+          .map(g => (g, Files.getLastModifiedTime(p).toMillis))
+      else None
+    }.toSeq.sortBy(_._1)
+    finally l.close()
   }
 
   /** Synthesize the manifest from the directory listing if absent —
@@ -103,11 +146,18 @@ object SegManifest {
         .map(f => Paths.get(f).getFileName.toString))
     }
 
-  /** Reclaim orphans: `.gseg` files outside the live generation
-    * (staged by a commit that died before its swap, or superseded by
-    * one that died before its GC) plus stale staging temps. Safe at
-    * any time under the single-writer contract — nothing outside the
-    * manifest is reachable by a reader. Returns the deleted names. */
+  /** Reclaim `.gseg` files outside the LIVE generation — superseded
+    * generations retained for time travel, the orphans a crashed
+    * commit strands (staged-but-unswapped), stale staging temps — and
+    * RETIRE the snapshots that reference any reclaimed file, so a
+    * later `VERSION AS OF` fails with "snapshot retired" instead of a
+    * dangling-file read (the Delta/Iceberg retention model: vacuum
+    * bounds the time-travel window; the current generation's snapshot
+    * references only live files and always survives). Safe at any
+    * time under the single-writer contract — nothing outside the
+    * manifest is reader-reachable except through snapshots, which
+    * retire BEFORE their files go. Returns the deleted segment
+    * names. */
   def vacuum(dir: String): Seq[String] = {
     val live = read(dir) match {
       case Some((_, names)) => names.toSet
@@ -121,7 +171,12 @@ object SegManifest {
           n.startsWith(".tmp-") || n.startsWith(".manifest.tmp-")
       }.toList
       finally l.close()
+    val junkNames = junk.map(_.getFileName.toString).toSet
+    listSnapshots(dir).foreach { case (gen, _) =>
+      if (readSnapshot(dir, gen).exists(_.exists(junkNames.contains)))
+        Files.deleteIfExists(snapshotPath(dir, gen))
+    }
     junk.foreach(p => Files.deleteIfExists(p))
-    junk.map(_.getFileName.toString).sorted
+    junkNames.toSeq.sorted
   }
 }

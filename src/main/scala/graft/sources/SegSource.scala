@@ -56,8 +56,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     [[SupportsTruncate]]. On CATALOG tables the job commit is
   *     additionally CRASH-ATOMIC: it stages generation-stamped names
   *     and flips the [[SegManifest]] pointer in one atomic rename,
-  *     GC'ing the superseded generation below the commit point (plain
-  *     path-based dirs keep the simpler listing protocol).
+  *     retaining the superseded generation as time-travel history
+  *     until vacuum (plain path-based dirs keep the simpler listing
+  *     protocol).
   *
   * Segments buffer per task (segment size = task partition size);
   * a production writer would roll segments at a byte budget and stage
@@ -515,7 +516,8 @@ class SegTable(tschema: StructType, path: String)
 // ---------------- read side ----------------
 
 class SegScanBuilder(full: StructType, path: String,
-    partitionCol: Option[String] = None) extends ScanBuilder
+    partitionCol: Option[String] = None,
+    pinned: Option[Seq[String]] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -605,7 +607,7 @@ class SegScanBuilder(full: StructType, path: String,
       // normalizes through long
       partitionCol.filter(c => full.fields.exists(f => f.name == c &&
         f.dataType == LongType)),
-      emitFile)
+      emitFile, pinned)
 }
 
 case class SegInputPartition(file: String) extends InputPartition
@@ -623,7 +625,8 @@ case class SegKeyedPartition(files: Seq[String], key: Long)
 case class SegScan(path: String, required: StructType,
     pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]],
     limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None,
-    partitionCol: Option[String] = None, emitFile: Boolean = false)
+    partitionCol: Option[String] = None, emitFile: Boolean = false,
+    pinned: Option[Seq[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -654,7 +657,7 @@ case class SegScan(path: String, required: StructType,
     // emitFile also declines key-grouping: the _file synthesizer is a
     // per-segment wrapper, and a metadata read has no join-layout use
     (if (aggs.isDefined || emitFile) None else partitionCol).flatMap { pc =>
-    val files = SegSource.resolveSegments(path)
+    val files = pinned.getOrElse(SegSource.resolveSegments(path))
     val kv = files.map { f =>
       val cm = SegSource.headerOf(f).cols.find(_.name == pc)
       val ok = cm.exists(c => c.hasStats && c.nNulls == 0 &&
@@ -690,7 +693,7 @@ case class SegScan(path: String, required: StructType,
     * anyway. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val files = SegSource.resolveSegments(path)
+    val files = pinned.getOrElse(SegSource.resolveSegments(path))
     val surviving = files.map(SegSource.headerOf)
       .filter(h => pushed.forall(SegSource.mayMatch(h, _)))
     val wanted = required.fieldNames.toSet
@@ -789,7 +792,7 @@ case class SegScan(path: String, required: StructType,
         return kept.toArray[InputPartition]
       case _ => ()
     }
-    val files = SegSource.resolveSegments(path)
+    val files = pinned.getOrElse(SegSource.resolveSegments(path))
     val allFilters = pushed ++ runtime
     val kept =
       if (aggs.isDefined) files // aggregates only push with no filters
@@ -1211,9 +1214,10 @@ case class SegBatchWrite(path: String, schema: StructType,
       // manifest table (catalog): crash-atomic protocol. Final names
       // are generation-stamped so they can never collide with (and
       // REPLACE) a live segment; renamed files stay invisible to
-      // readers until the single manifest swap, after which the
-      // superseded generation is GC'd — a crash anywhere leaves the
-      // table serving exactly one complete generation.
+      // readers until the single manifest swap — a crash anywhere
+      // leaves the table serving exactly one complete generation. An
+      // overwrite's superseded generation is RETAINED as time-travel
+      // history until vacuum reclaims it.
       val old = SegManifest.read(path).get._2
       val gen = java.util.UUID.randomUUID.toString.take(8)
       val newNames = msgs.flatMap { m =>
@@ -1226,8 +1230,6 @@ case class SegBatchWrite(path: String, schema: StructType,
       }.toSeq
       SegManifest.swap(path,
         (if (truncateFirst) Seq.empty else old) ++ newNames)
-      if (truncateFirst)
-        old.foreach(n => Files.deleteIfExists(Paths.get(s"$path/$n")))
     } else {
       // plain path-based dir: original listing protocol (the stream
       // sinks' monotone names and the specs' part- layout depend on

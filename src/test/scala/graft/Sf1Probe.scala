@@ -84,7 +84,11 @@ object Sf1Probe {
         "s27_dsv2_drop_column" -> ((s, d) =>
           graft.operators.CoreOps.s27DsvDropColumn(s, d)),
         "s28_dsv2_vacuum" -> ((s, d) =>
-          graft.operators.CoreOps.s28DsvVacuum(s, d)))
+          graft.operators.CoreOps.s28DsvVacuum(s, d)),
+        "s29_dsv2_time_travel" -> ((s, d) =>
+          graft.operators.CoreOps.s29DsvTimeTravel(s, d)),
+        "s30_dsv2_compact" -> ((s, d) =>
+          graft.operators.CoreOps.s30DsvCompact(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

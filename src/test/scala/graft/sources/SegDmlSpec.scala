@@ -39,15 +39,19 @@ class SegDmlSpec extends SparkSpec {
     assert(c.getOrElse("gseg_rlo_files_total", -1L) == 4L)
     assert(c.getOrElse("gseg_rlo_candidates", -1L) == 1L)
     assert(c.getOrElse("gseg_rlo_replaced_files", -1L) == 1L)
-    // the three pruned segments are the SAME files, untouched
-    val after = SegSource.listSegments(s"$wh/ns/t")
-    val survivors = after.filter(before.contains)
+    // the three pruned segments stay LIVE as the same untouched files;
+    // the replaced one leaves the live set (retained on disk as
+    // time-travel history until vacuum)
+    val live = SegSource.resolveSegments(s"$wh/ns/t")
+    val survivors = live.filter(before.contains)
     assert(survivors.size == 3)
     survivors.foreach(f => assert(
       java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(f)) == before(f)))
     assert(iso.table("tc.ns.t").count() == 390)
     assert(iso.table("tc.ns.t").agg(max($"k")).head().getLong(0) == 389)
+    // vacuum reclaims exactly the superseded candidate
+    assert(SegManifest.vacuum(s"$wh/ns/t").size == 1)
   }
 
   test("DELETE with an unpushable predicate stays correct (all groups rewritten)") {
@@ -141,8 +145,8 @@ class SegDmlSpec extends SparkSpec {
     assert(c.getOrElse("gseg_rlo_candidates", -1L) == 4L)
     assert(c.getOrElse("gseg_rlo_runtime_candidates", -1L) == 1L)
     assert(c.getOrElse("gseg_rlo_replaced_files", -1L) == 1L)
-    val after = SegSource.listSegments(s"$wh/ns/t")
-    val survivors = after.filter(before.contains)
+    val live = SegSource.resolveSegments(s"$wh/ns/t")
+    val survivors = live.filter(before.contains)
     assert(survivors.size == 3)
     survivors.foreach(f => assert(
       java.nio.file.Files.getLastModifiedTime(
@@ -249,10 +253,12 @@ class SegDmlSpec extends SparkSpec {
     val orphans = SegManifest.vacuum(dir)
     assert(orphans.nonEmpty && orphans.forall(_.startsWith("rlo-")))
     assert(iso.table("tc.ns.t").count() == 400)
-    // with the hook cleared the same DML commits atomically
+    // with the hook cleared the same DML commits atomically; the
+    // superseded generation is retained as history until vacuum
     iso.sql("DELETE FROM tc.ns.t WHERE k >= 250")
     assert(iso.table("tc.ns.t").count() == 250)
-    assert(SegManifest.vacuum(dir).isEmpty)
+    assert(SegManifest.vacuum(dir).nonEmpty)
+    assert(SegManifest.vacuum(dir).isEmpty) // idempotent
   }
 
   test("a crash after the swap serves the new generation; vacuum reclaims the old") {
@@ -289,10 +295,12 @@ class SegDmlSpec extends SparkSpec {
     assert(names.toSet ==
       SegSource.listSegments(dir).map(f =>
         java.nio.file.Paths.get(f).getFileName.toString).toSet)
-    // INSERT OVERWRITE replaces the generation atomically
+    // INSERT OVERWRITE replaces the generation atomically; the old
+    // generation is retained as time-travel history until vacuum
     iso.sql("INSERT OVERWRITE tc.ns.a VALUES (9, 90)")
     assert(iso.table("tc.ns.a").count() == 1)
-    assert(SegManifest.vacuum(dir).isEmpty)
+    assert(SegManifest.vacuum(dir).size == names.size)
+    assert(iso.table("tc.ns.a").count() == 1)
   }
 
   test("ALTER TABLE ADD COLUMN null-fills old segments without touching their bytes") {
@@ -387,6 +395,73 @@ class SegDmlSpec extends SparkSpec {
     val rows = iso.table("tc.ns.t").orderBy($"k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == (10L until 30L).map(k => (k, 7L)))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF read retained generations; vacuum retires exactly the affected ones") {
+    val (iso, wh) = dml("travel")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, v BIGINT) USING gseg") // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (1, 10), (2, 20)")          // gen 1
+    Thread.sleep(30)
+    val t1 = System.currentTimeMillis() // strictly after gen 1's commit
+    Thread.sleep(30)
+    iso.sql("UPDATE tc.ns.t SET v = v + 1 WHERE k = 1")             // gen 2
+    iso.sql("INSERT INTO tc.ns.t VALUES (3, 30)")                   // gen 3
+    assert(iso.table("tc.ns.t").count() == 3)
+    val v1 = iso.sql(
+      "SELECT k, v FROM tc.ns.t VERSION AS OF 1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(v1 == Seq((1L, 10L), (2L, 20L)), s"gen-1 read wrong: $v1")
+    assert(iso.sql("SELECT sum(v) AS s FROM tc.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 31) // the update, before the last insert
+    assert(iso.sql("SELECT count(*) AS n FROM tc.ns.t VERSION AS OF 0")
+      .head().getLong(0) == 0) // the created-empty generation
+    // TIMESTAMP AS OF: latest snapshot committed at or before t1 = gen 1
+    val cat = new SegCatalog
+    cat.initialize("tc",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    assert(cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "t"), t1 * 1000L)
+      .name().endsWith("@v1"))
+    // vacuum retires ONLY generations whose files it reclaims: the
+    // UPDATE superseded gen-1's file, so v1 dies, v2/v3 survive
+    assert(iso.sql("CALL tc.vacuum('ns.t')").head().getLong(1) >= 1L)
+    intercept[Exception](
+      iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1").collect())
+    assert(iso.sql("SELECT sum(v) AS s FROM tc.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 31)
+    assert(iso.table("tc.ns.t").count() == 3)
+    // a never-committed generation fails loudly
+    intercept[Exception](
+      iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 99").collect())
+    // time-travel relations are read-only
+    intercept[Exception](
+      iso.sql("INSERT INTO tc.ns.t VERSION AS OF 2 VALUES (9, 9)"))
+  }
+
+  test("CALL compact merges segments atomically, preserving content and history") {
+    val (iso, wh) = dml("compact")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 320).select($"id".as("k"), ($"id" * 3).as("v"))
+        .repartition(16),
+      s"$wh/ns/t")
+    assert(iso.table("tc.ns.t").count() == 320) // manifest gen 0
+    val row = iso.sql("CALL tc.compact('ns.t', 2)").head()
+    assert(row.getLong(1) == 16 && row.getLong(2) == 2, s"layout: $row")
+    assert(SegSource.resolveSegments(s"$wh/ns/t").size == 2)
+    val agg = iso.table("tc.ns.t").agg(count(lit(1)), sum($"v")).head()
+    assert(agg.getLong(0) == 320)
+    assert(agg.getLong(1) == (0 until 320).map(_ * 3L).sum)
+    // the fragmented generation stays time-travelable until vacuum
+    assert(iso.sql("SELECT count(*) AS n FROM tc.ns.t VERSION AS OF 0")
+      .head().getLong(0) == 320)
+    assert(iso.sql("CALL tc.vacuum('ns.t')").head().getLong(1) == 16)
+    // already-compact tables are a no-op
+    val again = iso.sql("CALL tc.compact('ns.t', 2)").head()
+    assert(again.getLong(1) == 2 && again.getLong(2) == 2)
   }
 
   test("CALL vacuum reclaims a crashed commit's orphans through SQL") {
