@@ -504,7 +504,7 @@ class SegTable(tschema: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path,
       Option(options.get(SegSource.PartitionColOption)))
@@ -1187,7 +1187,81 @@ class SegWriteBuilder(path: String, schema: StructType,
         .getOrElse(Array.empty)
     override def toBatch: BatchWrite =
       SegBatchWrite(path, schema, truncateFirst, partitionCol)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      SegStreamingWrite(path, schema, truncateFirst)
   }
+}
+
+/** Streaming SINK: `writeStream.format("gseg")` / `.toTable(...)` on
+  * a catalog table — each epoch's rows stage as hidden temps through
+  * the ordinary task writers and the driver's per-epoch commit
+  * renames them under an EPOCH-PREFIXED name (`str-<epoch>-…`) and,
+  * on manifest tables, swaps the generation manifest atomically.
+  * Exactly-once over at-least-once epochs: Spark replays an epoch
+  * whose commit it cannot prove durable, so commit is IDEMPOTENT —
+  * if any committed segment already carries this epoch's prefix the
+  * replay discards its temps and returns (names, not a side log, are
+  * the dedup state, which survives anything the table survives).
+  * Epoch prefixes are zero-padded so sink output is itself a valid
+  * MONOTONE-name gseg STREAM source — a gseg dir can sit mid-pipeline
+  * with streams on both sides. Complete-mode truncation rides the
+  * same swap (the epoch's generation simply replaces the manifest);
+  * empty partitions stage nothing (skipEmpty) so a quiet stream
+  * doesn't mint a segment per shuffle partition per epoch. */
+case class SegStreamingWrite(path: String, schema: StructType,
+    truncateEachEpoch: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new SegDataWriter(path, schema, partitionId, taskId, None,
+          skipEmpty = true)
+    }
+  }
+
+  private def epochPrefix(epochId: Long): String = f"str-$epochId%012d-"
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: SegCommitMessage => m }
+    val prefix = epochPrefix(epochId)
+    val manifested = SegManifest.exists(path)
+    val existing =
+      if (manifested) SegManifest.read(path).get._2
+      else SegSource.listSegments(path)
+        .map(f => Paths.get(f).getFileName.toString)
+    if (existing.exists(_.startsWith(prefix))) {
+      // epoch replay after a commit Spark could not prove durable:
+      // the first commit's segments are already in the table
+      msgs.foreach(_.tmpFiles.foreach(t =>
+        Files.deleteIfExists(Paths.get(t))))
+      return
+    }
+    val newNames = msgs.flatMap { m =>
+      m.tmpFiles.zipWithIndex.map { case (tmp, i) =>
+        val name = f"$prefix${m.partitionId}%05d-$i%03d.gseg"
+        Files.move(Paths.get(tmp), Paths.get(s"$path/$name"),
+          StandardCopyOption.REPLACE_EXISTING)
+        name
+      }
+    }.toSeq
+    if (manifested && (newNames.nonEmpty || truncateEachEpoch))
+      SegManifest.swap(path,
+        (if (truncateEachEpoch) Seq.empty else existing) ++ newNames)
+    graft.Counters.add("gseg_stream_sink_epochs", 1L)
+    graft.Counters.add("gseg_stream_sink_files", newNames.size.toLong)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: SegCommitMessage => m }
+      .foreach(_.tmpFiles.foreach(t => Files.deleteIfExists(Paths.get(t))))
 }
 
 case class SegCommitMessage(partitionId: Int, tmpFiles: Seq[String])

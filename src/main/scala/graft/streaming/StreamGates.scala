@@ -1803,6 +1803,91 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_gseg_sink_parity]: the gseg STREAMING SINK —
+    * `writeStream.toTable` onto a gseg CATALOG table, each epoch an
+    * idempotent manifest-swap commit under an epoch-prefixed name
+    * (the WRITE half of the connector's streaming story; the READ
+    * half is stream_dsv2_parity). Claims:
+    *  - first_batch_parity: after the first arrival the table equals
+    *    slice A's aggregate exactly — one epoch, one commit;
+    *  - final_parity: after the second arrival the table's rows are
+    *    SET-IDENTICAL to the whole slice (event_id is unique, sums
+    *    ride DECIMAL);
+    *  - multi_epoch: the live manifest carries ≥2 distinct epoch
+    *    prefixes — the parity really came from two commits, not one;
+    *  - dml_ok: the sunk table is a FIRST-CLASS table — a DELETE of
+    *    one event type through the row-level rewrite leaves exactly
+    *    the relational remainder (sink output feeding DML is the
+    *    bronze→silver handoff every 100 TB ingest pipeline runs).
+    * n_types anchors the oracle relationally. */
+  def streamSegSinkParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_seg_sink").toString
+    try {
+      val inDir = s"$base/in"
+      val wh = s"$base/wh"
+      iso.conf.set("spark.sql.catalog.gseg_sink",
+        "graft.sources.SegCatalog")
+      iso.conf.set("spark.sql.catalog.gseg_sink.warehouse", wh)
+      val ev = Tables.events(iso, d).filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val halfA = ev.filter(col("event_id") % 2 === 0)
+      val halfB = ev.filter(col("event_id") % 2 === 1)
+      iso.sql(
+        """CREATE TABLE gseg_sink.ns.sunk (
+          |  event_id BIGINT, user_id BIGINT,
+          |  event_type STRING, value DOUBLE) USING gseg""".stripMargin)
+      def agg(df: DataFrame): Map[String, (Long, java.math.BigDecimal)] =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2))).as("sv"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2))))
+          .toMap
+      halfA.coalesce(1).write.mode("append").parquet(inDir)
+      var q: StreamingQuery = null
+      var firstOk = false
+      try {
+        q = owned(iso.readStream.schema(ev.schema).parquet(inDir)
+          .writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", s"$base/ckpt")
+          .toTable("gseg_sink.ns.sunk"), "stream_gseg_sink_parity")
+        q.processAllAvailable()
+        firstOk = {
+          val got = agg(iso.table("gseg_sink.ns.sunk"))
+          got == agg(halfA) && got.nonEmpty
+        }
+        halfB.coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      } finally safeStop(q)
+      val sunk = iso.table("gseg_sink.ns.sunk")
+      val finalOk = graft.functions.Gates.symDiffEmpty(
+        sunk.select(col("event_id")), ev.select(col("event_id")),
+        Seq("event_id")).head() match {
+        case r => r.getLong(0) == 0 && r.getLong(1) == 0 &&
+          agg(sunk) == agg(ev)
+      }
+      val multiEpoch = graft.sources.SegManifest
+        .read(s"$wh/ns/sunk").get._2
+        .filter(_.startsWith("str-")).map(_.take(17)).distinct.size >= 2
+      // bronze→silver: the sunk table takes DML like any other
+      val delType = ev.agg(min(col("event_type"))).head().getString(0)
+      iso.sql(
+        s"DELETE FROM gseg_sink.ns.sunk WHERE event_type = '$delType'")
+      val dmlOk = iso.table("gseg_sink.ns.sunk").count() ==
+        ev.filter(col("event_type") =!= delType).count()
+      val nTypes = ev.select(col("event_type")).distinct().count()
+      ev.unpersist()
+      Seq((firstOk, finalOk, multiEpoch, dmlOk, nTypes)).toDF(
+        "first_batch_parity", "final_parity", "multi_epoch", "dml_ok",
+        "n_types")
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_static_join_parity]: the STREAM-STATIC
     * enrichment join — [[Streams.enrichedByUser]], the join shape a
     * 100 TB ingest pipeline runs most (every micro-batch enriched

@@ -88,7 +88,10 @@ object Sf1Probe {
         "s29_dsv2_time_travel" -> ((s, d) =>
           graft.operators.CoreOps.s29DsvTimeTravel(s, d)),
         "s30_dsv2_compact" -> ((s, d) =>
-          graft.operators.CoreOps.s30DsvCompact(s, d)))
+          graft.operators.CoreOps.s30DsvCompact(s, d)),
+        // the gseg streaming sink slices user_id < 40 ⇒ constant cost
+        "stream_gseg_sink_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamSegSinkParity(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

@@ -441,6 +441,37 @@ class SegDmlSpec extends SparkSpec {
       iso.sql("INSERT INTO tc.ns.t VERSION AS OF 2 VALUES (9, 9)"))
   }
 
+  test("streaming-sink epoch commits are idempotent under replay") {
+    val (iso, wh) = dml("sink")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT) USING gseg")
+    val dir = s"$wh/ns/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val sw = SegStreamingWrite(dir, schema, truncateEachEpoch = false)
+    def staged(tag: String, vals: Seq[Long]): SegCommitMessage = {
+      val tmp = s"$dir/.tmp-$tag.gseg"
+      SegSource.writeSegment(
+        vals.map(v => Array[AnyRef](java.lang.Long.valueOf(v))).toIndexedSeq,
+        schema, tmp)
+      SegCommitMessage(0, Seq(tmp))
+    }
+    sw.commit(7L, Array(staged("a", Seq(1L, 2L, 3L))))
+    assert(iso.table("tc.ns.t").count() == 3)
+    val (genAfterFirst, _) = SegManifest.read(dir).get
+    // Spark replays an epoch whose commit it couldn't prove durable:
+    // the second commit of epoch 7 must discard its temps, add
+    // nothing, and leave the manifest untouched
+    sw.commit(7L, Array(staged("b", Seq(9L, 9L))))
+    assert(iso.table("tc.ns.t").count() == 3)
+    assert(SegManifest.read(dir).get._1 == genAfterFirst)
+    assert(SegManifest.vacuum(dir).isEmpty) // replay temps were discarded
+    // a NEW epoch appends normally
+    sw.commit(8L, Array(staged("c", Seq(4L))))
+    assert(iso.table("tc.ns.t").count() == 4)
+  }
+
   test("CALL compact merges segments atomically, preserving content and history") {
     val (iso, wh) = dml("compact")
     import iso.implicits._
