@@ -518,6 +518,11 @@ class SegDmlSpec extends SparkSpec {
     // unknown procedure / missing table fail loudly
     intercept[Exception](iso.sql("CALL tc.optimize('ns.t')"))
     intercept[Exception](iso.sql("CALL tc.vacuum('ns.missing')"))
+    // the catalog advertises its procedures through the listing SPI
+    val shown = iso.sql("SHOW PROCEDURES IN tc")
+    val procs = shown.select(col("procedure_name")).collect()
+      .map(_.getString(0)).toSet
+    assert(procs == Set("vacuum", "compact"), s"procedures: $procs")
   }
 
   test("reserved and traversal-unsafe identifiers are rejected") {
