@@ -430,7 +430,13 @@ class SegDmlTable(tschema: StructType, path: String)
   * plain path-based write in a hidden temp dir), and the COMMIT is
   * the same atomic manifest swap every gseg commit uses; the
   * fragmented generation stays time-travelable until vacuum. A no-op
-  * when the table already has ≤ target segments. */
+  * when the table already has ≤ target segments. Layout caveat,
+  * stated honestly: compaction merges arbitrary partitions, so a
+  * table laid out for storage-partitioned joins (one key value per
+  * segment) loses that layout — the scan then degrades to unknown
+  * partitioning (never wrong, only shuffled); a clustered OPTIMIZE
+  * variant would re-sort on the key instead, the
+  * [[graft.operators.Compaction]] sortCols path. */
 class SegCompactProcedure(cat: SegCatalog)
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}

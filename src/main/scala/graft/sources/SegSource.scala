@@ -1251,9 +1251,17 @@ case class SegStreamingWrite(path: String, schema: StructType,
         name
       }
     }.toSeq
-    if (manifested && (newNames.nonEmpty || truncateEachEpoch))
-      SegManifest.swap(path,
-        (if (truncateEachEpoch) Seq.empty else existing) ++ newNames)
+    if (manifested) {
+      if (newNames.nonEmpty || truncateEachEpoch)
+        SegManifest.swap(path,
+          (if (truncateEachEpoch) Seq.empty else existing) ++ newNames)
+    } else if (truncateEachEpoch) {
+      // path-based Complete mode: legacy listing protocol — the new
+      // epoch is fully renamed in (epoch-prefixed, collision-free)
+      // before the superseded files go; only a manifest table gets
+      // the atomic flavor of this replacement
+      existing.foreach(n => Files.deleteIfExists(Paths.get(s"$path/$n")))
+    }
     graft.Counters.add("gseg_stream_sink_epochs", 1L)
     graft.Counters.add("gseg_stream_sink_files", newNames.size.toLong)
   }

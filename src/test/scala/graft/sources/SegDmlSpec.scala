@@ -472,6 +472,45 @@ class SegDmlSpec extends SparkSpec {
     assert(iso.table("tc.ns.t").count() == 4)
   }
 
+  test("Complete-mode streaming onto a gseg table replaces the generation per epoch") {
+    val (iso, wh) = dml("sinkc")
+    import iso.implicits._
+    val base = graft.Fs.fastTempDir("graft_sinkc").toString
+    try {
+      val inDir = s"$base/in"
+      iso.sql("CREATE TABLE tc.ns.agg (k BIGINT, n BIGINT) USING gseg")
+      Seq(1L, 1L, 2L).toDF("k")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = iso.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(inDir)
+          .groupBy($"k").agg(count(lit(1)).as("n"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+          .option("checkpointLocation", s"$base/ckpt")
+          .toTable("tc.ns.agg")
+        q.processAllAvailable()
+        assert(iso.table("tc.ns.agg").orderBy($"k").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+          Seq((1L, 2L), (2L, 1L)))
+        Seq(2L, 3L).toDF("k")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      } finally if (q != null) q.stop()
+      // Complete mode REPLACES: counts are totals, never accumulated
+      // epoch layers — epoch 1's generation superseded epoch 0's
+      assert(iso.table("tc.ns.agg").orderBy($"k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+      // the superseded epoch-0 generation awaits vacuum
+      assert(SegManifest.vacuum(s"$wh/ns/agg").nonEmpty)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("CALL compact merges segments atomically, preserving content and history") {
     val (iso, wh) = dml("compact")
     import iso.implicits._
