@@ -301,13 +301,15 @@ class SegCatalog extends TableCatalog
     ident.name() match {
       case "vacuum" => new SegVacuumProcedure(this)
       case "compact" => new SegCompactProcedure(this)
+      case "history" => new SegHistoryProcedure(this)
       case other => throw new UnsupportedOperationException(
-        s"gseg: no procedure '$other' (have: vacuum, compact)")
+        s"gseg: no procedure '$other' (have: vacuum, compact, history)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "vacuum"),
-        Identifier.of(namespace, "compact"))
+        Identifier.of(namespace, "compact"),
+        Identifier.of(namespace, "history"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -416,6 +418,68 @@ class SegDmlTable(tschema: StructType, path: String)
       Files.deleteIfExists(Paths.get(f)))
     true
   }
+}
+
+/** `CALL <catalog>.history('ns.table')` → one row per RETAINED
+  * generation (generation BIGINT, committed_at_ms BIGINT, n_segments
+  * BIGINT, is_current BOOLEAN), ascending — the observability half of
+  * time travel: which `VERSION AS OF` targets still exist, when each
+  * committed (the snapshot's clock, same one TIMESTAMP AS OF
+  * resolves by), and how wide each generation was. Metadata-only. */
+class SegHistoryProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "history"
+  override def description(): String =
+    "retained generations of a gseg table (time-travel targets)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "history"
+      override def description(): String =
+        SegHistoryProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("generation", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("committed_at_ms", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("n_segments", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("is_current", org.apache.spark.sql.types.BooleanType,
+          nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg history: bad table identifier '$tbl'")
+        val dir = cat.tableDir(
+          Identifier.of(parts.init.toArray, parts.last))
+        val current = SegManifest.read(dir.toString).map(_._1)
+        val histRows = SegManifest.listSnapshots(dir.toString)
+          .map { case (gen, ms) =>
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](gen, ms,
+                SegManifest.readSnapshot(dir.toString, gen)
+                  .map(_.size.toLong).getOrElse(0L),
+                current.contains(gen)))
+              : org.apache.spark.sql.catalyst.InternalRow
+          }.toArray
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            histRows
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg history $tbl"
+        }).iterator()
+      }
+    }
 }
 
 /** `CALL <catalog>.compact('ns.table', target_segments)` → one row

@@ -425,9 +425,23 @@ class SegDmlSpec extends SparkSpec {
       org.apache.spark.sql.connector.catalog.Identifier.of(
         Array("ns"), "t"), t1 * 1000L)
       .name().endsWith("@v1"))
+    // TIMESTAMP AS OF through SQL (UTC session in specs): same gen-1
+    val iso8601 = java.time.Instant.ofEpochMilli(t1).toString
+      .replace("T", " ").stripSuffix("Z")
+    assert(iso.sql(
+      s"SELECT sum(v) AS s FROM tc.ns.t TIMESTAMP AS OF '$iso8601'")
+      .head().getLong(0) == 30)
+    // history: all four generations retained, ascending, current last
+    val hist = iso.sql("CALL tc.history('ns.t')").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(hist.map(_._1) == Seq(0L, 1L, 2L, 3L), s"history: $hist")
+    assert(hist.count(_._3) == 1 && hist.last._3, s"history: $hist")
+    assert(hist.head._2 == 0L) // the created-empty generation
     // vacuum retires ONLY generations whose files it reclaims: the
     // UPDATE superseded gen-1's file, so v1 dies, v2/v3 survive
     assert(iso.sql("CALL tc.vacuum('ns.t')").head().getLong(1) >= 1L)
+    assert(iso.sql("CALL tc.history('ns.t')").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L))
     intercept[Exception](
       iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1").collect())
     assert(iso.sql("SELECT sum(v) AS s FROM tc.ns.t VERSION AS OF 2")
@@ -561,7 +575,8 @@ class SegDmlSpec extends SparkSpec {
     val shown = iso.sql("SHOW PROCEDURES IN tc")
     val procs = shown.select(col("procedure_name")).collect()
       .map(_.getString(0)).toSet
-    assert(procs == Set("vacuum", "compact"), s"procedures: $procs")
+    assert(procs == Set("vacuum", "compact", "history"),
+      s"procedures: $procs")
   }
 
   test("reserved and traversal-unsafe identifiers are rejected") {
