@@ -281,6 +281,7 @@ object SparkEntry {
     "s28_dsv2_vacuum"    -> CoreOps.s28DsvVacuum _,
     "s29_dsv2_time_travel" -> CoreOps.s29DsvTimeTravel _,
     "s30_dsv2_compact"   -> CoreOps.s30DsvCompact _,
+    "s31_dsv2_event_retention" -> CoreOps.s31DsvEventRetention _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1342,6 +1343,20 @@ object SparkEntry {
         |       TRUE AS reclaimed_some
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // event-time retention DELETE: survivors = events at or above the
+    // integer-midpoint micros horizon, identical arithmetic both sides
+    "s31_dsv2_event_retention" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |             AS cut
+        |           FROM events WHERE user_id < 200),
+        |     kept AS (SELECT event_type, value, epoch_us(ts) AS us
+        |              FROM events, b
+        |              WHERE user_id < 200 AND epoch_us(ts) >= cut)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_value,
+        |       MIN(us) AS min_us, MAX(us) AS max_us
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // COMPACT procedure: a distributed rewrite must not change the
     // data — the oracle is the plain even-key aggregate; layout_ok is
     // pinned TRUE (16 fragments in, 2 segments out)

@@ -3286,6 +3286,40 @@ object CoreOps {
       .orderBy(col("bucket"))
   }
 
+  /** DSv2 EVENT-TIME RETENTION DELETE [S31]: the DML that dominates a
+    * 100 TB event table — `DELETE FROM t WHERE ts < <horizon>` — run
+    * against a gseg table whose TIMESTAMP column (micros-backed, r12
+    * type addition) is the RANGE-LAYOUT key. The horizon predicate
+    * folds to a timestamp literal, pushes into the row-level scan,
+    * and the ts zone maps prune at PLAN time: files wholly below the
+    * horizon are dropped whole (their rewrite is pure deletion — the
+    * replacement stages nothing), files wholly above are never
+    * candidates, and only the one straddling file is actually
+    * rewritten — retention cost tracks the horizon BOUNDARY, not the
+    * table (counters in bench_metrics; the sf1 probe pins constancy).
+    * Readback aggregates the survivors with micros bounds; the
+    * midpoint horizon uses the same (MIN+MAX)/2 integer arithmetic on
+    * micros in both engines, so the cut is bit-identical. */
+  def s31DsvEventRetention(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml31")
+    val ev = Tables.events(iso, d).filter(col("user_id") < 200)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    graft.sources.SegSource.write(
+      ev.repartitionByRange(8, col("ts")), s"$wh/dml/t")
+    val mm = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    iso.sql(
+      s"DELETE FROM gseg_dml.dml.t WHERE ts < timestamp_micros(${cut}L)")
+    iso.table("gseg_dml.dml.t")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** DSv2 TIME TRAVEL [S29]: `VERSION AS OF` over retained generation
     * snapshots — every manifest swap also writes `.manifest.v<gen>`,
     * so a committed generation stays queryable (pinned file set,

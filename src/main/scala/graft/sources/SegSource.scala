@@ -64,7 +64,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * a production writer would roll segments at a byte budget and stage
   * through the Hadoop FileSystem API instead of java.io — the commit
   * choreography is the part that transfers. Supported types: long,
-  * int, double, string, with per-column null bitmaps.
+  * int, double, string, boolean, timestamp (micros-since-epoch longs,
+  * so event-time columns get the same exact zone-map stats as keys),
+  * with per-column null bitmaps.
   *
   * Layout per file (v2):
   *   "GSEG" magic, version byte (2), int nRows, int nCols,
@@ -91,18 +93,22 @@ object SegSource {
   private[sources] val Version: Byte = 2
 
   private[sources] def tag(dt: DataType): Byte = dt match {
-    case LongType    => 0
-    case IntegerType => 1
-    case DoubleType  => 2
-    case StringType  => 3
+    case LongType      => 0
+    case IntegerType   => 1
+    case DoubleType    => 2
+    case StringType    => 3
+    case BooleanType   => 4
+    case TimestampType => 5 // stored as micros-since-epoch longs
     case other => throw new IllegalArgumentException(
-      s"gseg supports long/int/double/string, got $other")
+      s"gseg supports long/int/double/string/boolean/timestamp, got $other")
   }
   private[sources] def dtype(tag: Byte): DataType = tag match {
     case 0 => LongType
     case 1 => IntegerType
     case 2 => DoubleType
     case 3 => StringType
+    case 4 => BooleanType
+    case 5 => TimestampType
   }
 
   /** Convenience writer: route `df` through the V2 write path
@@ -180,12 +186,33 @@ object SegSource {
           }
           i += 1
         }
+        // TIMESTAMP rides the long path (micros since epoch): same
+        // encoding, same exact zone-map stats
+        case TimestampType => while (i < n) {
+          val v = rows(i)(c)
+          if (v != null) {
+            val l = v.asInstanceOf[java.lang.Long].longValue()
+            o.writeLong(l); seen = true
+            if (l < mnL) mnL = l
+            if (l > mxL) mxL = l
+          }
+          i += 1
+        }
+        // BOOLEAN: one byte per non-null value; no min/max stats (a
+        // two-value domain prunes nothing a predicate can't — IsNull
+        // pruning still rides nNulls)
+        case BooleanType => while (i < n) {
+          val v = rows(i)(c)
+          if (v != null)
+            o.writeBoolean(v.asInstanceOf[java.lang.Boolean].booleanValue())
+          i += 1
+        }
         case _ => ()
       }
       o.flush()
       blocks(c) = bo.toByteArray
       schema(c).dataType match {
-        case LongType | IntegerType if seen =>
+        case LongType | IntegerType | TimestampType if seen =>
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
         case DoubleType if seen =>
           hasStats(c) = true
@@ -229,6 +256,8 @@ object SegSource {
         case 0 => Some(bits)
         case 1 => Some(bits.toInt)
         case 2 => Some(java.lang.Double.longBitsToDouble(bits))
+        case 5 => Some(bits) // timestamp micros: Long, the agg partial
+                             // and zone maps both speak micros
         case _ => None
       }
   }
@@ -295,6 +324,12 @@ object SegSource {
       Some(java.math.BigDecimal.valueOf(f.toDouble))
     case d: java.math.BigDecimal => Some(d)
     case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    // timestamp FILTER VALUES (V1 filters carry external types) map
+    // to the same micros the stored longs and header stats speak
+    case t: java.sql.Timestamp => Some(java.math.BigDecimal.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+    case i: java.time.Instant => Some(java.math.BigDecimal.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
     case _ => None
   }
 
@@ -355,6 +390,11 @@ object SegSource {
       if (x == null) None
       else (x, v) match {
         case (s: UTF8String, vs: String) => Some(s.toString.compareTo(vs))
+        // boolean columns: bd() has no decimal for these, and the
+        // reader MUST evaluate accepted shapes correctly (a wrongly
+        // dropped row cannot be resurrected by Spark's re-check)
+        case (b: java.lang.Boolean, vb: Boolean) =>
+          Some(java.lang.Boolean.compare(b.booleanValue(), vb))
         case _ => for (l <- bd(x); r <- bd(v)) yield l.compareTo(r)
       }
     }
@@ -466,14 +506,19 @@ object SegSource {
           case Some(n) => AggCountCol(n)
           case None => return None
         }
+      // stat-less types (string, boolean) must DECLINE min/max: a
+      // header-answered null partial over real data would be a wrong
+      // answer, not a slow one
       case m: Min =>
         fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
-          case Some((n, dt)) if dt != StringType => AggMin(n, dt)
+          case Some((n, dt)) if dt != StringType && dt != BooleanType =>
+            AggMin(n, dt)
           case _ => return None
         }
       case m: Max =>
         fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
-          case Some((n, dt)) if dt != StringType => AggMax(n, dt)
+          case Some((n, dt)) if dt != StringType && dt != BooleanType =>
+            AggMax(n, dt)
           case _ => return None
         }
       case _ => return None
@@ -1102,6 +1147,12 @@ class SegPartitionReader(file: String, required: StructType,
                 }
                 i += 1
               }
+              case 4 => while (i < n) {
+                if (!isNull(i)) vals(i) = in.readBoolean(); i += 1
+              }
+              case 5 => while (i < n) {
+                if (!isNull(i)) vals(i) = in.readLong(); i += 1
+              }
             }
             decoded(ci) = vals
         }
@@ -1365,6 +1416,9 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
         case IntegerType => java.lang.Integer.valueOf(r.getInt(c))
         case DoubleType => java.lang.Double.valueOf(r.getDouble(c))
         case StringType => r.getUTF8String(c).getBytes
+        case TimestampType => // internal repr IS micros
+          java.lang.Long.valueOf(r.getLong(c))
+        case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(c))
         case other => throw new IllegalArgumentException(
           s"gseg write: unsupported $other")
       }

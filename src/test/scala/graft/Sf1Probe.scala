@@ -91,7 +91,10 @@ object Sf1Probe {
           graft.operators.CoreOps.s30DsvCompact(s, d)),
         // the gseg streaming sink slices user_id < 40 ⇒ constant cost
         "stream_gseg_sink_parity" -> ((s, d) =>
-          graft.streaming.StreamGates.streamSegSinkParity(s, d)))
+          graft.streaming.StreamGates.streamSegSinkParity(s, d)),
+        // retention DELETE: rewrite cost tracks the horizon boundary
+        "s31_dsv2_event_retention" -> ((s, d) =>
+          graft.operators.CoreOps.s31DsvEventRetention(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

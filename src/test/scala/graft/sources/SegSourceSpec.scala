@@ -42,6 +42,49 @@ class SegSourceSpec extends SparkSpec {
       .filter(col("s").isNotNull).count() === 2)
   }
 
+  test("timestamp and boolean columns roundtrip, filter, prune, and aggregate correctly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegtyped").toString
+    // events carry the real TIMESTAMP column; add a boolean + nulls
+    val src = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("ts"),
+        (col("event_id") % 3 === 0).as("flag"),
+        when(col("event_id") % 7 === 0, col("ts")).as("ts_sparse"))
+    SegSource.write(src.repartitionByRange(4, col("ts")), d)
+    val back = spark.read.format("gseg").load(d)
+    // exact roundtrip (timestamps compare as instants, UTC session)
+    assert(back.collect().map(_.toSeq).toSet ===
+      src.collect().map(_.toSeq).toSet)
+    assert(back.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("flag").dataType ===
+      org.apache.spark.sql.types.BooleanType)
+    // timestamp range filter: pushed, re-checked, and ZONE-MAP pruned
+    // (the range layout gives each segment a disjoint ts interval)
+    val cut = src.agg(max(col("ts"))).head().getTimestamp(0)
+    graft.Counters.clear()
+    val gotTop = back.filter(col("ts") === cut).count()
+    val c = graft.Counters.drain()
+    assert(gotTop === src.filter(col("ts") === cut).count())
+    assert(c("gseg_files_skipped") > 0L,
+      s"ts zone maps pruned nothing: $c")
+    // boolean filters evaluate EXACTLY in the reader (accepted shape)
+    assert(back.filter(col("flag") === true).count() ===
+      src.filter(col("flag") === true).count())
+    assert(back.filter(col("flag") === false).count() ===
+      src.filter(col("flag") === false).count())
+    assert(back.filter(col("ts_sparse").isNull).count() ===
+      src.filter(col("ts_sparse").isNull).count())
+    // MIN/MAX over timestamp answer from headers; over boolean they
+    // must DECLINE to a real scan (no stats), both exactly
+    val aggGot = back.agg(min(col("ts")), max(col("ts")),
+      min(col("flag")), max(col("flag")), count(col("ts_sparse"))).head()
+    val aggWant = src.agg(min(col("ts")), max(col("ts")),
+      min(col("flag")), max(col("flag")), count(col("ts_sparse"))).head()
+    assert(aggGot.toSeq === aggWant.toSeq)
+  }
+
   test("column pruning and filter pushdown reach the V2 scan") {
     val df = spark.read.format("gseg").load(segDir)
       .filter(col("l_quantity") > 25)
