@@ -302,14 +302,17 @@ class SegCatalog extends TableCatalog
       case "vacuum" => new SegVacuumProcedure(this)
       case "compact" => new SegCompactProcedure(this)
       case "history" => new SegHistoryProcedure(this)
+      case "rollback" => new SegRollbackProcedure(this)
       case other => throw new UnsupportedOperationException(
-        s"gseg: no procedure '$other' (have: vacuum, compact, history)")
+        s"gseg: no procedure '$other' " +
+          "(have: vacuum, compact, history, rollback)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "compact"),
-        Identifier.of(namespace, "history"))
+        Identifier.of(namespace, "history"),
+        Identifier.of(namespace, "rollback"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -477,6 +480,75 @@ class SegHistoryProcedure(cat: SegCatalog)
             histRows
           override def readSchema(): StructType = outSchema
           override def description(): String = s"gseg history $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.rollback('ns.table', generation)` → one row
+  * (table STRING, rolled_back_to BIGINT, new_generation BIGINT). The
+  * undo button time travel enables: re-commit a RETAINED generation's
+  * exact file set as a NEW generation (one atomic manifest swap — the
+  * forward-rolling recovery every lakehouse ships, never a mutation
+  * of history: the bad generations stay in the ledger and
+  * time-travelable until vacuum, which also reclaims their files once
+  * nothing live references them). Fails loudly when the target
+  * snapshot is gone (never committed, or retired by vacuum) or when
+  * any of its files has been reclaimed. */
+class SegRollbackProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "rollback"
+  override def description(): String =
+    "re-commit a retained generation's file set as the live generation"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String =
+        SegRollbackProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("generation",
+          org.apache.spark.sql.types.LongType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("rolled_back_to", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("new_generation", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val gen = input.getLong(1)
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg rollback: bad table identifier '$tbl'")
+        val dir = cat.tableDir(
+          Identifier.of(parts.init.toArray, parts.last))
+        val names = SegManifest.readSnapshot(dir.toString, gen).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg rollback: no snapshot for generation $gen of " +
+              s"${parts.last} — never committed, or retired by vacuum"))
+        val missing = names.filterNot(n => Files.exists(dir.resolve(n)))
+        require(missing.isEmpty,
+          s"gseg rollback: generation $gen is no longer materialized — " +
+            s"missing segment(s): ${missing.mkString(", ")}")
+        val newGen = SegManifest.swap(dir.toString, names)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            gen, newGen))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg rollback $tbl"
         }).iterator()
       }
     }

@@ -64,9 +64,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * a production writer would roll segments at a byte budget and stage
   * through the Hadoop FileSystem API instead of java.io — the commit
   * choreography is the part that transfers. Supported types: long,
-  * int, double, string, boolean, timestamp (micros-since-epoch longs,
-  * so event-time columns get the same exact zone-map stats as keys),
-  * with per-column null bitmaps.
+  * int, double, string, boolean, timestamp (micros-since-epoch
+  * longs), date (days-since-epoch ints) — time columns get the same
+  * exact zone-map stats as keys — with per-column null bitmaps.
   *
   * Layout per file (v2):
   *   "GSEG" magic, version byte (2), int nRows, int nCols,
@@ -99,8 +99,10 @@ object SegSource {
     case StringType    => 3
     case BooleanType   => 4
     case TimestampType => 5 // stored as micros-since-epoch longs
+    case DateType      => 6 // stored as days-since-epoch ints
     case other => throw new IllegalArgumentException(
-      s"gseg supports long/int/double/string/boolean/timestamp, got $other")
+      s"gseg supports long/int/double/string/boolean/timestamp/date, " +
+        s"got $other")
   }
   private[sources] def dtype(tag: Byte): DataType = tag match {
     case 0 => LongType
@@ -109,6 +111,7 @@ object SegSource {
     case 3 => StringType
     case 4 => BooleanType
     case 5 => TimestampType
+    case 6 => DateType
   }
 
   /** Convenience writer: route `df` through the V2 write path
@@ -158,7 +161,9 @@ object SegSource {
           }
           i += 1
         }
-        case IntegerType => while (i < n) {
+        // DATE rides the int path (days since epoch): same encoding,
+        // same exact zone-map stats
+        case IntegerType | DateType => while (i < n) {
           val v = rows(i)(c)
           if (v != null) {
             val x = v.asInstanceOf[java.lang.Integer].intValue()
@@ -212,7 +217,7 @@ object SegSource {
       o.flush()
       blocks(c) = bo.toByteArray
       schema(c).dataType match {
-        case LongType | IntegerType | TimestampType if seen =>
+        case LongType | IntegerType | TimestampType | DateType if seen =>
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
         case DoubleType if seen =>
           hasStats(c) = true
@@ -258,6 +263,7 @@ object SegSource {
         case 2 => Some(java.lang.Double.longBitsToDouble(bits))
         case 5 => Some(bits) // timestamp micros: Long, the agg partial
                              // and zone maps both speak micros
+        case 6 => Some(bits.toInt) // date days: Int
         case _ => None
       }
   }
@@ -330,6 +336,12 @@ object SegSource {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
     case i: java.time.Instant => Some(java.math.BigDecimal.valueOf(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+    // date FILTER VALUES map to the stored days-since-epoch ints
+    case d: java.sql.Date => Some(java.math.BigDecimal.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+    case d: java.time.LocalDate => Some(java.math.BigDecimal.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateToDays(d).toLong))
     case _ => None
   }
 
@@ -1153,6 +1165,9 @@ class SegPartitionReader(file: String, required: StructType,
               case 5 => while (i < n) {
                 if (!isNull(i)) vals(i) = in.readLong(); i += 1
               }
+              case 6 => while (i < n) {
+                if (!isNull(i)) vals(i) = in.readInt(); i += 1
+              }
             }
             decoded(ci) = vals
         }
@@ -1418,6 +1433,8 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
         case StringType => r.getUTF8String(c).getBytes
         case TimestampType => // internal repr IS micros
           java.lang.Long.valueOf(r.getLong(c))
+        case DateType => // internal repr IS days
+          java.lang.Integer.valueOf(r.getInt(c))
         case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(c))
         case other => throw new IllegalArgumentException(
           s"gseg write: unsupported $other")

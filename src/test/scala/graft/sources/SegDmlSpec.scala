@@ -525,6 +525,40 @@ class SegDmlSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("CALL rollback re-commits a retained generation as new history") {
+    val (iso, wh) = dml("rollback")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"), lit(1L).as("v")),
+      s"$wh/ns/t")
+    assert(iso.table("tc.ns.t").count() == 100) // manifest gen 0
+    iso.sql("DELETE FROM tc.ns.t WHERE k < 40")             // gen 1
+    iso.sql("UPDATE tc.ns.t SET v = 9 WHERE k >= 90")       // gen 2
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getLong(0) ==
+      50 + 10 * 9)
+    // roll forward to the pre-DML state: a NEW generation (3) with
+    // gen 0's exact file set — history is never mutated
+    val r = iso.sql("CALL tc.rollback('ns.t', 0)").head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == 3L, s"rollback: $r")
+    assert(iso.table("tc.ns.t").count() == 100)
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getLong(0) == 100)
+    val gens = iso.sql("CALL tc.history('ns.t')").collect()
+      .map(r2 => (r2.getLong(0), r2.getBoolean(3))).toSeq
+    assert(gens.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(gens.filter(_._2).map(_._1) == Seq(3L))
+    // the undone generations stay time-travelable until vacuum...
+    assert(iso.sql("SELECT count(*) AS n FROM tc.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 60)
+    // ...and vacuum reclaims their files + snapshots, keeping both
+    // generations that share the live file set (0 and 3)
+    assert(iso.sql("CALL tc.vacuum('ns.t')").head().getLong(1) >= 1L)
+    assert(iso.sql("CALL tc.history('ns.t')").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 3L))
+    assert(iso.table("tc.ns.t").count() == 100)
+    // rolling back to a vacuumed generation fails loudly
+    intercept[Exception](iso.sql("CALL tc.rollback('ns.t', 2)").collect())
+  }
+
   test("CALL compact merges segments atomically, preserving content and history") {
     val (iso, wh) = dml("compact")
     import iso.implicits._
@@ -575,7 +609,7 @@ class SegDmlSpec extends SparkSpec {
     val shown = iso.sql("SHOW PROCEDURES IN tc")
     val procs = shown.select(col("procedure_name")).collect()
       .map(_.getString(0)).toSet
-    assert(procs == Set("vacuum", "compact", "history"),
+    assert(procs == Set("vacuum", "compact", "history", "rollback"),
       s"procedures: $procs")
   }
 

@@ -85,6 +85,28 @@ class SegSourceSpec extends SparkSpec {
     assert(aggGot.toSeq === aggWant.toSeq)
   }
 
+  test("date columns roundtrip with zone-map pruning and header aggs") {
+    val d = java.nio.file.Files.createTempDirectory("gsegdate").toString
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("dt"))
+    SegSource.write(src.repartitionByRange(4, col("dt")), d)
+    val back = spark.read.format("gseg").load(d)
+    assert(back.schema("dt").dataType ===
+      org.apache.spark.sql.types.DateType)
+    assert(back.count() === src.count())
+    // a one-day equality filter prunes the range files at plan time
+    // and evaluates exactly in the reader
+    val day = src.agg(max(col("dt"))).head().getDate(0)
+    graft.Counters.clear()
+    assert(back.filter(col("dt") === day).count() ===
+      src.filter(col("dt") === day).count())
+    val c = graft.Counters.drain()
+    assert(c("gseg_files_skipped") > 0L, s"date zone maps inert: $c")
+    // MIN/MAX(date) answer from headers exactly
+    assert(back.agg(min(col("dt")), max(col("dt"))).head().toSeq ===
+      src.agg(min(col("dt")), max(col("dt"))).head().toSeq)
+  }
+
   test("column pruning and filter pushdown reach the V2 scan") {
     val df = spark.read.format("gseg").load(segDir)
       .filter(col("l_quantity") > 25)
