@@ -1303,11 +1303,25 @@ case class SegStreamingWrite(path: String, schema: StructType,
       else SegSource.listSegments(path)
         .map(f => Paths.get(f).getFileName.toString)
     if (existing.exists(_.startsWith(prefix))) {
-      // epoch replay after a commit Spark could not prove durable:
-      // the first commit's segments are already in the table
-      msgs.foreach(_.tmpFiles.foreach(t =>
-        Files.deleteIfExists(Paths.get(t))))
-      return
+      if (manifested) {
+        // epoch replay after a commit Spark could not prove durable:
+        // the prefix is IN THE MANIFEST, which only the completed
+        // swap can put there — the first commit landed whole, discard
+        // the replay
+        msgs.foreach(_.tmpFiles.foreach(t =>
+          Files.deleteIfExists(Paths.get(t))))
+        return
+      } else {
+        // path-based dir: the prefix comes from the LISTING, which a
+        // commit crashed mid-rename also produces — skipping could
+        // drop the missing tail of the epoch. Re-commit by
+        // REPLACEMENT instead: clear the epoch's files and redo the
+        // renames (idempotent under any number of replays; the
+        // transient partial-epoch window is inherent to the listing
+        // protocol — catalog tables get the atomic flavor)
+        existing.filter(_.startsWith(prefix)).foreach(n =>
+          Files.deleteIfExists(Paths.get(s"$path/$n")))
+      }
     }
     val newNames = msgs.flatMap { m =>
       m.tmpFiles.zipWithIndex.map { case (tmp, i) =>

@@ -85,6 +85,31 @@ class SegSourceSpec extends SparkSpec {
     assert(aggGot.toSeq === aggWant.toSeq)
   }
 
+  test("path-based streaming-sink replay re-commits by replacement, never duplication") {
+    val dir = java.nio.file.Files.createTempDirectory("gsegsink").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    def staged(tag: String, vals: Seq[Long]): SegCommitMessage = {
+      val tmp = s"$dir/.tmp-$tag.gseg"
+      SegSource.writeSegment(
+        vals.map(v => Array[AnyRef](java.lang.Long.valueOf(v))).toIndexedSeq,
+        schema, tmp)
+      SegCommitMessage(0, Seq(tmp))
+    }
+    val sw = SegStreamingWrite(dir, schema, truncateEachEpoch = false)
+    sw.commit(3L, Array(staged("a", Seq(1L, 2L))))
+    assert(spark.read.format("gseg").load(dir).count() === 2)
+    // a LISTING prefix cannot prove the first commit completed (a
+    // crash mid-rename leaves a partial epoch), so the replay must
+    // REPLACE the epoch's files — same row count, never doubled
+    sw.commit(3L, Array(staged("b", Seq(1L, 2L))))
+    assert(spark.read.format("gseg").load(dir).count() === 2)
+    // other epochs append normally
+    sw.commit(4L, Array(staged("c", Seq(5L))))
+    assert(spark.read.format("gseg").load(dir).count() === 3)
+  }
+
   test("date columns roundtrip with zone-map pruning and header aggs") {
     val d = java.nio.file.Files.createTempDirectory("gsegdate").toString
     val src = graft.Tables.orders(spark, sfDir)
