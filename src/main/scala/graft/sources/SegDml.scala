@@ -176,9 +176,13 @@ class SegCatalog extends TableCatalog
   }
 
   /** `TIMESTAMP AS OF`: the latest generation whose snapshot was
-    * committed at or before the requested instant (micros in, snapshot
-    * mtime as the commit clock — a production catalog would store the
-    * commit timestamp in the snapshot itself). */
+    * committed at or before the requested instant. The clock is the
+    * commit timestamp EMBEDDED in the v2 snapshot header (stamped
+    * inside the swap, so a copied/restored table resolves by its
+    * real commit history, not filesystem mtimes); legacy v1
+    * snapshots fall back to file mtime. Staged-but-never-committed
+    * generations are invisible here ([[SegManifest.listSnapshots]]
+    * bounds by the live pointer). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = tableDir(ident)
     val cutMs = Math.floorDiv(timestampMicros, 1000L)
@@ -342,8 +346,13 @@ class SegVacuumProcedure(cat: SegCatalog)
     new BoundProcedure {
       override def name(): String = "vacuum"
       override def description(): String = SegVacuumProcedure.this.description()
-      override def parameters(): Array[ProcedureParameter] =
-        Array(ProcedureParameter.in("table", StringType).build())
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        // retention bound: keep the live generation plus the N-1 most
+        // recent committed ones time-travelable; default 1 = live only
+        ProcedureParameter.in("keep_last",
+          org.apache.spark.sql.types.IntegerType)
+          .defaultValue("1").build())
       override def isDeterministic: Boolean = false // filesystem state
 
       private val outSchema = StructType(Seq(
@@ -354,12 +363,14 @@ class SegVacuumProcedure(cat: SegCatalog)
       override def call(input: org.apache.spark.sql.catalyst.InternalRow)
           : java.util.Iterator[V2Scan] = {
         val tbl = input.getUTF8String(0).toString
+        val keepLast =
+          if (input.numFields < 2 || input.isNullAt(1)) 1 else input.getInt(1)
         val parts = tbl.split('.')
         require(parts.nonEmpty && parts.forall(_.nonEmpty),
           s"gseg vacuum: bad table identifier '$tbl'")
         val dir = cat.tableDir(
           Identifier.of(parts.init.toArray, parts.last))
-        val reclaimed = SegManifest.vacuum(dir.toString)
+        val reclaimed = SegManifest.vacuum(dir.toString, keepLast)
         val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
@@ -416,9 +427,12 @@ class SegDmlTable(tschema: StructType, path: String)
       Files.createDirectories(Paths.get(path))
       Files.write(sc, tschema.json.getBytes(UTF_8))
     }
-    if (SegManifest.exists(path)) SegManifest.swap(path, Seq.empty)
-    else SegSource.listSegments(path).foreach(f =>
-      Files.deleteIfExists(Paths.get(f)))
+    SegManifest.read(path) match {
+      case Some((gen, _)) =>
+        SegManifest.swap(path, Seq.empty, expectGen = Some(Some(gen)))
+      case None => SegSource.listSegments(path).foreach(f =>
+        Files.deleteIfExists(Paths.get(f)))
+    }
     true
   }
 }
@@ -539,7 +553,9 @@ class SegRollbackProcedure(cat: SegCatalog)
         require(missing.isEmpty,
           s"gseg rollback: generation $gen is no longer materialized — " +
             s"missing segment(s): ${missing.mkString(", ")}")
-        val newGen = SegManifest.swap(dir.toString, names)
+        val liveGen = SegManifest.read(dir.toString).map(_._1)
+        val newGen = SegManifest.swap(dir.toString, names,
+          expectGen = Some(liveGen))
         val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
@@ -566,13 +582,19 @@ class SegRollbackProcedure(cat: SegCatalog)
   * plain path-based write in a hidden temp dir), and the COMMIT is
   * the same atomic manifest swap every gseg commit uses; the
   * fragmented generation stays time-travelable until vacuum. A no-op
-  * when the table already has ≤ target segments. Layout caveat,
-  * stated honestly: compaction merges arbitrary partitions, so a
-  * table laid out for storage-partitioned joins (one key value per
-  * segment) loses that layout — the scan then degrades to unknown
-  * partitioning (never wrong, only shuffled); a clustered OPTIMIZE
-  * variant would re-sort on the key instead, the
-  * [[graft.operators.Compaction]] sortCols path. */
+  * when the table already has ≤ target segments. Plain compaction
+  * merges arbitrary partitions, so a table laid out for
+  * storage-partitioned joins (one key value per segment) would lose
+  * that layout — the scan then degrades to unknown partitioning
+  * (never wrong, only shuffled). The CLUSTERED variant closes that:
+  * `sort_by => 'k'` re-stages through the identity-clustered write
+  * path (required distribution + in-partition sort on the key, one
+  * shuffle — the [[graft.operators.Compaction]] sortCols trade), so
+  * each output segment again holds exactly one key value and the
+  * storage-partitioned-join layout SURVIVES compaction
+  * (KeyGroupedPartitioning, zero exchanges under the s18 join
+  * shape); `target_segments` is then a hint the key cardinality
+  * overrides. */
 class SegCompactProcedure(cat: SegCatalog)
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
@@ -592,7 +614,9 @@ class SegCompactProcedure(cat: SegCatalog)
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("target_segments",
           org.apache.spark.sql.types.IntegerType)
-          .defaultValue("1").build())
+          .defaultValue("1").build(),
+        ProcedureParameter.in("sort_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
       override def isDeterministic: Boolean = false
 
       private val outSchema = StructType(Seq(
@@ -607,26 +631,45 @@ class SegCompactProcedure(cat: SegCatalog)
         val tbl = input.getUTF8String(0).toString
         val target = if (input.isNullAt(1)) 1 else input.getInt(1)
         require(target >= 1, s"gseg compact: target_segments $target < 1")
+        val sortBy =
+          if (input.numFields < 3 || input.isNullAt(2)) None
+          else Some(input.getUTF8String(2).toString)
         val parts = tbl.split('.')
         require(parts.nonEmpty && parts.forall(_.nonEmpty),
           s"gseg compact: bad table identifier '$tbl'")
         val ident = Identifier.of(parts.init.toArray, parts.last)
         val dir = cat.tableDir(ident)
         val schema = cat.loadTable(ident).schema() // ensures manifest
+        sortBy.foreach(c => require(schema.fieldNames.contains(c),
+          s"gseg compact: sort_by column '$c' is not in the schema"))
+        val liveGen = SegManifest.read(dir.toString).map(_._1)
         val live = SegSource.resolveSegments(dir.toString)
         val after =
-          if (live.size <= target) live.size.toLong
+          if (live.size <= target && sortBy.isEmpty) live.size.toLong
           else {
             val spark = org.apache.spark.sql.SparkSession.active
             val tmp = Files.createTempDirectory(dir, ".compact-tmp-")
             try {
-              // distributed, shuffle-free: existing partitions merge
-              // into `target` output tasks in one read+write pass
-              spark.read.format("gseg").schema(schema)
+              val src = spark.read.format("gseg").schema(schema)
                 .load(dir.toString)
-                .coalesce(target)
-                .write.format("gseg").mode("overwrite")
-                .save(tmp.toString)
+              sortBy match {
+                case None =>
+                  // distributed, shuffle-free: existing partitions
+                  // merge into `target` output tasks in one
+                  // read+write pass
+                  src.coalesce(target)
+                    .write.format("gseg").mode("overwrite")
+                    .save(tmp.toString)
+                case Some(c) =>
+                  // layout-preserving: the identity-clustered write
+                  // path (required distribution + in-partition sort)
+                  // rolls one segment per key value — min==max stats
+                  // the SPJ scan groups by, exactly the layout the
+                  // keyed writer produced originally
+                  src.write.format("gseg")
+                    .option(SegSource.PartitionColOption, c)
+                    .mode("overwrite").save(tmp.toString)
+              }
               val gen = java.util.UUID.randomUUID.toString.take(8)
               val newNames = SegSource.listSegments(tmp.toString)
                 .zipWithIndex.map { case (f, i) =>
@@ -635,7 +678,8 @@ class SegCompactProcedure(cat: SegCatalog)
                     StandardCopyOption.REPLACE_EXISTING)
                   name
                 }
-              SegManifest.swap(dir.toString, newNames)
+              SegManifest.swap(dir.toString, newNames,
+                expectGen = Some(liveGen))
               newNames.size.toLong
             } finally graft.Fs.deleteRecursively(tmp)
           }
@@ -860,9 +904,10 @@ class SegReplaceDataWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: SegCommitMessage => m }
-    val old = SegManifest.read(path).getOrElse(throw new IllegalStateException(
-      s"gseg rlo commit: no generation manifest at $path — row-level " +
-        "DML runs through the catalog, whose loadTable synthesizes one"))._2
+    val (oldGen, old) = SegManifest.read(path).getOrElse(
+      throw new IllegalStateException(
+        s"gseg rlo commit: no generation manifest at $path — row-level " +
+          "DML runs through the catalog, whose loadTable synthesizes one"))
     val candNames =
       op.candidates.map(f => Paths.get(f).getFileName.toString).toSet
     val gen = java.util.UUID.randomUUID.toString.take(8)
@@ -879,11 +924,15 @@ class SegReplaceDataWrite(path: String, schema: StructType,
     }.toSeq
     if (candNames.nonEmpty || newNames.nonEmpty) {
       SegDml.commitHook("staged")
-      // THE commit point: one atomic pointer swap. The superseded
+      // THE commit point: one atomic pointer swap, CAS'd on the
+      // generation this commit read — a racing committer that moved
+      // the pointer in between turns this into a loud retryable
+      // conflict, never a silent last-swap-wins. The superseded
       // candidate files are NOT deleted here — they remain the data
       // of earlier generations' snapshots (time travel) until
       // `CALL vacuum` retires them (the lakehouse retention model).
-      SegManifest.swap(path, old.filterNot(candNames.contains) ++ newNames)
+      SegManifest.swap(path, old.filterNot(candNames.contains) ++ newNames,
+        expectGen = Some(Some(oldGen)))
       SegDml.commitHook("swapped")
     }
     graft.Counters.add("gseg_rlo_replaced_files",

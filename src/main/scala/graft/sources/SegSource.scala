@@ -972,7 +972,15 @@ class SegMicroBatchStream(path: String, required: StructType,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def names(): Seq[String] = SegSource.listSegments(path)
+  /** MANIFEST-AWARE file listing (ADVICE r12): catalog tables retain
+    * superseded generations and crashed-commit orphans on disk for
+    * time travel, so a directory listing would plan DEAD segments —
+    * duplicate rows from every superseded epoch of a Complete-mode
+    * sink dir, stale rows a DML already replaced. Resolving through
+    * the live generation manifest (when one exists; plain dirs keep
+    * the listing) makes the stream see exactly what a batch read
+    * sees at each trigger. */
+  private def names(): Seq[String] = SegSource.resolveSegments(path)
 
   /** Monotone-name violation detector. A file whose name sorts at or
     * below a batch's start watermark can never join a live batch (the
@@ -1297,11 +1305,11 @@ case class SegStreamingWrite(path: String, schema: StructType,
       messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: SegCommitMessage => m }
     val prefix = epochPrefix(epochId)
-    val manifested = SegManifest.exists(path)
+    val manifest = SegManifest.read(path)
+    val manifested = manifest.isDefined
     val existing =
-      if (manifested) SegManifest.read(path).get._2
-      else SegSource.listSegments(path)
-        .map(f => Paths.get(f).getFileName.toString)
+      manifest.map(_._2).getOrElse(SegSource.listSegments(path)
+        .map(f => Paths.get(f).getFileName.toString))
     if (existing.exists(_.startsWith(prefix))) {
       if (manifested) {
         // epoch replay after a commit Spark could not prove durable:
@@ -1334,7 +1342,8 @@ case class SegStreamingWrite(path: String, schema: StructType,
     if (manifested) {
       if (newNames.nonEmpty || truncateEachEpoch)
         SegManifest.swap(path,
-          (if (truncateEachEpoch) Seq.empty else existing) ++ newNames)
+          (if (truncateEachEpoch) Seq.empty else existing) ++ newNames,
+          expectGen = Some(manifest.map(_._1)))
     } else if (truncateEachEpoch) {
       // path-based Complete mode: legacy listing protocol — the new
       // epoch is fully renamed in (epoch-prefixed, collision-free)
@@ -1380,7 +1389,7 @@ case class SegBatchWrite(path: String, schema: StructType,
       // leaves the table serving exactly one complete generation. An
       // overwrite's superseded generation is RETAINED as time-travel
       // history until vacuum reclaims it.
-      val old = SegManifest.read(path).get._2
+      val (oldGen, old) = SegManifest.read(path).get
       val gen = java.util.UUID.randomUUID.toString.take(8)
       val newNames = msgs.flatMap { m =>
         m.tmpFiles.zipWithIndex.map { case (tmp, i) =>
@@ -1391,18 +1400,23 @@ case class SegBatchWrite(path: String, schema: StructType,
         }
       }.toSeq
       SegManifest.swap(path,
-        (if (truncateFirst) Seq.empty else old) ++ newNames)
+        (if (truncateFirst) Seq.empty else old) ++ newNames,
+        expectGen = Some(Some(oldGen)))
     } else {
-      // plain path-based dir: original listing protocol (the stream
-      // sinks' monotone names and the specs' part- layout depend on
-      // it; durability here is Spark's job-level retry, as before)
+      // plain path-based dir: original listing protocol (durability
+      // here is Spark's job-level retry, as before). Names lead with
+      // the partition id (range-ordered listings for the limit/TopN
+      // front-take) and carry a per-JOB stamp so an APPEND can never
+      // collide with — and silently replace — an earlier job's
+      // same-numbered segments.
       if (truncateFirst)
         SegSource.listSegments(path).foreach(f =>
           Files.deleteIfExists(Paths.get(f)))
+      val job = java.util.UUID.randomUUID.toString.take(8)
       msgs.foreach { m =>
         m.tmpFiles.zipWithIndex.foreach { case (tmp, i) =>
           Files.move(Paths.get(tmp),
-            Paths.get(f"$path/part-${m.partitionId}%05d-$i%03d.gseg"),
+            Paths.get(f"$path/part-${m.partitionId}%05d-$i%03d-$job.gseg"),
             StandardCopyOption.REPLACE_EXISTING)
         }
       }

@@ -643,4 +643,253 @@ class SegDmlSpec extends SparkSpec {
     iso.sql("DROP TABLE tc.ns.fresh")
     assert(!iso.catalog.tableExists("tc.ns.fresh"))
   }
+
+  // ------------------------------------------------ r13: protocol hardening
+
+  test("a torn snapshot fails VERSION AS OF loudly, never a partial read") {
+    val (iso, wh) = dml("torn")
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT) USING gseg")         // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (1), (2), (3)")           // gen 1
+    iso.sql("INSERT INTO tc.ns.t VALUES (4)")                     // gen 2
+    val dir = s"$wh/ns/t"
+    // simulate the pre-r13 torn-write hazard: truncate gen 1's
+    // snapshot mid-body (header intact, one name line lost)
+    val snap = SegManifest.snapshotPath(dir, 1L)
+    val lines = java.nio.file.Files.readAllLines(snap)
+    assert(lines.get(0) == "gseg-manifest-v2")
+    java.nio.file.Files.write(snap, String.join("\n",
+      lines.subList(0, lines.size - 1)).getBytes("UTF-8"))
+    // the v2 count check detects the tear: loud failure, not a read
+    // of a partial generation
+    val e = intercept[Exception](
+      iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("torn") ||
+      Option(e.getCause).exists(_.getMessage.contains("torn")),
+      s"wanted a torn-manifest error, got: ${e.getMessage}")
+    // the live table and the intact snapshot still serve
+    assert(iso.table("tc.ns.t").count() == 4)
+    assert(iso.sql("SELECT count(*) AS n FROM tc.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 4)
+    // vacuum DELETES the unreadable snapshot instead of throwing
+    SegManifest.vacuum(dir)
+    assert(!java.nio.file.Files.exists(snap))
+    assert(iso.table("tc.ns.t").count() == 4)
+  }
+
+  test("a staged-but-never-swapped snapshot is invisible to history and time travel") {
+    val (iso, wh) = dml("phantom")
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT) USING gseg")         // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (1), (2)")                // gen 1
+    val dir = s"$wh/ns/t"
+    // plant the artifact a crash between snapshot write and manifest
+    // swap strands: a well-formed snapshot for gen = live+1 naming a
+    // staged file that was never committed
+    val phantom = ("gseg-manifest-v2" +: "2" +:
+      System.currentTimeMillis.toString +: "1" +: Seq("ghost.gseg"))
+      .mkString("\n")
+    java.nio.file.Files.write(
+      SegManifest.snapshotPath(dir, 2L), phantom.getBytes("UTF-8"))
+    // never committed => rejected everywhere
+    intercept[Exception](
+      iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 2").collect())
+    assert(iso.sql("CALL tc.history('ns.t')").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(SegManifest.readSnapshot(dir, 2L).isEmpty)
+    // TIMESTAMP AS OF far in the future resolves to the LIVE gen,
+    // not the phantom
+    val cat = new SegCatalog
+    cat.initialize("tc",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    assert(cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "t"), (System.currentTimeMillis + 60000) * 1000L)
+      .name().endsWith("@v1"))
+    // vacuum retires the phantom; the real generations survive
+    SegManifest.vacuum(dir)
+    assert(!java.nio.file.Files.exists(SegManifest.snapshotPath(dir, 2L)))
+    assert(iso.table("tc.ns.t").count() == 2)
+  }
+
+  test("concurrent committers: one wins, one gets a retryable conflict, no rows lost") {
+    val (iso, wh) = dml("cas")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // materialize the manifest
+    val dir = s"$wh/ns/t"
+    // interleave a second committer INSIDE the first one's commit
+    // window (after it read the manifest, before its swap) through
+    // the fault-injection seam
+    @volatile var interleaved = false
+    SegDml.commitHook = p =>
+      if (p == "staged" && !interleaved) {
+        interleaved = true
+        // the rival commits first: appends one segment via the
+        // manifest protocol (reads the live gen, swaps with CAS)
+        iso.sql("INSERT INTO tc.ns.t VALUES (999, 999)")
+      }
+    val e = try
+      intercept[Exception](
+        iso.sql("DELETE FROM tc.ns.t WHERE k >= 90"))
+    finally SegDml.commitHook = _ => ()
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootChain(e).exists(
+      _.isInstanceOf[SegManifest.CommitConflictException]),
+      s"wanted CommitConflictException in the chain, got: $e")
+    assert(interleaved)
+    // the rival's commit survives whole; the loser wrote NOTHING
+    // (100 original rows + the appended one, k>=90 still present)
+    assert(iso.table("tc.ns.t").count() == 101)
+    assert(iso.table("tc.ns.t").filter($"k" >= 90).count() == 11)
+    // the loser's staged files are vacuum-reclaimable orphans
+    SegManifest.vacuum(dir)
+    assert(iso.table("tc.ns.t").count() == 101)
+    // and the retried DELETE (fresh read of the new generation) lands
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 90")
+    assert(iso.table("tc.ns.t").count() == 90)
+  }
+
+  test("vacuum keep_last bounds the window without collapsing it") {
+    val (iso, wh) = dml("keep")
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT) USING gseg")         // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (1)")                     // gen 1
+    iso.sql("UPDATE tc.ns.t SET k = 10 WHERE k = 1")              // gen 2
+    iso.sql("UPDATE tc.ns.t SET k = 20 WHERE k = 10")             // gen 3
+    iso.sql("UPDATE tc.ns.t SET k = 30 WHERE k = 20")             // gen 4
+    // keep_last=2: gen 3's file survives for time travel, gens 1-2 go
+    assert(iso.sql("CALL tc.vacuum('ns.t', keep_last => 2)")
+      .head().getLong(1) >= 1L)
+    val hist = iso.sql("CALL tc.history('ns.t')").collect()
+      .map(_.getLong(0)).toSeq
+    assert(hist.contains(3L) && hist.contains(4L), s"history: $hist")
+    assert(!hist.contains(1L) && !hist.contains(2L), s"history: $hist")
+    // the kept generation still SERVES (its file was protected)
+    assert(iso.sql("SELECT k FROM tc.ns.t VERSION AS OF 3")
+      .head().getLong(0) == 20L)
+    intercept[Exception](
+      iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 2").collect())
+    assert(iso.table("tc.ns.t").head().getLong(0) == 30L)
+  }
+
+  test("TIMESTAMP AS OF resolves by the embedded commit clock, not file mtime") {
+    val (iso, wh) = dml("clock")
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT) USING gseg")         // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (1)")                     // gen 1
+    Thread.sleep(30)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    iso.sql("INSERT INTO tc.ns.t VALUES (2)")                     // gen 2
+    val dir = s"$wh/ns/t"
+    // back-date every snapshot's mtime to the epoch: resolution must
+    // not notice (mtime is only the v1-legacy fallback)
+    SegManifest.listSnapshots(dir).foreach { case (g, _) =>
+      java.nio.file.Files.setLastModifiedTime(
+        SegManifest.snapshotPath(dir, g),
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    val cat = new SegCatalog
+    cat.initialize("tc",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ns"), "t")
+    assert(cat.loadTable(ident, t1 * 1000L).name().endsWith("@v1"))
+    // and a cut before any commit fails loudly (nothing existed)
+    intercept[Exception](cat.loadTable(ident, 500L * 1000L))
+    // history reports the embedded clocks (all >> the faked mtimes)
+    iso.sql("CALL tc.history('ns.t')").collect().foreach(r =>
+      assert(r.getLong(1) > 1000000L, s"clock fell back to mtime: $r"))
+  }
+
+  test("CALL compact sort_by preserves the storage-partitioned join layout") {
+    val (iso, wh) = dml("sortby")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val kCol = SegSource.PartitionColOption
+    // table A: identity-clustered on k, then FRAGMENTED by appends
+    // (the streaming-sink shape that motivates compaction)
+    val dirA = s"$wh/spj/a"
+    iso.range(0, 300).select($"id".as("rid"), ($"id" % 8).as("k"))
+      .write.format("gseg").option(kCol, "k").mode("overwrite").save(dirA)
+    iso.range(300, 600).select($"id".as("rid"), ($"id" % 8).as("k"))
+      .write.format("gseg").option(kCol, "k").mode("append").save(dirA)
+    iso.table("tc.spj.a").count() // manifest
+    val before = SegSource.resolveSegments(dirA).size
+    // clustered compact: one shuffle, one segment per key value
+    val r = iso.sql(
+      "CALL tc.compact('spj.a', sort_by => 'k')").head()
+    assert(r.getLong(1) == before && r.getLong(2) == 8L, s"compact: $r")
+    // table B: the other side of the join, same layout
+    val dirB = s"$wh/spj/b"
+    iso.range(0, 600).select($"id".as("rid2"), ($"id" % 8).as("k"))
+      .write.format("gseg").option(kCol, "k").mode("overwrite").save(dirB)
+    val a = iso.read.format("gseg").option(kCol, "k").load(dirA)
+    val b = iso.read.format("gseg").option(kCol, "k").load(dirB)
+    val joined = a.join(b, a("k") === b("k") && a("rid") === b("rid2"))
+    val smj = joined.queryExecution.executedPlan.collectFirst {
+      case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+    }
+    assert(smj.isDefined, "expected a sort-merge join")
+    assert(smj.get.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "compact(sort_by) must keep the join shuffle-free")
+    assert(joined.count() == 600)
+  }
+
+  test("vacuum reclaims a .compact-tmp dir stranded by a mid-compact crash") {
+    val (iso, wh) = dml("cmptmp")
+    import iso.implicits._
+    SegSource.write(iso.range(0, 20).select($"id".as("k")), s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // manifest
+    val dir = s"$wh/ns/t"
+    // strand what a driver crash mid-CALL compact leaves: the temp
+    // staging dir with a half-written rewrite inside
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(dir), ".compact-tmp-")
+    java.nio.file.Files.write(tmp.resolve("half.gseg"),
+      Array[Byte](1, 2, 3))
+    SegManifest.vacuum(dir)
+    assert(!java.nio.file.Files.exists(tmp))
+    assert(iso.table("tc.ns.t").count() == 20)
+  }
+
+  test("a streaming read of a manifest table sees only the live generation") {
+    val (iso, wh) = dml("streamread")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 40).select($"id".as("k"), ($"id" % 4).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // manifest
+    // DML replaces files but RETAINS the superseded generation on
+    // disk: a listing-based stream would double-read those rows
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 30")
+    val dir = s"$wh/ns/t"
+    assert(SegSource.listSegments(dir).size >
+      SegSource.resolveSegments(dir).size,
+      "precondition: superseded files must still be on disk")
+    val base = graft.Fs.fastTempDir("graft_streamread").toString
+    try {
+      val q = iso.readStream.format("gseg")
+        .schema(iso.table("tc.ns.t").schema)
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", s"$base/out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // exactly the live generation: 30 rows, max k 29 — no
+      // duplicate/stale rows from the retained files
+      val out = iso.read.parquet(s"$base/out")
+      assert(out.count() == 30)
+      assert(out.agg(max($"k")).head().getLong(0) == 29L)
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
