@@ -282,6 +282,7 @@ object SparkEntry {
     "s29_dsv2_time_travel" -> CoreOps.s29DsvTimeTravel _,
     "s30_dsv2_compact"   -> CoreOps.s30DsvCompact _,
     "s31_dsv2_event_retention" -> CoreOps.s31DsvEventRetention _,
+    "s32_dsv2_changefeed" -> CoreOps.s32DsvChangefeed _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1357,6 +1358,33 @@ object SparkEntry {
         |         AS sum_value,
         |       MIN(us) AS min_us, MAX(us) AS max_us
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // GENERATION-DIFF CHANGEFEED: endpoint diff of gen 0 vs gen 3
+    // (UPDATE top half, DELETE top quarter, INSERT odd keys) — the
+    // oracle reconstructs the four change classes relationally with
+    // the same integer-division cuts; files_bounded is pinned TRUE
+    // (the untouched lower-half files never entered the diff)
+    "s32_dsv2_changefeed" ->
+      """WITH e AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |           FROM orders WHERE o_orderkey % 2 = 0),
+        |     b AS (SELECT MAX(k) // 2 AS cut, (3 * MAX(k)) // 4 AS cut2
+        |           FROM e),
+        |     chg AS (
+        |       SELECT 'insert' AS _change_type, o_orderkey AS k,
+        |              o_totalprice AS qty
+        |       FROM orders WHERE o_orderkey % 2 = 1
+        |       UNION ALL
+        |       SELECT 'delete', k, qty FROM e, b WHERE k >= cut2
+        |       UNION ALL
+        |       SELECT 'update_preimage', k, qty FROM e, b
+        |       WHERE k >= cut AND k < cut2
+        |       UNION ALL
+        |       SELECT 'update_postimage', k, qty + 1.0 FROM e, b
+        |       WHERE k >= cut AND k < cut2)
+        |SELECT _change_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MIN(k) AS min_k, MAX(k) AS max_k,
+        |       TRUE AS files_bounded
+        |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin,
     // COMPACT procedure: a distributed rewrite must not change the
     // data — the oracle is the plain even-key aggregate; layout_ok is
     // pinned TRUE (16 fragments in, 2 segments out)

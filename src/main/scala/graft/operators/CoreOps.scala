@@ -3386,4 +3386,57 @@ object CoreOps {
         lit(r.getLong(1) == 16 && r.getLong(2) == 2))
       .orderBy(col("bucket"))
   }
+
+  /** DSv2 GENERATION-DIFF CHANGEFEED [S32]: the incremental-pipeline
+    * feed the retained time-travel history exists for (Delta CDF /
+    * Iceberg incremental reads) — "exactly what changed between
+    * generation A and generation B", never a table rescan. Three
+    * commits mutate the table (UPDATE top half, DELETE top quarter,
+    * INSERT the odd keys); [[graft.sources.SegChangeFeed]] then diffs
+    * the endpoint snapshots: the FILE diff is metadata-bounded by
+    * what the commits rewrote (copy-on-write shares every untouched
+    * file — files_bounded pins that the lower-half files never
+    * entered the diff), and the ROW diff full-outer joins the two
+    * pinned reads over exactly those files, classifying
+    * insert / delete / update_preimage / update_postimage and
+    * emitting NOTHING for rewrite-carried unchanged rows. The
+    * readback aggregates per change class; the oracle reconstructs
+    * all four classes relationally with the same integer-division
+    * cut arithmetic. */
+  def s32DsvChangefeed(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml32")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+        .repartitionByRange(8, col("k")),
+      s"$wh/dml/t")
+    // gen 0 synthesized on first catalog touch
+    val mx = iso.table("gseg_dml.dml.t").agg(max(col("k")))
+      .head().getLong(0)
+    val cut = mx / 2
+    val cut2 = (3L * mx) / 4
+    iso.sql(s"UPDATE gseg_dml.dml.t SET qty = qty + 1.0 WHERE k >= $cut")
+    iso.sql(s"DELETE FROM gseg_dml.dml.t WHERE k >= $cut2")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_cf_src")
+    iso.sql("INSERT INTO gseg_dml.dml.t SELECT k, qty FROM graft_cf_src")
+    val f0 = graft.Counters.peek("gseg_changefeed_files")
+    val t0 = graft.Counters.peek("gseg_changefeed_files_total")
+    val feed = graft.sources.SegChangeFeed.changes(iso, s"$wh/dml/t",
+      iso.table("gseg_dml.dml.t").schema, fromGen = 0L, toGen = 3L,
+      keyCols = Seq("k"))
+    // the file diff must be a strict subset of the two generations'
+    // union — the untouched lower-half files never enter the feed
+    val bounded =
+      (graft.Counters.peek("gseg_changefeed_files") - f0) <
+        (graft.Counters.peek("gseg_changefeed_files_total") - t0)
+    feed.groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("files_bounded", lit(bounded))
+      .orderBy(col("_change_type"))
+  }
 }

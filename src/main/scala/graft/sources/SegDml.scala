@@ -307,16 +307,18 @@ class SegCatalog extends TableCatalog
       case "compact" => new SegCompactProcedure(this)
       case "history" => new SegHistoryProcedure(this)
       case "rollback" => new SegRollbackProcedure(this)
+      case "changes" => new SegChangesProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"gseg: no procedure '$other' " +
-          "(have: vacuum, compact, history, rollback)")
+          "(have: vacuum, compact, history, rollback, changes)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
       Array(Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "compact"),
         Identifier.of(namespace, "history"),
-        Identifier.of(namespace, "rollback"))
+        Identifier.of(namespace, "rollback"),
+        Identifier.of(namespace, "changes"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -565,6 +567,84 @@ class SegRollbackProcedure(cat: SegCatalog)
             Array(row)
           override def readSchema(): StructType = outSchema
           override def description(): String = s"gseg rollback $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.changes('ns.table', from_gen, to_gen)` → one row
+  * per segment file that DIFFERS between two retained generations
+  * (file STRING, change STRING ∈ {added, removed}, n_rows BIGINT),
+  * sorted. This is the metadata HALF of the changefeed: copy-on-write
+  * shares untouched files between generations, so the diff is bounded
+  * by what the intervening commits rewrote — at 100 TB a 2-file DML
+  * answers in two header reads, never a table scan. The row-level
+  * half (inserted/deleted/updated ROWS) is
+  * [[SegChangeFeed.changes]]: a distributed full-outer join of the
+  * two pinned reads over exactly these files — a procedure returning
+  * driver-side rows could not carry it, a join can. */
+class SegChangesProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "changes"
+  override def description(): String =
+    "segment-level diff between two retained gseg generations"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "changes"
+      override def description(): String =
+        SegChangesProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("from_gen",
+          org.apache.spark.sql.types.LongType).build(),
+        ProcedureParameter.in("to_gen",
+          org.apache.spark.sql.types.LongType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("change", StringType, nullable = false),
+        StructField("n_rows", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val fromGen = input.getLong(1)
+        val toGen = input.getLong(2)
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg changes: bad table identifier '$tbl'")
+        val dir = cat.tableDir(
+          Identifier.of(parts.init.toArray, parts.last)).toString
+        def snap(g: Long): Set[String] =
+          SegManifest.readSnapshot(dir, g).getOrElse(
+            throw new IllegalArgumentException(
+              s"gseg changes: no snapshot for generation $g of " +
+                s"${parts.last} — never committed, or retired by vacuum"))
+            .toSet
+        val from = snap(fromGen)
+        val to = snap(toGen)
+        val diff =
+          (from -- to).toSeq.sorted.map(_ -> "removed") ++
+            (to -- from).toSeq.sorted.map(_ -> "added")
+        val diffRows = diff.map { case (n, ch) =>
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              org.apache.spark.unsafe.types.UTF8String.fromString(ch),
+              SegSource.headerOf(s"$dir/$n").nRows.toLong))
+            : org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            diffRows
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg changes $tbl"
         }).iterator()
       }
     }

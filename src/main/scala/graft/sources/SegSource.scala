@@ -89,6 +89,14 @@ object SegSource {
     * the runtime group-filter attribute for row-level DML). */
   val FileMetaName = "_file"
 
+  /** Read option PINNING the scan to an explicit comma-separated list
+    * of segment NAMES under the path, bypassing both the manifest and
+    * the listing — the changefeed's handle onto a retained
+    * generation's exact (sub)set of files. An empty value pins to
+    * zero files (a valid empty read); segment names are this writer's
+    * own `[A-Za-z0-9._-]` tokens, so the comma framing is safe. */
+  val PinnedFilesOption = "pinned_files"
+
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   private[sources] val Version: Byte = 2
 
@@ -564,7 +572,9 @@ class SegTable(tschema: StructType, path: String)
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path,
-      Option(options.get(SegSource.PartitionColOption)))
+      Option(options.get(SegSource.PartitionColOption)),
+      Option(options.get(SegSource.PinnedFilesOption)).map(v =>
+        v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption)))

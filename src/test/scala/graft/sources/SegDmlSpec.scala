@@ -609,7 +609,8 @@ class SegDmlSpec extends SparkSpec {
     val shown = iso.sql("SHOW PROCEDURES IN tc")
     val procs = shown.select(col("procedure_name")).collect()
       .map(_.getString(0)).toSet
-    assert(procs == Set("vacuum", "compact", "history", "rollback"),
+    assert(procs ==
+      Set("vacuum", "compact", "history", "rollback", "changes"),
       s"procedures: $procs")
   }
 
@@ -858,6 +859,73 @@ class SegDmlSpec extends SparkSpec {
     SegManifest.vacuum(dir)
     assert(!java.nio.file.Files.exists(tmp))
     assert(iso.table("tc.ns.t").count() == 20)
+  }
+
+  test("changefeed classifies insert/delete/update and drops rewrite-carried rows") {
+    val (iso, wh) = dml("cf")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"), ($"id" * 10).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    iso.table("tc.ns.t").count()                       // gen 0
+    iso.sql("UPDATE tc.ns.t SET v = v + 1 WHERE k >= 90")  // gen 1
+    iso.sql("DELETE FROM tc.ns.t WHERE k = 0")             // gen 2
+    iso.sql("INSERT INTO tc.ns.t VALUES (1000, 1)")        // gen 3
+    val dir = s"$wh/ns/t"
+    val schema = iso.table("tc.ns.t").schema
+    graft.Counters.drain()
+    val feed = SegChangeFeed.changes(iso, dir, schema, 0L, 3L, Seq("k"))
+    val c = graft.Counters.drain()
+    // file diff bounded by the touched files: the UPDATE touched the
+    // top range file, the DELETE the bottom one, the INSERT added one
+    // — the two middle files never entered the diff
+    assert(c("gseg_changefeed_files") < c("gseg_changefeed_files_total"),
+      s"counters: $c")
+    val byType = feed.collect().groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r => (r.getLong(0), r.getLong(1))).toSet).toMap
+    assert(byType("insert") == Set((1000L, 1L)))
+    assert(byType("delete") == Set((0L, 0L)))
+    assert(byType("update_preimage") ==
+      (90L until 100L).map(k => (k, k * 10)).toSet)
+    assert(byType("update_postimage") ==
+      (90L until 100L).map(k => (k, k * 10 + 1)).toSet)
+    // rewrite-carried rows (k in the touched boundary files but
+    // outside the predicates) emit nothing: total = 1+1+10+10
+    assert(feed.count() == 22)
+    // pure-compaction diff: every row carried, zero changes
+    iso.sql("CALL tc.compact('ns.t', 1)")                  // gen 4
+    assert(SegChangeFeed.changes(iso, dir, schema, 3L, 4L, Seq("k"))
+      .count() == 0)
+    // single-step diff (gen 2 -> 3) sees ONLY the insert
+    assert(SegChangeFeed.changes(iso, dir, schema, 2L, 3L, Seq("k"))
+      .collect().map(_.getAs[String]("_change_type")).toSeq ==
+      Seq("insert"))
+    // a vacuumed-away generation fails loudly
+    SegManifest.vacuum(dir)
+    intercept[IllegalArgumentException](
+      SegChangeFeed.changes(iso, dir, schema, 0L, 4L, Seq("k")))
+  }
+
+  test("CALL changes reports the segment-level generation diff") {
+    val (iso, wh) = dml("cfproc")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    iso.table("tc.ns.t").count()                       // gen 0
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 95")           // gen 1
+    val rows = iso.sql("CALL tc.changes('ns.t', 0, 1)").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    // one file removed (the top range file, 25 rows), one added (its
+    // 20-row rewrite) — the three untouched files are absent
+    assert(rows.map(_._1).sorted == Seq("added", "removed"),
+      s"rows: ${rows.toSeq}")
+    val m = rows.toMap
+    assert(m("removed") > m("added"), s"rows: ${rows.toSeq}")
+    intercept[Exception](
+      iso.sql("CALL tc.changes('ns.t', 0, 99)").collect())
   }
 
   test("a streaming read of a manifest table sees only the live generation") {
