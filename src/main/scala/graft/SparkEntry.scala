@@ -283,6 +283,7 @@ object SparkEntry {
     "s30_dsv2_compact"   -> CoreOps.s30DsvCompact _,
     "s31_dsv2_event_retention" -> CoreOps.s31DsvEventRetention _,
     "s32_dsv2_changefeed" -> CoreOps.s32DsvChangefeed _,
+    "s33_dsv2_rename_column" -> CoreOps.s33DsvRenameColumn _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1385,6 +1386,17 @@ object SparkEntry {
         |       MIN(k) AS min_k, MAX(k) AS max_k,
         |       TRUE AS files_bounded
         |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // RENAME COLUMN: generation 0 stores blocks under the old name,
+    // generation 2 under the new one; the alias-resolved read makes
+    // the rename invisible — the oracle is the plain filter+aggregate
+    // over all orders
+    "s33_dsv2_rename_column" ->
+      """SELECT o_orderkey % 3 AS bucket, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_amount,
+        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM orders WHERE o_totalprice > 1000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // COMPACT procedure: a distributed rewrite must not change the
     // data — the oracle is the plain even-key aggregate; layout_ok is
     // pinned TRUE (16 fragments in, 2 segments out)

@@ -3439,4 +3439,43 @@ object CoreOps {
       .withColumn("files_bounded", lit(bounded))
       .orderBy(col("_change_type"))
   }
+
+  /** DSv2 RENAME COLUMN [S33]: metadata-only rename through the
+    * unified sidecar's alias chain — the field-ID-less answer to the
+    * schema-evolution gap DROP COLUMN's tombstones left. Generation 0
+    * stores its blocks under the ORIGINAL name (`qty`); the rename is
+    * one atomic sidecar write (no segment touched); generation 2
+    * inserts under the NEW name (`amount`). The readback filters and
+    * aggregates `amount` ACROSS both generations: the row readers,
+    * the pushed filter, and the zone maps all resolve the old
+    * stored name through [[graft.sources.SegMeta]]'s alias map — a
+    * mis-resolved alias would null out half the table or break the
+    * pushdown, and name REUSE (re-adding `qty`) stays loudly
+    * rejected (SegDmlSpec pins the guards). Oracle: the same
+    * filter+aggregate straight off orders, the rename invisible as
+    * it should be. */
+  def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml33")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+        .repartitionByRange(8, col("k")),
+      s"$wh/dml/t")
+    iso.table("gseg_dml.dml.t").count() // migrate: sidecar + manifest
+    iso.sql("ALTER TABLE gseg_dml.dml.t RENAME COLUMN qty TO amount")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("amount"))
+      .createOrReplaceTempView("graft_ren_src")
+    iso.sql(
+      "INSERT INTO gseg_dml.dml.t SELECT k, amount FROM graft_ren_src")
+    iso.table("gseg_dml.dml.t")
+      .filter(col("amount") > lit(1000.0))
+      .groupBy((col("k") % 3).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("amount"))).cast(DoubleType).as("sum_amount"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -76,41 +76,8 @@ class SegCatalog extends TableCatalog
       s"gseg: identifier escapes the warehouse: ${parts.mkString(".")}")
     dir
   }
-  private def sidecar(dir: java.nio.file.Path): java.nio.file.Path =
-    dir.resolve(".schema.json")
-
-  /** Atomic sidecar write (temp + rename), so a concurrent reader
-    * never sees a truncated schema and an ALTER is all-or-nothing. */
-  private def writeSidecar(dir: java.nio.file.Path,
-      schema: StructType): Unit = {
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(
-      s".schema.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    Files.write(tmp, schema.json.getBytes(UTF_8))
-    Files.move(tmp, sidecar(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Tombstones for DROPPED column names (`.dropped` dot-file, one
-    * name per line). gseg segments address columns BY NAME (no
-    * Iceberg-style field IDs), so re-adding a dropped name would
-    * RESURRECT the old segments' still-present blocks under the new
-    * column — silently wrong data. The tombstone list makes that
-    * rejection explicit and permanent for the table's lifetime. */
-  private def droppedPath(dir: java.nio.file.Path): java.nio.file.Path =
-    dir.resolve(".dropped")
-  private def readDropped(dir: java.nio.file.Path): Set[String] =
-    if (!Files.exists(droppedPath(dir))) Set.empty
-    else Files.readAllLines(droppedPath(dir), UTF_8).asScala
-      .filter(_.nonEmpty).toSet
-  private def writeDropped(dir: java.nio.file.Path,
-      names: Set[String]): Unit = {
-    val tmp = dir.resolve(
-      s".dropped.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    Files.write(tmp, names.toSeq.sorted.mkString("\n").getBytes(UTF_8))
-    Files.move(tmp, droppedPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  // table metadata (schema + tombstones + rename aliases) lives in
+  // the unified atomic sidecar — see [[SegMeta]]
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
@@ -133,19 +100,17 @@ class SegCatalog extends TableCatalog
     * write-if-missing under the single-writer contract. */
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    val sc = sidecar(dir)
-    val schema =
-      if (Files.exists(sc)) {
-        val js = new String(Files.readAllBytes(sc), UTF_8)
-        DataType.fromJson(js).asInstanceOf[StructType]
-      } else {
+    val schema = SegMeta.read(dir) match {
+      case Some(meta) => meta.schema
+      case None =>
         if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
         val files = SegSource.resolveSegments(dir.toString)
         if (files.isEmpty) throw new NoSuchTableException(ident)
         val inferred = SegSource.headerOf(files.head).schema
-        writeSidecar(dir, inferred)
+        SegMeta.write(dir,
+          SegMeta.TableMeta(inferred, Set.empty, Map.empty))
         inferred
-      }
+    }
     SegManifest.ensure(dir.toString)
     new SegDmlTable(schema, dir.toString)
   }
@@ -199,7 +164,7 @@ class SegCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val dir = dirOf(ident)
-    if (Files.exists(sidecar(dir)) || (Files.isDirectory(dir) &&
+    if (SegMeta.exists(dir) || (Files.isDirectory(dir) &&
         SegSource.listSegments(dir.toString).nonEmpty))
       throw new TableAlreadyExistsException(ident)
     // `_file` / `__row_operation` are reserved (metadata column and
@@ -210,35 +175,46 @@ class SegCatalog extends TableCatalog
       .foreach(r => require(!schema.fieldNames.contains(r),
         s"gseg: '$r' is a reserved column name"))
     schema.fields.foreach(f => SegSource.tag(f.dataType)) // supported types only
-    writeSidecar(dir, schema)
+    SegMeta.write(dir, SegMeta.TableMeta(schema, Set.empty, Map.empty))
     SegManifest.ensure(dir.toString)
     new SegDmlTable(schema, dir.toString)
   }
 
-  /** ALTER TABLE ADD/DROP COLUMN: sidecar-only schema evolution — NO
-    * segment is ever rewritten (the parquet/Iceberg metadata-only
-    * contract; at 100 TB an ALTER that rewrote data would be a table
-    * copy). ADD appends at tail position, nullable: readers null-fill
-    * blocks absent from a segment's footer schema. DROP removes the
-    * column from the sidecar and tombstones the name: old segments
-    * keep their (now unread) blocks — readers already skip blocks
-    * outside the required schema — and the tombstone permanently
-    * rejects re-adding the name, because name-addressed blocks would
-    * resurrect the old values (the failure field IDs exist to
-    * prevent; without them, honest rejection beats silent wrongness).
-    * Renames, type changes and positions are rejected loudly rather
-    * than half-supported. */
+  /** ALTER TABLE ADD/DROP/RENAME COLUMN: sidecar-only schema
+    * evolution — NO segment is ever rewritten (the parquet/Iceberg
+    * metadata-only contract; at 100 TB an ALTER that rewrote data
+    * would be a table copy), and a multi-change ALTER commits as ONE
+    * atomic metadata write ([[SegMeta]] — never half-applied).
+    *  - ADD appends at tail position, nullable: readers null-fill
+    *    blocks absent from a segment's footer schema. Names that are
+    *    tombstoned or serve as some column's former name are
+    *    rejected — name-addressed blocks in old segments would
+    *    resurrect the old values under the new column.
+    *  - DROP removes the column and tombstones its name AND its
+    *    whole alias chain; old segments keep their (now unread)
+    *    blocks.
+    *  - RENAME is pure metadata: the new name maps to the old
+    *    stored names through the alias chain, and every read-side
+    *    consumer (row readers, zone maps, header aggs, key
+    *    grouping) resolves it via [[SegSource.resolvedHeaderOf]].
+    *    Rename targets colliding with live names, tombstones, or
+    *    any alias are rejected — the reuse cases only per-file
+    *    field IDs could make safe.
+    * Type changes and positions are rejected loudly rather than
+    * half-supported. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
-    val before = loadTable(ident).schema() // ensures sidecar + manifest
-    var dropped = readDropped(dir)
-    val droppedBefore = dropped
+    loadTable(ident) // ensures sidecar + manifest (migration moment)
+    val before = SegMeta.read(dir).get
+    def singleName(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"gseg: nested $what is unsupported")
+      fieldNames(0)
+    }
     val after = changes.foldLeft(before) {
-      case (sch, add: TableChange.AddColumn) =>
-        require(add.fieldNames.length == 1,
-          "gseg: nested ADD COLUMN is unsupported")
-        val colName = add.fieldNames()(0)
+      case (m, add: TableChange.AddColumn) =>
+        val colName = singleName(add.fieldNames, "ADD COLUMN")
         require(add.isNullable,
           s"gseg: new column '$colName' must be nullable " +
             "(existing segments null-fill it)")
@@ -247,34 +223,61 @@ class SegCatalog extends TableCatalog
         require(colName != SegSource.FileMetaName && colName !=
           org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN,
           s"gseg: '$colName' is a reserved column name")
-        require(!sch.fieldNames.contains(colName),
+        require(!m.schema.fieldNames.contains(colName),
           s"gseg: column '$colName' already exists")
-        require(!dropped.contains(colName),
-          s"gseg: column name '$colName' was dropped earlier and cannot " +
-            "be re-added — segments address columns by name, so reuse " +
-            "would resurrect the old values still stored in pre-drop " +
-            "segments")
+        require(!m.reservedNames.contains(colName),
+          s"gseg: column name '$colName' was dropped or renamed away " +
+            "earlier and cannot be (re)introduced — segments address " +
+            "columns by name, so reuse would resurrect old values " +
+            "still stored in earlier segments")
         SegSource.tag(add.dataType()) // supported types only
-        sch.add(StructField(colName, add.dataType(), nullable = true))
-      case (sch, del: TableChange.DeleteColumn) =>
-        require(del.fieldNames.length == 1,
-          "gseg: nested DROP COLUMN is unsupported")
-        val colName = del.fieldNames()(0)
-        if (!sch.fieldNames.contains(colName)) {
+        m.copy(schema =
+          m.schema.add(StructField(colName, add.dataType(), nullable = true)))
+      case (m, del: TableChange.DeleteColumn) =>
+        val colName = singleName(del.fieldNames, "DROP COLUMN")
+        if (!m.schema.fieldNames.contains(colName)) {
           require(del.ifExists,
             s"gseg: no column '$colName' to drop")
-          sch
+          m
         } else {
-          require(sch.length > 1, "gseg: cannot drop the last column")
-          dropped += colName
-          StructType(sch.fields.filterNot(_.name == colName))
+          require(m.schema.length > 1, "gseg: cannot drop the last column")
+          m.copy(
+            schema = StructType(
+              m.schema.fields.filterNot(_.name == colName)),
+            // the whole chain is tombstoned: blocks stored under ANY
+            // former name of the dropped column must never resurface
+            dropped = m.dropped + colName ++
+              m.aliases.getOrElse(colName, Nil),
+            aliases = m.aliases - colName)
         }
+      case (m, ren: TableChange.RenameColumn) =>
+        val oldName = singleName(ren.fieldNames, "RENAME COLUMN")
+        val newName = ren.newName()
+        require(m.schema.fieldNames.contains(oldName),
+          s"gseg: no column '$oldName' to rename")
+        require(newName.nonEmpty && newName != oldName,
+          s"gseg: bad rename target '$newName'")
+        require(newName != SegSource.FileMetaName && newName !=
+          org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN,
+          s"gseg: '$newName' is a reserved column name")
+        require(!m.schema.fieldNames.contains(newName),
+          s"gseg: rename target '$newName' already exists")
+        require(!m.reservedNames.contains(newName),
+          s"gseg: rename target '$newName' was dropped or renamed away " +
+            "earlier — old segments still store blocks under it, and " +
+            "name-addressed reads would resurrect them")
+        m.copy(
+          schema = StructType(m.schema.fields.map(f =>
+            if (f.name == oldName) f.copy(name = newName) else f)),
+          // the chain: new current name maps to every name this
+          // column's blocks were ever stored under, newest first
+          aliases = (m.aliases - oldName) +
+            (newName -> (oldName +: m.aliases.getOrElse(oldName, Nil))))
       case (_, other) => throw new UnsupportedOperationException(
         s"gseg: ALTER TABLE change $other")
     }
-    if (dropped != droppedBefore) writeDropped(dir, dropped)
-    writeSidecar(dir, after)
-    new SegDmlTable(after, dir.toString)
+    SegMeta.write(dir, after) // ONE atomic metadata commit
+    new SegDmlTable(after.schema, dir.toString)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -856,7 +859,7 @@ class SegGroupScanBuilder(full: StructType, path: String,
   override def build(): Scan = {
     val files = SegSource.resolveSegments(path)
     val cands = files.filter(f =>
-      pushed.forall(SegSource.mayMatch(SegSource.headerOf(f), _)))
+      pushed.forall(SegSource.mayMatch(SegSource.resolvedHeaderOf(f), _)))
     op.candidates = cands
     graft.Counters.add("gseg_rlo_files_total", files.size.toLong)
     graft.Counters.add("gseg_rlo_candidates", cands.size.toLong)

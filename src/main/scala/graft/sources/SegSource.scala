@@ -302,6 +302,33 @@ object SegSource {
     try readHeader(in) finally in.close()
   }
 
+  /** Header with stored column names REWRITTEN to their current names
+    * through the table's rename alias map ([[SegMeta]]) — the single
+    * seam every read-side consumer (zone maps, row readers, header
+    * aggs, key grouping) resolves RENAME COLUMN through: a segment
+    * written before the rename stores its blocks under the old name,
+    * and this rewrite makes them address like today's schema. A
+    * no-op (same object) for tables without renames, and stored
+    * names that collide with a live current name keep their own —
+    * the guards in [[SegCatalog.alterTable]] make that unreachable,
+    * so the filter is belt-and-braces. */
+  private[sources] def resolvedHeaderOf(file: String): SegHeader = {
+    val h = headerOf(file)
+    val parent = Paths.get(file).getParent
+    if (parent == null) return h
+    val ren = SegMeta.storedToCurrentAt(parent.toString)
+    if (ren.isEmpty) h
+    else {
+      val live = h.cols.map(_.name).toSet
+      SegHeader(h.nRows, h.cols.map { c =>
+        ren.get(c.name).filterNot(live.contains) match {
+          case Some(cur) => c.copy(name = cur)
+          case None => c
+        }
+      })
+    }
+  }
+
   private[sources] def listSegments(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) throw new IllegalArgumentException(
@@ -726,7 +753,7 @@ case class SegScan(path: String, required: StructType,
     (if (aggs.isDefined || emitFile) None else partitionCol).flatMap { pc =>
     val files = pinned.getOrElse(SegSource.resolveSegments(path))
     val kv = files.map { f =>
-      val cm = SegSource.headerOf(f).cols.find(_.name == pc)
+      val cm = SegSource.resolvedHeaderOf(f).cols.find(_.name == pc)
       val ok = cm.exists(c => c.hasStats && c.nNulls == 0 &&
         c.minBits == c.maxBits)
       (f, if (ok) cm.get.minVal.map {
@@ -761,7 +788,7 @@ case class SegScan(path: String, required: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val files = pinned.getOrElse(SegSource.resolveSegments(path))
-    val surviving = files.map(SegSource.headerOf)
+    val surviving = files.map(SegSource.resolvedHeaderOf)
       .filter(h => pushed.forall(SegSource.mayMatch(h, _)))
     val wanted = required.fieldNames.toSet
     var rows = 0L
@@ -853,7 +880,8 @@ case class SegScan(path: String, required: StructType,
       case Some(gs) => // keyGroups already implies aggs.isEmpty
         val kept = gs.map { case (k, fs) =>
           SegKeyedPartition(fs.filter(f =>
-            pushed.forall(SegSource.mayMatch(SegSource.headerOf(f), _))), k)
+            pushed.forall(SegSource.mayMatch(
+              SegSource.resolvedHeaderOf(f), _))), k)
         }
         graft.Counters.add("gseg_key_groups", gs.size.toLong)
         return kept.toArray[InputPartition]
@@ -864,7 +892,7 @@ case class SegScan(path: String, required: StructType,
     val kept =
       if (aggs.isDefined) files // aggregates only push with no filters
       else files.filter(f => {
-        val h = SegSource.headerOf(f)
+        val h = SegSource.resolvedHeaderOf(f)
         allFilters.forall(SegSource.mayMatch(h, _))
       })
     val afterLimit = (limit, topN) match {
@@ -872,7 +900,7 @@ case class SegScan(path: String, required: StructType,
         var need = k.toLong
         val taken = kept.takeWhile { f =>
           val take = need > 0
-          if (take) need -= SegSource.headerOf(f).nRows.toLong
+          if (take) need -= SegSource.resolvedHeaderOf(f).nRows.toLong
           take
         }
         graft.Counters.add("gseg_limit_files_skipped",
@@ -880,7 +908,7 @@ case class SegScan(path: String, required: StructType,
         taken
       case (_, Some(t)) if allFilters.isEmpty && aggs.isEmpty =>
         val stats = kept.map { f =>
-          val h = SegSource.headerOf(f)
+          val h = SegSource.resolvedHeaderOf(f)
           val cm = h.cols.find(_.name == t.col)
           val nonNull = h.nRows.toLong - cm.map(_.nNulls).getOrElse(0L)
           (f, cm.flatMap(_.minVal).flatMap(SegSource.bd),
@@ -1040,7 +1068,7 @@ class SegMicroBatchStream(path: String, required: StructType,
     val batch = ns.filter(n => n > lo && n <= hi)
     synchronized { planned ++= batch }
     val kept = batch.filter(f => {
-      val h = SegSource.headerOf(f)
+      val h = SegSource.resolvedHeaderOf(f)
       pushed.forall(SegSource.mayMatch(h, _))
     })
     graft.Counters.add("gseg_stream_files", batch.size.toLong)
@@ -1097,7 +1125,7 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg])
 
   override def next(): Boolean = {
     if (done) return false
-    val h = headerOf(file)
+    val h = resolvedHeaderOf(file)
     val byName = h.cols.map(c => c.name -> c).toMap
     // a column ABSENT from this segment (added by ALTER TABLE after
     // it was written) is all-null here: COUNT contributes 0, MIN/MAX
@@ -1126,7 +1154,7 @@ class SegPartitionReader(file: String, required: StructType,
     extends PartitionReader[InternalRow] {
   import SegSource._
 
-  private val header = headerOf(file)
+  private val header = resolvedHeaderOf(file)
   private val filterCols: Set[String] =
     pushed.flatMap(_.references.toSeq).toSet
   private val neededNames: Seq[String] = {

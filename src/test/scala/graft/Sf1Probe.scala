@@ -94,7 +94,14 @@ object Sf1Probe {
           graft.streaming.StreamGates.streamSegSinkParity(s, d)),
         // retention DELETE: rewrite cost tracks the horizon boundary
         "s31_dsv2_event_retention" -> ((s, d) =>
-          graft.operators.CoreOps.s31DsvEventRetention(s, d)))
+          graft.operators.CoreOps.s31DsvEventRetention(s, d)),
+        // r13 additions: the changefeed diff is bounded by the
+        // commits' churn (changed files), not the table; rename is
+        // pure metadata, so its cost is the writes it wraps
+        "s32_dsv2_changefeed" -> ((s, d) =>
+          graft.operators.CoreOps.s32DsvChangefeed(s, d)),
+        "s33_dsv2_rename_column" -> ((s, d) =>
+          graft.operators.CoreOps.s33DsvRenameColumn(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

@@ -333,13 +333,13 @@ class SegDmlSpec extends SparkSpec {
     assert(iso.table("tc.ns.t").filter($"tag" === "new").count() == 1)
     iso.sql("DELETE FROM tc.ns.t WHERE tag = 'new'")
     assert(iso.table("tc.ns.t").count() == 100)
-    // rejected shapes fail loudly (renames have no field IDs to ride)
+    // rejected shapes fail loudly (type changes would need a rewrite)
     intercept[Exception](
       iso.sql("ALTER TABLE tc.ns.t ADD COLUMN _file STRING"))
     intercept[Exception](
       iso.sql("ALTER TABLE tc.ns.t ADD COLUMN k BIGINT"))
     intercept[Exception](
-      iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN p TO price"))
+      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN p TYPE STRING"))
   }
 
   test("DROP COLUMN is metadata-only and tombstones the name against resurrection") {
@@ -859,6 +859,76 @@ class SegDmlSpec extends SparkSpec {
     SegManifest.vacuum(dir)
     assert(!java.nio.file.Files.exists(tmp))
     assert(iso.table("tc.ns.t").count() == 20)
+  }
+
+  test("RENAME COLUMN is metadata-only; old segments read through the alias chain") {
+    val (iso, wh) = dml("ren")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"), ($"id" * 3).as("v"))
+        .repartitionByRange(4, $"k"),
+      s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // migrate: sidecar + manifest
+    val before = SegSource.resolveSegments(s"$wh/ns/t").toSet
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN v TO w")
+    // pure metadata: the exact same files serve, now under `w`
+    assert(SegSource.resolveSegments(s"$wh/ns/t").toSet == before)
+    assert(iso.table("tc.ns.t").schema.fieldNames.toSeq == Seq("k", "w"))
+    assert(iso.sql("SELECT sum(w) AS s FROM tc.ns.t").head().getLong(0) ==
+      (0L until 100L).map(_ * 3).sum)
+    // new segments store the NEW name; both generations read together
+    iso.sql("INSERT INTO tc.ns.t VALUES (1000, 7)")
+    assert(iso.sql("SELECT sum(w) AS s FROM tc.ns.t").head().getLong(0) ==
+      (0L until 100L).map(_ * 3).sum + 7)
+    // rename CHAIN: w -> u still resolves the original v blocks
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN w TO u")
+    assert(iso.sql("SELECT max(u) AS m FROM tc.ns.t WHERE k < 100")
+      .head().getLong(0) == 297)
+    // zone maps resolve through the alias: a DELETE on the renamed
+    // KEY column prunes files exactly as before the rename
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN k TO key")
+    graft.Counters.drain()
+    iso.sql("DELETE FROM tc.ns.t WHERE key >= 1000")
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_rlo_candidates", -1L) == 1L, s"counters: $c")
+    assert(iso.table("tc.ns.t").count() == 100)
+    // header aggs (metadata-only min/max/count) resolve the alias too
+    assert(iso.table("tc.ns.t")
+      .agg(max($"key"), sum(lit(1L))).head().getLong(0) == 99L)
+  }
+
+  test("rename guards: no reuse of tombstoned or aliased names, atomic multi-change") {
+    val (iso, wh) = dml("renguard")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 10).select($"id".as("k"), $"id".as("v"),
+        ($"id" * 2).as("x")),
+      s"$wh/ns/t")
+    iso.table("tc.ns.t").count()
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN v TO w")
+    // `v` is now an alias of `w`: re-introducing it would resurrect
+    // the stored v blocks under a fresh column
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ADD COLUMN v BIGINT"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN x TO v"))
+    // dropping the renamed column tombstones the WHOLE chain
+    iso.sql("ALTER TABLE tc.ns.t DROP COLUMN w")
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ADD COLUMN w BIGINT"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ADD COLUMN v BIGINT"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN x TO w"))
+    // renaming to a live name is rejected; the failed multi-change
+    // ALTER left NO partial metadata (atomic sidecar commit)
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN x TO k"))
+    assert(iso.table("tc.ns.t").schema.fieldNames.toSeq == Seq("k", "x"))
+    assert(iso.sql("SELECT sum(x) AS s FROM tc.ns.t").head().getLong(0) == 90)
+    // legacy .dropped migration: absorbed into the unified sidecar
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/ns/t/.dropped")))
   }
 
   test("changefeed classifies insert/delete/update and drops rewrite-carried rows") {
