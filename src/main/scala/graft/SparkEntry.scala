@@ -284,6 +284,7 @@ object SparkEntry {
     "s31_dsv2_event_retention" -> CoreOps.s31DsvEventRetention _,
     "s32_dsv2_changefeed" -> CoreOps.s32DsvChangefeed _,
     "s33_dsv2_rename_column" -> CoreOps.s33DsvRenameColumn _,
+    "s34_dsv2_ctas" -> CoreOps.s34DsvCtas _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1386,6 +1387,22 @@ object SparkEntry {
         |       MIN(k) AS min_k, MAX(k) AS max_k,
         |       TRUE AS files_bounded
         |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // atomic CTAS/RTAS: phase 0 = VERSION AS OF the pre-replace
+    // generation (the even-key CTAS), phase 1 = the live table after
+    // REPLACE (odd keys) — time travel provably reaches across the
+    // replace
+    "s34_dsv2_ctas" ->
+      """SELECT CAST(0 AS BIGINT) AS phase, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), COUNT(*),
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |       MIN(o_orderkey), MAX(o_orderkey)
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY phase""".stripMargin,
     // RENAME COLUMN: generation 0 stores blocks under the old name,
     // generation 2 under the new one; the alias-resolved read makes
     // the rename invisible — the oracle is the plain filter+aggregate

@@ -3454,6 +3454,43 @@ object CoreOps {
     * rejected (SegDmlSpec pins the guards). Oracle: the same
     * filter+aggregate straight off orders, the rename invisible as
     * it should be. */
+  /** DSv2 atomic CTAS / RTAS [S34]: `CREATE TABLE ... AS SELECT`
+    * through the StagingTableCatalog SPI — the query's output stages
+    * invisibly (hidden temp + dot-hidden final names) and ONE
+    * CAS'd manifest swap publishes it, so a fresh table either
+    * exists with ALL its data or not at all (the non-staging
+    * fallback strands an empty created table on failure; SegDmlSpec
+    * pins the no-trace abort). `REPLACE TABLE ... AS SELECT` rides
+    * the same swap and RETAINS the replaced generation — the
+    * readback reads the LIVE post-replace table next to
+    * `VERSION AS OF` the pre-replace generation, so time travel
+    * provably reaches across a REPLACE. Oracle: the two relational
+    * states (odd-key replace over even-key create) UNION ALL'd. */
+  def s34DsvCtas(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml34")
+    val ord = Tables.orders(iso, d)
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_ctas_even")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_ctas_odd")
+    iso.sql("CREATE TABLE gseg_dml.dml.t USING gseg " +
+      "AS SELECT k, qty FROM graft_ctas_even")
+    val gen0 = graft.sources.SegManifest.read(s"$wh/dml/t").get._1
+    iso.sql("REPLACE TABLE gseg_dml.dml.t USING gseg " +
+      "AS SELECT k, qty FROM graft_ctas_odd")
+    def side(src: String, tag: Long): DataFrame =
+      iso.sql(s"SELECT k, qty FROM $src")
+        .groupBy(lit(tag).as("phase"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    side(s"gseg_dml.dml.t VERSION AS OF $gen0", 0L)
+      .unionAll(side("gseg_dml.dml.t", 1L))
+      .orderBy(col("phase"))
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

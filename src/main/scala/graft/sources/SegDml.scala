@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    as time-travel history until `CALL vacuum` reclaims them.
   */
 class SegCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catName: String = _
   private var warehouse: String = _
 
@@ -280,6 +281,64 @@ class SegCatalog extends TableCatalog
     new SegDmlTable(after.schema, dir.toString)
   }
 
+  // -------- atomic CTAS / RTAS (StagingTableCatalog) --------
+
+  /** `CREATE TABLE ... AS SELECT` / `REPLACE TABLE ... AS SELECT`
+    * with the ATOMIC contract Spark reserves for staging catalogs
+    * (AtomicCreateTableAsSelectExec & co.): the query's output stages
+    * into a hidden temp dir through the ordinary task-commit
+    * protocol, and [[SegStagedTable.commitStagedChanges]] publishes
+    * it in one generation-manifest swap — for a FRESH table the
+    * manifest's existence IS the table's existence (a crash at any
+    * earlier instant leaves only invisible staging debris: the dir
+    * has no manifest and no sidecar and an empty listing, so
+    * loadTable still says NoSuchTable); for REPLACE the swap CASes
+    * on the generation read at stage time and RETAINS the replaced
+    * generation as time-travel history — `VERSION AS OF` reaches
+    * across a REPLACE. A failed/aborted CTAS deletes its staging and
+    * leaves no table (the non-staging fallback would strand an empty
+    * created table). Schema-evolution metadata resets on REPLACE
+    * (fresh tombstones/aliases — it is logically a new table);
+    * retained generations read under the new schema, the documented
+    * versions-data-not-schema trade. */
+  private def stageWrite(ident: Identifier, schema: StructType,
+      replace: Option[Boolean]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val dir = dirOf(ident)
+    val present = SegMeta.exists(dir) || (Files.isDirectory(dir) &&
+      SegSource.listSegments(dir.toString).nonEmpty)
+    replace match {
+      case Some(false) if present => throw new TableAlreadyExistsException(ident)
+      case Some(true) if !present => throw new NoSuchTableException(ident)
+      case _ => ()
+    }
+    Seq(SegSource.FileMetaName,
+      org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN)
+      .foreach(r => require(!schema.fieldNames.contains(r),
+        s"gseg: '$r' is a reserved column name"))
+    schema.fields.foreach(f => SegSource.tag(f.dataType))
+    val expect: Option[Option[Long]] =
+      if (present) {
+        loadTable(ident) // migration moment: sidecar + manifest
+        Some(SegManifest.read(dir.toString).map(_._1))
+      } else Some(None) // CAS: the table must still be absent at commit
+    Files.createDirectories(dir)
+    val tmp = Files.createTempDirectory(dir, ".ctas-tmp-")
+    new SegStagedTable(schema, dir, tmp, present, expect)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageWrite(ident, info.schema(), replace = Some(false))
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageWrite(ident, info.schema(), replace = Some(true))
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageWrite(ident, info.schema(), replace = None)
+
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!Files.isDirectory(dir)) return false
@@ -388,6 +447,70 @@ class SegVacuumProcedure(cat: SegCatalog)
         }).iterator()
       }
     }
+}
+
+/** The table a CTAS/RTAS query writes into before it exists: writes
+  * land in a hidden `.ctas-tmp-` staging dir through the ordinary
+  * task-commit protocol ([[SegWriteBuilder]] pointed at the temp), so
+  * nothing is reader-visible until [[commitStagedChanges]] renames
+  * the staged segments to dot-hidden final names (invisible to the
+  * legacy listing — a half-renamed crash cannot make a fresh table
+  * spring into existence with partial data) and publishes them in ONE
+  * CAS'd manifest swap. The sidecar write FOLLOWS the swap: a crash
+  * between the two leaves a table whose first `loadTable` re-infers
+  * the schema from a segment header (the existing migration moment) —
+  * data is never partial, schema fidelity (nullability flags) is the
+  * only thing at stake in that window. Abort deletes the staging and,
+  * for a fresh create, the empty directory shell. */
+class SegStagedTable(tschema: StructType, dir: java.nio.file.Path,
+    tmp: java.nio.file.Path, replacing: Boolean,
+    expectGen: Option[Option[Long]])
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = s"gseg:$dir (staged)"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SegWriteBuilder(tmp.toString, info.schema(),
+      Option(info.options().get(SegSource.PartitionColOption)))
+
+  override def commitStagedChanges(): Unit = {
+    val gen = java.util.UUID.randomUUID.toString.take(8)
+    val staged = SegSource.listSegments(tmp.toString)
+    val names = staged.zipWithIndex.map { case (f, i) =>
+      val n = f".ctas-$gen-$i%05d.gseg"
+      Files.move(Paths.get(f), dir.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+      n
+    }
+    // THE commit point: manifest existence IS table existence for a
+    // fresh CTAS; a REPLACE CASes on the generation read at stage
+    // time and retains the replaced generation as time-travel
+    // history (VERSION AS OF reaches across the REPLACE)
+    SegManifest.swap(dir.toString, names, expectGen)
+    SegMeta.write(dir, SegMeta.TableMeta(tschema, Set.empty, Map.empty))
+    graft.Fs.deleteRecursively(tmp)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    graft.Fs.deleteRecursively(tmp)
+    if (!replacing) {
+      // fresh create: remove the empty shell so the failed CTAS
+      // leaves NO trace (only if nothing else claimed the dir)
+      val empty = Files.isDirectory(dir) &&
+        !SegMeta.exists(dir) && !SegManifest.exists(dir.toString) &&
+        SegSource.listSegments(dir.toString).isEmpty
+      if (empty) {
+        val l = Files.list(dir)
+        val nothingElse = try !l.iterator().hasNext finally l.close()
+        if (nothingElse) Files.deleteIfExists(dir)
+      }
+    }
+  }
 }
 
 /** [[SegTable]] + SQL DML: row-level operations (group-based

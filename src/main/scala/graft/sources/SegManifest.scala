@@ -277,8 +277,12 @@ object SegManifest {
           val n = p.getFileName.toString
           (n.endsWith(".gseg") && !n.startsWith(".") &&
             !protectedNames.contains(n)) ||
+            // CTAS/RTAS publish dot-hidden segment names through the
+            // manifest; unprotected ones are crashed-commit strands
+            (n.startsWith(".ctas-") && n.endsWith(".gseg") &&
+              !protectedNames.contains(n)) ||
             n.startsWith(".tmp-") || n.startsWith(".manifest.tmp-") ||
-            n.startsWith(".compact-tmp-")
+            n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-")
         }.toList
         finally l.close()
       val junkNames = junk.map(_.getFileName.toString).toSet

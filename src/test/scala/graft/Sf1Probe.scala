@@ -101,7 +101,9 @@ object Sf1Probe {
         "s32_dsv2_changefeed" -> ((s, d) =>
           graft.operators.CoreOps.s32DsvChangefeed(s, d)),
         "s33_dsv2_rename_column" -> ((s, d) =>
-          graft.operators.CoreOps.s33DsvRenameColumn(s, d)))
+          graft.operators.CoreOps.s33DsvRenameColumn(s, d)),
+        "s34_dsv2_ctas" -> ((s, d) =>
+          graft.operators.CoreOps.s34DsvCtas(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

@@ -861,6 +861,75 @@ class SegDmlSpec extends SparkSpec {
     assert(iso.table("tc.ns.t").count() == 20)
   }
 
+  test("CTAS is atomic: commit publishes in one swap, failure leaves no table") {
+    val (iso, wh) = dml("ctas")
+    import iso.implicits._
+    iso.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("graft_ctas_src")
+    iso.sql(
+      "CREATE TABLE tc.ns.t USING gseg AS SELECT * FROM graft_ctas_src")
+    assert(iso.table("tc.ns.t").count() == 100)
+    assert(iso.sql("SELECT sum(v) AS s FROM tc.ns.t").head().getLong(0) ==
+      (0L until 100L).map(_ * 2).sum)
+    // the staged write published through the manifest: dot-hidden
+    // names, invisible to the legacy listing, resolved via manifest
+    assert(SegSource.listSegments(s"$wh/ns/t").isEmpty)
+    assert(SegSource.resolveSegments(s"$wh/ns/t").nonEmpty)
+    // CTAS onto an existing table fails; IF NOT EXISTS no-ops
+    intercept[Exception](iso.sql(
+      "CREATE TABLE tc.ns.t USING gseg AS SELECT 1L AS k, 1L AS v"))
+    iso.sql("CREATE TABLE IF NOT EXISTS tc.ns.t USING gseg " +
+      "AS SELECT 1L AS k, 1L AS v")
+    assert(iso.table("tc.ns.t").count() == 100)
+    // a FAILING CTAS (ANSI div-by-zero mid-write) must leave no
+    // table and no visible debris
+    intercept[Exception](iso.sql(
+      "CREATE TABLE tc.ns.boom USING gseg " +
+        "AS SELECT k / (k - 50) AS x FROM graft_ctas_src"))
+    intercept[Exception](iso.table("tc.ns.boom").count())
+    assert(!iso.catalog.tableExists("tc.ns.boom"))
+    // DML and maintenance work on the CTAS table like any other
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 90")
+    assert(iso.table("tc.ns.t").count() == 90)
+  }
+
+  test("RTAS swaps atomically and retains the replaced generation as history") {
+    val (iso, wh) = dml("rtas")
+    import iso.implicits._
+    iso.range(0, 50).select($"id".as("k"), lit(1L).as("v"))
+      .createOrReplaceTempView("graft_rtas_a")
+    iso.range(0, 30).select($"id".as("k"), lit(2L).as("v"))
+      .createOrReplaceTempView("graft_rtas_b")
+    iso.sql(
+      "CREATE TABLE tc.ns.t USING gseg AS SELECT * FROM graft_rtas_a")
+    val genBefore = SegManifest.read(s"$wh/ns/t").get._1
+    iso.sql(
+      "REPLACE TABLE tc.ns.t USING gseg AS SELECT * FROM graft_rtas_b")
+    assert(iso.table("tc.ns.t").count() == 30)
+    assert(iso.sql("SELECT sum(v) AS s FROM tc.ns.t").head().getLong(0) == 60)
+    // time travel reaches ACROSS the replace: the old generation was
+    // retained, not destroyed
+    assert(iso.sql(
+      s"SELECT count(*) AS n FROM tc.ns.t VERSION AS OF $genBefore")
+      .head().getLong(0) == 50)
+    // a failing RTAS leaves the current table fully intact
+    intercept[Exception](iso.sql(
+      "REPLACE TABLE tc.ns.t USING gseg " +
+        "AS SELECT k / (k - 10) AS x FROM graft_rtas_b"))
+    assert(iso.table("tc.ns.t").count() == 30)
+    assert(iso.table("tc.ns.t").schema.fieldNames.toSeq == Seq("k", "v"))
+    // REPLACE of a missing table rejected; CREATE OR REPLACE accepts
+    intercept[Exception](iso.sql(
+      "REPLACE TABLE tc.ns.missing USING gseg AS SELECT 1L AS k"))
+    iso.sql("CREATE OR REPLACE TABLE tc.ns.t USING gseg " +
+      "AS SELECT * FROM graft_rtas_a")
+    assert(iso.table("tc.ns.t").count() == 50)
+    // vacuum reclaims the replaced generations' files (incl. the
+    // dot-hidden ctas names) without touching the live set
+    assert(SegManifest.vacuum(s"$wh/ns/t").nonEmpty)
+    assert(iso.table("tc.ns.t").count() == 50)
+  }
+
   test("RENAME COLUMN is metadata-only; old segments read through the alias chain") {
     val (iso, wh) = dml("ren")
     import iso.implicits._
