@@ -97,6 +97,13 @@ object SegSource {
     * own `[A-Za-z0-9._-]` tokens, so the comma framing is safe. */
   val PinnedFilesOption = "pinned_files"
 
+  /** Streaming-read option for MANIFEST tables (generation-offset
+    * stream): skip CHANGE commits (generations that rewrote or
+    * removed files — DML, compaction, Complete-mode replacement)
+    * instead of failing the query; only pure-append generations
+    * stream. Mirrors Delta's `skipChangeCommits`. */
+  val SkipChangeCommitsOption = "skip_change_commits"
+
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   private[sources] val Version: Byte = 2
 
@@ -601,7 +608,8 @@ class SegTable(tschema: StructType, path: String)
     new SegScanBuilder(tschema, path,
       Option(options.get(SegSource.PartitionColOption)),
       Option(options.get(SegSource.PinnedFilesOption)).map(v =>
-        v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")))
+        v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")),
+      options.getBoolean(SegSource.SkipChangeCommitsOption, false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption)))
@@ -611,7 +619,8 @@ class SegTable(tschema: StructType, path: String)
 
 class SegScanBuilder(full: StructType, path: String,
     partitionCol: Option[String] = None,
-    pinned: Option[Seq[String]] = None) extends ScanBuilder
+    pinned: Option[Seq[String]] = None,
+    skipChangeCommits: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -701,7 +710,7 @@ class SegScanBuilder(full: StructType, path: String,
       // normalizes through long
       partitionCol.filter(c => full.fields.exists(f => f.name == c &&
         f.dataType == LongType)),
-      emitFile, pinned)
+      emitFile, pinned, skipChangeCommits)
 }
 
 case class SegInputPartition(file: String) extends InputPartition
@@ -720,7 +729,8 @@ case class SegScan(path: String, required: StructType,
     pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]],
     limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None,
     partitionCol: Option[String] = None, emitFile: Boolean = false,
-    pinned: Option[Seq[String]] = None)
+    pinned: Option[Seq[String]] = None,
+    skipChangeCommits: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -840,7 +850,12 @@ case class SegScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SegMicroBatchStream(path, required, pushed)
+    // manifest tables stream by GENERATION (sound under DML,
+    // compaction and epoch replacement — see SegGenMicroBatchStream);
+    // plain path dirs keep the original monotone-name watermark
+    if (SegManifest.exists(path))
+      new SegGenMicroBatchStream(path, required, pushed, skipChangeCommits)
+    else new SegMicroBatchStream(path, required, pushed)
   override def description(): String = {
     val base = s"gseg path=$path " +
       s"ReadColumns=[${required.fieldNames.mkString(",")}] " +
@@ -977,6 +992,98 @@ case class SegFileColumnFactory(inner: PartitionReaderFactory)
       case other => throw new IllegalStateException(
         s"gseg: _file column over non-file partition $other")
     }
+}
+
+/** Streaming offset for MANIFEST tables: a committed GENERATION
+  * number. `-1` is the pre-snapshot initial offset. */
+case class SegGenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"gen":$gen}"""
+}
+
+/** Micro-batch streaming read over a gseg CATALOG (manifest) table,
+  * addressed by GENERATION — the offset is the committed generation
+  * number, and each batch is derived from retained snapshot
+  * manifests, never the directory listing or name ordering:
+  *
+  *  - the FIRST batch is the complete live generation at stream
+  *    start (one pinned snapshot — the Delta initial-snapshot
+  *    semantics);
+  *  - each later batch is the per-generation diff over (lo, hi]:
+  *    a pure-APPEND generation (nothing removed) contributes its
+  *    added files' rows; a CHANGE commit (DML rewrite, compaction,
+  *    Complete-mode replacement — anything that removed a file)
+  *    FAILS the query loudly by default, because a file-level
+  *    stream cannot represent row updates/deletes — the row-level
+  *    diff lives in [[SegChangeFeed]]; with `skip_change_commits`
+  *    the whole change commit is skipped (Delta's skipChangeCommits
+  *    contract: its rows never stream).
+  *
+  * Why this replaces the name watermark on catalog tables: DML
+  * rewrites mint `rlo-` names that sort BELOW a sink's `str-` epoch
+  * watermark (silently missed) and carry rewritten-but-unchanged
+  * rows in NEW files (double-read under any name scheme). Generation
+  * diffs see exactly what each commit did. Exactly-once recovery:
+  * a recovered (lo, hi] replans the identical file set from the
+  * retained snapshots — a stream lagging past the vacuum retention
+  * window fails loudly ("retired by vacuum"), the same contract as
+  * VERSION AS OF. */
+class SegGenMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter], skipChangeCommits: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = SegGenOffset(-1L)
+  override def latestOffset(): Offset =
+    SegGenOffset(SegManifest.read(path).map(_._1).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    SegGenOffset(json.replaceAll("[^0-9-]", "").toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** A committed generation's names: its retained snapshot, with the
+    * live manifest as fallback for the current generation. */
+  private def genNames(g: Long): Seq[String] =
+    SegManifest.readSnapshot(path, g).orElse(
+      SegManifest.read(path).collect { case (lg, names) if lg == g => names })
+      .getOrElse(throw new IllegalStateException(
+        s"gseg stream: generation $g of $path is not retained — the " +
+          "stream lagged past the vacuum retention window (raise " +
+          "keep_last or vacuum less often), or the generation never " +
+          "committed"))
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[SegGenOffset].gen
+    val hi = end.asInstanceOf[SegGenOffset].gen
+    if (hi < 0 || hi <= lo) return Array.empty
+    val batch: Seq[String] =
+      if (lo < 0) genNames(hi).sorted
+      else (lo + 1 to hi).flatMap { g =>
+        val cur = genNames(g).toSet
+        val prev = genNames(g - 1).toSet
+        val removed = prev -- cur
+        if (removed.nonEmpty) {
+          if (!skipChangeCommits) throw new IllegalStateException(
+            s"gseg stream: generation $g of $path is a CHANGE commit " +
+              s"(${removed.size} file(s) rewritten or removed) — a " +
+              "file-level stream cannot represent row updates/deletes; " +
+              "use SegChangeFeed.changes for the row-level diff, or set " +
+              s"${SegSource.SkipChangeCommitsOption}=true to tail " +
+              "append-only commits")
+          graft.Counters.add("gseg_stream_gen_change_skipped", 1L)
+          Nil // the whole commit is skipped, its added files included
+        } else (cur -- prev).toSeq.sorted
+      }
+    val kept = batch.map(n => s"$path/$n").filter(f =>
+      pushed.forall(SegSource.mayMatch(SegSource.resolvedHeaderOf(f), _)))
+    graft.Counters.add("gseg_stream_gen_files", batch.size.toLong)
+    graft.Counters.add("gseg_stream_gen_skipped",
+      (batch.size - kept.size).toLong)
+    kept.map(SegInputPartition.apply).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SegReaderFactory(required, pushed, None)
 }
 
 /** Streaming offset: the lexicographic watermark — the greatest

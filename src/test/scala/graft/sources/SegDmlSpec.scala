@@ -1067,6 +1067,92 @@ class SegDmlSpec extends SparkSpec {
       iso.sql("CALL tc.changes('ns.t', 0, 99)").collect())
   }
 
+  test("generation stream tails appends exactly-once across restarts") {
+    val (iso, wh) = dml("genstream")
+    import iso.implicits._
+    SegSource.write(iso.range(0, 50).select($"id".as("k")), s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // manifest: gen 0
+    val dir = s"$wh/ns/t"
+    val base = graft.Fs.fastTempDir("graft_genstream").toString
+    val schema = iso.table("tc.ns.t").schema
+    def start() = iso.readStream.format("gseg").schema(schema).load(dir)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    def sunk(): Seq[Long] = iso.read.parquet(s"$base/out")
+      .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSeq.sorted
+    try {
+      var q = start()
+      try {
+        q.processAllAvailable() // initial snapshot = live generation
+        assert(sunk() == (0L until 50L))
+        iso.sql("INSERT INTO tc.ns.t VALUES (100), (101)") // gen 1: append
+        q.processAllAvailable()
+        assert(sunk() == (0L until 50L) ++ Seq(100L, 101L))
+      } finally q.stop()
+      // a generation lands while no query runs; the restart recovers
+      // the GENERATION offset and emits exactly the increment
+      iso.sql("INSERT INTO tc.ns.t VALUES (200)") // gen 2
+      q = start()
+      try {
+        q.processAllAvailable()
+        assert(sunk() == (0L until 50L) ++ Seq(100L, 101L, 200L),
+          "restart replayed or missed a generation")
+      } finally q.stop()
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("generation stream fails loudly on change commits; skip_change_commits tails appends") {
+    val (iso, wh) = dml("genchange")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 40).select($"id".as("k"))
+        .repartitionByRange(4, $"k"), s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // gen 0
+    val dir = s"$wh/ns/t"
+    val base = graft.Fs.fastTempDir("graft_genchange").toString
+    val schema = iso.table("tc.ns.t").schema
+    try {
+      // default: a DML rewrite mid-stream kills the query LOUDLY —
+      // never silent duplicates or misses (the pre-r13 name-watermark
+      // hazard on manifest tables)
+      var q = iso.readStream.format("gseg").schema(schema).load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt1").start()
+      try {
+        q.processAllAvailable()
+        iso.sql("DELETE FROM tc.ns.t WHERE k >= 30") // gen 1: CHANGE
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          { q.processAllAvailable(); q.awaitTermination(10000) })
+        assert(e.getMessage.contains("CHANGE commit") ||
+          Option(e.getCause).exists(_.getMessage.contains("CHANGE commit")))
+      } finally q.stop()
+      // with skip_change_commits: the change commit's rows never
+      // stream, later appends do
+      graft.Counters.drain()
+      q = iso.readStream.format("gseg").schema(schema)
+        .option(SegSource.SkipChangeCommitsOption, "true").load(dir)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt2").start()
+      try {
+        q.processAllAvailable() // initial snapshot: post-DELETE table
+        iso.sql("UPDATE tc.ns.t SET k = k + 1000 WHERE k < 3") // CHANGE
+        iso.sql("INSERT INTO tc.ns.t VALUES (500)")            // append
+        q.processAllAvailable()
+      } finally q.stop()
+      val sunk = iso.read.parquet(s"$base/out")
+        .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq.sorted
+      // 30 initial + the appended 500; the UPDATE's rewritten rows
+      // were skipped whole (Delta's skipChangeCommits contract)
+      assert(sunk == (0L until 30L) ++ Seq(500L), s"sunk: $sunk")
+      assert(graft.Counters.drain()
+        .getOrElse("gseg_stream_gen_change_skipped", 0L) >= 1L)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("a streaming read of a manifest table sees only the live generation") {
     val (iso, wh) = dml("streamread")
     import iso.implicits._
