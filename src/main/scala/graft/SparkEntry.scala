@@ -285,6 +285,7 @@ object SparkEntry {
     "s32_dsv2_changefeed" -> CoreOps.s32DsvChangefeed _,
     "s33_dsv2_rename_column" -> CoreOps.s33DsvRenameColumn _,
     "s34_dsv2_ctas" -> CoreOps.s34DsvCtas _,
+    "s35_dsv2_partitioned" -> CoreOps.s35DsvPartitionedTable _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1387,6 +1388,18 @@ object SparkEntry {
         |       MIN(k) AS min_k, MAX(k) AS max_k,
         |       TRUE AS files_bounded
         |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PARTITIONED BY catalog tables: the relational half is the
+    // orders x lineitem join excluding the DELETEd key class (k
+    // equality is implied by orderkey equality); the spj booleans
+    // (zero-exchange before AND after the DML) are in-engine evidence
+    // pinned TRUE
+    "s35_dsv2_partitioned" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey % 32 <> 7""".stripMargin,
     // atomic CTAS/RTAS: phase 0 = VERSION AS OF the pre-replace
     // generation (the even-key CTAS), phase 1 = the live table after
     // REPLACE (odd keys) — time travel provably reaches across the

@@ -3491,6 +3491,60 @@ object CoreOps {
       .orderBy(col("phase"))
   }
 
+  /** DSv2 PARTITIONED BY catalog tables [S35]: the storage-partitioned
+    * layout as CATALOG metadata — `CREATE TABLE ... PARTITIONED BY (k)`
+    * persists the identity-clustering column in the sidecar, every
+    * write (CTAS staging, INSERT, and — via the rewrite's declared
+    * clustered distribution — row-level DML replacements) maintains
+    * the one-key-per-segment layout, and every read recovers
+    * KeyGroupedPartitioning with no `partition_col` option anywhere.
+    * The gate CTASes orders and lineitem sides clustered on
+    * pmod(orderkey, 32), proves the catalog-native join runs with
+    * ZERO exchanges under a real sort-merge join (spj_shuffle_free),
+    * then DELETEs one key class and proves the layout SURVIVED the
+    * copy-on-write rewrite (spj_after_dml — the property that keeps a
+    * 100 TB bucketed fact joinable without re-layout after daily
+    * DML). Relational columns oracle-recomputed from parquet. */
+  def s35DsvPartitionedTable(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml35")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    Tables.orders(iso, d)
+      .select(col("o_orderkey"), pmod(col("o_orderkey"), lit(32L)).as("k"))
+      .createOrReplaceTempView("graft_p35_a")
+    Tables.lineitem(iso, d)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(col("l_orderkey"), lit(32L)).as("k"))
+      .createOrReplaceTempView("graft_p35_b")
+    iso.sql("CREATE TABLE gseg_dml.dml.a USING gseg PARTITIONED BY (k) " +
+      "AS SELECT o_orderkey, k FROM graft_p35_a")
+    iso.sql("CREATE TABLE gseg_dml.dml.b USING gseg PARTITIONED BY (k) " +
+      "AS SELECT l_orderkey, l_extendedprice, k FROM graft_p35_b")
+    def joined = {
+      val a = iso.table("gseg_dml.dml.a")
+      val b = iso.table("gseg_dml.dml.b")
+      a.join(b, a("k") === b("k") && a("o_orderkey") === b("l_orderkey"))
+    }
+    def shuffleFree: Boolean =
+      joined.queryExecution.executedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }.exists(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty)
+    val preDml = shuffleFree
+    iso.sql("DELETE FROM gseg_dml.dml.a WHERE k = 7")
+    val postDml = shuffleFree
+    val row = joined
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((row.getLong(0), row.getDouble(1), preDml, postDml))
+      .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -77,8 +77,32 @@ class SegCatalog extends TableCatalog
       s"gseg: identifier escapes the warehouse: ${parts.mkString(".")}")
     dir
   }
-  // table metadata (schema + tombstones + rename aliases) lives in
-  // the unified atomic sidecar — see [[SegMeta]]
+  // table metadata (schema + tombstones + rename aliases + the
+  // declared clustering column) lives in the unified atomic sidecar —
+  // see [[SegMeta]]
+
+  /** `PARTITIONED BY` → the catalog-declared clustering column:
+    * exactly one IDENTITY transform over an existing BIGINT column
+    * (the storage-partitioned-join layout the keyed writer rolls and
+    * the scan recovers — LongType is the HasPartitionKey constraint
+    * the header-stats recovery normalizes through). Anything else is
+    * rejected loudly rather than silently ignored. */
+  private def clusterOf(partitions: Array[Transform],
+      schema: StructType): Option[String] = {
+    if (partitions == null || partitions.isEmpty) return None
+    require(partitions.length == 1,
+      "gseg: at most one PARTITIONED BY transform")
+    val t = partitions(0)
+    require(t.name == "identity" && t.references.length == 1 &&
+      t.references()(0).fieldNames.length == 1,
+      s"gseg: unsupported partition transform $t (identity only)")
+    val c = t.references()(0).fieldNames()(0)
+    require(schema.fields.exists(f => f.name == c &&
+      f.dataType == org.apache.spark.sql.types.LongType),
+      s"gseg: PARTITIONED BY column '$c' must be an existing BIGINT " +
+        "column (identity clustering)")
+    Some(c)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
@@ -101,19 +125,19 @@ class SegCatalog extends TableCatalog
     * write-if-missing under the single-writer contract. */
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    val schema = SegMeta.read(dir) match {
-      case Some(meta) => meta.schema
+    val meta = SegMeta.read(dir) match {
+      case Some(m) => m
       case None =>
         if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
         val files = SegSource.resolveSegments(dir.toString)
         if (files.isEmpty) throw new NoSuchTableException(ident)
-        val inferred = SegSource.headerOf(files.head).schema
-        SegMeta.write(dir,
-          SegMeta.TableMeta(inferred, Set.empty, Map.empty))
+        val inferred = SegMeta.TableMeta(
+          SegSource.headerOf(files.head).schema, Set.empty, Map.empty)
+        SegMeta.write(dir, inferred)
         inferred
     }
     SegManifest.ensure(dir.toString)
-    new SegDmlTable(schema, dir.toString)
+    new SegDmlTable(meta.schema, dir.toString, meta.clusterCol)
   }
 
   /** TIME TRAVEL — `SELECT ... FROM t VERSION AS OF <gen>`: resolve
@@ -176,9 +200,11 @@ class SegCatalog extends TableCatalog
       .foreach(r => require(!schema.fieldNames.contains(r),
         s"gseg: '$r' is a reserved column name"))
     schema.fields.foreach(f => SegSource.tag(f.dataType)) // supported types only
-    SegMeta.write(dir, SegMeta.TableMeta(schema, Set.empty, Map.empty))
+    val cluster = clusterOf(partitions, schema)
+    SegMeta.write(dir,
+      SegMeta.TableMeta(schema, Set.empty, Map.empty, cluster))
     SegManifest.ensure(dir.toString)
-    new SegDmlTable(schema, dir.toString)
+    new SegDmlTable(schema, dir.toString, cluster)
   }
 
   /** ALTER TABLE ADD/DROP/RENAME COLUMN: sidecar-only schema
@@ -242,6 +268,9 @@ class SegCatalog extends TableCatalog
           m
         } else {
           require(m.schema.length > 1, "gseg: cannot drop the last column")
+          require(!m.clusterCol.contains(colName),
+            s"gseg: cannot drop the clustering column '$colName' " +
+              "(PARTITIONED BY) — the table's layout is keyed on it")
           m.copy(
             schema = StructType(
               m.schema.fields.filterNot(_.name == colName)),
@@ -273,12 +302,16 @@ class SegCatalog extends TableCatalog
           // the chain: new current name maps to every name this
           // column's blocks were ever stored under, newest first
           aliases = (m.aliases - oldName) +
-            (newName -> (oldName +: m.aliases.getOrElse(oldName, Nil))))
+            (newName -> (oldName +: m.aliases.getOrElse(oldName, Nil))),
+          // a renamed clustering column keeps clustering (the layout
+          // recovery resolves the alias like every other read)
+          clusterCol = m.clusterCol.map(c =>
+            if (c == oldName) newName else c))
       case (_, other) => throw new UnsupportedOperationException(
         s"gseg: ALTER TABLE change $other")
     }
     SegMeta.write(dir, after) // ONE atomic metadata commit
-    new SegDmlTable(after.schema, dir.toString)
+    new SegDmlTable(after.schema, dir.toString, after.clusterCol)
   }
 
   // -------- atomic CTAS / RTAS (StagingTableCatalog) --------
@@ -302,6 +335,7 @@ class SegCatalog extends TableCatalog
     * retained generations read under the new schema, the documented
     * versions-data-not-schema trade. */
   private def stageWrite(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
       replace: Option[Boolean]): org.apache.spark.sql.connector.catalog.StagedTable = {
     val dir = dirOf(ident)
     val present = SegMeta.exists(dir) || (Files.isDirectory(dir) &&
@@ -316,6 +350,7 @@ class SegCatalog extends TableCatalog
       .foreach(r => require(!schema.fieldNames.contains(r),
         s"gseg: '$r' is a reserved column name"))
     schema.fields.foreach(f => SegSource.tag(f.dataType))
+    val cluster = clusterOf(partitions, schema)
     val expect: Option[Option[Long]] =
       if (present) {
         loadTable(ident) // migration moment: sidecar + manifest
@@ -323,21 +358,21 @@ class SegCatalog extends TableCatalog
       } else Some(None) // CAS: the table must still be absent at commit
     Files.createDirectories(dir)
     val tmp = Files.createTempDirectory(dir, ".ctas-tmp-")
-    new SegStagedTable(schema, dir, tmp, present, expect)
+    new SegStagedTable(schema, dir, tmp, present, expect, cluster)
   }
 
   override def stageCreate(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    stageWrite(ident, info.schema(), replace = Some(false))
+    stageWrite(ident, info.schema(), info.partitions(), replace = Some(false))
   override def stageReplace(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    stageWrite(ident, info.schema(), replace = Some(true))
+    stageWrite(ident, info.schema(), info.partitions(), replace = Some(true))
   override def stageCreateOrReplace(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    stageWrite(ident, info.schema(), replace = None)
+    stageWrite(ident, info.schema(), info.partitions(), replace = None)
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -464,7 +499,8 @@ class SegVacuumProcedure(cat: SegCatalog)
   * for a fresh create, the empty directory shell. */
 class SegStagedTable(tschema: StructType, dir: java.nio.file.Path,
     tmp: java.nio.file.Path, replacing: Boolean,
-    expectGen: Option[Option[Long]])
+    expectGen: Option[Option[Long]],
+    clusterCol: Option[String] = None)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.StagedTable {
   import org.apache.spark.sql.connector.catalog.TableCapability
@@ -476,7 +512,8 @@ class SegStagedTable(tschema: StructType, dir: java.nio.file.Path,
       TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(tmp.toString, info.schema(),
-      Option(info.options().get(SegSource.PartitionColOption)))
+      Option(info.options().get(SegSource.PartitionColOption))
+        .orElse(clusterCol))
 
   override def commitStagedChanges(): Unit = {
     val gen = java.util.UUID.randomUUID.toString.take(8)
@@ -492,7 +529,8 @@ class SegStagedTable(tschema: StructType, dir: java.nio.file.Path,
     // time and retains the replaced generation as time-travel
     // history (VERSION AS OF reaches across the REPLACE)
     SegManifest.swap(dir.toString, names, expectGen)
-    SegMeta.write(dir, SegMeta.TableMeta(tschema, Set.empty, Map.empty))
+    SegMeta.write(dir,
+      SegMeta.TableMeta(tschema, Set.empty, Map.empty, clusterCol))
     graft.Fs.deleteRecursively(tmp)
   }
 
@@ -521,8 +559,9 @@ class SegStagedTable(tschema: StructType, dir: java.nio.file.Path,
   * affected segments, with a broadcast set whose size is
   * #affected-files, never #matching-rows (the Iceberg `_file`
   * design; value-based filter attributes would broadcast data). */
-class SegDmlTable(tschema: StructType, path: String)
-    extends SegTable(tschema, path)
+class SegDmlTable(tschema: StructType, path: String,
+    clusterCol: Option[String] = None)
+    extends SegTable(tschema, path, clusterCol)
     with SupportsRowLevelOperations with TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
@@ -540,7 +579,7 @@ class SegDmlTable(tschema: StructType, path: String)
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new SegRowLevelOperation(path, tschema, info.command())
+        new SegRowLevelOperation(path, tschema, info.command(), clusterCol)
     }
 
   /** TRUNCATE TABLE: commit the empty generation (one atomic
@@ -846,19 +885,24 @@ class SegCompactProcedure(cat: SegCatalog)
         val ident = Identifier.of(parts.init.toArray, parts.last)
         val dir = cat.tableDir(ident)
         val schema = cat.loadTable(ident).schema() // ensures manifest
-        sortBy.foreach(c => require(schema.fieldNames.contains(c),
+        // a PARTITIONED BY table compacts CLUSTERED by default — an
+        // unqualified CALL compact must not quietly destroy the
+        // layout the table declared
+        val sortByEff = sortBy.orElse(
+          SegMeta.read(dir).flatMap(_.clusterCol))
+        sortByEff.foreach(c => require(schema.fieldNames.contains(c),
           s"gseg compact: sort_by column '$c' is not in the schema"))
         val liveGen = SegManifest.read(dir.toString).map(_._1)
         val live = SegSource.resolveSegments(dir.toString)
         val after =
-          if (live.size <= target && sortBy.isEmpty) live.size.toLong
+          if (live.size <= target && sortByEff.isEmpty) live.size.toLong
           else {
             val spark = org.apache.spark.sql.SparkSession.active
             val tmp = Files.createTempDirectory(dir, ".compact-tmp-")
             try {
               val src = spark.read.format("gseg").schema(schema)
                 .load(dir.toString)
-              sortBy match {
+              sortByEff match {
                 case None =>
                   // distributed, shuffle-free: existing partitions
                   // merge into `target` output tasks in one
@@ -929,7 +973,8 @@ class SegSnapshotTable(tschema: StructType, path: String, gen: Long,
   * files it planned (the groups that MAY hold matching rows), the
   * write's commit replaces exactly that set. */
 class SegRowLevelOperation(path: String, tschema: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    clusterCol: Option[String] = None) extends RowLevelOperation {
   @volatile private[sources] var candidates: Seq[String] = Nil
 
   override def command(): RowLevelOperation.Command = cmd
@@ -948,7 +993,7 @@ class SegRowLevelOperation(path: String, tschema: StructType,
     new SegGroupScanBuilder(tschema, path, this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SegReplaceDataWrite(path, info.schema(), this, cmd)
+    new SegReplaceDataWrite(path, info.schema(), this, cmd, clusterCol)
 }
 
 /** Scan builder for a row-level operation. Spark's
@@ -1081,11 +1126,37 @@ object SegDml {
   * segments; an everything-deleted table is just an empty manifest
   * (the sidecar keeps it loadable). */
 class SegReplaceDataWrite(path: String, schema: StructType,
-    op: SegRowLevelOperation, cmd: RowLevelOperation.Command)
+    op: SegRowLevelOperation, cmd: RowLevelOperation.Command,
+    clusterCol: Option[String] = None)
     extends WriteBuilder with Write
-    with BatchWrite {
+    with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def build(): Write = this
   override def toBatch: BatchWrite = this
+
+  /** On a PARTITIONED BY table the rewrite DECLARES the clustered
+    * distribution + in-partition key sort, so replacement segments
+    * come out one-key-per-file exactly like the originals — the
+    * storage-partitioned-join layout SURVIVES row-level DML (the
+    * alternative quietly degrades every DML'd table to unknown
+    * partitioning until the next clustered compact). Unclustered
+    * tables keep the unspecified distribution (no extra shuffle). */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    clusterCol.map(c =>
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression)))
+      .getOrElse(org.apache.spark.sql.connector.distributions
+        .Distributions.unspecified())
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterCol.map(c => Array(
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+      .getOrElse(Array.empty)
 
   /** Spark 4's group-based rewrite PREPENDS an operation-code column
     * (RowDeltaUtils.OPERATION_COLUMN, `__row_operation`) to the
@@ -1104,7 +1175,7 @@ class SegReplaceDataWrite(path: String, schema: StructType,
       System.err.println(s"[rlo-debug] cmd=$cmd info.schema=" +
         schema.fieldNames.mkString(","))
     SegRloWriterFactory(
-      SegWriterFactory(path, dataSchema, None, skipEmpty = true),
+      SegWriterFactory(path, dataSchema, clusterCol, skipEmpty = true),
       dataSchema, schema, cmd)
   }
 

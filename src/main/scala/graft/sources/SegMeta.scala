@@ -47,7 +47,8 @@ object SegMeta {
   private[sources] val LegacyDropped = ".dropped"
 
   case class TableMeta(schema: StructType, dropped: Set[String],
-      aliases: Map[String, Seq[String]]) {
+      aliases: Map[String, Seq[String]],
+      clusterCol: Option[String] = None) {
     /** stored-header-name → current-name, for read-side resolution.
       * Built once per metadata read; first (most recent) alias wins
       * if chains ever overlapped (they cannot, by the guards). */
@@ -95,7 +96,11 @@ object SegMeta {
         }.toMap
         case _ => Map.empty[String, Seq[String]]
       }
-      TableMeta(schema, dropped, aliases)
+      val cluster = (ast \ "cluster") match {
+        case JString(c) => Some(c)
+        case _ => None
+      }
+      TableMeta(schema, dropped, aliases, cluster)
     }
   }
 
@@ -111,7 +116,8 @@ object SegMeta {
       ("gseg_meta" -> 2) ~
         ("schema" -> org.json4s.jackson.JsonMethods.parse(meta.schema.json)) ~
         ("dropped" -> meta.dropped.toSeq.sorted) ~
-        ("aliases" -> meta.aliases.map { case (k, v) => k -> v })
+        ("aliases" -> meta.aliases.map { case (k, v) => k -> v }) ~
+        ("cluster" -> meta.clusterCol)
     val body = org.json4s.jackson.JsonMethods
       .compact(org.json4s.jackson.JsonMethods.render(ast)).getBytes(UTF_8)
     val tmp = dir.resolve(

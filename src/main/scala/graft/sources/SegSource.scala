@@ -596,7 +596,14 @@ class SegDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class SegTable(tschema: StructType, path: String)
+/** `defaultCluster` is the CATALOG-declared identity-clustering
+  * column (`CREATE TABLE ... PARTITIONED BY (k)`, persisted in the
+  * [[SegMeta]] sidecar): every read recovers the storage-partitioned
+  * layout and every write maintains it without the caller passing
+  * the `partition_col` option — the option, when present, still
+  * wins (path-based reads of a catalog dir can opt out or in). */
+class SegTable(tschema: StructType, path: String,
+    defaultCluster: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gseg:$path"
   override def schema(): StructType = tschema
@@ -604,15 +611,21 @@ class SegTable(tschema: StructType, path: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+  override def partitioning(): Array[Transform] =
+    defaultCluster.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : Transform).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path,
-      Option(options.get(SegSource.PartitionColOption)),
+      Option(options.get(SegSource.PartitionColOption))
+        .orElse(defaultCluster),
       Option(options.get(SegSource.PinnedFilesOption)).map(v =>
         v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")),
       options.getBoolean(SegSource.SkipChangeCommitsOption, false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
-      Option(info.options().get(SegSource.PartitionColOption)))
+      Option(info.options().get(SegSource.PartitionColOption))
+        .orElse(defaultCluster))
 }
 
 // ---------------- read side ----------------

@@ -103,7 +103,9 @@ object Sf1Probe {
         "s33_dsv2_rename_column" -> ((s, d) =>
           graft.operators.CoreOps.s33DsvRenameColumn(s, d)),
         "s34_dsv2_ctas" -> ((s, d) =>
-          graft.operators.CoreOps.s34DsvCtas(s, d)))
+          graft.operators.CoreOps.s34DsvCtas(s, d)),
+        "s35_dsv2_partitioned" -> ((s, d) =>
+          graft.operators.CoreOps.s35DsvPartitionedTable(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

@@ -1067,6 +1067,89 @@ class SegDmlSpec extends SparkSpec {
       iso.sql("CALL tc.changes('ns.t', 0, 99)").collect())
   }
 
+  test("PARTITIONED BY catalog tables keep the SPJ layout through INSERT, DML and compact") {
+    val (iso, wh) = dml("part")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    iso.sql("CREATE TABLE tc.spj.a (rid BIGINT, k BIGINT) USING gseg " +
+      "PARTITIONED BY (k)")
+    iso.sql("CREATE TABLE tc.spj.b (rid2 BIGINT, k BIGINT) USING gseg " +
+      "PARTITIONED BY (k)")
+    iso.range(0, 300).select($"id".as("rid"), ($"id" % 8).as("k"))
+      .createOrReplaceTempView("graft_part_src")
+    iso.sql("INSERT INTO tc.spj.a SELECT rid, k FROM graft_part_src")
+    iso.sql("INSERT INTO tc.spj.b SELECT rid AS rid2, k FROM graft_part_src")
+    assert(iso.table("tc.spj.a").count() == 300,
+      s"a=${iso.table("tc.spj.a").count()}")
+    assert(iso.table("tc.spj.b").count() == 300,
+      s"b=${iso.table("tc.spj.b").count()}")
+    def shuffleFree(expected: Long): Boolean = {
+      val a = iso.table("tc.spj.a")
+      val b = iso.table("tc.spj.b")
+      val j = a.join(b, a("k") === b("k") && a("rid") === b("rid2"))
+      val smj = j.queryExecution.executedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }
+      assert(j.count() == expected)
+      smj.exists(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty)
+    }
+    // the catalog-declared layout joins with zero exchanges — no
+    // partition_col option anywhere in the query
+    assert(shuffleFree(300), "catalog-declared layout must join shuffle-free")
+    // the DML rewrite declares the clustered distribution: layout
+    // SURVIVES an UPDATE (replacement segments one-key-per-file).
+    // k=3's 38 rids move out of the rid=rid2 match, so the expected
+    // pair count drops to 262
+    iso.sql("UPDATE tc.spj.a SET rid = rid + 1000 WHERE k = 3")
+    assert(iso.table("tc.spj.a").filter($"rid" >= 1000).count() == 38)
+    assert(shuffleFree(262), "layout must survive the DML rewrite")
+    // an unqualified compact on a clustered table defaults to
+    // sort_by = the cluster column: the layout survives maintenance
+    iso.sql("CALL tc.compact('spj.a', 1)")
+    assert(shuffleFree(262), "layout must survive CALL compact")
+    // guards: the clustering column cannot be dropped; renaming it
+    // renames the clustering too (reads resolve the alias)
+    intercept[Exception](iso.sql("ALTER TABLE tc.spj.a DROP COLUMN k"))
+    iso.sql("ALTER TABLE tc.spj.a RENAME COLUMN k TO kk")
+    assert(iso.table("tc.spj.a").groupBy($"kk").count().count() == 8)
+    // rejected shapes: non-BIGINT key, non-identity transform
+    intercept[Exception](iso.sql(
+      "CREATE TABLE tc.spj.bad (s STRING, k BIGINT) USING gseg " +
+        "PARTITIONED BY (s)"))
+    intercept[Exception](iso.sql(
+      "CREATE TABLE tc.spj.bad2 (k BIGINT) USING gseg " +
+        "PARTITIONED BY (bucket(8, k))"))
+  }
+
+  test("CTAS with PARTITIONED BY stages the clustered layout") {
+    val (iso, wh) = dml("partctas")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    iso.range(0, 200).select($"id".as("rid"), ($"id" % 4).as("k"))
+      .createOrReplaceTempView("graft_pctas_src")
+    iso.sql("CREATE TABLE tc.ns.a USING gseg PARTITIONED BY (k) " +
+      "AS SELECT rid, k FROM graft_pctas_src")
+    iso.sql("CREATE TABLE tc.ns.b USING gseg PARTITIONED BY (k) " +
+      "AS SELECT rid AS rid2, k FROM graft_pctas_src")
+    val a = iso.table("tc.ns.a")
+    val b = iso.table("tc.ns.b")
+    val j = a.join(b, a("k") === b("k"))
+    assert(j.count() == 10000L) // 4 keys x (50x50) pairs
+    assert(j.queryExecution.executedPlan.collectFirst {
+      case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+    }.exists(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty), "CTAS PARTITIONED BY must stage the SPJ layout")
+  }
+
   test("generation stream tails appends exactly-once across restarts") {
     val (iso, wh) = dml("genstream")
     import iso.implicits._
