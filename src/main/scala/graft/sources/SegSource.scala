@@ -104,6 +104,16 @@ object SegSource {
     * stream. Mirrors Delta's `skipChangeCommits`. */
   val SkipChangeCommitsOption = "skip_change_commits"
 
+  /** Write option: ROLL a new segment every N rows instead of
+    * buffering the whole task partition — bounds the writer's memory
+    * to the budget (rows encode and hit disk per chunk) and caps
+    * segment size, the way a production columnar writer rolls at a
+    * byte budget. Default unlimited (one segment per task — the
+    * shape the zone-map and layout tests pin); rolling also tightens
+    * zone maps: each chunk of a sorted partition carries its own
+    * [min,max], so range-laid tables prune at finer grain. */
+  val MaxRowsPerSegmentOption = "max_rows_per_segment"
+
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   private[sources] val Version: Byte = 2
 
@@ -625,7 +635,9 @@ class SegTable(tschema: StructType, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption))
-        .orElse(defaultCluster))
+        .orElse(defaultCluster),
+      Option(info.options().get(SegSource.MaxRowsPerSegmentOption))
+        .map(_.toInt))
 }
 
 // ---------------- read side ----------------
@@ -1384,7 +1396,8 @@ class SegPartitionReader(file: String, required: StructType,
 // ---------------- write side ----------------
 
 class SegWriteBuilder(path: String, schema: StructType,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    maxRowsPerSegment: Option[Int] = None)
     extends WriteBuilder with SupportsTruncate {
   // `_file` is the synthesized metadata column and `__row_operation`
   // the rewrite op marker: a stored data column under either name
@@ -1418,10 +1431,11 @@ class SegWriteBuilder(path: String, schema: StructType,
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
         .getOrElse(Array.empty)
     override def toBatch: BatchWrite =
-      SegBatchWrite(path, schema, truncateFirst, partitionCol)
+      SegBatchWrite(path, schema, truncateFirst, partitionCol,
+        maxRowsPerSegment)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      SegStreamingWrite(path, schema, truncateFirst)
+      SegStreamingWrite(path, schema, truncateFirst, maxRowsPerSegment)
   }
 }
 
@@ -1442,7 +1456,7 @@ class SegWriteBuilder(path: String, schema: StructType,
   * empty partitions stage nothing (skipEmpty) so a quiet stream
   * doesn't mint a segment per shuffle partition per epoch. */
 case class SegStreamingWrite(path: String, schema: StructType,
-    truncateEachEpoch: Boolean)
+    truncateEachEpoch: Boolean, maxRowsPerSegment: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -1453,7 +1467,7 @@ case class SegStreamingWrite(path: String, schema: StructType,
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new SegDataWriter(path, schema, partitionId, taskId, None,
-          skipEmpty = true)
+          skipEmpty = true, maxRowsPerSegment)
     }
   }
 
@@ -1529,12 +1543,14 @@ case class SegCommitMessage(partitionId: Int, tmpFiles: Seq[String])
   * intact). Spark's commit coordinator guarantees one committed
   * attempt per partition, so renames never race. */
 case class SegBatchWrite(path: String, schema: StructType,
-    truncateFirst: Boolean, partitionCol: Option[String] = None)
+    truncateFirst: Boolean, partitionCol: Option[String] = None,
+    maxRowsPerSegment: Option[Int] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    SegWriterFactory(path, schema, partitionCol)
+    SegWriterFactory(path, schema, partitionCol,
+      maxRowsPerSegment = maxRowsPerSegment)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1587,26 +1603,35 @@ case class SegBatchWrite(path: String, schema: StructType,
 }
 
 case class SegWriterFactory(path: String, schema: StructType,
-    partitionCol: Option[String] = None, skipEmpty: Boolean = false)
+    partitionCol: Option[String] = None, skipEmpty: Boolean = false,
+    maxRowsPerSegment: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new SegDataWriter(path, schema, partitionId, taskId, partitionCol,
-      skipEmpty)
+      skipEmpty, maxRowsPerSegment)
 }
 
 /** Buffers the partition's rows as writer cells (boxed primitives /
-  * UTF-8 byte arrays), encodes one segment on task commit into a
-  * hidden temp file, and hands the path to the job commit. Abort (or
-  * a lost speculative attempt) deletes the temp — a half-written
-  * segment can never be listed, because [[SegSource.listSegments]]
-  * ignores dot-files. */
+  * UTF-8 byte arrays), encodes segments into hidden temp files, and
+  * hands the paths to the job commit. With `maxRowsPerSegment` the
+  * buffer FLUSHES to a rolled segment every N rows — writer memory
+  * is bounded by the budget instead of the task partition size, the
+  * production-writer contract at 100 TB task widths (and each rolled
+  * chunk of a sorted partition carries its own tighter zone map).
+  * Without it, one segment per task on commit — the shape the layout
+  * tests pin. Abort (or a lost speculative attempt) deletes every
+  * temp — a half-written segment can never be listed, because
+  * [[SegSource.listSegments]] ignores dot-files. */
 class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, partitionCol: Option[String] = None,
-    skipEmpty: Boolean = false)
+    skipEmpty: Boolean = false, maxRowsPerSegment: Option[Int] = None)
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
   private val keyIdx = partitionCol.map(schema.fieldIndex)
+  // rolled temp files, in order; abort deletes them all
+  private val rolled = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var chunk = 0
 
   override def write(r: InternalRow): Unit = {
     val cells = new Array[AnyRef](schema.length)
@@ -1628,19 +1653,18 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
       c += 1
     }
     buf += cells
+    if (maxRowsPerSegment.exists(buf.length >= _)) flush()
   }
 
-  override def commit(): WriterCommitMessage = {
-    // keyed mode: the required ordering delivered rows sorted by the
-    // key, so each distinct value is a contiguous run — one segment
-    // per run gives the scan's key-grouper min==max stats to read the
-    // value back from (no format change needed)
+  /** Encode the buffered rows as segment temp(s) and clear the
+    * buffer. Keyed mode splits the (sorted) buffer at key-value
+    * boundaries — one segment per contiguous run, so min==max holds
+    * per file even when a budget flush lands mid-key (several files
+    * of one key group together fine on the scan side). Unkeyed mode
+    * writes the buffer whole (possibly empty — the plain write's
+    * one-segment-per-task shape). */
+  private def flush(): Unit = {
     val runs: Seq[collection.IndexedSeq[Array[AnyRef]]] = keyIdx match {
-      // skipEmpty (row-level rewrites): an empty partition stages no
-      // segment — a DML touching 2 files must not mint a file per
-      // shuffle partition. Plain writes keep the one-segment-per-task
-      // shape their tests and probes pin.
-      case None if skipEmpty && buf.isEmpty => Seq.empty
       case None => Seq(buf)
       case Some(ki) =>
         val out = scala.collection.mutable.ArrayBuffer
@@ -1656,19 +1680,27 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
         }
         out.toSeq
     }
-    val tmps = runs.zipWithIndex.map { case (run, i) =>
-      val tmp = f"$path/.tmp-$partitionId%05d-$taskId-$i%03d.gseg"
+    runs.foreach { run =>
+      val tmp = f"$path/.tmp-$partitionId%05d-$taskId-$chunk%03d.gseg"
+      chunk += 1
       SegSource.writeSegment(run, schema, tmp)
-      tmp
+      rolled += tmp
     }
-    staged = tmps
-    SegCommitMessage(partitionId, tmps)
+    buf.clear()
   }
 
-  // tmps exist only once commit() started writing them; a throw there
-  // (or a later job abort) cleans the dot-files best-effort
-  @volatile private var staged: Seq[String] = Nil
+  override def commit(): WriterCommitMessage = {
+    // skipEmpty (row-level rewrites, streaming epochs): an empty
+    // remainder stages nothing — a DML touching 2 files must not
+    // mint a file per shuffle partition. A plain UNKEYED write with
+    // nothing rolled keeps its one (possibly empty) segment per
+    // task; keyed flushes of an empty buffer produce no runs anyway.
+    if (buf.nonEmpty ||
+        (rolled.isEmpty && !skipEmpty && keyIdx.isEmpty)) flush()
+    SegCommitMessage(partitionId, rolled.toSeq)
+  }
+
   override def abort(): Unit =
-    staged.foreach(t => Files.deleteIfExists(Paths.get(t)))
+    rolled.foreach(t => Files.deleteIfExists(Paths.get(t)))
   override def close(): Unit = ()
 }

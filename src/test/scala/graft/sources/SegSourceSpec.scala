@@ -540,4 +540,49 @@ class SegSourceSpec extends SparkSpec {
     assert(got.getLong(0) === 1000L && got.getLong(1) === 0L &&
       got.getLong(2) === 999L)
   }
+
+  test("max_rows_per_segment rolls bounded segments with per-chunk zone maps") {
+    import spark.implicits._
+    val dir = graft.Fs.fastTempDir("graft_roll").toString
+    // ONE task partition, sorted keys: the writer must roll chunks at
+    // the budget instead of buffering all 1000 rows
+    spark.range(0, 1000).select($"id".as("k"), ($"id" % 7).as("v"))
+      .coalesce(1).sortWithinPartitions($"k")
+      .write.format("gseg")
+      .option(SegSource.MaxRowsPerSegmentOption, "100")
+      .mode("overwrite").save(dir)
+    val files = SegSource.listSegments(dir)
+    assert(files.size == 10, s"expected 10 rolled segments, got ${files.size}")
+    files.foreach(f => assert(SegSource.headerOf(f).nRows <= 100))
+    // content identical to an unrolled write
+    val back = spark.read.format("gseg").load(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"k")).head().getLong(0)
+      == (0L until 1000L).sum)
+    // per-chunk zone maps: a point predicate on the sorted key prunes
+    // all but ONE of the 10 chunks (an unrolled write could prune
+    // nothing - the single segment spans the whole range)
+    graft.Counters.drain()
+    assert(back.filter($"k" === 555).count() == 1)
+    val c = graft.Counters.drain()
+    // 9 of 10 chunks pruned per scan materialization (the plan may
+    // materialize more than once; the ratio is what's pinned)
+    assert(c.getOrElse("gseg_files_skipped", -1L) * 10 ==
+      c.getOrElse("gseg_files_total", -1L) * 9, s"counters: $c")
+    // keyed + budget: min==max still holds per rolled file
+    val dir2 = graft.Fs.fastTempDir("graft_roll2").toString
+    spark.range(0, 400).select($"id".as("r"), ($"id" % 4).as("k"))
+      .write.format("gseg")
+      .option(SegSource.PartitionColOption, "k")
+      .option(SegSource.MaxRowsPerSegmentOption, "30")
+      .mode("overwrite").save(dir2)
+    val fs2 = SegSource.listSegments(dir2)
+    assert(fs2.size > 4, s"budget must split key runs: ${fs2.size}")
+    fs2.foreach { f =>
+      val km = SegSource.headerOf(f).cols.find(_.name == "k").get
+      assert(km.hasStats && km.minBits == km.maxBits,
+        s"rolled keyed segment must stay single-key: $f")
+    }
+    assert(spark.read.format("gseg").load(dir2).count() == 400)
+  }
 }
