@@ -565,6 +565,22 @@ class SegDmlTable(tschema: StructType, path: String,
     with SupportsRowLevelOperations with TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+  /** Observability through the standard surface: `SHOW TBLPROPERTIES`
+    * / `DESCRIBE TABLE EXTENDED` report the live generation, its
+    * width, and the declared clustering — the numbers an operator
+    * reaches for before vacuum/compact decisions, with CALL history
+    * as the full ledger. Values snapshot at loadTable time (the
+    * manifest read the load already pays). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    SegManifest.read(path).foreach { case (g, names) =>
+      m.put("generation", g.toString)
+      m.put("segments", names.size.toString)
+    }
+    clusterCol.foreach(m.put("clustering", _))
+    m
+  }
+
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {

@@ -1150,6 +1150,23 @@ class SegDmlSpec extends SparkSpec {
     }.isEmpty), "CTAS PARTITIONED BY must stage the SPJ layout")
   }
 
+  test("table properties expose generation, width and clustering") {
+    val (iso, wh) = dml("props")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, v BIGINT) USING gseg " +
+      "PARTITIONED BY (k)")
+    iso.sql("INSERT INTO tc.ns.t VALUES (1, 10), (2, 20)")
+    def props(): Map[String, String] =
+      iso.sql("SHOW TBLPROPERTIES tc.ns.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p1 = props()
+    assert(p1("generation") == "1" && p1("clustering") == "k",
+      s"props: $p1")
+    assert(p1("segments").toInt >= 2) // one per key value
+    iso.sql("DELETE FROM tc.ns.t WHERE k = 1")
+    assert(props()("generation") == "2")
+  }
+
   test("generation stream tails appends exactly-once across restarts") {
     val (iso, wh) = dml("genstream")
     import iso.implicits._
