@@ -138,11 +138,15 @@ object SegMeta {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, String])]()
 
   /** stored-name → current-name map for the table at `dir`; empty
-    * when there is no sidecar (plain path dirs) or no renames. */
+    * when there is no sidecar (plain path dirs) or no renames. The
+    * cache keys on NANOSECOND mtime — two ALTERs inside the same
+    * millisecond (tmpfs, fast test loops) must not serve the first
+    * one's aliases. */
   def storedToCurrentAt(dir: String): Map[String, String] = {
     val p = path(java.nio.file.Paths.get(dir))
     if (!Files.exists(p)) return Map.empty
-    val mtime = Files.getLastModifiedTime(p).toMillis
+    val inst = Files.getLastModifiedTime(p).toInstant
+    val mtime = inst.getEpochSecond * 1000000000L + inst.getNano
     val cached = aliasCache.get(dir)
     if (cached != null && cached._1 == mtime) return cached._2
     val m = read(java.nio.file.Paths.get(dir))
