@@ -1253,6 +1253,71 @@ class SegDmlSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("a generation stream lagging past the vacuum window fails loudly") {
+    val (iso, wh) = dml("genlag")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 40).select($"id".as("k"))
+        .repartitionByRange(4, $"k"), s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // gen 0
+    val dir = s"$wh/ns/t"
+    val base = graft.Fs.fastTempDir("graft_genlag").toString
+    val schema = iso.table("tc.ns.t").schema
+    try {
+      // consume up to gen 0, checkpoint, stop
+      var q = iso.readStream.format("gseg").schema(schema)
+        .option(SegSource.SkipChangeCommitsOption, "true").load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      // while the stream is down: a rewrite supersedes gen 0's top
+      // file and vacuum retires its snapshot — the (0, 2] diff now
+      // needs a generation that no longer exists
+      iso.sql("UPDATE tc.ns.t SET k = k + 100 WHERE k >= 30") // gen 1
+      iso.sql("INSERT INTO tc.ns.t VALUES (500)")             // gen 2
+      SegManifest.vacuum(dir)
+      assert(SegManifest.readSnapshot(dir, 0L).isEmpty,
+        "precondition: gen 0's snapshot must be retired")
+      q = iso.readStream.format("gseg").schema(schema)
+        .option(SegSource.SkipChangeCommitsOption, "true").load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        try { q.processAllAvailable(); q.awaitTermination(10000) }
+        finally q.stop())
+      def chain(t: Throwable) =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("not retained"))),
+        s"wanted the retention-window error, got: $e")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("changefeed resolves renamed columns across generations") {
+    val (iso, wh) = dml("cfren")
+    import iso.implicits._
+    SegSource.write(
+      iso.range(0, 50).select($"id".as("k"), ($"id" * 2).as("v"))
+        .repartitionByRange(2, $"k"), s"$wh/ns/t")
+    iso.table("tc.ns.t").count()                            // gen 0
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN v TO w")
+    iso.sql("UPDATE tc.ns.t SET w = w + 1 WHERE k >= 45")   // gen 1
+    // the pre-rename generation's files store blocks under `v`; the
+    // feed reads BOTH sides under the current schema (k, w) through
+    // the alias chain — a mis-resolved alias would null the pre-side
+    // payload and misclassify every carried row as an update
+    val feed = SegChangeFeed.changes(iso, s"$wh/ns/t",
+      iso.table("tc.ns.t").schema, 0L, 1L, Seq("k"))
+    val byType = feed.collect().groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r => (r.getLong(0), r.getLong(1))).toSet).toMap
+    assert(byType.keySet == Set("update_preimage", "update_postimage"),
+      s"got: $byType")
+    assert(byType("update_preimage") ==
+      (45L until 50L).map(k => (k, k * 2)).toSet)
+    assert(byType("update_postimage") ==
+      (45L until 50L).map(k => (k, k * 2 + 1)).toSet)
+  }
+
   test("a streaming read of a manifest table sees only the live generation") {
     val (iso, wh) = dml("streamread")
     import iso.implicits._
