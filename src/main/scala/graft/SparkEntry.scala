@@ -255,6 +255,8 @@ object SparkEntry {
     "a28_winsorized_mean" -> CoreOps.a28WinsorizedMean _,
     "w11_gaps_islands"   -> CoreOps.w11GapsIslands _,
     "stream_dsv2_parity" -> graft.streaming.StreamGates.streamSegParity _,
+    "stream_gseg_gen_parity" ->
+      graft.streaming.StreamGates.streamSegGenParity _,
     "stream_gseg_sink_parity" ->
       graft.streaming.StreamGates.streamSegSinkParity _,
     "ev_ab_ttest"        -> EventOps.abTtest _,
@@ -2222,6 +2224,15 @@ object SparkEntry {
     "stream_dsv2_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS first_batch_parity,
         |       CAST(1 AS BOOLEAN) AS final_parity,
+        |       (SELECT COUNT(DISTINCT event_type) FROM events
+        |        WHERE user_id < 40) AS n_types""".stripMargin,
+    // generation-offset stream source (catalog tables): parity +
+    // snapshot-diff-increment booleans in-engine, type count anchored
+    // relationally
+    "stream_gseg_gen_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS first_batch_parity,
+        |       CAST(1 AS BOOLEAN) AS final_parity,
+        |       CAST(1 AS BOOLEAN) AS increment_exact,
         |       (SELECT COUNT(DISTINCT event_type) FROM events
         |        WHERE user_id < 40) AS n_types""".stripMargin,
     // gseg streaming SINK: parity + epoch-commit + DML-interplay

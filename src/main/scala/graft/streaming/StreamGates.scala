@@ -1803,6 +1803,92 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_gseg_gen_parity]: the GENERATION-OFFSET
+    * streaming source over a gseg CATALOG table — the r13 stream
+    * semantics that replace the name watermark wherever a manifest
+    * exists: offsets are committed generation numbers, the first
+    * batch is the complete live generation (initial-snapshot
+    * semantics), and each later batch is the per-generation APPEND
+    * diff derived from retained snapshot manifests — never the
+    * directory listing, so retained history, rewrite names and
+    * epoch replacement cannot double- or under-read. Booleans:
+    *  - first_batch_parity: with the table at generation 0, the
+    *    complete-mode aggregate equals slice A's batch aggregate —
+    *    the initial snapshot arrived as ONE batch;
+    *  - final_parity: after a catalog INSERT commits generation 1,
+    *    the aggregate equals the whole slice's (DECIMAL sums,
+    *    exact);
+    *  - increment_exact: the per-batch input-row counts from the
+    *    query's own progress are EXACTLY (|A|, |B|) — the second
+    *    batch read precisely the appended generation's rows, a
+    *    rescan or double-read cannot produce that ledger.
+    * n_types anchors the oracle relationally. */
+  def streamSegGenParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_gen_gate").toString
+    try {
+      val wh = s"$base/wh"
+      iso.conf.set("spark.sql.catalog.gseg_gen", "graft.sources.SegCatalog")
+      iso.conf.set("spark.sql.catalog.gseg_gen.warehouse", wh)
+      val ev = Tables.events(iso, d).filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val halfA = ev.filter(col("event_id") % 2 === 0)
+      val halfB = ev.filter(col("event_id") % 2 === 1)
+      val dir = s"$wh/ns/t"
+      graft.sources.SegSource.write(halfA, dir)
+      iso.table("gseg_gen.ns.t").count() // manifest: generation 0
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .as("sv"))
+      var q: StreamingQuery = null
+      var firstOk = false
+      var incrementExact = false
+      try {
+        q = owned(agg(iso.readStream.format("gseg")
+          .schema(ev.schema).load(dir))
+          .writeStream.outputMode(OutputMode.Complete)
+          .format("memory").queryName("gen_stream")
+          .option("checkpointLocation", s"$base/ckpt").start(),
+          "stream_gseg_gen_parity")
+        q.processAllAvailable()
+        val got1 = iso.table("gen_stream").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        val want1 = agg(halfA).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+        firstOk = got1 == want1 && got1.nonEmpty
+        // generation 1: an APPEND commit through the catalog
+        halfB.createOrReplaceTempView("graft_genstream_src")
+        iso.sql(
+          "INSERT INTO gseg_gen.ns.t SELECT * FROM graft_genstream_src")
+        q.processAllAvailable()
+        // the query's own progress ledger: one batch per generation,
+        // each reading exactly its generation's rows
+        val perBatch = q.recentProgress.toSeq.map(_.numInputRows)
+          .filter(_ > 0)
+        incrementExact =
+          perBatch == Seq(halfA.count(), halfB.count())
+      } finally safeStop(q)
+      val streamAgg = iso.table("gen_stream")
+        .select(col("event_type"), col("n"), col("sv"))
+      val gate = graft.functions.Gates.symDiffEmpty(streamAgg, agg(ev),
+        Seq("event_type", "n", "sv"))
+        .crossJoin(streamAgg.agg(count(lit(1)).as("n_types")))
+        .select(
+          lit(firstOk).as("first_batch_parity"),
+          (col("l_only") === 0 && col("r_only") === 0).as("final_parity"),
+          lit(incrementExact).as("increment_exact"),
+          col("n_types"))
+      val rows = gate.collect()
+      ev.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_gseg_sink_parity]: the gseg STREAMING SINK —
     * `writeStream.toTable` onto a gseg CATALOG table, each epoch an
     * idempotent manifest-swap commit under an epoch-prefixed name

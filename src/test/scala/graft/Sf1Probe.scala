@@ -105,7 +105,10 @@ object Sf1Probe {
         "s34_dsv2_ctas" -> ((s, d) =>
           graft.operators.CoreOps.s34DsvCtas(s, d)),
         "s35_dsv2_partitioned" -> ((s, d) =>
-          graft.operators.CoreOps.s35DsvPartitionedTable(s, d)))
+          graft.operators.CoreOps.s35DsvPartitionedTable(s, d)),
+        // the gen-offset stream gate slices user_id < 40 ⇒ constant
+        "stream_gseg_gen_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamSegGenParity(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
