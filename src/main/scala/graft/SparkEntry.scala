@@ -288,6 +288,7 @@ object SparkEntry {
     "s33_dsv2_rename_column" -> CoreOps.s33DsvRenameColumn _,
     "s34_dsv2_ctas" -> CoreOps.s34DsvCtas _,
     "s35_dsv2_partitioned" -> CoreOps.s35DsvPartitionedTable _,
+    "s37_dsv2_multi_partitioned" -> CoreOps.s37DsvMultiPartitioned _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1402,6 +1403,17 @@ object SparkEntry {
         |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey % 32 <> 7""".stripMargin,
+    // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
+    // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
+    // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj
+    // booleans (zero-exchange before AND after DML) pinned TRUE
+    "s37_dsv2_multi_partitioned" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE NOT (o_orderkey % 6 = 3 AND o_orderkey % 5 = 2)""".stripMargin,
     // atomic CTAS/RTAS: phase 0 = VERSION AS OF the pre-replace
     // generation (the even-key CTAS), phase 1 = the live table after
     // REPLACE (odd keys) — time travel provably reaches across the

@@ -3545,6 +3545,64 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
   }
 
+  /** DSv2 MULTI-COLUMN PARTITIONED BY [S37]: composite-key identity
+    * clustering — `PARTITIONED BY (k1, k2)` declares a two-column
+    * layout (one segment set per distinct (k1,k2) tuple), the keyed
+    * writer rolls runs at COMPOSITE key boundaries, the scan recovers
+    * a two-expression KeyGroupedPartitioning from per-file header
+    * stats (both columns single-valued per segment), and the
+    * catalog-native join on (k1, k2, orderkey) runs with ZERO
+    * exchanges — then a DELETE of one composite class proves the
+    * layout survives row-level DML exactly like the single-key s35.
+    * k1 = key mod 6, k2 = key mod 5 are coprime, so the deleted
+    * class is key ≡ 27 (mod 30) by CRT — the oracle states it as the
+    * conjunction. */
+  def s37DsvMultiPartitioned(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml37")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    Tables.orders(iso, d)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(6L)).as("k1"),
+        pmod(col("o_orderkey"), lit(5L)).as("k2"))
+      .createOrReplaceTempView("graft_p37_a")
+    Tables.lineitem(iso, d)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(col("l_orderkey"), lit(6L)).as("k1"),
+        pmod(col("l_orderkey"), lit(5L)).as("k2"))
+      .createOrReplaceTempView("graft_p37_b")
+    iso.sql("CREATE TABLE gseg_dml.dml.a USING gseg " +
+      "PARTITIONED BY (k1, k2) " +
+      "AS SELECT o_orderkey, k1, k2 FROM graft_p37_a")
+    iso.sql("CREATE TABLE gseg_dml.dml.b USING gseg " +
+      "PARTITIONED BY (k1, k2) " +
+      "AS SELECT l_orderkey, l_extendedprice, k1, k2 FROM graft_p37_b")
+    def joined = {
+      val a = iso.table("gseg_dml.dml.a")
+      val b = iso.table("gseg_dml.dml.b")
+      a.join(b, a("k1") === b("k1") && a("k2") === b("k2") &&
+        a("o_orderkey") === b("l_orderkey"))
+    }
+    def shuffleFree: Boolean =
+      joined.queryExecution.executedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }.exists(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty)
+    val preDml = shuffleFree
+    iso.sql("DELETE FROM gseg_dml.dml.a WHERE k1 = 3 AND k2 = 2")
+    val postDml = shuffleFree
+    val row = joined
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((row.getLong(0), row.getDouble(1), preDml, postDml))
+      .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -41,19 +41,22 @@ import scala.jdk.CollectionConverters._
   * through its metastore — the protocol shape here is exactly that
   * CAS, with the filesystem rename as the publish step.
   *
-  * Format v2 (text, one token per line — segment names are this
+  * Format v3 (text, one token per line — segment names are this
   * writer's own `[A-Za-z0-9._-]` names, and [[swap]] rejects anything
-  * that could break line framing):
+  * that could break line framing; base64 has no newlines):
   * {{{
-  *   gseg-manifest-v2
+  *   gseg-manifest-v3
   *   <generation counter>
   *   <commit epoch millis>       (the embedded commit clock)
   *   <segment count>             (torn-write detector)
+  *   <meta64 | ->                (base64'd table metadata pinned at
+  *                                commit — as-of-schema time travel)
   *   <segment file name>         (exactly count lines, sorted)
   * }}}
-  * v1 files (no clock, no count) remain readable: the clock falls
-  * back to file mtime and the count check is skipped — strictly the
-  * old guarantees for old files, never a refusal to read them.
+  * v2 files (no pinned metadata) and v1 files (no clock, no count)
+  * remain readable: time travel falls back to the current sidecar
+  * schema, the clock to file mtime — strictly the old guarantees for
+  * old files, never a refusal to read them.
   */
 object SegManifest {
   private[sources] val FileName = ".manifest"
@@ -65,9 +68,11 @@ object SegManifest {
     extends RuntimeException(msg)
 
   /** Parsed manifest/snapshot body. `commitMs` is None for v1 files
-    * (callers fall back to file mtime). */
+    * (callers fall back to file mtime); `meta64` is the base64'd
+    * table-metadata JSON pinned at commit time (v3 — as-of-schema
+    * time travel), absent in v1/v2 files. */
   private[sources] case class Manifest(gen: Long, commitMs: Option[Long],
-      names: Seq[String])
+      names: Seq[String], meta64: Option[String] = None)
 
   // per-table commit lock: closes the read-check-rename window for
   // same-JVM committers (local mode = every committer); see the
@@ -78,6 +83,70 @@ object SegManifest {
     locks.computeIfAbsent(
       Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
 
+  // ---------------- cross-process commit lock ----------------
+
+  /** `.commit-lock`: an O_EXCL lock FILE taken around every
+    * read-check-swap (and vacuum's read-retire-delete), closing the
+    * CAS window BETWEEN PROCESSES on a shared filesystem — the JVM
+    * monitor above serializes committers within one driver; two
+    * separate driver processes race through the filesystem, and
+    * `Files.createFile`-with-CREATE_NEW is the one primitive POSIX
+    * makes atomic. Body = `<epoch millis> <uuid>`.
+    *
+    * Liveness: a holder that crashed leaves a stale lock; acquirers
+    * EXPIRE locks whose embedded clock is older than [[lockExpiryMs]]
+    * (delete, then re-race the create). The expiry is best-effort —
+    * the delete+create pair is not itself atomic, so for one expiry
+    * period after a crash two expiring processes can both enter; the
+    * trade every lock-file protocol on a rename-only filesystem
+    * makes, strictly narrower than the no-lock status quo, and the
+    * inner CAS still bounds the damage to a loud conflict. A held,
+    * FRESH lock makes the acquirer spin up to [[lockWaitMs]] (the
+    * swap is milliseconds; a healthy holder releases long before)
+    * then throw [[CommitConflictException]] — retryable, exactly
+    * like a CAS miss. Same-JVM committers never contend here: the
+    * monitor is taken first, so the file is only ever observed held
+    * by a FOREIGN process. */
+  private val LockFile = ".commit-lock"
+  @volatile private[sources] var lockExpiryMs: Long = 60000L
+  @volatile private[sources] var lockWaitMs: Long = 2000L
+
+  private def lockPath(dir: String): Path = Paths.get(dir).resolve(LockFile)
+
+  private def acquireProcessLock(dir: String): Unit = {
+    val lock = lockPath(dir)
+    Files.createDirectories(Paths.get(dir))
+    val token = s"${System.currentTimeMillis} ${java.util.UUID.randomUUID}"
+    val deadline = System.nanoTime + lockWaitMs * 1000000L
+    while (true) {
+      try {
+        Files.write(lock, token.getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try {
+              val ts = new String(Files.readAllBytes(lock), UTF_8)
+                .trim.split(' ').head.toLong
+              System.currentTimeMillis - ts > lockExpiryMs
+            } catch {
+              case _: java.nio.file.NoSuchFileException => false // released
+              case _: Exception => true // torn/foreign body: expire it
+            }
+          if (stale) Files.deleteIfExists(lock)
+          else if (System.nanoTime > deadline)
+            throw new CommitConflictException(
+              s"gseg: another committer process holds the commit lock " +
+                s"$lock — retry the commit (stale locks expire after " +
+                s"${lockExpiryMs}ms)")
+          else Thread.sleep(5)
+      }
+    }
+  }
+  private def releaseProcessLock(dir: String): Unit =
+    Files.deleteIfExists(lockPath(dir))
+
   def manifestPath(dir: String): Path = Paths.get(dir).resolve(FileName)
   def exists(dir: String): Boolean = Files.exists(manifestPath(dir))
 
@@ -86,9 +155,15 @@ object SegManifest {
     * header is a detected partial write, never a partial read. */
   private[sources] def parse(lines: Seq[String], where: String): Manifest = {
     require(lines.nonEmpty, s"gseg: empty manifest $where")
+    def genOf(line: String): Long =
+      try line.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"gseg: bad generation line '$line' in manifest $where")
+      }
     lines.head match {
       case "gseg-manifest-v1" =>
-        Manifest(lines(1).toLong, None, lines.drop(2).filter(_.nonEmpty))
+        require(lines.length >= 2, s"gseg: truncated manifest $where")
+        Manifest(genOf(lines(1)), None, lines.drop(2).filter(_.nonEmpty))
       case "gseg-manifest-v2" =>
         require(lines.length >= 4, s"gseg: truncated manifest $where")
         val names = lines.drop(4).filter(_.nonEmpty)
@@ -96,7 +171,16 @@ object SegManifest {
         require(names.length == declared,
           s"gseg: torn manifest $where — header declares $declared " +
             s"segment(s), body carries ${names.length}")
-        Manifest(lines(1).toLong, Some(lines(2).toLong), names)
+        Manifest(genOf(lines(1)), Some(lines(2).toLong), names)
+      case "gseg-manifest-v3" =>
+        require(lines.length >= 5, s"gseg: truncated manifest $where")
+        val names = lines.drop(5).filter(_.nonEmpty)
+        val declared = lines(3).toInt
+        require(names.length == declared,
+          s"gseg: torn manifest $where — header declares $declared " +
+            s"segment(s), body carries ${names.length}")
+        Manifest(genOf(lines(1)), Some(lines(2).toLong), names,
+          Some(lines(4)).filter(_ != "-"))
       case other => throw new IllegalArgumentException(
         s"gseg: unrecognized manifest header '$other' in $where")
     }
@@ -136,11 +220,22 @@ object SegManifest {
     * no manifest yet). A mismatch under the lock throws
     * [[CommitConflictException]] and writes nothing. */
   def swap(dir: String, names: Seq[String],
-      expectGen: Option[Option[Long]] = None): Long = {
+      expectGen: Option[Option[Long]] = None,
+      metaOverride: Option[Array[Byte]] = None): Long = {
     names.foreach(n => require(
       n.nonEmpty && !n.exists(c => c == '\n' || c == '\r' || c == '/'),
       s"gseg: segment name breaks manifest framing: '$n'"))
     lockFor(dir).synchronized {
+      acquireProcessLock(dir)
+      try swapLocked(dir, names, expectGen, metaOverride)
+      finally releaseProcessLock(dir)
+    }
+  }
+
+  private def swapLocked(dir: String, names: Seq[String],
+      expectGen: Option[Option[Long]],
+      metaOverride: Option[Array[Byte]]): Long = {
+    {
       val live = readManifest(dir).map(_.gen)
       expectGen.foreach { e =>
         if (e != live) throw new CommitConflictException(
@@ -151,9 +246,21 @@ object SegManifest {
       }
       val gen = live.map(_ + 1).getOrElse(0L)
       val sorted = names.sorted
-      val body = ("gseg-manifest-v2" +: gen.toString +:
+      // pin the table metadata AS OF this commit into the snapshot
+      // (v3 line 5): `VERSION AS OF` then serves THIS generation's
+      // column names and types, Iceberg-style — callers that commit
+      // before their sidecar lands (CTAS) pass the bytes explicitly
+      val meta64 = metaOverride
+        .orElse {
+          val sc = SegMeta.path(Paths.get(dir))
+          if (Files.exists(sc)) Some(Files.readAllBytes(sc)) else None
+        }
+        .map(java.util.Base64.getEncoder.encodeToString)
+        .getOrElse("-")
+      val body = ("gseg-manifest-v3" +: gen.toString +:
         System.currentTimeMillis.toString +:
-        sorted.length.toString +: sorted).mkString("\n").getBytes(UTF_8)
+        sorted.length.toString +: meta64 +: sorted)
+        .mkString("\n").getBytes(UTF_8)
       def writeFsynced(target: Path): Unit = {
         val tmp = Paths.get(dir).resolve(
           s".manifest.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -195,6 +302,23 @@ object SegManifest {
     if (!Files.exists(p)) return None
     if (!readManifest(dir).exists(_.gen >= gen)) return None
     Some(parseFile(p).names)
+  }
+
+  /** The table metadata PINNED in a committed generation's snapshot
+    * (v3), parsed — as-of-schema time travel's source of truth. None
+    * for v1/v2 legacy snapshots (reads fall back to the CURRENT
+    * sidecar schema — strictly the pre-r14 behavior), for unretained
+    * generations, and for snapshots whose embedded body fails to
+    * parse (never let a torn pin block the read path; the caller's
+    * fallback is the current schema, which is what v2 always served). */
+  def readSnapshotMeta(dir: String, gen: Long): Option[SegMeta.TableMeta] = {
+    val p = snapshotPath(dir, gen)
+    if (!Files.exists(p)) return None
+    if (!readManifest(dir).exists(_.gen >= gen)) return None
+    parseFile(p).meta64.flatMap { b64 =>
+      scala.util.Try(SegMeta.parseJson(new String(
+        java.util.Base64.getDecoder.decode(b64), UTF_8))).toOption
+    }
   }
 
   /** Retained COMMITTED (generation, commit-clock millis), ascending —
@@ -254,24 +378,71 @@ object SegManifest {
     * the very corruption it exists to clean up. Snapshots retire
     * BEFORE their files go, so no retained snapshot ever references
     * a deleted file. Returns the reclaimed names, sorted. */
-  def vacuum(dir: String, keepLast: Int = 1): Seq[String] = {
+  /** Staging temps younger than this survive vacuum: the per-table
+    * lock covers only the SWAP, not a staging lifetime, so a vacuum
+    * racing an in-flight CTAS/compact/batch write must not delete its
+    * temp dir mid-stage (ADVICE r13). A crashed commit's strands are
+    * hours old by the time anyone vacuums; 20 minutes bounds the live
+    * window without delaying real reclaim. Spec-tunable. */
+  @volatile private[sources] var tempReclaimGraceMs: Long = 20L * 60 * 1000
+
+  /** `olderThanMs` is the TIME retention horizon (operators schedule
+    * by time, not commit count): a committed generation younger than
+    * the horizon — judged by the commit clock EMBEDDED in its v2
+    * snapshot, never file mtime, so a restored/copied table still
+    * retains by its real history — is protected even when it falls
+    * outside `keepLast`. The two compose as retention floors:
+    * protected = live ∪ (keepLast newest) ∪ (younger than horizon). */
+  def vacuum(dir: String, keepLast: Int = 1,
+      olderThanMs: Option[Long] = None): Seq[String] = {
     require(keepLast >= 1, s"gseg vacuum: keep_last $keepLast < 1")
+    olderThanMs.foreach(h => require(h >= 0,
+      s"gseg vacuum: older_than_ms $h < 0"))
     lockFor(dir).synchronized {
       val live = readManifest(dir) match {
         case Some(m) => m
         case None => return Nil
       }
+      acquireProcessLock(dir)
+      try vacuumLocked(dir, keepLast, olderThanMs, live)
+      finally releaseProcessLock(dir)
+    }
+  }
+
+  private def vacuumLocked(dir: String, keepLast: Int,
+      olderThanMs: Option[Long], live: Manifest): Seq[String] = {
+    {
       val raw = rawSnapshotGens(dir)
-      val readable: Map[Long, Seq[String]] =
+      val readable: Map[Long, Manifest] =
         raw.flatMap(g => scala.util.Try(parseFile(snapshotPath(dir, g)))
-          .toOption.map(m => g -> m.names)).toMap
-      val keptGens = (readable.keys.filter(_ <= live.gen).toSeq :+ live.gen)
-        .distinct.sorted.takeRight(keepLast).toSet
+          .toOption.map(g -> _)).toMap
+      val committed = readable.keys.filter(_ <= live.gen).toSeq
+      val horizonKept: Set[Long] = olderThanMs match {
+        case None => Set.empty
+        case Some(h) =>
+          val cut = System.currentTimeMillis - h
+          committed.filter { g =>
+            val clock = readable(g).commitMs.getOrElse(
+              // v1 legacy snapshot: no embedded clock — file mtime is
+              // the only signal, strictly the old guarantees
+              scala.util.Try(Files.getLastModifiedTime(
+                snapshotPath(dir, g)).toMillis).getOrElse(Long.MaxValue))
+            clock > cut
+          }.toSet
+      }
+      val keptGens = ((committed :+ live.gen)
+        .distinct.sorted.takeRight(keepLast).toSet ++ horizonKept + live.gen)
       val protectedNames = live.names.toSet ++
-        keptGens.flatMap(g => readable.getOrElse(g, Nil))
+        keptGens.flatMap(g => readable.get(g).map(_.names).getOrElse(Nil))
       // reclaim-side listing: files outside every protected
       // generation, plus stranded staging temps/dirs
       val l = Files.list(Paths.get(dir))
+      // temps younger than the grace window may belong to an in-flight
+      // commit on this table — skip them this pass (ADVICE r13)
+      def pastGrace(p: Path): Boolean =
+        try System.currentTimeMillis -
+          Files.getLastModifiedTime(p).toMillis >= tempReclaimGraceMs
+        catch { case _: Exception => true } // vanished: nothing to skip
       val junk =
         try l.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
@@ -281,15 +452,16 @@ object SegManifest {
             // manifest; unprotected ones are crashed-commit strands
             (n.startsWith(".ctas-") && n.endsWith(".gseg") &&
               !protectedNames.contains(n)) ||
-            n.startsWith(".tmp-") || n.startsWith(".manifest.tmp-") ||
-            n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-")
+            ((n.startsWith(".tmp-") || n.startsWith(".manifest.tmp-") ||
+              n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-")) &&
+              pastGrace(p))
         }.toList
         finally l.close()
       val junkNames = junk.map(_.getFileName.toString).toSet
       // retire doomed snapshots BEFORE any file goes
       raw.foreach { g =>
         val doomed = g > live.gen || !readable.contains(g) ||
-          readable(g).exists(junkNames.contains)
+          readable(g).names.exists(junkNames.contains)
         if (doomed && g != live.gen)
           Files.deleteIfExists(snapshotPath(dir, g))
       }

@@ -48,7 +48,7 @@ object SegMeta {
 
   case class TableMeta(schema: StructType, dropped: Set[String],
       aliases: Map[String, Seq[String]],
-      clusterCol: Option[String] = None) {
+      clusterCols: Seq[String] = Nil) {
     /** stored-header-name → current-name, for read-side resolution.
       * Built once per metadata read; first (most recent) alias wins
       * if chains ever overlapped (they cannot, by the guards). */
@@ -81,7 +81,15 @@ object SegMeta {
           .asScala.filter(_.nonEmpty).toSet
       TableMeta(DataType.fromJson(js).asInstanceOf[StructType],
         dropped, Map.empty)
-    } else {
+    } else parseJson(js)
+  }
+
+  /** Parse a v2 metadata body with no directory context — the shape
+    * [[render]] writes, as embedded in manifest snapshots. */
+  private[sources] def parseJson(js: String): TableMeta = {
+    import org.json4s._
+    val ast = org.json4s.jackson.JsonMethods.parse(js)
+    locally {
       val schema = DataType.fromJson(
         org.json4s.jackson.JsonMethods.compact(ast \ "schema"))
         .asInstanceOf[StructType]
@@ -96,33 +104,55 @@ object SegMeta {
         }.toMap
         case _ => Map.empty[String, Seq[String]]
       }
+      // "cluster": a single JSON string from pre-r14 writers (one
+      // identity column), an array since multi-column clustering
       val cluster = (ast \ "cluster") match {
-        case JString(c) => Some(c)
-        case _ => None
+        case JString(c) => Seq(c)
+        case JArray(vs) => vs.collect { case JString(c) => c }
+        case _ => Nil
       }
       TableMeta(schema, dropped, aliases, cluster)
     }
   }
 
-  /** Atomic write (temp + ATOMIC_MOVE): a concurrent reader sees the
-    * old metadata or the new, never a truncated or half-applied mix.
-    * Absorbs and removes the legacy `.dropped` file — after the
-    * first v2 write there is exactly one metadata file to reason
-    * about. */
-  def write(dir: Path, meta: TableMeta): Unit = {
+  /** The v2 sidecar body for `meta` — also what the generation
+    * manifest embeds per snapshot (as-of-schema time travel). */
+  private[sources] def render(meta: TableMeta): Array[Byte] = {
     import org.json4s.JsonDSL._
-    Files.createDirectories(dir)
     val ast: org.json4s.JValue =
       ("gseg_meta" -> 2) ~
         ("schema" -> org.json4s.jackson.JsonMethods.parse(meta.schema.json)) ~
         ("dropped" -> meta.dropped.toSeq.sorted) ~
         ("aliases" -> meta.aliases.map { case (k, v) => k -> v }) ~
-        ("cluster" -> meta.clusterCol)
-    val body = org.json4s.jackson.JsonMethods
+        ("cluster" -> (meta.clusterCols match {
+          case Nil => None
+          case cs => Some(cs)
+        }))
+    org.json4s.jackson.JsonMethods
       .compact(org.json4s.jackson.JsonMethods.render(ast)).getBytes(UTF_8)
+  }
+
+  /** Atomic write (fsync'd temp + ATOMIC_MOVE): a concurrent reader
+    * sees the old metadata or the new, never a truncated or
+    * half-applied mix — and a crash straddling the rename can never
+    * expose a zero-length sidecar (schema inference only runs when
+    * the file is ABSENT, so a torn sidecar would wedge loadTable
+    * until manual repair; ADVICE r13). Absorbs and removes the
+    * legacy `.dropped` file — after the first v2 write there is
+    * exactly one metadata file to reason about. */
+  def write(dir: Path, meta: TableMeta): Unit = {
+    Files.createDirectories(dir)
+    val body = render(meta)
     val tmp = dir.resolve(
       s".schema.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    Files.write(tmp, body)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(body))
+      ch.force(true)
+    } finally ch.close()
     Files.move(tmp, path(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     Files.deleteIfExists(dir.resolve(LegacyDropped))

@@ -84,6 +84,11 @@ object SegSource {
     * metadata a real lakehouse table carries). */
   val PartitionColOption = "partition_col"
 
+  /** Parse a comma-separated column-list option value (the
+    * `partition_col` multi-column form: "a,b"). */
+  private[sources] def splitCols(v: String): Seq[String] =
+    v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** Name of the synthesized per-row metadata column carrying the
     * row's segment path (SupportsMetadataColumns on catalog tables;
     * the runtime group-filter attribute for row-level DML). */
@@ -113,6 +118,16 @@ object SegSource {
     * zone maps: each chunk of a sorted partition carries its own
     * [min,max], so range-laid tables prune at finer grain. */
   val MaxRowsPerSegmentOption = "max_rows_per_segment"
+
+  /** Write option: ROLL a new segment when the buffered rows' encoded
+    * size reaches N bytes — the PRODUCTION rolling contract (a row
+    * budget misjudges wide rows by orders of magnitude; 128 MB
+    * parquet-style targets are byte targets). Tracked from the
+    * writer's own cell encoding (fixed widths + string bytes + null
+    * bitmap), so the estimate is the real block size to within
+    * per-column header overhead. Composes with the row budget:
+    * whichever trips first rolls. */
+  val MaxBytesPerSegmentOption = "max_bytes_per_segment"
 
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   private[sources] val Version: Byte = 2
@@ -329,11 +344,14 @@ object SegSource {
     * names that collide with a live current name keep their own —
     * the guards in [[SegCatalog.alterTable]] make that unreachable,
     * so the filter is belt-and-braces. */
-  private[sources] def resolvedHeaderOf(file: String): SegHeader = {
+  private[sources] def resolvedHeaderOf(file: String,
+      aliasOverride: Option[Map[String, String]] = None): SegHeader = {
     val h = headerOf(file)
-    val parent = Paths.get(file).getParent
-    if (parent == null) return h
-    val ren = SegMeta.storedToCurrentAt(parent.toString)
+    val ren = aliasOverride.getOrElse {
+      val parent = Paths.get(file).getParent
+      if (parent == null) return h
+      SegMeta.storedToCurrentAt(parent.toString)
+    }
     if (ren.isEmpty) h
     else {
       val live = h.cols.map(_.name).toSet
@@ -613,7 +631,7 @@ class SegDataSource extends TableProvider with DataSourceRegister {
   * the `partition_col` option — the option, when present, still
   * wins (path-based reads of a catalog dir can opt out or in). */
 class SegTable(tschema: StructType, path: String,
-    defaultCluster: Option[String] = None)
+    defaultCluster: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gseg:$path"
   override def schema(): StructType = tschema
@@ -628,24 +646,27 @@ class SegTable(tschema: StructType, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path,
       Option(options.get(SegSource.PartitionColOption))
-        .orElse(defaultCluster),
+        .map(SegSource.splitCols).getOrElse(defaultCluster),
       Option(options.get(SegSource.PinnedFilesOption)).map(v =>
         v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")),
       options.getBoolean(SegSource.SkipChangeCommitsOption, false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption))
-        .orElse(defaultCluster),
+        .map(SegSource.splitCols).getOrElse(defaultCluster),
       Option(info.options().get(SegSource.MaxRowsPerSegmentOption))
-        .map(_.toInt))
+        .map(_.toInt),
+      Option(info.options().get(SegSource.MaxBytesPerSegmentOption))
+        .map(_.toLong))
 }
 
 // ---------------- read side ----------------
 
 class SegScanBuilder(full: StructType, path: String,
-    partitionCol: Option[String] = None,
+    partitionCols: Seq[String] = Nil,
     pinned: Option[Seq[String]] = None,
-    skipChangeCommits: Boolean = false) extends ScanBuilder
+    skipChangeCommits: Boolean = false,
+    aliasOverride: Option[Map[String, String]] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -731,11 +752,14 @@ class SegScanBuilder(full: StructType, path: String,
   override def build(): Scan =
     SegScan(path, required, pushed, aggs, limit, topN,
       // LongType only: the HasPartitionKey row must carry exactly the
-      // key expression's type, and the header-stats recovery
-      // normalizes through long
-      partitionCol.filter(c => full.fields.exists(f => f.name == c &&
-        f.dataType == LongType)),
-      emitFile, pinned, skipChangeCommits)
+      // key expressions' types, and the header-stats recovery
+      // normalizes through long; ALL declared columns must qualify or
+      // the layout is dropped whole (a partial key would advertise a
+      // different partitioning than the files hold)
+      if (partitionCols.nonEmpty && partitionCols.forall(c =>
+        full.fields.exists(f => f.name == c && f.dataType == LongType)))
+        partitionCols else Nil,
+      emitFile, pinned, skipChangeCommits, aliasOverride)
 }
 
 case class SegInputPartition(file: String) extends InputPartition
@@ -743,19 +767,20 @@ case class SegInputPartition(file: String) extends InputPartition
 /** One storage partition = every segment holding key value `key`;
   * reports the key so Spark's storage-partitioned join can align the
   * two sides' partitions without an exchange. */
-case class SegKeyedPartition(files: Seq[String], key: Long)
+case class SegKeyedPartition(files: Seq[String], key: Seq[Long])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](key))
+    new GenericInternalRow(key.toArray[Any])
 }
 
 case class SegScan(path: String, required: StructType,
     pushed: Array[Filter], aggs: Option[Seq[SegSource.HeaderAgg]],
     limit: Option[Int] = None, topN: Option[SegSource.TopNPush] = None,
-    partitionCol: Option[String] = None, emitFile: Boolean = false,
+    partitionCols: Seq[String] = Nil, emitFile: Boolean = false,
     pinned: Option[Seq[String]] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    aliasOverride: Option[Map[String, String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -782,23 +807,33 @@ case class SegScan(path: String, required: StructType,
     * consumer (outputPartitioning, planInputPartitions,
     * filterAttributes) sees the same answer by construction. */
   @transient private lazy val keyGroups
-      : Option[Seq[(Long, Seq[String])]] =
+      : Option[Seq[(Seq[Long], Seq[String])]] =
     // emitFile also declines key-grouping: the _file synthesizer is a
     // per-segment wrapper, and a metadata read has no join-layout use
-    (if (aggs.isDefined || emitFile) None else partitionCol).flatMap { pc =>
+    (if (aggs.isDefined || emitFile || partitionCols.isEmpty) None
+     else Some(partitionCols)).flatMap { pcs =>
     val files = pinned.getOrElse(SegSource.resolveSegments(path))
     val kv = files.map { f =>
-      val cm = SegSource.resolvedHeaderOf(f).cols.find(_.name == pc)
-      val ok = cm.exists(c => c.hasStats && c.nNulls == 0 &&
-        c.minBits == c.maxBits)
-      (f, if (ok) cm.get.minVal.map {
-        case l: Long => l
-        case i: Int => i.toLong
-      } else None)
+      val h = SegSource.resolvedHeaderOf(f, aliasOverride)
+      // EVERY declared column must be single-valued in the file
+      // (min==max, no nulls) — the composite key is the tuple
+      val keys = pcs.map { pc =>
+        val cm = h.cols.find(_.name == pc)
+        val ok = cm.exists(c => c.hasStats && c.nNulls == 0 &&
+          c.minBits == c.maxBits)
+        if (ok) cm.get.minVal.map {
+          case l: Long => l
+          case i: Int => i.toLong
+        } else None
+      }
+      (f, if (keys.forall(_.isDefined)) Some(keys.map(_.get)) else None)
     }
     if (files.isEmpty || kv.exists(_._2.isEmpty)) None
-    else Some(kv.groupBy(_._2.get).toSeq.sortBy(_._1)
-      .map { case (k, fs) => (k, fs.map(_._1)) })
+    else {
+      import scala.math.Ordering.Implicits.seqOrdering
+      Some(kv.groupBy(_._2.get).toSeq.sortBy(_._1)
+        .map { case (k, fs) => (k, fs.map(_._1)) })
+    }
   }
 
   override def outputPartitioning()
@@ -806,8 +841,10 @@ case class SegScan(path: String, required: StructType,
     keyGroups match {
       case Some(gs) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(partitionCol.get)), gs.size)
+          partitionCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression)
+            .toArray, gs.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
@@ -823,7 +860,7 @@ case class SegScan(path: String, required: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val files = pinned.getOrElse(SegSource.resolveSegments(path))
-    val surviving = files.map(SegSource.resolvedHeaderOf)
+    val surviving = files.map(SegSource.resolvedHeaderOf(_, aliasOverride))
       .filter(h => pushed.forall(SegSource.mayMatch(h, _)))
     val wanted = required.fieldNames.toSet
     var rows = 0L
@@ -921,7 +958,7 @@ case class SegScan(path: String, required: StructType,
         val kept = gs.map { case (k, fs) =>
           SegKeyedPartition(fs.filter(f =>
             pushed.forall(SegSource.mayMatch(
-              SegSource.resolvedHeaderOf(f), _))), k)
+              SegSource.resolvedHeaderOf(f, aliasOverride), _))), k)
         }
         graft.Counters.add("gseg_key_groups", gs.size.toLong)
         return kept.toArray[InputPartition]
@@ -932,7 +969,7 @@ case class SegScan(path: String, required: StructType,
     val kept =
       if (aggs.isDefined) files // aggregates only push with no filters
       else files.filter(f => {
-        val h = SegSource.resolvedHeaderOf(f)
+        val h = SegSource.resolvedHeaderOf(f, aliasOverride)
         allFilters.forall(SegSource.mayMatch(h, _))
       })
     val afterLimit = (limit, topN) match {
@@ -940,7 +977,8 @@ case class SegScan(path: String, required: StructType,
         var need = k.toLong
         val taken = kept.takeWhile { f =>
           val take = need > 0
-          if (take) need -= SegSource.resolvedHeaderOf(f).nRows.toLong
+          if (take) need -= SegSource.resolvedHeaderOf(f, aliasOverride)
+            .nRows.toLong
           take
         }
         graft.Counters.add("gseg_limit_files_skipped",
@@ -948,7 +986,7 @@ case class SegScan(path: String, required: StructType,
         taken
       case (_, Some(t)) if allFilters.isEmpty && aggs.isEmpty =>
         val stats = kept.map { f =>
-          val h = SegSource.resolvedHeaderOf(f)
+          val h = SegSource.resolvedHeaderOf(f, aliasOverride)
           val cm = h.cols.find(_.name == t.col)
           val nonNull = h.nRows.toLong - cm.map(_.nNulls).getOrElse(0L)
           (f, cm.flatMap(_.minVal).flatMap(SegSource.bd),
@@ -990,7 +1028,7 @@ case class SegScan(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = SegReaderFactory(required, pushed ++ runtime, aggs,
-      if (topN.isEmpty) limit else None)
+      if (topN.isEmpty) limit else None, aliasOverride)
     if (emitFile && aggs.isEmpty) SegFileColumnFactory(inner) else inner
   }
 }
@@ -1061,8 +1099,21 @@ class SegGenMicroBatchStream(path: String, required: StructType,
   override def initialOffset(): Offset = SegGenOffset(-1L)
   override def latestOffset(): Offset =
     SegGenOffset(SegManifest.read(path).map(_._1).getOrElse(-1L))
-  override def deserializeOffset(json: String): Offset =
-    SegGenOffset(json.replaceAll("[^0-9-]", "").toLong)
+  /** Strict parse: a checkpoint written by a DIFFERENT offset
+    * protocol (e.g. a path-dir stream's name-watermark before the dir
+    * gained a manifest) must fail loudly here — a lenient digit-strip
+    * would silently decode a garbage generation and skip or duplicate
+    * batches (ADVICE r13). */
+  override def deserializeOffset(json: String): Offset = {
+    import org.json4s._
+    jackson.JsonMethods.parse(json) \ "gen" match {
+      case JInt(g) => SegGenOffset(g.toLong)
+      case _ => throw new IllegalStateException(
+        s"gseg stream: checkpoint offset '$json' is not a generation " +
+          "offset — the checkpoint was written by a different gseg " +
+          "offset protocol (name watermark?); start a fresh checkpoint")
+    }
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -1212,23 +1263,26 @@ class SegMicroBatchStream(path: String, required: StructType,
 }
 
 case class SegReaderFactory(required: StructType, pushed: Array[Filter],
-    aggs: Option[Seq[SegSource.HeaderAgg]], limit: Option[Int] = None)
+    aggs: Option[Seq[SegSource.HeaderAgg]], limit: Option[Int] = None,
+    aliasOverride: Option[Map[String, String]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case SegKeyedPartition(files, _) =>
-        new SegChainReader(files, required, pushed)
+        new SegChainReader(files, required, pushed, aliasOverride)
       case SegInputPartition(file) => aggs match {
-        case Some(as) => new SegAggReader(file, as)
+        case Some(as) => new SegAggReader(file, as, aliasOverride)
         case None => new SegPartitionReader(file, required, pushed,
-          limit.getOrElse(Int.MaxValue))
+          limit.getOrElse(Int.MaxValue), aliasOverride)
       }
     }
 }
 
 /** All segments of one partition-key value, read back to back. */
 class SegChainReader(files: Seq[String], required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter],
+    aliasOverride: Option[Map[String, String]] = None)
+    extends PartitionReader[InternalRow] {
   private var idx = -1
   private var cur: SegPartitionReader = null
   override def next(): Boolean = {
@@ -1237,7 +1291,8 @@ class SegChainReader(files: Seq[String], required: StructType,
       idx += 1
       if (idx >= files.length) return false
       if (cur != null) cur.close()
-      cur = new SegPartitionReader(files(idx), required, pushed)
+      cur = new SegPartitionReader(files(idx), required, pushed,
+        aliasOverride = aliasOverride)
     }
     false
   }
@@ -1249,7 +1304,8 @@ class SegChainReader(files: Seq[String], required: StructType,
   * per segment, computed from the header — no column block is ever
   * opened. MIN/MAX of an all-null block surface as null (partial-agg
   * semantics: Spark's merge ignores null partials). */
-class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg])
+class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg],
+    aliasOverride: Option[Map[String, String]] = None)
     extends PartitionReader[InternalRow] {
   import SegSource._
   private var done = false
@@ -1257,7 +1313,7 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg])
 
   override def next(): Boolean = {
     if (done) return false
-    val h = resolvedHeaderOf(file)
+    val h = resolvedHeaderOf(file, aliasOverride)
     val byName = h.cols.map(c => c.name -> c).toMap
     // a column ABSENT from this segment (added by ALTER TABLE after
     // it was written) is all-null here: COUNT contributes 0, MIN/MAX
@@ -1282,11 +1338,12 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg])
   * streams rows through the pushed filters. Column-at-a-time decode
   * into object arrays, row emission after. */
 class SegPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter], limit: Int = Int.MaxValue)
+    pushed: Array[Filter], limit: Int = Int.MaxValue,
+    aliasOverride: Option[Map[String, String]] = None)
     extends PartitionReader[InternalRow] {
   import SegSource._
 
-  private val header = resolvedHeaderOf(file)
+  private val header = resolvedHeaderOf(file, aliasOverride)
   private val filterCols: Set[String] =
     pushed.flatMap(_.references.toSeq).toSet
   private val neededNames: Seq[String] = {
@@ -1396,8 +1453,9 @@ class SegPartitionReader(file: String, required: StructType,
 // ---------------- write side ----------------
 
 class SegWriteBuilder(path: String, schema: StructType,
-    partitionCol: Option[String] = None,
-    maxRowsPerSegment: Option[Int] = None)
+    partitionCols: Seq[String] = Nil,
+    maxRowsPerSegment: Option[Int] = None,
+    maxBytesPerSegment: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
   // `_file` is the synthesized metadata column and `__row_operation`
   // the rewrite op marker: a stored data column under either name
@@ -1422,20 +1480,21 @@ class SegWriteBuilder(path: String, schema: StructType,
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
     override def requiredDistribution(): Distribution =
-      partitionCol.map(c =>
-          Distributions.clustered(Array(Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression)))
-        .getOrElse(Distributions.unspecified())
+      if (partitionCols.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(partitionCols.map(c =>
+        Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
     override def requiredOrdering(): Array[V2SortOrder] =
-      partitionCol.map(c => Array(
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
-        .getOrElse(Array.empty)
+      partitionCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)
+          : V2SortOrder).toArray
     override def toBatch: BatchWrite =
-      SegBatchWrite(path, schema, truncateFirst, partitionCol,
-        maxRowsPerSegment)
+      SegBatchWrite(path, schema, truncateFirst, partitionCols,
+        maxRowsPerSegment, maxBytesPerSegment)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      SegStreamingWrite(path, schema, truncateFirst, maxRowsPerSegment)
+      SegStreamingWrite(path, schema, truncateFirst, maxRowsPerSegment,
+        maxBytesPerSegment)
   }
 }
 
@@ -1456,7 +1515,8 @@ class SegWriteBuilder(path: String, schema: StructType,
   * empty partitions stage nothing (skipEmpty) so a quiet stream
   * doesn't mint a segment per shuffle partition per epoch. */
 case class SegStreamingWrite(path: String, schema: StructType,
-    truncateEachEpoch: Boolean, maxRowsPerSegment: Option[Int] = None)
+    truncateEachEpoch: Boolean, maxRowsPerSegment: Option[Int] = None,
+    maxBytesPerSegment: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -1466,8 +1526,8 @@ case class SegStreamingWrite(path: String, schema: StructType,
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
-        new SegDataWriter(path, schema, partitionId, taskId, None,
-          skipEmpty = true, maxRowsPerSegment)
+        new SegDataWriter(path, schema, partitionId, taskId, Nil,
+          skipEmpty = true, maxRowsPerSegment, maxBytesPerSegment)
     }
   }
 
@@ -1543,14 +1603,16 @@ case class SegCommitMessage(partitionId: Int, tmpFiles: Seq[String])
   * intact). Spark's commit coordinator guarantees one committed
   * attempt per partition, so renames never race. */
 case class SegBatchWrite(path: String, schema: StructType,
-    truncateFirst: Boolean, partitionCol: Option[String] = None,
-    maxRowsPerSegment: Option[Int] = None)
+    truncateFirst: Boolean, partitionCols: Seq[String] = Nil,
+    maxRowsPerSegment: Option[Int] = None,
+    maxBytesPerSegment: Option[Long] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
-    SegWriterFactory(path, schema, partitionCol,
-      maxRowsPerSegment = maxRowsPerSegment)
+    SegWriterFactory(path, schema, partitionCols,
+      maxRowsPerSegment = maxRowsPerSegment,
+      maxBytesPerSegment = maxBytesPerSegment)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1603,13 +1665,14 @@ case class SegBatchWrite(path: String, schema: StructType,
 }
 
 case class SegWriterFactory(path: String, schema: StructType,
-    partitionCol: Option[String] = None, skipEmpty: Boolean = false,
-    maxRowsPerSegment: Option[Int] = None)
+    partitionCols: Seq[String] = Nil, skipEmpty: Boolean = false,
+    maxRowsPerSegment: Option[Int] = None,
+    maxBytesPerSegment: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SegDataWriter(path, schema, partitionId, taskId, partitionCol,
-      skipEmpty, maxRowsPerSegment)
+    new SegDataWriter(path, schema, partitionId, taskId, partitionCols,
+      skipEmpty, maxRowsPerSegment, maxBytesPerSegment)
 }
 
 /** Buffers the partition's rows as writer cells (boxed primitives /
@@ -1624,36 +1687,52 @@ case class SegWriterFactory(path: String, schema: StructType,
   * temp — a half-written segment can never be listed, because
   * [[SegSource.listSegments]] ignores dot-files. */
 class SegDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, partitionCol: Option[String] = None,
-    skipEmpty: Boolean = false, maxRowsPerSegment: Option[Int] = None)
+    taskId: Long, partitionCols: Seq[String] = Nil,
+    skipEmpty: Boolean = false, maxRowsPerSegment: Option[Int] = None,
+    maxBytesPerSegment: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
-  private val keyIdx = partitionCol.map(schema.fieldIndex)
+  private val keyIdx: Seq[Int] = partitionCols.map(schema.fieldIndex)
   // rolled temp files, in order; abort deletes them all
   private val rolled = scala.collection.mutable.ArrayBuffer.empty[String]
   private var chunk = 0
+  // encoded bytes of the buffered rows (byte-budget rolling): exact
+  // value widths + string length prefixes, plus one bitmap bit per
+  // cell — the same arithmetic writeSegment's encoder performs
+  private var bufBytes = 0L
+  private val bitmapBytesPerRow = (schema.length + 7) / 8
 
   override def write(r: InternalRow): Unit = {
     val cells = new Array[AnyRef](schema.length)
+    var rowBytes = bitmapBytesPerRow.toLong
     var c = 0
     while (c < schema.length) {
       if (!r.isNullAt(c)) cells(c) = schema(c).dataType match {
-        case LongType => java.lang.Long.valueOf(r.getLong(c))
-        case IntegerType => java.lang.Integer.valueOf(r.getInt(c))
-        case DoubleType => java.lang.Double.valueOf(r.getDouble(c))
-        case StringType => r.getUTF8String(c).getBytes
-        case TimestampType => // internal repr IS micros
+        case LongType => rowBytes += 8
           java.lang.Long.valueOf(r.getLong(c))
-        case DateType => // internal repr IS days
+        case IntegerType => rowBytes += 4
           java.lang.Integer.valueOf(r.getInt(c))
-        case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(c))
+        case DoubleType => rowBytes += 8
+          java.lang.Double.valueOf(r.getDouble(c))
+        case StringType =>
+          val b = r.getUTF8String(c).getBytes
+          rowBytes += 4 + b.length
+          b
+        case TimestampType => rowBytes += 8 // internal repr IS micros
+          java.lang.Long.valueOf(r.getLong(c))
+        case DateType => rowBytes += 4 // internal repr IS days
+          java.lang.Integer.valueOf(r.getInt(c))
+        case BooleanType => rowBytes += 1
+          java.lang.Boolean.valueOf(r.getBoolean(c))
         case other => throw new IllegalArgumentException(
           s"gseg write: unsupported $other")
       }
       c += 1
     }
     buf += cells
-    if (maxRowsPerSegment.exists(buf.length >= _)) flush()
+    bufBytes += rowBytes
+    if (maxRowsPerSegment.exists(buf.length >= _) ||
+        maxBytesPerSegment.exists(bufBytes >= _)) flush()
   }
 
   /** Encode the buffered rows as segment temp(s) and clear the
@@ -1664,22 +1743,23 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     * writes the buffer whole (possibly empty — the plain write's
     * one-segment-per-task shape). */
   private def flush(): Unit = {
-    val runs: Seq[collection.IndexedSeq[Array[AnyRef]]] = keyIdx match {
-      case None => Seq(buf)
-      case Some(ki) =>
+    val runs: Seq[collection.IndexedSeq[Array[AnyRef]]] =
+      if (keyIdx.isEmpty) Seq(buf)
+      else {
         val out = scala.collection.mutable.ArrayBuffer
           .empty[collection.IndexedSeq[Array[AnyRef]]]
         var start = 0
         var i = 1
         while (i <= buf.length) {
-          if (i == buf.length || buf(i)(ki) != buf(start)(ki)) {
+          if (i == buf.length ||
+              keyIdx.exists(ki => buf(i)(ki) != buf(start)(ki))) {
             out += buf.slice(start, i)
             start = i
           }
           i += 1
         }
         out.toSeq
-    }
+      }
     runs.foreach { run =>
       val tmp = f"$path/.tmp-$partitionId%05d-$taskId-$chunk%03d.gseg"
       chunk += 1
@@ -1687,6 +1767,7 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
       rolled += tmp
     }
     buf.clear()
+    bufBytes = 0L
   }
 
   override def commit(): WriterCommitMessage = {

@@ -657,7 +657,7 @@ class SegDmlSpec extends SparkSpec {
     // snapshot mid-body (header intact, one name line lost)
     val snap = SegManifest.snapshotPath(dir, 1L)
     val lines = java.nio.file.Files.readAllLines(snap)
-    assert(lines.get(0) == "gseg-manifest-v2")
+    assert(lines.get(0) == "gseg-manifest-v3")
     java.nio.file.Files.write(snap, String.join("\n",
       lines.subList(0, lines.size - 1)).getBytes("UTF-8"))
     // the v2 count check detects the tear: loud failure, not a read
@@ -856,6 +856,15 @@ class SegDmlSpec extends SparkSpec {
       java.nio.file.Paths.get(dir), ".compact-tmp-")
     java.nio.file.Files.write(tmp.resolve("half.gseg"),
       Array[Byte](1, 2, 3))
+    // a temp YOUNGER than the grace window may belong to an in-flight
+    // commit — vacuum must leave it alone this pass (ADVICE r13)
+    SegManifest.vacuum(dir)
+    assert(java.nio.file.Files.exists(tmp),
+      "vacuum must not reclaim an in-grace staging temp")
+    // a crashed commit's strand is old: back-date past the grace
+    java.nio.file.Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - SegManifest.tempReclaimGraceMs - 60000))
     SegManifest.vacuum(dir)
     assert(!java.nio.file.Files.exists(tmp))
     assert(iso.table("tc.ns.t").count() == 20)
@@ -1349,5 +1358,263 @@ class SegDmlSpec extends SparkSpec {
       assert(out.count() == 30)
       assert(out.agg(max($"k")).head().getLong(0) == 29L)
     } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("CREATE TABLE refuses a manifest-only dir (crashed CTAS window)") {
+    val (iso, wh) = dml("mfonly")
+    import iso.implicits._
+    iso.range(0, 10).select($"id".as("k"))
+      .createOrReplaceTempView("graft_mfonly_src")
+    iso.sql("CREATE TABLE tc.ns.t USING gseg AS " +
+      "SELECT * FROM graft_mfonly_src")
+    val dir = s"$wh/ns/t"
+    // simulate the crash window: CTAS's manifest swap landed, the
+    // sidecar write did not — all data files are dot-hidden, the
+    // listing is empty, only the manifest says the table exists
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, ".schema.json"))
+    assert(SegSource.listSegments(dir).isEmpty)
+    assert(SegManifest.exists(dir))
+    // CREATE TABLE must refuse — binding a fresh schema over the
+    // committed CTAS data would silently corrupt it (ADVICE r13)
+    intercept[Exception](iso.sql("CREATE TABLE tc.ns.t (x BIGINT) USING gseg"))
+    // and CTAS must refuse the same way through the staging path
+    intercept[Exception](iso.sql(
+      "CREATE TABLE tc.ns.t USING gseg AS SELECT 1L AS x"))
+    // loadTable recovers: schema re-inferred, data intact
+    assert(iso.table("tc.ns.t").count() == 10)
+  }
+
+  test("generation-offset checkpoints from a foreign protocol fail loudly") {
+    val s = new SegGenMicroBatchStream("/nope", null, Array.empty, false)
+    assert(s.deserializeOffset("""{"gen":7}""")
+      .asInstanceOf[SegGenOffset].gen == 7L)
+    assert(s.deserializeOffset("""{"gen":-1}""")
+      .asInstanceOf[SegGenOffset].gen == -1L)
+    // a name-watermark offset (path-dir protocol) must not decode to
+    // a garbage generation (lenient digit-strip did; ADVICE r13)
+    intercept[IllegalStateException](
+      s.deserializeOffset("""{"wm64":"c3RyLTAwMDAxLWFiYw=="}"""))
+    intercept[Exception](s.deserializeOffset("watermark-00042"))
+  }
+
+  test("a foreign process's commit lock blocks the swap; a stale one expires") {
+    val (iso, wh) = dml("plock")
+    import iso.implicits._
+    SegSource.write(iso.range(0, 10).select($"id".as("k")), s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // manifest: generation 0
+    val dir = s"$wh/ns/t"
+    val lock = java.nio.file.Paths.get(dir, ".commit-lock")
+    val gen0 = SegManifest.read(dir).get._1
+    val oldWait = SegManifest.lockWaitMs
+    SegManifest.lockWaitMs = 150L
+    try {
+      // simulate a SECOND DRIVER PROCESS holding the lock (the JVM
+      // monitor can't see it — only the O_EXCL file protocol can):
+      // a fresh lock file written by "someone else"
+      java.nio.file.Files.write(lock,
+        s"${System.currentTimeMillis} other-process".getBytes("UTF-8"))
+      val e = intercept[SegManifest.CommitConflictException](
+        SegManifest.swap(dir, Seq.empty, expectGen = Some(Some(gen0))))
+      assert(e.getMessage.contains("commit lock"))
+      assert(SegManifest.read(dir).get._1 == gen0, "losing committer wrote nothing")
+      // the same lock from a CRASHED committer (embedded clock past
+      // expiry) must expire rather than deadlock the table forever
+      java.nio.file.Files.write(lock,
+        (s"${System.currentTimeMillis - SegManifest.lockExpiryMs - 60000} " +
+          "crashed-process").getBytes("UTF-8"))
+      val g1 = SegManifest.swap(dir, Seq.empty, expectGen = Some(Some(gen0)))
+      assert(g1 == gen0 + 1)
+      // the winner released: no lock file remains
+      assert(!java.nio.file.Files.exists(lock))
+      // a torn/foreign lock body also expires (can't wedge the table)
+      java.nio.file.Files.write(lock, "garbage".getBytes("UTF-8"))
+      assert(SegManifest.swap(dir, Seq.empty,
+        expectGen = Some(Some(g1))) == g1 + 1)
+    } finally {
+      SegManifest.lockWaitMs = oldWait
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+  }
+
+  test("racing same-JVM committers: one wins, one conflicts, lock never wedges") {
+    val (iso, wh) = dml("plock2")
+    import iso.implicits._
+    SegSource.write(iso.range(0, 10).select($"id".as("k")), s"$wh/ns/t")
+    iso.table("tc.ns.t").count()
+    val dir = s"$wh/ns/t"
+    val gen0 = SegManifest.read(dir).get._1
+    // both committers READ generation 0, then race their swaps: the
+    // CAS admits exactly one (unchanged by the file lock, which only
+    // serializes the window)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence((1 to 2).map(i =>
+      Future(scala.util.Try(
+        SegManifest.swap(dir, Seq.empty, expectGen = Some(Some(gen0))))))),
+      30.seconds)
+    assert(results.count(_.isSuccess) == 1)
+    assert(results.count(r => r.isFailure &&
+      r.failed.get.isInstanceOf[SegManifest.CommitConflictException]) == 1)
+    assert(SegManifest.read(dir).get._1 == gen0 + 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ".commit-lock")))
+  }
+
+  test("time-based vacuum cuts by the embedded commit clock, not mtime or count") {
+    val (iso, wh) = dml("tvac")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    def gen(i: Long): Unit =
+      iso.range(i * 10, i * 10 + 10).select($"id".as("k"))
+        .write.format("gseg").mode("overwrite").save(dir)
+    gen(0)
+    iso.table("tc.ns.t").count() // manifest: generation 0
+    (1L to 3L).foreach(gen) // overwrites: disjoint file sets per gen
+    assert(SegManifest.read(dir).get._1 == 3L)
+    val hourMs = 60L * 60 * 1000
+    // nothing is old enough: a time-bounded vacuum reclaims nothing
+    // even though keep_last=1 alone would reclaim gens 0-2
+    assert(SegManifest.vacuum(dir, keepLast = 1,
+      olderThanMs = Some(hourMs)).isEmpty)
+    (0L to 2L).foreach(g =>
+      assert(SegManifest.readSnapshot(dir, g).isDefined))
+    // back-date the EMBEDDED clock of gens 0 and 1 (line 3 of the v2
+    // snapshot body); leave file mtimes fresh — and conversely give
+    // gen 2's snapshot an ancient MTIME with a fresh embedded clock:
+    // the cut must follow the clock in both directions
+    def rewriteClock(g: Long, ms: Long): Unit = {
+      val p = java.nio.file.Paths.get(dir, s".manifest.v$g")
+      val lines = java.nio.file.Files.readAllLines(p).toArray.map(_.toString)
+      lines(2) = ms.toString
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    }
+    rewriteClock(0L, System.currentTimeMillis - 2 * hourMs)
+    rewriteClock(1L, System.currentTimeMillis - 2 * hourMs)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, ".manifest.v2"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 24 * hourMs))
+    val reclaimed = SegManifest.vacuum(dir, keepLast = 1,
+      olderThanMs = Some(hourMs))
+    assert(reclaimed.nonEmpty)
+    // gens 0-1 (old clocks) retired; gen 2 (young clock, old mtime)
+    // and the live gen 3 survive, still travelable
+    assert(SegManifest.readSnapshot(dir, 0L).isEmpty)
+    assert(SegManifest.readSnapshot(dir, 1L).isEmpty)
+    assert(SegManifest.readSnapshot(dir, 2L).isDefined)
+    assert(iso.sql("SELECT count(*) AS n FROM tc.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 10L)
+    assert(iso.table("tc.ns.t").agg(min($"k")).head().getLong(0) == 30L)
+    // the SQL surface: CALL vacuum with the horizon reclaims nothing
+    // more (idempotent at the same horizon)
+    assert(iso.sql(
+      s"CALL tc.vacuum('ns.t', keep_last => 1, older_than_ms => $hourMs)")
+      .head().getLong(1) == 0L)
+  }
+
+  test("multi-column clustering: composite layout, ALTER guards, metadata") {
+    val (iso, wh) = dml("mclust")
+    import iso.implicits._
+    iso.range(0, 300)
+      .select($"id".as("r"), ($"id" % 3).as("ka"), ($"id" % 4).as("kb"))
+      .createOrReplaceTempView("graft_mc_src")
+    iso.sql("CREATE TABLE tc.ns.t USING gseg PARTITIONED BY (ka, kb) " +
+      "AS SELECT r, ka, kb FROM graft_mc_src")
+    val dir = s"$wh/ns/t"
+    // every committed segment is single-valued in BOTH key columns
+    val files = SegSource.resolveSegments(dir)
+    assert(files.size >= 12, s"expected >=12 composite groups: ${files.size}")
+    files.foreach { f =>
+      Seq("ka", "kb").foreach { k =>
+        val cm = SegSource.headerOf(f).cols.find(_.name == k).get
+        assert(cm.hasStats && cm.minBits == cm.maxBits && cm.nNulls == 0,
+          s"segment not single-valued in $k: $f")
+      }
+    }
+    // catalog reports both transforms; properties carry the pair
+    assert(iso.sql("SHOW TBLPROPERTIES tc.ns.t")
+      .filter($"key" === "clustering").head().getString(1) == "ka,kb")
+    // INSERT through the catalog keeps the layout (clustered
+    // distribution declared by the write)
+    iso.sql("INSERT INTO tc.ns.t VALUES (999, 1, 2)")
+    SegSource.resolveSegments(dir).foreach { f =>
+      val cm = SegSource.headerOf(f).cols.find(_.name == "ka").get
+      assert(cm.minBits == cm.maxBits)
+    }
+    // DML on one composite class rewrites only that class's files
+    graft.Counters.drain()
+    iso.sql("DELETE FROM tc.ns.t WHERE ka = 2 AND kb = 3")
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_rlo_candidates", -1L) <=
+      c.getOrElse("gseg_rlo_files_total", 0L) / 4,
+      s"composite zone maps must prune most groups: $c")
+    assert(iso.table("tc.ns.t").count() == 301 - 25) // 25 of 300 in class (2,3)
+    // DROP of either clustering column is rejected; RENAME follows
+    intercept[Exception](iso.sql("ALTER TABLE tc.ns.t DROP COLUMN kb"))
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN kb TO kbx")
+    assert(iso.sql("SHOW TBLPROPERTIES tc.ns.t")
+      .filter($"key" === "clustering").head().getString(1) == "ka,kbx")
+    // the renamed composite layout still recovers (alias-resolved
+    // headers): scans group and prune as before
+    assert(iso.table("tc.ns.t").filter($"kbx" === 2 && $"ka" === 1)
+      .count() == 25 + 1) // class (1,2) plus the inserted row
+  }
+
+  test("as-of-schema time travel: VERSION AS OF serves the pinned schema") {
+    val (iso, wh) = dml("asofschema")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(
+      iso.range(0, 20).select($"id".as("k"), ($"id" * 2).as("qty")),
+      dir)
+    iso.table("tc.ns.t").count() // manifest: generation 0 (pins k, qty)
+    // a data commit AFTER the rename pins the new name at gen 1
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN qty TO amount")
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 200)")
+    // live table serves the new name
+    assert(iso.table("tc.ns.t").columns.toSeq == Seq("k", "amount"))
+    // VERSION AS OF 0 serves the OLD name — and the values stored
+    // under it, resolved through the PINNED alias map, not the
+    // current one
+    val v0 = iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 0")
+    assert(v0.columns.toSeq == Seq("k", "qty"))
+    assert(v0.agg(sum($"qty")).head().getLong(0) == (0L until 20L).map(_ * 2).sum)
+    assert(v0.count() == 20)
+    // VERSION AS OF 1 (committed post-rename) serves the new name
+    val v1 = iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "amount"))
+    assert(v1.count() == 21)
+
+    // RTAS: the replaced generation keeps ITS schema across REPLACE
+    iso.range(0, 5).select($"id".as("x"), lit("s").as("label"))
+      .createOrReplaceTempView("graft_asof_rtas")
+    iso.sql("REPLACE TABLE tc.ns.t USING gseg " +
+      "AS SELECT x, label FROM graft_asof_rtas")
+    assert(iso.table("tc.ns.t").columns.toSeq == Seq("x", "label"))
+    val pre = iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1")
+    assert(pre.columns.toSeq == Seq("k", "amount"),
+      "pre-REPLACE generation must read under the replaced schema")
+    assert(pre.count() == 21)
+    // a DROPPED column is readable again in the generations that had
+    // it: drop label, travel back to the RTAS generation
+    val genRtas = SegManifest.read(dir).get._1
+    iso.sql("ALTER TABLE tc.ns.t DROP COLUMN label")
+    assert(iso.table("tc.ns.t").columns.toSeq == Seq("x"))
+    val back = iso.sql(s"SELECT * FROM tc.ns.t VERSION AS OF $genRtas")
+    assert(back.columns.toSeq == Seq("x", "label"))
+    assert(back.filter($"label" === "s").count() == 5)
+  }
+
+  test("torn v1/v2 manifests fail with the descriptive error, not an index error") {
+    val e1 = intercept[IllegalArgumentException](
+      SegManifest.parse(Seq("gseg-manifest-v1"), "test"))
+    assert(e1.getMessage.contains("truncated"))
+    val e2 = intercept[IllegalArgumentException](
+      SegManifest.parse(Seq("gseg-manifest-v1", "notanumber"), "test"))
+    assert(e2.getMessage.contains("bad generation"))
+    val e3 = intercept[IllegalArgumentException](
+      SegManifest.parse(Seq("gseg-manifest-v2", "3"), "test"))
+    assert(e3.getMessage.contains("truncated"))
   }
 }

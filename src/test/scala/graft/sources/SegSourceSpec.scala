@@ -585,4 +585,40 @@ class SegSourceSpec extends SparkSpec {
     }
     assert(spark.read.format("gseg").load(dir2).count() == 400)
   }
+
+  test("max_bytes_per_segment rolls at the byte budget (wide rows beat a row count)") {
+    import spark.implicits._
+    val dir = graft.Fs.fastTempDir("graft_broll").toString
+    // 200 rows x ~1 KB payload in ONE task partition: a 16 KB byte
+    // budget must roll ~13 chunks where any sane ROW budget tuned for
+    // narrow rows (say 1000) would buffer everything
+    spark.range(0, 200)
+      .select($"id".as("k"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("x" * 1000),
+          $"id".cast("string")).as("payload"))
+      .coalesce(1).sortWithinPartitions($"k")
+      .write.format("gseg")
+      .option(SegSource.MaxBytesPerSegmentOption, (16 * 1024).toString)
+      .mode("overwrite").save(dir)
+    val files = SegSource.listSegments(dir)
+    assert(files.size >= 10 && files.size <= 20,
+      s"expected ~13 byte-rolled segments, got ${files.size}")
+    // every chunk respects the budget to within one row's slack plus
+    // header overhead (the roll triggers at-or-past the budget)
+    files.foreach { f =>
+      val sz = java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      assert(sz <= 16 * 1024 + 1200 + 256,
+        s"segment over budget+slack: $f ($sz bytes)")
+    }
+    // content survives the rolling exactly; per-chunk zone maps prune
+    val back = spark.read.format("gseg").load(dir)
+    assert(back.count() == 200)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"k"))
+      .head().getLong(0) == (0L until 200L).sum)
+    graft.Counters.drain()
+    assert(back.filter($"k" === 111).count() == 1)
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c")
+  }
 }
