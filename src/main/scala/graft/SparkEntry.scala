@@ -289,6 +289,9 @@ object SparkEntry {
     "s34_dsv2_ctas" -> CoreOps.s34DsvCtas _,
     "s35_dsv2_partitioned" -> CoreOps.s35DsvPartitionedTable _,
     "s37_dsv2_multi_partitioned" -> CoreOps.s37DsvMultiPartitioned _,
+    "s36_dsv2_changefeed_sql" -> CoreOps.s36DsvChangefeedSql _,
+    "stream_gseg_cdf_parity" ->
+      graft.streaming.StreamGates.streamSegCdfParity _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -1403,6 +1406,31 @@ object SparkEntry {
         |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey % 32 <> 7""".stripMargin,
+    // changefeed SQL surface: PER-COMMIT semantics (unlike s32's
+    // endpoint collapse) — the UPDATE's pre/post pairs at gen 1, the
+    // DELETE's rows (carrying post-update values) at gen 2, the
+    // INSERT's rows at gen 3; _commit_generation pins each class
+    "s36_dsv2_changefeed_sql" ->
+      """WITH e AS (SELECT o_orderkey AS k, o_totalprice AS qty
+        |           FROM orders WHERE o_orderkey % 2 = 0),
+        |     b AS (SELECT MAX(k) // 2 AS cut, (3 * MAX(k)) // 4 AS cut2
+        |           FROM e),
+        |     chg AS (
+        |       SELECT 'insert' AS _change_type, qty, 3 AS g
+        |       FROM (SELECT o_totalprice AS qty FROM orders
+        |             WHERE o_orderkey % 2 = 1)
+        |       UNION ALL
+        |       SELECT 'delete', qty + 1.0, 2 FROM e, b WHERE k >= cut2
+        |       UNION ALL
+        |       SELECT 'update_preimage', qty, 1 FROM e, b WHERE k >= cut
+        |       UNION ALL
+        |       SELECT 'update_postimage', qty + 1.0, 1 FROM e, b
+        |       WHERE k >= cut)
+        |SELECT _change_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(MIN(g) AS BIGINT) AS min_gen,
+        |       CAST(MAX(g) AS BIGINT) AS max_gen
+        |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj
@@ -2247,6 +2275,21 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS increment_exact,
         |       (SELECT COUNT(DISTINCT event_type) FROM events
         |        WHERE user_id < 40) AS n_types""".stripMargin,
+    // streaming row-level changefeed: lifecycle booleans (initial
+    // snapshot, exactly-once pre/post pairs across a restart, replay
+    // identity) in-engine; the change-log cardinalities anchored
+    // relationally with the same halving arithmetic the gate uses
+    "stream_gseg_cdf_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS first_parity,
+        |       CAST(1 AS BOOLEAN) AS update_exactly_once,
+        |       CAST(1 AS BOOLEAN) AS replay_parity,
+        |       (SELECT COUNT(*) FROM events
+        |        WHERE user_id < 40 AND event_id % 2 = 0) AS n_initial,
+        |       (SELECT COUNT(*) FROM events
+        |        WHERE user_id < 20 AND event_id % 2 = 0) AS n_update_pairs,
+        |       (SELECT COUNT(*) FROM events
+        |        WHERE user_id < 40 AND event_id % 2 = 1) AS n_late_inserts
+        |""".stripMargin,
     // gseg streaming SINK: parity + epoch-commit + DML-interplay
     // booleans in-engine, type count anchored relationally
     "stream_gseg_sink_parity" ->

@@ -3545,6 +3545,50 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
   }
 
+  /** DSv2 changefeed SQL/read surface [S36]: row-level CDC through
+    * PLAIN `spark.read.format("gseg")` options — no Scala API — with
+    * PER-COMMIT semantics (Delta's `table_changes`): the union of
+    * single-step diffs over [from, to], so the UPDATE's pre/post
+    * pairs surface at generation 1, the DELETE's rows (carrying the
+    * post-update values) at generation 2, and the INSERT's rows at
+    * generation 3 — `_commit_generation` pins each class to its
+    * commit, which the endpoint-collapsed s32 cannot express. Append
+    * commits take the no-join fast path; the DML steps run the
+    * bucketed in-source diff (counters record both). Oracle:
+    * all four classes with their per-commit values and generations,
+    * reconstructed with the same integer-division cuts as s32. */
+  def s36DsvChangefeedSql(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml36")
+    val ord = Tables.orders(iso, d)
+    graft.sources.SegSource.write(
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+        .repartitionByRange(8, col("k")),
+      s"$wh/dml/t")
+    val mx = iso.table("gseg_dml.dml.t").agg(max(col("k")))
+      .head().getLong(0) // also materializes generation 0
+    val cut = mx / 2
+    val cut2 = (3L * mx) / 4
+    iso.sql(s"UPDATE gseg_dml.dml.t SET qty = qty + 1.0 WHERE k >= $cut")
+    iso.sql(s"DELETE FROM gseg_dml.dml.t WHERE k >= $cut2")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("qty"))
+      .createOrReplaceTempView("graft_cdf_src")
+    iso.sql("INSERT INTO gseg_dml.dml.t SELECT k, qty FROM graft_cdf_src")
+    val feed = iso.read.format("gseg")
+      .schema(iso.table("gseg_dml.dml.t").schema)
+      .option(graft.sources.SegCdf.FromOption, "1")
+      .option(graft.sources.SegCdf.ToOption, "3")
+      .option(graft.sources.SegCdf.KeysOption, "k")
+      .load(s"$wh/dml/t")
+    feed.groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("qty"))).cast(DoubleType).as("sum_qty"),
+        min(col("_commit_generation")).as("min_gen"),
+        max(col("_commit_generation")).as("max_gen"))
+      .orderBy(col("_change_type"))
+  }
+
   /** DSv2 MULTI-COLUMN PARTITIONED BY [S37]: composite-key identity
     * clustering — `PARTITIONED BY (k1, k2)` declares a two-column
     * layout (one segment set per distinct (k1,k2) tuple), the keyed

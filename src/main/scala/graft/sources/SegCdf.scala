@@ -1,0 +1,359 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The CONSUMABLE changefeed surface: row-level CDC through plain
+  * `spark.read` / `spark.readStream` — no Scala API required
+  * (that remains [[SegChangeFeed]], whose Catalyst full-outer-join
+  * plan is still the right tool for huge endpoint diffs).
+  *
+  *   - BATCH: `spark.read.format("gseg")
+  *       .option("changefeed_from", 1).option("changefeed_to", 3)
+  *       .option("changefeed_keys", "k").load(dir)` returns one row
+  *     per change with Delta CDF's `_change_type` vocabulary plus
+  *     `_commit_generation` — PER-COMMIT semantics (`table_changes`):
+  *     the union of single-step diffs over [from, to], so an
+  *     update-then-delete across commits shows both, unlike the
+  *     endpoint-collapsed [[SegChangeFeed.changes]].
+  *   - STREAMING: `spark.readStream.format("gseg")
+  *       .option("read_changefeed", "true")...` — the first batch is
+  *     the initial snapshot AS INSERTS (Delta CDF-stream semantics),
+  *     every later micro-batch the per-generation row diff, so a DML
+  *     commit arrives as its update/delete rows instead of killing
+  *     the stream (the generation-offset source's documented gap).
+  *     Offsets are committed generations ([[SegGenOffset]]);
+  *     recovery replans identical diffs from retained snapshots —
+  *     exactly-once across restarts, failing loudly past the vacuum
+  *     retention window.
+  *
+  * Execution model (why this scales, and what it costs — stated
+  * honestly):
+  *   - an APPEND commit (nothing removed) needs no join: its added
+  *     files' rows stream as `insert`, one partition per file, zero
+  *     overhead — the dominant streaming case.
+  *   - a CHANGE commit diffs (removed files, added files) — both
+  *     bounded by the commit's churn, never the table. The rows must
+  *     MEET on the key to classify update-vs-carried, and a V2 scan
+  *     cannot emit a Catalyst join, so the diff runs as a
+  *     HASH-BUCKETED in-source join: `changefeed_buckets` (default 8)
+  *     partitions per step, each reading the step's changed files and
+  *     keeping only keys hashing to its bucket. That re-reads each
+  *     changed file once per bucket — read amplification x buckets ON
+  *     THE CHURN ONLY (a DML that touched 2 of 80 000 files re-reads
+  *     2 files 8 times; the 79 998 others are never opened), in
+  *     exchange for per-bucket memory bounded at churn/buckets. The
+  *     counters record both path choices; batch consumers who cannot
+  *     accept the amplification use [[SegChangeFeed.changes]].
+  *
+  * Key contract: `changefeed_keys` (comma list) identifies a row;
+  * falls back to the table's declared clustering columns. Duplicate
+  * keys degrade gracefully (multiset matching per key: unmatched
+  * leftovers emit as delete/insert), but the pre/post pairing is only
+  * meaningful under the uniqueness contract every keyed CDC has. */
+object SegCdf {
+  val FromOption = "changefeed_from"
+  val ToOption = "changefeed_to"
+  val KeysOption = "changefeed_keys"
+  val ReadChangefeedOption = "read_changefeed"
+  val BucketsOption = "changefeed_buckets"
+  val CommitGenCol = "_commit_generation"
+
+  def isCdfRead(props: java.util.Map[String, String]): Boolean =
+    props.containsKey(FromOption) ||
+      "true".equalsIgnoreCase(props.get(ReadChangefeedOption))
+
+  /** Table schema + (`_change_type`, `_commit_generation`). */
+  def outputSchema(table: StructType): StructType =
+    StructType(table.fields :+
+      StructField(SegChangeFeed.ChangeTypeCol, StringType, nullable = false) :+
+      StructField(CommitGenCol, LongType, nullable = false))
+
+  /** Strip the two CDF columns if present (getTable receives the
+    * inferSchema result, which already carries them). */
+  def tableSchemaOf(s: StructType): StructType =
+    StructType(s.fields.filterNot(f =>
+      f.name == SegChangeFeed.ChangeTypeCol || f.name == CommitGenCol))
+
+  /** Key columns: the option wins; a PARTITIONED BY table falls back
+    * to its declared clustering. Loud otherwise — keyless row CDC
+    * would silently misclassify every rewrite as delete+insert. */
+  def resolveKeys(dir: String, table: StructType,
+      opt: Option[String]): Seq[String] = {
+    val keys = opt.map(SegSource.splitCols).getOrElse(
+      SegMeta.read(java.nio.file.Paths.get(dir))
+        .map(_.clusterCols).getOrElse(Nil))
+    require(keys.nonEmpty,
+      s"gseg changefeed: no key columns — pass ${KeysOption}=col[,col] " +
+        "or declare PARTITIONED BY on the table")
+    keys.foreach(k => require(table.fieldNames.contains(k),
+      s"gseg changefeed: key column '$k' is not in the schema"))
+    keys
+  }
+
+  /** A committed generation's segment names: its retained snapshot,
+    * the live manifest for the current generation. Loud past the
+    * vacuum retention window — the VERSION AS OF contract. */
+  private[sources] def genNames(dir: String, g: Long): Seq[String] =
+    SegManifest.readSnapshot(dir, g).orElse(
+      SegManifest.read(dir).collect { case (lg, names) if lg == g => names })
+      .getOrElse(throw new IllegalStateException(
+        s"gseg changefeed: generation $g of $dir is not retained — " +
+          "never committed, or retired by vacuum (raise keep_last / " +
+          "older_than_ms, or vacuum less often)"))
+
+  /** Partitions for ONE generation step (g-1 → g): the per-commit
+    * row diff. Append commits take the no-join fast path. */
+  private[sources] def stepPartitions(dir: String, g: Long,
+      buckets: Int): Seq[InputPartition] = {
+    val cur = genNames(dir, g).toSet
+    // generation 0's "changes" are its creation: a diff against empty
+    val prev = if (g == 0) Set.empty[String] else genNames(dir, g - 1).toSet
+    val removed = (prev -- cur).toSeq.sorted.map(n => s"$dir/$n")
+    val added = (cur -- prev).toSeq.sorted.map(n => s"$dir/$n")
+    if (removed.isEmpty) {
+      graft.Counters.add("gseg_cdf_append_files", added.size.toLong)
+      added.map(f => SegCdfAppendPartition(f, g))
+    } else {
+      graft.Counters.add("gseg_cdf_diff_files",
+        (removed.size + added.size).toLong)
+      graft.Counters.add("gseg_cdf_diff_steps", 1L)
+      (0 until buckets).map(b =>
+        SegCdfDiffPartition(removed, added, g, b, buckets))
+    }
+  }
+}
+
+/** One added file of an APPEND commit: every row is an `insert`. */
+case class SegCdfAppendPartition(file: String, gen: Long)
+  extends InputPartition
+
+/** The initial-snapshot batch of a CDF STREAM: the whole live
+  * generation at stream start, emitted as `insert` rows. */
+case class SegCdfInitialPartition(file: String, gen: Long)
+  extends InputPartition
+
+/** One hash bucket of a CHANGE commit's row diff. */
+case class SegCdfDiffPartition(removed: Seq[String], added: Seq[String],
+    gen: Long, bucket: Int, nBuckets: Int) extends InputPartition
+
+case class SegCdfReaderFactory(table: StructType, keyCols: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case SegCdfAppendPartition(f, g) => new SegCdfInsertReader(f, table, g)
+      case SegCdfInitialPartition(f, g) => new SegCdfInsertReader(f, table, g)
+      case d: SegCdfDiffPartition => new SegCdfDiffReader(d, table, keyCols)
+    }
+}
+
+/** Tags every row of one segment `insert` at generation `gen`. */
+class SegCdfInsertReader(file: String, table: StructType, gen: Long)
+    extends PartitionReader[InternalRow] {
+  private val inner = new SegPartitionReader(file, table, Array.empty)
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+  private val suffix = new GenericInternalRow(
+    Array[Any](UTF8String.fromString("insert"), gen))
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = joined(inner.get(), suffix)
+  override def close(): Unit = inner.close()
+}
+
+/** One bucket of a change commit's diff: hash-joins the removed
+  * (pre) and added (post) rows whose keys land in this bucket.
+  * Memory = this bucket's share of the commit's churn (never the
+  * table); rows per key match as a multiset queue, so a violated
+  * uniqueness contract degrades to delete+insert instead of wrong
+  * pairings. Unchanged rewrite-carried rows (key matched, payload
+  * equal) emit NOTHING — the changefeed contract. */
+class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
+    keyCols: Seq[String]) extends PartitionReader[InternalRow] {
+  private val keyIdx = keyCols.map(table.fieldIndex)
+  private val nonKeyIdx =
+    table.fieldNames.indices.filterNot(keyIdx.contains)
+
+  private def keyOf(r: InternalRow): Seq[Any] =
+    keyIdx.map(i => if (r.isNullAt(i)) null
+      else r.get(i, table(i).dataType))
+  private def inBucket(k: Seq[Any]): Boolean =
+    java.lang.Math.floorMod(k.hashCode, p.nBuckets) == p.bucket
+  private def copyOf(r: InternalRow): InternalRow = {
+    val a = new Array[Any](table.length)
+    var i = 0
+    while (i < table.length) {
+      a(i) = if (r.isNullAt(i)) null else r.get(i, table(i).dataType)
+      i += 1
+    }
+    new GenericInternalRow(a)
+  }
+  private def payloadEq(a: InternalRow, b: InternalRow): Boolean =
+    nonKeyIdx.forall { i =>
+      val av = if (a.isNullAt(i)) null else a.get(i, table(i).dataType)
+      val bv = if (b.isNullAt(i)) null else b.get(i, table(i).dataType)
+      if (av == null) bv == null else av == bv
+    }
+
+  private def rowsOf(files: Seq[String]): Iterator[InternalRow] =
+    files.iterator.flatMap { f =>
+      val r = new SegPartitionReader(f, table, Array.empty)
+      new Iterator[InternalRow] {
+        private var closed = false
+        def hasNext: Boolean = {
+          if (closed) return false
+          val h = r.next()
+          if (!h) { r.close(); closed = true }
+          h
+        }
+        def next(): InternalRow = r.get()
+      }
+    }
+
+  private def out(r: InternalRow, tag: String): InternalRow = {
+    val a = new Array[Any](table.length + 2)
+    var i = 0
+    while (i < table.length) {
+      a(i) = if (r.isNullAt(i)) null else r.get(i, table(i).dataType)
+      i += 1
+    }
+    a(table.length) = UTF8String.fromString(tag)
+    a(table.length + 1) = p.gen
+    new GenericInternalRow(a)
+  }
+
+  // the diff, materialized per bucket (bounded by churn/buckets)
+  private val it: Iterator[InternalRow] = {
+    val pre = new scala.collection.mutable.HashMap[
+      Seq[Any], scala.collection.mutable.Queue[InternalRow]]()
+    rowsOf(p.removed).foreach { r =>
+      val k = keyOf(r)
+      if (inBucket(k))
+        pre.getOrElseUpdate(k, scala.collection.mutable.Queue.empty)
+          .enqueue(copyOf(r))
+    }
+    val changes = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    rowsOf(p.added).foreach { r =>
+      val k = keyOf(r)
+      if (inBucket(k)) pre.get(k).flatMap(q =>
+          if (q.isEmpty) None else Some(q.dequeue())) match {
+        case None => changes += out(r, "insert")
+        case Some(old) =>
+          if (!payloadEq(old, r)) {
+            changes += out(old, "update_preimage")
+            changes += out(r, "update_postimage")
+          } // equal: the rewrite carried the row — no change
+      }
+    }
+    pre.valuesIterator.foreach(q =>
+      q.foreach(old => changes += out(old, "delete")))
+    changes.iterator
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** The read-only CDF relation `spark.read`/`readStream` resolve when
+  * the changefeed options are present. */
+class SegCdfTable(table: StructType, path: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def name(): String = s"gseg-cdf:$path"
+  override def schema(): StructType = SegCdf.outputSchema(table)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = {
+      val keys = SegCdf.resolveKeys(path, table,
+        Option(options.get(SegCdf.KeysOption)))
+      new SegCdfScan(path, table, keys,
+        Option(options.get(SegCdf.FromOption)).map(_.toLong),
+        Option(options.get(SegCdf.ToOption)).map(_.toLong),
+        math.max(1, options.getInt(SegCdf.BucketsOption, 8)))
+    }
+  }
+}
+
+case class SegCdfScan(path: String, table: StructType,
+    keyCols: Seq[String], fromGen: Option[Long], toGen: Option[Long],
+    buckets: Int) extends Scan with Batch {
+  override def readSchema(): StructType = SegCdf.outputSchema(table)
+  override def description(): String =
+    s"gseg cdf path=$path keys=[${keyCols.mkString(",")}] " +
+      s"from=$fromGen to=$toGen buckets=$buckets"
+
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val from = fromGen.getOrElse(throw new IllegalArgumentException(
+      s"gseg changefeed: batch read needs ${SegCdf.FromOption}=<gen> " +
+        s"(streaming tails without it via ${SegCdf.ReadChangefeedOption})"))
+    val to = toGen.orElse(SegManifest.read(path).map(_._1)).getOrElse(
+      throw new IllegalStateException(
+        s"gseg changefeed: no generation manifest at $path"))
+    require(from >= 0 && from <= to,
+      s"gseg changefeed: bad generation range [$from, $to]")
+    (from to to).flatMap(g =>
+      SegCdf.stepPartitions(path, g, buckets)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SegCdfReaderFactory(table, keyCols)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SegCdfMicroBatchStream(path, table, keyCols, buckets)
+}
+
+/** CDF MICRO-BATCH stream: offsets are committed generations (the
+  * same [[SegGenOffset]] protocol and strict checkpoint parse as the
+  * file-level generation source), the first batch is the initial
+  * snapshot as inserts, and every later batch the per-generation row
+  * diff — change commits ARRIVE as their update/delete rows instead
+  * of failing the query or vanishing. Recovery replans (lo, hi]
+  * from retained snapshots: identical diffs, exactly-once. */
+class SegCdfMicroBatchStream(path: String, table: StructType,
+    keyCols: Seq[String], buckets: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = SegGenOffset(-1L)
+  override def latestOffset(): Offset =
+    SegGenOffset(SegManifest.read(path).map(_._1).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset = {
+    import org.json4s._
+    jackson.JsonMethods.parse(json) \ "gen" match {
+      case JInt(g) => SegGenOffset(g.toLong)
+      case _ => throw new IllegalStateException(
+        s"gseg cdf stream: checkpoint offset '$json' is not a " +
+          "generation offset; start a fresh checkpoint")
+    }
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[SegGenOffset].gen
+    val hi = end.asInstanceOf[SegGenOffset].gen
+    if (hi < 0 || hi <= lo) return Array.empty
+    if (lo < 0) {
+      // initial snapshot: the complete live generation, as inserts
+      val names = SegCdf.genNames(path, hi).sorted
+      graft.Counters.add("gseg_cdf_initial_files", names.size.toLong)
+      names.map(n => SegCdfInitialPartition(s"$path/$n", hi)
+        : InputPartition).toArray
+    } else
+      (lo + 1 to hi).flatMap(g =>
+        SegCdf.stepPartitions(path, g, buckets)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SegCdfReaderFactory(table, keyCols)
+}

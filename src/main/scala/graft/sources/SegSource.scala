@@ -614,13 +614,22 @@ object SegSource {
 class SegDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gseg"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = SegSource.listSegments(options.get("path"))
+    val path = options.get("path")
+    val files = SegSource.resolveSegments(path)
     require(files.nonEmpty, "gseg: no .gseg segments under path")
-    SegSource.headerOf(files.head).schema
+    val base = SegSource.resolvedHeaderOf(files.head).schema
+    // changefeed reads surface two extra metadata columns
+    if (SegCdf.isCdfRead(options.asCaseSensitiveMap()))
+      SegCdf.outputSchema(base)
+    else base
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new SegTable(schema, properties.get("path"))
+    if (SegCdf.isCdfRead(properties))
+      // `schema` may be the user's TABLE schema or inferSchema's
+      // extended one — normalize to the table schema either way
+      new SegCdfTable(SegCdf.tableSchemaOf(schema), properties.get("path"))
+    else new SegTable(schema, properties.get("path"))
   override def supportsExternalMetadata(): Boolean = true
 }
 

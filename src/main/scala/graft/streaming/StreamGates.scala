@@ -1889,6 +1889,119 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_gseg_cdf_parity]: the STREAMING row-level
+    * changefeed — `readStream.format("gseg")` with `read_changefeed`
+    * — the surface that makes a DML commit ARRIVE as its
+    * update_preimage/update_postimage rows instead of killing the
+    * generation stream (fail) or vanishing from it
+    * (skip_change_commits). Lifecycle, across a REAL restart:
+    * initial snapshot (slice A as inserts) → an UPDATE commit
+    * (value+1 for the low-user half) consumed as pre/post pairs →
+    * STOP → restart from the checkpoint → an INSERT commit (slice B
+    * as inserts) → stop. Claims:
+    *  - first_parity: the initial batch is exactly |A| insert rows;
+    *  - update_exactly_once: across the restart the change log holds
+    *    exactly one pre and one post row per updated key (a replayed
+    *    or double-planned diff cannot produce that), and the
+    *    post−pre value delta is exactly n_update_pairs × 1.0 under
+    *    DECIMAL;
+    *  - replay_parity: applying the change log to empty state
+    *    (inserts + postimages keyed by event_id, preimages/deletes
+    *    retired) reproduces the live table EXACTLY — the property
+    *    that makes a CDC feed a faithful replication stream.
+    * The relational columns (n_initial, n_update_pairs,
+    * n_late_inserts) are oracle-recomputed from events with the same
+    * halving arithmetic. */
+  def streamSegCdfParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_cdf_gate").toString
+    try {
+      val wh = s"$base/wh"
+      iso.conf.set("spark.sql.catalog.gseg_cdf", "graft.sources.SegCatalog")
+      iso.conf.set("spark.sql.catalog.gseg_cdf.warehouse", wh)
+      val ev = Tables.events(iso, d).filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val halfA = ev.filter(col("event_id") % 2 === 0)
+      val halfB = ev.filter(col("event_id") % 2 === 1)
+      val dir = s"$wh/ns/t"
+      graft.sources.SegSource.write(halfA, dir)
+      iso.table("gseg_cdf.ns.t").count() // manifest: generation 0
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      def startFeed(): StreamingQuery =
+        owned(iso.readStream.format("gseg").schema(ev.schema)
+          .option(graft.sources.SegCdf.ReadChangefeedOption, "true")
+          .option(graft.sources.SegCdf.KeysOption, "event_id")
+          .load(dir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt)
+          .option("path", outDir).start(), "stream_gseg_cdf_parity")
+      var firstParity = false
+      var q: StreamingQuery = null
+      try {
+        q = startFeed()
+        q.processAllAvailable()
+        val initial = iso.read.parquet(outDir)
+        firstParity = initial.count() == halfA.count() &&
+          initial.filter(col("_change_type") =!= "insert").count() == 0
+        // generation 1: a DML change commit — must arrive as pre/post
+        iso.sql("UPDATE gseg_cdf.ns.t SET value = value + 1.0 " +
+          "WHERE user_id < 20")
+        q.processAllAvailable()
+      } finally safeStop(q)
+      // REAL restart from the checkpoint, then a late append commit
+      try {
+        q = startFeed()
+        halfB.createOrReplaceTempView("graft_cdf_late")
+        iso.sql("INSERT INTO gseg_cdf.ns.t SELECT * FROM graft_cdf_late")
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      val log = iso.read.parquet(outDir)
+      val updated = halfA.filter(col("user_id") < 20)
+      val nUpd = updated.count()
+      val pre = log.filter(col("_change_type") === "update_preimage")
+      val post = log.filter(col("_change_type") === "update_postimage")
+      // per-key pairing: each updated key appears exactly once per
+      // side, and post.value is EXACTLY pre.value + 1.0 (the same
+      // double op the UPDATE computed — bit-identical)
+      val pairs = pre.select(col("event_id"), col("value").as("pv"))
+        .join(post.select(col("event_id"), col("value").as("qv")),
+          "event_id")
+        .filter(col("qv") === col("pv") + lit(1.0))
+      val updateExactlyOnce =
+        pre.count() == nUpd && post.count() == nUpd &&
+          pre.select(col("event_id")).distinct().count() == nUpd &&
+          pairs.count() == nUpd
+      // replay: inserts + postimages, latest state per key, equals
+      // the live table exactly (set identity on all columns)
+      val replayed = log
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .withColumn("__rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_id"))
+            .orderBy(col("_commit_generation").desc)))
+        .filter(col("__rank") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val live = iso.table("gseg_cdf.ns.t")
+      val replayParity = graft.functions.Gates.symDiffEmpty(
+        replayed, live,
+        Seq("event_id", "user_id", "event_type", "value")).head() match {
+        case r => r.getLong(0) == 0 && r.getLong(1) == 0
+      }
+      val gate = Seq((firstParity, updateExactlyOnce, replayParity,
+        halfA.count(), nUpd, halfB.count())).toDF(
+        "first_parity", "update_exactly_once", "replay_parity",
+        "n_initial", "n_update_pairs", "n_late_inserts")
+      ev.unpersist()
+      gate
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_gseg_sink_parity]: the gseg STREAMING SINK —
     * `writeStream.toTable` onto a gseg CATALOG table, each epoch an
     * idempotent manifest-swap commit under an epoch-prefixed name

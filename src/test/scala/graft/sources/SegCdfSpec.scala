@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The consumable changefeed surface (SegCdf): batch read options and
+  * the adversarial cases the driver rows don't exercise — append
+  * fast-path evidence, clusterCols key fallback, unchanged-row
+  * suppression, duplicate-key degradation, loud error shapes. */
+class SegCdfSpec extends SparkSpec {
+  import org.apache.spark.sql.SparkSession
+
+  private def dml(tag: String): (SparkSession, String) = {
+    val iso = spark.newSession()
+    val wh = graft.Fs.fastTempDir(s"graft_cdfspec_$tag").toString
+    iso.conf.set("spark.sql.catalog.tc", "graft.sources.SegCatalog")
+    iso.conf.set("spark.sql.catalog.tc.warehouse", wh)
+    (iso, wh)
+  }
+
+  private def feed(iso: SparkSession, dir: String, from: Long, to: Long,
+      keys: Option[String] = Some("k")) = {
+    var r = iso.read.format("gseg")
+      .option(SegCdf.FromOption, from.toString)
+      .option(SegCdf.ToOption, to.toString)
+    keys.foreach(k => r = r.option(SegCdf.KeysOption, k))
+    r.load(dir)
+  }
+
+  test("batch changefeed read: per-commit classes with _commit_generation") {
+    val (iso, wh) = dml("batch")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+        .repartitionByRange(4, $"k"), dir)
+    iso.table("tc.ns.t").count() // gen 0
+    iso.sql("UPDATE tc.ns.t SET v = v + 1 WHERE k >= 80")   // gen 1
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 90")            // gen 2
+    iso.sql("INSERT INTO tc.ns.t VALUES (200, 7), (201, 8)") // gen 3
+    val f = feed(iso, dir, 1, 3).cache()
+    try {
+      // per-commit classes: gen1 updates 20 keys, gen2 deletes 10
+      // (carrying the UPDATED values), gen3 inserts 2
+      def cls(t: String) = f.filter($"_change_type" === t)
+      assert(cls("update_preimage").count() == 20)
+      assert(cls("update_postimage").count() == 20)
+      assert(cls("delete").count() == 10)
+      assert(cls("insert").count() == 2)
+      assert(cls("update_preimage").agg(min($"_commit_generation"),
+        max($"_commit_generation")).head() match {
+        case r => r.getLong(0) == 1 && r.getLong(1) == 1
+      })
+      assert(cls("delete").agg(min($"_commit_generation")).head()
+        .getLong(0) == 2)
+      assert(cls("insert").agg(min($"_commit_generation")).head()
+        .getLong(0) == 3)
+      // deleted rows carry the post-gen1 values: v = 2k+1
+      assert(cls("delete").filter($"v" =!= $"k" * 2 + 1).count() == 0)
+      // unchanged rewrite-carried rows emit NOTHING: keys < 80 never
+      // appear even though their files may have been rewritten
+      assert(f.filter($"k" < 80 && $"_change_type" =!= "insert")
+        .count() == 0)
+      // from=0 includes the creation commit as inserts
+      assert(feed(iso, dir, 0, 0)
+        .filter($"_change_type" === "insert").count() == 100)
+    } finally f.unpersist()
+  }
+
+  test("append commits take the no-join fast path; DML steps bucket") {
+    val (iso, wh) = dml("fastpath")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 50).select($"id".as("k"), $"id".as("v")),
+      dir)
+    iso.table("tc.ns.t").count() // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 1)") // gen 1: pure append
+    graft.Counters.drain()
+    assert(feed(iso, dir, 1, 1).count() == 1)
+    val c1 = graft.Counters.drain()
+    assert(c1.getOrElse("gseg_cdf_append_files", 0L) >= 1)
+    assert(c1.getOrElse("gseg_cdf_diff_steps", 0L) == 0,
+      s"append must not run the bucketed diff: $c1")
+    iso.sql("DELETE FROM tc.ns.t WHERE k = 5") // gen 2: change commit
+    graft.Counters.drain()
+    assert(feed(iso, dir, 2, 2).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSeq ==
+      Seq(("delete", 5L)))
+    // the plan may materialize more than once; what's pinned is that
+    // the bucketed diff ran at all for a change commit
+    val c2 = graft.Counters.drain()
+    assert(c2.getOrElse("gseg_cdf_diff_steps", 0L) >= 1, s"$c2")
+  }
+
+  test("keys fall back to the declared clustering; keyless fails loudly") {
+    val (iso, wh) = dml("keys")
+    import iso.implicits._
+    iso.range(0, 40).select($"id".as("k"), ($"id" % 4).as("v"))
+      .createOrReplaceTempView("graft_cdfk_src")
+    iso.sql("CREATE TABLE tc.ns.t USING gseg PARTITIONED BY (k) " +
+      "AS SELECT k, v FROM graft_cdfk_src")
+    val dir = s"$wh/ns/t"
+    iso.sql("UPDATE tc.ns.t SET v = v + 10 WHERE k = 3")
+    // no changefeed_keys option: the PARTITIONED BY column serves
+    val f = feed(iso, dir, 1, 1, keys = None)
+    assert(f.filter($"_change_type" === "update_postimage").count() == 1)
+    // an unclustered table without the option fails loudly
+    val dir2 = s"$wh/ns/u"
+    SegSource.write(iso.range(0, 5).select($"id".as("k")), dir2)
+    iso.table("tc.ns.u").count()
+    val e = intercept[Exception](
+      iso.read.format("gseg").option(SegCdf.FromOption, "0")
+        .load(dir2).count())
+    assert(e.getMessage.contains("no key columns") ||
+      Option(e.getCause).exists(_.getMessage.contains("no key columns")))
+    // a bogus key column fails loudly too
+    val e2 = intercept[Exception](
+      feed(iso, dir, 1, 1, keys = Some("nope")).count())
+    assert(e2.getMessage.contains("not in the schema") ||
+      Option(e2.getCause).exists(_.getMessage.contains("not in the schema")))
+  }
+
+  test("duplicate keys degrade to multiset matching, never wrong pairings") {
+    val (iso, wh) = dml("dups")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    // key 1 appears TWICE with different payloads (uniqueness
+    // contract violated on purpose)
+    Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.format("gseg").mode("overwrite").save(dir)
+    iso.table("tc.ns.t").count() // gen 0
+    iso.sql("DELETE FROM tc.ns.t WHERE v = 11") // gen 1 rewrites the file
+    val f = feed(iso, dir, 1, 1)
+    // one of key 1's two rows is gone: the diff must emit exactly one
+    // delete (v=11) and nothing else — the carried (1,10) and (2,20)
+    // match away as unchanged
+    assert(f.collect().map(r => (r.getString(2), r.getLong(1))).toSeq
+      .sorted == Seq(("delete", 11L)))
+  }
+
+  test("changefeed past the retention window fails loudly") {
+    val (iso, wh) = dml("ret")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 30).select($"id".as("k"), $"id".as("v")),
+      dir)
+    iso.table("tc.ns.t").count()
+    iso.sql("DELETE FROM tc.ns.t WHERE k < 10")  // gen 1
+    iso.sql("DELETE FROM tc.ns.t WHERE k < 20")  // gen 2
+    SegManifest.vacuum(dir) // retires gens 0 and 1
+    val e = intercept[Exception](feed(iso, dir, 1, 2).count())
+    assert(e.getMessage.contains("not retained") ||
+      Option(e.getCause).exists(_.getMessage.contains("not retained")))
+  }
+}
