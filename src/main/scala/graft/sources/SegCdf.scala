@@ -57,6 +57,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object SegCdf {
   val FromOption = "changefeed_from"
   val ToOption = "changefeed_to"
+  /** Timestamp (epoch millis) alternatives to the generation bounds:
+    * resolved against the commit clocks EMBEDDED in retained
+    * snapshots — `from` picks the earliest generation committed at or
+    * after the instant, `to` the latest committed at or before it
+    * (Delta's startingTimestamp/endingTimestamp semantics). */
+  val FromTimestampOption = "changefeed_from_timestamp"
+  val ToTimestampOption = "changefeed_to_timestamp"
   val KeysOption = "changefeed_keys"
   val ReadChangefeedOption = "read_changefeed"
   val BucketsOption = "changefeed_buckets"
@@ -64,7 +71,34 @@ object SegCdf {
 
   def isCdfRead(props: java.util.Map[String, String]): Boolean =
     props.containsKey(FromOption) ||
+      props.containsKey(FromTimestampOption) ||
       "true".equalsIgnoreCase(props.get(ReadChangefeedOption))
+
+  /** Resolve the generation bounds from whichever pair of options is
+    * present (generation wins over timestamp when both are given). */
+  private[sources] def resolveBounds(dir: String,
+      from: Option[String], fromTs: Option[String],
+      to: Option[String], toTs: Option[String])
+      : (Option[Long], Option[Long]) = {
+    lazy val snaps = SegManifest.listSnapshots(dir) // (gen, clock) asc
+    val f = from.map(_.toLong).orElse(fromTs.map { t =>
+      val ts = t.toLong
+      snaps.filter(_._2 >= ts).map(_._1).minOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"gseg changefeed: no retained generation committed at or " +
+            s"after timestamp $ts (latest: " +
+            s"${snaps.lastOption.map(_._2).getOrElse("none")})"))
+    })
+    val u = to.map(_.toLong).orElse(toTs.map { t =>
+      val ts = t.toLong
+      snaps.filter(_._2 <= ts).map(_._1).maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"gseg changefeed: no retained generation committed at or " +
+            s"before timestamp $ts (earliest: " +
+            s"${snaps.headOption.map(_._2).getOrElse("none")})"))
+    })
+    (f, u)
+  }
 
   /** Table schema + (`_change_type`, `_commit_generation`). */
   def outputSchema(table: StructType): StructType =
@@ -275,9 +309,12 @@ class SegCdfTable(table: StructType, path: String)
     override def build(): Scan = {
       val keys = SegCdf.resolveKeys(path, table,
         Option(options.get(SegCdf.KeysOption)))
-      new SegCdfScan(path, table, keys,
-        Option(options.get(SegCdf.FromOption)).map(_.toLong),
-        Option(options.get(SegCdf.ToOption)).map(_.toLong),
+      val (from, to) = SegCdf.resolveBounds(path,
+        Option(options.get(SegCdf.FromOption)),
+        Option(options.get(SegCdf.FromTimestampOption)),
+        Option(options.get(SegCdf.ToOption)),
+        Option(options.get(SegCdf.ToTimestampOption)))
+      new SegCdfScan(path, table, keys, from, to,
         math.max(1, options.getInt(SegCdf.BucketsOption, 8)))
     }
   }
@@ -309,7 +346,10 @@ case class SegCdfScan(path: String, table: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SegCdfMicroBatchStream(path, table, keyCols, buckets)
+    // a starting bound (generation or timestamp-resolved) skips the
+    // initial snapshot: the stream begins at that commit's diff —
+    // Delta's startingVersion/startingTimestamp contract
+    new SegCdfMicroBatchStream(path, table, keyCols, buckets, fromGen)
 }
 
 /** CDF MICRO-BATCH stream: offsets are committed generations (the
@@ -320,11 +360,16 @@ case class SegCdfScan(path: String, table: StructType,
   * of failing the query or vanishing. Recovery replans (lo, hi]
   * from retained snapshots: identical diffs, exactly-once. */
 class SegCdfMicroBatchStream(path: String, table: StructType,
-    keyCols: Seq[String], buckets: Int)
+    keyCols: Seq[String], buckets: Int,
+    startingGen: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = SegGenOffset(-1L)
+  /** No starting bound → -1 (initial snapshot as inserts). With one,
+    * the first planned range is (start-1, latest] — per-commit diffs
+    * from the requested generation on, no snapshot batch. */
+  override def initialOffset(): Offset =
+    SegGenOffset(startingGen.map(_ - 1).getOrElse(-1L))
   override def latestOffset(): Offset =
     SegGenOffset(SegManifest.read(path).map(_._1).getOrElse(-1L))
   override def deserializeOffset(json: String): Offset = {
@@ -344,13 +389,15 @@ class SegCdfMicroBatchStream(path: String, table: StructType,
     val lo = start.asInstanceOf[SegGenOffset].gen
     val hi = end.asInstanceOf[SegGenOffset].gen
     if (hi < 0 || hi <= lo) return Array.empty
-    if (lo < 0) {
+    if (lo < 0 && startingGen.isEmpty) {
       // initial snapshot: the complete live generation, as inserts
       val names = SegCdf.genNames(path, hi).sorted
       graft.Counters.add("gseg_cdf_initial_files", names.size.toLong)
       names.map(n => SegCdfInitialPartition(s"$path/$n", hi)
         : InputPartition).toArray
     } else
+      // with a starting bound, lo = start-1 may be -1 (start = 0):
+      // the range below then replays from the creation commit
       (lo + 1 to hi).flatMap(g =>
         SegCdf.stepPartitions(path, g, buckets)).toArray
   }

@@ -108,7 +108,18 @@ object Sf1Probe {
           graft.operators.CoreOps.s35DsvPartitionedTable(s, d)),
         // the gen-offset stream gate slices user_id < 40 ⇒ constant
         "stream_gseg_gen_parity" -> ((s, d) =>
-          graft.streaming.StreamGates.streamSegGenParity(s, d)))
+          graft.streaming.StreamGates.streamSegGenParity(s, d)),
+        // r14 additions: the CDF read surface — append files and diff
+        // files must track the commits' churn, never the table size
+        // (gseg_cdf_* counters), and the composite-key SPJ keeps its
+        // zero-exchange shape with key_groups constant at 10×
+        "s36_dsv2_changefeed_sql" -> ((s, d) =>
+          graft.operators.CoreOps.s36DsvChangefeedSql(s, d)),
+        "s37_dsv2_multi_partitioned" -> ((s, d) =>
+          graft.operators.CoreOps.s37DsvMultiPartitioned(s, d)),
+        // the CDF stream gate slices user_id < 40 ⇒ constant cost
+        "stream_gseg_cdf_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamSegCdfParity(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {

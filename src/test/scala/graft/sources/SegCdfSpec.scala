@@ -138,6 +138,73 @@ class SegCdfSpec extends SparkSpec {
       .sorted == Seq(("delete", 11L)))
   }
 
+  test("timestamp bounds resolve by the embedded commit clock") {
+    val (iso, wh) = dml("ts")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 10).select($"id".as("k"), $"id".as("v")),
+      dir)
+    iso.table("tc.ns.t").count()                   // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 1)") // gen 1
+    iso.sql("INSERT INTO tc.ns.t VALUES (101, 2), (102, 3)") // gen 2
+    // pin the three commit clocks to known instants (line 3 of the
+    // v3 snapshot body; the live manifest is not consulted —
+    // listSnapshots reads snapshots)
+    def pinClock(g: Long, ms: Long): Unit = {
+      val p = java.nio.file.Paths.get(dir, s".manifest.v$g")
+      val lines = java.nio.file.Files.readAllLines(p).toArray.map(_.toString)
+      lines(2) = ms.toString
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    }
+    pinClock(0, 1000L); pinClock(1, 2000L); pinClock(2, 3000L)
+    // [1500, 2500] → exactly generation 1's commit (Delta's
+    // starting/endingTimestamp semantics: at-or-after / at-or-before)
+    val f = iso.read.format("gseg")
+      .option(SegCdf.FromTimestampOption, "1500")
+      .option(SegCdf.ToTimestampOption, "2500")
+      .option(SegCdf.KeysOption, "k")
+      .load(dir)
+    assert(f.collect().map(r => (r.getString(2), r.getLong(0))).toSeq ==
+      Seq(("insert", 100L)))
+    // out-of-range timestamps fail loudly, not silently empty
+    val e = intercept[Exception](iso.read.format("gseg")
+      .option(SegCdf.FromTimestampOption, "99999")
+      .option(SegCdf.KeysOption, "k").load(dir).count())
+    assert(e.getMessage.contains("at or after") ||
+      Option(e.getCause).exists(_.getMessage.contains("at or after")))
+  }
+
+  test("streaming startingVersion skips the initial snapshot") {
+    val (iso, wh) = dml("sver")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 50).select($"id".as("k"), $"id".as("v")),
+      dir)
+    iso.table("tc.ns.t").count()                   // gen 0 (50 rows)
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 1)") // gen 1
+    iso.sql("INSERT INTO tc.ns.t VALUES (101, 2)") // gen 2
+    val base = graft.Fs.fastTempDir("graft_cdf_sver").toString
+    try {
+      val q = iso.readStream.format("gseg")
+        .schema(iso.table("tc.ns.t").schema)
+        .option(SegCdf.ReadChangefeedOption, "true")
+        .option(SegCdf.FromOption, "1")
+        .option(SegCdf.KeysOption, "k")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", s"$base/out").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = iso.read.parquet(s"$base/out")
+      // generations 1 and 2 only — the 50-row initial snapshot must
+      // NOT appear (Delta's startingVersion contract)
+      assert(out.count() == 2)
+      assert(out.select("k").collect().map(_.getLong(0)).toSet ==
+        Set(100L, 101L))
+      assert(out.filter(col("_change_type") =!= "insert").count() == 0)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("changefeed past the retention window fails loudly") {
     val (iso, wh) = dml("ret")
     import iso.implicits._
