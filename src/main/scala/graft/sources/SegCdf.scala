@@ -67,7 +67,16 @@ object SegCdf {
   val KeysOption = "changefeed_keys"
   val ReadChangefeedOption = "read_changefeed"
   val BucketsOption = "changefeed_buckets"
+  /** Streaming ADMISSION CONTROL: cap each micro-batch at N
+    * generations (Delta's maxFilesPerTrigger shape, at commit grain)
+    * — a stream starting against a long-retained history drains it
+    * as bounded batches instead of one giant catch-up batch. Applies
+    * to both the CDF stream and the file-level generation stream. */
+  val MaxGensPerTriggerOption = "max_gens_per_trigger"
   val CommitGenCol = "_commit_generation"
+  /** Commit instant of the change's generation (the snapshot's
+    * embedded clock) — Delta CDF's `_commit_timestamp`. */
+  val CommitTsCol = "_commit_timestamp"
 
   def isCdfRead(props: java.util.Map[String, String]): Boolean =
     props.containsKey(FromOption) ||
@@ -100,17 +109,28 @@ object SegCdf {
     (f, u)
   }
 
-  /** Table schema + (`_change_type`, `_commit_generation`). */
+  /** Table schema + (`_change_type`, `_commit_generation`,
+    * `_commit_timestamp`) — Delta CDF's metadata trio. */
   def outputSchema(table: StructType): StructType =
     StructType(table.fields :+
       StructField(SegChangeFeed.ChangeTypeCol, StringType, nullable = false) :+
-      StructField(CommitGenCol, LongType, nullable = false))
+      StructField(CommitGenCol, LongType, nullable = false) :+
+      StructField(CommitTsCol,
+        org.apache.spark.sql.types.TimestampType, nullable = false))
 
-  /** Strip the two CDF columns if present (getTable receives the
+  /** Strip the CDF metadata columns if present (getTable receives the
     * inferSchema result, which already carries them). */
   def tableSchemaOf(s: StructType): StructType =
     StructType(s.fields.filterNot(f =>
-      f.name == SegChangeFeed.ChangeTypeCol || f.name == CommitGenCol))
+      f.name == SegChangeFeed.ChangeTypeCol || f.name == CommitGenCol ||
+        f.name == CommitTsCol))
+
+  /** A generation's commit instant in MICROS (the internal timestamp
+    * representation), from the snapshot's embedded clock. */
+  private[sources] def commitUsOf(dir: String, g: Long): Long =
+    SegManifest.commitClock(dir, g).map(_ * 1000L).getOrElse(
+      throw new IllegalStateException(
+        s"gseg changefeed: no commit clock for generation $g of $dir"))
 
   /** Key columns: the option wins; a PARTITIONED BY table falls back
     * to its declared clustering. Loud otherwise — keyless row CDC
@@ -148,49 +168,54 @@ object SegCdf {
     val prev = if (g == 0) Set.empty[String] else genNames(dir, g - 1).toSet
     val removed = (prev -- cur).toSeq.sorted.map(n => s"$dir/$n")
     val added = (cur -- prev).toSeq.sorted.map(n => s"$dir/$n")
+    val us = commitUsOf(dir, g)
     if (removed.isEmpty) {
       graft.Counters.add("gseg_cdf_append_files", added.size.toLong)
-      added.map(f => SegCdfAppendPartition(f, g))
+      added.map(f => SegCdfAppendPartition(f, g, us))
     } else {
       graft.Counters.add("gseg_cdf_diff_files",
         (removed.size + added.size).toLong)
       graft.Counters.add("gseg_cdf_diff_steps", 1L)
       (0 until buckets).map(b =>
-        SegCdfDiffPartition(removed, added, g, b, buckets))
+        SegCdfDiffPartition(removed, added, g, b, buckets, us))
     }
   }
 }
 
 /** One added file of an APPEND commit: every row is an `insert`. */
-case class SegCdfAppendPartition(file: String, gen: Long)
+case class SegCdfAppendPartition(file: String, gen: Long, commitUs: Long)
   extends InputPartition
 
 /** The initial-snapshot batch of a CDF STREAM: the whole live
   * generation at stream start, emitted as `insert` rows. */
-case class SegCdfInitialPartition(file: String, gen: Long)
+case class SegCdfInitialPartition(file: String, gen: Long, commitUs: Long)
   extends InputPartition
 
 /** One hash bucket of a CHANGE commit's row diff. */
 case class SegCdfDiffPartition(removed: Seq[String], added: Seq[String],
-    gen: Long, bucket: Int, nBuckets: Int) extends InputPartition
+    gen: Long, bucket: Int, nBuckets: Int, commitUs: Long)
+  extends InputPartition
 
 case class SegCdfReaderFactory(table: StructType, keyCols: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case SegCdfAppendPartition(f, g) => new SegCdfInsertReader(f, table, g)
-      case SegCdfInitialPartition(f, g) => new SegCdfInsertReader(f, table, g)
+      case SegCdfAppendPartition(f, g, us) =>
+        new SegCdfInsertReader(f, table, g, us)
+      case SegCdfInitialPartition(f, g, us) =>
+        new SegCdfInsertReader(f, table, g, us)
       case d: SegCdfDiffPartition => new SegCdfDiffReader(d, table, keyCols)
     }
 }
 
 /** Tags every row of one segment `insert` at generation `gen`. */
-class SegCdfInsertReader(file: String, table: StructType, gen: Long)
+class SegCdfInsertReader(file: String, table: StructType, gen: Long,
+    commitUs: Long)
     extends PartitionReader[InternalRow] {
   private val inner = new SegPartitionReader(file, table, Array.empty)
   private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
   private val suffix = new GenericInternalRow(
-    Array[Any](UTF8String.fromString("insert"), gen))
+    Array[Any](UTF8String.fromString("insert"), gen, commitUs))
   override def next(): Boolean = inner.next()
   override def get(): InternalRow = joined(inner.get(), suffix)
   override def close(): Unit = inner.close()
@@ -246,7 +271,7 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
     }
 
   private def out(r: InternalRow, tag: String): InternalRow = {
-    val a = new Array[Any](table.length + 2)
+    val a = new Array[Any](table.length + 3)
     var i = 0
     while (i < table.length) {
       a(i) = if (r.isNullAt(i)) null else r.get(i, table(i).dataType)
@@ -254,6 +279,7 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
     }
     a(table.length) = UTF8String.fromString(tag)
     a(table.length + 1) = p.gen
+    a(table.length + 2) = p.commitUs
     new GenericInternalRow(a)
   }
 
@@ -315,14 +341,16 @@ class SegCdfTable(table: StructType, path: String)
         Option(options.get(SegCdf.ToOption)),
         Option(options.get(SegCdf.ToTimestampOption)))
       new SegCdfScan(path, table, keys, from, to,
-        math.max(1, options.getInt(SegCdf.BucketsOption, 8)))
+        math.max(1, options.getInt(SegCdf.BucketsOption, 8)),
+        Option(options.get(SegCdf.MaxGensPerTriggerOption)).map(_.toLong))
     }
   }
 }
 
 case class SegCdfScan(path: String, table: StructType,
     keyCols: Seq[String], fromGen: Option[Long], toGen: Option[Long],
-    buckets: Int) extends Scan with Batch {
+    buckets: Int, maxGensPerTrigger: Option[Long] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = SegCdf.outputSchema(table)
   override def description(): String =
     s"gseg cdf path=$path keys=[${keyCols.mkString(",")}] " +
@@ -349,7 +377,8 @@ case class SegCdfScan(path: String, table: StructType,
     // a starting bound (generation or timestamp-resolved) skips the
     // initial snapshot: the stream begins at that commit's diff —
     // Delta's startingVersion/startingTimestamp contract
-    new SegCdfMicroBatchStream(path, table, keyCols, buckets, fromGen)
+    new SegCdfMicroBatchStream(path, table, keyCols, buckets, fromGen,
+      maxGensPerTrigger)
 }
 
 /** CDF MICRO-BATCH stream: offsets are committed generations (the
@@ -361,9 +390,26 @@ case class SegCdfScan(path: String, table: StructType,
   * from retained snapshots: identical diffs, exactly-once. */
 class SegCdfMicroBatchStream(path: String, table: StructType,
     keyCols: Seq[String], buckets: Int,
-    startingGen: Option[Long] = None)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    startingGen: Option[Long] = None,
+    maxGensPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** Admission control: cap each batch at `max_gens_per_trigger`
+    * commits. With a cap, a stream against deep retained history
+    * catches up as BOUNDED batches (the engine keeps triggering until
+    * it reaches the real latest); the initial-snapshot batch under a
+    * cap pins to the EARLIEST admissible generation and the replay
+    * continues per-commit from there. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val live = SegManifest.read(path).map(_._1).getOrElse(-1L)
+    val lo = start.asInstanceOf[SegGenOffset].gen
+    SegGenOffset(maxGensPerTrigger
+      .map(m => math.min(live, lo + math.max(1L, m))).getOrElse(live))
+  }
+  override def reportLatestOffset(): Offset = latestOffset()
 
   /** No starting bound → -1 (initial snapshot as inserts). With one,
     * the first planned range is (start-1, latest] — per-commit diffs
@@ -392,8 +438,9 @@ class SegCdfMicroBatchStream(path: String, table: StructType,
     if (lo < 0 && startingGen.isEmpty) {
       // initial snapshot: the complete live generation, as inserts
       val names = SegCdf.genNames(path, hi).sorted
+      val us = SegCdf.commitUsOf(path, hi)
       graft.Counters.add("gseg_cdf_initial_files", names.size.toLong)
-      names.map(n => SegCdfInitialPartition(s"$path/$n", hi)
+      names.map(n => SegCdfInitialPartition(s"$path/$n", hi, us)
         : InputPartition).toArray
     } else
       // with a starting bound, lo = start-1 may be -1 (start = 0):

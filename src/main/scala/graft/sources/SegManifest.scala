@@ -321,6 +321,23 @@ object SegManifest {
     }
   }
 
+  /** Commit clock (epoch millis) of a retained committed generation:
+    * the snapshot's embedded v2/v3 clock, file mtime for v1 legacy,
+    * the live manifest's clock for the current generation when its
+    * snapshot is already gone. None for unretained/phantom gens. */
+  def commitClock(dir: String, gen: Long): Option[Long] = {
+    val live = readManifest(dir).getOrElse(return None)
+    if (gen > live.gen) return None
+    val p = snapshotPath(dir, gen)
+    if (Files.exists(p))
+      scala.util.Try(parseFile(p)).toOption.map(m =>
+        m.commitMs.getOrElse(Files.getLastModifiedTime(p).toMillis))
+    else if (gen == live.gen)
+      Some(live.commitMs.getOrElse(
+        Files.getLastModifiedTime(manifestPath(dir)).toMillis))
+    else None
+  }
+
   /** Retained COMMITTED (generation, commit-clock millis), ascending —
     * the TIMESTAMP AS OF / history resolution table. The clock is the
     * v2 snapshot's embedded commit timestamp (file mtime for v1

@@ -658,7 +658,9 @@ class SegTable(tschema: StructType, path: String,
         .map(SegSource.splitCols).getOrElse(defaultCluster),
       Option(options.get(SegSource.PinnedFilesOption)).map(v =>
         v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")),
-      options.getBoolean(SegSource.SkipChangeCommitsOption, false))
+      options.getBoolean(SegSource.SkipChangeCommitsOption, false),
+      maxGensPerTrigger =
+        Option(options.get(SegCdf.MaxGensPerTriggerOption)).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption))
@@ -675,7 +677,8 @@ class SegScanBuilder(full: StructType, path: String,
     partitionCols: Seq[String] = Nil,
     pinned: Option[Seq[String]] = None,
     skipChangeCommits: Boolean = false,
-    aliasOverride: Option[Map[String, String]] = None) extends ScanBuilder
+    aliasOverride: Option[Map[String, String]] = None,
+    maxGensPerTrigger: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -768,7 +771,8 @@ class SegScanBuilder(full: StructType, path: String,
       if (partitionCols.nonEmpty && partitionCols.forall(c =>
         full.fields.exists(f => f.name == c && f.dataType == LongType)))
         partitionCols else Nil,
-      emitFile, pinned, skipChangeCommits, aliasOverride)
+      emitFile, pinned, skipChangeCommits, aliasOverride,
+      maxGensPerTrigger)
 }
 
 case class SegInputPartition(file: String) extends InputPartition
@@ -789,7 +793,8 @@ case class SegScan(path: String, required: StructType,
     partitionCols: Seq[String] = Nil, emitFile: Boolean = false,
     pinned: Option[Seq[String]] = None,
     skipChangeCommits: Boolean = false,
-    aliasOverride: Option[Map[String, String]] = None)
+    aliasOverride: Option[Map[String, String]] = None,
+    maxGensPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -925,7 +930,8 @@ case class SegScan(path: String, required: StructType,
     // compaction and epoch replacement — see SegGenMicroBatchStream);
     // plain path dirs keep the original monotone-name watermark
     if (SegManifest.exists(path))
-      new SegGenMicroBatchStream(path, required, pushed, skipChangeCommits)
+      new SegGenMicroBatchStream(path, required, pushed, skipChangeCommits,
+        maxGensPerTrigger)
     else new SegMicroBatchStream(path, required, pushed)
   override def description(): String = {
     val base = s"gseg path=$path " +
@@ -1101,9 +1107,23 @@ case class SegGenOffset(gen: Long)
   * window fails loudly ("retired by vacuum"), the same contract as
   * VERSION AS OF. */
 class SegGenMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter], skipChangeCommits: Boolean)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    pushed: Array[Filter], skipChangeCommits: Boolean,
+    maxGensPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** Admission control (`max_gens_per_trigger`): bound each batch at
+    * N commits — deep retained history catches up as bounded batches
+    * instead of one giant initial range. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val live = SegManifest.read(path).map(_._1).getOrElse(-1L)
+    val lo = start.asInstanceOf[SegGenOffset].gen
+    SegGenOffset(maxGensPerTrigger
+      .map(m => math.min(live, lo + math.max(1L, m))).getOrElse(live))
+  }
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def initialOffset(): Offset = SegGenOffset(-1L)
   override def latestOffset(): Offset =

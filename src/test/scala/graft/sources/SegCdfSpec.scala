@@ -166,6 +166,10 @@ class SegCdfSpec extends SparkSpec {
       .load(dir)
     assert(f.collect().map(r => (r.getString(2), r.getLong(0))).toSeq ==
       Seq(("insert", 100L)))
+    // _commit_timestamp carries the EMBEDDED clock of the change's
+    // generation (micros of the pinned 2000 ms)
+    assert(f.select(unix_micros(col("_commit_timestamp"))).head()
+      .getLong(0) == 2000L * 1000L)
     // out-of-range timestamps fail loudly, not silently empty
     val e = intercept[Exception](iso.read.format("gseg")
       .option(SegCdf.FromTimestampOption, "99999")
@@ -202,6 +206,73 @@ class SegCdfSpec extends SparkSpec {
       assert(out.select("k").collect().map(_.getLong(0)).toSet ==
         Set(100L, 101L))
       assert(out.filter(col("_change_type") =!= "insert").count() == 0)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("changefeed across a RENAME COLUMN serves current names") {
+    val (iso, wh) = dml("ren")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(
+      iso.range(0, 20).select($"id".as("k"), ($"id" * 2).as("v"))
+        .repartitionByRange(2, $"k"), dir)
+    iso.table("tc.ns.t").count() // gen 0 stores blocks under 'v'
+    iso.sql("ALTER TABLE tc.ns.t RENAME COLUMN v TO w")
+    iso.sql("UPDATE tc.ns.t SET w = w + 100 WHERE k >= 15") // gen 1
+    // the diff reads gen-0 files (stored name 'v') and gen-1 files
+    // (stored name 'w') through the alias-resolved headers; the
+    // change frame speaks the CURRENT name
+    val f = feed(iso, dir, 1, 1)
+    assert(f.columns.contains("w") && !f.columns.contains("v"))
+    val pre = f.filter($"_change_type" === "update_preimage")
+    val post = f.filter($"_change_type" === "update_postimage")
+    assert(pre.count() == 5 && post.count() == 5)
+    // pre-images carry the values stored under the OLD name
+    assert(pre.agg(sum($"w")).head().getLong(0) ==
+      (15L until 20L).map(_ * 2).sum)
+    assert(post.agg(sum($"w")).head().getLong(0) ==
+      (15L until 20L).map(_ * 2 + 100).sum)
+  }
+
+  test("max_gens_per_trigger drains deep history as bounded batches") {
+    val (iso, wh) = dml("admit")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 10).select($"id".as("k"), $"id".as("v")),
+      dir)
+    iso.table("tc.ns.t").count() // gen 0
+    (1 to 3).foreach(i =>
+      iso.sql(s"INSERT INTO tc.ns.t VALUES (${100 + i}, $i)")) // gens 1-3
+    val base = graft.Fs.fastTempDir("graft_cdf_admit").toString
+    try {
+      val q = iso.readStream.format("gseg")
+        .schema(iso.table("tc.ns.t").schema)
+        .option(SegCdf.ReadChangefeedOption, "true")
+        .option(SegCdf.KeysOption, "k")
+        .option(SegCdf.MaxGensPerTriggerOption, "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", s"$base/out").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = iso.read.parquet(s"$base/out")
+      // everything arrives (the engine keeps triggering to latest)...
+      assert(out.count() == 13)
+      // ...but the capped catch-up: the initial snapshot pinned to
+      // the EARLIEST admissible generation (0, not live), and each
+      // later commit in its own batch — 4 distinct generations
+      assert(out.select("_commit_generation").distinct().count() == 4)
+      assert(out.filter(col("_commit_generation") === 0).count() == 10)
+      // the file-level generation stream honors the same cap
+      val q2 = iso.readStream.format("gseg")
+        .schema(iso.table("tc.ns.t").schema)
+        .option(SegCdf.MaxGensPerTriggerOption, "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .option("path", s"$base/out2").start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(iso.read.parquet(s"$base/out2").count() == 13)
     } finally graft.Fs.deleteRecursively(base)
   }
 
