@@ -483,7 +483,11 @@ class SegVacuumProcedure(cat: SegCatalog)
         // keep_last — operators schedule vacuum by time
         ProcedureParameter.in("older_than_ms",
           org.apache.spark.sql.types.LongType)
-          .defaultValue("CAST(NULL AS BIGINT)").build())
+          .defaultValue("CAST(NULL AS BIGINT)").build(),
+        // report-only mode: list what a real run would reclaim
+        ProcedureParameter.in("dry_run",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build())
       override def isDeterministic: Boolean = false // filesystem state
 
       private val outSchema = StructType(Seq(
@@ -499,12 +503,15 @@ class SegVacuumProcedure(cat: SegCatalog)
         val olderThan =
           if (input.numFields < 3 || input.isNullAt(2)) None
           else Some(input.getLong(2))
+        val dryRun =
+          input.numFields >= 4 && !input.isNullAt(3) && input.getBoolean(3)
         val parts = tbl.split('.')
         require(parts.nonEmpty && parts.forall(_.nonEmpty),
           s"gseg vacuum: bad table identifier '$tbl'")
         val dir = cat.tableDir(
           Identifier.of(parts.init.toArray, parts.last))
-        val reclaimed = SegManifest.vacuum(dir.toString, keepLast, olderThan)
+        val reclaimed =
+          SegManifest.vacuum(dir.toString, keepLast, olderThan, dryRun)
         val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tbl),

@@ -410,8 +410,12 @@ object SegManifest {
     * retains by its real history — is protected even when it falls
     * outside `keepLast`. The two compose as retention floors:
     * protected = live ∪ (keepLast newest) ∪ (younger than horizon). */
+  /** `dryRun` reports what a real run WOULD reclaim (same
+    * computation under the same locks) without deleting anything —
+    * the operator's look-before-you-leap on a retention change. */
   def vacuum(dir: String, keepLast: Int = 1,
-      olderThanMs: Option[Long] = None): Seq[String] = {
+      olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, s"gseg vacuum: keep_last $keepLast < 1")
     olderThanMs.foreach(h => require(h >= 0,
       s"gseg vacuum: older_than_ms $h < 0"))
@@ -421,13 +425,14 @@ object SegManifest {
         case None => return Nil
       }
       acquireProcessLock(dir)
-      try vacuumLocked(dir, keepLast, olderThanMs, live)
+      try vacuumLocked(dir, keepLast, olderThanMs, live, dryRun)
       finally releaseProcessLock(dir)
     }
   }
 
   private def vacuumLocked(dir: String, keepLast: Int,
-      olderThanMs: Option[Long], live: Manifest): Seq[String] = {
+      olderThanMs: Option[Long], live: Manifest,
+      dryRun: Boolean): Seq[String] = {
     {
       val raw = rawSnapshotGens(dir)
       val readable: Map[Long, Manifest] =
@@ -475,6 +480,7 @@ object SegManifest {
         }.toList
         finally l.close()
       val junkNames = junk.map(_.getFileName.toString).toSet
+      if (dryRun) return junkNames.toSeq.sorted
       // retire doomed snapshots BEFORE any file goes
       raw.foreach { g =>
         val doomed = g > live.gen || !readable.contains(g) ||

@@ -489,6 +489,21 @@ object SegSource {
       case IsNull(a) => get(a) == null
       case IsNotNull(a) => get(a) != null
       case In(a, vs) => vs.exists(v => v != null && cmp(a, v).contains(0))
+      // string predicates: row-grain only (headers carry no string
+      // stats, so zone maps conservatively keep the file) — rows die
+      // in the reader before reaching Spark, which still re-checks
+      case StringStartsWith(a, v) => get(a) match {
+        case s: UTF8String => v != null && s.toString.startsWith(v)
+        case _ => false // null attr: predicate is null, row dies
+      }
+      case StringEndsWith(a, v) => get(a) match {
+        case s: UTF8String => v != null && s.toString.endsWith(v)
+        case _ => false
+      }
+      case StringContains(a, v) => get(a) match {
+        case s: UTF8String => v != null && s.toString.contains(v)
+        case _ => false
+      }
       case And(l, r) => evalFilter(l, get) && evalFilter(r, get)
       case _ => true
     }
@@ -497,7 +512,8 @@ object SegSource {
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
          LessThan(_, _) | LessThanOrEqual(_, _) | IsNull(_) |
-         IsNotNull(_) | In(_, _) => true
+         IsNotNull(_) | In(_, _) | StringStartsWith(_, _) |
+         StringEndsWith(_, _) | StringContains(_, _) => true
     case And(l, r) => supportedFilter(l) && supportedFilter(r)
     case _ => false
   }

@@ -1606,6 +1606,58 @@ class SegDmlSpec extends SparkSpec {
     assert(back.filter($"label" === "s").count() == 5)
   }
 
+  test("vacuum dry_run reports the reclaim set without touching the table") {
+    val (iso, wh) = dml("dryrun")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 40).select($"id".as("k"))
+      .repartitionByRange(4, $"k"), dir)
+    iso.table("tc.ns.t").count() // gen 0
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 30") // gen 1: one file replaced
+    val before = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).toSet
+    // dry run through SQL: reports the would-be reclaim, deletes nothing
+    val wouldReclaim = iso.sql(
+      "CALL tc.vacuum('ns.t', dry_run => true)").head().getLong(1)
+    assert(wouldReclaim >= 1)
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).toSet
+    assert(after == before, "dry_run must not delete anything")
+    assert(SegManifest.readSnapshot(dir, 0L).isDefined,
+      "dry_run must not retire snapshots")
+    // the real run reclaims exactly what the dry run promised
+    assert(iso.sql("CALL tc.vacuum('ns.t')").head().getLong(1)
+      == wouldReclaim)
+    assert(iso.table("tc.ns.t").count() == 30)
+  }
+
+  test("string predicates evaluate in the reader (startsWith/endsWith/contains)") {
+    val (iso, wh) = dml("strpush")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(
+      iso.range(0, 100).select($"id".as("k"),
+        concat(lit("w"), ($"id" % 10).cast("string"),
+          lit("-tag")).as("s")), dir)
+    val t = iso.read.format("gseg").load(dir)
+    // all three shapes are ACCEPTED by the scan builder (rows die in
+    // the reader; Spark re-checks — correctness never depends on it)
+    def pushed(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val sw = t.filter($"s".startsWith("w3"))
+    assert(pushed(sw).contains("StringStartsWith"), pushed(sw).take(400))
+    assert(sw.count() == 10)
+    assert(t.filter($"s".endsWith("-tag")).count() == 100)
+    assert(t.filter($"s".contains("9-t")).count() == 10)
+    // null-safety: a null never matches
+    SegSource.write(
+      iso.range(0, 4).select($"id".as("k"),
+        when($"id" % 2 === 0, lit("even")).as("s")), s"$wh/ns/u")
+    val u = iso.read.format("gseg").load(s"$wh/ns/u")
+    assert(u.filter($"s".startsWith("ev")).count() == 2)
+    assert(u.filter($"s".contains("v")).count() == 2)
+  }
+
   test("torn v1/v2 manifests fail with the descriptive error, not an index error") {
     val e1 = intercept[IllegalArgumentException](
       SegManifest.parse(Seq("gseg-manifest-v1"), "test"))

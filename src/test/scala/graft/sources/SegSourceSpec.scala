@@ -248,15 +248,26 @@ class SegSourceSpec extends SparkSpec {
   }
 
   test("unsupported filter shapes are not claimed as pushed") {
+    // Or is outside the accepted set; string predicates ARE accepted
+    // since r14 (row-grain eval, no zone-map claim)
     val df = spark.read.format("gseg").load(segDir)
-      .filter(col("l_returnflag").startsWith("A")) // StringStartsWith: not pushed
+      .filter(col("l_returnflag") === "A" || col("l_quantity") > 100)
     val scan = df.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan
     }.get
-    assert(!scan.description().contains("StringStartsWith"))
+    assert(!scan.description().contains("Or("))
     val expect = graft.Tables.lineitem(spark, sfDir)
-      .filter(col("l_returnflag").startsWith("A")).count()
+      .filter(col("l_returnflag") === "A" || col("l_quantity") > 100)
+      .count()
     assert(df.count() === expect)
+    val df2 = spark.read.format("gseg").load(segDir)
+      .filter(col("l_returnflag").startsWith("A"))
+    val scan2 = df2.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan2.description().contains("StringStartsWith"))
+    assert(df2.count() === graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").startsWith("A")).count())
   }
 
   test("streaming offset JSON round-trips any path through base64") {
