@@ -130,7 +130,16 @@ object SegSource {
   val MaxBytesPerSegmentOption = "max_bytes_per_segment"
 
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
-  private[sources] val Version: Byte = 2
+  /** v3 adds OPTIONAL string zone-map stats (flag byte 2: two
+    * length-prefixed byte strings) next to the numeric pair (flag 1).
+    * String stats are emitted only when the column's min and max are
+    * pure ASCII and untruncated (<= 48 bytes): that makes byte order,
+    * Java UTF-16 order and Spark's UTF8String binary order all AGREE
+    * for any filter value, so file pruning can never disagree with
+    * row-grain or engine semantics (the parquet signed-vs-unsigned
+    * string-stats lesson). v2 files (fixed 16-byte stat layout)
+    * remain readable. */
+  private[sources] val Version: Byte = 3
 
   private[sources] def tag(dt: DataType): Byte = dt match {
     case LongType      => 0
@@ -172,6 +181,18 @@ object SegSource {
     val hasStats = new Array[Boolean](nCols)
     val minBits = new Array[Long](nCols)
     val maxBits = new Array[Long](nCols)
+    val minStr = new Array[Array[Byte]](nCols)
+    val maxStr = new Array[Array[Byte]](nCols)
+    def uLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
     var c = 0
     while (c < nCols) {
       val bo = new java.io.ByteArrayOutputStream()
@@ -223,14 +244,23 @@ object SegSource {
           }
           i += 1
         }
-        case StringType => while (i < n) {
-          val v = rows(i)(c)
-          if (v != null) {
-            val b = v.asInstanceOf[Array[Byte]]
-            o.writeInt(b.length); o.write(b)
+        case StringType =>
+          var mnB: Array[Byte] = null
+          var mxB: Array[Byte] = null
+          while (i < n) {
+            val v = rows(i)(c)
+            if (v != null) {
+              val b = v.asInstanceOf[Array[Byte]]
+              o.writeInt(b.length); o.write(b)
+              if (mnB == null || uLess(b, mnB)) mnB = b
+              if (mxB == null || uLess(mxB, b)) mxB = b
+            }
+            i += 1
           }
-          i += 1
-        }
+          // ASCII + untruncated only: the soundness precondition
+          def ok(b: Array[Byte]): Boolean =
+            b != null && b.length <= 48 && b.forall(x => (x & 0x80) == 0)
+          if (ok(mnB) && ok(mxB)) { minStr(c) = mnB; maxStr(c) = mxB }
         // TIMESTAMP rides the long path (micros since epoch): same
         // encoding, same exact zone-map stats
         case TimestampType => while (i < n) {
@@ -279,8 +309,14 @@ object SegSource {
         out.writeByte(tag(schema(c).dataType))
         out.writeLong(blocks(c).length.toLong)
         out.writeLong(nNulls(c))
-        out.writeByte(if (hasStats(c)) 1 else 0)
-        out.writeLong(minBits(c)); out.writeLong(maxBits(c))
+        if (hasStats(c)) {
+          out.writeByte(1)
+          out.writeLong(minBits(c)); out.writeLong(maxBits(c))
+        } else if (minStr(c) != null) {
+          out.writeByte(2)
+          out.writeInt(minStr(c).length); out.write(minStr(c))
+          out.writeInt(maxStr(c).length); out.write(maxStr(c))
+        } else out.writeByte(0)
         c += 1
       }
       blocks.foreach(out.write)
@@ -291,7 +327,8 @@ object SegSource {
 
   private[sources] case class ColMeta(name: String, tag: Byte,
       bytes: Long, nNulls: Long, hasStats: Boolean,
-      minBits: Long, maxBits: Long) {
+      minBits: Long, maxBits: Long,
+      minStr: Option[String] = None, maxStr: Option[String] = None) {
     /** Exact typed stat values (None for string / all-null). */
     def minVal: Option[Any] = statVal(minBits)
     def maxVal: Option[Any] = statVal(maxBits)
@@ -315,15 +352,31 @@ object SegSource {
   private[sources] def readHeader(in: DataInputStream): SegHeader = {
     val magic = new Array[Byte](4)
     in.readFully(magic)
-    require(magic.sameElements(Magic) && in.readByte() == Version,
-      "not a gseg v2 file")
+    require(magic.sameElements(Magic), "not a gseg file")
+    val ver = in.readByte()
+    require(ver == 2 || ver == 3, s"unsupported gseg version $ver")
     val n = in.readInt()
     val nCols = in.readInt()
     val cols = Array.fill(nCols) {
       val nm = new Array[Byte](in.readInt())
       in.readFully(nm)
-      ColMeta(new String(nm, UTF_8), in.readByte(), in.readLong(),
-        in.readLong(), in.readByte() == 1, in.readLong(), in.readLong())
+      val name = new String(nm, UTF_8)
+      val t = in.readByte()
+      val bytes = in.readLong()
+      val nulls = in.readLong()
+      if (ver == 2) {
+        val has = in.readByte() == 1
+        ColMeta(name, t, bytes, nulls, has, in.readLong(), in.readLong())
+      } else in.readByte() match {
+        case 1 => ColMeta(name, t, bytes, nulls, hasStats = true,
+          in.readLong(), in.readLong())
+        case 2 =>
+          val mn = new Array[Byte](in.readInt()); in.readFully(mn)
+          val mx = new Array[Byte](in.readInt()); in.readFully(mx)
+          ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L,
+            Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
+        case _ => ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L)
+      }
     }
     SegHeader(n, cols)
   }
@@ -426,7 +479,33 @@ object SegSource {
         mn <- c.minVal.flatMap(bd)
         mx <- c.maxVal.flatMap(bd)
       } yield (mn, mx)
+    // string zone maps (v3, ASCII-exact — see the Version scaladoc:
+    // byte, UTF-16 and UTF8String orders provably agree under the
+    // emission precondition, for ANY filter value)
+    def sRange(attr: String): Option[(String, String)] =
+      byName.get(attr).flatMap(c =>
+        for { mn <- c.minStr; mx <- c.maxStr } yield (mn, mx))
     f match {
+      case EqualTo(a, v: String) => sRange(a).forall { case (mn, mx) =>
+        v.compareTo(mn) >= 0 && v.compareTo(mx) <= 0
+      }
+      case GreaterThan(a, v: String) =>
+        sRange(a).forall { case (_, mx) => mx.compareTo(v) > 0 }
+      case GreaterThanOrEqual(a, v: String) =>
+        sRange(a).forall { case (_, mx) => mx.compareTo(v) >= 0 }
+      case LessThan(a, v: String) =>
+        sRange(a).forall { case (mn, _) => mn.compareTo(v) < 0 }
+      case LessThanOrEqual(a, v: String) =>
+        sRange(a).forall { case (mn, _) => mn.compareTo(v) <= 0 }
+      // prefix pruning: some s with s.startsWith(v) can live in
+      // [mn, mx] iff mx >= v AND mn's |v|-prefix <= v (mn < inc(v)
+      // without computing the increment)
+      case StringStartsWith(a, v) if v != null =>
+        sRange(a).forall { case (mn, mx) =>
+          mx.compareTo(v) >= 0 &&
+            mn.substring(0, math.min(mn.length, v.length))
+              .compareTo(v) <= 0
+        }
       case EqualTo(a, v) => (range(a), bd(v)) match {
         case (Some((mn, mx)), Some(x)) =>
           x.compareTo(mn) >= 0 && x.compareTo(mx) <= 0
@@ -449,18 +528,26 @@ object SegSource {
         case _ => true
       }
       case IsNull(a) => byName.get(a).forall(_.nNulls > 0)
-      case In(a, vs) => range(a) match {
-        case Some((mn, mx)) =>
-          // a null in the IN-list matches nothing; the file survives
-          // if ANY value could sit inside its range (or a value is of
-          // a shape the stats can't judge)
-          vs.exists(v => bd(v) match {
-            case Some(x) => x.compareTo(mn) >= 0 && x.compareTo(mx) <= 0
-            case None => v != null
-          })
-        case None => true
-      }
+      case In(a, vs) =>
+        // a null in the IN-list matches nothing; the file survives
+        // if ANY value could sit inside its range (or a value is of
+        // a shape the stats can't judge)
+        (range(a), sRange(a)) match {
+          case (Some((mn, mx)), _) =>
+            vs.exists(v => bd(v) match {
+              case Some(x) => x.compareTo(mn) >= 0 && x.compareTo(mx) <= 0
+              case None => v != null
+            })
+          case (None, Some((mn, mx))) =>
+            vs.exists {
+              case v: String =>
+                v.compareTo(mn) >= 0 && v.compareTo(mx) <= 0
+              case v => v != null
+            }
+          case _ => true
+        }
       case And(l, r) => mayMatch(h, l) && mayMatch(h, r)
+      case Or(l, r) => mayMatch(h, l) || mayMatch(h, r)
       case _ => true
     }
   }
@@ -505,6 +592,13 @@ object SegSource {
         case _ => false
       }
       case And(l, r) => evalFilter(l, get) && evalFilter(r, get)
+      // Or/Not soundness note: eval returns FALSE for null-valued
+      // comparisons, and SQL three-valued logic also drops those rows
+      // (NULL is never TRUE at a filter), so a kill here is always a
+      // kill Spark would make; a keep is always safe (Spark
+      // re-checks). Not(x) kills only when x provably held.
+      case Or(l, r) => evalFilter(l, get) || evalFilter(r, get)
+      case Not(inner) => !evalFilter(inner, get)
       case _ => true
     }
   }
@@ -515,6 +609,8 @@ object SegSource {
          IsNotNull(_) | In(_, _) | StringStartsWith(_, _) |
          StringEndsWith(_, _) | StringContains(_, _) => true
     case And(l, r) => supportedFilter(l) && supportedFilter(r)
+    case Or(l, r) => supportedFilter(l) && supportedFilter(r)
+    case Not(inner) => supportedFilter(inner)
     case _ => false
   }
 

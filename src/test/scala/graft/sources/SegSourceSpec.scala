@@ -248,26 +248,110 @@ class SegSourceSpec extends SparkSpec {
   }
 
   test("unsupported filter shapes are not claimed as pushed") {
-    // Or is outside the accepted set; string predicates ARE accepted
-    // since r14 (row-grain eval, no zone-map claim)
+    // EqualNullSafe is outside the accepted set; string predicates
+    // and Or/Not ARE accepted since r14
     val df = spark.read.format("gseg").load(segDir)
-      .filter(col("l_returnflag") === "A" || col("l_quantity") > 100)
+      .filter(col("l_returnflag") <=> "A")
     val scan = df.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan
     }.get
-    assert(!scan.description().contains("Or("))
-    val expect = graft.Tables.lineitem(spark, sfDir)
-      .filter(col("l_returnflag") === "A" || col("l_quantity") > 100)
-      .count()
-    assert(df.count() === expect)
+    assert(!scan.description().contains("EqualNullSafe"))
+    assert(df.count() === graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") <=> "A").count())
+    // the newly accepted shapes stay CORRECT under acceptance
+    for (pred <- Seq(
+        col("l_returnflag").startsWith("A"),
+        col("l_returnflag") === "A" || col("l_quantity") > 45,
+        !(col("l_returnflag") === "A"),
+        col("l_returnflag") > "A" && col("l_returnflag") <= "R")) {
+      val got = spark.read.format("gseg").load(segDir)
+        .filter(pred).count()
+      val want = graft.Tables.lineitem(spark, sfDir).filter(pred).count()
+      assert(got === want, s"mismatch for $pred")
+    }
     val df2 = spark.read.format("gseg").load(segDir)
       .filter(col("l_returnflag").startsWith("A"))
     val scan2 = df2.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan
     }.get
     assert(scan2.description().contains("StringStartsWith"))
-    assert(df2.count() === graft.Tables.lineitem(spark, sfDir)
-      .filter(col("l_returnflag").startsWith("A")).count())
+  }
+
+  test("string zone maps prune files on a range-laid string column") {
+    import spark.implicits._
+    val dir = graft.Fs.fastTempDir("graft_strzone").toString
+    // 4 range files over an ASCII key: doc000..doc399
+    spark.range(0, 400)
+      .select($"id".as("k"), format_string("doc%03d", $"id").as("name"))
+      .repartitionByRange(4, $"name").sortWithinPartitions($"name")
+      .write.format("gseg").mode("overwrite").save(dir)
+    val files = SegSource.listSegments(dir)
+    assert(files.size == 4)
+    // every file carries exact string stats (pure ASCII, short)
+    files.foreach { f =>
+      val cm = SegSource.headerOf(f).cols.find(_.name == "name").get
+      assert(cm.minStr.isDefined && cm.maxStr.isDefined, s"no stats: $f")
+    }
+    val t = spark.read.format("gseg").load(dir)
+    def pruned[T](body: => T): (T, Long, Long) = {
+      graft.Counters.drain()
+      val r = body
+      val c = graft.Counters.drain()
+      (r, c.getOrElse("gseg_files_skipped", 0L),
+        c.getOrElse("gseg_files_total", 0L))
+    }
+    // point lookup: 3 of 4 files provably cannot hold doc123
+    val (n1, sk1, tot1) = pruned(t.filter($"name" === "doc123").count())
+    assert(n1 == 1)
+    assert(sk1 * 4 == tot1 * 3, s"skipped=$sk1 total=$tot1")
+    // range predicate prunes the low files
+    val (n2, sk2, _) = pruned(t.filter($"name" >= "doc350").count())
+    assert(n2 == 50 && sk2 > 0)
+    // PREFIX pruning: only the file covering doc2xx survives
+    val (n3, sk3, tot3) = pruned(t.filter($"name".startsWith("doc25")).count())
+    assert(n3 == 10)
+    assert(sk3 * 4 >= tot3 * 2, s"skipped=$sk3 total=$tot3")
+    // IN-list pruning across two files
+    val (n4, sk4, _) = pruned(
+      t.filter($"name".isin("doc001", "doc399")).count())
+    assert(n4 == 2 && sk4 > 0)
+    // non-ASCII columns emit NO stats and are never pruned wrongly
+    val dir2 = graft.Fs.fastTempDir("graft_strzone2").toString
+    spark.range(0, 10)
+      .select($"id".as("k"), concat(lit("é"), $"id".cast("string")).as("s"))
+      .coalesce(1).write.format("gseg").mode("overwrite").save(dir2)
+    val cm2 = SegSource.headerOf(SegSource.listSegments(dir2).head)
+      .cols.find(_.name == "s").get
+    assert(cm2.minStr.isEmpty && cm2.maxStr.isEmpty)
+    assert(spark.read.format("gseg").load(dir2)
+      .filter($"s" === "é3").count() == 1)
+  }
+
+  test("v2 segment headers (fixed stat layout) remain readable") {
+    val dir = graft.Fs.fastTempDir("graft_v2compat").toString
+    val f = s"$dir/legacy.gseg"
+    // hand-craft a v2 file: magic, version 2, 2 rows, 1 long column
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    o.write(Array[Byte]('G', 'S', 'E', 'G')); o.writeByte(2)
+    o.writeInt(2); o.writeInt(1)
+    val nm = "k".getBytes("UTF-8")
+    o.writeInt(nm.length); o.write(nm)
+    o.writeByte(0) // long
+    o.writeLong(1 + 16) // block bytes: 1 bitmap byte + 2 longs
+    o.writeLong(0) // nulls
+    o.writeByte(1); o.writeLong(7L); o.writeLong(9L) // v2 fixed stats
+    o.writeByte(0) // bitmap: no nulls
+    o.writeLong(7L); o.writeLong(9L)
+    o.flush()
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), bo.toByteArray)
+    val h = SegSource.headerOf(f)
+    assert(h.nRows == 2 && h.cols(0).hasStats &&
+      h.cols(0).minVal.contains(7L) && h.cols(0).maxVal.contains(9L))
+    val back = spark.read.format("gseg").load(dir)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 9L))
+    // zone maps on the legacy stats still prune
+    assert(back.filter(org.apache.spark.sql.functions.col("k") === 8).count() == 0)
   }
 
   test("streaming offset JSON round-trips any path through base64") {
