@@ -290,6 +290,7 @@ object SparkEntry {
     "s35_dsv2_partitioned" -> CoreOps.s35DsvPartitionedTable _,
     "s37_dsv2_multi_partitioned" -> CoreOps.s37DsvMultiPartitioned _,
     "s36_dsv2_changefeed_sql" -> CoreOps.s36DsvChangefeedSql _,
+    "s38_dsv2_string_prune" -> CoreOps.s38DsvStringPrune _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
@@ -1431,6 +1432,16 @@ object SparkEntry {
         |       CAST(MIN(g) AS BIGINT) AS min_gen,
         |       CAST(MAX(g) AS BIGINT) AS max_gen
         |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // STRING ZONE MAPS: the prefix aggregate over the name-range-laid
+    // table — the oracle is the plain LIKE aggregate; the
+    // file-pruning boolean is counter evidence pinned TRUE
+    "s38_dsv2_string_prune" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_bal,
+        |       MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+        |       TRUE AS string_zone_pruned
+        |FROM customer WHERE c_name LIKE 'Customer#0000001%'""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

@@ -3647,6 +3647,41 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
   }
 
+  /** DSv2 STRING ZONE MAPS [S38]: the r14 segment-v3 string stats at
+    * work — customers range-laid on the ASCII `c_name` key (8 files,
+    * each carrying exact untruncated min/max name bounds), then a
+    * PREFIX aggregate: `name LIKE 'Customer#0000001%'` spans one
+    * narrow slice of the name range, so the startsWith interval test
+    * (mx >= v ∧ mn's |v|-prefix <= v) proves most files cannot hold
+    * a match and they are never opened — the pruning that makes a
+    * point/prefix lookup on a 100 TB name-sorted dimension a
+    * few-file read instead of a table scan. `string_zone_pruned` is
+    * the counter evidence; the relational columns are the plain
+    * LIKE aggregate DuckDB recomputes. */
+  def s38DsvStringPrune(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml38")
+    import iso.implicits._
+    val dir = s"$wh/dml/t"
+    Tables.customer(iso, d)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+      .repartitionByRange(8, col("name")).sortWithinPartitions(col("name"))
+      .write.format("gseg").mode("overwrite").save(dir)
+    val t = iso.read.format("gseg").load(dir)
+    graft.Counters.drain()
+    val r = t.filter(col("name").startsWith("Customer#0000001"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("bal"))).cast(DoubleType).as("sum_bal"),
+        min(col("name")).as("min_name"), max(col("name")).as("max_name"))
+      .head()
+    val c = graft.Counters.drain()
+    val prunedFiles = c.getOrElse("gseg_files_skipped", 0L) > 0
+    Seq((r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3),
+      prunedFiles))
+      .toDF("n_rows", "sum_bal", "min_name", "max_name",
+        "string_zone_pruned")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)
