@@ -119,7 +119,12 @@ object Sf1Probe {
           graft.operators.CoreOps.s37DsvMultiPartitioned(s, d)),
         // the CDF stream gate slices user_id < 40 ⇒ constant cost
         "stream_gseg_cdf_parity" -> ((s, d) =>
-          graft.streaming.StreamGates.streamSegCdfParity(s, d)))
+          graft.streaming.StreamGates.streamSegCdfParity(s, d)),
+        // string zone maps: the prefix lookup must keep its skip
+        // RATIO as the name-range-laid table grows (files_total and
+        // jobs constant by layout; skipped tracks the prefix slice)
+        "s38_dsv2_string_prune" -> ((s, d) =>
+          graft.operators.CoreOps.s38DsvStringPrune(s, d)))
     // warm the JVM so the first timed row isn't cold JIT
     queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
