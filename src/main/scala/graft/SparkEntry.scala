@@ -291,6 +291,8 @@ object SparkEntry {
     "s37_dsv2_multi_partitioned" -> CoreOps.s37DsvMultiPartitioned _,
     "s36_dsv2_changefeed_sql" -> CoreOps.s36DsvChangefeedSql _,
     "s38_dsv2_string_prune" -> CoreOps.s38DsvStringPrune _,
+    "s39_dsv2_string_partitioned" -> CoreOps.s39DsvStringPartitioned _,
+    "s40_dsv2_bucketed_spj" -> CoreOps.s40DsvBucketedSpj _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
@@ -1442,6 +1444,27 @@ object SparkEntry {
         |       MIN(c_name) AS min_name, MAX(c_name) AS max_name,
         |       TRUE AS string_zone_pruned
         |FROM customer WHERE c_name LIKE 'Customer#0000001%'""".stripMargin,
+    // STRING-KEYED PARTITIONED BY: identity clustering on a STRING
+    // key (g = 'g' || 3-digit orderkey mod 24) — the DELETEd class is
+    // g007 = key ≡ 7 (mod 24); the spj booleans (zero-exchange before
+    // AND after DML) pinned TRUE
+    "s39_dsv2_string_partitioned" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE NOT (o_orderkey % 24 = 7)""".stripMargin,
+    // BUCKET CLUSTERING: bucket(16, key) fact⋈fact SPJ on the raw
+    // high-cardinality key; the DELETEd class is key ≡ 7 (mod 50);
+    // spj booleans pinned TRUE
+    "s40_dsv2_bucketed_spj" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE NOT (o_orderkey % 50 = 7)""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

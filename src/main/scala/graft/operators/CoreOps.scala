@@ -3682,6 +3682,111 @@ object CoreOps {
         "string_zone_pruned")
   }
 
+  /** DSv2 STRING-KEYED PARTITIONED BY [S39]: identity clustering on a
+    * STRING column — the declared-layout half of r14's string zone
+    * maps (s38 proved the read side with a manual range layout; this
+    * declares it). The keyed writer rolls one segment per key value
+    * (v3 ASCII string stats prove single-valuedness: min==max), the
+    * scan recovers KeyGroupedPartitioning(identity(g)) from those
+    * stats, and the catalog-native join on (g, orderkey) runs with
+    * ZERO exchanges — then a DELETE of one key class proves the
+    * layout survives copy-on-write DML, exactly the s35 contract at
+    * string type. At 100 TB this is the dimension-table case: real
+    * tables cluster on names/codes, not surrogate BIGINTs. */
+  def s39DsvStringPartitioned(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml39")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val gexp = concat(lit("g"),
+      lpad(pmod(col("o_orderkey"), lit(24L)).cast("string"), 3, "0"))
+    Tables.orders(iso, d)
+      .select(col("o_orderkey"), gexp.as("g"))
+      .createOrReplaceTempView("graft_p39_a")
+    Tables.lineitem(iso, d)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        concat(lit("g"), lpad(pmod(col("l_orderkey"), lit(24L))
+          .cast("string"), 3, "0")).as("g"))
+      .createOrReplaceTempView("graft_p39_b")
+    iso.sql("CREATE TABLE gseg_dml.dml.a USING gseg PARTITIONED BY (g) " +
+      "AS SELECT o_orderkey, g FROM graft_p39_a")
+    iso.sql("CREATE TABLE gseg_dml.dml.b USING gseg PARTITIONED BY (g) " +
+      "AS SELECT l_orderkey, l_extendedprice, g FROM graft_p39_b")
+    def joined = {
+      val a = iso.table("gseg_dml.dml.a")
+      val b = iso.table("gseg_dml.dml.b")
+      a.join(b, a("g") === b("g") && a("o_orderkey") === b("l_orderkey"))
+    }
+    def shuffleFree: Boolean =
+      joined.queryExecution.executedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }.exists(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty)
+    val preDml = shuffleFree
+    iso.sql("DELETE FROM gseg_dml.dml.a WHERE g = 'g007'")
+    val postDml = shuffleFree
+    val row = joined
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((row.getLong(0), row.getDouble(1), preDml, postDml))
+      .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
+  }
+
+  /** DSv2 BUCKET CLUSTERING [S40]: `PARTITIONED BY (bucket(16, key))`
+    * — the transform that makes fact⋈fact SPJ work on HIGH-CARDINALITY
+    * keys, where identity clustering would mint one partition per key
+    * (s18/s35/s37/s39 all join through low-cardinality mod/string
+    * classes). Both sides bucket their raw order key; the catalog's
+    * V2 `bucket` function ([[graft.sources.SegBucketFunction]]) is the
+    * ONE hash the write shuffle, the writer's per-segment bucket
+    * stamps (v4 headers) and the scan's KeyGroupedPartitioning
+    * recovery share, so the join on the raw key runs with ZERO
+    * exchanges — and survives a DELETE, the copy-on-write rewrite
+    * re-declaring the bucket distribution. At 100 TB: two bucketed
+    * fact tables join moving NOTHING, forever, across daily DML. */
+  def s40DsvBucketedSpj(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml40")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    Tables.orders(iso, d).select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_p40_a")
+    Tables.lineitem(iso, d).select(col("l_orderkey"), col("l_extendedprice"))
+      .createOrReplaceTempView("graft_p40_b")
+    iso.sql("CREATE TABLE gseg_dml.dml.a USING gseg " +
+      "PARTITIONED BY (bucket(16, o_orderkey)) " +
+      "AS SELECT o_orderkey, o_totalprice FROM graft_p40_a")
+    iso.sql("CREATE TABLE gseg_dml.dml.b USING gseg " +
+      "PARTITIONED BY (bucket(16, l_orderkey)) " +
+      "AS SELECT l_orderkey, l_extendedprice FROM graft_p40_b")
+    def joined = {
+      val a = iso.table("gseg_dml.dml.a")
+      val b = iso.table("gseg_dml.dml.b")
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+    }
+    def shuffleFree: Boolean =
+      joined.queryExecution.executedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }.exists(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty)
+    val preDml = shuffleFree
+    iso.sql("DELETE FROM gseg_dml.dml.a WHERE o_orderkey % 50 = 7")
+    val postDml = shuffleFree
+    val row = joined
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((row.getLong(0), row.getDouble(1), preDml, postDml))
+      .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -139,7 +139,10 @@ object SegCdf {
       opt: Option[String]): Seq[String] = {
     val keys = opt.map(SegSource.splitCols).getOrElse(
       SegMeta.read(java.nio.file.Paths.get(dir))
-        .map(_.clusterCols).getOrElse(Nil))
+        // the UNDERLYING columns: a bucket(n, col) layout keys CDC
+        // rows by col, not by its bucket id
+        .map(_.clusterCols.map(c => SegSource.ClusterKey.parse(c).col))
+        .getOrElse(Nil))
     require(keys.nonEmpty,
       s"gseg changefeed: no key columns — pass ${KeysOption}=col[,col] " +
         "or declare PARTITIONED BY on the table")
@@ -159,10 +162,95 @@ object SegCdf {
           "never committed, or retired by vacuum (raise keep_last / " +
           "older_than_ms, or vacuum less often)"))
 
+  /** Admission-control clamp for a stream's FIRST batch (no starting
+    * bound): the initial-snapshot batch pins the snapshot of the
+    * admitted offset, so that offset must be a RETAINED generation —
+    * `lo + m` blindly can land on a generation vacuum already retired
+    * (keep_last default is 1) and the stream would fail to start even
+    * though an uncapped stream on the same table starts fine from
+    * live (ADVICE r14). Picks the earliest retained generation at or
+    * above the cap (deep history still drains as bounded batches when
+    * older snapshots survive), falling back to live. */
+  private[sources] def clampInitialToRetained(dir: String,
+      capped: Long, live: Long): Long =
+    if (capped >= live || SegManifest.readSnapshot(dir, capped).isDefined)
+      capped
+    else SegManifest.listSnapshots(dir).map(_._1) // ascending
+      .find(_ >= capped).getOrElse(live)
+
+  /** The four `_change_type` values, for planning-time admissibility. */
+  private[sources] val AllTags =
+    Seq("insert", "delete", "update_preimage", "update_postimage")
+
+  /** Conservative planning-time check: can a row with metadata
+    * (`_commit_generation` = g, `_change_type` = tag) satisfy `f`?
+    * Data-column predicates and unknown shapes answer TRUE (the scan
+    * returns every filter as residual, so skipping is an optimization
+    * that must only fire on a provable no). */
+  private[sources] def mayMatchMeta(f: org.apache.spark.sql.sources.Filter,
+      g: Long, tag: String): Boolean = {
+    import org.apache.spark.sql.sources._
+    def genOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(CommitGenCol, v) => genOf(v).forall(_ == g)
+      case In(CommitGenCol, vs) => vs.exists(v => genOf(v).forall(_ == g))
+      case GreaterThan(CommitGenCol, v) => genOf(v).forall(g > _)
+      case GreaterThanOrEqual(CommitGenCol, v) => genOf(v).forall(g >= _)
+      case LessThan(CommitGenCol, v) => genOf(v).forall(g < _)
+      case LessThanOrEqual(CommitGenCol, v) => genOf(v).forall(g <= _)
+      case EqualTo(a, v: String) if a == SegChangeFeed.ChangeTypeCol =>
+        v == tag
+      case In(a, vs) if a == SegChangeFeed.ChangeTypeCol =>
+        vs.contains(tag)
+      case And(l, r) => mayMatchMeta(l, g, tag) && mayMatchMeta(r, g, tag)
+      case Or(l, r) => mayMatchMeta(l, g, tag) || mayMatchMeta(r, g, tag)
+      case _ => true
+    }
+  }
+
+  /** A pushed filter the planner can use: references only the two
+    * filterable metadata columns, in shapes [[mayMatchMeta]] judges. */
+  private[sources] def supportedCdfFilter(
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(CommitGenCol, _) | In(CommitGenCol, _) |
+           GreaterThan(CommitGenCol, _) | GreaterThanOrEqual(CommitGenCol, _) |
+           LessThan(CommitGenCol, _) | LessThanOrEqual(CommitGenCol, _) => true
+      case EqualTo(a, _) if a == SegChangeFeed.ChangeTypeCol => true
+      case In(a, _) if a == SegChangeFeed.ChangeTypeCol => true
+      case And(l, r) => supportedCdfFilter(l) && supportedCdfFilter(r)
+      case Or(l, r) => supportedCdfFilter(l) && supportedCdfFilter(r)
+      case _ => false
+    }
+  }
+
+  /** Output mapping for a PRUNED read: per required field, the table
+    * ordinal (Left, into `cols`) or the metadata code (Right: 0 =
+    * `_change_type`, 1 = `_commit_generation`, 2 = `_commit_timestamp`). */
+  private[sources] def outMapping(cols: StructType, required: StructType)
+      : Array[Either[Int, Int]] =
+    required.fields.map { f =>
+      f.name match {
+        case n if n == SegChangeFeed.ChangeTypeCol => Right(0)
+        case CommitGenCol => Right(1)
+        case CommitTsCol => Right(2)
+        case n => Left(cols.fieldIndex(n))
+      }
+    }
+
   /** Partitions for ONE generation step (g-1 → g): the per-commit
-    * row diff. Append commits take the no-join fast path. */
+    * row diff. Append commits take the no-join fast path; `tagOk`
+    * (from the pushed `_change_type`/generation filters) skips whole
+    * append steps a delete-only consumer never needs. */
   private[sources] def stepPartitions(dir: String, g: Long,
-      buckets: Int): Seq[InputPartition] = {
+      buckets: Int, tagOk: String => Boolean = _ => true)
+      : Seq[InputPartition] = {
     val cur = genNames(dir, g).toSet
     // generation 0's "changes" are its creation: a diff against empty
     val prev = if (g == 0) Set.empty[String] else genNames(dir, g - 1).toSet
@@ -170,9 +258,19 @@ object SegCdf {
     val added = (cur -- prev).toSeq.sorted.map(n => s"$dir/$n")
     val us = commitUsOf(dir, g)
     if (removed.isEmpty) {
+      if (!tagOk("insert")) {
+        // an APPEND step emits ONLY inserts: a consumer whose pushed
+        // filters exclude inserts at this generation never opens it
+        graft.Counters.add("gseg_cdf_steps_skipped", 1L)
+        return Nil
+      }
       graft.Counters.add("gseg_cdf_append_files", added.size.toLong)
       added.map(f => SegCdfAppendPartition(f, g, us))
     } else {
+      if (!AllTags.exists(tagOk)) {
+        graft.Counters.add("gseg_cdf_steps_skipped", 1L)
+        return Nil
+      }
       graft.Counters.add("gseg_cdf_diff_files",
         (removed.size + added.size).toLong)
       graft.Counters.add("gseg_cdf_diff_steps", 1L)
@@ -196,28 +294,57 @@ case class SegCdfDiffPartition(removed: Seq[String], added: Seq[String],
     gen: Long, bucket: Int, nBuckets: Int, commitUs: Long)
   extends InputPartition
 
-case class SegCdfReaderFactory(table: StructType, keyCols: Seq[String])
+/** `required` is the PRUNED output schema (any subset/order of table
+  * columns + the three metadata columns); `pushed` the accepted
+  * metadata filters — readers use them to SKIP work (insert readers
+  * prune the segment read to the requested table columns; diff
+  * readers skip materializing non-requested change classes), and
+  * Spark re-checks every filter post-scan (all are returned as
+  * residual), so under-emission is the only effect. */
+case class SegCdfReaderFactory(table: StructType, keyCols: Seq[String],
+    required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case SegCdfAppendPartition(f, g, us) =>
-        new SegCdfInsertReader(f, table, g, us)
+        new SegCdfInsertReader(f, table, required, g, us)
       case SegCdfInitialPartition(f, g, us) =>
-        new SegCdfInsertReader(f, table, g, us)
-      case d: SegCdfDiffPartition => new SegCdfDiffReader(d, table, keyCols)
+        new SegCdfInsertReader(f, table, required, g, us)
+      case d: SegCdfDiffPartition =>
+        new SegCdfDiffReader(d, table, keyCols, required,
+          tag => pushed.forall(SegCdf.mayMatchMeta(_, d.gen, tag)))
     }
 }
 
-/** Tags every row of one segment `insert` at generation `gen`. */
-class SegCdfInsertReader(file: String, table: StructType, gen: Long,
-    commitUs: Long)
+/** Tags every row of one segment `insert` at generation `gen` —
+  * reading ONLY the requested table columns (the segment reader seeks
+  * past pruned blocks, so a 3-of-40-column CDF consumer pays 3
+  * columns' bytes on the dominant insert path). */
+class SegCdfInsertReader(file: String, table: StructType,
+    required: StructType, gen: Long, commitUs: Long)
     extends PartitionReader[InternalRow] {
-  private val inner = new SegPartitionReader(file, table, Array.empty)
-  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-  private val suffix = new GenericInternalRow(
-    Array[Any](UTF8String.fromString("insert"), gen, commitUs))
+  private val tableReq = StructType(required.fields.filter(f =>
+    table.fieldNames.contains(f.name)))
+  private val inner = new SegPartitionReader(file, tableReq, Array.empty)
+  private val mapping = SegCdf.outMapping(tableReq, required)
+  private val meta: Array[Any] =
+    Array[Any](UTF8String.fromString("insert"), gen, commitUs)
   override def next(): Boolean = inner.next()
-  override def get(): InternalRow = joined(inner.get(), suffix)
+  override def get(): InternalRow = {
+    val r = inner.get()
+    val a = new Array[Any](mapping.length)
+    var i = 0
+    while (i < mapping.length) {
+      a(i) = mapping(i) match {
+        case Left(ti) =>
+          if (r.isNullAt(ti)) null else r.get(ti, tableReq(ti).dataType)
+        case Right(m) => meta(m)
+      }
+      i += 1
+    }
+    new GenericInternalRow(a)
+  }
   override def close(): Unit = inner.close()
 }
 
@@ -227,9 +354,19 @@ class SegCdfInsertReader(file: String, table: StructType, gen: Long,
   * table); rows per key match as a multiset queue, so a violated
   * uniqueness contract degrades to delete+insert instead of wrong
   * pairings. Unchanged rewrite-carried rows (key matched, payload
-  * equal) emit NOTHING — the changefeed contract. */
+  * equal) emit NOTHING — the changefeed contract.
+  *
+  * Pruning honesty: the diff CLASSIFIES by full-row payload equality,
+  * so its reads stay FULL-WIDTH regardless of projection (pruning the
+  * comparison would misreport a row changed only in unprojected
+  * columns as carried). What pruning does buy here: the OUTPUT rows
+  * carry only the requested columns, and change classes the pushed
+  * filters exclude (`tagOk`) are never materialized — a delete-only
+  * consumer builds no update pairs. The full-width cost is bounded by
+  * the commit's churn, never the table. */
 class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
-    keyCols: Seq[String]) extends PartitionReader[InternalRow] {
+    keyCols: Seq[String], required: StructType,
+    tagOk: String => Boolean) extends PartitionReader[InternalRow] {
   private val keyIdx = keyCols.map(table.fieldIndex)
   private val nonKeyIdx =
     table.fieldNames.indices.filterNot(keyIdx.contains)
@@ -237,6 +374,14 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
   private def keyOf(r: InternalRow): Seq[Any] =
     keyIdx.map(i => if (r.isNullAt(i)) null
       else r.get(i, table(i).dataType))
+  // SUPPORTED-TYPES INVARIANT: bucketing by Seq[Any].hashCode and
+  // pairing payloads with == is correct for every type gseg stores
+  // today — Long/Int/Double/Boolean and UTF8String (value-based
+  // hashCode/equals), timestamps/dates as their Long/Int internals.
+  // A future ARRAY-backed internal type (BinaryType → Array[Byte])
+  // would silently break BOTH (array hashCode/equality are
+  // identity-based); extend [[SegSource.tag]] only together with this
+  // reader (r14 VERDICT hygiene item).
   private def inBucket(k: Seq[Any]): Boolean =
     java.lang.Math.floorMod(k.hashCode, p.nBuckets) == p.bucket
   private def copyOf(r: InternalRow): InternalRow = {
@@ -255,35 +400,50 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
       if (av == null) bv == null else av == bv
     }
 
+  /** Rows of `files`, one reader at a time. `hasNext` is IDEMPOTENT
+    * (buffered lookahead — `r.next()` advances the reader, so a naive
+    * wrapper would skip a row per double-check) and the reader closes
+    * as soon as its file drains (ADVICE r14). */
   private def rowsOf(files: Seq[String]): Iterator[InternalRow] =
     files.iterator.flatMap { f =>
       val r = new SegPartitionReader(f, table, Array.empty)
       new Iterator[InternalRow] {
+        private var pending: InternalRow = _
         private var closed = false
         def hasNext: Boolean = {
+          if (pending != null) return true
           if (closed) return false
-          val h = r.next()
-          if (!h) { r.close(); closed = true }
-          h
+          if (r.next()) { pending = r.get(); true }
+          else { r.close(); closed = true; false }
         }
-        def next(): InternalRow = r.get()
+        def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException(f)
+          val out = pending
+          pending = null
+          out
+        }
       }
     }
 
+  private val mapping = SegCdf.outMapping(table, required)
   private def out(r: InternalRow, tag: String): InternalRow = {
-    val a = new Array[Any](table.length + 3)
+    val a = new Array[Any](mapping.length)
     var i = 0
-    while (i < table.length) {
-      a(i) = if (r.isNullAt(i)) null else r.get(i, table(i).dataType)
+    while (i < mapping.length) {
+      a(i) = mapping(i) match {
+        case Left(ti) =>
+          if (r.isNullAt(ti)) null else r.get(ti, table(ti).dataType)
+        case Right(0) => UTF8String.fromString(tag)
+        case Right(1) => p.gen
+        case Right(_) => p.commitUs
+      }
       i += 1
     }
-    a(table.length) = UTF8String.fromString(tag)
-    a(table.length + 1) = p.gen
-    a(table.length + 2) = p.commitUs
     new GenericInternalRow(a)
   }
 
-  // the diff, materialized per bucket (bounded by churn/buckets)
+  // the diff, materialized per bucket (bounded by churn/buckets);
+  // non-requested change classes are never materialized (tagOk)
   private val it: Iterator[InternalRow] = {
     val pre = new scala.collection.mutable.HashMap[
       Seq[Any], scala.collection.mutable.Queue[InternalRow]]()
@@ -293,20 +453,24 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
         pre.getOrElseUpdate(k, scala.collection.mutable.Queue.empty)
           .enqueue(copyOf(r))
     }
+    val wantIns = tagOk("insert")
+    val wantPre = tagOk("update_preimage")
+    val wantPost = tagOk("update_postimage")
+    val wantDel = tagOk("delete")
     val changes = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     rowsOf(p.added).foreach { r =>
       val k = keyOf(r)
       if (inBucket(k)) pre.get(k).flatMap(q =>
           if (q.isEmpty) None else Some(q.dequeue())) match {
-        case None => changes += out(r, "insert")
+        case None => if (wantIns) changes += out(r, "insert")
         case Some(old) =>
-          if (!payloadEq(old, r)) {
-            changes += out(old, "update_preimage")
-            changes += out(r, "update_postimage")
+          if ((wantPre || wantPost) && !payloadEq(old, r)) {
+            if (wantPre) changes += out(old, "update_preimage")
+            if (wantPost) changes += out(r, "update_postimage")
           } // equal: the rewrite carried the row — no change
       }
     }
-    pre.valuesIterator.foreach(q =>
+    if (wantDel) pre.valuesIterator.foreach(q =>
       q.foreach(old => changes += out(old, "delete")))
     changes.iterator
   }
@@ -331,7 +495,34 @@ class SegCdfTable(table: StructType, path: String)
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
-      : ScanBuilder = new ScanBuilder {
+      : ScanBuilder = new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    private var required: StructType = SegCdf.outputSchema(table)
+    private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty
+
+    /** A consumer selecting 3 of 40 columns reads 3 columns' bytes on
+      * every insert path (the diff path stays full-width for
+      * classification — see [[SegCdfDiffReader]]). */
+    override def pruneColumns(req: StructType): Unit = required = req
+
+    /** Accept `_change_type` (=/IN) and `_commit_generation`
+      * (=/IN/ranges) shapes; return EVERYTHING as residual (the
+      * parquet contract: Spark re-checks, skipping is never a
+      * correctness dependency). Planning skips whole generations the
+      * generation filters exclude and whole APPEND steps an
+      * insert-excluding filter makes irrelevant; diff readers skip
+      * materializing excluded classes. */
+    override def pushFilters(
+        filters: Array[org.apache.spark.sql.sources.Filter])
+        : Array[org.apache.spark.sql.sources.Filter] = {
+      pushed = filters.filter(SegCdf.supportedCdfFilter)
+      filters
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+      pushed
+
     override def build(): Scan = {
       val keys = SegCdf.resolveKeys(path, table,
         Option(options.get(SegCdf.KeysOption)))
@@ -342,19 +533,26 @@ class SegCdfTable(table: StructType, path: String)
         Option(options.get(SegCdf.ToTimestampOption)))
       new SegCdfScan(path, table, keys, from, to,
         math.max(1, options.getInt(SegCdf.BucketsOption, 8)),
-        Option(options.get(SegCdf.MaxGensPerTriggerOption)).map(_.toLong))
+        Option(options.get(SegCdf.MaxGensPerTriggerOption)).map(_.toLong),
+        required, pushed)
     }
   }
 }
 
 case class SegCdfScan(path: String, table: StructType,
     keyCols: Seq[String], fromGen: Option[Long], toGen: Option[Long],
-    buckets: Int, maxGensPerTrigger: Option[Long] = None)
+    buckets: Int, maxGensPerTrigger: Option[Long] = None,
+    required: StructType = null,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
-  override def readSchema(): StructType = SegCdf.outputSchema(table)
+  private def requiredEff: StructType =
+    Option(required).getOrElse(SegCdf.outputSchema(table))
+  override def readSchema(): StructType = requiredEff
   override def description(): String =
     s"gseg cdf path=$path keys=[${keyCols.mkString(",")}] " +
-      s"from=$fromGen to=$toGen buckets=$buckets"
+      s"from=$fromGen to=$toGen buckets=$buckets " +
+      s"ReadColumns=[${requiredEff.fieldNames.mkString(",")}] " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
 
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
@@ -366,11 +564,19 @@ case class SegCdfScan(path: String, table: StructType,
         s"gseg changefeed: no generation manifest at $path"))
     require(from >= 0 && from <= to,
       s"gseg changefeed: bad generation range [$from, $to]")
-    (from to to).flatMap(g =>
-      SegCdf.stepPartitions(path, g, buckets)).toArray
+    (from to to).flatMap { g =>
+      def tagOk(tag: String): Boolean =
+        pushed.forall(SegCdf.mayMatchMeta(_, g, tag))
+      if (!SegCdf.AllTags.exists(tagOk)) {
+        // the pushed generation filters exclude this commit whole:
+        // its snapshots are never even listed
+        graft.Counters.add("gseg_cdf_gens_skipped", 1L)
+        Nil
+      } else SegCdf.stepPartitions(path, g, buckets, tagOk)
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    SegCdfReaderFactory(table, keyCols)
+    SegCdfReaderFactory(table, keyCols, requiredEff, pushed)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -406,8 +612,14 @@ class SegCdfMicroBatchStream(path: String, table: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val live = SegManifest.read(path).map(_._1).getOrElse(-1L)
     val lo = start.asInstanceOf[SegGenOffset].gen
-    SegGenOffset(maxGensPerTrigger
-      .map(m => math.min(live, lo + math.max(1L, m))).getOrElse(live))
+    val capped = maxGensPerTrigger
+      .map(m => math.min(live, lo + math.max(1L, m))).getOrElse(live)
+    // the first batch under a cap pins an initial SNAPSHOT — clamp
+    // its offset to a retained generation (ADVICE r14)
+    SegGenOffset(
+      if (lo < 0 && startingGen.isEmpty && capped < live)
+        SegCdf.clampInitialToRetained(path, capped, live)
+      else capped)
   }
   override def reportLatestOffset(): Offset = latestOffset()
 
@@ -448,6 +660,8 @@ class SegCdfMicroBatchStream(path: String, table: StructType,
       (lo + 1 to hi).flatMap(g =>
         SegCdf.stepPartitions(path, g, buckets)).toArray
   }
+  // streaming reads get no pushdown from Spark (V2ScanRelationPushDown
+  // is batch-only): full output schema, no filters
   override def createReaderFactory(): PartitionReaderFactory =
-    SegCdfReaderFactory(table, keyCols)
+    SegCdfReaderFactory(table, keyCols, SegCdf.outputSchema(table))
 }

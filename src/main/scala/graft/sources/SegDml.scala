@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL DML for the gseg connector: a directory-backed [[TableCatalog]]
@@ -46,9 +46,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class SegCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var warehouse: String = _
+
+  /** FunctionCatalog: the `bucket` V2 function both the write-side
+    * clustered distribution and the read-side KeyGroupedPartitioning
+    * resolve `bucket(n, col)` transforms through ([[SegBucketUnbound]]
+    * — one hash definition across shuffle, writer and scan). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name match {
+      case "bucket" => new SegBucketUnbound
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -81,30 +96,45 @@ class SegCatalog extends TableCatalog
   // declared clustering column) lives in the unified atomic sidecar —
   // see [[SegMeta]]
 
-  /** `PARTITIONED BY` → the catalog-declared clustering columns:
-    * one or more IDENTITY transforms over existing BIGINT columns
-    * (the storage-partitioned-join layout the keyed writer rolls and
-    * the scan recovers — LongType is the HasPartitionKey constraint
-    * the header-stats recovery normalizes through; a multi-column
-    * declaration forms a COMPOSITE key, one partition per distinct
-    * tuple). Anything else is rejected loudly rather than silently
-    * ignored. */
+  /** `PARTITIONED BY` → the catalog-declared clustering keys:
+    *  - IDENTITY transforms over BIGINT/INT/STRING/DATE/TIMESTAMP
+    *    columns (one partition per distinct value — the layout the
+    *    keyed writer rolls and the scan recovers from header stats;
+    *    string keys recover through the v3 ASCII-exact string zone
+    *    stats, so a non-ASCII or >48-byte key value degrades the scan
+    *    to unknown partitioning — never wrong, only shuffled);
+    *  - `bucket(n, col)` transforms for HIGH-CARDINALITY keys (one
+    *    partition per hash bucket — fact⋈fact SPJ without enumerating
+    *    the key domain; the writer stamps each segment's bucket id
+    *    into the v4 header, the scan reports
+    *    KeyGroupedPartitioning(bucket(n, col)), and [[SegCatalog]]
+    *    serves the `bucket` V2 function Spark resolves it through).
+    * A multi-transform declaration forms a COMPOSITE key. Anything
+    * else is rejected loudly rather than silently ignored. */
   private def clusterOf(partitions: Array[Transform],
       schema: StructType): Seq[String] = {
     if (partitions == null || partitions.isEmpty) return Nil
     val cols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
-        t.references()(0).fieldNames.length == 1,
-        s"gseg: unsupported partition transform $t (identity only)")
-      val c = t.references()(0).fieldNames()(0)
-      require(schema.fields.exists(f => f.name == c &&
-        f.dataType == org.apache.spark.sql.types.LongType),
-        s"gseg: PARTITIONED BY column '$c' must be an existing BIGINT " +
-          "column (identity clustering)")
-      c
+      val spec = SegSource.ClusterKey.ofTransform(t)
+      val c = spec.col
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"gseg: PARTITIONED BY column '$c' is not in the schema"))
+      if (spec.buckets.isEmpty)
+        require(SegSource.identityClusterType(f.dataType),
+          s"gseg: PARTITIONED BY column '$c' must be " +
+            "BIGINT/INT/STRING/DATE/TIMESTAMP (identity clustering), " +
+            s"got ${f.dataType.simpleString}")
+      else
+        require(SegSource.bucketClusterType(f.dataType),
+          s"gseg: bucket(n, $c) needs a " +
+            "BIGINT/INT/STRING/DATE/TIMESTAMP column, " +
+            s"got ${f.dataType.simpleString}")
+      spec.render
     }
-    require(cols.distinct.size == cols.size,
-      s"gseg: duplicate PARTITIONED BY column in ${cols.mkString(",")}")
+    val names = cols.map(SegSource.ClusterKey.parse(_).col)
+    require(names.distinct.size == names.size,
+      s"gseg: duplicate PARTITIONED BY column in ${names.mkString(",")}")
     cols
   }
 
@@ -293,7 +323,8 @@ class SegCatalog extends TableCatalog
           m
         } else {
           require(m.schema.length > 1, "gseg: cannot drop the last column")
-          require(!m.clusterCols.contains(colName),
+          require(!m.clusterCols.exists(spec =>
+            SegSource.ClusterKey.parse(spec).col == colName),
             s"gseg: cannot drop the clustering column '$colName' " +
               "(PARTITIONED BY) — the table's layout is keyed on it")
           m.copy(
@@ -329,9 +360,36 @@ class SegCatalog extends TableCatalog
           aliases = (m.aliases - oldName) +
             (newName -> (oldName +: m.aliases.getOrElse(oldName, Nil))),
           // a renamed clustering column keeps clustering (the layout
-          // recovery resolves the alias like every other read)
+          // recovery resolves the alias like every other read);
+          // bucket(n, col) specs rename their inner column
           clusterCols = m.clusterCols.map(c =>
-            if (c == oldName) newName else c))
+            SegSource.ClusterKey.parse(c).renamed(oldName, newName).render))
+      // ALTER COLUMN TYPE — WIDENING only (INT -> BIGINT): pure
+      // metadata, no segment rewritten. Old segments keep their int
+      // blocks; the reader promotes stored-int to the current long at
+      // the single decode seam (SegPartitionReader), header aggs at
+      // theirs, and zone maps already compare cross-type through
+      // BigDecimal. VERSION AS OF a pre-widen generation serves INT
+      // (the v3 schema pins). Narrowing, cross-family casts, and
+      // widening a CLUSTERING column (mixed-type partition keys would
+      // poison the reported layout) are rejected loudly.
+      case (m, upd: TableChange.UpdateColumnType) =>
+        val colName = singleName(upd.fieldNames, "ALTER COLUMN TYPE")
+        val f = m.schema.fields.find(_.name == colName).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg: no column '$colName' to alter"))
+        require(!m.clusterCols.exists(spec =>
+          SegSource.ClusterKey.parse(spec).col == colName),
+          s"gseg: cannot change the type of clustering column " +
+            s"'$colName' — recreate the table to re-key its layout")
+        (f.dataType, upd.newDataType()) match {
+          case (IntegerType, LongType) =>
+            m.copy(schema = StructType(m.schema.fields.map(x =>
+              if (x.name == colName) x.copy(dataType = LongType) else x)))
+          case (from, to) => throw new UnsupportedOperationException(
+            s"gseg: ALTER COLUMN TYPE supports widening INT -> BIGINT " +
+              s"only, got ${from.simpleString} -> ${to.simpleString}")
+        }
       case (_, other) => throw new UnsupportedOperationException(
         s"gseg: ALTER TABLE change $other")
     }
@@ -357,8 +415,11 @@ class SegCatalog extends TableCatalog
     * leaves no table (the non-staging fallback would strand an empty
     * created table). Schema-evolution metadata resets on REPLACE
     * (fresh tombstones/aliases — it is logically a new table);
-    * retained generations read under the new schema, the documented
-    * versions-data-not-schema trade. */
+    * retained PRE-REPLACE generations keep reading under the schema
+    * PINNED in their v3 snapshots (as-of-schema time travel — the
+    * staged metadata rides into the swap via metaOverride, and
+    * SegDmlSpec's as-of-schema case proves the replaced generation
+    * serves its old columns). */
   private def stageWrite(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       replace: Option[Boolean]): org.apache.spark.sql.connector.catalog.StagedTable = {
@@ -555,7 +616,7 @@ class SegStagedTable(tschema: StructType, dir: java.nio.file.Path,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(tmp.toString, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption))
-        .map(SegSource.splitCols).getOrElse(clusterCols))
+        .map(SegSource.splitClusterSpecs).getOrElse(clusterCols))
 
   override def commitStagedChanges(): Unit = {
     val gen = java.util.UUID.randomUUID.toString.take(8)
@@ -925,7 +986,15 @@ class SegCompactProcedure(cat: SegCatalog)
           org.apache.spark.sql.types.IntegerType)
           .defaultValue("1").build(),
         ProcedureParameter.in("sort_by", StringType)
-          .defaultValue("CAST(NULL AS STRING)").build())
+          .defaultValue("CAST(NULL AS STRING)").build(),
+        // SIZE-AWARE policy: rewrite ONLY segments smaller than this
+        // byte threshold, leave big files SHARED between generations —
+        // what keeps a continuously-appended table's file count
+        // bounded without rewriting the table (copy-on-write stays
+        // cheap as the table ages)
+        ProcedureParameter.in("target_bytes",
+          org.apache.spark.sql.types.LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build())
       override def isDeterministic: Boolean = false
 
       private val outSchema = StructType(Seq(
@@ -943,6 +1012,11 @@ class SegCompactProcedure(cat: SegCatalog)
         val sortBy =
           if (input.numFields < 3 || input.isNullAt(2)) None
           else Some(input.getUTF8String(2).toString)
+        val targetBytes =
+          if (input.numFields < 4 || input.isNullAt(3)) None
+          else Some(input.getLong(3))
+        targetBytes.foreach(tb => require(tb > 0,
+          s"gseg compact: target_bytes $tb <= 0"))
         val parts = tbl.split('.')
         require(parts.nonEmpty && parts.forall(_.nonEmpty),
           s"gseg compact: bad table identifier '$tbl'")
@@ -952,19 +1026,38 @@ class SegCompactProcedure(cat: SegCatalog)
         // a PARTITIONED BY table compacts CLUSTERED by default — an
         // unqualified CALL compact must not quietly destroy the
         // layout the table declared
-        val sortByEff: Seq[String] = sortBy.map(SegSource.splitCols)
+        val sortByEff: Seq[String] = sortBy.map(SegSource.splitClusterSpecs)
           .getOrElse(SegMeta.read(dir).map(_.clusterCols).getOrElse(Nil))
-        sortByEff.foreach(c => require(schema.fieldNames.contains(c),
+        sortByEff.foreach(c => require(schema.fieldNames.contains(
+          SegSource.ClusterKey.parse(c).col),
           s"gseg compact: sort_by column '$c' is not in the schema"))
         val liveGen = SegManifest.read(dir.toString).map(_._1)
         val live = SegSource.resolveSegments(dir.toString)
+        // size-aware selection: only segments under the byte threshold
+        // rewrite; the rest stay SHARED (their names survive the swap
+        // untouched — at 100 TB the difference between a bounded
+        // maintenance pass and a weekly table copy)
+        val (toRewrite, shared) = targetBytes match {
+          case Some(tb) => live.partition(f =>
+            Files.size(Paths.get(f)) < tb)
+          case None => (live, Nil)
+        }
+        graft.Counters.add("gseg_compact_rewritten", toRewrite.size.toLong)
+        graft.Counters.add("gseg_compact_shared", shared.size.toLong)
         val after =
-          if (live.size <= target && sortByEff.isEmpty) live.size.toLong
+          if ((targetBytes.isDefined && toRewrite.size <= 1) ||
+              (targetBytes.isEmpty && live.size <= target &&
+                sortByEff.isEmpty))
+            live.size.toLong // nothing worth merging: no-op, no commit
           else {
             val spark = org.apache.spark.sql.SparkSession.active
             val tmp = Files.createTempDirectory(dir, ".compact-tmp-")
             try {
-              val src = spark.read.format("gseg").schema(schema)
+              val reader = spark.read.format("gseg").schema(schema)
+              val src = (if (targetBytes.isEmpty) reader
+                else reader.option(SegSource.PinnedFilesOption,
+                  toRewrite.map(f => Paths.get(f).getFileName.toString)
+                    .mkString(",")))
                 .load(dir.toString)
               sortByEff match {
                 case Nil =>
@@ -992,9 +1085,11 @@ class SegCompactProcedure(cat: SegCatalog)
                     StandardCopyOption.REPLACE_EXISTING)
                   name
                 }
-              SegManifest.swap(dir.toString, newNames,
+              val sharedNames =
+                shared.map(f => Paths.get(f).getFileName.toString)
+              SegManifest.swap(dir.toString, sharedNames ++ newNames,
                 expectGen = Some(liveGen))
-              newNames.size.toLong
+              (sharedNames.size + newNames.size).toLong
             } finally graft.Fs.deleteRecursively(tmp)
           }
         val row = new org.apache.spark.sql.catalyst.expressions
@@ -1214,15 +1309,19 @@ class SegReplaceDataWrite(path: String, schema: StructType,
         .Distributions.unspecified()
     else org.apache.spark.sql.connector.distributions.Distributions.clustered(
       clusterCols.map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        SegSource.ClusterKey.parse(c).toV2
           : org.apache.spark.sql.connector.expressions.Expression).toArray)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    clusterCols.map(c =>
+    clusterCols.map { c =>
+      val k = SegSource.ClusterKey.parse(c)
       org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        if (k.buckets.isEmpty)
+          org.apache.spark.sql.connector.expressions.Expressions.column(k.col)
+        else k.toV2,
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-        : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+        : org.apache.spark.sql.connector.expressions.SortOrder
+    }.toArray
 
   /** Spark 4's group-based rewrite PREPENDS an operation-code column
     * (RowDeltaUtils.OPERATION_COLUMN, `__row_operation`) to the

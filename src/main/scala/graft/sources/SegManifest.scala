@@ -113,7 +113,14 @@ object SegManifest {
 
   private def lockPath(dir: String): Path = Paths.get(dir).resolve(LockFile)
 
-  private def acquireProcessLock(dir: String): Unit = {
+  /** Returns the TOKEN this acquisition wrote — [[releaseProcessLock]]
+    * deletes the lock only while it still holds that token, so a
+    * holder stalled past [[lockExpiryMs]] (GC pause, NFS stall) whose
+    * lock was expired and re-taken by another committer cannot, on
+    * release, delete the NEW holder's lock and let a third committer
+    * enter mid-swap (ADVICE r14) — the expiry race stays bounded to
+    * the one documented delete+create window. */
+  private[sources] def acquireProcessLock(dir: String): String = {
     val lock = lockPath(dir)
     Files.createDirectories(Paths.get(dir))
     val token = s"${System.currentTimeMillis} ${java.util.UUID.randomUUID}"
@@ -122,7 +129,7 @@ object SegManifest {
       try {
         Files.write(lock, token.getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        return
+        return token
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale =
@@ -143,9 +150,18 @@ object SegManifest {
           else Thread.sleep(5)
       }
     }
+    throw new IllegalStateException("unreachable") // loop returns or throws
   }
-  private def releaseProcessLock(dir: String): Unit =
-    Files.deleteIfExists(lockPath(dir))
+  /** Delete the lock ONLY while it still carries `token` — if another
+    * process already expired and re-took it, the lock is theirs now;
+    * deleting it would reopen the swap window they hold. */
+  private[sources] def releaseProcessLock(dir: String, token: String): Unit = {
+    val lock = lockPath(dir)
+    val mine =
+      try new String(Files.readAllBytes(lock), UTF_8).trim == token
+      catch { case _: Exception => false } // gone or unreadable: not ours
+    if (mine) Files.deleteIfExists(lock)
+  }
 
   def manifestPath(dir: String): Path = Paths.get(dir).resolve(FileName)
   def exists(dir: String): Boolean = Files.exists(manifestPath(dir))
@@ -226,9 +242,9 @@ object SegManifest {
       n.nonEmpty && !n.exists(c => c == '\n' || c == '\r' || c == '/'),
       s"gseg: segment name breaks manifest framing: '$n'"))
     lockFor(dir).synchronized {
-      acquireProcessLock(dir)
+      val token = acquireProcessLock(dir)
       try swapLocked(dir, names, expectGen, metaOverride)
-      finally releaseProcessLock(dir)
+      finally releaseProcessLock(dir, token)
     }
   }
 
@@ -420,13 +436,21 @@ object SegManifest {
     olderThanMs.foreach(h => require(h >= 0,
       s"gseg vacuum: older_than_ms $h < 0"))
     lockFor(dir).synchronized {
-      val live = readManifest(dir) match {
-        case Some(m) => m
-        case None => return Nil
-      }
-      acquireProcessLock(dir)
-      try vacuumLocked(dir, keepLast, olderThanMs, live, dryRun)
-      finally releaseProcessLock(dir)
+      if (readManifest(dir).isEmpty) return Nil // path-based dir: no-op
+      // lock FIRST, then read the manifest INSIDE it (mirroring
+      // swap/swapLocked): a foreign-process commit landing between a
+      // pre-lock read and the lock would make the just-committed
+      // generation look phantom — its snapshot doomed (gen > stale
+      // live) and its fresh files outside protectedNames — and vacuum
+      // would delete live, committed data (ADVICE r14)
+      val token = acquireProcessLock(dir)
+      try {
+        val live = readManifest(dir) match {
+          case Some(m) => m
+          case None => return Nil
+        }
+        vacuumLocked(dir, keepLast, olderThanMs, live, dryRun)
+      } finally releaseProcessLock(dir, token)
     }
   }
 

@@ -137,10 +137,202 @@ object SegSource {
     * Java UTF-16 order and Spark's UTF8String binary order all AGREE
     * for any filter value, so file pruning can never disagree with
     * row-grain or engine semantics (the parquet signed-vs-unsigned
-    * string-stats lesson). v2 files (fixed 16-byte stat layout)
-    * remain readable. */
-  private[sources] val Version: Byte = 3
+    * string-stats lesson).
+    *
+    * v4 adds two header-resident metadata surfaces (both optional,
+    * both read back as absent from v2/v3 files — old files keep old
+    * guarantees, never a refusal to read):
+    *  - FILE PROPERTIES: a small string KV map after the row/col
+    *    counts. The bucket-clustered writer stamps
+    *    `bucket.<col> = <n>:<id>` per segment — the self-describing
+    *    declaration the scan recovers `bucket(n, col)` layouts from
+    *    (min/max stats cannot prove single-bucketness the way
+    *    min==max proves single-valuedness: a bucket's members are
+    *    scattered across the value domain).
+    *  - PER-COLUMN NDV SKETCH: a dense HyperLogLog register array
+    *    (p=10, 1 KiB) per eligible column, built from the writer's
+    *    own 64-bit cell hashes. Registers MERGE by elementwise max,
+    *    so planning can estimate table-level distinct counts from
+    *    headers alone ([[SegScan.estimateStatistics]] → CBO join
+    *    sizing) at any file count — the property a single stored
+    *    estimate could never give. ~3% relative error at p=10. */
+  private[sources] val Version: Byte = 4
 
+  // ---------------- clustering keys ----------------
+
+  /** One declared clustering key: `identity(col)` (buckets = None) or
+    * `bucket(n, col)`. Rendered/parsed as the sidecar's string form
+    * (`"col"` / `"bucket(n,col)"`) so [[SegMeta]]'s `cluster` array
+    * stays a plain string list (pre-r15 sidecars parse unchanged as
+    * identity keys). */
+  private[sources] case class ClusterKey(col: String, buckets: Option[Int]) {
+    def render: String = buckets match {
+      case None => col
+      case Some(n) => s"bucket($n,$col)"
+    }
+    def renamed(oldName: String, newName: String): ClusterKey =
+      if (col == oldName) copy(col = newName) else this
+    /** The V2 expression form ([[Transform]]) of this key. */
+    def toV2: org.apache.spark.sql.connector.expressions.Transform = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      buckets match {
+        case None => Expressions.identity(col)
+        case Some(n) => Expressions.bucket(n, col)
+      }
+    }
+  }
+  private[sources] object ClusterKey {
+    private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+    def parse(s: String): ClusterKey = s.trim match {
+      case BucketRe(n, c) => ClusterKey(c, Some(n.toInt))
+      case c => ClusterKey(c, None)
+    }
+    /** From a catalog `PARTITIONED BY` transform. Loud on shapes gseg
+      * does not lay out (truncate, days, ...). */
+    def ofTransform(
+        t: org.apache.spark.sql.connector.expressions.Transform): ClusterKey = {
+      require(t.references.length == 1 &&
+        t.references()(0).fieldNames.length == 1,
+        s"gseg: unsupported partition transform $t (single column only)")
+      val c = t.references()(0).fieldNames()(0)
+      t.name match {
+        case "identity" => ClusterKey(c, None)
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.dataType == IntegerType =>
+              l.value.asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"gseg: bucket transform without a bucket count: $t"))
+          require(n >= 1, s"gseg: bucket count $n < 1")
+          ClusterKey(c, Some(n))
+        case other => throw new IllegalArgumentException(
+          s"gseg: unsupported partition transform '$other' " +
+            "(identity and bucket(n, col) only)")
+      }
+    }
+  }
+
+  /** Split a comma-separated cluster-spec list, commas inside
+    * `bucket(n,col)` kept intact. */
+  private[sources] def splitClusterSpecs(v: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    v.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case ch => cur.append(ch)
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Types an IDENTITY clustering key may have: the scan must be able
+    * to PROVE single-valuedness from header stats (exact numeric
+    * min==max, or v3 ASCII string stats min==max). */
+  private[sources] def identityClusterType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+  /** Types `bucket(n, col)` accepts: hashable with a stable identity
+    * (doubles excluded — -0.0/0.0 and NaN bit-patterns make value
+    * identity ambiguous; booleans are pointless to bucket). */
+  private[sources] def bucketClusterType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  // ---------------- 64-bit cell hashing (bucket + NDV) ----------------
+
+  /** Murmur3's 64-bit finalizer (public-domain mixing constants):
+    * full avalanche over a long — the register-index quality HLL
+    * needs and the distribution quality bucketing needs. */
+  private[sources] def fmix64(l0: Long): Long = {
+    var l = l0
+    l ^= l >>> 33
+    l *= 0xff51afd7ed558ccdL
+    l ^= l >>> 33
+    l *= 0xc4ceb9fe1a85ec53L
+    l ^= l >>> 33
+    l
+  }
+  /** FNV-1a 64 over bytes, avalanched through [[fmix64]]. */
+  private[sources] def bytesHash64(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) {
+      h ^= (b(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    fmix64(h)
+  }
+  /** The ONE cell-hash definition every bucket consumer shares: the
+    * writer's run splitting, the scan's layout recovery, and the V2
+    * `bucket` scalar function Spark shuffles/joins through
+    * ([[SegBucketFunction]]) — three call sites, one hash, or the
+    * layout silently lies. Accepts writer cells (boxed primitives /
+    * UTF-8 byte arrays) and engine-internal values (UTF8String). */
+  private[sources] def cellHash64(v: Any): Long = v match {
+    case l: java.lang.Long => fmix64(l.longValue)
+    case i: java.lang.Integer => fmix64(i.longValue)
+    case s: UTF8String => bytesHash64(s.getBytes)
+    case b: Array[Byte] => bytesHash64(b)
+    case s: String => bytesHash64(s.getBytes(UTF_8))
+    case other => throw new IllegalArgumentException(
+      s"gseg bucket: unhashable cell ${other.getClass.getName}")
+  }
+  /** Bucket id of a non-null key value; nulls all land in bucket 0
+    * (same verdict on the write shuffle and the layout recovery). */
+  private[sources] def bucketOf(v: Any, n: Int): Int =
+    if (v == null) 0 else java.lang.Math.floorMod(cellHash64(v), n.toLong).toInt
+
+  // ---------------- HLL NDV sketch (v4 headers) ----------------
+
+  private[sources] val HllP = 10
+  private[sources] val HllM = 1 << HllP // 1024 registers
+
+  private[sources] def hllAdd(regs: Array[Byte], hash: Long): Unit = {
+    val idx = (hash >>> (64 - HllP)).toInt
+    val rank = (java.lang.Long.numberOfLeadingZeros((hash << HllP) | 1L) + 1)
+      .toByte
+    if (rank > regs(idx)) regs(idx) = rank
+  }
+  private[sources] def hllMerge(into: Array[Byte], from: Array[Byte]): Unit = {
+    var i = 0
+    while (i < HllM) {
+      if (from(i) > into(i)) into(i) = from(i)
+      i += 1
+    }
+  }
+  /** Standard HLL estimate with the small-range linear-counting
+    * correction (Flajolet et al. 2007). */
+  private[sources] def hllEstimate(regs: Array[Byte]): Long = {
+    val m = HllM.toDouble
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < HllM) {
+      sum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val e = alpha * m * m / sum
+    val corrected =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+    math.max(1L, math.round(corrected))
+  }
+
+  /** Type registry note: every type here has a VALUE-BASED internal
+    * representation (Long/Int/Double/Boolean/UTF8String) — the CDF
+    * diff reader's key bucketing and payload pairing
+    * ([[SegCdfDiffReader]]) rely on that for hashCode/==. Adding an
+    * array-backed type (e.g. BinaryType → Array[Byte], whose
+    * hashCode/equality are identity-based) requires extending that
+    * reader in the same change. */
   private[sources] def tag(dt: DataType): Byte = dt match {
     case LongType      => 0
     case IntegerType   => 1
@@ -171,9 +363,11 @@ object SegSource {
   // ---------------- segment encoding ----------------
 
   /** Cell representation inside the writer: boxed Long/Int/Double, or
-    * UTF-8 bytes for strings; null for null. */
+    * UTF-8 bytes for strings; null for null. `props` is the v4 file
+    * property map (bucket-layout stamps). */
   private[sources] def writeSegment(rows: collection.IndexedSeq[Array[AnyRef]],
-      schema: StructType, file: String): Unit = {
+      schema: StructType, file: String,
+      props: Map[String, String] = Map.empty): Unit = {
     val n = rows.length
     val nCols = schema.length
     val blocks = new Array[Array[Byte]](nCols)
@@ -183,6 +377,7 @@ object SegSource {
     val maxBits = new Array[Long](nCols)
     val minStr = new Array[Array[Byte]](nCols)
     val maxStr = new Array[Array[Byte]](nCols)
+    val hll = new Array[Array[Byte]](nCols)
     def uLess(a: Array[Byte], b: Array[Byte]): Boolean = {
       var i = 0
       val n = math.min(a.length, b.length)
@@ -210,6 +405,10 @@ object SegSource {
       var mnL = Long.MaxValue; var mxL = Long.MinValue
       var mnD = Double.PositiveInfinity; var mxD = Double.NegativeInfinity
       var seen = false
+      // NDV registers (v4): one 64-bit cell hash per non-null value;
+      // booleans are skipped (a two-value domain needs no sketch)
+      val regs = new Array[Byte](HllM)
+      var sketched = false
       i = 0
       schema(c).dataType match {
         case LongType => while (i < n) {
@@ -219,6 +418,7 @@ object SegSource {
             o.writeLong(l); seen = true
             if (l < mnL) mnL = l
             if (l > mxL) mxL = l
+            hllAdd(regs, fmix64(l)); sketched = true
           }
           i += 1
         }
@@ -231,6 +431,7 @@ object SegSource {
             o.writeInt(x); seen = true
             if (x < mnL) mnL = x.toLong
             if (x > mxL) mxL = x.toLong
+            hllAdd(regs, fmix64(x.toLong)); sketched = true
           }
           i += 1
         }
@@ -241,6 +442,8 @@ object SegSource {
             o.writeDouble(d); seen = true
             if (d < mnD) mnD = d
             if (d > mxD) mxD = d
+            hllAdd(regs, fmix64(java.lang.Double.doubleToLongBits(d)))
+            sketched = true
           }
           i += 1
         }
@@ -254,6 +457,7 @@ object SegSource {
               o.writeInt(b.length); o.write(b)
               if (mnB == null || uLess(b, mnB)) mnB = b
               if (mxB == null || uLess(mxB, b)) mxB = b
+              hllAdd(regs, bytesHash64(b)); sketched = true
             }
             i += 1
           }
@@ -270,6 +474,7 @@ object SegSource {
             o.writeLong(l); seen = true
             if (l < mnL) mnL = l
             if (l > mxL) mxL = l
+            hllAdd(regs, fmix64(l)); sketched = true
           }
           i += 1
         }
@@ -286,6 +491,7 @@ object SegSource {
       }
       o.flush()
       blocks(c) = bo.toByteArray
+      if (sketched) hll(c) = regs
       schema(c).dataType match {
         case LongType | IntegerType | TimestampType | DateType if seen =>
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
@@ -302,6 +508,12 @@ object SegSource {
     try {
       out.write(Magic); out.writeByte(Version)
       out.writeInt(n); out.writeInt(nCols)
+      out.writeInt(props.size)
+      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val kb = k.getBytes(UTF_8); val vb = v.getBytes(UTF_8)
+        out.writeInt(kb.length); out.write(kb)
+        out.writeInt(vb.length); out.write(vb)
+      }
       c = 0
       while (c < nCols) {
         val nm = schema(c).name.getBytes(UTF_8)
@@ -317,6 +529,8 @@ object SegSource {
           out.writeInt(minStr(c).length); out.write(minStr(c))
           out.writeInt(maxStr(c).length); out.write(maxStr(c))
         } else out.writeByte(0)
+        if (hll(c) != null) { out.writeByte(1); out.write(hll(c)) }
+        else out.writeByte(0)
         c += 1
       }
       blocks.foreach(out.write)
@@ -328,7 +542,8 @@ object SegSource {
   private[sources] case class ColMeta(name: String, tag: Byte,
       bytes: Long, nNulls: Long, hasStats: Boolean,
       minBits: Long, maxBits: Long,
-      minStr: Option[String] = None, maxStr: Option[String] = None) {
+      minStr: Option[String] = None, maxStr: Option[String] = None,
+      hll: Option[Array[Byte]] = None) {
     /** Exact typed stat values (None for string / all-null). */
     def minVal: Option[Any] = statVal(minBits)
     def maxVal: Option[Any] = statVal(maxBits)
@@ -344,7 +559,8 @@ object SegSource {
         case _ => None
       }
   }
-  private[sources] case class SegHeader(nRows: Int, cols: Array[ColMeta]) {
+  private[sources] case class SegHeader(nRows: Int, cols: Array[ColMeta],
+      props: Map[String, String] = Map.empty) {
     def schema: StructType =
       StructType(cols.map(c => StructField(c.name, dtype(c.tag))))
   }
@@ -354,9 +570,17 @@ object SegSource {
     in.readFully(magic)
     require(magic.sameElements(Magic), "not a gseg file")
     val ver = in.readByte()
-    require(ver == 2 || ver == 3, s"unsupported gseg version $ver")
+    require(ver == 2 || ver == 3 || ver == 4,
+      s"unsupported gseg version $ver")
     val n = in.readInt()
     val nCols = in.readInt()
+    val props: Map[String, String] =
+      if (ver < 4) Map.empty
+      else Seq.fill(in.readInt()) {
+        val k = new Array[Byte](in.readInt()); in.readFully(k)
+        val v = new Array[Byte](in.readInt()); in.readFully(v)
+        new String(k, UTF_8) -> new String(v, UTF_8)
+      }.toMap
     val cols = Array.fill(nCols) {
       val nm = new Array[Byte](in.readInt())
       in.readFully(nm)
@@ -364,21 +588,28 @@ object SegSource {
       val t = in.readByte()
       val bytes = in.readLong()
       val nulls = in.readLong()
-      if (ver == 2) {
-        val has = in.readByte() == 1
-        ColMeta(name, t, bytes, nulls, has, in.readLong(), in.readLong())
-      } else in.readByte() match {
-        case 1 => ColMeta(name, t, bytes, nulls, hasStats = true,
-          in.readLong(), in.readLong())
-        case 2 =>
-          val mn = new Array[Byte](in.readInt()); in.readFully(mn)
-          val mx = new Array[Byte](in.readInt()); in.readFully(mx)
-          ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L,
-            Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
-        case _ => ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L)
+      val base =
+        if (ver == 2) {
+          val has = in.readByte() == 1
+          ColMeta(name, t, bytes, nulls, has, in.readLong(), in.readLong())
+        } else in.readByte() match {
+          case 1 => ColMeta(name, t, bytes, nulls, hasStats = true,
+            in.readLong(), in.readLong())
+          case 2 =>
+            val mn = new Array[Byte](in.readInt()); in.readFully(mn)
+            val mx = new Array[Byte](in.readInt()); in.readFully(mx)
+            ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L,
+              Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
+          case _ => ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L)
+        }
+      if (ver < 4 || in.readByte() != 1) base
+      else {
+        val regs = new Array[Byte](HllM)
+        in.readFully(regs)
+        base.copy(hll = Some(regs))
       }
     }
-    SegHeader(n, cols)
+    SegHeader(n, cols, props)
   }
 
   private[sources] def headerOf(file: String): SegHeader = {
@@ -413,6 +644,15 @@ object SegSource {
           case Some(cur) => c.copy(name = cur)
           case None => c
         }
+      },
+      // bucket-layout stamps address their column by stored name too
+      h.props.map { case (k, v) =>
+        if (k.startsWith("bucket."))
+          ren.get(k.stripPrefix("bucket.")).filterNot(live.contains) match {
+            case Some(cur) => s"bucket.$cur" -> v
+            case None => k -> v
+          }
+        else k -> v
       })
     }
   }
@@ -558,7 +798,14 @@ object SegSource {
       val x = get(a)
       if (x == null) None
       else (x, v) match {
-        case (s: UTF8String, vs: String) => Some(s.toString.compareTo(vs))
+        // binary UTF-8 order (UTF8String.compareTo), NOT Java's UTF-16
+        // code-unit order: the two disagree when one operand holds
+        // supplementary (non-BMP) characters and the other U+E000..
+        // U+FFFF, and a reader-side kill is unrecoverable (Spark's
+        // re-check only re-filters rows the reader KEPT) — so the
+        // row-grain comparator must be exactly Spark's (ADVICE r14)
+        case (s: UTF8String, vs: String) =>
+          Some(s.compareTo(UTF8String.fromString(vs)))
         // boolean columns: bd() has no decimal for these, and the
         // reader MUST evaluate accepted shapes correctly (a wrongly
         // dropped row cannot be resurrected by Spark's re-check)
@@ -745,12 +992,60 @@ class SegDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-/** `defaultCluster` is the CATALOG-declared identity-clustering
-  * column (`CREATE TABLE ... PARTITIONED BY (k)`, persisted in the
-  * [[SegMeta]] sidecar): every read recovers the storage-partitioned
-  * layout and every write maintains it without the caller passing
-  * the `partition_col` option — the option, when present, still
-  * wins (path-based reads of a catalog dir can opt out or in). */
+/** The V2 `bucket(n, col)` function [[SegCatalog]] serves through
+  * Spark's FunctionCatalog SPI — the resolution seam that makes
+  * bucket layouts first-class: Spark's write-side distribution
+  * (`RequiresDistributionAndOrdering`) and read-side
+  * KeyGroupedPartitioning both resolve the `bucket` transform to THIS
+  * function, so the shuffle that lays data out, the writer's run
+  * splitting, and the scan's layout recovery all hash identically
+  * ([[SegSource.cellHash64]]) — the Iceberg bucket-function design.
+  * SPJ compatibility keys on `canonicalName`: two gseg tables
+  * bucketed with the same count and key type join exchange-free.
+  * `produceResult` is the interpreted (non-codegen) path — fine for
+  * the once-per-row shuffle key; a magic-method `invoke` would be the
+  * codegen upgrade if profiles ever show it. */
+class SegBucketUnbound
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): floorMod of gseg's mixed 64-bit cell hash"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.length == 2,
+      s"gseg bucket(n, col) takes 2 arguments, got ${inputType.length}")
+    val kt = inputType(1).dataType
+    require(SegSource.bucketClusterType(kt),
+      s"gseg bucket: unsupported key type ${kt.simpleString}")
+    SegBucketFunction(kt)
+  }
+}
+
+case class SegBucketFunction(keyType: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[
+      java.lang.Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String =
+    s"gseg.bucket(${keyType.catalogString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Integer = {
+    val n = input.getInt(0)
+    // null keys land in bucket 0 — the same verdict the writer's run
+    // splitter gives, so layout and shuffle agree
+    val v = if (input.isNullAt(1)) null else input.get(1, keyType)
+    java.lang.Integer.valueOf(SegSource.bucketOf(v, n))
+  }
+}
+
+/** `defaultCluster` is the CATALOG-declared clustering spec list
+  * (`CREATE TABLE ... PARTITIONED BY (k)` / `bucket(16, k)`,
+  * persisted in the [[SegMeta]] sidecar): every read recovers the
+  * storage-partitioned layout and every write maintains it without
+  * the caller passing the `partition_col` option — the option, when
+  * present, still wins (path-based reads of a catalog dir can opt
+  * out or in). */
 class SegTable(tschema: StructType, path: String,
     defaultCluster: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
@@ -762,12 +1057,11 @@ class SegTable(tschema: StructType, path: String,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
     defaultCluster.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-        : Transform).toArray
+      SegSource.ClusterKey.parse(c).toV2: Transform).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path,
       Option(options.get(SegSource.PartitionColOption))
-        .map(SegSource.splitCols).getOrElse(defaultCluster),
+        .map(SegSource.splitClusterSpecs).getOrElse(defaultCluster),
       Option(options.get(SegSource.PinnedFilesOption)).map(v =>
         v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")),
       options.getBoolean(SegSource.SkipChangeCommitsOption, false),
@@ -776,7 +1070,7 @@ class SegTable(tschema: StructType, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption))
-        .map(SegSource.splitCols).getOrElse(defaultCluster),
+        .map(SegSource.splitClusterSpecs).getOrElse(defaultCluster),
       Option(info.options().get(SegSource.MaxRowsPerSegmentOption))
         .map(_.toInt),
       Option(info.options().get(SegSource.MaxBytesPerSegmentOption))
@@ -875,14 +1169,16 @@ class SegScanBuilder(full: StructType, path: String,
 
   override def build(): Scan =
     SegScan(path, required, pushed, aggs, limit, topN,
-      // LongType only: the HasPartitionKey row must carry exactly the
-      // key expressions' types, and the header-stats recovery
-      // normalizes through long; ALL declared columns must qualify or
-      // the layout is dropped whole (a partial key would advertise a
-      // different partitioning than the files hold)
-      if (partitionCols.nonEmpty && partitionCols.forall(c =>
-        full.fields.exists(f => f.name == c && f.dataType == LongType)))
-        partitionCols else Nil,
+      // ALL declared keys must qualify or the layout is dropped whole
+      // (a partial key would advertise a different partitioning than
+      // the files hold): identity keys need a stats-provable type,
+      // bucket keys a hashable one
+      if (partitionCols.nonEmpty && partitionCols.forall { spec =>
+        val k = SegSource.ClusterKey.parse(spec)
+        full.fields.exists(f => f.name == k.col &&
+          (if (k.buckets.isEmpty) SegSource.identityClusterType(f.dataType)
+           else SegSource.bucketClusterType(f.dataType)))
+      }) partitionCols else Nil,
       emitFile, pinned, skipChangeCommits, aliasOverride,
       maxGensPerTrigger)
 }
@@ -891,8 +1187,11 @@ case class SegInputPartition(file: String) extends InputPartition
 
 /** One storage partition = every segment holding key value `key`;
   * reports the key so Spark's storage-partitioned join can align the
-  * two sides' partitions without an exchange. */
-case class SegKeyedPartition(files: Seq[String], key: Seq[Long])
+  * two sides' partitions without an exchange. Key components carry
+  * Spark's INTERNAL representations matched to the reported
+  * partitioning expressions: Long/Int/UTF8String for identity keys,
+  * the Int bucket id for `bucket(n, col)` keys. */
+case class SegKeyedPartition(files: Seq[String], key: Seq[Any])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -932,34 +1231,58 @@ case class SegScan(path: String, required: StructType,
     * the actual partitions don't honor. With the guard HERE, every
     * consumer (outputPartitioning, planInputPartitions,
     * filterAttributes) sees the same answer by construction. */
+  @transient private lazy val clusterKeys: Seq[SegSource.ClusterKey] =
+    partitionCols.map(SegSource.ClusterKey.parse)
+
   @transient private lazy val keyGroups
-      : Option[Seq[(Seq[Long], Seq[String])]] =
+      : Option[Seq[(Seq[Any], Seq[String])]] =
     // emitFile also declines key-grouping: the _file synthesizer is a
     // per-segment wrapper, and a metadata read has no join-layout use
     (if (aggs.isDefined || emitFile || partitionCols.isEmpty) None
-     else Some(partitionCols)).flatMap { pcs =>
+     else Some(clusterKeys)).flatMap { pcs =>
     val files = pinned.getOrElse(SegSource.resolveSegments(path))
     val kv = files.map { f =>
       val h = SegSource.resolvedHeaderOf(f, aliasOverride)
-      // EVERY declared column must be single-valued in the file
-      // (min==max, no nulls) — the composite key is the tuple
-      val keys = pcs.map { pc =>
-        val cm = h.cols.find(_.name == pc)
-        val ok = cm.exists(c => c.hasStats && c.nNulls == 0 &&
-          c.minBits == c.maxBits)
-        if (ok) cm.get.minVal.map {
-          case l: Long => l
-          case i: Int => i.toLong
-        } else None
+      // EVERY declared key must be recoverable from the file:
+      //  - identity: single-valued, proven by stats (numeric
+      //    min==max, or ASCII string-stat min==max — a non-ASCII or
+      //    >48-byte key value carries no stats and degrades the
+      //    layout whole, never wrongly)
+      //  - bucket(n): the writer's v4 `bucket.<col> = n:<id>` stamp
+      //    (stats CANNOT prove single-bucketness — a bucket's members
+      //    scatter across the value domain; only the writer knows)
+      // The composite key is the tuple, in internal representations.
+      val keys: Seq[Option[Any]] = pcs.map { k =>
+        val cm = h.cols.find(_.name == k.col)
+        k.buckets match {
+          case None => cm.flatMap { c =>
+            if (c.nNulls != 0) None
+            else if (c.hasStats && c.minBits == c.maxBits) c.minVal
+            else (c.minStr, c.maxStr) match {
+              case (Some(mn), Some(mx)) if mn == mx =>
+                Some(UTF8String.fromString(mn))
+              case _ => None
+            }
+          }
+          case Some(n) => h.props.get(s"bucket.${k.col}").flatMap { v =>
+            v.split(':') match {
+              case Array(bn, bid) if bn.toInt == n =>
+                Some(java.lang.Integer.valueOf(bid.toInt))
+              case _ => None // foreign bucket count: layout degrades
+            }
+          }
+        }
       }
       (f, if (keys.forall(_.isDefined)) Some(keys.map(_.get)) else None)
     }
     if (files.isEmpty || kv.exists(_._2.isEmpty)) None
-    else {
-      import scala.math.Ordering.Implicits.seqOrdering
-      Some(kv.groupBy(_._2.get).toSeq.sortBy(_._1)
+    else
+      // deterministic group order via a stable rendering (key
+      // components are single-typed per position; SPJ matches groups
+      // by key equality, not order)
+      Some(kv.groupBy(_._2.get).toSeq
+        .sortBy(_._1.map(String.valueOf).mkString(""))
         .map { case (k, fs) => (k, fs.map(_._1)) })
-    }
   }
 
   override def outputPartitioning()
@@ -967,9 +1290,8 @@ case class SegScan(path: String, required: StructType,
     keyGroups match {
       case Some(gs) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          partitionCols.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression)
+          clusterKeys.map(_.toV2
+            : org.apache.spark.sql.connector.expressions.Expression)
             .toArray, gs.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -991,9 +1313,54 @@ case class SegScan(path: String, required: StructType,
     val wanted = required.fieldNames.toSet
     var rows = 0L
     var bytes = 0L
+    // per-column NDV: v4 headers carry a mergeable HLL register array
+    // per column — elementwise-max across surviving files estimates
+    // the TABLE-level distinct count at any file count (a stored
+    // per-file estimate could never merge), plus exact null counts.
+    // Spark's CBO reads these through Statistics.columnStats for join
+    // sizing/reordering over gseg tables.
+    val merged = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    val sketchless = scala.collection.mutable.Set.empty[String]
     surviving.foreach { h =>
       rows += h.nRows.toLong
-      h.cols.foreach(c => if (wanted.contains(c.name)) bytes += c.bytes)
+      h.cols.foreach { c =>
+        if (wanted.contains(c.name)) {
+          bytes += c.bytes
+          nulls(c.name) = nulls.getOrElse(c.name, 0L) + c.nNulls
+          c.hll match {
+            case Some(regs) =>
+              SegSource.hllMerge(
+                merged.getOrElseUpdate(c.name,
+                  new Array[Byte](SegSource.HllM)), regs)
+            case None =>
+              // a v2/v3 file (or all-null block) contributes no
+              // sketch: an NDV computed from the others would
+              // UNDERCOUNT — report nothing for this column
+              if (h.nRows.toLong > c.nNulls) sketchless += c.name
+          }
+        }
+      }
+    }
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      new java.util.HashMap()
+    required.fieldNames.foreach { n =>
+      val ndv = merged.get(n).filterNot(_ => sketchless.contains(n))
+        .map(SegSource.hllEstimate)
+      val nc = nulls.get(n)
+      if (ndv.isDefined || nc.isDefined)
+        colStats.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(n),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              nc.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          })
     }
     val rowsF = rows; val bytesF = math.max(bytes, 1L)
     new org.apache.spark.sql.connector.read.Statistics {
@@ -1001,6 +1368,10 @@ case class SegScan(path: String, required: StructType,
         java.util.OptionalLong.of(bytesF)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rowsF)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
@@ -1232,8 +1603,15 @@ class SegGenMicroBatchStream(path: String, required: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val live = SegManifest.read(path).map(_._1).getOrElse(-1L)
     val lo = start.asInstanceOf[SegGenOffset].gen
-    SegGenOffset(maxGensPerTrigger
-      .map(m => math.min(live, lo + math.max(1L, m))).getOrElse(live))
+    val capped = maxGensPerTrigger
+      .map(m => math.min(live, lo + math.max(1L, m))).getOrElse(live)
+    // the first batch under a cap pins an initial SNAPSHOT — clamp
+    // its offset to a retained generation, else a vacuumed snapshot
+    // at lo+m fails a stream an uncapped one would start (ADVICE r14)
+    SegGenOffset(
+      if (lo < 0 && capped < live)
+        SegCdf.clampInitialToRetained(path, capped, live)
+      else capped)
   }
   override def reportLatestOffset(): Offset = latestOffset()
 
@@ -1459,12 +1837,20 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg],
     // a column ABSENT from this segment (added by ALTER TABLE after
     // it was written) is all-null here: COUNT contributes 0, MIN/MAX
     // contribute a null partial (Spark's merge ignores it)
+    // stored-int stats under a widened (now BIGINT) column promote to
+    // long — the partial row must carry the CURRENT type
+    def widen(v: Any, t: DataType): Any = (v, t) match {
+      case (i: Int, LongType) => i.toLong
+      case _ => v
+    }
     val vals: Array[Any] = aggs.map {
       case AggCountStar => h.nRows.toLong
       case AggCountCol(n) =>
         byName.get(n).map(c => h.nRows.toLong - c.nNulls).getOrElse(0L)
-      case AggMin(n, _) => byName.get(n).flatMap(_.minVal).orNull
-      case AggMax(n, _) => byName.get(n).flatMap(_.maxVal).orNull
+      case AggMin(n, t) =>
+        byName.get(n).flatMap(_.minVal).map(widen(_, t)).orNull
+      case AggMax(n, t) =>
+        byName.get(n).flatMap(_.maxVal).map(widen(_, t)).orNull
     }.toArray
     current = new GenericInternalRow(vals)
     done = true
@@ -1545,6 +1931,19 @@ class SegPartitionReader(file: String, required: StructType,
                 if (!isNull(i)) vals(i) = in.readInt(); i += 1
               }
             }
+            // ALTER COLUMN TYPE widening: a segment written before
+            // the widen stores INT blocks under a now-BIGINT column —
+            // promote at the one decode seam (VERSION AS OF pre-widen
+            // pins the old schema and takes the no-op path)
+            if (cm.tag == 1 && required.fields.exists(f =>
+                f.name == cm.name && f.dataType == LongType)) {
+              var j = 0
+              while (j < n) {
+                if (vals(j) != null)
+                  vals(j) = vals(j).asInstanceOf[Int].toLong
+                j += 1
+              }
+            }
             decoded(ci) = vals
         }
       }
@@ -1610,24 +2009,33 @@ class SegWriteBuilder(path: String, schema: StructType,
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  /** With `partition_col`, the write declares an identity-clustered
-    * required distribution plus an in-partition sort on the key, so
+  /** With `partition_col`, the write declares a clustered required
+    * distribution plus an in-partition sort on the declared keys, so
     * Spark delivers each task contiguous runs per key value and the
     * task writer ROLLS one segment per value — the layout the
-    * storage-partitioned-join scan groups by. Without the option the
-    * distribution is unspecified (plain one-segment-per-task). */
+    * storage-partitioned-join scan groups by. `bucket(n, col)` keys
+    * cluster and sort by the BUCKET TRANSFORM (resolved through the
+    * catalog's V2 `bucket` function — [[SegBucketFunction]]), so a
+    * task's rows arrive grouped by bucket id and each rolled segment
+    * is single-bucket, stamped into its v4 header. Without the option
+    * the distribution is unspecified (plain one-segment-per-task). */
   override def build(): Write = new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+    private def keyExpr(spec: String)
+        : org.apache.spark.sql.connector.expressions.Expression = {
+      val k = SegSource.ClusterKey.parse(spec)
+      if (k.buckets.isEmpty) Expressions.column(k.col) else k.toV2
+    }
     override def requiredDistribution(): Distribution =
       if (partitionCols.isEmpty) Distributions.unspecified()
       else Distributions.clustered(partitionCols.map(c =>
-        Expressions.identity(c)
+        SegSource.ClusterKey.parse(c).toV2
           : org.apache.spark.sql.connector.expressions.Expression).toArray)
     override def requiredOrdering(): Array[V2SortOrder] =
       partitionCols.map(c =>
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)
+        Expressions.sort(keyExpr(c), SortDirection.ASCENDING)
           : V2SortOrder).toArray
     override def toBatch: BatchWrite =
       SegBatchWrite(path, schema, truncateFirst, partitionCols,
@@ -1833,7 +2241,29 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     maxBytesPerSegment: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
-  private val keyIdx: Seq[Int] = partitionCols.map(schema.fieldIndex)
+  private val keySpecs: Seq[SegSource.ClusterKey] =
+    partitionCols.map(SegSource.ClusterKey.parse)
+  private val keyIdx: Seq[Int] = keySpecs.map(k => schema.fieldIndex(k.col))
+
+  /** The EFFECTIVE key of a buffered row for run splitting: the cell
+    * itself for identity keys, its bucket id for bucket keys (the
+    * same [[SegSource.cellHash64]] the V2 bucket function shuffles
+    * by, so task-local runs align with the distribution). */
+  private def effKey(cells: Array[AnyRef], si: Int): AnyRef = {
+    val v = cells(keyIdx(si))
+    keySpecs(si).buckets match {
+      case None => v
+      case Some(n) =>
+        java.lang.Integer.valueOf(SegSource.bucketOf(v, n))
+    }
+  }
+  /** Cell inequality with byte-array (string) VALUE semantics — an
+    * AnyRef `!=` on Array[Byte] is reference inequality and would
+    * split a string-keyed run at every row. */
+  private def keyNeq(a: AnyRef, b: AnyRef): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => !java.util.Arrays.equals(x, y)
+    case _ => a != b
+  }
   // rolled temp files, in order; abort deletes them all
   private val rolled = scala.collection.mutable.ArrayBuffer.empty[String]
   private var chunk = 0
@@ -1893,7 +2323,8 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
         var i = 1
         while (i <= buf.length) {
           if (i == buf.length ||
-              keyIdx.exists(ki => buf(i)(ki) != buf(start)(ki))) {
+              keyIdx.indices.exists(si =>
+                keyNeq(effKey(buf(i), si), effKey(buf(start), si)))) {
             out += buf.slice(start, i)
             start = i
           }
@@ -1904,7 +2335,16 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     runs.foreach { run =>
       val tmp = f"$path/.tmp-$partitionId%05d-$taskId-$chunk%03d.gseg"
       chunk += 1
-      SegSource.writeSegment(run, schema, tmp)
+      // bucket keys stamp the run's bucket id into the v4 header —
+      // the declaration the scan's layout recovery trusts (identity
+      // keys need none: min==max stats prove single-valuedness)
+      val props: Map[String, String] = keySpecs.indices.collect {
+        case si if keySpecs(si).buckets.isDefined && run.nonEmpty =>
+          val k = keySpecs(si)
+          s"bucket.${k.col}" ->
+            s"${k.buckets.get}:${effKey(run.head, si)}"
+      }.toMap
+      SegSource.writeSegment(run, schema, tmp, props)
       rolled += tmp
     }
     buf.clear()

@@ -290,4 +290,108 @@ class SegCdfSpec extends SparkSpec {
     assert(e.getMessage.contains("not retained") ||
       Option(e.getCause).exists(_.getMessage.contains("not retained")))
   }
+
+  test("capped stream's initial snapshot clamps to a RETAINED generation") {
+    val (iso, wh) = dml("clamp")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 10).select($"id".as("k"), $"id".as("v")),
+      dir)
+    iso.table("tc.ns.t").count() // gen 0
+    iso.range(20, 25).select($"id".as("k"), $"id".as("v"))
+      .write.format("gseg").mode("overwrite").save(dir) // gen 1 (CHANGE)
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 1)") // gen 2
+    iso.sql("INSERT INTO tc.ns.t VALUES (101, 2)") // gen 3
+    SegManifest.vacuum(dir) // gen 0's replaced files reclaim -> v0 retired
+    assert(SegManifest.readSnapshot(dir, 0).isEmpty, "gen 0 retired")
+    assert(SegManifest.readSnapshot(dir, 1).isDefined, "gen 1 retained")
+    // with max_gens_per_trigger=1 and no starting bound, the first
+    // admitted offset would be generation 0 — vacuumed. The clamp
+    // pins the initial snapshot to the earliest RETAINED generation
+    // (1) instead of failing a stream an uncapped one would start
+    // (ADVICE r14), and the later commits still drain per-batch.
+    val base = graft.Fs.fastTempDir("graft_cdf_clamp").toString
+    try {
+      val q = iso.readStream.format("gseg")
+        .schema(iso.table("tc.ns.t").schema)
+        .option(SegCdf.ReadChangefeedOption, "true")
+        .option(SegCdf.KeysOption, "k")
+        .option(SegCdf.MaxGensPerTriggerOption, "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", s"$base/out").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = iso.read.parquet(s"$base/out")
+      assert(out.count() == 7) // 5 snapshot inserts + 2 appends
+      assert(out.select("_commit_generation").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      assert(out.filter(col("_change_type") =!= "insert").count() == 0)
+      // the file-level generation stream takes the same clamp
+      val q2 = iso.readStream.format("gseg")
+        .schema(iso.table("tc.ns.t").schema)
+        .option(SegCdf.MaxGensPerTriggerOption, "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .option("path", s"$base/out2").start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(iso.read.parquet(s"$base/out2").count() == 7)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("CDF pruning: pruned insert reads, class and generation skipping") {
+    val (iso, wh) = dml("prune")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 40)
+      .select($"id".as("k"), $"id".as("v"), ($"id" * 2).as("w"),
+        $"id".cast("string").as("s"))
+      .repartitionByRange(4, $"k"), dir)
+    iso.table("tc.ns.t").count()                        // gen 0
+    iso.sql("UPDATE tc.ns.t SET v = v + 100 WHERE k >= 30") // gen 1
+    iso.sql("DELETE FROM tc.ns.t WHERE k < 5")              // gen 2
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 1, 2, 'x')")  // gen 3
+    def feed = iso.read.format("gseg")
+      .schema(iso.table("tc.ns.t").schema)
+      .option(SegCdf.FromOption, "1").option(SegCdf.ToOption, "3")
+      .option(SegCdf.KeysOption, "k").load(dir)
+    def scanOf(df: org.apache.spark.sql.DataFrame): SegCdfScan =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[SegCdfScan]
+      }.get
+    // COLUMN PRUNING: a 2-of-4-column consumer's scan reads 2 columns
+    val pruned = feed.select($"k", $"_change_type")
+    assert(scanOf(pruned).readSchema().fieldNames.toSeq ==
+      Seq("k", "_change_type"))
+    assert(pruned.count() == 10 + 10 + 5 + 1) // pre+post+del+ins
+    // CLASS SKIPPING: a delete-only consumer never plans the gen-3
+    // APPEND step (inserts only), and diff buckets materialize no
+    // update pairs
+    graft.Counters.drain()
+    val dels = feed.filter($"_change_type" === "delete")
+    assert(dels.count() == 5)
+    val c1 = graft.Counters.drain()
+    assert(c1.getOrElse("gseg_cdf_steps_skipped", 0L) >= 1L,
+      s"counters: $c1")
+    assert(dels.select("k").collect().map(_.getLong(0)).toSet ==
+      (0L until 5L).toSet)
+    // GENERATION SKIPPING: _commit_generation = 3 plans ONE step;
+    // generations 1 and 2 are never listed
+    graft.Counters.drain()
+    val g3 = feed.filter($"_commit_generation" === 3)
+    assert(g3.count() == 1)
+    val c2 = graft.Counters.drain()
+    // plans materialize more than once per action: assert >=, not ==
+    assert(c2.getOrElse("gseg_cdf_gens_skipped", 0L) >= 2L,
+      s"counters: $c2")
+    assert(c2.getOrElse("gseg_cdf_diff_steps", 0L) == 0L,
+      s"generations 1-2 must never be listed: $c2")
+    // values survive pruning + promotion: postimages carry the update
+    val post = feed.filter($"_change_type" === "update_postimage")
+      .select($"v")
+    assert(post.collect().map(_.getLong(0)).toSet ==
+      (30L until 40L).map(_ + 100).toSet)
+  }
 }

@@ -1126,13 +1126,15 @@ class SegDmlSpec extends SparkSpec {
     intercept[Exception](iso.sql("ALTER TABLE tc.spj.a DROP COLUMN k"))
     iso.sql("ALTER TABLE tc.spj.a RENAME COLUMN k TO kk")
     assert(iso.table("tc.spj.a").groupBy($"kk").count().count() == 8)
-    // rejected shapes: non-BIGINT key, non-identity transform
+    // rejected shapes: stats-unprovable identity key (DOUBLE), and
+    // transforms gseg does not lay out (r15 made STRING/DATE identity
+    // and bucket(n, col) first-class — SegClusterSpec covers them)
     intercept[Exception](iso.sql(
-      "CREATE TABLE tc.spj.bad (s STRING, k BIGINT) USING gseg " +
-        "PARTITIONED BY (s)"))
+      "CREATE TABLE tc.spj.bad (d DOUBLE, k BIGINT) USING gseg " +
+        "PARTITIONED BY (d)"))
     intercept[Exception](iso.sql(
-      "CREATE TABLE tc.spj.bad2 (k BIGINT) USING gseg " +
-        "PARTITIONED BY (bucket(8, k))"))
+      "CREATE TABLE tc.spj.bad2 (t TIMESTAMP, k BIGINT) USING gseg " +
+        "PARTITIONED BY (days(t))"))
   }
 
   test("CTAS with PARTITIONED BY stages the clustered layout") {
@@ -1668,5 +1670,175 @@ class SegDmlSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       SegManifest.parse(Seq("gseg-manifest-v2", "3"), "test"))
     assert(e3.getMessage.contains("truncated"))
+  }
+
+  test("release deletes only the lock it still holds (token check)") {
+    val (iso, wh) = dml("ptok")
+    import iso.implicits._
+    SegSource.write(iso.range(0, 10).select($"id".as("k")), s"$wh/ns/t")
+    iso.table("tc.ns.t").count()
+    val dir = s"$wh/ns/t"
+    val lock = java.nio.file.Paths.get(dir, ".commit-lock")
+    // a holder stalled past expiry whose lock was EXPIRED AND RETAKEN
+    // by another committer: its release must not delete the new
+    // holder's lock (ADVICE r14 — that reopened the swap window)
+    val token = SegManifest.acquireProcessLock(dir)
+    java.nio.file.Files.write(lock,
+      s"${System.currentTimeMillis} new-holder".getBytes("UTF-8"))
+    SegManifest.releaseProcessLock(dir, token)
+    assert(java.nio.file.Files.exists(lock),
+      "the new holder's lock must survive the stalled holder's release")
+    // while the token still matches, release deletes normally
+    java.nio.file.Files.write(lock, token.getBytes("UTF-8"))
+    SegManifest.releaseProcessLock(dir, token)
+    assert(!java.nio.file.Files.exists(lock))
+    // releasing when the lock is already gone is a quiet no-op
+    SegManifest.releaseProcessLock(dir, token)
+  }
+
+  test("vacuum judges generations by the manifest READ UNDER the lock") {
+    // the r14 ADVICE race: a foreign-process commit lands between
+    // vacuum's manifest read and its lock acquisition — the new
+    // generation looks phantom (gen > stale live) and vacuum deletes
+    // its snapshot and its just-committed files. The fix reads the
+    // manifest INSIDE the lock; this test interleaves exactly that
+    // commit while vacuum spins on the foreign holder's lock.
+    val (iso, wh) = dml("pvrace")
+    import iso.implicits._
+    SegSource.write(iso.range(0, 10).select($"id".as("k")), s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // gen 0
+    val dir = s"$wh/ns/t"
+    val p = java.nio.file.Paths.get(dir)
+    val lock = p.resolve(".commit-lock")
+    val gen0Names = SegManifest.read(dir).get._2
+    val oldWait = SegManifest.lockWaitMs
+    SegManifest.lockWaitMs = 5000L
+    try {
+      // the "foreign process" holds the lock, mid-commit
+      java.nio.file.Files.write(lock,
+        s"${System.currentTimeMillis} foreign-committer".getBytes("UTF-8"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val vac = Future(SegManifest.vacuum(dir)) // spins on the lock
+      Thread.sleep(300)
+      // the foreign commit LANDS while vacuum waits: generation 1
+      // replaces the whole file set with B.gseg (written directly to
+      // disk — a separate process's swapLocked, not this JVM's)
+      java.nio.file.Files.write(p.resolve("B.gseg"),
+        Array[Byte](1, 2, 3))
+      val body = ("gseg-manifest-v3\n1\n" + System.currentTimeMillis +
+        "\n1\n-\nB.gseg").getBytes("UTF-8")
+      java.nio.file.Files.write(p.resolve(".manifest.v1"), body)
+      java.nio.file.Files.write(p.resolve(".manifest"), body)
+      java.nio.file.Files.delete(lock) // foreign release
+      val reclaimed = Await.result(vac, 30.seconds)
+      // vacuum saw generation 1 (read under the lock): the committed
+      // snapshot and its data survive; gen 0's replaced files reclaim
+      assert(java.nio.file.Files.exists(p.resolve("B.gseg")),
+        "the just-committed generation's data must survive vacuum")
+      assert(SegManifest.readSnapshot(dir, 1).isDefined,
+        "the just-committed snapshot must survive vacuum")
+      assert(gen0Names.forall(reclaimed.contains),
+        s"gen 0's replaced files reclaim; got $reclaimed")
+      assert(SegManifest.read(dir).get._1 == 1L)
+    } finally {
+      SegManifest.lockWaitMs = oldWait
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+  }
+
+  test("ALTER COLUMN TYPE widens INT to BIGINT across generations") {
+    val (iso, wh) = dml("widen")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, v INT) USING gseg")
+    iso.sql("INSERT INTO tc.ns.t VALUES (1, 10), (2, 20)") // gen 1, INT
+    iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN v TYPE BIGINT")
+    assert(iso.table("tc.ns.t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // post-widen inserts store BIGINT; 3000000000 overflows INT
+    iso.sql("INSERT INTO tc.ns.t VALUES (3, 3000000000)") // gen 2, LONG
+    // the aggregate SPANS both generations: stored-int blocks promote
+    // at the decode seam
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getLong(0) ==
+      10L + 20L + 3000000000L)
+    // header-agg pushdown promotes stored-int STATS to the current type
+    assert(iso.table("tc.ns.t").agg(min($"v"), max($"v")).head() ==
+      org.apache.spark.sql.Row(10L, 3000000000L))
+    // zone maps still prune across the mixed-type files (BigDecimal
+    // comparison is already cross-type)
+    graft.Counters.drain()
+    assert(iso.table("tc.ns.t").filter($"v" > 100L).count() == 1)
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c")
+    // VERSION AS OF the pre-widen generation serves INT (schema pins)
+    val old = iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1")
+    assert(old.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(old.select(sum($"v")).head().getLong(0) == 30L)
+    // guards: narrowing and cross-family changes stay loud
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN v TYPE INT"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN v TYPE DOUBLE"))
+    // widening a clustering column is rejected (mixed-type partition
+    // keys would poison the reported layout)
+    iso.sql("CREATE TABLE tc.ns.c (k INT, v BIGINT) USING gseg " +
+      "PARTITIONED BY (k)")
+    val e = intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.c ALTER COLUMN k TYPE BIGINT"))
+    assert(e.getMessage.contains("clustering"))
+  }
+
+  test("compact(target_bytes) rewrites only small segments, shares the rest") {
+    val (iso, wh) = dml("sizecompact")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    // 2 LARGE segments (~120 KB each: 100 rows x ~1.2 KB payload)
+    iso.range(0, 200)
+      .select($"id".as("k"), concat(lit("x" * 1200),
+        $"id".cast("string")).as("p"))
+      .repartition(2)
+      .write.format("gseg").mode("overwrite").save(dir)
+    iso.table("tc.ns.t").count() // manifest
+    // 20 SMALL segments in one append commit
+    iso.range(200, 220)
+      .select($"id".as("k"), $"id".cast("string").as("p"))
+      .repartition(20)
+      .createOrReplaceTempView("graft_small_src")
+    iso.sql("INSERT INTO tc.ns.t SELECT k, p FROM graft_small_src")
+    val before = SegManifest.read(dir).get._2
+    val large = before.filter(n =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/$n")) >=
+        50000)
+    assert(large.size == 2 && before.size >= 20)
+    graft.Counters.drain()
+    val row = iso.sql(
+      "CALL tc.compact('ns.t', target_bytes => 50000)").head()
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_compact_shared", -1L) == 2L)
+    assert(c.getOrElse("gseg_compact_rewritten", -1L) ==
+      (before.size - 2).toLong)
+    val afterNames = SegManifest.read(dir).get._2
+    // the large files' NAMES survive — shared with the previous
+    // generation, never rewritten
+    assert(large.forall(afterNames.contains))
+    // the smalls merged into one cmp- segment
+    assert(afterNames.count(_.startsWith("cmp-")) == 1)
+    assert(afterNames.size == 3)
+    assert(row.getLong(2) == 3L)
+    // content identical
+    assert(iso.table("tc.ns.t").count() == 220)
+    assert(iso.table("tc.ns.t").agg(sum($"k")).head().getLong(0) ==
+      (0L until 220L).sum)
+    // vacuum reclaims the replaced smalls; the shared larges SURVIVE
+    val reclaimed = SegManifest.vacuum(dir)
+    assert(large.forall(n => !reclaimed.contains(n)))
+    assert(reclaimed.size >= 20)
+    assert(iso.table("tc.ns.t").count() == 220)
+    // a second size-aware pass is a no-op (one small file left)
+    val again = iso.sql(
+      "CALL tc.compact('ns.t', target_bytes => 50000)").head()
+    assert(again.getLong(1) == again.getLong(2))
   }
 }

@@ -703,7 +703,10 @@ class SegSourceSpec extends SparkSpec {
     // header overhead (the roll triggers at-or-past the budget)
     files.foreach { f =>
       val sz = java.nio.file.Files.size(java.nio.file.Paths.get(f))
-      assert(sz <= 16 * 1024 + 1200 + 256,
+      // slack = one ~1.2 KB row (the roll triggers at-or-past the
+      // budget) + header overhead: per-column metas and, since v4,
+      // one HLL register array (HllM bytes) per sketched column
+      assert(sz <= 16 * 1024 + 1200 + 256 + 2 * (SegSource.HllM + 1),
         s"segment over budget+slack: $f ($sz bytes)")
     }
     // content survives the rolling exactly; per-chunk zone maps prune
@@ -715,5 +718,32 @@ class SegSourceSpec extends SparkSpec {
     assert(back.filter($"k" === 111).count() == 1)
     val c = graft.Counters.drain()
     assert(c.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c")
+  }
+
+  test("pushed string comparisons use UTF8String binary order, not UTF-16") {
+    import spark.implicits._
+    // '\uffff' sorts ABOVE U+10000 in Java's UTF-16 code-unit order
+    // but BELOW it in UTF-8 binary order (Spark's). A reader-side
+    // kill is unrecoverable (Spark's re-check only re-filters kept
+    // rows), so the row-grain comparator must be exactly Spark's
+    // (ADVICE r14). Non-ASCII values also mean no string zone stats:
+    // the file survives planning and the ROW grain decides.
+    val supp = new String(Character.toChars(0x10000)) // 4-byte UTF-8
+    val d = java.nio.file.Files.createTempDirectory("gsegutf").toString
+    val vals = Seq("\uffff", supp, "a", "\ue000")
+    SegSource.write(vals.toDF("s"), d)
+    val t = spark.read.format("gseg").load(d)
+    val mem = vals.toDF("s")
+    for (mk <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        c => c > supp, c => c <= supp, c => !(c > supp), c => c < "\uffff",
+        c => c >= "\ue000", c => !(c < supp) )) {
+      val got = t.filter(mk(col("s"))).collect().map(_.getString(0)).sorted
+      val want = mem.filter(mk(col("s"))).collect().map(_.getString(0)).sorted
+      assert(got.toSeq == want.toSeq, s"gseg=${got.toSeq} spark=${want.toSeq}")
+    }
+    // the discriminating case pinned explicitly: binary order keeps
+    // the '\uffff' row under NOT(s > U+10000); UTF-16 order dropped it
+    assert(t.filter(!(col("s") > supp)).collect().map(_.getString(0)).toSet
+      == Set("\uffff", supp, "a", "\ue000"))
   }
 }
