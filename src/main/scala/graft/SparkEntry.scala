@@ -295,6 +295,8 @@ object SparkEntry {
     "s40_dsv2_bucketed_spj" -> CoreOps.s40DsvBucketedSpj _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
+    "stream_cdf_index_parity" ->
+      graft.streaming.StreamGates.streamCdfIndexParity _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "sim_pq_mips"        -> ((s, d) => Pq.pqMipsGate(s, d)),
     "s15_dynamic_overwrite" -> CoreOps.s15DynamicOverwrite _,
@@ -2324,6 +2326,22 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM events
         |        WHERE user_id < 40 AND event_id % 2 = 1) AS n_late_inserts
         |""".stripMargin,
+    // CDF → LSH index maintenance: the incremental index's final
+    // cardinality is 32 bands per >=3-token LIVE doc — DuckDB
+    // recomputes the live state (inserted quarters, updated texts,
+    // deleted class) and the band arithmetic; parity booleans pinned
+    // TRUE (index == from-scratch rebuild, across a restart)
+    "stream_cdf_index_parity" ->
+      """SELECT COUNT(*) AS n_docs,
+        |       CAST(32 * COUNT(*) FILTER
+        |         (WHERE len(string_split(text, ' ')) >= 3) AS BIGINT)
+        |         AS n_index_rows,
+        |       TRUE AS index_matches_rebuild,
+        |       TRUE AS incremental_applied
+        |FROM (SELECT CASE WHEN doc_id % 10 = 3 THEN text || ' touched'
+        |             ELSE text END AS text
+        |      FROM documents
+        |      WHERE doc_id % 4 IN (0, 1) AND doc_id % 10 <> 7)""".stripMargin,
     // gseg streaming SINK: parity + epoch-commit + DML-interplay
     // booleans in-engine, type count anchored relationally
     "stream_gseg_sink_parity" ->

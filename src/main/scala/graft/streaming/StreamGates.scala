@@ -2002,6 +2002,131 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_cdf_index_parity]: the NORTH-STAR payoff the
+    * r13/r14 table-format work built toward — a downstream MinHash-LSH
+    * dedup INDEX maintained INCREMENTALLY from the row-level
+    * changefeed instead of rebuilt from the corpus. The docs table
+    * takes a mixed history (snapshot → late INSERT → UPDATE → DELETE,
+    * with the stream STOPPED across the DML commits and RESTARTED from
+    * its checkpoint); a `read_changefeed` stream tails it, and
+    * foreachBatch applies each commit's row changes to a persisted
+    * gseg index table of (doc_id, band, bh) LSH bucket keys — the
+    * engine maintaining its own dedup infrastructure through its own
+    * DML surface. The per-batch apply is the standard exactly-once
+    * foreachBatch recipe: MERGE-delete every TOUCHED doc's band rows,
+    * then re-insert bands for rows live after the batch (latest
+    * generation per key wins within the batch), so a replayed
+    * micro-batch converges instead of duplicating. Claims:
+    *  - index_matches_rebuild: the incrementally-maintained index is
+    *    SET-IDENTICAL to a from-scratch rebuild over the live table
+    *    (same [[graft.functions.Dedup.minhashBandsOf]] kernel) —
+    *    inserts, update pre/post pairs and deletes all landed exactly
+    *    once, across the restart;
+    *  - incremental_applied: the index was built by >= 2 separate
+    *    batch applications (counter evidence — the parity really came
+    *    from incremental maintenance, not one bootstrap);
+    *  - n_docs / n_index_rows anchor the final state relationally:
+    *    the index carries exactly 32 bands per >= 3-token live doc,
+    *    which DuckDB recomputes from the documents table.
+    * At 100 TB: each index update costs the COMMIT'S CHURN (CDF rows →
+    * band rows of touched docs), never the corpus — the difference
+    * between a minutes-long maintenance tick and a daily full rebuild
+    * of a dedup index. */
+  def streamCdfIndexParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_cdf_index").toString
+    try {
+      val wh = s"$base/wh"
+      iso.conf.set("spark.sql.catalog.gseg_idx", "graft.sources.SegCatalog")
+      iso.conf.set("spark.sql.catalog.gseg_idx.warehouse", wh)
+      val docs = Tables.documents(iso, d).select(col("doc_id"), col("text"))
+      val dir = s"$wh/ns/docs"
+      graft.sources.SegSource.write(
+        docs.filter(col("doc_id") % 4 === 0)
+          .repartitionByRange(4, col("doc_id")), dir)
+      iso.table("gseg_idx.ns.docs").count() // manifest: generation 0
+      iso.sql("CREATE TABLE gseg_idx.ns.idx " +
+        "(doc_id BIGINT, band INT, bh BIGINT) USING gseg")
+      val ckpt = s"$base/ckpt"
+      def applyBatch(batch: DataFrame, id: Long): Unit = {
+        if (batch.isEmpty) return
+        val ss = batch.sparkSession // foreachBatch runs in a clone:
+        val b = batch.persist()     // views and SQL must use ITS session
+        try {
+          graft.Counters.add("gseg_idx_batches_applied", 1L)
+          // 1. clear every touched doc's band rows (idempotent under
+          //    replay; covers delete, update and re-insert alike)
+          b.select(col("doc_id")).distinct()
+            .createOrReplaceTempView("graft_idx_touched")
+          ss.sql("MERGE INTO gseg_idx.ns.idx t USING graft_idx_touched s " +
+            "ON t.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+          // 2. rows LIVE after this batch: latest generation per key
+          //    decides (an update's postimage outranks its preimage;
+          //    a later delete outranks both)
+          val latest = b.withColumn("__rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"))
+              .orderBy(col("_commit_generation").desc,
+                when(col("_change_type") === "update_postimage", 1)
+                  .otherwise(0).desc)))
+            .filter(col("__rk") === 1)
+            .filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(col("doc_id"), col("text"))
+          graft.functions.Dedup.minhashBandsOf(
+            graft.functions.Dedup.shingleHashesOf(latest)).toDF()
+            .createOrReplaceTempView("graft_idx_new")
+          ss.sql("INSERT INTO gseg_idx.ns.idx " +
+            "SELECT doc_id, band, bh FROM graft_idx_new")
+        } finally { b.unpersist(); () }
+      }
+      def start(): StreamingQuery =
+        owned(iso.readStream.format("gseg")
+          .schema(iso.table("gseg_idx.ns.docs").schema)
+          .option(graft.sources.SegCdf.ReadChangefeedOption, "true")
+          .option(graft.sources.SegCdf.KeysOption, "doc_id")
+          .load(dir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch(applyBatch _).start(), "stream_cdf_index_parity")
+      graft.Counters.drain()
+      var q: StreamingQuery = null
+      try {
+        q = start()
+        q.processAllAvailable() // initial snapshot bootstraps the index
+        docs.filter(col("doc_id") % 4 === 1)
+          .createOrReplaceTempView("graft_idx_late")
+        iso.sql(
+          "INSERT INTO gseg_idx.ns.docs SELECT * FROM graft_idx_late")
+        q.processAllAvailable() // generation 1 applied incrementally
+      } finally safeStop(q)
+      // mutate while the stream is DOWN; the restart must catch up
+      // from the checkpoint and apply both commits exactly once
+      iso.sql("UPDATE gseg_idx.ns.docs " +
+        "SET text = concat(text, ' touched') WHERE doc_id % 10 = 3")
+      iso.sql("DELETE FROM gseg_idx.ns.docs WHERE doc_id % 10 = 7")
+      try {
+        q = start()
+        q.processAllAvailable()
+      } finally safeStop(q)
+      val applied =
+        graft.Counters.drain().getOrElse("gseg_idx_batches_applied", 0L)
+      val idx = iso.table("gseg_idx.ns.idx")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rebuild = graft.functions.Dedup.minhashBandsOf(
+        graft.functions.Dedup.shingleHashesOf(iso.table("gseg_idx.ns.docs")
+          .select(col("doc_id"), col("text")))).toDF()
+      val sym = symDiffEmpty(idx.toDF(), rebuild,
+        Seq("doc_id", "band", "bh")).head()
+      val matches = sym.getLong(0) == 0 && sym.getLong(1) == 0
+      val nDocs = iso.table("gseg_idx.ns.docs").count()
+      val nIdx = idx.count()
+      idx.unpersist()
+      Seq((nDocs, nIdx, matches, applied >= 3L))
+        .toDF("n_docs", "n_index_rows", "index_matches_rebuild",
+          "incremental_applied")
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_gseg_sink_parity]: the gseg STREAMING SINK —
     * `writeStream.toTable` onto a gseg CATALOG table, each epoch an
     * idempotent manifest-swap commit under an epoch-prefixed name

@@ -124,11 +124,26 @@ object Sf1Probe {
         // RATIO as the name-range-laid table grows (files_total and
         // jobs constant by layout; skipped tracks the prefix slice)
         "s38_dsv2_string_prune" -> ((s, d) =>
-          graft.operators.CoreOps.s38DsvStringPrune(s, d)))
+          graft.operators.CoreOps.s38DsvStringPrune(s, d)),
+        // r15 additions: declared layouts must stay scale-invariant —
+        // the string-keyed SPJ's key_groups count is the 24-class
+        // domain and the bucketed SPJ's is its 16 buckets at ANY
+        // table size; the CDF-maintained LSH index's per-batch cost
+        // tracks each commit's churn (cdf append/diff counters), and
+        // batches_applied stays the history's commit count
+        "s39_dsv2_string_partitioned" -> ((s, d) =>
+          graft.operators.CoreOps.s39DsvStringPartitioned(s, d)),
+        "s40_dsv2_bucketed_spj" -> ((s, d) =>
+          graft.operators.CoreOps.s40DsvBucketedSpj(s, d)),
+        "stream_cdf_index_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamCdfIndexParity(s, d)))
+    // optional arg: comma-separated names — probe only those
+    val only = args.headOption.map(_.split(',').toSet)
+    val picked = queries.filter(q => only.forall(_.contains(q._1)))
     // warm the JVM so the first timed row isn't cold JIT
-    queries.foreach(_._2(spark, "/root/testdata/sf0.01").count())
+    picked.foreach(_._2(spark, "/root/testdata/sf0.01").count())
     for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
-      for ((name, fn) <- queries) {
+      for ((name, fn) <- picked) {
         spark.catalog.clearCache()
         Counters.clear()
         Thread.sleep(200); jobs = 0
