@@ -1067,6 +1067,20 @@ class SegCompactProcedure(cat: SegCatalog)
                   src.coalesce(target)
                     .write.format("gseg").mode("overwrite")
                     .save(tmp.toString)
+                case cs if cs.exists(c =>
+                    SegSource.ClusterKey.parse(c).buckets.isDefined) =>
+                  // BUCKET layouts: a path-based write cannot resolve
+                  // the bucket transform (no FunctionCatalog on the
+                  // save() path), so the rewrite runs CLUSTER-LOCAL —
+                  // coalesce bounds the task count and the writer's
+                  // flush-time key sort forms the single-bucket,
+                  // stamped runs; the table is ALREADY bucket-laid,
+                  // so merging within the layout needs no shuffle
+                  src.coalesce(target)
+                    .write.format("gseg")
+                    .option(SegSource.PartitionColOption, cs.mkString(","))
+                    .option(SegSource.ClusterLocalOption, "true")
+                    .mode("overwrite").save(tmp.toString)
                 case cs =>
                   // layout-preserving: the identity-clustered write
                   // path (required distribution + in-partition sort)

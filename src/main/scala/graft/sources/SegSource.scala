@@ -129,6 +129,19 @@ object SegSource {
     * whichever trips first rolls. */
   val MaxBytesPerSegmentOption = "max_bytes_per_segment"
 
+  /** Write option: lay out the declared clustering WITHOUT requiring
+    * a Spark-side distribution — the task writer SORTS its buffer by
+    * the effective keys at flush, so every segment is still
+    * single-key/single-bucket and properly stamped, at the cost of up
+    * to (tasks x local distinct keys) output files instead of one per
+    * key. This is the resolution-free path for `bucket(n, col)`
+    * layouts OUTSIDE the catalog: Spark can only resolve a bucket
+    * transform distribution through a FunctionCatalog, which a
+    * path-based write has none of — `CALL compact` uses this (with a
+    * coalesce bounding the task count) to keep bucket tables
+    * compactable. */
+  val ClusterLocalOption = "cluster_local"
+
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   /** v3 adds OPTIONAL string zone-map stats (flag byte 2: two
     * length-prefixed byte strings) next to the numeric pair (flag 1).
@@ -288,6 +301,33 @@ object SegSource {
     * (same verdict on the write shuffle and the layout recovery). */
   private[sources] def bucketOf(v: Any, n: Int): Int =
     if (v == null) 0 else java.lang.Math.floorMod(cellHash64(v), n.toLong).toInt
+
+  /** Total order over writer cells (boxed primitives / UTF-8 byte
+    * arrays; nulls first) — the writer's flush-time buffer sort, so
+    * single-key runs form under ANY task distribution. The order
+    * itself is irrelevant to correctness (only the GROUPING matters);
+    * byte arrays compare unsigned-lexicographically for stable
+    * string-run locality. */
+  private[sources] def cellCompare(a: AnyRef, b: AnyRef): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Array[Byte], y: Array[Byte]) =>
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x, y) => throw new IllegalArgumentException(
+      s"gseg: incomparable cells ${x.getClass.getName}/${y.getClass.getName}")
+  }
 
   // ---------------- HLL NDV sketch (v4 headers) ----------------
 
@@ -1074,7 +1114,9 @@ class SegTable(tschema: StructType, path: String,
       Option(info.options().get(SegSource.MaxRowsPerSegmentOption))
         .map(_.toInt),
       Option(info.options().get(SegSource.MaxBytesPerSegmentOption))
-        .map(_.toLong))
+        .map(_.toLong),
+      "true".equalsIgnoreCase(
+        info.options().get(SegSource.ClusterLocalOption)))
 }
 
 // ---------------- read side ----------------
@@ -1995,7 +2037,8 @@ class SegPartitionReader(file: String, required: StructType,
 class SegWriteBuilder(path: String, schema: StructType,
     partitionCols: Seq[String] = Nil,
     maxRowsPerSegment: Option[Int] = None,
-    maxBytesPerSegment: Option[Long] = None)
+    maxBytesPerSegment: Option[Long] = None,
+    clusterLocal: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   // `_file` is the synthesized metadata column and `__row_operation`
   // the rewrite op marker: a stored data column under either name
@@ -2029,12 +2072,18 @@ class SegWriteBuilder(path: String, schema: StructType,
       if (k.buckets.isEmpty) Expressions.column(k.col) else k.toV2
     }
     override def requiredDistribution(): Distribution =
-      if (partitionCols.isEmpty) Distributions.unspecified()
+      // cluster_local: no Spark-side distribution at all — the
+      // writer's flush-time buffer sort alone forms the runs (the
+      // path a bucket transform takes when no FunctionCatalog can
+      // resolve it; file count bounded by tasks x local keys)
+      if (partitionCols.isEmpty || clusterLocal)
+        Distributions.unspecified()
       else Distributions.clustered(partitionCols.map(c =>
         SegSource.ClusterKey.parse(c).toV2
           : org.apache.spark.sql.connector.expressions.Expression).toArray)
     override def requiredOrdering(): Array[V2SortOrder] =
-      partitionCols.map(c =>
+      if (clusterLocal) Array.empty
+      else partitionCols.map(c =>
         Expressions.sort(keyExpr(c), SortDirection.ASCENDING)
           : V2SortOrder).toArray
     override def toBatch: BatchWrite =
@@ -2317,6 +2366,22 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     val runs: Seq[collection.IndexedSeq[Array[AnyRef]]] =
       if (keyIdx.isEmpty) Seq(buf)
       else {
+        // sort the buffer by the EFFECTIVE keys first: runs then form
+        // under ANY upstream distribution/ordering (catalog writes
+        // arrive pre-sorted — this is a near-no-op reorder; the
+        // cluster_local path depends on it), so a mid-key budget
+        // flush or an unsorted task can never interleave keys
+        buf.sortInPlace()(new Ordering[Array[AnyRef]] {
+          def compare(x: Array[AnyRef], y: Array[AnyRef]): Int = {
+            var si = 0
+            while (si < keyIdx.length) {
+              val c = SegSource.cellCompare(effKey(x, si), effKey(y, si))
+              if (c != 0) return c
+              si += 1
+            }
+            0
+          }
+        })
         val out = scala.collection.mutable.ArrayBuffer
           .empty[collection.IndexedSeq[Array[AnyRef]]]
         var start = 0

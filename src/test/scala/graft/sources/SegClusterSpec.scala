@@ -289,4 +289,96 @@ class SegClusterSpec extends SparkSpec {
     val ndv = byName("dim").distinctCount.get.toLong
     assert(math.abs(ndv - 13.0) / 13.0 < 0.20, s"dim ndv=$ndv")
   }
+
+  test("compact keeps bucket layouts via cluster_local writes") {
+    val (iso, wh) = dml("bktcmp")
+    iso.sql("CREATE TABLE tc.ns.a (k BIGINT, v BIGINT) USING gseg " +
+      "PARTITIONED BY (bucket(8, k))")
+    iso.sql("CREATE TABLE tc.ns.b (k BIGINT, w BIGINT) USING gseg " +
+      "PARTITIONED BY (bucket(8, k))")
+    iso.range(500).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .createOrReplaceTempView("graft_bc_a")
+    iso.range(300).select(col("id").as("k"), (col("id") * 7).as("w"))
+      .createOrReplaceTempView("graft_bc_b")
+    iso.sql("INSERT INTO tc.ns.a SELECT k, v FROM graft_bc_a WHERE k < 250")
+    iso.sql("INSERT INTO tc.ns.a SELECT k, v FROM graft_bc_a WHERE k >= 250")
+    iso.sql("INSERT INTO tc.ns.b SELECT k, w FROM graft_bc_b")
+    val before = SegSource.resolveSegments(s"$wh/ns/a").size
+    assert(before > 8, s"two commits should fragment: $before files")
+    // compact a BUCKET-clustered table: the rewrite cannot declare the
+    // bucket distribution on its path-based tmp write (no
+    // FunctionCatalog there — pinned below), so it runs cluster_local:
+    // coalesce bounds tasks, the writer's flush sort forms the
+    // single-bucket stamped runs, and the layout SURVIVES maintenance
+    iso.sql("CALL tc.compact('ns.a', 1)")
+    val after = SegSource.resolveSegments(s"$wh/ns/a")
+    assert(after.size <= 8, s"expected <= 8 single-bucket files: $after")
+    after.foreach { f =>
+      val h = SegSource.headerOf(f)
+      assert(h.props.get("bucket.k").exists(_.startsWith("8:")),
+        s"unstamped compacted segment $f: ${h.props}")
+    }
+    def j = iso.table("tc.ns.a").join(iso.table("tc.ns.b"), "k")
+    assert(hasSmj(j) && shuffles(j) == 0,
+      s"bucket SPJ lost after compact:\n${j.queryExecution.executedPlan}")
+    assert(j.count() == 300)
+    assert(iso.table("tc.ns.a").count() == 500)
+    // path-based bucket writes: cluster_local works; without it the
+    // bucket transform is unresolvable and must fail LOUDLY (pins the
+    // Spark behavior the compact workaround exists for)
+    val d2 = graft.Fs.fastTempDir("graft_pbw").toString
+    iso.range(50).select(col("id").as("k"))
+      .write.format("gseg")
+      .option(SegSource.PartitionColOption, "bucket(4,k)")
+      .option(SegSource.ClusterLocalOption, "true")
+      .mode("overwrite").save(d2)
+    SegSource.listSegments(d2).foreach { f =>
+      assert(SegSource.headerOf(f).props.contains("bucket.k"))
+    }
+    assert(iso.read.format("gseg").load(d2).count() == 50)
+    intercept[Exception](iso.range(10).select(col("id").as("k"))
+      .write.format("gseg")
+      .option(SegSource.PartitionColOption, "bucket(4,k)")
+      .mode("overwrite").save(graft.Fs.fastTempDir("graft_pbw2").toString))
+  }
+
+  test("reported stats drive join planning: a small gseg dim broadcasts") {
+    // the CBO surface end-to-end at PLAN level: the scan's
+    // estimateStatistics (exact rows, pruned bytes, v4 NDV) is what
+    // Spark's join sizing reads — a small gseg dimension must come in
+    // UNDER the broadcast threshold with no hint, while the big side
+    // stays the probe side. (Without reported stats a V2 relation
+    // defaults to sizeInBytes=MaxValue and NOTHING ever broadcasts.)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    val dBig = graft.Fs.fastTempDir("graft_bc_big").toString
+    val dDim = graft.Fs.fastTempDir("graft_bc_dim").toString
+    iso.range(200000)
+      .select(col("id").as("k"), (col("id") % 13).as("dim_id"),
+        col("id").cast("string").as("payload"))
+      .repartition(4)
+      .write.format("gseg").mode("overwrite").save(dBig)
+    iso.range(13).select(col("id").as("dim_id"),
+      concat(lit("d"), col("id").cast("string")).as("name"))
+      .write.format("gseg").mode("overwrite").save(dDim)
+    val j = iso.read.format("gseg").load(dBig)
+      .join(iso.read.format("gseg").load(dDim), "dim_id")
+    val bhj = j.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isDefined,
+      s"small dim did not broadcast:\n${j.queryExecution.executedPlan}")
+    assert(j.count() == 200000L)
+    // and the optimizer-visible NDV on the dim key is the real 13
+    iso.conf.set("spark.sql.cbo.enabled", "true")
+    val rel = iso.read.format("gseg").load(dDim)
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      }.get
+    val ndv = rel.computeStats().attributeStats
+      .map { case (a, s) => a.name -> s }.apply("dim_id")
+      .distinctCount.get.toLong
+    assert(math.abs(ndv - 13.0) / 13.0 < 0.20, s"dim_id ndv=$ndv")
+  }
 }
