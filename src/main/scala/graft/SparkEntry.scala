@@ -293,6 +293,7 @@ object SparkEntry {
     "s38_dsv2_string_prune" -> CoreOps.s38DsvStringPrune _,
     "s39_dsv2_string_partitioned" -> CoreOps.s39DsvStringPartitioned _,
     "s40_dsv2_bucketed_spj" -> CoreOps.s40DsvBucketedSpj _,
+    "s41_dsv2_bloom_prune" -> CoreOps.s41DsvBloomPrune _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_cdf_index_parity" ->
@@ -1467,6 +1468,20 @@ object SparkEntry {
         |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE NOT (o_orderkey % 50 = 7)""".stripMargin,
+    // BLOOM FILE SKIPPING: point lookup on a hash-shuffled (unsorted)
+    // key — the probe key is the smallest orderkey at-or-above half
+    // the max (deterministic, relationally recomputable); the
+    // file-pruning boolean is counter evidence pinned TRUE
+    "s41_dsv2_bloom_prune" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS bloom_pruned
+        |FROM orders
+        |WHERE o_orderkey =
+        |  (SELECT MIN(o_orderkey) FROM orders
+        |   WHERE o_orderkey >= (SELECT MAX(o_orderkey) // 2 FROM orders))
+        |""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

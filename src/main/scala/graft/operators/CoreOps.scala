@@ -3787,6 +3787,41 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
   }
 
+  /** DSv2 BLOOM-FILTER FILE SKIPPING [S41]: the v5 per-segment bloom
+    * under the driver's oracle gate. Orders land HASH-SHUFFLED across
+    * 8 files (every file's [min,max] key interval spans ~the whole
+    * domain, so zone maps cannot prune a point lookup — the layout a
+    * real unsorted 100 TB fact table has), with `bloom_columns=k` at
+    * write. The point lookup then opens only the file(s) whose bloom
+    * admits the key (~1 of 8, plus false positives) — counter-pinned
+    * `bloom_pruned`; DuckDB recomputes the relational columns. The
+    * probe key is the smallest key at-or-above half the max — a
+    * deterministic, relationally-recomputable existing key. */
+  def s41DsvBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml41")
+    import iso.implicits._
+    val dir = s"$wh/dml/t"
+    Tables.orders(iso, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .repartition(8)
+      .write.format("gseg")
+      .option(graft.sources.SegSource.BloomColumnsOption, "k")
+      .mode("overwrite").save(dir)
+    val t = iso.read.format("gseg").load(dir)
+    val half = t.agg(max(col("k"))).head().getLong(0) / 2
+    val key = t.filter(col("k") >= half).agg(min(col("k")))
+      .head().getLong(0)
+    graft.Counters.drain()
+    val r = t.filter(col("k") === key)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("price"))).cast(DoubleType).as("sum_price"))
+      .head()
+    val c = graft.Counters.drain()
+    val pruned = c.getOrElse("gseg_bloom_files_skipped", 0L) > 0
+    Seq((r.getLong(0), r.getDouble(1), pruned))
+      .toDF("n_rows", "sum_price", "bloom_pruned")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

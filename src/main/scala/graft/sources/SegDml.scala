@@ -994,7 +994,15 @@ class SegCompactProcedure(cat: SegCatalog)
         // cheap as the table ages)
         ProcedureParameter.in("target_bytes",
           org.apache.spark.sql.types.LongType)
-          .defaultValue("CAST(NULL AS BIGINT)").build())
+          .defaultValue("CAST(NULL AS BIGINT)").build(),
+        // RE-CLUSTER: rewrite the whole table under a NEW declared
+        // clustering (comma list of `col` / `bucket(n,col)` specs;
+        // empty string DE-clusters) and persist it — the Iceberg
+        // "replace partition field" shape: one call re-keys a table's
+        // layout without recreating it, and every later write/DML
+        // maintains the new layout
+        ProcedureParameter.in("cluster_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
       override def isDeterministic: Boolean = false
 
       private val outSchema = StructType(Seq(
@@ -1017,17 +1025,50 @@ class SegCompactProcedure(cat: SegCatalog)
           else Some(input.getLong(3))
         targetBytes.foreach(tb => require(tb > 0,
           s"gseg compact: target_bytes $tb <= 0"))
+        val clusterBy =
+          if (input.numFields < 5 || input.isNullAt(4)) None
+          else Some(input.getUTF8String(4).toString)
+        // re-layout of a SUBSET is incoherent (shared files would
+        // keep the old layout): cluster_by always rewrites whole
+        require(clusterBy.isEmpty || targetBytes.isEmpty,
+          "gseg compact: cluster_by re-lays the WHOLE table and " +
+            "cannot combine with target_bytes")
         val parts = tbl.split('.')
         require(parts.nonEmpty && parts.forall(_.nonEmpty),
           s"gseg compact: bad table identifier '$tbl'")
         val ident = Identifier.of(parts.init.toArray, parts.last)
         val dir = cat.tableDir(ident)
         val schema = cat.loadTable(ident).schema() // ensures manifest
+        // the NEW clustering, validated like CREATE TABLE's
+        val newCluster: Option[Seq[String]] = clusterBy.map { cb =>
+          val specs = SegSource.splitClusterSpecs(cb)
+          specs.foreach { sp =>
+            val k = SegSource.ClusterKey.parse(sp)
+            val f = schema.fields.find(_.name == k.col).getOrElse(
+              throw new IllegalArgumentException(
+                s"gseg compact: cluster_by column '${k.col}' is not " +
+                  "in the schema"))
+            if (k.buckets.isEmpty)
+              require(SegSource.identityClusterType(f.dataType),
+                s"gseg compact: cluster_by column '${k.col}' must be " +
+                  "BIGINT/INT/STRING/DATE/TIMESTAMP, got " +
+                  f.dataType.simpleString)
+            else require(SegSource.bucketClusterType(f.dataType),
+              s"gseg compact: bucket(n, ${k.col}) needs a " +
+                "BIGINT/INT/STRING/DATE/TIMESTAMP column, got " +
+                f.dataType.simpleString)
+          }
+          val names = specs.map(SegSource.ClusterKey.parse(_).col)
+          require(names.distinct.size == names.size,
+            s"gseg compact: duplicate cluster_by column in $cb")
+          specs.map(SegSource.ClusterKey.parse(_).render)
+        }
         // a PARTITIONED BY table compacts CLUSTERED by default — an
         // unqualified CALL compact must not quietly destroy the
-        // layout the table declared
-        val sortByEff: Seq[String] = sortBy.map(SegSource.splitClusterSpecs)
-          .getOrElse(SegMeta.read(dir).map(_.clusterCols).getOrElse(Nil))
+        // layout the table declared; cluster_by overrides everything
+        val sortByEff: Seq[String] = newCluster.getOrElse(
+          sortBy.map(SegSource.splitClusterSpecs)
+            .getOrElse(SegMeta.read(dir).map(_.clusterCols).getOrElse(Nil)))
         sortByEff.foreach(c => require(schema.fieldNames.contains(
           SegSource.ClusterKey.parse(c).col),
           s"gseg compact: sort_by column '$c' is not in the schema"))
@@ -1045,9 +1086,10 @@ class SegCompactProcedure(cat: SegCatalog)
         graft.Counters.add("gseg_compact_rewritten", toRewrite.size.toLong)
         graft.Counters.add("gseg_compact_shared", shared.size.toLong)
         val after =
-          if ((targetBytes.isDefined && toRewrite.size <= 1) ||
-              (targetBytes.isEmpty && live.size <= target &&
-                sortByEff.isEmpty))
+          if (newCluster.isEmpty &&
+              ((targetBytes.isDefined && toRewrite.size <= 1) ||
+               (targetBytes.isEmpty && live.size <= target &&
+                 sortByEff.isEmpty)))
             live.size.toLong // nothing worth merging: no-op, no commit
           else {
             val spark = org.apache.spark.sql.SparkSession.active
@@ -1101,8 +1143,17 @@ class SegCompactProcedure(cat: SegCatalog)
                 }
               val sharedNames =
                 shared.map(f => Paths.get(f).getFileName.toString)
+              // re-clustering pins the NEW layout into the commit's
+              // snapshot (as-of-schema semantics) and persists it in
+              // the sidecar AFTER the commit point, mirroring CTAS
+              val newMeta = newCluster.map { nc =>
+                SegMeta.read(dir).getOrElse(SegMeta.TableMeta(
+                  schema, Set.empty, Map.empty)).copy(clusterCols = nc)
+              }
               SegManifest.swap(dir.toString, sharedNames ++ newNames,
-                expectGen = Some(liveGen))
+                expectGen = Some(liveGen),
+                metaOverride = newMeta.map(SegMeta.render))
+              newMeta.foreach(SegMeta.write(dir, _))
               (sharedNames.size + newNames.size).toLong
             } finally graft.Fs.deleteRecursively(tmp)
           }

@@ -142,6 +142,17 @@ object SegSource {
     * compactable. */
   val ClusterLocalOption = "cluster_local"
 
+  /** Write option: comma list of columns to build a PER-SEGMENT BLOOM
+    * FILTER for (long/int/string/date/timestamp). Zone maps prune
+    * point lookups only on SORTED keys; a bloom prunes them on ANY
+    * layout — the 100 TB "find one id in an unsorted fact table"
+    * case. ~10 bits per non-null value (1% false-positive rate),
+    * k = 7 hashes derived from the same 64-bit cell hash the bucket
+    * layout uses. Bloom blocks live AFTER the column data (v5), so
+    * headers stay cheap to parse and the filter bytes are read LAZILY
+    * — only at planning, only when a pushed =/IN targets the column. */
+  val BloomColumnsOption = "bloom_columns"
+
   private[sources] val Magic = Array[Byte]('G', 'S', 'E', 'G')
   /** v3 adds OPTIONAL string zone-map stats (flag byte 2: two
     * length-prefixed byte strings) next to the numeric pair (flag 1).
@@ -170,6 +181,13 @@ object SegSource {
     *    sizing) at any file count — the property a single stored
     *    estimate could never give. ~3% relative error at p=10. */
   private[sources] val Version: Byte = 4
+
+  /** v5 appends OPTIONAL per-column bloom filters: the header carries
+    * a flag (+ byte length and hash count) per column, the filter
+    * bit arrays sit AFTER the data blocks in column order — parsing
+    * stays O(header), readers never touch them, and planning seeks
+    * straight to the one filter a point predicate needs. */
+  private[sources] val Version5: Byte = 5
 
   // ---------------- clustering keys ----------------
 
@@ -347,6 +365,85 @@ object SegSource {
       i += 1
     }
   }
+  // ---------------- per-segment bloom filters (v5) ----------------
+
+  private[sources] val BloomK = 7
+  private[sources] val BloomBitsPerValue = 10
+  /** Cap one filter at 1 MiB of bits — a 100k-row segment wants
+    * ~125 KiB; the cap only bounds pathological segment sizes. */
+  private[sources] val BloomMaxBits = 1 << 23
+
+  private[sources] def bloomBitsFor(nonNull: Long): Int = {
+    val want = math.max(64L, nonNull * BloomBitsPerValue)
+    math.min(BloomMaxBits.toLong, ((want + 63) / 64) * 64).toInt
+  }
+  /** Double hashing (Kirsch-Mitzenmacher): k indexes from one 64-bit
+    * cell hash — h2 re-mixed so the pair is independent enough. */
+  private[sources] def bloomSet(words: Array[Long], hash: Long): Unit = {
+    val m = words.length * 64
+    val h2 = fmix64(hash ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < BloomK) {
+      val idx = java.lang.Math.floorMod(hash + i * h2, m.toLong).toInt
+      words(idx >> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+  private[sources] def bloomTest(words: Array[Long], hash: Long): Boolean = {
+    val m = words.length * 64
+    val h2 = fmix64(hash ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < BloomK) {
+      val idx = java.lang.Math.floorMod(hash + i * h2, m.toLong).toInt
+      if ((words(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  /** A FILTER VALUE (external V1-filter types) normalized to the
+    * representation the writer hashed for the stored cells — None for
+    * shapes no hash consumer can judge (conservative keep). Int and
+    * Long normalize to the same hash (both via longValue), so an
+    * INT→BIGINT widen keeps old blooms and bucket stamps valid. */
+  private[sources] def hashableValue(v: Any): Option[Any] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case s: String => Some(s)
+    case d: java.sql.Date => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d))
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+  private[sources] def bloomHashOf(v: Any): Option[Long] =
+    hashableValue(v).map(cellHash64)
+
+  /** Group-grain bucket pruning: every row of a `bucket(n, col)`
+    * partition hashes to the group's id, so a point predicate on the
+    * UNDERLYING column can only match inside the value's own bucket —
+    * all other groups provably hold no match and empty WITHOUT
+    * changing the reported partition count. The bucket-layout dual of
+    * zone-map identity pruning. */
+  private[sources] def bucketGroupMayMatch(f: Filter, col: String,
+      n: Int, id: Int): Boolean = f match {
+    case EqualTo(a, v) if a == col =>
+      v != null && hashableValue(v).forall(x => bucketOf(x, n) == id)
+    case In(a, vs) if a == col =>
+      vs.exists(v =>
+        v != null && hashableValue(v).forall(x => bucketOf(x, n) == id))
+    case And(l, r) =>
+      bucketGroupMayMatch(l, col, n, id) && bucketGroupMayMatch(r, col, n, id)
+    case Or(l, r) =>
+      bucketGroupMayMatch(l, col, n, id) || bucketGroupMayMatch(r, col, n, id)
+    case _ => true
+  }
+
   /** Standard HLL estimate with the small-range linear-counting
     * correction (Flajolet et al. 2007). */
   private[sources] def hllEstimate(regs: Array[Byte]): Long = {
@@ -407,7 +504,8 @@ object SegSource {
     * property map (bucket-layout stamps). */
   private[sources] def writeSegment(rows: collection.IndexedSeq[Array[AnyRef]],
       schema: StructType, file: String,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      bloomCols: Set[String] = Set.empty): Unit = {
     val n = rows.length
     val nCols = schema.length
     val blocks = new Array[Array[Byte]](nCols)
@@ -418,6 +516,7 @@ object SegSource {
     val minStr = new Array[Array[Byte]](nCols)
     val maxStr = new Array[Array[Byte]](nCols)
     val hll = new Array[Array[Byte]](nCols)
+    val blooms = new Array[Array[Long]](nCols)
     def uLess(a: Array[Byte], b: Array[Byte]): Boolean = {
       var i = 0
       val n = math.min(a.length, b.length)
@@ -449,6 +548,14 @@ object SegSource {
       // booleans are skipped (a two-value domain needs no sketch)
       val regs = new Array[Byte](HllM)
       var sketched = false
+      // optional bloom (v5): same cell hashes, k-index bit sets
+      val bw: Array[Long] =
+        if (bloomCols.contains(schema(c).name) &&
+            (schema(c).dataType match {
+              case DoubleType | BooleanType => false
+              case _ => true
+            })) new Array[Long](bloomBitsFor(n.toLong) / 64)
+        else null
       i = 0
       schema(c).dataType match {
         case LongType => while (i < n) {
@@ -459,6 +566,7 @@ object SegSource {
             if (l < mnL) mnL = l
             if (l > mxL) mxL = l
             hllAdd(regs, fmix64(l)); sketched = true
+            if (bw != null) bloomSet(bw, fmix64(l))
           }
           i += 1
         }
@@ -472,6 +580,7 @@ object SegSource {
             if (x < mnL) mnL = x.toLong
             if (x > mxL) mxL = x.toLong
             hllAdd(regs, fmix64(x.toLong)); sketched = true
+            if (bw != null) bloomSet(bw, fmix64(x.toLong))
           }
           i += 1
         }
@@ -498,6 +607,7 @@ object SegSource {
               if (mnB == null || uLess(b, mnB)) mnB = b
               if (mxB == null || uLess(mxB, b)) mxB = b
               hllAdd(regs, bytesHash64(b)); sketched = true
+              if (bw != null) bloomSet(bw, bytesHash64(b))
             }
             i += 1
           }
@@ -515,6 +625,7 @@ object SegSource {
             if (l < mnL) mnL = l
             if (l > mxL) mxL = l
             hllAdd(regs, fmix64(l)); sketched = true
+            if (bw != null) bloomSet(bw, fmix64(l))
           }
           i += 1
         }
@@ -532,6 +643,7 @@ object SegSource {
       o.flush()
       blocks(c) = bo.toByteArray
       if (sketched) hll(c) = regs
+      if (bw != null && sketched) blooms(c) = bw
       schema(c).dataType match {
         case LongType | IntegerType | TimestampType | DateType if seen =>
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
@@ -546,7 +658,7 @@ object SegSource {
     val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file)))
     try {
-      out.write(Magic); out.writeByte(Version)
+      out.write(Magic); out.writeByte(Version5)
       out.writeInt(n); out.writeInt(nCols)
       out.writeInt(props.size)
       props.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -571,9 +683,21 @@ object SegSource {
         } else out.writeByte(0)
         if (hll(c) != null) { out.writeByte(1); out.write(hll(c)) }
         else out.writeByte(0)
+        if (blooms(c) != null) {
+          out.writeByte(1)
+          out.writeInt(blooms(c).length * 8); out.writeInt(BloomK)
+        } else out.writeByte(0)
         c += 1
       }
       blocks.foreach(out.write)
+      // bloom bit arrays trail the data blocks (column order): header
+      // parses stay O(header), readers never touch them, planning
+      // seeks to exactly the one filter a point predicate needs
+      c = 0
+      while (c < nCols) {
+        if (blooms(c) != null) blooms(c).foreach(out.writeLong)
+        c += 1
+      }
     } finally out.close()
   }
 
@@ -583,7 +707,8 @@ object SegSource {
       bytes: Long, nNulls: Long, hasStats: Boolean,
       minBits: Long, maxBits: Long,
       minStr: Option[String] = None, maxStr: Option[String] = None,
-      hll: Option[Array[Byte]] = None) {
+      hll: Option[Array[Byte]] = None,
+      bloom: Option[(Int, Int)] = None) { // (byte length, k hashes)
     /** Exact typed stat values (None for string / all-null). */
     def minVal: Option[Any] = statVal(minBits)
     def maxVal: Option[Any] = statVal(maxBits)
@@ -610,8 +735,7 @@ object SegSource {
     in.readFully(magic)
     require(magic.sameElements(Magic), "not a gseg file")
     val ver = in.readByte()
-    require(ver == 2 || ver == 3 || ver == 4,
-      s"unsupported gseg version $ver")
+    require(ver >= 2 && ver <= 5, s"unsupported gseg version $ver")
     val n = in.readInt()
     val nCols = in.readInt()
     val props: Map[String, String] =
@@ -642,12 +766,15 @@ object SegSource {
               Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
           case _ => ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L)
         }
-      if (ver < 4 || in.readByte() != 1) base
-      else {
-        val regs = new Array[Byte](HllM)
-        in.readFully(regs)
-        base.copy(hll = Some(regs))
-      }
+      val withNdv =
+        if (ver < 4 || in.readByte() != 1) base
+        else {
+          val regs = new Array[Byte](HllM)
+          in.readFully(regs)
+          base.copy(hll = Some(regs))
+        }
+      if (ver < 5 || in.readByte() != 1) withNdv
+      else withNdv.copy(bloom = Some((in.readInt(), in.readInt())))
     }
     SegHeader(n, cols, props)
   }
@@ -890,6 +1017,62 @@ object SegSource {
     }
   }
 
+  /** LAZY bloom check at file grain: can any of the point predicates'
+    * values live in this file? Only reads filter bytes when the
+    * column carries a v5 bloom AND the predicate is =/IN — and then
+    * one seek + one bit-array read per (file, column). Conservative
+    * everywhere else; an =/IN whose non-null value set is EMPTY
+    * matches no row and kills the file outright (same verdict the
+    * zone maps give). */
+  private[sources] def bloomKeep(file: String, h: SegHeader,
+      filters: Seq[Filter]): Boolean =
+    filters.forall(bloomMayMatch(file, h, _))
+
+  private def bloomMayMatch(file: String, h: SegHeader,
+      f: Filter): Boolean = f match {
+    case EqualTo(a, v) => bloomContains(file, h, a, Seq(v))
+    case In(a, vs) => bloomContains(file, h, a, vs.toSeq)
+    case And(l, r) =>
+      bloomMayMatch(file, h, l) && bloomMayMatch(file, h, r)
+    case Or(l, r) =>
+      bloomMayMatch(file, h, l) || bloomMayMatch(file, h, r)
+    case _ => true
+  }
+
+  private def bloomContains(file: String, h: SegHeader,
+      attr: String, values: Seq[Any]): Boolean = {
+    val ci = h.cols.indexWhere(_.name == attr)
+    if (ci < 0) return true
+    val bl = h.cols(ci).bloom.getOrElse(return true)
+    if (bl._2 != BloomK) return true // foreign hash count: keep
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty) return false // = NULL / IN () matches nothing
+    val hashes = nonNull.map(bloomHashOf)
+    if (hashes.exists(_.isEmpty)) return true // unjudgeable value
+    val words = readBloomWords(file, h, ci)
+    hashes.flatten.exists(bloomTest(words, _))
+  }
+
+  private def readBloomWords(file: String, h: SegHeader,
+      ci: Int): Array[Long] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file)))
+    try {
+      readHeader(in) // position after header
+      var toSkip = h.cols.map(_.bytes).sum +
+        h.cols.take(ci).flatMap(_.bloom.map(_._1.toLong)).sum
+      while (toSkip > 0) {
+        val sk = in.skip(toSkip)
+        if (sk <= 0) throw new EOFException(s"gseg: bad bloom seek in $file")
+        toSkip -= sk
+      }
+      val words = new Array[Long](h.cols(ci).bloom.get._1 / 8)
+      var i = 0
+      while (i < words.length) { words(i) = in.readLong(); i += 1 }
+      words
+    } finally in.close()
+  }
+
   private[sources] def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
          LessThan(_, _) | LessThanOrEqual(_, _) | IsNull(_) |
@@ -1116,7 +1299,9 @@ class SegTable(tschema: StructType, path: String,
       Option(info.options().get(SegSource.MaxBytesPerSegmentOption))
         .map(_.toLong),
       "true".equalsIgnoreCase(
-        info.options().get(SegSource.ClusterLocalOption)))
+        info.options().get(SegSource.ClusterLocalOption)),
+      Option(info.options().get(SegSource.BloomColumnsOption))
+        .map(v => SegSource.splitCols(v).toSet).getOrElse(Set.empty))
 }
 
 // ---------------- read side ----------------
@@ -1496,7 +1681,22 @@ case class SegScan(path: String, required: StructType,
     keyGroups match {
       case Some(gs) => // keyGroups already implies aggs.isEmpty
         val kept = gs.map { case (k, fs) =>
-          SegKeyedPartition(fs.filter(f =>
+          // bucket-grain pruning: a point predicate on a bucket key
+          // empties every group but the value's own bucket (the
+          // partition COUNT the reported partitioning promised is
+          // preserved — groups empty, never vanish)
+          val bucketOk = clusterKeys.zipWithIndex.forall {
+            case (ck, si) => ck.buckets match {
+              case Some(n) => pushed.forall(
+                SegSource.bucketGroupMayMatch(_, ck.col, n,
+                  k(si).asInstanceOf[java.lang.Integer].intValue))
+              case None => true // identity keys: zone maps prune per file
+            }
+          }
+          if (!bucketOk) {
+            graft.Counters.add("gseg_bucket_groups_pruned", 1L)
+            SegKeyedPartition(Nil, k)
+          } else SegKeyedPartition(fs.filter(f =>
             pushed.forall(SegSource.mayMatch(
               SegSource.resolvedHeaderOf(f, aliasOverride), _))), k)
         }
@@ -1510,7 +1710,13 @@ case class SegScan(path: String, required: StructType,
       if (aggs.isDefined) files // aggregates only push with no filters
       else files.filter(f => {
         val h = SegSource.resolvedHeaderOf(f, aliasOverride)
-        allFilters.forall(SegSource.mayMatch(h, _))
+        allFilters.forall(SegSource.mayMatch(h, _)) && {
+          // v5 blooms: point lookups prune files zone maps cannot
+          // (unsorted keys have overlapping ranges everywhere)
+          val keep = SegSource.bloomKeep(f, h, allFilters.toSeq)
+          if (!keep) graft.Counters.add("gseg_bloom_files_skipped", 1L)
+          keep
+        }
       })
     val afterLimit = (limit, topN) match {
       case (Some(k), None) if allFilters.isEmpty && aggs.isEmpty =>
@@ -2038,8 +2244,20 @@ class SegWriteBuilder(path: String, schema: StructType,
     partitionCols: Seq[String] = Nil,
     maxRowsPerSegment: Option[Int] = None,
     maxBytesPerSegment: Option[Long] = None,
-    clusterLocal: Boolean = false)
+    clusterLocal: Boolean = false,
+    bloomCols: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
+  bloomCols.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"gseg: bloom_columns column '$c' is not in the schema"))
+    require(f.dataType match {
+      case DoubleType | BooleanType => false
+      case _ => true
+    }, s"gseg: bloom_columns does not support ${f.dataType.simpleString} " +
+      s"('$c') — doubles have no stable value identity, booleans no " +
+      "selectivity")
+  }
   // `_file` is the synthesized metadata column and `__row_operation`
   // the rewrite op marker: a stored data column under either name
   // would be silently shadowed on read (ADVICE r11), so the write
@@ -2088,7 +2306,7 @@ class SegWriteBuilder(path: String, schema: StructType,
           : V2SortOrder).toArray
     override def toBatch: BatchWrite =
       SegBatchWrite(path, schema, truncateFirst, partitionCols,
-        maxRowsPerSegment, maxBytesPerSegment)
+        maxRowsPerSegment, maxBytesPerSegment, bloomCols)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       SegStreamingWrite(path, schema, truncateFirst, maxRowsPerSegment,
@@ -2203,14 +2421,16 @@ case class SegCommitMessage(partitionId: Int, tmpFiles: Seq[String])
 case class SegBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, partitionCols: Seq[String] = Nil,
     maxRowsPerSegment: Option[Int] = None,
-    maxBytesPerSegment: Option[Long] = None)
+    maxBytesPerSegment: Option[Long] = None,
+    bloomCols: Set[String] = Set.empty)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path))
     SegWriterFactory(path, schema, partitionCols,
       maxRowsPerSegment = maxRowsPerSegment,
-      maxBytesPerSegment = maxBytesPerSegment)
+      maxBytesPerSegment = maxBytesPerSegment,
+      bloomCols = bloomCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2265,12 +2485,13 @@ case class SegBatchWrite(path: String, schema: StructType,
 case class SegWriterFactory(path: String, schema: StructType,
     partitionCols: Seq[String] = Nil, skipEmpty: Boolean = false,
     maxRowsPerSegment: Option[Int] = None,
-    maxBytesPerSegment: Option[Long] = None)
+    maxBytesPerSegment: Option[Long] = None,
+    bloomCols: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new SegDataWriter(path, schema, partitionId, taskId, partitionCols,
-      skipEmpty, maxRowsPerSegment, maxBytesPerSegment)
+      skipEmpty, maxRowsPerSegment, maxBytesPerSegment, bloomCols)
 }
 
 /** Buffers the partition's rows as writer cells (boxed primitives /
@@ -2287,7 +2508,8 @@ case class SegWriterFactory(path: String, schema: StructType,
 class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, partitionCols: Seq[String] = Nil,
     skipEmpty: Boolean = false, maxRowsPerSegment: Option[Int] = None,
-    maxBytesPerSegment: Option[Long] = None)
+    maxBytesPerSegment: Option[Long] = None,
+    bloomCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
   private val keySpecs: Seq[SegSource.ClusterKey] =
@@ -2409,7 +2631,7 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
           s"bucket.${k.col}" ->
             s"${k.buckets.get}:${effKey(run.head, si)}"
       }.toMap
-      SegSource.writeSegment(run, schema, tmp, props)
+      SegSource.writeSegment(run, schema, tmp, props, bloomCols)
       rolled += tmp
     }
     buf.clear()

@@ -381,4 +381,96 @@ class SegClusterSpec extends SparkSpec {
       .distinctCount.get.toLong
     assert(math.abs(ndv - 13.0) / 13.0 < 0.20, s"dim_id ndv=$ndv")
   }
+
+  test("CALL compact(cluster_by) re-keys a table's layout in place") {
+    val (iso, wh) = dml("recluster")
+    // partner tables to prove each layout with a zero-exchange join
+    iso.sql("CREATE TABLE tc.ns.pid (k BIGINT, w BIGINT) USING gseg " +
+      "PARTITIONED BY (k)")
+    iso.sql("CREATE TABLE tc.ns.pbk (k BIGINT, u BIGINT) USING gseg " +
+      "PARTITIONED BY (bucket(8, k))")
+    iso.range(200).select((col("id") % 10).as("k"), col("id").as("w"))
+      .createOrReplaceTempView("graft_rc_pid")
+    iso.range(300).select(col("id").as("k"), col("id").as("u"))
+      .createOrReplaceTempView("graft_rc_pbk")
+    iso.sql("INSERT INTO tc.ns.pid SELECT k, w FROM graft_rc_pid")
+    iso.sql("INSERT INTO tc.ns.pbk SELECT k, u FROM graft_rc_pbk")
+    // the subject table starts UNCLUSTERED (plain path write)
+    val dir = s"$wh/ns/t"
+    iso.range(300).select((col("id") % 10).as("k"), (col("id") * 2).as("v"))
+      .repartition(3)
+      .write.format("gseg").mode("overwrite").save(dir)
+    iso.table("tc.ns.t").count() // migrate: manifest + sidecar
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols.isEmpty)
+
+    // 1. re-cluster to IDENTITY(k): persisted, SPJ-able, DML-durable
+    iso.sql("CALL tc.compact('ns.t', cluster_by => 'k')")
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols ==
+      Seq("k"))
+    def jId = iso.table("tc.ns.t").join(iso.table("tc.ns.pid"), "k")
+    assert(hasSmj(jId) && shuffles(jId) == 0,
+      s"identity re-cluster not SPJ-able:\n${jId.queryExecution.executedPlan}")
+    assert(jId.count() == 300L * 20) // 30 rows per k-class x 20 partner
+    iso.sql("DELETE FROM tc.ns.t WHERE k = 7")
+    assert(shuffles(jId) == 0, "layout must survive DML after re-cluster")
+    assert(jId.count() == 270L * 20)
+
+    // 2. re-cluster to BUCKET(8, k): stamps + bucket SPJ
+    iso.sql("CALL tc.compact('ns.t', cluster_by => 'bucket(8,k)')")
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols ==
+      Seq("bucket(8,k)"))
+    SegSource.resolveSegments(dir).foreach { f =>
+      assert(SegSource.headerOf(f).props.get("bucket.k")
+        .exists(_.startsWith("8:")), s"unstamped $f")
+    }
+    def jBk = iso.table("tc.ns.t").join(iso.table("tc.ns.pbk"), "k")
+    assert(hasSmj(jBk) && shuffles(jBk) == 0,
+      s"bucket re-cluster not SPJ-able:\n${jBk.queryExecution.executedPlan}")
+    assert(jBk.count() == 270L) // k in 0..9 minus 7: 9 classes x 30 dups? no:
+    // pbk holds k = 0..299 unique, t holds 270 rows with k in 0..9\{7} —
+    // each t row matches exactly one pbk row
+
+    // 3. DE-cluster: empty spec clears the layout
+    iso.sql("CALL tc.compact('ns.t', cluster_by => '')")
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols.isEmpty)
+    assert(iso.table("tc.ns.t").count() == 270)
+
+    // guards
+    intercept[Exception](iso.sql(
+      "CALL tc.compact('ns.t', cluster_by => 'missing')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.compact('ns.t', cluster_by => 'v, v')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.compact('ns.t', cluster_by => 'k', target_bytes => 1000)"))
+  }
+
+  test("bucket-grain pruning: point lookups open only the value's bucket") {
+    val (iso, wh) = dml("bktprune")
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, v BIGINT) USING gseg " +
+      "PARTITIONED BY (bucket(8, k))")
+    iso.range(2000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .createOrReplaceTempView("graft_bp_src")
+    iso.sql("INSERT INTO tc.ns.t SELECT k, v FROM graft_bp_src")
+    val t = iso.table("tc.ns.t")
+    // present key: exactly one row; 7 of 8 groups provably empty
+    graft.Counters.drain()
+    assert(t.filter(col("k") === 1234L).count() == 1)
+    val c1 = graft.Counters.drain()
+    assert(c1.getOrElse("gseg_bucket_groups_pruned", 0L) >= 7L,
+      s"counters: $c1")
+    // absent key: zero rows, same pruning (the bucket is opened and
+    // the row grain kills — a bloom would close even that; different
+    // tool, s41)
+    graft.Counters.drain()
+    assert(t.filter(col("k") === 999999L).count() == 0)
+    assert(graft.Counters.drain()
+      .getOrElse("gseg_bucket_groups_pruned", 0L) >= 7L)
+    // IN over two keys: at most their two buckets open
+    graft.Counters.drain()
+    assert(t.filter(col("k").isin(10L, 1500L)).count() == 2)
+    assert(graft.Counters.drain()
+      .getOrElse("gseg_bucket_groups_pruned", 0L) >= 6L)
+    // range predicates cannot bucket-prune (hash layout): conservative
+    assert(t.filter(col("k") < 100L).count() == 100)
+  }
 }

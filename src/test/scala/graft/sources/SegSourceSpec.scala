@@ -746,4 +746,58 @@ class SegSourceSpec extends SparkSpec {
     assert(t.filter(!(col("s") > supp)).collect().map(_.getString(0)).toSet
       == Set("\uffff", supp, "a", "\ue000"))
   }
+
+  test("v5 bloom filters prune point lookups on UNSORTED keys") {
+    import spark.implicits._
+    val dir = graft.Fs.fastTempDir("graft_bloom").toString
+    // keys hash-shuffled across 8 files: every file's [min,max] spans
+    // ~the whole domain, so zone maps CANNOT prune a point lookup —
+    // exactly the case the bloom exists for
+    val src = spark.range(40000)
+      .select(xxhash64($"id").as("k"), $"id".as("v"),
+        concat(lit("name-"), $"id".cast("string")).as("s"))
+    src.repartition(8)
+      .write.format("gseg")
+      .option(SegSource.BloomColumnsOption, "k,s")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("gseg").load(dir)
+    val probeRow = src.filter($"v" === 12345L).head()
+    val hitK = probeRow.getLong(0)
+    // present key: found, and ~7 of 8 files bloom-skipped (false
+    // positives may keep an extra file — assert >=, never ==)
+    graft.Counters.drain()
+    assert(t.filter($"k" === hitK).count() == 1)
+    val c1 = graft.Counters.drain()
+    assert(c1.getOrElse("gseg_bloom_files_skipped", 0L) >= 6L,
+      s"counters: $c1")
+    // absent key: zero rows, (almost) everything skipped
+    graft.Counters.drain()
+    assert(t.filter($"k" === -4L).count() == 0)
+    val c2 = graft.Counters.drain()
+    assert(c2.getOrElse("gseg_bloom_files_skipped", 0L) >= 7L,
+      s"counters: $c2")
+    // IN over two present keys: at most the two holders (+fp) open
+    val hit2 = src.filter($"v" === 321L).head().getLong(0)
+    graft.Counters.drain()
+    assert(t.filter($"k".isin(hitK, hit2)).count() == 2)
+    val c3 = graft.Counters.drain()
+    assert(c3.getOrElse("gseg_bloom_files_skipped", 0L) >= 5L,
+      s"counters: $c3")
+    // STRING blooms prune the same way
+    graft.Counters.drain()
+    assert(t.filter($"s" === "name-777").count() == 1)
+    val c4 = graft.Counters.drain()
+    assert(c4.getOrElse("gseg_bloom_files_skipped", 0L) >= 6L,
+      s"counters: $c4")
+    // columns WITHOUT a bloom never consult one; results stay exact
+    assert(t.filter($"v" === 12345L).count() == 1)
+    // guards: unknown and unsupported bloom columns fail loudly
+    intercept[Exception](spark.range(5).select($"id".as("k"))
+      .write.format("gseg").option(SegSource.BloomColumnsOption, "zz")
+      .mode("overwrite").save(graft.Fs.fastTempDir("graft_bl2").toString))
+    intercept[Exception](spark.range(5)
+      .select($"id".cast("double").as("d"))
+      .write.format("gseg").option(SegSource.BloomColumnsOption, "d")
+      .mode("overwrite").save(graft.Fs.fastTempDir("graft_bl3").toString))
+  }
 }
