@@ -294,6 +294,7 @@ object SparkEntry {
     "s39_dsv2_string_partitioned" -> CoreOps.s39DsvStringPartitioned _,
     "s40_dsv2_bucketed_spj" -> CoreOps.s40DsvBucketedSpj _,
     "s41_dsv2_bloom_prune" -> CoreOps.s41DsvBloomPrune _,
+    "s42_dsv2_dv_delete" -> CoreOps.s42DsvDvDelete _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_cdf_index_parity" ->
@@ -1482,6 +1483,18 @@ object SparkEntry {
         |  (SELECT MIN(o_orderkey) FROM orders
         |   WHERE o_orderkey >= (SELECT MAX(o_orderkey) // 2 FROM orders))
         |""".stripMargin,
+    // MERGE-ON-READ DELETE: deletion vectors — the post-DELETE
+    // aggregate plus the changefeed's deleted-row count, both
+    // relationally recomputable; the segment-name-set identity
+    // across the DELETE is counter evidence pinned TRUE
+    "s42_dsv2_dv_delete" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3)
+        |         AS deleted_rows,
+        |       TRUE AS segments_preserved
+        |FROM orders WHERE NOT (o_orderkey % 10 = 3)""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

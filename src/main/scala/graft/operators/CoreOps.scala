@@ -3822,6 +3822,50 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "bloom_pruned")
   }
 
+  /** MERGE-ON-READ DELETE [S42]: `gseg.delete.mode=merge_on_read`
+    * routes DELETE through Spark's DELTA row-level path
+    * (`SupportsDelta` → WriteDelta) instead of the copy-on-write
+    * group rewrite — matching rows stream with their row ids
+    * (`_file`, `_pos`), the commit writes per-segment positional
+    * DELETION VECTORS, and every segment stays byte-identical on
+    * disk. At 100 TB this turns DELETE cost from O(bytes resident in
+    * affected segments) into O(rows deleted): the GDPR-delete shape.
+    * Pinned evidence: the segment NAME SET is unchanged across the
+    * DELETE (`segments_preserved`), and the changefeed — which reads
+    * a dv commit as its newly masked ordinals, one pruned pass per
+    * touched segment — reports exactly the deleted rows
+    * (`deleted_rows`, relationally recomputable). The oracle
+    * recomputes the post-DELETE aggregate AND the deleted count. */
+  def s42DsvDvDelete(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml42")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t (k BIGINT, price DOUBLE) " +
+      "USING gseg TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    Tables.orders(iso, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .repartition(8).writeTo("gseg_dml.dml.t").append()
+    val dir = s"$wh/dml/t"
+    val before = graft.sources.SegManifest.read(dir).get._2.sorted
+    iso.sql("DELETE FROM gseg_dml.dml.t WHERE k % 10 = 3")
+    val after = graft.sources.SegManifest.read(dir)
+    val preserved = after.get._2.sorted == before
+    // the dv commit through the changefeed: exactly the deleted rows
+    val dvGen = after.get._1
+    val deleted = iso.read.format("gseg")
+      .option(graft.sources.SegCdf.FromOption, dvGen.toString)
+      .option(graft.sources.SegCdf.ToOption, dvGen.toString)
+      .option(graft.sources.SegCdf.KeysOption, "k")
+      .load(dir)
+      .filter(col(graft.sources.SegChangeFeed.ChangeTypeCol) === "delete")
+      .count()
+    val r = iso.table("gseg_dml.dml.t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("price"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((r.getLong(0), r.getDouble(1), deleted, preserved))
+      .toDF("n_rows", "sum_price", "deleted_rows", "segments_preserved")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

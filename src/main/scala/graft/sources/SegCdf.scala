@@ -151,16 +151,21 @@ object SegCdf {
     keys
   }
 
-  /** A committed generation's segment names: its retained snapshot,
-    * the live manifest for the current generation. Loud past the
-    * vacuum retention window — the VERSION AS OF contract. */
-  private[sources] def genNames(dir: String, g: Long): Seq[String] =
-    SegManifest.readSnapshot(dir, g).orElse(
-      SegManifest.read(dir).collect { case (lg, names) if lg == g => names })
+  /** A committed generation's manifest (segment names + deletion-
+    * vector map): its retained snapshot, the live manifest for the
+    * current generation. Loud past the vacuum retention window — the
+    * VERSION AS OF contract. */
+  private[sources] def genManifestOf(dir: String,
+      g: Long): SegManifest.Manifest =
+    SegManifest.readSnapshotManifest(dir, g).orElse(
+      SegManifest.readManifest(dir).filter(_.gen == g))
       .getOrElse(throw new IllegalStateException(
         s"gseg changefeed: generation $g of $dir is not retained — " +
           "never committed, or retired by vacuum (raise keep_last / " +
           "older_than_ms, or vacuum less often)"))
+
+  private[sources] def genNames(dir: String, g: Long): Seq[String] =
+    genManifestOf(dir, g).names
 
   /** Admission-control clamp for a stream's FIRST batch (no starting
     * bound): the initial-snapshot batch pins the snapshot of the
@@ -251,47 +256,98 @@ object SegCdf {
   private[sources] def stepPartitions(dir: String, g: Long,
       buckets: Int, tagOk: String => Boolean = _ => true)
       : Seq[InputPartition] = {
-    val cur = genNames(dir, g).toSet
+    val curM = genManifestOf(dir, g)
     // generation 0's "changes" are its creation: a diff against empty
-    val prev = if (g == 0) Set.empty[String] else genNames(dir, g - 1).toSet
-    val removed = (prev -- cur).toSeq.sorted.map(n => s"$dir/$n")
-    val added = (cur -- prev).toSeq.sorted.map(n => s"$dir/$n")
+    val prevM = if (g == 0)
+      SegManifest.Manifest(-1L, None, Nil)
+    else genManifestOf(dir, g - 1)
+    val cur = curM.names.toSet
+    val prev = prevM.names.toSet
     val us = commitUsOf(dir, g)
-    if (removed.isEmpty) {
-      if (!tagOk("insert")) {
+    def dvPath(m: SegManifest.Manifest, n: String): Option[String] =
+      m.dvs.get(n).map(d => s"$dir/$d")
+    // DELETION-VECTOR deltas on CARRIED segments: a merge-on-read
+    // DELETE changes no file set — the commit's changes live entirely
+    // in the vector map. One partition per changed segment; the
+    // reader emits the newly masked ordinals as deletes (and, after
+    // rollback restored a smaller vector, unmasked ones as inserts).
+    val dvChanged = (cur & prev).toSeq.sorted
+      .filter(n => curM.dvs.get(n) != prevM.dvs.get(n))
+    val dvParts: Seq[InputPartition] =
+      if (dvChanged.isEmpty || !(tagOk("delete") || tagOk("insert"))) Nil
+      else {
+        graft.Counters.add("gseg_cdf_dv_files", dvChanged.size.toLong)
+        dvChanged.map(n => SegCdfDvPartition(s"$dir/$n",
+          dvPath(prevM, n), dvPath(curM, n), g, us))
+      }
+    // rows already vector-deleted BEFORE a rewrite replaced their
+    // segment were deleted in an EARLIER generation: both sides of
+    // the segment-set diff read under their own generation's vectors
+    val removedN = (prev -- cur).toSeq.sorted
+    val addedN = (cur -- prev).toSeq.sorted
+    val removed = removedN.map(n => s"$dir/$n")
+    val added = addedN.map(n => s"$dir/$n")
+    val fileParts: Seq[InputPartition] = if (removed.isEmpty) {
+      if (added.isEmpty || !tagOk("insert")) {
         // an APPEND step emits ONLY inserts: a consumer whose pushed
         // filters exclude inserts at this generation never opens it
-        graft.Counters.add("gseg_cdf_steps_skipped", 1L)
-        return Nil
+        if (added.nonEmpty)
+          graft.Counters.add("gseg_cdf_steps_skipped", 1L)
+        Nil
+      } else {
+        graft.Counters.add("gseg_cdf_append_files", added.size.toLong)
+        added.map(f => SegCdfAppendPartition(f, g, us,
+          dvPath(curM, f.substring(dir.length + 1))))
       }
-      graft.Counters.add("gseg_cdf_append_files", added.size.toLong)
-      added.map(f => SegCdfAppendPartition(f, g, us))
     } else {
       if (!AllTags.exists(tagOk)) {
         graft.Counters.add("gseg_cdf_steps_skipped", 1L)
-        return Nil
+        Nil
+      } else {
+        graft.Counters.add("gseg_cdf_diff_files",
+          (removed.size + added.size).toLong)
+        graft.Counters.add("gseg_cdf_diff_steps", 1L)
+        (0 until buckets).map(b =>
+          SegCdfDiffPartition(removed, added, g, b, buckets, us,
+            removedN.map(dvPath(prevM, _)), addedN.map(dvPath(curM, _))))
       }
-      graft.Counters.add("gseg_cdf_diff_files",
-        (removed.size + added.size).toLong)
-      graft.Counters.add("gseg_cdf_diff_steps", 1L)
-      (0 until buckets).map(b =>
-        SegCdfDiffPartition(removed, added, g, b, buckets, us))
     }
+    dvParts ++ fileParts
   }
 }
 
-/** One added file of an APPEND commit: every row is an `insert`. */
-case class SegCdfAppendPartition(file: String, gen: Long, commitUs: Long)
+/** One added file of an APPEND commit: every row is an `insert`.
+  * `dv` masks rows already deleted in this generation (impossible
+  * for a freshly appended file today, carried for honesty). */
+case class SegCdfAppendPartition(file: String, gen: Long, commitUs: Long,
+    dv: Option[String] = None)
   extends InputPartition
 
 /** The initial-snapshot batch of a CDF STREAM: the whole live
-  * generation at stream start, emitted as `insert` rows. */
-case class SegCdfInitialPartition(file: String, gen: Long, commitUs: Long)
+  * generation at stream start, emitted as `insert` rows — net of the
+  * generation's deletion vectors (a masked row is not live). */
+case class SegCdfInitialPartition(file: String, gen: Long, commitUs: Long,
+    dv: Option[String] = None)
   extends InputPartition
 
-/** One hash bucket of a CHANGE commit's row diff. */
+/** One hash bucket of a CHANGE commit's row diff. `removedDvs` /
+  * `addedDvs` align with `removed` / `added`: each side's rows read
+  * under its OWN generation's deletion vectors, so rows deleted in an
+  * earlier generation never re-classify here. */
 case class SegCdfDiffPartition(removed: Seq[String], added: Seq[String],
-    gen: Long, bucket: Int, nBuckets: Int, commitUs: Long)
+    gen: Long, bucket: Int, nBuckets: Int, commitUs: Long,
+    removedDvs: Seq[Option[String]] = Nil,
+    addedDvs: Seq[Option[String]] = Nil)
+  extends InputPartition
+
+/** One carried segment whose deletion vector CHANGED at `gen`: the
+  * merge-on-read DELETE's changefeed representation. Newly masked
+  * ordinals are `delete` rows; ordinals a rollback UNMASKED are
+  * `insert` rows (resurrection). Cost: one pruned pass over the
+  * segment — strictly less than the copy-on-write alternative, which
+  * would put the whole segment on both sides of the row diff. */
+case class SegCdfDvPartition(file: String, prevDv: Option[String],
+    curDv: Option[String], gen: Long, commitUs: Long)
   extends InputPartition
 
 /** `required` is the PRUNED output schema (any subset/order of table
@@ -307,12 +363,15 @@ case class SegCdfReaderFactory(table: StructType, keyCols: Seq[String],
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case SegCdfAppendPartition(f, g, us) =>
-        new SegCdfInsertReader(f, table, required, g, us)
-      case SegCdfInitialPartition(f, g, us) =>
-        new SegCdfInsertReader(f, table, required, g, us)
+      case SegCdfAppendPartition(f, g, us, dv) =>
+        new SegCdfInsertReader(f, table, required, g, us, dv)
+      case SegCdfInitialPartition(f, g, us, dv) =>
+        new SegCdfInsertReader(f, table, required, g, us, dv)
       case d: SegCdfDiffPartition =>
         new SegCdfDiffReader(d, table, keyCols, required,
+          tag => pushed.forall(SegCdf.mayMatchMeta(_, d.gen, tag)))
+      case d: SegCdfDvPartition =>
+        new SegCdfDvReader(d, table, required,
           tag => pushed.forall(SegCdf.mayMatchMeta(_, d.gen, tag)))
     }
 }
@@ -322,11 +381,13 @@ case class SegCdfReaderFactory(table: StructType, keyCols: Seq[String],
   * past pruned blocks, so a 3-of-40-column CDF consumer pays 3
   * columns' bytes on the dominant insert path). */
 class SegCdfInsertReader(file: String, table: StructType,
-    required: StructType, gen: Long, commitUs: Long)
+    required: StructType, gen: Long, commitUs: Long,
+    dv: Option[String] = None)
     extends PartitionReader[InternalRow] {
   private val tableReq = StructType(required.fields.filter(f =>
     table.fieldNames.contains(f.name)))
-  private val inner = new SegPartitionReader(file, tableReq, Array.empty)
+  private val inner =
+    new SegPartitionReader(file, tableReq, Array.empty, dv = dv)
   private val mapping = SegCdf.outMapping(tableReq, required)
   private val meta: Array[Any] =
     Array[Any](UTF8String.fromString("insert"), gen, commitUs)
@@ -404,9 +465,11 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
     * (buffered lookahead — `r.next()` advances the reader, so a naive
     * wrapper would skip a row per double-check) and the reader closes
     * as soon as its file drains (ADVICE r14). */
-  private def rowsOf(files: Seq[String]): Iterator[InternalRow] =
-    files.iterator.flatMap { f =>
-      val r = new SegPartitionReader(f, table, Array.empty)
+  private def rowsOf(files: Seq[String],
+      dvs: Seq[Option[String]]): Iterator[InternalRow] =
+    files.iterator.zipWithIndex.flatMap { case (f, fi) =>
+      val r = new SegPartitionReader(f, table, Array.empty,
+        dv = if (dvs.isEmpty) None else dvs(fi))
       new Iterator[InternalRow] {
         private var pending: InternalRow = _
         private var closed = false
@@ -447,7 +510,7 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
   private val it: Iterator[InternalRow] = {
     val pre = new scala.collection.mutable.HashMap[
       Seq[Any], scala.collection.mutable.Queue[InternalRow]]()
-    rowsOf(p.removed).foreach { r =>
+    rowsOf(p.removed, p.removedDvs).foreach { r =>
       val k = keyOf(r)
       if (inBucket(k))
         pre.getOrElseUpdate(k, scala.collection.mutable.Queue.empty)
@@ -458,7 +521,7 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
     val wantPost = tagOk("update_postimage")
     val wantDel = tagOk("delete")
     val changes = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    rowsOf(p.added).foreach { r =>
+    rowsOf(p.added, p.addedDvs).foreach { r =>
       val k = keyOf(r)
       if (inBucket(k)) pre.get(k).flatMap(q =>
           if (q.isEmpty) None else Some(q.dequeue())) match {
@@ -480,6 +543,85 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
     if (it.hasNext) { current = it.next(); true } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** One carried segment whose deletion vector changed at `gen`
+  * ([[SegCdfDvPartition]]): streams the segment ONCE (pruned to the
+  * requested table columns — position classification needs no
+  * payload comparison, unlike the rewrite diff) and emits the newly
+  * masked ordinals as `delete` rows, the newly UNMASKED ones
+  * (rollback resurrection) as `insert` rows. Ordinals ascend on both
+  * sides, so the walk is two lockstep pointers — no hashing, no
+  * buffering. */
+class SegCdfDvReader(p: SegCdfDvPartition, table: StructType,
+    required: StructType, tagOk: String => Boolean)
+    extends PartitionReader[InternalRow] {
+  private val tableReq = StructType(required.fields.filter(f =>
+    table.fieldNames.contains(f.name)))
+  private val mapping = SegCdf.outMapping(tableReq, required)
+
+  private val prev: Array[Int] =
+    p.prevDv.map(SegDv.read).getOrElse(Array.emptyIntArray)
+  private val cur: Array[Int] =
+    p.curDv.map(SegDv.read).getOrElse(Array.emptyIntArray)
+  // cur \ prev = newly deleted; prev \ cur = resurrected
+  private def diff(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = new Array[Int](a.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) { out(k) = a(i); k += 1 }
+      i += 1
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+  private val dels: Array[Int] =
+    if (tagOk("delete")) diff(cur, prev) else Array.emptyIntArray
+  private val inss: Array[Int] =
+    if (tagOk("insert")) diff(prev, cur) else Array.emptyIntArray
+
+  // unmasked, unfiltered: emission index == stored ordinal
+  private val inner =
+    new SegPartitionReader(p.file, tableReq, Array.empty)
+  private var ord = -1
+  private var di = 0
+  private var ii = 0
+  private var current: InternalRow = _
+
+  private def out(r: InternalRow, tag: String): InternalRow = {
+    val a = new Array[Any](mapping.length)
+    var i = 0
+    while (i < mapping.length) {
+      a(i) = mapping(i) match {
+        case Left(ti) =>
+          if (r.isNullAt(ti)) null else r.get(ti, tableReq(ti).dataType)
+        case Right(0) => UTF8String.fromString(tag)
+        case Right(1) => p.gen
+        case Right(_) => p.commitUs
+      }
+      i += 1
+    }
+    new GenericInternalRow(a)
+  }
+
+  override def next(): Boolean = {
+    while ((di < dels.length || ii < inss.length) && inner.next()) {
+      ord += 1
+      if (di < dels.length && dels(di) == ord) {
+        di += 1
+        current = out(inner.get(), "delete")
+        return true
+      }
+      if (ii < inss.length && inss(ii) == ord) {
+        ii += 1
+        current = out(inner.get(), "insert")
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 /** The read-only CDF relation `spark.read`/`readStream` resolve when
@@ -648,12 +790,14 @@ class SegCdfMicroBatchStream(path: String, table: StructType,
     val hi = end.asInstanceOf[SegGenOffset].gen
     if (hi < 0 || hi <= lo) return Array.empty
     if (lo < 0 && startingGen.isEmpty) {
-      // initial snapshot: the complete live generation, as inserts
-      val names = SegCdf.genNames(path, hi).sorted
+      // initial snapshot: the complete live generation, as inserts —
+      // net of its deletion vectors (masked rows are not live)
+      val m = SegCdf.genManifestOf(path, hi)
+      val names = m.names.sorted
       val us = SegCdf.commitUsOf(path, hi)
       graft.Counters.add("gseg_cdf_initial_files", names.size.toLong)
-      names.map(n => SegCdfInitialPartition(s"$path/$n", hi, us)
-        : InputPartition).toArray
+      names.map(n => SegCdfInitialPartition(s"$path/$n", hi, us,
+        m.dvs.get(n).map(d => s"$path/$d")): InputPartition).toArray
     } else
       // with a starting bound, lo = start-1 may be -1 (start = 0):
       // the range below then replays from the creation commit

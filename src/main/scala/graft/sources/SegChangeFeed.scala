@@ -57,32 +57,49 @@ object SegChangeFeed {
     require(keyCols.nonEmpty, "gseg changefeed: keyCols must be non-empty")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"gseg changefeed: key column '$k' is not in the schema"))
-    def snap(gen: Long): Set[String] =
-      SegManifest.readSnapshot(dir, gen).getOrElse(
+    def snap(gen: Long): SegManifest.Manifest =
+      SegManifest.readSnapshotManifest(dir, gen).getOrElse(
         throw new IllegalArgumentException(
           s"gseg changefeed: no snapshot for generation $gen at $dir — " +
-            "never committed, or retired by vacuum")).toSet
+            "never committed, or retired by vacuum"))
     val from = snap(fromGen)
     val to = snap(toGen)
-    val removed = (from -- to).toSeq.sorted
-    val added = (to -- from).toSeq.sorted
+    val fromSet = from.names.toSet
+    val toSet = to.names.toSet
+    // a carried segment whose deletion vector CHANGED between the
+    // endpoints is part of the diff exactly like a rewrite: it reads
+    // on BOTH sides, each under its own generation's vector — the
+    // row-level join then classifies the masked-out rows as deletes
+    // (vector grew) or resurrections (rollback restored a smaller
+    // map), and the still-shared rows as carried
+    def dvChanged(n: String): Boolean =
+      from.dvs.get(n) != to.dvs.get(n)
+    val removed = ((fromSet -- toSet) ++
+      (fromSet & toSet).filter(dvChanged)).toSeq.sorted
+    val added = ((toSet -- fromSet) ++
+      (fromSet & toSet).filter(dvChanged)).toSeq.sorted
     graft.Counters.add("gseg_changefeed_files",
       (removed.size + added.size).toLong)
     graft.Counters.add("gseg_changefeed_files_total",
-      (from.size + to.size).toLong)
+      (fromSet.size + toSet.size).toLong)
 
-    def pinnedRead(names: Seq[String]): DataFrame =
+    def pinnedRead(names: Seq[String],
+        dvs: Map[String, String]): DataFrame =
       spark.read.format("gseg").schema(schema)
         .option(SegSource.PinnedFilesOption, names.mkString(","))
+        // each side pins ITS generation's vector map (possibly empty
+        // — the empty string pins "no vectors", never the live map)
+        .option(SegSource.PinnedDvsOption,
+          names.flatMap(n => dvs.get(n).map(d => s"$n=$d")).mkString(","))
         .load(dir)
 
     val nonKey = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     def sideCols(side: String): Seq[Column] =
       nonKey.map(c => col(c).as(s"__${side}_$c")) :+
         lit(true).as(s"__${side}_present")
-    val pre = pinnedRead(removed)
+    val pre = pinnedRead(removed, from.dvs)
       .select(keyCols.map(col) ++ sideCols("pre"): _*)
-    val post = pinnedRead(added)
+    val post = pinnedRead(added, to.dvs)
       .select(keyCols.map(col) ++ sideCols("post"): _*)
     val j = pre.join(post, keyCols, "full_outer")
 

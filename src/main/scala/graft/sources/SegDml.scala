@@ -171,7 +171,7 @@ class SegCatalog extends TableCatalog
         inferred
     }
     SegManifest.ensure(dir.toString)
-    new SegDmlTable(meta.schema, dir.toString, meta.clusterCols)
+    new SegDmlTable(meta.schema, dir.toString, meta.clusterCols, meta.props)
   }
 
   /** TIME TRAVEL — `SELECT ... FROM t VERSION AS OF <gen>`: resolve
@@ -200,18 +200,21 @@ class SegCatalog extends TableCatalog
         s"gseg: VERSION AS OF wants a generation number, got '$version'")
     }
     val dir = tableDir(ident)
-    val names = SegManifest.readSnapshot(dir.toString, gen).getOrElse(
+    val snap = SegManifest.readSnapshotManifest(dir.toString, gen).getOrElse(
       throw new IllegalArgumentException(
         s"gseg: no snapshot for generation $gen of ${ident.name} — " +
           "never committed, or retired by vacuum"))
+    val names = snap.names
+    // the snapshot's deletion vectors, pinned with its files
+    val dvs = snap.dvs.map { case (s, d) => s"$dir/$s" -> s"$dir/$d" }
     SegManifest.readSnapshotMeta(dir.toString, gen) match {
       case Some(pinned) =>
         new SegSnapshotTable(pinned.schema, dir.toString, gen,
           names.sorted.map(n => s"$dir/$n"),
-          aliasOverride = Some(pinned.storedToCurrent))
+          aliasOverride = Some(pinned.storedToCurrent), dvs = dvs)
       case None =>
         new SegSnapshotTable(loadTable(ident).schema(), dir.toString, gen,
-          names.sorted.map(n => s"$dir/$n"))
+          names.sorted.map(n => s"$dir/$n"), dvs = dvs)
     }
   }
 
@@ -247,19 +250,23 @@ class SegCatalog extends TableCatalog
         (Files.isDirectory(dir) &&
           SegSource.listSegments(dir.toString).nonEmpty))
       throw new TableAlreadyExistsException(ident)
-    // `_file` / `__row_operation` are reserved (metadata column and
-    // rewrite marker): a stored column under either name would be
-    // silently shadowed on every read (ADVICE r11)
-    Seq(SegSource.FileMetaName,
+    // `_file` / `_pos` / `__row_operation` are reserved (metadata
+    // columns and rewrite marker): a stored column under any of these
+    // names would be silently shadowed on every read (ADVICE r11)
+    Seq(SegSource.FileMetaName, SegSource.PosMetaName,
       org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN)
       .foreach(r => require(!schema.fieldNames.contains(r),
         s"gseg: '$r' is a reserved column name"))
     schema.fields.foreach(f => SegSource.tag(f.dataType)) // supported types only
     val cluster = clusterOf(partitions, schema)
+    // persist the gseg.* property namespace (validated — an unknown
+    // engine property is a typo, not a request); everything else in
+    // the map is Spark bookkeeping (provider, location, owner)
+    val props = SegCatalog.gsegProps(properties)
     SegMeta.write(dir,
-      SegMeta.TableMeta(schema, Set.empty, Map.empty, cluster))
+      SegMeta.TableMeta(schema, Set.empty, Map.empty, cluster, props))
     SegManifest.ensure(dir.toString)
-    new SegDmlTable(schema, dir.toString, cluster)
+    new SegDmlTable(schema, dir.toString, cluster, props)
   }
 
   /** ALTER TABLE ADD/DROP/RENAME COLUMN: sidecar-only schema
@@ -390,11 +397,24 @@ class SegCatalog extends TableCatalog
             s"gseg: ALTER COLUMN TYPE supports widening INT -> BIGINT " +
               s"only, got ${from.simpleString} -> ${to.simpleString}")
         }
+      // ALTER TABLE SET/UNSET TBLPROPERTIES — the gseg.* namespace
+      // only, validated exactly like CREATE TABLE's (an unknown
+      // engine property is a typo, not a request); Spark-reserved
+      // bookkeeping keys are rejected rather than silently absorbed
+      case (m, set: TableChange.SetProperty) =>
+        m.copy(props = m.props ++
+          SegCatalog.gsegProps(java.util.Map.of(set.property, set.value)))
+      case (m, rm: TableChange.RemoveProperty) =>
+        require(rm.property.startsWith("gseg."),
+          s"gseg: unknown table property '${rm.property}' " +
+            "(the gseg.* namespace is the configurable surface)")
+        m.copy(props = m.props - rm.property)
       case (_, other) => throw new UnsupportedOperationException(
         s"gseg: ALTER TABLE change $other")
     }
     SegMeta.write(dir, after) // ONE atomic metadata commit
-    new SegDmlTable(after.schema, dir.toString, after.clusterCols)
+    new SegDmlTable(after.schema, dir.toString, after.clusterCols,
+      after.props)
   }
 
   // -------- atomic CTAS / RTAS (StagingTableCatalog) --------
@@ -519,6 +539,37 @@ class SegCatalog extends TableCatalog
   * listing + unlink of unreferenced files) — there is nothing to
   * distribute even at 100 TB, where the listing is the same one any
   * commit already pays. */
+object SegCatalog {
+  /** The table property selecting DELETE's execution strategy:
+    * `copy_on_write` (default — rewrite the affected groups) or
+    * `merge_on_read` (write positional deletion vectors; segments
+    * stay byte-identical, readers mask). UPDATE/MERGE stay
+    * copy-on-write either way — their changed rows must be WRITTEN
+    * somewhere, so a vector alone cannot express them. */
+  val DeleteModeProp = "gseg.delete.mode"
+  private[sources] val DeleteModeMor = "merge_on_read"
+  private[sources] val DeleteModeCow = "copy_on_write"
+
+  /** Extract + validate the gseg.* property namespace from a catalog
+    * property map. Unknown gseg.* keys fail loudly; non-gseg keys are
+    * Spark bookkeeping (provider, location, owner, comment) and pass
+    * through untouched/unpersisted. */
+  private[sources] def gsegProps(
+      properties: java.util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.filter(_._1.startsWith("gseg.")).map {
+      case (k @ DeleteModeProp, v) =>
+        require(v == DeleteModeCow || v == DeleteModeMor,
+          s"gseg: $DeleteModeProp must be '$DeleteModeCow' or " +
+            s"'$DeleteModeMor', got '$v'")
+        k -> v
+      case (k, _) => throw new IllegalArgumentException(
+        s"gseg: unknown table property '$k' " +
+          s"(have: $DeleteModeProp)")
+    }.toMap
+  }
+}
+
 class SegVacuumProcedure(cat: SegCatalog)
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
@@ -668,22 +719,27 @@ class SegStagedTable(tschema: StructType, dir: java.nio.file.Path,
   * #affected-files, never #matching-rows (the Iceberg `_file`
   * design; value-based filter attributes would broadcast data). */
 class SegDmlTable(tschema: StructType, path: String,
-    clusterCols: Seq[String] = Nil)
+    clusterCols: Seq[String] = Nil,
+    tableProps: Map[String, String] = Map.empty)
     extends SegTable(tschema, path, clusterCols)
     with SupportsRowLevelOperations with TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   /** Observability through the standard surface: `SHOW TBLPROPERTIES`
     * / `DESCRIBE TABLE EXTENDED` report the live generation, its
-    * width, and the declared clustering — the numbers an operator
-    * reaches for before vacuum/compact decisions, with CALL history
-    * as the full ledger. Values snapshot at loadTable time (the
-    * manifest read the load already pays). */
+    * width, the declared clustering, and the persisted gseg.*
+    * properties — the numbers an operator reaches for before
+    * vacuum/compact decisions, with CALL history as the full ledger.
+    * Values snapshot at loadTable time (the manifest read the load
+    * already pays). */
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
-    SegManifest.read(path).foreach { case (g, names) =>
-      m.put("generation", g.toString)
-      m.put("segments", names.size.toString)
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    SegManifest.readManifest(path).foreach { man =>
+      m.put("generation", man.gen.toString)
+      m.put("segments", man.names.size.toString)
+      if (man.dvs.nonEmpty)
+        m.put("deletion_vectors", man.dvs.size.toString)
     }
     if (clusterCols.nonEmpty) m.put("clustering", clusterCols.mkString(","))
     m
@@ -697,13 +753,28 @@ class SegDmlTable(tschema: StructType, path: String,
       override def isNullable: Boolean = false
       override def comment(): String =
         "segment file path of the row (group identity)"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SegSource.PosMetaName
+      override def dataType(): DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stored row ordinal within the segment (merge-on-read row id)"
     })
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new SegRowLevelOperation(path, tschema, info.command(), clusterCols)
+        // DELETE under gseg.delete.mode=merge_on_read takes the
+        // delta (deletion-vector) path; UPDATE/MERGE always rewrite
+        // (their changed rows need a segment to live in)
+        if (info.command() == RowLevelOperation.Command.DELETE &&
+            tableProps.get(SegCatalog.DeleteModeProp)
+              .contains(SegCatalog.DeleteModeMor))
+          new SegDeltaDeleteOperation(path, tschema)
+        else
+          new SegRowLevelOperation(path, tschema, info.command(), clusterCols)
     }
 
   /** TRUNCATE TABLE: commit the empty generation (one atomic
@@ -837,17 +908,23 @@ class SegRollbackProcedure(cat: SegCatalog)
           s"gseg rollback: bad table identifier '$tbl'")
         val dir = cat.tableDir(
           Identifier.of(parts.init.toArray, parts.last))
-        val names = SegManifest.readSnapshot(dir.toString, gen).getOrElse(
-          throw new IllegalArgumentException(
+        val snap = SegManifest.readSnapshotManifest(dir.toString, gen)
+          .getOrElse(throw new IllegalArgumentException(
             s"gseg rollback: no snapshot for generation $gen of " +
               s"${parts.last} — never committed, or retired by vacuum"))
-        val missing = names.filterNot(n => Files.exists(dir.resolve(n)))
+        val names = snap.names
+        val missing = (names ++ snap.dvs.values)
+          .filterNot(n => Files.exists(dir.resolve(n)))
         require(missing.isEmpty,
           s"gseg rollback: generation $gen is no longer materialized — " +
             s"missing segment(s): ${missing.mkString(", ")}")
         val liveGen = SegManifest.read(dir.toString).map(_._1)
+        // the restored generation's OWN deletion-vector map, replaced
+        // wholesale: a live vector the old generation didn't have
+        // must not keep masking its rows (the changefeed reads that
+        // as resurrection — deliberate rollback semantics)
         val newGen = SegManifest.swap(dir.toString, names,
-          expectGen = Some(liveGen))
+          expectGen = Some(liveGen), dvs = Some(snap.dvs))
         val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
@@ -1180,7 +1257,8 @@ class SegCompactProcedure(cat: SegCatalog)
   * pinned set. */
 class SegSnapshotTable(tschema: StructType, path: String, gen: Long,
     files: Seq[String],
-    aliasOverride: Option[Map[String, String]] = None)
+    aliasOverride: Option[Map[String, String]] = None,
+    dvs: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.catalog.TableCapability
@@ -1191,14 +1269,19 @@ class SegSnapshotTable(tschema: StructType, path: String, gen: Long,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path, Nil, Some(files),
-      aliasOverride = aliasOverride)
+      aliasOverride = aliasOverride,
+      // the snapshot's OWN deletion-vector map, never the live one:
+      // a later DELETE must not mask rows out of an earlier
+      // generation's read (and rollback must resurrect them)
+      dvOverride = Some(dvs))
 }
 
 /** One DELETE/UPDATE/MERGE execution. The instance is the channel
   * between its scan and its write: the scan records the candidate
   * files it planned (the groups that MAY hold matching rows), the
   * write's commit replaces exactly that set. */
-class SegRowLevelOperation(path: String, tschema: StructType,
+class SegRowLevelOperation(private[sources] val path: String,
+    tschema: StructType,
     cmd: RowLevelOperation.Command,
     clusterCols: Seq[String] = Nil) extends RowLevelOperation {
   @volatile private[sources] var candidates: Seq[String] = Nil
@@ -1315,8 +1398,15 @@ class SegGroupScan(allFiles: Seq[String], required: StructType,
   }
 
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    effective.map(SegInputPartition.apply).toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = {
+    // the rewrite read MUST mask deletion vectors: a kept row rides
+    // through the rewrite into the replacement segment, so an
+    // unmasked read would RESURRECT every vectored row of the
+    // rewritten groups (the replacement starts vector-free)
+    val dvs = SegSource.dvPathsOf(op.path)
+    effective.map(f => SegInputPartition(f, dvs.get(f)))
+      .toArray[InputPartition]
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = SegReaderFactory(required, Array.empty, None) // group-complete read
     if (emitFile) SegFileColumnFactory(inner) else inner
@@ -1561,4 +1651,191 @@ private[sources] case class SegRloWriterFactory(inner: SegWriterFactory,
       override def close(): Unit = d.close()
     }
   }
+}
+
+// ---------------- merge-on-read DELETE (deletion vectors) ----------------
+
+/** DELETE as a DELTA operation ([[SupportsDelta]]) — the merge-on-read
+  * path `gseg.delete.mode=merge_on_read` selects: instead of rewriting
+  * every affected group (copy-on-write, [[SegRowLevelOperation]]),
+  * the scan streams ONLY the matching rows with their row ids
+  * (`_file`, `_pos`), tasks collect the positions, and the commit
+  * writes per-segment DELETION VECTORS ([[SegDv]]) — every touched
+  * segment stays byte-identical on disk, readers mask.
+  *
+  * Why this is the 100 TB DELETE: copy-on-write cost is O(bytes
+  * resident in affected segments); vector cost is O(rows deleted).
+  * A GDPR-style `DELETE WHERE user_id = x` touching 40 segments of
+  * 1 GB rewrites 40 GB under copy-on-write and writes ~40 small
+  * vector files here. The read side prices the trade honestly: a
+  * vectored segment costs its reader one sorted-array pointer walk,
+  * header aggregates decline (counts would overcount), and
+  * `CALL compact` materializes vectors back to clean segments.
+  *
+  * The scan is the ORDINARY gseg scan — the DML condition pushes
+  * into zone maps and blooms (files provably without matches never
+  * become tasks) and the row-grain filter (non-matching rows never
+  * reach the writer). Spark re-checks the condition above the scan,
+  * so the writer sees exactly the matching rows.
+  *
+  * Task → driver volume is the deleted row ids (8 bytes each in the
+  * commit messages), bounded by the DELETE's selectivity — the same
+  * bound Iceberg's position-delete manifests carry. A DELETE that
+  * matches most of the table is the one case copy-on-write (or
+  * TRUNCATE) serves better; that choice is the table property's.
+  *
+  * Commit protocol: merge new positions with each segment's existing
+  * vector ([[SegDv.union]] — one vector per segment per generation),
+  * write vectors under fresh unreferenced names, swap the manifest
+  * with the explicit new dv map, CAS'd on the generation read at
+  * commit time. A segment whose merged vector covers EVERY stored row
+  * is DROPPED from the generation instead (never a 100%-masked file).
+  * Crash before the swap: orphan `.gdv` files for vacuum, table
+  * unchanged. The same fault-injection seam as the COW path
+  * ([[SegDml.commitHook]]) lets specs kill both sides of the swap. */
+class SegDeltaDeleteOperation(private[sources] val path: String,
+    tschema: StructType)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.DELETE
+  override def description(): String = s"gseg dv delete path=$path"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(SegSource.FileMetaName),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(SegSource.PosMetaName))
+
+  /** The ordinary scan: condition pushdown, zone-map/bloom file
+    * pruning, row-grain filtering, deletion-vector masking (a row
+    * already vectored must not be "deleted" again — its ordinal is
+    * already in the map being merged into). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SegScanBuilder(tschema, path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new SegDvDeltaWrite(path, info)
+}
+
+/** One task's deleted row ids: segment path → stored ordinals (order
+  * of arrival; the commit sorts and merges). */
+private[sources] case class SegDvCommitMessage(
+    deletes: Map[String, Array[Int]]) extends WriterCommitMessage
+
+class SegDvDeltaWrite(path: String, info: LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.DeltaWriteBuilder
+    with org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaBatchWrite, DeltaWriterFactory}
+
+  override def build(): DeltaWrite = this
+  override def toBatch(): DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(
+      pi: PhysicalWriteInfo): DeltaWriterFactory = {
+    val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException(
+        "gseg dv delete: Spark reported no rowIdSchema for a delta write"))
+    SegDvWriterFactory(rowIdSchema.fieldIndex(SegSource.FileMetaName),
+      rowIdSchema.fieldIndex(SegSource.PosMetaName))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val byFile = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    messages.collect { case m: SegDvCommitMessage => m }.foreach(
+      _.deletes.foreach { case (f, ps) =>
+        byFile.getOrElseUpdate(f,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) ++= ps
+      })
+    if (byFile.isEmpty) return // no matching rows: no new generation
+    val live = SegManifest.readManifest(path).getOrElse(
+      throw new IllegalStateException(
+        s"gseg dv delete: no generation manifest at $path — row-level " +
+          "DML runs through the catalog, whose loadTable synthesizes one"))
+    val dir = Paths.get(path)
+    var names = live.names
+    val dvs = scala.collection.mutable.Map.empty[String, String] ++ live.dvs
+    var dropped = 0L
+    var written = 0L
+    var rows = 0L
+    byFile.foreach { case (filePath, buf) =>
+      val name = Paths.get(filePath).getFileName.toString
+      require(names.contains(name),
+        s"gseg dv delete: '$name' is not in the live generation — a " +
+          "concurrent commit replaced it; retry the DELETE")
+      val fresh = buf.distinct.sorted.toArray
+      val nRows = SegSource.resolvedHeaderOf(filePath).nRows
+      require(fresh.head >= 0 && fresh.last < nRows,
+        s"gseg dv delete: ordinal out of range for '$name' " +
+          s"(${fresh.last} >= $nRows)")
+      val existing = live.dvs.get(name)
+        .map(d => SegDv.read(s"$path/$d")).getOrElse(Array.emptyIntArray)
+      val merged = SegDv.union(existing, fresh)
+      rows += fresh.length.toLong
+      if (merged.length == nRows) {
+        // every stored row deleted: drop the segment, not a 100% mask
+        names = names.filterNot(_ == name)
+        dvs.remove(name)
+        dropped += 1
+      } else {
+        val dvName = SegDv.freshName()
+        SegDv.write(dir, dvName, merged)
+        dvs(name) = dvName
+        written += 1
+      }
+    }
+    SegDml.commitHook("staged")
+    SegManifest.swap(path, names, expectGen = Some(Some(live.gen)),
+      dvs = Some(dvs.toMap.filter { case (seg, _) => names.contains(seg) }))
+    SegDml.commitHook("swapped")
+    graft.Counters.add("gseg_dv_deleted_rows", rows)
+    graft.Counters.add("gseg_dv_vectors_written", written)
+    graft.Counters.add("gseg_dv_segments_dropped", dropped)
+  }
+
+  /** Nothing staged on disk before commit (vectors are written inside
+    * it): abort has nothing to clean. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class SegDvWriterFactory(fileOrd: Int, posOrd: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val acc = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+
+      override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        val file = id.getUTF8String(fileOrd).toString
+        val pos = id.getLong(posOrd)
+        require(pos >= 0 && pos <= Int.MaxValue,
+          s"gseg dv delete: row ordinal $pos outside segment range")
+        acc.getOrElseUpdate(file,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += pos.toInt
+      }
+      override def update(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow,
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        throw new IllegalStateException(
+          "gseg dv delete: update() on a DELETE-only delta write")
+      override def insert(
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        throw new IllegalStateException(
+          "gseg dv delete: insert() on a DELETE-only delta write")
+
+      override def commit(): WriterCommitMessage =
+        SegDvCommitMessage(acc.map { case (f, b) => f -> b.toArray }.toMap)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }

@@ -70,9 +70,12 @@ object SegManifest {
   /** Parsed manifest/snapshot body. `commitMs` is None for v1 files
     * (callers fall back to file mtime); `meta64` is the base64'd
     * table-metadata JSON pinned at commit time (v3 — as-of-schema
-    * time travel), absent in v1/v2 files. */
+    * time travel), absent in v1/v2 files; `dvs` maps segment name →
+    * deletion-vector file name (v4 — merge-on-read DELETE; empty
+    * for v1–v3 files and for generations with no vectored segment). */
   private[sources] case class Manifest(gen: Long, commitMs: Option[Long],
-      names: Seq[String], meta64: Option[String] = None)
+      names: Seq[String], meta64: Option[String] = None,
+      dvs: Map[String, String] = Map.empty)
 
   // per-table commit lock: closes the read-check-rename window for
   // same-JVM committers (local mode = every committer); see the
@@ -197,6 +200,25 @@ object SegManifest {
             s"segment(s), body carries ${names.length}")
         Manifest(genOf(lines(1)), Some(lines(2).toLong), names,
           Some(lines(4)).filter(_ != "-"))
+      case "gseg-manifest-v4" =>
+        // v4 = v3 whose segment lines may carry a second token: the
+        // segment's deletion-vector file name (merge-on-read DELETE)
+        require(lines.length >= 5, s"gseg: truncated manifest $where")
+        val entries = lines.drop(5).filter(_.nonEmpty).map { l =>
+          l.split(' ') match {
+            case Array(n) => (n, None)
+            case Array(n, dv) => (n, Some(dv))
+            case _ => throw new IllegalArgumentException(
+              s"gseg: bad v4 segment line '$l' in manifest $where")
+          }
+        }
+        val declared = lines(3).toInt
+        require(entries.length == declared,
+          s"gseg: torn manifest $where — header declares $declared " +
+            s"segment(s), body carries ${entries.length}")
+        Manifest(genOf(lines(1)), Some(lines(2).toLong), entries.map(_._1),
+          Some(lines(4)).filter(_ != "-"),
+          entries.collect { case (n, Some(dv)) => n -> dv }.toMap)
       case other => throw new IllegalArgumentException(
         s"gseg: unrecognized manifest header '$other' in $where")
     }
@@ -234,25 +256,45 @@ object SegManifest {
     * `expectGen` is the optimistic-concurrency check: the generation
     * this committer READ when it started (None = a fresh table with
     * no manifest yet). A mismatch under the lock throws
-    * [[CommitConflictException]] and writes nothing. */
+    * [[CommitConflictException]] and writes nothing.
+    *
+    * `dvs` is the new generation's deletion-vector map (segment name
+    * → vector file name). None — the default every append / rewrite /
+    * CTAS path takes — CARRIES FORWARD the live generation's vectors
+    * for segments that survive into `names`: a commit that doesn't
+    * think about vectors can never resurrect rows (replaced segments
+    * shed their vectors with their names; surviving segments keep
+    * theirs). Some(m) REPLACES the map wholesale — the DELETE commit
+    * (merged vectors), rollback (the restored generation's own map). */
   def swap(dir: String, names: Seq[String],
       expectGen: Option[Option[Long]] = None,
-      metaOverride: Option[Array[Byte]] = None): Long = {
+      metaOverride: Option[Array[Byte]] = None,
+      dvs: Option[Map[String, String]] = None): Long = {
     names.foreach(n => require(
-      n.nonEmpty && !n.exists(c => c == '\n' || c == '\r' || c == '/'),
+      n.nonEmpty && !n.exists(c => c == '\n' || c == '\r' || c == '/' ||
+        c == ' '),
       s"gseg: segment name breaks manifest framing: '$n'"))
+    dvs.foreach(_.foreach { case (seg, dv) =>
+      require(dv.nonEmpty && !dv.exists(c => c == '\n' || c == '\r' ||
+        c == '/' || c == ' '),
+        s"gseg: dv name breaks manifest framing: '$dv'")
+      require(names.contains(seg),
+        s"gseg: dv entry for '$seg' which is not in the new generation")
+    })
     lockFor(dir).synchronized {
       val token = acquireProcessLock(dir)
-      try swapLocked(dir, names, expectGen, metaOverride)
+      try swapLocked(dir, names, expectGen, metaOverride, dvs)
       finally releaseProcessLock(dir, token)
     }
   }
 
   private def swapLocked(dir: String, names: Seq[String],
       expectGen: Option[Option[Long]],
-      metaOverride: Option[Array[Byte]]): Long = {
+      metaOverride: Option[Array[Byte]],
+      dvs: Option[Map[String, String]] = None): Long = {
     {
-      val live = readManifest(dir).map(_.gen)
+      val liveM = readManifest(dir)
+      val live = liveM.map(_.gen)
       expectGen.foreach { e =>
         if (e != live) throw new CommitConflictException(
           s"gseg: concurrent commit on $dir — this committer read " +
@@ -262,6 +304,11 @@ object SegManifest {
       }
       val gen = live.map(_ + 1).getOrElse(0L)
       val sorted = names.sorted
+      // deletion-vector map for the new generation: explicit, or the
+      // live map carried forward for surviving names (see [[swap]])
+      val dvMap: Map[String, String] = dvs.getOrElse(
+        liveM.map(_.dvs.filter { case (seg, _) => names.contains(seg) })
+          .getOrElse(Map.empty))
       // pin the table metadata AS OF this commit into the snapshot
       // (v3 line 5): `VERSION AS OF` then serves THIS generation's
       // column names and types, Iceberg-style — callers that commit
@@ -273,9 +320,16 @@ object SegManifest {
         }
         .map(java.util.Base64.getEncoder.encodeToString)
         .getOrElse("-")
-      val body = ("gseg-manifest-v3" +: gen.toString +:
+      // v3 when no segment carries a vector (byte-identical to the
+      // pre-DV format — every existing snapshot/spec shape holds);
+      // v4 binds `segment dv-file` on the vectored lines only
+      val segLines =
+        if (dvMap.isEmpty) sorted
+        else sorted.map(n => dvMap.get(n).map(dv => s"$n $dv").getOrElse(n))
+      val header = if (dvMap.isEmpty) "gseg-manifest-v3" else "gseg-manifest-v4"
+      val body = (header +: gen.toString +:
         System.currentTimeMillis.toString +:
-        sorted.length.toString +: meta64 +: sorted)
+        sorted.length.toString +: meta64 +: segLines)
         .mkString("\n").getBytes(UTF_8)
       def writeFsynced(target: Path): Unit = {
         val tmp = Paths.get(dir).resolve(
@@ -318,6 +372,19 @@ object SegManifest {
     if (!Files.exists(p)) return None
     if (!readManifest(dir).exists(_.gen >= gen)) return None
     Some(parseFile(p).names)
+  }
+
+  /** The full parsed snapshot of a COMMITTED retained generation —
+    * names AND deletion-vector map (time travel, rollback and the
+    * changefeed need both; [[readSnapshot]] keeps the names-only
+    * shape its callers pin). Same phantom/retention gates. */
+  private[sources] def readSnapshotManifest(dir: String,
+      gen: Long): Option[Manifest] = {
+    val p = snapshotPath(dir, gen)
+    if (!Files.exists(p)) return None
+    val liveM = readManifest(dir).getOrElse(return None)
+    if (liveM.gen < gen) return None
+    Some(parseFile(p))
   }
 
   /** The table metadata PINNED in a committed generation's snapshot
@@ -478,8 +545,11 @@ object SegManifest {
       }
       val keptGens = ((committed :+ live.gen)
         .distinct.sorted.takeRight(keepLast).toSet ++ horizonKept + live.gen)
-      val protectedNames = live.names.toSet ++
-        keptGens.flatMap(g => readable.get(g).map(_.names).getOrElse(Nil))
+      // deletion vectors are generation data exactly like segments:
+      // protected while any kept generation references them
+      val protectedNames = live.names.toSet ++ live.dvs.values ++
+        keptGens.flatMap(g => readable.get(g).map(m =>
+          m.names ++ m.dvs.values).getOrElse(Nil))
       // reclaim-side listing: files outside every protected
       // generation, plus stranded staging temps/dirs
       val l = Files.list(Paths.get(dir))
@@ -494,6 +564,11 @@ object SegManifest {
           val n = p.getFileName.toString
           (n.endsWith(".gseg") && !n.startsWith(".") &&
             !protectedNames.contains(n)) ||
+            // deletion vectors outside every kept generation:
+            // superseded (a later DELETE merged them), rolled back
+            // past, or stranded by a crashed DELETE commit
+            (n.endsWith(".gdv") && !n.startsWith(".") &&
+              !protectedNames.contains(n)) ||
             // CTAS/RTAS publish dot-hidden segment names through the
             // manifest; unprotected ones are crashed-commit strands
             (n.startsWith(".ctas-") && n.endsWith(".gseg") &&
@@ -508,7 +583,8 @@ object SegManifest {
       // retire doomed snapshots BEFORE any file goes
       raw.foreach { g =>
         val doomed = g > live.gen || !readable.contains(g) ||
-          readable(g).names.exists(junkNames.contains)
+          readable(g).names.exists(junkNames.contains) ||
+          readable(g).dvs.values.exists(junkNames.contains)
         if (doomed && g != live.gen)
           Files.deleteIfExists(snapshotPath(dir, g))
       }

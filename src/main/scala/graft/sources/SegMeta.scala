@@ -48,7 +48,8 @@ object SegMeta {
 
   case class TableMeta(schema: StructType, dropped: Set[String],
       aliases: Map[String, Seq[String]],
-      clusterCols: Seq[String] = Nil) {
+      clusterCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty) {
     /** stored-header-name → current-name, for read-side resolution.
       * Built once per metadata read; first (most recent) alias wins
       * if chains ever overlapped (they cannot, by the guards). */
@@ -111,7 +112,15 @@ object SegMeta {
         case JArray(vs) => vs.collect { case JString(c) => c }
         case _ => Nil
       }
-      TableMeta(schema, dropped, aliases, cluster)
+      // "props": engine-recognized table properties (gseg.* keys),
+      // absent from pre-r15 sidecars
+      val props = (ast \ "props") match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
+      TableMeta(schema, dropped, aliases, cluster, props)
     }
   }
 
@@ -127,7 +136,8 @@ object SegMeta {
         ("cluster" -> (meta.clusterCols match {
           case Nil => None
           case cs => Some(cs)
-        }))
+        })) ~
+        ("props" -> (if (meta.props.isEmpty) None else Some(meta.props)))
     org.json4s.jackson.JsonMethods
       .compact(org.json4s.jackson.JsonMethods.render(ast)).getBytes(UTF_8)
   }

@@ -94,6 +94,22 @@ object SegSource {
     * the runtime group-filter attribute for row-level DML). */
   val FileMetaName = "_file"
 
+  /** Name of the synthesized per-row metadata column carrying the
+    * row's STORED ordinal within its segment (0-based, pre-mask:
+    * deletion-vector'd rows still consume ordinals, filtered rows
+    * too). `(_file, _pos)` is the delta DELETE's row id — what a
+    * merge-on-read DELETE writes into the vector. */
+  val PosMetaName = "_pos"
+
+  /** Live deletion-vector map of `dir` as ABSOLUTE paths (segment →
+    * vector), from the generation manifest. Empty for plain path
+    * dirs and vector-free generations. Time-travel reads override
+    * this with their snapshot's own map. */
+  private[sources] def dvPathsOf(dir: String): Map[String, String] =
+    SegManifest.readManifest(dir).map(_.dvs.map {
+      case (seg, dv) => s"$dir/$seg" -> s"$dir/$dv"
+    }).getOrElse(Map.empty)
+
   /** Read option PINNING the scan to an explicit comma-separated list
     * of segment NAMES under the path, bypassing both the manifest and
     * the listing — the changefeed's handle onto a retained
@@ -101,6 +117,26 @@ object SegSource {
     * zero files (a valid empty read); segment names are this writer's
     * own `[A-Za-z0-9._-]` tokens, so the comma framing is safe. */
   val PinnedFilesOption = "pinned_files"
+
+  /** Read option PINNING the deletion-vector map alongside
+    * `pinned_files`: `seg.gseg=dv-x.gdv` pairs, comma-separated; an
+    * empty value pins NO vectors. ABSENT means the live manifest's
+    * map — right for pinned reads of the live generation (compaction,
+    * runtime group filtering); a read of an OLD generation's files
+    * (changefeed) must pin that generation's own map or rows deleted
+    * SINCE would vanish from history. */
+  val PinnedDvsOption = "pinned_dvs"
+
+  /** Parse a `pinned_dvs` value into an absolute-path map. */
+  private[sources] def parsePinnedDvs(dir: String,
+      v: String): Map[String, String] =
+    v.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { pair =>
+      pair.split('=') match {
+        case Array(seg, dv) => s"$dir/$seg" -> s"$dir/$dv"
+        case _ => throw new IllegalArgumentException(
+          s"gseg: bad $PinnedDvsOption entry '$pair' (want seg=dv)")
+      }
+    }.toMap
 
   /** Streaming-read option for MANIFEST tables (generation-offset
     * stream): skip CHANGE commits (generations that rewrote or
@@ -1289,7 +1325,9 @@ class SegTable(tschema: StructType, path: String,
         v.split(',').toSeq.filter(_.nonEmpty).sorted.map(n => s"$path/$n")),
       options.getBoolean(SegSource.SkipChangeCommitsOption, false),
       maxGensPerTrigger =
-        Option(options.get(SegCdf.MaxGensPerTriggerOption)).map(_.toLong))
+        Option(options.get(SegCdf.MaxGensPerTriggerOption)).map(_.toLong),
+      dvOverride = Option(options.get(SegSource.PinnedDvsOption))
+        .map(SegSource.parsePinnedDvs(path, _)))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SegWriteBuilder(path, info.schema(),
       Option(info.options().get(SegSource.PartitionColOption))
@@ -1311,7 +1349,8 @@ class SegScanBuilder(full: StructType, path: String,
     pinned: Option[Seq[String]] = None,
     skipChangeCommits: Boolean = false,
     aliasOverride: Option[Map[String, String]] = None,
-    maxGensPerTrigger: Option[Long] = None) extends ScanBuilder
+    maxGensPerTrigger: Option[Long] = None,
+    dvOverride: Option[Map[String, String]] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -1321,6 +1360,13 @@ class SegScanBuilder(full: StructType, path: String,
   private var limit: Option[Int] = None
   private var topN: Option[SegSource.TopNPush] = None
   private var emitFile: Boolean = false
+  private var emitPos: Boolean = false
+
+  /** The deletion-vector map this read must honor: the time-travel
+    * override (that snapshot's own vectors) or the live manifest's.
+    * Resolved once at plan time on the driver. */
+  private lazy val dvMap: Map[String, String] =
+    dvOverride.getOrElse(SegSource.dvPathsOf(path))
 
   /** Both limit and TopN are PARTIAL pushes by design: Spark keeps the
     * global Limit / TakeOrderedAndProject, so scan-side skipping is a
@@ -1367,8 +1413,9 @@ class SegScanBuilder(full: StructType, path: String,
     * synthesize it from the partition's segment path. */
   override def pruneColumns(requiredSchema: StructType): Unit = {
     emitFile = requiredSchema.fieldNames.contains(SegSource.FileMetaName)
-    required = StructType(
-      requiredSchema.fields.filterNot(_.name == SegSource.FileMetaName))
+    emitPos = requiredSchema.fieldNames.contains(SegSource.PosMetaName)
+    required = StructType(requiredSchema.fields.filterNot(f =>
+      f.name == SegSource.FileMetaName || f.name == SegSource.PosMetaName))
   }
 
   /** Accept the shapes the reader can evaluate; return EVERYTHING as
@@ -1388,6 +1435,11 @@ class SegScanBuilder(full: StructType, path: String,
     * false): one buffer row per file, Spark merges. */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (pushed.nonEmpty) return false
+    // deletion vectors invalidate header answers (COUNT overcounts
+    // masked rows; a vectored row may BE the min/max): decline the
+    // whole push when any file in this read carries a vector — the
+    // ordinary masked scan computes the truth, headers only the speed
+    if (dvMap.nonEmpty) return false
     SegSource.translateAggs(agg, full) match {
       case some @ Some(_) => aggs = some; true
       case None => false
@@ -1407,18 +1459,24 @@ class SegScanBuilder(full: StructType, path: String,
            else SegSource.bucketClusterType(f.dataType)))
       }) partitionCols else Nil,
       emitFile, pinned, skipChangeCommits, aliasOverride,
-      maxGensPerTrigger)
+      maxGensPerTrigger, emitPos, dvOverride)
 }
 
-case class SegInputPartition(file: String) extends InputPartition
+/** `dv` is the segment's deletion-vector path for THIS read's
+  * generation (None = nothing masked) — resolved at plan time so
+  * executors never consult the manifest. */
+case class SegInputPartition(file: String, dv: Option[String] = None)
+  extends InputPartition
 
 /** One storage partition = every segment holding key value `key`;
   * reports the key so Spark's storage-partitioned join can align the
   * two sides' partitions without an exchange. Key components carry
   * Spark's INTERNAL representations matched to the reported
   * partitioning expressions: Long/Int/UTF8String for identity keys,
-  * the Int bucket id for `bucket(n, col)` keys. */
-case class SegKeyedPartition(files: Seq[String], key: Seq[Any])
+  * the Int bucket id for `bucket(n, col)` keys. `dvs` aligns with
+  * `files` (empty = no vectors anywhere in this read). */
+case class SegKeyedPartition(files: Seq[String], key: Seq[Any],
+    dvs: Seq[Option[String]] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1432,11 +1490,25 @@ case class SegScan(path: String, required: StructType,
     pinned: Option[Seq[String]] = None,
     skipChangeCommits: Boolean = false,
     aliasOverride: Option[Map[String, String]] = None,
-    maxGensPerTrigger: Option[Long] = None)
+    maxGensPerTrigger: Option[Long] = None,
+    emitPos: Boolean = false,
+    dvOverride: Option[Map[String, String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Deletion-vector map (absolute paths) this scan masks by: the
+    * time-travel override or the live manifest's, resolved on the
+    * driver. Pinned reads (compaction, runtime group filtering)
+    * default to the LIVE map — the generation their pins came from. */
+  @transient private lazy val dvs: Map[String, String] =
+    dvOverride.getOrElse(SegSource.dvPathsOf(path))
+  private def dvOf(f: String): Option[String] = dvs.get(f)
+  /** Header row count net of the file's deletion vector — the number
+    * a masked scan will actually emit (pre-filter). */
+  private def effRows(f: String, h: SegSource.SegHeader): Long =
+    h.nRows.toLong - dvOf(f).map(SegDv.countOf(_).toLong).getOrElse(0L)
 
   /** Storage-partitioned layout, recovered from HEADERS: with
     * `partition_col` declared and every segment holding exactly one
@@ -1463,9 +1535,10 @@ case class SegScan(path: String, required: StructType,
 
   @transient private lazy val keyGroups
       : Option[Seq[(Seq[Any], Seq[String])]] =
-    // emitFile also declines key-grouping: the _file synthesizer is a
-    // per-segment wrapper, and a metadata read has no join-layout use
-    (if (aggs.isDefined || emitFile || partitionCols.isEmpty) None
+    // emitFile/emitPos also decline key-grouping: the _file
+    // synthesizer is a per-segment wrapper, and a metadata read has
+    // no join-layout use
+    (if (aggs.isDefined || emitFile || emitPos || partitionCols.isEmpty) None
      else Some(clusterKeys)).flatMap { pcs =>
     val files = pinned.getOrElse(SegSource.resolveSegments(path))
     val kv = files.map { f =>
@@ -1535,8 +1608,8 @@ case class SegScan(path: String, required: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val files = pinned.getOrElse(SegSource.resolveSegments(path))
-    val surviving = files.map(SegSource.resolvedHeaderOf(_, aliasOverride))
-      .filter(h => pushed.forall(SegSource.mayMatch(h, _)))
+    val surviving = files.map(f => (f, SegSource.resolvedHeaderOf(f, aliasOverride)))
+      .filter { case (_, h) => pushed.forall(SegSource.mayMatch(h, _)) }
     val wanted = required.fieldNames.toSet
     var rows = 0L
     var bytes = 0L
@@ -1549,8 +1622,11 @@ case class SegScan(path: String, required: StructType,
     val merged = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val nulls = scala.collection.mutable.Map.empty[String, Long]
     val sketchless = scala.collection.mutable.Set.empty[String]
-    surviving.foreach { h =>
-      rows += h.nRows.toLong
+    surviving.foreach { case (f, h) =>
+      // net of deletion vectors: the row count a masked scan emits
+      // (NDV/null counts stay header-grain — deleted rows can only
+      // make them overestimates, stated in the DV scaladoc)
+      rows += effRows(f, h)
       h.cols.foreach { c =>
         if (wanted.contains(c.name)) {
           bytes += c.bytes
@@ -1629,9 +1705,15 @@ case class SegScan(path: String, required: StructType,
       StructField(s"agg_$i", a.outType)
     })
     case None =>
-      if (emitFile) StructType(required.fields :+
-        StructField(SegSource.FileMetaName, StringType, nullable = false))
-      else required
+      // metadata order contract: data, then _pos (appended by the
+      // partition reader, which owns the ordinal counter), then
+      // _file (appended by the wrapper factory)
+      var out = required.fields
+      if (emitPos) out = out :+
+        StructField(SegSource.PosMetaName, LongType, nullable = false)
+      if (emitFile) out = out :+
+        StructField(SegSource.FileMetaName, StringType, nullable = false)
+      StructType(out)
   }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1696,9 +1778,12 @@ case class SegScan(path: String, required: StructType,
           if (!bucketOk) {
             graft.Counters.add("gseg_bucket_groups_pruned", 1L)
             SegKeyedPartition(Nil, k)
-          } else SegKeyedPartition(fs.filter(f =>
-            pushed.forall(SegSource.mayMatch(
-              SegSource.resolvedHeaderOf(f, aliasOverride), _))), k)
+          } else {
+            val kf = fs.filter(f =>
+              pushed.forall(SegSource.mayMatch(
+                SegSource.resolvedHeaderOf(f, aliasOverride), _)))
+            SegKeyedPartition(kf, k, kf.map(dvOf))
+          }
         }
         graft.Counters.add("gseg_key_groups", gs.size.toLong)
         return kept.toArray[InputPartition]
@@ -1723,8 +1808,10 @@ case class SegScan(path: String, required: StructType,
         var need = k.toLong
         val taken = kept.takeWhile { f =>
           val take = need > 0
-          if (take) need -= SegSource.resolvedHeaderOf(f, aliasOverride)
-            .nRows.toLong
+          // net of deletion vectors: a header count that included
+          // masked rows would cover k with files that cannot deliver
+          if (take) need -= effRows(f,
+            SegSource.resolvedHeaderOf(f, aliasOverride))
           take
         }
         graft.Counters.add("gseg_limit_files_skipped",
@@ -1734,7 +1821,14 @@ case class SegScan(path: String, required: StructType,
         val stats = kept.map { f =>
           val h = SegSource.resolvedHeaderOf(f, aliasOverride)
           val cm = h.cols.find(_.name == t.col)
-          val nonNull = h.nRows.toLong - cm.map(_.nNulls).getOrElse(0L)
+          // deletion vectors: UNDERSTATE the non-null count (assume
+          // every masked row was non-null) — the pigeonhole then
+          // counts more files toward k, τ only loosens, and the
+          // stale-wide min/max stats are conservative by the same
+          // argument as zone maps. Sound, never tight.
+          val dvc = dvOf(f).map(SegDv.countOf(_).toLong).getOrElse(0L)
+          val nonNull = math.max(0L,
+            h.nRows.toLong - cm.map(_.nNulls).getOrElse(0L) - dvc)
           (f, cm.flatMap(_.minVal).flatMap(SegSource.bd),
             cm.flatMap(_.maxVal).flatMap(SegSource.bd),
             nonNull, cm.map(_.nNulls).getOrElse(0L))
@@ -1770,11 +1864,11 @@ case class SegScan(path: String, required: StructType,
     }
     graft.Counters.add("gseg_files_total", files.size.toLong)
     graft.Counters.add("gseg_files_skipped", (files.size - afterLimit.size).toLong)
-    afterLimit.map(SegInputPartition.apply).toArray
+    afterLimit.map(f => SegInputPartition(f, dvOf(f))).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = SegReaderFactory(required, pushed ++ runtime, aggs,
-      if (topN.isEmpty) limit else None, aliasOverride)
+      if (topN.isEmpty) limit else None, aliasOverride, emitPos)
     if (emitFile && aggs.isEmpty) SegFileColumnFactory(inner) else inner
   }
 }
@@ -1787,7 +1881,7 @@ case class SegFileColumnFactory(inner: PartitionReaderFactory)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case SegInputPartition(file) =>
+      case SegInputPartition(file, _) =>
         val d = inner.createReader(p)
         new PartitionReader[InternalRow] {
           private val joined =
@@ -1884,11 +1978,12 @@ class SegGenMicroBatchStream(path: String, required: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** A committed generation's names: its retained snapshot, with the
-    * live manifest as fallback for the current generation. */
-  private def genNames(g: Long): Seq[String] =
-    SegManifest.readSnapshot(path, g).orElse(
-      SegManifest.read(path).collect { case (lg, names) if lg == g => names })
+  /** A committed generation's manifest (names + deletion-vector
+    * map): its retained snapshot, with the live manifest as fallback
+    * for the current generation. */
+  private def genManifest(g: Long): SegManifest.Manifest =
+    SegManifest.readSnapshotManifest(path, g).orElse(
+      SegManifest.readManifest(path).filter(_.gen == g))
       .getOrElse(throw new IllegalStateException(
         s"gseg stream: generation $g of $path is not retained — the " +
           "stream lagged past the vacuum retention window (raise " +
@@ -1900,30 +1995,47 @@ class SegGenMicroBatchStream(path: String, required: StructType,
     val lo = start.asInstanceOf[SegGenOffset].gen
     val hi = end.asInstanceOf[SegGenOffset].gen
     if (hi < 0 || hi <= lo) return Array.empty
-    val batch: Seq[String] =
-      if (lo < 0) genNames(hi).sorted
-      else (lo + 1 to hi).flatMap { g =>
-        val cur = genNames(g).toSet
-        val prev = genNames(g - 1).toSet
+    val batch: Seq[(String, Option[String])] =
+      if (lo < 0) {
+        // initial snapshot: the generation's own deletion vectors
+        // mask rows already deleted — they must not stream as live
+        val m = genManifest(hi)
+        m.names.sorted.map(n => (n, m.dvs.get(n)))
+      } else (lo + 1 to hi).flatMap { g =>
+        val curM = genManifest(g)
+        val prevM = genManifest(g - 1)
+        val cur = curM.names.toSet
+        val prev = prevM.names.toSet
         val removed = prev -- cur
-        if (removed.nonEmpty) {
+        // a deletion-vector change on a carried segment is a CHANGE
+        // commit exactly like a rewrite: rows were deleted (or, after
+        // rollback, resurrected) with no file-level representation
+        val dvChanged = (cur & prev).exists(n =>
+          curM.dvs.get(n) != prevM.dvs.get(n))
+        if (removed.nonEmpty || dvChanged) {
           if (!skipChangeCommits) throw new IllegalStateException(
             s"gseg stream: generation $g of $path is a CHANGE commit " +
-              s"(${removed.size} file(s) rewritten or removed) — a " +
-              "file-level stream cannot represent row updates/deletes; " +
-              "use SegChangeFeed.changes for the row-level diff, or set " +
+              s"(${removed.size} file(s) rewritten or removed" +
+              (if (dvChanged) ", deletion vectors changed" else "") +
+              ") — a file-level stream cannot represent row " +
+              "updates/deletes; use SegChangeFeed.changes for the " +
+              "row-level diff, or set " +
               s"${SegSource.SkipChangeCommitsOption}=true to tail " +
               "append-only commits")
           graft.Counters.add("gseg_stream_gen_change_skipped", 1L)
           Nil // the whole commit is skipped, its added files included
-        } else (cur -- prev).toSeq.sorted
+        } else (cur -- prev).toSeq.sorted.map(n => (n, curM.dvs.get(n)))
       }
-    val kept = batch.map(n => s"$path/$n").filter(f =>
-      pushed.forall(SegSource.mayMatch(SegSource.resolvedHeaderOf(f), _)))
+    val kept = batch.map { case (n, dvN) =>
+      (s"$path/$n", dvN.map(d => s"$path/$d"))
+    }.filter { case (f, _) =>
+      pushed.forall(SegSource.mayMatch(SegSource.resolvedHeaderOf(f), _))
+    }
     graft.Counters.add("gseg_stream_gen_files", batch.size.toLong)
     graft.Counters.add("gseg_stream_gen_skipped",
       (batch.size - kept.size).toLong)
-    kept.map(SegInputPartition.apply).toArray[InputPartition]
+    kept.map { case (f, dvP) => SegInputPartition(f, dvP) }
+      .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
     SegReaderFactory(required, pushed, None)
@@ -2023,7 +2135,8 @@ class SegMicroBatchStream(path: String, required: StructType,
     })
     graft.Counters.add("gseg_stream_files", batch.size.toLong)
     graft.Counters.add("gseg_stream_skipped", (batch.size - kept.size).toLong)
-    kept.map(SegInputPartition.apply).toArray
+    // plain path-dir stream: no manifest, hence no deletion vectors
+    kept.map(SegInputPartition(_)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     SegReaderFactory(required, pushed, None)
@@ -2031,16 +2144,17 @@ class SegMicroBatchStream(path: String, required: StructType,
 
 case class SegReaderFactory(required: StructType, pushed: Array[Filter],
     aggs: Option[Seq[SegSource.HeaderAgg]], limit: Option[Int] = None,
-    aliasOverride: Option[Map[String, String]] = None)
+    aliasOverride: Option[Map[String, String]] = None,
+    emitPos: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case SegKeyedPartition(files, _) =>
-        new SegChainReader(files, required, pushed, aliasOverride)
-      case SegInputPartition(file) => aggs match {
+      case SegKeyedPartition(files, _, dvs) =>
+        new SegChainReader(files, required, pushed, aliasOverride, dvs)
+      case SegInputPartition(file, dv) => aggs match {
         case Some(as) => new SegAggReader(file, as, aliasOverride)
         case None => new SegPartitionReader(file, required, pushed,
-          limit.getOrElse(Int.MaxValue), aliasOverride)
+          limit.getOrElse(Int.MaxValue), aliasOverride, dv, emitPos)
       }
     }
 }
@@ -2048,7 +2162,8 @@ case class SegReaderFactory(required: StructType, pushed: Array[Filter],
 /** All segments of one partition-key value, read back to back. */
 class SegChainReader(files: Seq[String], required: StructType,
     pushed: Array[Filter],
-    aliasOverride: Option[Map[String, String]] = None)
+    aliasOverride: Option[Map[String, String]] = None,
+    dvs: Seq[Option[String]] = Nil)
     extends PartitionReader[InternalRow] {
   private var idx = -1
   private var cur: SegPartitionReader = null
@@ -2059,7 +2174,8 @@ class SegChainReader(files: Seq[String], required: StructType,
       if (idx >= files.length) return false
       if (cur != null) cur.close()
       cur = new SegPartitionReader(files(idx), required, pushed,
-        aliasOverride = aliasOverride)
+        aliasOverride = aliasOverride,
+        dv = if (dvs.isEmpty) None else dvs(idx))
     }
     false
   }
@@ -2114,9 +2230,16 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg],
   * into object arrays, row emission after. */
 class SegPartitionReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Int = Int.MaxValue,
-    aliasOverride: Option[Map[String, String]] = None)
+    aliasOverride: Option[Map[String, String]] = None,
+    dv: Option[String] = None, emitPos: Boolean = false)
     extends PartitionReader[InternalRow] {
   import SegSource._
+
+  /** Deletion-vector mask: sorted stored ordinals to skip. The scan
+    * loop walks it with one pointer — O(1) per row, no hashing. */
+  private val deleted: Array[Int] =
+    dv.map(SegDv.read).getOrElse(Array.emptyIntArray)
+  private var delIdx = 0
 
   private val header = resolvedHeaderOf(file, aliasOverride)
   private val filterCols: Set[String] =
@@ -2220,16 +2343,25 @@ class SegPartitionReader(file: String, required: StructType,
     if (emitted >= limit) return false
     val n = header.nRows
     while ({ row += 1; row < n }) {
-      def get(name: String): Any = decoded(colIdx(name))(row)
-      if (pushed.forall(evalFilter(_, get))) {
-        val vals = new Array[Any](outIdx.length)
-        var i = 0
-        while (i < outIdx.length) {
-          vals(i) = decoded(outIdx(i))(row); i += 1
+      // deletion-vector mask: ordinals are ascending on both sides,
+      // so one pointer advances in lockstep with the row counter
+      if (delIdx < deleted.length && deleted(delIdx) == row) {
+        delIdx += 1
+      } else {
+        def get(name: String): Any = decoded(colIdx(name))(row)
+        if (pushed.forall(evalFilter(_, get))) {
+          val vals = new Array[Any](outIdx.length + (if (emitPos) 1 else 0))
+          var i = 0
+          while (i < outIdx.length) {
+            vals(i) = decoded(outIdx(i))(row); i += 1
+          }
+          // `_pos` carries the STORED ordinal (pre-mask, pre-filter):
+          // the row id a later deletion vector must address
+          if (emitPos) vals(outIdx.length) = row.toLong
+          current = new GenericInternalRow(vals)
+          emitted += 1
+          return true
         }
-        current = new GenericInternalRow(vals)
-        emitted += 1
-        return true
       }
     }
     false

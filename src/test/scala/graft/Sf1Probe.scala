@@ -136,7 +136,15 @@ object Sf1Probe {
         "s40_dsv2_bucketed_spj" -> ((s, d) =>
           graft.operators.CoreOps.s40DsvBucketedSpj(s, d)),
         "stream_cdf_index_parity" -> ((s, d) =>
-          graft.streaming.StreamGates.streamCdfIndexParity(s, d)))
+          graft.streaming.StreamGates.streamCdfIndexParity(s, d)),
+        // r15 merge-on-read DELETE: dv cost must track the DELETED
+        // rows (gseg_dv_deleted_rows grows 10× with the table's
+        // matching rows) while the commit stays vector-writes-only —
+        // segments_preserved pins that no segment was rewritten at
+        // either scale, and the CDF read of the dv commit is one
+        // pruned pass per touched segment (8 at both scales)
+        "s42_dsv2_dv_delete" -> ((s, d) =>
+          graft.operators.CoreOps.s42DsvDvDelete(s, d)))
     // optional arg: comma-separated names — probe only those
     val only = args.headOption.map(_.split(',').toSet)
     val picked = queries.filter(q => only.forall(_.contains(q._1)))
