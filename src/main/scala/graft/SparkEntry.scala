@@ -295,8 +295,12 @@ object SparkEntry {
     "s40_dsv2_bucketed_spj" -> CoreOps.s40DsvBucketedSpj _,
     "s41_dsv2_bloom_prune" -> CoreOps.s41DsvBloomPrune _,
     "s42_dsv2_dv_delete" -> CoreOps.s42DsvDvDelete _,
+    "s43_dsv2_months_partitioned" -> CoreOps.s43DsvMonthsPartitioned _,
+    "s44_dsv2_truncate_binned" -> CoreOps.s44DsvTruncateBinned _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
+    "stream_dv_cdf_parity" ->
+      graft.streaming.StreamGates.streamDvCdfParity _,
     "stream_cdf_index_parity" ->
       graft.streaming.StreamGates.streamCdfIndexParity _,
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
@@ -1495,6 +1499,28 @@ object SparkEntry {
         |         AS deleted_rows,
         |       TRUE AS segments_preserved
         |FROM orders WHERE NOT (o_orderkey % 10 = 3)""".stripMargin,
+    // TEMPORAL PARTITIONING: months(d) layout — month-grain aggregate
+    // after a copy-on-write DELETE; the spj/pruning booleans are
+    // counter evidence pinned TRUE
+    "s43_dsv2_months_partitioned" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |       CAST(month(o_orderdate) AS INT) AS m,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS spj_after_dml, TRUE AS month_pruned
+        |FROM orders WHERE NOT (o_orderkey % 10 = 7)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TRUNCATE-WIDTH CLUSTERING: range-binned fact⋈fact SPJ on the
+    // raw key; the DELETEd class is key ≡ 7 (mod 40); spj booleans
+    // pinned TRUE
+    "s44_dsv2_truncate_binned" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE NOT (o_orderkey % 40 = 7)""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj
@@ -2351,6 +2377,22 @@ object SparkEntry {
         |        WHERE user_id < 40 AND event_id % 2 = 0) AS n_initial,
         |       (SELECT COUNT(*) FROM events
         |        WHERE user_id < 20 AND event_id % 2 = 0) AS n_update_pairs,
+        |       (SELECT COUNT(*) FROM events
+        |        WHERE user_id < 40 AND event_id % 2 = 1) AS n_late_inserts
+        |""".stripMargin,
+    // merge-on-read DELETE through the streaming changefeed: the
+    // lifecycle booleans (initial snapshot, exactly-once deletes
+    // across a restart, segments untouched by the vector commit,
+    // replay identity) in-engine; cardinalities anchored relationally
+    "stream_dv_cdf_parity" ->
+      """SELECT CAST(1 AS BOOLEAN) AS first_parity,
+        |       CAST(1 AS BOOLEAN) AS delete_exactly_once,
+        |       CAST(1 AS BOOLEAN) AS dv_commit,
+        |       CAST(1 AS BOOLEAN) AS replay_parity,
+        |       (SELECT COUNT(*) FROM events
+        |        WHERE user_id < 40 AND event_id % 2 = 0) AS n_initial,
+        |       (SELECT COUNT(*) FROM events
+        |        WHERE user_id < 20 AND event_id % 2 = 0) AS n_deleted,
         |       (SELECT COUNT(*) FROM events
         |        WHERE user_id < 40 AND event_id % 2 = 1) AS n_late_inserts
         |""".stripMargin,

@@ -3866,6 +3866,108 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "deleted_rows", "segments_preserved")
   }
 
+  /** TEMPORAL PARTITION TRANSFORM [S43]: `PARTITIONED BY (months(d))`
+    * — the time-partitioned fact layout every 100 TB event/order
+    * table uses. The catalog serves `years`/`months`/`days`/`hours`
+    * V2 functions so the write shuffle, the writer's run splitting
+    * and the scan's KeyGroupedPartitioning share ONE unit-ordinal
+    * definition; recovery is STATS-ONLY (the transform is monotone,
+    * so equal ordinals at [min, max] prove a single-unit file — no
+    * header stamp, unlike bucket). Pinned evidence: a same-key
+    * self-join runs with ZERO exchanges after a copy-on-write DELETE
+    * re-laid its groups (`spj_after_dml`), and a month-range filter
+    * on a path read FILE-PRUNES via the raw column's zone maps
+    * (`month_pruned` — counter). The oracle recomputes the month-
+    * grain aggregate relationally. */
+  def s43DsvMonthsPartitioned(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml43")
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    iso.sql("CREATE TABLE gseg_dml.dml.t " +
+      "(k BIGINT, d TIMESTAMP, price DOUBLE) USING gseg " +
+      "PARTITIONED BY (months(d))")
+    Tables.orders(iso, d)
+      .select(col("o_orderkey").as("k"), col("o_orderdate").as("d"),
+        col("o_totalprice").as("price"))
+      .writeTo("gseg_dml.dml.t").append()
+    val dir = s"$wh/dml/t"
+    iso.sql("DELETE FROM gseg_dml.dml.t WHERE k % 10 = 7")
+    // zero-exchange SPJ on the layout AFTER the DML rewrite
+    val t = iso.table("gseg_dml.dml.t")
+    val j = t.as("a").join(t.as("b"), Seq("d", "k"))
+    val spjAfterDml = j.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty && j.count() >= 0
+    // month-range pruning on the raw column's zone maps (ungrouped
+    // path read so the file counters fire)
+    graft.Counters.drain()
+    val pruneProbe = iso.read.format("gseg").load(dir)
+      .filter(col("d") >= lit(java.sql.Timestamp.valueOf(
+        "1998-01-01 00:00:00")))
+      .count()
+    val c = graft.Counters.drain()
+    val pruned = c.getOrElse("gseg_files_skipped", 0L) > 0 && pruneProbe > 0
+    t.groupBy(year(col("d")).cast("int").as("y"),
+        month(col("d")).cast("int").as("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("price"))).cast(DoubleType).as("sum_price"))
+      .withColumn("spj_after_dml", lit(spjAfterDml))
+      .withColumn("month_pruned", lit(pruned))
+      .orderBy(col("y"), col("m"))
+  }
+
+  /** TRUNCATE-WIDTH CLUSTERING [S44]: `PARTITIONED BY
+    * (truncate(1000, k))` — Iceberg's width transform: integer keys
+    * bin to `v - (v mod w)`, the RANGE-BLOCK layout of a sorted fact
+    * table (strings cut to w codepoints). Monotone like the temporal
+    * transforms, so recovery is stats-only — AND the raw column's
+    * zone maps range-prune bins for free. The scan reports the width
+    * INSIDE the function name (`truncate1000(k)` — Spark's scan-side
+    * transform conversion accepts single-reference transforms only;
+    * the 2-arg spelling stays on DDL and the write distribution).
+    * Pinned evidence: two truncate-binned fact tables join on the RAW
+    * key with zero exchanges, before and after a copy-on-write
+    * DELETE. The oracle recomputes the join aggregate. */
+  def s44DsvTruncateBinned(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml44")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    Tables.orders(iso, d).select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_p44_a")
+    Tables.lineitem(iso, d).select(col("l_orderkey"), col("l_extendedprice"))
+      .createOrReplaceTempView("graft_p44_b")
+    iso.sql("CREATE TABLE gseg_dml.dml.a USING gseg " +
+      "PARTITIONED BY (truncate(1000, o_orderkey)) " +
+      "AS SELECT o_orderkey, o_totalprice FROM graft_p44_a")
+    iso.sql("CREATE TABLE gseg_dml.dml.b USING gseg " +
+      "PARTITIONED BY (truncate(1000, l_orderkey)) " +
+      "AS SELECT l_orderkey, l_extendedprice FROM graft_p44_b")
+    def joined = {
+      val a = iso.table("gseg_dml.dml.a")
+      val b = iso.table("gseg_dml.dml.b")
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+    }
+    def shuffleFree: Boolean =
+      joined.queryExecution.executedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }.exists(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty)
+    val preDml = shuffleFree
+    iso.sql("DELETE FROM gseg_dml.dml.a WHERE o_orderkey % 40 = 7")
+    val postDml = shuffleFree
+    val row = joined
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((row.getLong(0), row.getDouble(1), preDml, postDml))
+      .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

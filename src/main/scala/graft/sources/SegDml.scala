@@ -59,11 +59,18 @@ class SegCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name match {
       case "bucket" => new SegBucketUnbound
+      case u @ ("years" | "months" | "days" | "hours") =>
+        new SegTemporalUnbound(u)
+      case "truncate" => new SegTruncateUnbound(None)
+      case tn if tn.startsWith("truncate") &&
+          tn.drop(8).nonEmpty && tn.drop(8).forall(_.isDigit) =>
+        new SegTruncateUnbound(Some(tn.drop(8).toInt))
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "years", "months", "days", "hours", "truncate")
+      .map(Identifier.of(namespace, _))
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -120,16 +127,27 @@ class SegCatalog extends TableCatalog
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"gseg: PARTITIONED BY column '$c' is not in the schema"))
-      if (spec.buckets.isEmpty)
-        require(SegSource.identityClusterType(f.dataType),
-          s"gseg: PARTITIONED BY column '$c' must be " +
-            "BIGINT/INT/STRING/DATE/TIMESTAMP (identity clustering), " +
-            s"got ${f.dataType.simpleString}")
-      else
-        require(SegSource.bucketClusterType(f.dataType),
-          s"gseg: bucket(n, $c) needs a " +
-            "BIGINT/INT/STRING/DATE/TIMESTAMP column, " +
-            s"got ${f.dataType.simpleString}")
+      spec match {
+        case SegSource.ClusterKey(_, Some(_), _, _) =>
+          require(SegSource.bucketClusterType(f.dataType),
+            s"gseg: bucket(n, $c) needs a " +
+              "BIGINT/INT/STRING/DATE/TIMESTAMP column, " +
+              s"got ${f.dataType.simpleString}")
+        case SegSource.ClusterKey(_, None, Some(u), _) =>
+          require(SegSource.temporalClusterType(u, f.dataType),
+            s"gseg: $u($c) needs a TIMESTAMP" +
+              (if (u == "hours") "" else " or DATE") +
+              s" column, got ${f.dataType.simpleString}")
+        case SegSource.ClusterKey(_, None, None, Some(_)) =>
+          require(SegSource.truncClusterType(f.dataType),
+            s"gseg: truncate(w, $c) needs a BIGINT/INT/STRING " +
+              s"column, got ${f.dataType.simpleString}")
+        case _ =>
+          require(SegSource.identityClusterType(f.dataType),
+            s"gseg: PARTITIONED BY column '$c' must be " +
+              "BIGINT/INT/STRING/DATE/TIMESTAMP (identity clustering), " +
+              s"got ${f.dataType.simpleString}")
+      }
       spec.render
     }
     val names = cols.map(SegSource.ClusterKey.parse(_).col)
@@ -988,23 +1006,37 @@ class SegChangesProcedure(cat: SegCatalog)
           s"gseg changes: bad table identifier '$tbl'")
         val dir = cat.tableDir(
           Identifier.of(parts.init.toArray, parts.last)).toString
-        def snap(g: Long): Set[String] =
-          SegManifest.readSnapshot(dir, g).getOrElse(
+        def snap(g: Long): SegManifest.Manifest =
+          SegManifest.readSnapshotManifest(dir, g).getOrElse(
             throw new IllegalArgumentException(
               s"gseg changes: no snapshot for generation $g of " +
                 s"${parts.last} — never committed, or retired by vacuum"))
-            .toSet
-        val from = snap(fromGen)
-        val to = snap(toGen)
+        val fromM = snap(fromGen)
+        val toM = snap(toGen)
+        val from = fromM.names.toSet
+        val to = toM.names.toSet
+        // a carried segment whose DELETION VECTOR changed is part of
+        // the diff (merge-on-read DELETE / rollback resurrection);
+        // n_rows reports the ORDINAL DELTA, not the file size
+        def dvCount(m: SegManifest.Manifest, n: String): Long =
+          m.dvs.get(n).map(d => SegDv.countOf(s"$dir/$d").toLong)
+            .getOrElse(0L)
+        val dvChanged = (from & to).toSeq.sorted
+          .filter(n => fromM.dvs.get(n) != toM.dvs.get(n))
+          .map(n => (n, "dv_changed",
+            math.abs(dvCount(toM, n) - dvCount(fromM, n))))
         val diff =
-          (from -- to).toSeq.sorted.map(_ -> "removed") ++
-            (to -- from).toSeq.sorted.map(_ -> "added")
-        val diffRows = diff.map { case (n, ch) =>
+          (from -- to).toSeq.sorted.map(n => (n, "removed",
+            SegSource.headerOf(s"$dir/$n").nRows.toLong)) ++
+            (to -- from).toSeq.sorted.map(n => (n, "added",
+              SegSource.headerOf(s"$dir/$n").nRows.toLong)) ++
+            dvChanged
+        val diffRows = diff.map { case (n, ch, rows) =>
           new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(n),
               org.apache.spark.unsafe.types.UTF8String.fromString(ch),
-              SegSource.headerOf(s"$dir/$n").nRows.toLong))
+              rows))
             : org.apache.spark.sql.catalyst.InternalRow
         }.toArray
         java.util.List.of[V2Scan](new LocalScan {
@@ -1079,7 +1111,16 @@ class SegCompactProcedure(cat: SegCatalog)
         // layout without recreating it, and every later write/DML
         // maintains the new layout
         ProcedureParameter.in("cluster_by", StringType)
-          .defaultValue("CAST(NULL AS STRING)").build())
+          .defaultValue("CAST(NULL AS STRING)").build(),
+        // PURGE policy: rewrite ONLY segments whose deletion-vector
+        // ratio (deleted rows / stored rows) reached this threshold —
+        // materialize heavy masks back to clean segments, leave
+        // lightly-vectored and clean files shared. The merge-on-read
+        // maintenance loop: DELETEs accrue vectors cheaply, compact
+        // folds them in once they cost readers real skip work
+        ProcedureParameter.in("min_deleted_ratio",
+          org.apache.spark.sql.types.DoubleType)
+          .defaultValue("CAST(NULL AS DOUBLE)").build())
       override def isDeterministic: Boolean = false
 
       private val outSchema = StructType(Seq(
@@ -1105,11 +1146,17 @@ class SegCompactProcedure(cat: SegCatalog)
         val clusterBy =
           if (input.numFields < 5 || input.isNullAt(4)) None
           else Some(input.getUTF8String(4).toString)
+        val minRatio =
+          if (input.numFields < 6 || input.isNullAt(5)) None
+          else Some(input.getDouble(5))
+        minRatio.foreach(r => require(r > 0.0 && r <= 1.0,
+          s"gseg compact: min_deleted_ratio $r outside (0, 1]"))
         // re-layout of a SUBSET is incoherent (shared files would
         // keep the old layout): cluster_by always rewrites whole
-        require(clusterBy.isEmpty || targetBytes.isEmpty,
+        require(clusterBy.isEmpty ||
+          (targetBytes.isEmpty && minRatio.isEmpty),
           "gseg compact: cluster_by re-lays the WHOLE table and " +
-            "cannot combine with target_bytes")
+            "cannot combine with target_bytes/min_deleted_ratio")
         val parts = tbl.split('.')
         require(parts.nonEmpty && parts.forall(_.nonEmpty),
           s"gseg compact: bad table identifier '$tbl'")
@@ -1125,15 +1172,28 @@ class SegCompactProcedure(cat: SegCatalog)
               throw new IllegalArgumentException(
                 s"gseg compact: cluster_by column '${k.col}' is not " +
                   "in the schema"))
-            if (k.buckets.isEmpty)
-              require(SegSource.identityClusterType(f.dataType),
-                s"gseg compact: cluster_by column '${k.col}' must be " +
-                  "BIGINT/INT/STRING/DATE/TIMESTAMP, got " +
-                  f.dataType.simpleString)
-            else require(SegSource.bucketClusterType(f.dataType),
-              s"gseg compact: bucket(n, ${k.col}) needs a " +
-                "BIGINT/INT/STRING/DATE/TIMESTAMP column, got " +
-                f.dataType.simpleString)
+            k match {
+              case SegSource.ClusterKey(_, Some(_), _, _) =>
+                require(SegSource.bucketClusterType(f.dataType),
+                  s"gseg compact: bucket(n, ${k.col}) needs a " +
+                    "BIGINT/INT/STRING/DATE/TIMESTAMP column, got " +
+                    f.dataType.simpleString)
+              case SegSource.ClusterKey(_, None, Some(u), _) =>
+                require(SegSource.temporalClusterType(u, f.dataType),
+                  s"gseg compact: $u(${k.col}) needs a TIMESTAMP" +
+                    (if (u == "hours") "" else " or DATE") +
+                    s" column, got ${f.dataType.simpleString}")
+              case SegSource.ClusterKey(_, None, None, Some(_)) =>
+                require(SegSource.truncClusterType(f.dataType),
+                  s"gseg compact: truncate(w, ${k.col}) needs a " +
+                    s"BIGINT/INT/STRING column, got " +
+                    f.dataType.simpleString)
+              case _ =>
+                require(SegSource.identityClusterType(f.dataType),
+                  s"gseg compact: cluster_by column '${k.col}' must be " +
+                    "BIGINT/INT/STRING/DATE/TIMESTAMP, got " +
+                    f.dataType.simpleString)
+            }
           }
           val names = specs.map(SegSource.ClusterKey.parse(_).col)
           require(names.distinct.size == names.size,
@@ -1150,22 +1210,39 @@ class SegCompactProcedure(cat: SegCatalog)
           SegSource.ClusterKey.parse(c).col),
           s"gseg compact: sort_by column '$c' is not in the schema"))
         val liveGen = SegManifest.read(dir.toString).map(_._1)
+        val liveDvs = SegManifest.readManifest(dir.toString)
+          .map(_.dvs).getOrElse(Map.empty)
         val live = SegSource.resolveSegments(dir.toString)
-        // size-aware selection: only segments under the byte threshold
-        // rewrite; the rest stay SHARED (their names survive the swap
-        // untouched — at 100 TB the difference between a bounded
-        // maintenance pass and a weekly table copy)
-        val (toRewrite, shared) = targetBytes match {
-          case Some(tb) => live.partition(f =>
-            Files.size(Paths.get(f)) < tb)
-          case None => (live, Nil)
+        def dvRatio(f: String): Double = {
+          val name = Paths.get(f).getFileName.toString
+          liveDvs.get(name) match {
+            case None => 0.0
+            case Some(dv) => SegDv.countOf(s"$dir/$dv").toDouble /
+              math.max(1, SegSource.resolvedHeaderOf(f).nRows)
+          }
         }
+        // selective policies compose as a UNION: a segment rewrites
+        // when it is small (target_bytes) OR heavily vectored
+        // (min_deleted_ratio); everything else stays SHARED (names
+        // survive the swap — at 100 TB the difference between a
+        // bounded maintenance pass and a weekly table copy)
+        val selective = targetBytes.isDefined || minRatio.isDefined
+        val (toRewrite, shared) =
+          if (!selective) (live, Nil)
+          else live.partition(f =>
+            targetBytes.exists(tb => Files.size(Paths.get(f)) < tb) ||
+              minRatio.exists(r => dvRatio(f) >= r))
         graft.Counters.add("gseg_compact_rewritten", toRewrite.size.toLong)
         graft.Counters.add("gseg_compact_shared", shared.size.toLong)
+        // a selective pass is a no-op when nothing selected, or when
+        // the single selected file has no vector to purge (nothing to
+        // merge either); full compaction keeps the original condition
+        def selectiveNoop: Boolean = toRewrite.isEmpty ||
+          (toRewrite.size == 1 && dvRatio(toRewrite.head) == 0.0)
         val after =
           if (newCluster.isEmpty &&
-              ((targetBytes.isDefined && toRewrite.size <= 1) ||
-               (targetBytes.isEmpty && live.size <= target &&
+              ((selective && selectiveNoop) ||
+               (!selective && live.size <= target &&
                  sortByEff.isEmpty)))
             live.size.toLong // nothing worth merging: no-op, no commit
           else {
@@ -1173,7 +1250,7 @@ class SegCompactProcedure(cat: SegCatalog)
             val tmp = Files.createTempDirectory(dir, ".compact-tmp-")
             try {
               val reader = spark.read.format("gseg").schema(schema)
-              val src = (if (targetBytes.isEmpty) reader
+              val src = (if (!selective) reader
                 else reader.option(SegSource.PinnedFilesOption,
                   toRewrite.map(f => Paths.get(f).getFileName.toString)
                     .mkString(",")))
@@ -1186,10 +1263,13 @@ class SegCompactProcedure(cat: SegCatalog)
                   src.coalesce(target)
                     .write.format("gseg").mode("overwrite")
                     .save(tmp.toString)
-                case cs if cs.exists(c =>
-                    SegSource.ClusterKey.parse(c).buckets.isDefined) =>
-                  // BUCKET layouts: a path-based write cannot resolve
-                  // the bucket transform (no FunctionCatalog on the
+                case cs if cs.exists { c =>
+                    val k = SegSource.ClusterKey.parse(c)
+                    k.buckets.isDefined || k.unit.isDefined ||
+                      k.trunc.isDefined
+                  } =>
+                  // BUCKET/TEMPORAL layouts: a path-based write cannot
+                  // resolve the transform (no FunctionCatalog on the
                   // save() path), so the rewrite runs CLUSTER-LOCAL —
                   // coalesce bounds the task count and the writer's
                   // flush-time key sort forms the single-bucket,
@@ -1285,6 +1365,13 @@ class SegRowLevelOperation(private[sources] val path: String,
     cmd: RowLevelOperation.Command,
     clusterCols: Seq[String] = Nil) extends RowLevelOperation {
   @volatile private[sources] var candidates: Seq[String] = Nil
+  /** Deletion-vector entries (segment name → vector name) of the
+    * candidate files AS PLANNED — the commit re-checks them against
+    * the live manifest: a foreign vector-delete landing mid-DML would
+    * otherwise be silently UNDONE by the rewrite (computed under the
+    * old mask, its replacement segments resurrect the newly deleted
+    * rows). */
+  @volatile private[sources] var plannedDvs: Map[String, String] = Map.empty
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"gseg row-level $cmd path=$path"
@@ -1404,6 +1491,12 @@ class SegGroupScan(allFiles: Seq[String], required: StructType,
     // unmasked read would RESURRECT every vectored row of the
     // rewritten groups (the replacement starts vector-free)
     val dvs = SegSource.dvPathsOf(op.path)
+    // record the masks this rewrite reads under — the commit
+    // re-validates them against the live manifest (lost-update guard)
+    op.plannedDvs = effective.flatMap { f =>
+      dvs.get(f).map(d => Paths.get(f).getFileName.toString ->
+        Paths.get(d).getFileName.toString)
+    }.toMap
     effective.map(f => SegInputPartition(f, dvs.get(f)))
       .toArray[InputPartition]
   }
@@ -1501,10 +1594,6 @@ class SegReplaceDataWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: SegCommitMessage => m }
-    val (oldGen, old) = SegManifest.read(path).getOrElse(
-      throw new IllegalStateException(
-        s"gseg rlo commit: no generation manifest at $path — row-level " +
-          "DML runs through the catalog, whose loadTable synthesizes one"))
     val candNames =
       op.candidates.map(f => Paths.get(f).getFileName.toString).toSet
     val gen = java.util.UUID.randomUUID.toString.take(8)
@@ -1520,16 +1609,38 @@ class SegReplaceDataWrite(path: String, schema: StructType,
       }
     }.toSeq
     if (candNames.nonEmpty || newNames.nonEmpty) {
-      SegDml.commitHook("staged")
-      // THE commit point: one atomic pointer swap, CAS'd on the
-      // generation this commit read — a racing committer that moved
-      // the pointer in between turns this into a loud retryable
-      // conflict, never a silent last-swap-wins. The superseded
-      // candidate files are NOT deleted here — they remain the data
-      // of earlier generations' snapshots (time travel) until
-      // `CALL vacuum` retires them (the lakehouse retention model).
-      SegManifest.swap(path, old.filterNot(candNames.contains) ++ newNames,
-        expectGen = Some(Some(oldGen)))
+      // THE commit point: one atomic pointer swap, CAS'd on the live
+      // generation — with the COMMUTABILITY check in front: the
+      // rewrite was computed from the candidate files' planned state,
+      // so every candidate must still be live with the SAME deletion
+      // vector. A foreign commit that replaced a candidate (the
+      // rewrite would double its rows) or re-vectored it (the rewrite
+      // would resurrect the newly deleted rows) fails LOUDLY — retry
+      // the DML. Anything else (appends, vector-deletes on OTHER
+      // files, rewrites of disjoint groups) commutes: a lost CAS
+      // re-reads and re-swaps.
+      SegManifest.withConflictRetry("rlo") {
+        val liveM = SegManifest.readManifest(path).getOrElse(
+          throw new IllegalStateException(
+            s"gseg rlo commit: no generation manifest at $path — " +
+              "row-level DML runs through the catalog, whose loadTable " +
+              "synthesizes one"))
+        candNames.foreach { n =>
+          require(liveM.names.contains(n),
+            s"gseg rlo commit: candidate '$n' was replaced by a " +
+              "concurrent commit — retry the DML")
+          require(liveM.dvs.get(n) == op.plannedDvs.get(n),
+            s"gseg rlo commit: candidate '$n' gained a deletion vector " +
+              "mid-DML (a concurrent DELETE) — retry the DML")
+        }
+        SegDml.commitHook("staged")
+        // The superseded candidate files are NOT deleted here — they
+        // remain the data of earlier generations' snapshots (time
+        // travel) until `CALL vacuum` retires them.
+        SegManifest.swap(path,
+          liveM.names.filterNot(candNames.contains) ++ newNames,
+          expectGen = Some(Some(liveM.gen)))
+      }
       SegDml.commitHook("swapped")
     }
     graft.Counters.add("gseg_rlo_replaced_files",
@@ -1754,45 +1865,56 @@ class SegDvDeltaWrite(path: String, info: LogicalWriteInfo)
           scala.collection.mutable.ArrayBuffer.empty[Int]) ++= ps
       })
     if (byFile.isEmpty) return // no matching rows: no new generation
-    val live = SegManifest.readManifest(path).getOrElse(
-      throw new IllegalStateException(
-        s"gseg dv delete: no generation manifest at $path — row-level " +
-          "DML runs through the catalog, whose loadTable synthesizes one"))
     val dir = Paths.get(path)
-    var names = live.names
-    val dvs = scala.collection.mutable.Map.empty[String, String] ++ live.dvs
     var dropped = 0L
     var written = 0L
     var rows = 0L
-    byFile.foreach { case (filePath, buf) =>
-      val name = Paths.get(filePath).getFileName.toString
-      require(names.contains(name),
-        s"gseg dv delete: '$name' is not in the live generation — a " +
-          "concurrent commit replaced it; retry the DELETE")
-      val fresh = buf.distinct.sorted.toArray
-      val nRows = SegSource.resolvedHeaderOf(filePath).nRows
-      require(fresh.head >= 0 && fresh.last < nRows,
-        s"gseg dv delete: ordinal out of range for '$name' " +
-          s"(${fresh.last} >= $nRows)")
-      val existing = live.dvs.get(name)
-        .map(d => SegDv.read(s"$path/$d")).getOrElse(Array.emptyIntArray)
-      val merged = SegDv.union(existing, fresh)
-      rows += fresh.length.toLong
-      if (merged.length == nRows) {
-        // every stored row deleted: drop the segment, not a 100% mask
-        names = names.filterNot(_ == name)
-        dvs.remove(name)
-        dropped += 1
-      } else {
-        val dvName = SegDv.freshName()
-        SegDv.write(dir, dvName, merged)
-        dvs(name) = dvName
-        written += 1
+    // a VECTOR DELETE commutes with every commit that keeps the
+    // touched segments live: foreign appends add disjoint names,
+    // foreign vector-deletes union different ordinals of the same
+    // immutable file. A lost CAS re-reads and re-merges (the retry's
+    // superseded vector files are vacuum-reclaimable orphans); only
+    // a foreign commit that REPLACED or DROPPED a touched segment is
+    // a real conflict — the positions address a file that is no
+    // longer the table — and that fails loudly (retry the DELETE).
+    SegManifest.withConflictRetry("dv-delete") {
+      val live = SegManifest.readManifest(path).getOrElse(
+        throw new IllegalStateException(
+          s"gseg dv delete: no generation manifest at $path — row-level " +
+            "DML runs through the catalog, whose loadTable synthesizes one"))
+      var names = live.names
+      val dvs = scala.collection.mutable.Map.empty[String, String] ++ live.dvs
+      dropped = 0L; written = 0L; rows = 0L
+      byFile.foreach { case (filePath, buf) =>
+        val name = Paths.get(filePath).getFileName.toString
+        require(names.contains(name),
+          s"gseg dv delete: '$name' is not in the live generation — a " +
+            "concurrent commit replaced it; retry the DELETE")
+        val fresh = buf.distinct.sorted.toArray
+        val nRows = SegSource.resolvedHeaderOf(filePath).nRows
+        require(fresh.head >= 0 && fresh.last < nRows,
+          s"gseg dv delete: ordinal out of range for '$name' " +
+            s"(${fresh.last} >= $nRows)")
+        val existing = live.dvs.get(name)
+          .map(d => SegDv.read(s"$path/$d")).getOrElse(Array.emptyIntArray)
+        val merged = SegDv.union(existing, fresh)
+        rows += fresh.length.toLong
+        if (merged.length == nRows) {
+          // every stored row deleted: drop the segment, not a 100% mask
+          names = names.filterNot(_ == name)
+          dvs.remove(name)
+          dropped += 1
+        } else {
+          val dvName = SegDv.freshName()
+          SegDv.write(dir, dvName, merged)
+          dvs(name) = dvName
+          written += 1
+        }
       }
+      SegDml.commitHook("staged")
+      SegManifest.swap(path, names, expectGen = Some(Some(live.gen)),
+        dvs = Some(dvs.toMap.filter { case (seg, _) => names.contains(seg) }))
     }
-    SegDml.commitHook("staged")
-    SegManifest.swap(path, names, expectGen = Some(Some(live.gen)),
-      dvs = Some(dvs.toMap.filter { case (seg, _) => names.contains(seg) }))
     SegDml.commitHook("swapped")
     graft.Counters.add("gseg_dv_deleted_rows", rows)
     graft.Counters.add("gseg_dv_vectors_written", written)

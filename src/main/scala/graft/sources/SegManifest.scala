@@ -67,6 +67,31 @@ object SegManifest {
   class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
+  /** Run a read-validate-swap `body` again when its swap loses the
+    * CAS — the optimistic-concurrency retry loop every COMMUTABLE
+    * commit wears (appends and vector-deletes: their files are fresh
+    * names no other committer references, so a lost race costs one
+    * re-read, never correctness). The body must RE-READ the live
+    * manifest each attempt and re-validate its own preconditions —
+    * a body whose preconditions no longer hold throws its own
+    * conflict, which still retries until the budget runs out (the
+    * caller's DML-level retry takes over from there). Non-commutable
+    * commits (overwrite, REPLACE, compact) stay single-shot loud. */
+  private[sources] def withConflictRetry[T](what: String,
+      maxRetries: Int = 10)(body: => T): T = {
+    var n = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          n += 1
+          if (n > maxRetries) throw e
+          graft.Counters.add("gseg_commit_retries", 1L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Parsed manifest/snapshot body. `commitMs` is None for v1 files
     * (callers fall back to file mtime); `meta64` is the base64'd
     * table-metadata JSON pinned at commit time (v3 — as-of-schema

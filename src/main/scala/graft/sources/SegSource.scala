@@ -232,50 +232,91 @@ object SegSource {
     * (`"col"` / `"bucket(n,col)"`) so [[SegMeta]]'s `cluster` array
     * stays a plain string list (pre-r15 sidecars parse unchanged as
     * identity keys). */
-  private[sources] case class ClusterKey(col: String, buckets: Option[Int]) {
-    def render: String = buckets match {
-      case None => col
-      case Some(n) => s"bucket($n,$col)"
+  private[sources] case class ClusterKey(col: String, buckets: Option[Int],
+      unit: Option[String] = None, trunc: Option[Int] = None) {
+    def render: String = (buckets, unit, trunc) match {
+      case (Some(n), _, _) => s"bucket($n,$col)"
+      case (None, Some(u), _) => s"$u($col)"
+      case (None, None, Some(w)) => s"truncate($w,$col)"
+      case _ => col
     }
     def renamed(oldName: String, newName: String): ClusterKey =
       if (col == oldName) copy(col = newName) else this
     /** The V2 expression form ([[Transform]]) of this key. */
     def toV2: org.apache.spark.sql.connector.expressions.Transform = {
       import org.apache.spark.sql.connector.expressions.Expressions
-      buckets match {
-        case None => Expressions.identity(col)
-        case Some(n) => Expressions.bucket(n, col)
+      (buckets, unit, trunc) match {
+        case (Some(n), _, _) => Expressions.bucket(n, col)
+        case (None, Some("years"), _) => Expressions.years(col)
+        case (None, Some("months"), _) => Expressions.months(col)
+        case (None, Some("days"), _) => Expressions.days(col)
+        case (None, Some("hours"), _) => Expressions.hours(col)
+        case (None, None, Some(w)) =>
+          Expressions.apply("truncate",
+            Expressions.literal(w), Expressions.column(col))
+        case _ => Expressions.identity(col)
+      }
+    }
+    /** The form the SCAN's KeyGroupedPartitioning reports. Spark's
+      * scan-side transform conversion (V2ExpressionUtils) only
+      * accepts SINGLE-REFERENCE transforms — a literal argument is
+      * special-cased for `bucket` alone — so the 2-arg
+      * `truncate(w, col)` would silently drop to UnknownPartitioning.
+      * The width rides IN THE FUNCTION NAME instead (`truncate<w>`,
+      * served by the catalog): same one definition, spelled so the
+      * SPJ machinery can reason about it; unequal widths get unequal
+      * canonical names and correctly refuse to align. The write-side
+      * distribution keeps the standard 2-arg spelling (its resolver
+      * converts literals fine). */
+    def toV2Scan: org.apache.spark.sql.connector.expressions.Transform = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      (buckets, unit, trunc) match {
+        case (None, None, Some(w)) =>
+          Expressions.apply(s"truncate$w", Expressions.column(col))
+        case _ => toV2
       }
     }
   }
   private[sources] object ClusterKey {
     private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+    private val TruncRe = """(?i)truncate\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+    private val TemporalRe =
+      """(?i)(years|months|days|hours)\(\s*([^)]+?)\s*\)""".r
     def parse(s: String): ClusterKey = s.trim match {
       case BucketRe(n, c) => ClusterKey(c, Some(n.toInt))
+      case TruncRe(w, c) => ClusterKey(c, None, None, Some(w.toInt))
+      case TemporalRe(u, c) => ClusterKey(c, None, Some(u.toLowerCase))
       case c => ClusterKey(c, None)
     }
     /** From a catalog `PARTITIONED BY` transform. Loud on shapes gseg
-      * does not lay out (truncate, days, ...). */
+      * does not lay out. */
     def ofTransform(
         t: org.apache.spark.sql.connector.expressions.Transform): ClusterKey = {
       require(t.references.length == 1 &&
         t.references()(0).fieldNames.length == 1,
         s"gseg: unsupported partition transform $t (single column only)")
       val c = t.references()(0).fieldNames()(0)
+      def intArg(what: String): Int = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType == IntegerType =>
+          l.value.asInstanceOf[Int]
+      }.getOrElse(throw new IllegalArgumentException(
+        s"gseg: $what transform without its width/count: $t"))
       t.name match {
         case "identity" => ClusterKey(c, None)
+        case u @ ("years" | "months" | "days" | "hours") =>
+          ClusterKey(c, None, Some(u))
         case "bucket" =>
-          val n = t.arguments.collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                if l.dataType == IntegerType =>
-              l.value.asInstanceOf[Int]
-          }.getOrElse(throw new IllegalArgumentException(
-            s"gseg: bucket transform without a bucket count: $t"))
+          val n = intArg("bucket")
           require(n >= 1, s"gseg: bucket count $n < 1")
           ClusterKey(c, Some(n))
+        case "truncate" =>
+          val w = intArg("truncate")
+          require(w >= 1, s"gseg: truncate width $w < 1")
+          ClusterKey(c, None, None, Some(w))
         case other => throw new IllegalArgumentException(
-          s"gseg: unsupported partition transform '$other' " +
-            "(identity and bucket(n, col) only)")
+          s"gseg: unsupported partition transform '$other' (identity, " +
+            "bucket(n, col), years/months/days/hours, truncate(w, col))")
       }
     }
   }
@@ -309,6 +350,75 @@ object SegSource {
   private[sources] def bucketClusterType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | DateType | TimestampType => true
     case _ => false
+  }
+  /** Types a TEMPORAL transform accepts: TIMESTAMP for all four
+    * units; DATE for years/months/days (an hour of a date is
+    * meaningless and rejected, Iceberg's rule). */
+  private[sources] def temporalClusterType(unit: String,
+      dt: DataType): Boolean = dt match {
+    case TimestampType => true
+    case DateType => unit != "hours"
+    case _ => false
+  }
+
+  /** Types `truncate(w, col)` accepts: integers (range binning —
+    * `truncate(1000000, k)` lays a fact table out in key blocks) and
+    * strings (codepoint-prefix clustering). */
+  private[sources] def truncClusterType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType => true
+    case _ => false
+  }
+
+  /** Apply `truncate(w, _)` to a key cell's internal value — the
+    * Iceberg truncate semantics: integers bin to `v - (v mod w)`
+    * (floor-mod, so negatives bin downward), strings cut to their
+    * first w CODEPOINTS. MONOTONE in the input (prefix truncation
+    * preserves order; floor binning preserves numeric order), which
+    * is what lets recovery prove single-valuedness from [min, max]
+    * stats alone — same argument as the temporal transforms. */
+  private[sources] def truncateOf(w: Int, v: Any): Any = v match {
+    case l: java.lang.Long =>
+      java.lang.Long.valueOf(l.longValue - Math.floorMod(l.longValue, w.toLong))
+    case i: java.lang.Integer =>
+      java.lang.Integer.valueOf(i.intValue - Math.floorMod(i.intValue, w))
+    case s: UTF8String => if (s.numChars <= w) s else s.substring(0, w)
+    case s: String => // writer cells carry strings as UTF-8 byte arrays
+      throw new IllegalArgumentException("gseg truncate: raw String cell")
+    case b: Array[Byte] =>
+      val u = UTF8String.fromBytes(b)
+      if (u.numChars <= w) b else u.substring(0, w).getBytes
+    case other => throw new IllegalArgumentException(
+      s"gseg truncate: unsupported cell ${other.getClass.getName}")
+  }
+
+  /** Apply a temporal transform to a key cell's INTERNAL value
+    * (timestamp = epoch micros UTC, date = epoch days): the ordinal
+    * since 1970 at the unit's grain. ONE definition shared by the V2
+    * function (the write shuffle), the writer's run splitting, and
+    * the scan's layout recovery — the same single-hash discipline as
+    * `bucket`. Monotone in the input, which is what lets recovery
+    * prove single-valuedness from [min, max] alone. */
+  private[sources] def temporalOf(unit: String, v: Any): Int = {
+    val epochDay: Long = v match {
+      case micros: java.lang.Long =>
+        if (unit == "hours")
+          return Math.floorDiv(micros.longValue, 3600L * 1000000L).toInt
+        Math.floorDiv(micros.longValue, 86400L * 1000000L)
+      case days: java.lang.Integer =>
+        require(unit != "hours", "gseg: hours(col) needs a TIMESTAMP")
+        days.longValue
+      case other => throw new IllegalArgumentException(
+        s"gseg: temporal key over non-temporal cell " +
+          s"${other.getClass.getName}")
+    }
+    unit match {
+      case "days" => epochDay.toInt
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(epochDay)
+        (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+      case "years" =>
+        java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970
+    }
   }
 
   // ---------------- 64-bit cell hashing (bucket + NDV) ----------------
@@ -1298,6 +1408,113 @@ case class SegBucketFunction(keyType: DataType)
   }
 }
 
+/** The TEMPORAL transform functions (`years`/`months`/`days`/`hours`)
+  * the catalog serves so `PARTITIONED BY (days(ts))` resolves on the
+  * write-side clustered distribution and the scan's recovered
+  * KeyGroupedPartitioning — same single-definition discipline as
+  * `bucket` ([[SegSource.temporalOf]]), Iceberg's transform-function
+  * design. Result types mirror Iceberg's: `days` yields DATE (the
+  * epoch-day ordinal IS a date), the others INT ordinals since
+  * 1970 at their grain. */
+class SegTemporalUnbound(unit: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(col): ordinal of col's $unit since 1970 (UTC)"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.length == 1,
+      s"gseg $unit(col) takes 1 argument, got ${inputType.length}")
+    val kt = inputType(0).dataType
+    require(SegSource.temporalClusterType(unit, kt),
+      s"gseg $unit: needs TIMESTAMP${if (unit == "hours") ""
+        else " or DATE"}, got ${kt.simpleString}")
+    SegTemporalFunction(unit, kt)
+  }
+}
+
+case class SegTemporalFunction(unit: String, keyType: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[
+      java.lang.Integer] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType =
+    if (unit == "days") DateType else IntegerType
+  override def name(): String = unit
+  override def canonicalName(): String =
+    s"gseg.$unit(${keyType.catalogString})"
+  override def produceResult(input: InternalRow): java.lang.Integer =
+    if (input.isNullAt(0)) null
+    else java.lang.Integer.valueOf(
+      SegSource.temporalOf(unit, input.get(0, keyType)))
+}
+
+/** `truncate(w, col)` — Iceberg's width transform: integers bin to
+  * `v - (v mod w)` (range layout in key blocks — the sorted-fact
+  * shape at 100 TB), strings cut to their first w codepoints (prefix
+  * clustering). Same single-definition discipline
+  * ([[SegSource.truncateOf]]); result type = the key's own type. */
+/** Two spellings of one function: the standard 2-arg
+  * `truncate(w, col)` (what DDL declares and the write-side
+  * distribution resolves) and the width-baked single-arg
+  * `truncate<w>(col)` (what the scan's reported partitioning uses —
+  * see [[SegSource.ClusterKey.toV2Scan]] for why). Both bind to the
+  * same [[SegSource.truncateOf]]. */
+class SegTruncateUnbound(fixedWidth: Option[Int] = None)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String =
+    fixedWidth.map(w => s"truncate$w").getOrElse("truncate")
+  override def description(): String =
+    "truncate(w, col): width-binned integers / codepoint-prefixed strings"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction =
+    fixedWidth match {
+      case None =>
+        require(inputType.length == 2,
+          s"gseg truncate(w, col) takes 2 arguments, got ${inputType.length}")
+        val kt = inputType(1).dataType
+        require(SegSource.truncClusterType(kt),
+          s"gseg truncate: needs BIGINT/INT/STRING, got ${kt.simpleString}")
+        SegTruncateFunction(kt)
+      case Some(w) =>
+        require(inputType.length == 1,
+          s"gseg truncate$w(col) takes 1 argument, got ${inputType.length}")
+        val kt = inputType(0).dataType
+        require(SegSource.truncClusterType(kt),
+          s"gseg truncate: needs BIGINT/INT/STRING, got ${kt.simpleString}")
+        SegTruncateWidthFunction(w, kt)
+    }
+}
+
+case class SegTruncateFunction(keyType: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[
+      AnyRef] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = keyType
+  override def name(): String = "truncate"
+  override def canonicalName(): String =
+    s"gseg.truncate(${keyType.catalogString})"
+  override def produceResult(input: InternalRow): AnyRef = {
+    val w = input.getInt(0)
+    if (input.isNullAt(1)) null
+    else SegSource.truncateOf(w, input.get(1, keyType)).asInstanceOf[AnyRef]
+  }
+}
+
+case class SegTruncateWidthFunction(w: Int, keyType: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[
+      AnyRef] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = keyType
+  override def name(): String = s"truncate$w"
+  override def canonicalName(): String =
+    // the width is part of the identity: two layouts SPJ-align only
+    // at the same width (and type)
+    s"gseg.truncate$w(${keyType.catalogString})"
+  override def produceResult(input: InternalRow): AnyRef =
+    if (input.isNullAt(0)) null
+    else SegSource.truncateOf(w, input.get(0, keyType)).asInstanceOf[AnyRef]
+}
+
 /** `defaultCluster` is the CATALOG-declared clustering spec list
   * (`CREATE TABLE ... PARTITIONED BY (k)` / `bucket(16, k)`,
   * persisted in the [[SegMeta]] sidecar): every read recovers the
@@ -1455,8 +1672,15 @@ class SegScanBuilder(full: StructType, path: String,
       if (partitionCols.nonEmpty && partitionCols.forall { spec =>
         val k = SegSource.ClusterKey.parse(spec)
         full.fields.exists(f => f.name == k.col &&
-          (if (k.buckets.isEmpty) SegSource.identityClusterType(f.dataType)
-           else SegSource.bucketClusterType(f.dataType)))
+          (k match {
+            case SegSource.ClusterKey(_, Some(_), _, _) =>
+              SegSource.bucketClusterType(f.dataType)
+            case SegSource.ClusterKey(_, None, Some(u), _) =>
+              SegSource.temporalClusterType(u, f.dataType)
+            case SegSource.ClusterKey(_, None, None, Some(_)) =>
+              SegSource.truncClusterType(f.dataType)
+            case _ => SegSource.identityClusterType(f.dataType)
+          }))
       }) partitionCols else Nil,
       emitFile, pinned, skipChangeCommits, aliasOverride,
       maxGensPerTrigger, emitPos, dvOverride)
@@ -1554,21 +1778,57 @@ case class SegScan(path: String, required: StructType,
       // The composite key is the tuple, in internal representations.
       val keys: Seq[Option[Any]] = pcs.map { k =>
         val cm = h.cols.find(_.name == k.col)
-        k.buckets match {
-          case None => cm.flatMap { c =>
+        k match {
+          case SegSource.ClusterKey(_, Some(n), _, _) =>
+            h.props.get(s"bucket.${k.col}").flatMap { v =>
+              v.split(':') match {
+                case Array(bn, bid) if bn.toInt == n =>
+                  Some(java.lang.Integer.valueOf(bid.toInt))
+                case _ => None // foreign bucket count: layout degrades
+              }
+            }
+          case SegSource.ClusterKey(_, None, Some(u), _) =>
+            // temporal: the transform is MONOTONE, so equal unit
+            // ordinals at [min, max] prove the whole file lands in
+            // one unit — stats alone recover the key, no stamp needed
+            cm.flatMap { c =>
+              if (c.nNulls != 0 || !c.hasStats) None
+              else (c.minVal, c.maxVal) match {
+                case (Some(mn), Some(mx)) =>
+                  val a = SegSource.temporalOf(u, mn)
+                  val b = SegSource.temporalOf(u, mx)
+                  if (a == b) Some(java.lang.Integer.valueOf(a)) else None
+                case _ => None
+              }
+            }
+          case SegSource.ClusterKey(_, None, None, Some(w)) =>
+            // truncate: monotone like temporal — numeric stats for
+            // int keys, ASCII string stats (exact-only) for strings
+            cm.flatMap { c =>
+              if (c.nNulls != 0) None
+              else if (c.hasStats) (c.minVal, c.maxVal) match {
+                case (Some(mn), Some(mx)) =>
+                  val a = SegSource.truncateOf(w, mn)
+                  val b = SegSource.truncateOf(w, mx)
+                  if (a == b) Some(a) else None
+                case _ => None
+              } else (c.minStr, c.maxStr) match {
+                case (Some(mn), Some(mx)) =>
+                  val a = UTF8String.fromString(mn)
+                  val b = UTF8String.fromString(mx)
+                  val ta = SegSource.truncateOf(w, a)
+                  val tb = SegSource.truncateOf(w, b)
+                  if (ta == tb) Some(ta) else None
+                case _ => None
+              }
+            }
+          case _ => cm.flatMap { c =>
             if (c.nNulls != 0) None
             else if (c.hasStats && c.minBits == c.maxBits) c.minVal
             else (c.minStr, c.maxStr) match {
               case (Some(mn), Some(mx)) if mn == mx =>
                 Some(UTF8String.fromString(mn))
               case _ => None
-            }
-          }
-          case Some(n) => h.props.get(s"bucket.${k.col}").flatMap { v =>
-            v.split(':') match {
-              case Array(bn, bid) if bn.toInt == n =>
-                Some(java.lang.Integer.valueOf(bid.toInt))
-              case _ => None // foreign bucket count: layout degrades
             }
           }
         }
@@ -1590,7 +1850,7 @@ case class SegScan(path: String, required: StructType,
     keyGroups match {
       case Some(gs) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          clusterKeys.map(_.toV2
+          clusterKeys.map(_.toV2Scan
             : org.apache.spark.sql.connector.expressions.Expression)
             .toArray, gs.size)
       case None =>
@@ -2520,10 +2780,18 @@ case class SegStreamingWrite(path: String, schema: StructType,
       }
     }.toSeq
     if (manifested) {
-      if (newNames.nonEmpty || truncateEachEpoch)
-        SegManifest.swap(path,
-          (if (truncateEachEpoch) Seq.empty else existing) ++ newNames,
+      if (truncateEachEpoch) {
+        // Complete-mode replacement: a racing commit is a real
+        // serialization conflict — loud, like batch OVERWRITE
+        SegManifest.swap(path, newNames,
           expectGen = Some(manifest.map(_._1)))
+      } else if (newNames.nonEmpty)
+        SegManifest.withConflictRetry("stream-epoch") {
+          // epoch APPEND commutes like batch append: re-read, re-swap
+          val m = SegManifest.read(path)
+          SegManifest.swap(path, m.map(_._2).getOrElse(Seq.empty) ++ newNames,
+            expectGen = Some(m.map(_._1)))
+        }
     } else if (truncateEachEpoch) {
       // path-based Complete mode: legacy listing protocol — the new
       // epoch is fully renamed in (epoch-prefixed, collision-free)
@@ -2575,7 +2843,6 @@ case class SegBatchWrite(path: String, schema: StructType,
       // leaves the table serving exactly one complete generation. An
       // overwrite's superseded generation is RETAINED as time-travel
       // history until vacuum reclaims it.
-      val (oldGen, old) = SegManifest.read(path).get
       val gen = java.util.UUID.randomUUID.toString.take(8)
       val newNames = msgs.flatMap { m =>
         m.tmpFiles.zipWithIndex.map { case (tmp, i) =>
@@ -2585,9 +2852,20 @@ case class SegBatchWrite(path: String, schema: StructType,
           name
         }
       }.toSeq
-      SegManifest.swap(path,
-        (if (truncateFirst) Seq.empty else old) ++ newNames,
-        expectGen = Some(Some(oldGen)))
+      if (truncateFirst) {
+        // OVERWRITE replaces whatever is live: a racing commit is a
+        // real serialization conflict — loud, single-shot (Delta's
+        // verdict), the caller decides whether to redo the overwrite
+        val (oldGen, _) = SegManifest.read(path).get
+        SegManifest.swap(path, newNames, expectGen = Some(Some(oldGen)))
+      } else SegManifest.withConflictRetry("append") {
+        // APPEND commutes with every foreign commit (fresh names, no
+        // file replaced): a lost CAS just re-reads and re-swaps —
+        // concurrent appenders on one table all land, in some order
+        val (oldGen, old) = SegManifest.read(path).get
+        SegManifest.swap(path, old ++ newNames,
+          expectGen = Some(Some(oldGen)))
+      }
     } else {
       // plain path-based dir: original listing protocol (durability
       // here is Spark's job-level retry, as before). Names lead with
@@ -2651,13 +2929,21 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
   /** The EFFECTIVE key of a buffered row for run splitting: the cell
     * itself for identity keys, its bucket id for bucket keys (the
     * same [[SegSource.cellHash64]] the V2 bucket function shuffles
-    * by, so task-local runs align with the distribution). */
+    * by), the unit ordinal for temporal keys (the same
+    * [[SegSource.temporalOf]] the V2 days/months/... functions
+    * shuffle by) — task-local runs align with the distribution. */
   private def effKey(cells: Array[AnyRef], si: Int): AnyRef = {
     val v = cells(keyIdx(si))
-    keySpecs(si).buckets match {
-      case None => v
-      case Some(n) =>
+    keySpecs(si) match {
+      case SegSource.ClusterKey(_, Some(n), _, _) =>
         java.lang.Integer.valueOf(SegSource.bucketOf(v, n))
+      case SegSource.ClusterKey(_, None, Some(u), _) =>
+        if (v == null) null
+        else java.lang.Integer.valueOf(SegSource.temporalOf(u, v))
+      case SegSource.ClusterKey(_, None, None, Some(w)) =>
+        if (v == null) null
+        else SegSource.truncateOf(w, v).asInstanceOf[AnyRef]
+      case _ => v
     }
   }
   /** Cell inequality with byte-array (string) VALUE semantics — an

@@ -2002,6 +2002,120 @@ object StreamGates {
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  /** Gate query [stream_dv_cdf_parity]: a MERGE-ON-READ DELETE
+    * (positional deletion vectors — no file replaced) arriving
+    * through the STREAMING changefeed. Lifecycle across a REAL
+    * restart: initial snapshot (slice A as inserts) → a vector-DELETE
+    * commit (user_id < 20) consumed as `delete` rows → STOP → restart
+    * from the checkpoint → an INSERT commit (slice B) → stop. Claims:
+    *  - first_parity: the initial batch is exactly |A| insert rows;
+    *  - delete_exactly_once: exactly one delete row per deleted key
+    *    across the restart, and NO update pre/post rows anywhere (a
+    *    vector commit is pure deletes);
+    *  - dv_commit: the DELETE replaced NO segment (name-set identity
+    *    across the commit, vectors in the manifest) — the
+    *    merge-on-read proof at the stream surface, where the diff
+    *    reader classified by ORDINALS, one pruned pass per touched
+    *    segment, never a rewrite join;
+    *  - replay_parity: inserts minus deletes (latest generation per
+    *    key) reproduces the live table exactly.
+    * Cardinalities (n_initial, n_deleted, n_late_inserts) are
+    * oracle-recomputed from events with the same slice arithmetic. */
+  def streamDvCdfParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iso = isolated(s)
+    val base = graft.Fs.fastTempDir("graft_dvcdf_gate").toString
+    try {
+      val wh = s"$base/wh"
+      iso.conf.set("spark.sql.catalog.gseg_dvc", "graft.sources.SegCatalog")
+      iso.conf.set("spark.sql.catalog.gseg_dvc.warehouse", wh)
+      val ev = Tables.events(iso, d).filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val halfA = ev.filter(col("event_id") % 2 === 0)
+      val halfB = ev.filter(col("event_id") % 2 === 1)
+      iso.sql("CREATE TABLE gseg_dvc.ns.t (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE) USING gseg " +
+        "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+      halfA.createOrReplaceTempView("graft_dvcdf_a")
+      iso.sql("INSERT INTO gseg_dvc.ns.t SELECT * FROM graft_dvcdf_a")
+      val dir = s"$wh/ns/t"
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      def startFeed(): StreamingQuery =
+        owned(iso.readStream.format("gseg").schema(ev.schema)
+          .option(graft.sources.SegCdf.ReadChangefeedOption, "true")
+          .option(graft.sources.SegCdf.KeysOption, "event_id")
+          .load(dir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt)
+          .option("path", outDir).start(), "stream_dv_cdf_parity")
+      var firstParity = false
+      var dvCommit = false
+      var q: StreamingQuery = null
+      try {
+        q = startFeed()
+        q.processAllAvailable()
+        val initial = iso.read.parquet(outDir)
+        firstParity = initial.count() == halfA.count() &&
+          initial.filter(col("_change_type") =!= "insert").count() == 0
+        // the change commit: a VECTOR delete — segments untouched
+        // (name-set identity via the manifest, vector presence via
+        // the table's SHOW TBLPROPERTIES observability surface)
+        val before = graft.sources.SegManifest.read(dir).get._2.sorted
+        iso.sql("DELETE FROM gseg_dvc.ns.t WHERE user_id < 20")
+        val after = graft.sources.SegManifest.read(dir).get._2.sorted
+        val nDvs = iso.sql("SHOW TBLPROPERTIES gseg_dvc.ns.t")
+          .filter(col("key") === "deletion_vectors")
+          .collect().headOption.map(_.getString(1).toLong).getOrElse(0L)
+        dvCommit = after == before && nDvs >= 1L
+        q.processAllAvailable()
+      } finally safeStop(q)
+      // REAL restart from the checkpoint, then a late append commit
+      try {
+        q = startFeed()
+        halfB.createOrReplaceTempView("graft_dvcdf_b")
+        iso.sql("INSERT INTO gseg_dvc.ns.t SELECT * FROM graft_dvcdf_b")
+        q.processAllAvailable()
+      } finally safeStop(q)
+
+      val log = iso.read.parquet(outDir)
+      val deletedKeys = halfA.filter(col("user_id") < 20)
+      val nDel = deletedKeys.count()
+      val dels = log.filter(col("_change_type") === "delete")
+      val deleteExactlyOnce =
+        dels.count() == nDel &&
+          dels.select(col("event_id")).distinct().count() == nDel &&
+          dels.join(deletedKeys.select(col("event_id")), "event_id")
+            .count() == nDel &&
+          log.filter(col("_change_type")
+            .isin("update_preimage", "update_postimage")).count() == 0
+      // replay: inserts, minus keys whose LATEST change is a delete
+      val replayed = log
+        .withColumn("__rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_id"))
+            .orderBy(col("_commit_generation").desc,
+              col("_change_type")))) // delete < insert never ties: one class per key per gen
+        .filter(col("__rank") === 1 && col("_change_type") === "insert")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val live = iso.table("gseg_dvc.ns.t")
+      val replayParity = graft.functions.Gates.symDiffEmpty(
+        replayed, live,
+        Seq("event_id", "user_id", "event_type", "value")).head() match {
+        case r => r.getLong(0) == 0 && r.getLong(1) == 0
+      }
+      val gate = Seq((firstParity, deleteExactlyOnce, dvCommit,
+        replayParity, halfA.count(), nDel, halfB.count())).toDF(
+        "first_parity", "delete_exactly_once", "dv_commit",
+        "replay_parity", "n_initial", "n_deleted", "n_late_inserts")
+      ev.unpersist()
+      gate
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   /** Gate query [stream_cdf_index_parity]: the NORTH-STAR payoff the
     * r13/r14 table-format work built toward — a downstream MinHash-LSH
     * dedup INDEX maintained INCREMENTALLY from the row-level

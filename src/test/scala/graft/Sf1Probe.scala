@@ -144,7 +144,22 @@ object Sf1Probe {
         // either scale, and the CDF read of the dv commit is one
         // pruned pass per touched segment (8 at both scales)
         "s42_dsv2_dv_delete" -> ((s, d) =>
-          graft.operators.CoreOps.s42DsvDvDelete(s, d)))
+          graft.operators.CoreOps.s42DsvDvDelete(s, d)),
+        // r15 temporal layout: the months(d) table's key-group count
+        // is the DATE DOMAIN's month count (~83 for TPC-H), constant
+        // at any row scale; month-range pruning skips a constant
+        // FRACTION of files
+        "s43_dsv2_months_partitioned" -> ((s, d) =>
+          graft.operators.CoreOps.s43DsvMonthsPartitioned(s, d)),
+        // truncate(1000, k): the bin count tracks the KEY DOMAIN
+        // (which grows with the table here — disjoint replica key
+        // ranges), never the row count within a bin
+        "s44_dsv2_truncate_binned" -> ((s, d) =>
+          graft.operators.CoreOps.s44DsvTruncateBinned(s, d)),
+        // mor DELETE through the CDF stream: user_id < 40 slice ⇒
+        // constant cost at 10× (replicas land outside the slice)
+        "stream_dv_cdf_parity" -> ((s, d) =>
+          graft.streaming.StreamGates.streamDvCdfParity(s, d)))
     // optional arg: comma-separated names — probe only those
     val only = args.headOption.map(_.split(',').toSet)
     val picked = queries.filter(q => only.forall(_.contains(q._1)))

@@ -184,9 +184,11 @@ class SegClusterSpec extends SparkSpec {
     intercept[Exception](iso.sql(
       "CREATE TABLE tc.ns.g2 (k BIGINT, v DOUBLE) USING gseg " +
         "PARTITIONED BY (v)")) // identity over DOUBLE: no provable stats
+    // a temporal transform over a non-temporal column (days(ts)
+    // itself is first-class since r15 — SegTemporalSpec)
     intercept[Exception](iso.sql(
       "CREATE TABLE tc.ns.g3 (k BIGINT, t TIMESTAMP) USING gseg " +
-        "PARTITIONED BY (days(t))"))
+        "PARTITIONED BY (days(k))"))
     // DROP of a bucketed clustering column rejected; RENAME follows
     iso.sql("CREATE TABLE tc.ns.g4 (k BIGINT, v BIGINT) USING gseg " +
       "PARTITIONED BY (bucket(4, k))")

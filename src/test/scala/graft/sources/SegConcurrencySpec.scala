@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.Paths
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Optimistic concurrency: commutable commits (appends, vector
+  * deletes) RETRY a lost CAS and land; non-commutable interleavings
+  * (a candidate file replaced or re-vectored mid-DML) fail loudly
+  * with the lost-update guard instead of silently undoing the foreign
+  * commit. The commit hook is the deterministic interleaving seam. */
+class SegConcurrencySpec extends SparkSpec {
+
+  private def cat(tag: String): (SparkSession, String) = {
+    val iso = spark.newSession()
+    val wh = graft.Fs.fastTempDir(s"graft_concspec_$tag").toString
+    iso.conf.set("spark.sql.catalog.tc", "graft.sources.SegCatalog")
+    iso.conf.set("spark.sql.catalog.tc.warehouse", wh)
+    (iso, wh)
+  }
+
+  /** Fire `foreign` exactly once, at the named commit stage. */
+  private def onceAtStaged(foreign: () => Unit): Unit = {
+    val fired = new AtomicBoolean(false)
+    SegDml.commitHook = stage =>
+      if (stage == "staged" && fired.compareAndSet(false, true)) foreign()
+  }
+
+  test("withConflictRetry: retries CAS losses, propagates past the " +
+      "budget") {
+    graft.Counters.clear()
+    var n = 0
+    val out = SegManifest.withConflictRetry("t") {
+      n += 1
+      if (n < 3) throw new SegManifest.CommitConflictException("lost")
+      42
+    }
+    assert(out == 42 && n == 3)
+    assert(graft.Counters.peek("gseg_commit_retries") == 2L)
+    intercept[SegManifest.CommitConflictException] {
+      SegManifest.withConflictRetry("t", maxRetries = 2) {
+        throw new SegManifest.CommitConflictException("always")
+      }
+    }
+  }
+
+  test("parallel appenders all land: no lost updates, one generation " +
+      "per commit") {
+    val (iso, wh) = cat("par")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT, src INT) USING gseg")
+    val dir = s"$wh/ns/t"
+    val g0 = SegManifest.read(dir).get._1
+    val threads = (0 until 6).map { i =>
+      new Thread(() =>
+        iso.range(100).select(col("id"), lit(i).as("src"))
+          .repartition(2).writeTo("tc.ns.t").append())
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(iso.table("tc.ns.t").count() == 600L)
+    assert(iso.table("tc.ns.t").groupBy("src").count().count() == 6L)
+    assert(SegManifest.read(dir).get._1 == g0 + 6,
+      "each append must commit exactly one generation")
+  }
+
+  test("COW UPDATE retries across a foreign APPEND (commutes) and " +
+      "keeps both commits") {
+    val (iso, wh) = cat("upapp")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT, v BIGINT) USING gseg")
+    iso.range(100).select(col("id"), col("id").as("v"))
+      .writeTo("tc.ns.t").append()
+    val dir = s"$wh/ns/t"
+    graft.Counters.clear()
+    onceAtStaged { () =>
+      // a foreign append lands between the UPDATE's read and its swap
+      iso.range(100, 110).select(col("id"), lit(-1L).as("v"))
+        .writeTo("tc.ns.t").append()
+    }
+    try iso.sql("UPDATE tc.ns.t SET v = v + 1000 WHERE id < 50")
+    finally SegDml.commitHook = _ => ()
+    assert(graft.Counters.peek("gseg_commit_retries") >= 1L,
+      "the UPDATE's commit must have retried the lost CAS")
+    // both commits visible: the update applied AND the append kept
+    assert(iso.table("tc.ns.t").count() == 110L)
+    assert(iso.sql("SELECT count(*) FROM tc.ns.t WHERE v >= 1000")
+      .head().getLong(0) == 50L)
+    assert(iso.sql("SELECT count(*) FROM tc.ns.t WHERE v = -1")
+      .head().getLong(0) == 10L)
+  }
+
+  test("COW UPDATE fails LOUDLY when a foreign DELETE re-vectors a " +
+      "candidate mid-DML (lost-update guard)") {
+    val (iso, wh) = cat("updv")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT, v BIGINT) USING gseg " +
+      "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    iso.range(100).select(col("id"), col("id").as("v"))
+      .repartition(1).writeTo("tc.ns.t").append()
+    val dir = s"$wh/ns/t"
+    onceAtStaged { () =>
+      // a foreign merge-on-read DELETE vectors the UPDATE's candidate
+      // segment: the rewrite (computed under the old mask) would
+      // resurrect these rows if it committed
+      val live = SegManifest.readManifest(dir).get
+      val seg = live.names.head
+      val dv = SegDv.freshName()
+      SegDv.write(Paths.get(dir), dv, Array(0, 1, 2))
+      SegManifest.swap(dir, live.names,
+        expectGen = Some(Some(live.gen)), dvs = Some(Map(seg -> dv)))
+    }
+    val ex = try intercept[Exception] {
+      iso.sql("UPDATE tc.ns.t SET v = v + 1000 WHERE id >= 0")
+    } finally SegDml.commitHook = _ => ()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("deletion vector mid-DML")),
+      s"wanted the lost-update guard, got: ${messages(ex)}")
+    // the foreign DELETE survives; the UPDATE did not half-apply
+    assert(iso.table("tc.ns.t").count() == 97L)
+    assert(iso.sql("SELECT count(*) FROM tc.ns.t WHERE v >= 1000")
+      .head().getLong(0) == 0L)
+  }
+
+  test("vector DELETE retries across a foreign APPEND; fails loudly " +
+      "when its segment was replaced") {
+    val (iso, wh) = cat("dvapp")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT, v BIGINT) USING gseg " +
+      "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    iso.range(100).select(col("id"), col("id").as("v"))
+      .repartition(1).writeTo("tc.ns.t").append()
+    graft.Counters.clear()
+    onceAtStaged { () =>
+      iso.range(100, 120).select(col("id"), col("id").as("v"))
+        .writeTo("tc.ns.t").append()
+    }
+    try iso.sql("DELETE FROM tc.ns.t WHERE id < 10")
+    finally SegDml.commitHook = _ => ()
+    assert(graft.Counters.peek("gseg_commit_retries") >= 1L)
+    assert(iso.table("tc.ns.t").count() == 110L)
+
+    // now a foreign COMPACTION replaces the vectored segment mid-DELETE
+    onceAtStaged { () => iso.sql("CALL tc.compact('ns.t', 1)") }
+    val ex = try intercept[Exception] {
+      iso.sql("DELETE FROM tc.ns.t WHERE id >= 110")
+    } finally SegDml.commitHook = _ => ()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("retry the DELETE")),
+      s"wanted the replaced-segment guard, got: ${messages(ex)}")
+    // the compaction won; nothing was deleted by the failed DELETE
+    assert(iso.table("tc.ns.t").count() == 110L)
+    // and the retried DELETE (fresh scan against the compacted table)
+    // succeeds
+    iso.sql("DELETE FROM tc.ns.t WHERE id >= 110")
+    assert(iso.table("tc.ns.t").count() == 100L)
+  }
+}

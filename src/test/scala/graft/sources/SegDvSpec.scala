@@ -333,6 +333,20 @@ class SegDvSpec extends SparkSpec {
     assert(iso.table("tc.ns.cow").count() == 70L)
   }
 
+  test("CALL changes reports a dv commit as dv_changed rows with the " +
+      "ordinal delta") {
+    val (iso, wh) = cat("changes")
+    morTable(iso, "t", parts = 2, rows = 100)
+    val dir = s"$wh/ns/t"
+    val g0 = SegManifest.readManifest(dir).get.gen
+    iso.sql("DELETE FROM tc.ns.t WHERE id < 8")
+    val g1 = SegManifest.readManifest(dir).get.gen
+    val rows = iso.sql(s"CALL tc.changes('ns.t', $g0, $g1)").collect()
+    assert(rows.forall(_.getString(1) == "dv_changed"))
+    assert(rows.map(_.getLong(2)).sum == 8L,
+      "the ordinal delta must sum to the deleted-row count")
+  }
+
   test("dv file format: torn and foreign files fail loudly; union " +
       "merges ascending") {
     val d = graft.Fs.fastTempDir("graft_dvfmt")
