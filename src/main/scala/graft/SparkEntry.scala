@@ -297,6 +297,7 @@ object SparkEntry {
     "s42_dsv2_dv_delete" -> CoreOps.s42DsvDvDelete _,
     "s43_dsv2_months_partitioned" -> CoreOps.s43DsvMonthsPartitioned _,
     "s44_dsv2_truncate_binned" -> CoreOps.s44DsvTruncateBinned _,
+    "s45_dsv2_mor_update" -> CoreOps.s45DsvMorUpdate _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1521,6 +1522,17 @@ object SparkEntry {
         |       TRUE AS spj_shuffle_free, TRUE AS spj_after_dml
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE NOT (o_orderkey % 40 = 7)""".stripMargin,
+    // MERGE-ON-READ UPDATE: vector-masked old versions + appended new
+    // versions; the post-UPDATE aggregate recomputed relationally,
+    // the no-rewrite booleans counter-pinned TRUE
+    "s45_dsv2_mor_update" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 3
+        |                     THEN o_totalprice + 1.0
+        |                     ELSE o_totalprice END AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS sum_price,
+        |       TRUE AS segments_preserved, TRUE AS updates_appended
+        |FROM orders""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

@@ -3968,6 +3968,44 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "spj_shuffle_free", "spj_after_dml")
   }
 
+  /** MERGE-ON-READ UPDATE [S45]: `gseg.update.mode=merge_on_read` —
+    * the delta decomposition (`representUpdateAsDeleteAndInsert`):
+    * old row versions are MASKED by per-segment deletion vectors,
+    * new versions APPEND as fresh `dlt-` segments, and no original
+    * segment is rewritten. At 100 TB an UPDATE touching 0.1% of each
+    * gigabyte segment appends megabytes instead of rewriting
+    * gigabytes — the copy-on-write alternative is s22's. Pinned
+    * evidence: every pre-UPDATE segment name survives into the new
+    * generation (`segments_preserved`) and the new versions live in
+    * appended files (`updates_appended`, counter). The oracle
+    * recomputes the post-UPDATE aggregate relationally. */
+  def s45DsvMorUpdate(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml45")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t (k BIGINT, price DOUBLE) " +
+      "USING gseg TBLPROPERTIES('gseg.update.mode'='merge_on_read')")
+    Tables.orders(iso, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .repartition(8).writeTo("gseg_dml.dml.t").append()
+    val dir = s"$wh/dml/t"
+    val before = graft.sources.SegManifest.read(dir).get._2.toSet
+    graft.Counters.drain()
+    iso.sql("UPDATE gseg_dml.dml.t SET price = price + 1.0 " +
+      "WHERE k % 10 = 3")
+    val c = graft.Counters.drain()
+    val after = graft.sources.SegManifest.read(dir).get._2.toSet
+    val preserved = before.subsetOf(after)
+    val appended = c.getOrElse("gseg_dv_appended_files", 0L) > 0 &&
+      (after -- before).forall(_.startsWith("dlt-"))
+    val r = iso.table("gseg_dml.dml.t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("price"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((r.getLong(0), r.getDouble(1), preserved, appended))
+      .toDF("n_rows", "sum_price", "segments_preserved",
+        "updates_appended")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

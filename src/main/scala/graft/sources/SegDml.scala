@@ -558,13 +558,16 @@ class SegCatalog extends TableCatalog
   * distribute even at 100 TB, where the listing is the same one any
   * commit already pays. */
 object SegCatalog {
-  /** The table property selecting DELETE's execution strategy:
-    * `copy_on_write` (default — rewrite the affected groups) or
-    * `merge_on_read` (write positional deletion vectors; segments
-    * stay byte-identical, readers mask). UPDATE/MERGE stay
-    * copy-on-write either way — their changed rows must be WRITTEN
-    * somewhere, so a vector alone cannot express them. */
+  /** The per-command execution-strategy properties (Iceberg's
+    * write.<cmd>.mode shape): `copy_on_write` (default — rewrite the
+    * affected groups) or `merge_on_read`. A merge-on-read DELETE
+    * writes positional deletion vectors only; a merge-on-read
+    * UPDATE/MERGE masks the OLD row versions with vectors and APPENDS
+    * the new versions as fresh segments — the touched segments stay
+    * byte-identical either way. */
   val DeleteModeProp = "gseg.delete.mode"
+  val UpdateModeProp = "gseg.update.mode"
+  val MergeModeProp = "gseg.merge.mode"
   private[sources] val DeleteModeMor = "merge_on_read"
   private[sources] val DeleteModeCow = "copy_on_write"
 
@@ -576,14 +579,14 @@ object SegCatalog {
       properties: java.util.Map[String, String]): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     properties.asScala.filter(_._1.startsWith("gseg.")).map {
-      case (k @ DeleteModeProp, v) =>
+      case (k @ (DeleteModeProp | UpdateModeProp | MergeModeProp), v) =>
         require(v == DeleteModeCow || v == DeleteModeMor,
-          s"gseg: $DeleteModeProp must be '$DeleteModeCow' or " +
+          s"gseg: $k must be '$DeleteModeCow' or " +
             s"'$DeleteModeMor', got '$v'")
         k -> v
       case (k, _) => throw new IllegalArgumentException(
         s"gseg: unknown table property '$k' " +
-          s"(have: $DeleteModeProp)")
+          s"(have: $DeleteModeProp, $UpdateModeProp, $MergeModeProp)")
     }.toMap
   }
 }
@@ -783,16 +786,20 @@ class SegDmlTable(tschema: StructType, path: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        // DELETE under gseg.delete.mode=merge_on_read takes the
-        // delta (deletion-vector) path; UPDATE/MERGE always rewrite
-        // (their changed rows need a segment to live in)
-        if (info.command() == RowLevelOperation.Command.DELETE &&
-            tableProps.get(SegCatalog.DeleteModeProp)
-              .contains(SegCatalog.DeleteModeMor))
-          new SegDeltaDeleteOperation(path, tschema)
+      override def build(): RowLevelOperation = {
+        // each command's strategy property routes it to the DELTA
+        // (deletion-vector) path or the group-based rewrite
+        val modeProp = info.command() match {
+          case RowLevelOperation.Command.DELETE => SegCatalog.DeleteModeProp
+          case RowLevelOperation.Command.UPDATE => SegCatalog.UpdateModeProp
+          case _ => SegCatalog.MergeModeProp
+        }
+        if (tableProps.get(modeProp).contains(SegCatalog.DeleteModeMor))
+          new SegDeltaRowOperation(path, tschema, info.command(),
+            clusterCols)
         else
           new SegRowLevelOperation(path, tschema, info.command(), clusterCols)
+      }
     }
 
   /** TRUNCATE TABLE: commit the empty generation (one atomic
@@ -1766,13 +1773,20 @@ private[sources] case class SegRloWriterFactory(inner: SegWriterFactory,
 
 // ---------------- merge-on-read DELETE (deletion vectors) ----------------
 
-/** DELETE as a DELTA operation ([[SupportsDelta]]) — the merge-on-read
-  * path `gseg.delete.mode=merge_on_read` selects: instead of rewriting
-  * every affected group (copy-on-write, [[SegRowLevelOperation]]),
-  * the scan streams ONLY the matching rows with their row ids
-  * (`_file`, `_pos`), tasks collect the positions, and the commit
-  * writes per-segment DELETION VECTORS ([[SegDv]]) — every touched
-  * segment stays byte-identical on disk, readers mask.
+/** Row-level DML as a DELTA operation ([[SupportsDelta]]) — the
+  * merge-on-read path the `gseg.delete.mode` / `gseg.update.mode` /
+  * `gseg.merge.mode` properties select per command: instead of
+  * rewriting every affected group (copy-on-write,
+  * [[SegRowLevelOperation]]), the scan streams ONLY the matching rows
+  * with their row ids (`_file`, `_pos`), tasks collect the deleted
+  * positions (and, for UPDATE/MERGE — decomposed to delete + insert
+  * by `representUpdateAsDeleteAndInsert` — stage the NEW row versions
+  * and the MERGE's not-matched inserts as fresh segments), and the
+  * commit writes per-segment DELETION VECTORS ([[SegDv]]) plus the
+  * appended segments — every touched segment stays byte-identical on
+  * disk, readers mask. An UPDATE of 0.1% of a 1 GB segment appends a
+  * ~1 MB segment and masks a thousand ordinals; copy-on-write would
+  * rewrite the gigabyte.
   *
   * Why this is the 100 TB DELETE: copy-on-write cost is O(bytes
   * resident in affected segments); vector cost is O(rows deleted).
@@ -1804,14 +1818,20 @@ private[sources] case class SegRloWriterFactory(inner: SegWriterFactory,
   * Crash before the swap: orphan `.gdv` files for vacuum, table
   * unchanged. The same fault-injection seam as the COW path
   * ([[SegDml.commitHook]]) lets specs kill both sides of the swap. */
-class SegDeltaDeleteOperation(private[sources] val path: String,
-    tschema: StructType)
+class SegDeltaRowOperation(private[sources] val path: String,
+    tschema: StructType,
+    cmd: RowLevelOperation.Command,
+    clusterCols: Seq[String] = Nil)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.DELETE
-  override def description(): String = s"gseg dv delete path=$path"
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"gseg dv $cmd path=$path"
+
+  /** UPDATE/MERGE arrive as DELETE (vector the old version) +
+    * INSERT (append the new version) — the only decomposition a
+    * positional format can express without rewriting the segment. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def rowId()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -1830,15 +1850,18 @@ class SegDeltaDeleteOperation(private[sources] val path: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
-    new SegDvDeltaWrite(path, info)
+    new SegDvDeltaWrite(path, tschema, info, clusterCols)
 }
 
-/** One task's deleted row ids: segment path → stored ordinals (order
-  * of arrival; the commit sorts and merges). */
+/** One task's delta: deleted row ids (segment path → stored ordinals,
+  * order of arrival; the commit sorts and merges) plus the staged
+  * temp segments holding this task's INSERTED row versions. */
 private[sources] case class SegDvCommitMessage(
-    deletes: Map[String, Array[Int]]) extends WriterCommitMessage
+    deletes: Map[String, Array[Int]],
+    tmpFiles: Seq[String] = Nil) extends WriterCommitMessage
 
-class SegDvDeltaWrite(path: String, info: LogicalWriteInfo)
+class SegDvDeltaWrite(path: String, tschema: StructType,
+    info: LogicalWriteInfo, clusterCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriteBuilder
     with org.apache.spark.sql.connector.write.DeltaWrite
     with org.apache.spark.sql.connector.write.DeltaBatchWrite {
@@ -1851,20 +1874,34 @@ class SegDvDeltaWrite(path: String, info: LogicalWriteInfo)
       pi: PhysicalWriteInfo): DeltaWriterFactory = {
     val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
       new IllegalStateException(
-        "gseg dv delete: Spark reported no rowIdSchema for a delta write"))
+        "gseg dv delta: Spark reported no rowIdSchema for a delta write"))
+    Files.createDirectories(Paths.get(path))
     SegDvWriterFactory(rowIdSchema.fieldIndex(SegSource.FileMetaName),
-      rowIdSchema.fieldIndex(SegSource.PosMetaName))
+      rowIdSchema.fieldIndex(SegSource.PosMetaName),
+      path, info.schema(), clusterCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: SegDvCommitMessage => m }
     val byFile = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-    messages.collect { case m: SegDvCommitMessage => m }.foreach(
+    msgs.foreach(
       _.deletes.foreach { case (f, ps) =>
         byFile.getOrElseUpdate(f,
           scala.collection.mutable.ArrayBuffer.empty[Int]) ++= ps
       })
-    if (byFile.isEmpty) return // no matching rows: no new generation
+    // INSERTED row versions (a mor UPDATE/MERGE's new rows, a MERGE's
+    // not-matched inserts): staged temps rename to final — still
+    // unreferenced — names once; the swap publishes them
+    val gen8 = java.util.UUID.randomUUID.toString.take(8)
+    val newNames = msgs.flatMap(_.tmpFiles).zipWithIndex.map {
+      case (tmp, i) =>
+        val name = f"dlt-$gen8-$i%05d.gseg"
+        Files.move(Paths.get(tmp), Paths.get(s"$path/$name"),
+          StandardCopyOption.REPLACE_EXISTING)
+        name
+    }.toSeq
+    if (byFile.isEmpty && newNames.isEmpty) return // no-op: no commit
     val dir = Paths.get(path)
     var dropped = 0L
     var written = 0L
@@ -1912,21 +1949,26 @@ class SegDvDeltaWrite(path: String, info: LogicalWriteInfo)
         }
       }
       SegDml.commitHook("staged")
-      SegManifest.swap(path, names, expectGen = Some(Some(live.gen)),
+      SegManifest.swap(path, names ++ newNames,
+        expectGen = Some(Some(live.gen)),
         dvs = Some(dvs.toMap.filter { case (seg, _) => names.contains(seg) }))
     }
     SegDml.commitHook("swapped")
     graft.Counters.add("gseg_dv_deleted_rows", rows)
     graft.Counters.add("gseg_dv_vectors_written", written)
     graft.Counters.add("gseg_dv_segments_dropped", dropped)
+    graft.Counters.add("gseg_dv_appended_files", newNames.size.toLong)
   }
 
-  /** Nothing staged on disk before commit (vectors are written inside
-    * it): abort has nothing to clean. */
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Deletion vectors are written inside the commit; the staged
+    * INSERT temps are the only pre-commit disk state to clean. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: SegDvCommitMessage => m }
+      .foreach(_.tmpFiles.foreach(t => Files.deleteIfExists(Paths.get(t))))
 }
 
-private[sources] case class SegDvWriterFactory(fileOrd: Int, posOrd: Int)
+private[sources] case class SegDvWriterFactory(fileOrd: Int, posOrd: Int,
+    path: String, rowSchema: StructType, clusterCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[
@@ -1935,29 +1977,50 @@ private[sources] case class SegDvWriterFactory(fileOrd: Int, posOrd: Int)
         org.apache.spark.sql.catalyst.InternalRow] {
       private val acc = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      // INSERTED row versions stage through the ordinary segment
+      // writer (flush-time key sort keeps a declared layout on the
+      // appended segments); lazy — a DELETE-only task stages nothing
+      private var inserter: SegDataWriter = null
+      private def ins(): SegDataWriter = {
+        if (inserter == null)
+          inserter = new SegDataWriter(path, rowSchema, partitionId,
+            taskId, clusterCols, skipEmpty = true)
+        inserter
+      }
 
       override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
           id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
         val file = id.getUTF8String(fileOrd).toString
         val pos = id.getLong(posOrd)
         require(pos >= 0 && pos <= Int.MaxValue,
-          s"gseg dv delete: row ordinal $pos outside segment range")
+          s"gseg dv delta: row ordinal $pos outside segment range")
         acc.getOrElseUpdate(file,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += pos.toInt
       }
+      override def insert(
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        ins().write(row)
+      /** Never called: [[SegDeltaRowOperation]] declares
+        * representUpdateAsDeleteAndInsert, so updates arrive as
+        * delete + insert pairs. */
       override def update(meta: org.apache.spark.sql.catalyst.InternalRow,
           id: org.apache.spark.sql.catalyst.InternalRow,
           row: org.apache.spark.sql.catalyst.InternalRow): Unit =
         throw new IllegalStateException(
-          "gseg dv delete: update() on a DELETE-only delta write")
-      override def insert(
-          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
-        throw new IllegalStateException(
-          "gseg dv delete: insert() on a DELETE-only delta write")
+          "gseg dv delta: update() despite representUpdateAsDeleteAndInsert")
 
-      override def commit(): WriterCommitMessage =
-        SegDvCommitMessage(acc.map { case (f, b) => f -> b.toArray }.toMap)
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
+      override def commit(): WriterCommitMessage = {
+        val tmps =
+          if (inserter == null) Nil
+          else inserter.commit() match {
+            case m: SegCommitMessage => m.tmpFiles
+            case other => throw new IllegalStateException(
+              s"gseg dv delta: unexpected inner commit $other")
+          }
+        SegDvCommitMessage(
+          acc.map { case (f, b) => f -> b.toArray }.toMap, tmps)
+      }
+      override def abort(): Unit = if (inserter != null) inserter.abort()
+      override def close(): Unit = if (inserter != null) inserter.close()
     }
 }

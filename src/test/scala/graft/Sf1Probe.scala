@@ -159,7 +159,12 @@ object Sf1Probe {
         // mor DELETE through the CDF stream: user_id < 40 slice ⇒
         // constant cost at 10× (replicas land outside the slice)
         "stream_dv_cdf_parity" -> ((s, d) =>
-          graft.streaming.StreamGates.streamDvCdfParity(s, d)))
+          graft.streaming.StreamGates.streamDvCdfParity(s, d)),
+        // mor UPDATE: vectors + appended deltas — the appended bytes
+        // track the UPDATED rows (10% of the table at either scale),
+        // never the resident bytes; segments stay shared
+        "s45_dsv2_mor_update" -> ((s, d) =>
+          graft.operators.CoreOps.s45DsvMorUpdate(s, d)))
     // optional arg: comma-separated names — probe only those
     val only = args.headOption.map(_.split(',').toSet)
     val picked = queries.filter(q => only.forall(_.contains(q._1)))

@@ -333,6 +333,77 @@ class SegDvSpec extends SparkSpec {
     assert(iso.table("tc.ns.cow").count() == 70L)
   }
 
+  test("mor UPDATE: old versions vector-masked, new versions appended " +
+      "— no segment rewritten") {
+    val (iso, wh) = cat("morupd")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT, v BIGINT) USING gseg " +
+      "TBLPROPERTIES('gseg.update.mode'='merge_on_read')")
+    iso.range(400).select(col("id"), (col("id") * 10).as("v"))
+      .repartition(4).writeTo("tc.ns.t").append()
+    val dir = s"$wh/ns/t"
+    val before = SegManifest.readManifest(dir).get
+    graft.Counters.clear()
+    iso.sql("UPDATE tc.ns.t SET v = v + 1 WHERE id % 8 = 3")
+    val after = SegManifest.readManifest(dir).get
+    // every ORIGINAL segment survives untouched; the new versions
+    // live in freshly appended `dlt-` segments
+    assert(before.names.toSet.subsetOf(after.names.toSet))
+    val appended = after.names.toSet -- before.names.toSet
+    assert(appended.nonEmpty && appended.forall(_.startsWith("dlt-")))
+    assert(after.dvs.nonEmpty)
+    assert(graft.Counters.peek("gseg_dv_deleted_rows") == 50L)
+    assert(graft.Counters.peek("gseg_dv_appended_files") ==
+      appended.size.toLong)
+    // values: updated rows carry v+1, everything else untouched,
+    // no duplicates
+    assert(iso.table("tc.ns.t").count() == 400L)
+    assert(iso.sql("SELECT count(*) FROM tc.ns.t " +
+      "WHERE id % 8 = 3 AND v = id * 10 + 1").head().getLong(0) == 50L)
+    assert(iso.sql("SELECT count(*) FROM tc.ns.t " +
+      "WHERE id % 8 <> 3 AND v = id * 10").head().getLong(0) == 350L)
+    assert(iso.sql("SELECT sum(v) FROM tc.ns.t").head().getLong(0) ==
+      (0L until 400L).map(i => i * 10 + (if (i % 8 == 3) 1 else 0)).sum)
+  }
+
+  test("mor MERGE: matched updates decompose to vector + append, " +
+      "not-matched rows insert; CDF reads delete+insert") {
+    val (iso, wh) = cat("mormrg")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT, v BIGINT) USING gseg " +
+      "TBLPROPERTIES('gseg.merge.mode'='merge_on_read')")
+    iso.range(100).select(col("id"), (col("id") * 10).as("v"))
+      .repartition(2).writeTo("tc.ns.t").append()
+    val dir = s"$wh/ns/t"
+    val before = SegManifest.readManifest(dir).get
+    // source: updates ids 0..19 (to v = -id), inserts ids 100..109
+    iso.range(0, 20).select(col("id"), (-col("id")).as("v"))
+      .union(iso.range(100, 110).select(col("id"), (-col("id")).as("v")))
+      .createOrReplaceTempView("graft_mor_src")
+    iso.sql("""MERGE INTO tc.ns.t t USING graft_mor_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val after = SegManifest.readManifest(dir).get
+    assert(before.names.toSet.subsetOf(after.names.toSet),
+      "MERGE must not rewrite any original segment")
+    assert(after.dvs.nonEmpty)
+    assert(iso.table("tc.ns.t").count() == 110L)
+    assert(iso.sql("SELECT sum(v) FROM tc.ns.t WHERE id < 20")
+      .head().getLong(0) == -(0L until 20L).sum)
+    assert(iso.sql("SELECT count(*) FROM tc.ns.t WHERE id >= 100")
+      .head().getLong(0) == 10L)
+    // the changefeed reads the mor MERGE as delete+insert rows (the
+    // positional decomposition — stated CDF semantics for vector DML)
+    val mergeGen = after.gen
+    val ch = iso.read.format("gseg")
+      .option(SegCdf.FromOption, mergeGen.toString)
+      .option(SegCdf.ToOption, mergeGen.toString)
+      .option(SegCdf.KeysOption, "id")
+      .load(dir)
+    val byType = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 20L, "insert" -> 30L),
+      s"mor MERGE changefeed got $byType")
+  }
+
   test("CALL changes reports a dv commit as dv_changed rows with the " +
       "ordinal delta") {
     val (iso, wh) = cat("changes")
