@@ -298,6 +298,7 @@ object SparkEntry {
     "s43_dsv2_months_partitioned" -> CoreOps.s43DsvMonthsPartitioned _,
     "s44_dsv2_truncate_binned" -> CoreOps.s44DsvTruncateBinned _,
     "s45_dsv2_mor_update" -> CoreOps.s45DsvMorUpdate _,
+    "s46_dsv2_clone" -> CoreOps.s46DsvClone _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1533,6 +1534,14 @@ object SparkEntry {
         |         AS DOUBLE) AS sum_price,
         |       TRUE AS segments_preserved, TRUE AS updates_appended
         |FROM orders""".stripMargin,
+    // ZERO-COPY CLONE: the post-DELETE aggregate over the hard-linked
+    // clone; the all-linked and source-intact booleans pinned TRUE
+    "s46_dsv2_clone" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS all_linked, TRUE AS source_intact
+        |FROM orders WHERE NOT (o_orderkey % 10 = 3)""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

@@ -4006,6 +4006,38 @@ object CoreOps {
         "updates_appended")
   }
 
+  /** ZERO-COPY CLONE [S46]: `CALL clone` hard-links the live
+    * generation into a NEW independent table — one inode op per file,
+    * zero data movement (Delta's SHALLOW CLONE, hard-link flavor).
+    * Shared bytes are safe because segments are IMMUTABLE (every gseg
+    * mutation writes new names) and vacuum only unlinks its own
+    * directory's names. Pinned evidence: every cloned file is a LINK
+    * (`all_linked` — the procedure's own linked/copied split), and a
+    * DELETE on the clone leaves the SOURCE untouched
+    * (`source_intact`) — the aggregate over the post-DELETE CLONE is
+    * what the oracle recomputes. */
+  def s46DsvClone(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml46")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.src (k BIGINT, price DOUBLE) " +
+      "USING gseg")
+    Tables.orders(iso, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .repartition(6).writeTo("gseg_dml.dml.src").append()
+    val srcCount = iso.table("gseg_dml.dml.src").count()
+    val r0 = iso.sql("CALL gseg_dml.clone('dml.src', 'dml.dst')").head()
+    val allLinked = r0.getLong(4) == r0.getLong(3) && r0.getLong(5) == 0L
+    iso.sql("DELETE FROM gseg_dml.dml.dst WHERE k % 10 = 3")
+    val sourceIntact =
+      iso.table("gseg_dml.dml.src").count() == srcCount
+    val r = iso.table("gseg_dml.dml.dst")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("price"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((r.getLong(0), r.getDouble(1), allLinked, sourceIntact))
+      .toDF("n_rows", "sum_price", "all_linked", "source_intact")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -530,9 +530,10 @@ class SegCatalog extends TableCatalog
       case "history" => new SegHistoryProcedure(this)
       case "rollback" => new SegRollbackProcedure(this)
       case "changes" => new SegChangesProcedure(this)
+      case "clone" => new SegCloneProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"gseg: no procedure '$other' " +
-          "(have: vacuum, compact, history, rollback, changes)")
+          "(have: vacuum, compact, history, rollback, changes, clone)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
@@ -540,7 +541,8 @@ class SegCatalog extends TableCatalog
         Identifier.of(namespace, "compact"),
         Identifier.of(namespace, "history"),
         Identifier.of(namespace, "rollback"),
-        Identifier.of(namespace, "changes"))
+        Identifier.of(namespace, "changes"),
+        Identifier.of(namespace, "clone"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -549,6 +551,11 @@ class SegCatalog extends TableCatalog
     if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
     dir
   }
+
+  /** Identifier → table dir WITHOUT the existence check — for
+    * procedures creating a NEW table (clone's target). */
+  private[sources] def newTableDir(ident: Identifier): java.nio.file.Path =
+    dirOf(ident)
 }
 
 /** `CALL <catalog>.vacuum('ns.table')` → one row
@@ -2022,5 +2029,144 @@ private[sources] case class SegDvWriterFactory(fileOrd: Int, posOrd: Int,
       }
       override def abort(): Unit = if (inserter != null) inserter.abort()
       override def close(): Unit = if (inserter != null) inserter.close()
+    }
+}
+
+/** `CALL <catalog>.clone('ns.src', 'ns.dst' [, generation])` → one row
+  * (source, target, cloned_generation, files, linked, copied).
+  *
+  * ZERO-COPY table clone (Delta's SHALLOW CLONE, hard-link flavor):
+  * the chosen generation's segments and deletion vectors HARD-LINK
+  * into the new table's directory — at 100 TB a clone costs one inode
+  * operation per file and zero data movement, and the experiment /
+  * staging / what-if workflow it exists for gets a fully independent
+  * table: segments are IMMUTABLE by construction (every gseg mutation
+  * writes new names), so the shared bytes can never change under
+  * either side, and vacuum on one side only unlinks ITS directory's
+  * name — the inode survives while the other link exists. Cross-
+  * filesystem targets fall back to a real copy per file (counted
+  * honestly in the output row).
+  *
+  * What the clone carries: the generation's file set, its deletion-
+  * vector map, and its PINNED table metadata (schema, aliases,
+  * tombstones, clustering, gseg.* properties — the as-of-schema pin,
+  * so a clone of a pre-rename generation reads under the old names
+  * exactly like VERSION AS OF does). The clone starts at generation 0
+  * with its own independent history.
+  *
+  * Protocol (CTAS's shape): files land under dot-hidden `.ctas-cl-`
+  * names (invisible to path listings), the manifest swap PUBLISHES
+  * them atomically, the sidecar lands after the commit point. A crash
+  * strands only invisible links for the target's vacuum. */
+class SegCloneProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "clone"
+  override def description(): String =
+    "zero-copy (hard-link) clone of a gseg table generation"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "clone"
+      override def description(): String =
+        SegCloneProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("target", StringType).build(),
+        ProcedureParameter.in("generation", LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("source", StringType, nullable = false),
+        StructField("target", StringType, nullable = false),
+        StructField("cloned_generation", LongType, nullable = false),
+        StructField("files", LongType, nullable = false),
+        StructField("linked", LongType, nullable = false),
+        StructField("copied", LongType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val src = input.getUTF8String(0).toString
+        val dst = input.getUTF8String(1).toString
+        def identOf(t: String, what: String): Identifier = {
+          val parts = t.split('.')
+          require(parts.nonEmpty && parts.forall(_.nonEmpty),
+            s"gseg clone: bad $what identifier '$t'")
+          Identifier.of(parts.init.toArray, parts.last)
+        }
+        val srcIdent = identOf(src, "source")
+        val dstIdent = identOf(dst, "target")
+        val srcDir = cat.tableDir(srcIdent).toString
+        val dstDir = cat.newTableDir(dstIdent)
+        cat.loadTable(srcIdent) // ensures manifest + sidecar (migration)
+        val gen =
+          if (input.numFields < 3 || input.isNullAt(2))
+            SegManifest.readManifest(srcDir).map(_.gen).getOrElse(
+              throw new IllegalStateException(
+                s"gseg clone: no generation manifest at $srcDir"))
+          else input.getLong(2)
+        val snap = SegManifest.readSnapshotManifest(srcDir, gen).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg clone: no snapshot for generation $gen of $src — " +
+              "never committed, or retired by vacuum"))
+        // the generation's PINNED metadata (as-of-schema) — fall back
+        // to the current sidecar for legacy pre-pin snapshots
+        val meta = SegManifest.readSnapshotMeta(srcDir, gen)
+          .orElse(SegMeta.read(java.nio.file.Paths.get(srcDir)))
+          .getOrElse(throw new IllegalStateException(
+            s"gseg clone: no table metadata for $src"))
+        // target must not exist (CREATE TABLE's existence contract)
+        if (SegMeta.exists(dstDir) || SegManifest.exists(dstDir.toString) ||
+            (Files.isDirectory(dstDir) &&
+              SegSource.listSegments(dstDir.toString).nonEmpty))
+          throw new TableAlreadyExistsException(dstIdent)
+        Files.createDirectories(dstDir)
+        val stamp = java.util.UUID.randomUUID.toString.take(8)
+        var linked = 0L
+        var copied = 0L
+        def bring(name: String, i: Int, ext: String): String = {
+          val out = f".ctas-cl-$stamp-$i%05d$ext"
+          val s = java.nio.file.Paths.get(srcDir, name)
+          val t = dstDir.resolve(out)
+          try { Files.createLink(t, s); linked += 1 }
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              // cross-device / no-hardlink filesystem: real copy
+              Files.copy(s, t,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              copied += 1
+          }
+          out
+        }
+        val sorted = snap.names.sorted
+        val nameMap = sorted.zipWithIndex.map { case (n, i) =>
+          n -> bring(n, i, ".gseg")
+        }.toMap
+        val dvMap = snap.dvs.toSeq.sortBy(_._1).zipWithIndex.map {
+          case ((seg, dv), i) => nameMap(seg) -> bring(dv, i, ".gdv")
+        }.toMap
+        // THE publish point: the clone's generation 0, metadata pinned
+        SegManifest.swap(dstDir.toString, nameMap.values.toSeq,
+          expectGen = Some(None), metaOverride = Some(SegMeta.render(meta)),
+          dvs = Some(dvMap))
+        SegMeta.write(dstDir, meta) // after the commit point, like CTAS
+        graft.Counters.add("gseg_clone_files", (linked + copied))
+        graft.Counters.add("gseg_clone_linked", linked)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(src),
+            org.apache.spark.unsafe.types.UTF8String.fromString(dst),
+            gen, (linked + copied), linked, copied))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg clone $src -> $dst"
+        }).iterator()
+      }
     }
 }

@@ -594,9 +594,10 @@ object SegManifest {
             // past, or stranded by a crashed DELETE commit
             (n.endsWith(".gdv") && !n.startsWith(".") &&
               !protectedNames.contains(n)) ||
-            // CTAS/RTAS publish dot-hidden segment names through the
+            // CTAS/RTAS/clone publish dot-hidden names through the
             // manifest; unprotected ones are crashed-commit strands
-            (n.startsWith(".ctas-") && n.endsWith(".gseg") &&
+            (n.startsWith(".ctas-") &&
+              (n.endsWith(".gseg") || n.endsWith(".gdv")) &&
               !protectedNames.contains(n)) ||
             ((n.startsWith(".tmp-") || n.startsWith(".manifest.tmp-") ||
               n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-")) &&

@@ -283,8 +283,15 @@ object SegSource {
     private val TemporalRe =
       """(?i)(years|months|days|hours)\(\s*([^)]+?)\s*\)""".r
     def parse(s: String): ClusterKey = s.trim match {
-      case BucketRe(n, c) => ClusterKey(c, Some(n.toInt))
-      case TruncRe(w, c) => ClusterKey(c, None, None, Some(w.toInt))
+      case BucketRe(n, c) =>
+        // same floors as the DDL path (ofTransform): a sidecar or
+        // cluster_by spec is parsed here directly, and a zero width
+        // would divide-by-zero at the first write
+        require(n.toInt >= 1, s"gseg: bucket count $n < 1 in '$s'")
+        ClusterKey(c, Some(n.toInt))
+      case TruncRe(w, c) =>
+        require(w.toInt >= 1, s"gseg: truncate width $w < 1 in '$s'")
+        ClusterKey(c, None, None, Some(w.toInt))
       case TemporalRe(u, c) => ClusterKey(c, None, Some(u.toLowerCase))
       case c => ClusterKey(c, None)
     }

@@ -610,7 +610,7 @@ class SegDmlSpec extends SparkSpec {
     val procs = shown.select(col("procedure_name")).collect()
       .map(_.getString(0)).toSet
     assert(procs ==
-      Set("vacuum", "compact", "history", "rollback", "changes"),
+      Set("vacuum", "compact", "history", "rollback", "changes", "clone"),
       s"procedures: $procs")
   }
 
