@@ -193,12 +193,22 @@ object SegCdf {
     * returns every filter as residual, so skipping is an optimization
     * that must only fire on a provable no). */
   private[sources] def mayMatchMeta(f: org.apache.spark.sql.sources.Filter,
-      g: Long, tag: String): Boolean = {
+      g: Long, tag: String, commitUs: Option[Long] = None): Boolean = {
     import org.apache.spark.sql.sources._
     def genOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    // `_commit_timestamp` literals arrive as java.sql.Timestamp (or
+    // Instant under datetimeJava8API) — compare in micros, the same
+    // clock the generation snapshots embed
+    def usOf(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
       case _ => None
     }
     f match {
@@ -208,17 +218,29 @@ object SegCdf {
       case GreaterThanOrEqual(CommitGenCol, v) => genOf(v).forall(g >= _)
       case LessThan(CommitGenCol, v) => genOf(v).forall(g < _)
       case LessThanOrEqual(CommitGenCol, v) => genOf(v).forall(g <= _)
+      case EqualTo(CommitTsCol, v) =>
+        commitUs.flatMap(us => usOf(v).map(_ == us)).getOrElse(true)
+      case GreaterThan(CommitTsCol, v) =>
+        commitUs.flatMap(us => usOf(v).map(us > _)).getOrElse(true)
+      case GreaterThanOrEqual(CommitTsCol, v) =>
+        commitUs.flatMap(us => usOf(v).map(us >= _)).getOrElse(true)
+      case LessThan(CommitTsCol, v) =>
+        commitUs.flatMap(us => usOf(v).map(us < _)).getOrElse(true)
+      case LessThanOrEqual(CommitTsCol, v) =>
+        commitUs.flatMap(us => usOf(v).map(us <= _)).getOrElse(true)
       case EqualTo(a, v: String) if a == SegChangeFeed.ChangeTypeCol =>
         v == tag
       case In(a, vs) if a == SegChangeFeed.ChangeTypeCol =>
         vs.contains(tag)
-      case And(l, r) => mayMatchMeta(l, g, tag) && mayMatchMeta(r, g, tag)
-      case Or(l, r) => mayMatchMeta(l, g, tag) || mayMatchMeta(r, g, tag)
+      case And(l, r) =>
+        mayMatchMeta(l, g, tag, commitUs) && mayMatchMeta(r, g, tag, commitUs)
+      case Or(l, r) =>
+        mayMatchMeta(l, g, tag, commitUs) || mayMatchMeta(r, g, tag, commitUs)
       case _ => true
     }
   }
 
-  /** A pushed filter the planner can use: references only the two
+  /** A pushed filter the planner can use: references only the three
     * filterable metadata columns, in shapes [[mayMatchMeta]] judges. */
   private[sources] def supportedCdfFilter(
       f: org.apache.spark.sql.sources.Filter): Boolean = {
@@ -227,6 +249,9 @@ object SegCdf {
       case EqualTo(CommitGenCol, _) | In(CommitGenCol, _) |
            GreaterThan(CommitGenCol, _) | GreaterThanOrEqual(CommitGenCol, _) |
            LessThan(CommitGenCol, _) | LessThanOrEqual(CommitGenCol, _) => true
+      case EqualTo(CommitTsCol, _) | GreaterThan(CommitTsCol, _) |
+           GreaterThanOrEqual(CommitTsCol, _) | LessThan(CommitTsCol, _) |
+           LessThanOrEqual(CommitTsCol, _) => true
       case EqualTo(a, _) if a == SegChangeFeed.ChangeTypeCol => true
       case In(a, _) if a == SegChangeFeed.ChangeTypeCol => true
       case And(l, r) => supportedCdfFilter(l) && supportedCdfFilter(r)
@@ -369,10 +394,12 @@ case class SegCdfReaderFactory(table: StructType, keyCols: Seq[String],
         new SegCdfInsertReader(f, table, required, g, us, dv)
       case d: SegCdfDiffPartition =>
         new SegCdfDiffReader(d, table, keyCols, required,
-          tag => pushed.forall(SegCdf.mayMatchMeta(_, d.gen, tag)))
+          tag => pushed.forall(
+            SegCdf.mayMatchMeta(_, d.gen, tag, Some(d.commitUs))))
       case d: SegCdfDvPartition =>
         new SegCdfDvReader(d, table, required,
-          tag => pushed.forall(SegCdf.mayMatchMeta(_, d.gen, tag)))
+          tag => pushed.forall(
+            SegCdf.mayMatchMeta(_, d.gen, tag, Some(d.commitUs))))
     }
 }
 
@@ -707,8 +734,13 @@ case class SegCdfScan(path: String, table: StructType,
     require(from >= 0 && from <= to,
       s"gseg changefeed: bad generation range [$from, $to]")
     (from to to).flatMap { g =>
+      // the commit clock is known per generation at plan time, so a
+      // pushed `_commit_timestamp` bound skips commits exactly like a
+      // generation bound (the snapshot read is one the step pays
+      // anyway); unresolvable clocks conservatively match
+      lazy val us = scala.util.Try(SegCdf.commitUsOf(path, g)).toOption
       def tagOk(tag: String): Boolean =
-        pushed.forall(SegCdf.mayMatchMeta(_, g, tag))
+        pushed.forall(SegCdf.mayMatchMeta(_, g, tag, us))
       if (!SegCdf.AllTags.exists(tagOk)) {
         // the pushed generation filters exclude this commit whole:
         // its snapshots are never even listed

@@ -178,6 +178,40 @@ class SegCdfSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("at or after")))
   }
 
+  test("_commit_timestamp filter pushdown skips whole commits at " +
+      "plan time") {
+    val (iso, wh) = dml("tspush")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    SegSource.write(iso.range(0, 10).select($"id".as("k"), $"id".as("v")),
+      dir)
+    iso.table("tc.ns.t").count()                   // gen 0
+    iso.sql("INSERT INTO tc.ns.t VALUES (100, 1)") // gen 1
+    iso.sql("INSERT INTO tc.ns.t VALUES (101, 2)") // gen 2
+    def pinClock(g: Long, ms: Long): Unit = {
+      val p = java.nio.file.Paths.get(dir, s".manifest.v$g")
+      val lines = java.nio.file.Files.readAllLines(p).toArray.map(_.toString)
+      lines(2) = ms.toString
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    }
+    pinClock(0, 1000L); pinClock(1, 2000L); pinClock(2, 3000L)
+    // the whole range planned, but a _commit_timestamp bound excludes
+    // generations 0 and 2 AT PLAN TIME — their steps never open
+    graft.Counters.clear()
+    val f = iso.read.format("gseg")
+      .option(SegCdf.FromOption, "0").option(SegCdf.ToOption, "2")
+      .option(SegCdf.KeysOption, "k")
+      .load(dir)
+      .filter(col("_commit_timestamp") >=
+        lit(new java.sql.Timestamp(1500L)) &&
+        col("_commit_timestamp") <= lit(new java.sql.Timestamp(2500L)))
+    assert(f.collect().map(r => (r.getString(2), r.getLong(0))).toSeq ==
+      Seq(("insert", 100L)))
+    assert(graft.Counters.peek("gseg_cdf_steps_skipped") +
+      graft.Counters.peek("gseg_cdf_gens_skipped") >= 2L,
+      "the ts-excluded generations must be skipped at plan time")
+  }
+
   test("streaming startingVersion skips the initial snapshot") {
     val (iso, wh) = dml("sver")
     import iso.implicits._
