@@ -864,6 +864,14 @@ class SegHistoryProcedure(cat: SegCatalog)
         StructField("n_segments", org.apache.spark.sql.types.LongType,
           nullable = false),
         StructField("is_current", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        // merge-on-read observability (appended at the tail so the
+        // pre-r15 positional consumers keep reading): how many
+        // segments carry a deletion vector, and the masked-row total
+        // — the numbers a min_deleted_ratio compact decision reads
+        StructField("n_deletion_vectors", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("n_deleted_rows", org.apache.spark.sql.types.LongType,
           nullable = false)))
 
       override def call(input: org.apache.spark.sql.catalyst.InternalRow)
@@ -877,11 +885,15 @@ class SegHistoryProcedure(cat: SegCatalog)
         val current = SegManifest.read(dir.toString).map(_._1)
         val histRows = SegManifest.listSnapshots(dir.toString)
           .map { case (gen, ms) =>
+            val m = SegManifest.readSnapshotManifest(dir.toString, gen)
+            val deleted = m.map(_.dvs.values.map(d =>
+              SegDv.countOf(s"$dir/$d").toLong).sum).getOrElse(0L)
             new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(Array[Any](gen, ms,
-                SegManifest.readSnapshot(dir.toString, gen)
-                  .map(_.size.toLong).getOrElse(0L),
-                current.contains(gen)))
+                m.map(_.names.size.toLong).getOrElse(0L),
+                current.contains(gen),
+                m.map(_.dvs.size.toLong).getOrElse(0L),
+                deleted))
               : org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         java.util.List.of[V2Scan](new LocalScan {

@@ -418,6 +418,22 @@ class SegDvSpec extends SparkSpec {
       "the ordinal delta must sum to the deleted-row count")
   }
 
+  test("CALL history reports per-generation vector counts and masked " +
+      "rows") {
+    val (iso, wh) = cat("hist")
+    morTable(iso, "t", parts = 2, rows = 100)
+    iso.sql("DELETE FROM tc.ns.t WHERE id < 6")
+    iso.sql("DELETE FROM tc.ns.t WHERE id >= 95")
+    val rows = iso.sql("CALL tc.history('ns.t')").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // gen 1 = the append (clean), gen 2 = first DELETE (6 masked),
+    // gen 3 = second DELETE (11 masked cumulative)
+    assert(rows(1L) == ((0L, 0L)))
+    assert(rows(2L)._2 == 6L)
+    assert(rows(3L)._2 == 11L)
+    assert(rows(3L)._1 >= 1L)
+  }
+
   test("dv file format: torn and foreign files fail loudly; union " +
       "merges ascending") {
     val d = graft.Fs.fastTempDir("graft_dvfmt")
