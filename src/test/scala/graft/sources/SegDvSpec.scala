@@ -434,6 +434,35 @@ class SegDvSpec extends SparkSpec {
     assert(rows(3L)._1 >= 1L)
   }
 
+  test("limit/TopN planning accounts net-of-vector counts: pushdown " +
+      "takes enough files to actually cover k") {
+    val (iso, wh) = cat("limit")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT, v BIGINT) USING gseg " +
+      "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    // three 50-row segments in id order (range-laid by repartitionByRange
+    // through the path writer, then migrated)
+    import iso.implicits._
+    SegSource.write(
+      iso.range(150).select($"id", ($"id" * 2).as("v"))
+        .repartitionByRange(3, $"id"),
+      s"$wh/ns/t")
+    iso.table("tc.ns.t").count() // migrate: manifest + sidecar
+    // vector away MOST of the first segment: a header-count limit
+    // planner would take only file 1 for LIMIT 30 and deliver 10 rows
+    iso.sql("DELETE FROM tc.ns.t WHERE id < 40")
+    val dir = s"$wh/ns/t"
+    assert(SegManifest.readManifest(dir).get.dvs.nonEmpty)
+    graft.Counters.clear()
+    val got = iso.table("tc.ns.t").limit(30).collect()
+    assert(got.length == 30, s"LIMIT 30 returned ${got.length} rows")
+    // TopN ASC on id: the boundary pigeonhole must also use the
+    // masked counts (understated non-nulls keep more files — sound)
+    val top = iso.sql(
+      "SELECT id FROM tc.ns.t ORDER BY id ASC LIMIT 20").collect()
+    assert(top.length == 20 && top.head.getLong(0) == 40L &&
+      top.last.getLong(0) == 59L)
+  }
+
   test("dv file format: torn and foreign files fail loudly; union " +
       "merges ascending") {
     val d = graft.Fs.fastTempDir("graft_dvfmt")
