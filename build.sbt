@@ -35,4 +35,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
   "-Dderby.system.home=/tmp/graft_derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap (Xms=Xmx) and fault every page in AT STARTUP: the
+  // r16 A/B (PERF_COMPARE.md) measured this host's fresh-page fault
+  // path degrading by >50x mid-session (8 GB touch: ~3 s healthy,
+  // >180 s degraded) — a growing heap then pays that inside TIMED
+  // queries (uniform wall inflation, identical jobs/shuffle, GC/sys
+  // time through the roof: exactly rounds 14-15's "contention"
+  // mystery). Pre-touch moves the entire cost into JVM startup,
+  // which Bench's warmup query absorbs, so per-query timings stay
+  // comparable across host states.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

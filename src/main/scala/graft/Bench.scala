@@ -177,7 +177,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val nRuns = math.max(1,
+    // SPARK_GRAFT_BENCH_FAST=1: contention-diagnosis mode — ONE pass
+    // instead of min-of-two, and no TRENDS.json append (a diagnostic
+    // run must not enter the signature ledger). Roughly halves a
+    // full-suite cycle so A/B bisection iterates faster; the driver
+    // never sets it, so recorded BENCH numbers stay full-mode.
+    // (Trigger counts per stream gate stay untouched: they are
+    // already the minimum — two chunks — that makes each gate's
+    // cross-batch state claim non-vacuous.)
+    val fast = sys.env.get("SPARK_GRAFT_BENCH_FAST").contains("1")
+    val nRuns = if (fast) 1 else math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -378,7 +387,7 @@ object Bench {
     // `signature_changed`. Skipped for SPARK_GRAFT_BENCH_ONLY subset
     // runs (a partial suite would poison the ledger).
     var changedNames: Seq[String] = Nil
-    if (only.isEmpty) try {
+    if (only.isEmpty && !fast) try {
       import com.fasterxml.jackson.databind.ObjectMapper
       import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
       val mapper = new ObjectMapper()

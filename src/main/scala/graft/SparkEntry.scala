@@ -299,6 +299,9 @@ object SparkEntry {
     "s44_dsv2_truncate_binned" -> CoreOps.s44DsvTruncateBinned _,
     "s45_dsv2_mor_update" -> CoreOps.s45DsvMorUpdate _,
     "s46_dsv2_clone" -> CoreOps.s46DsvClone _,
+    "s47_dsv2_widen" -> CoreOps.s47DsvWiden _,
+    "s48_dsv2_tag" -> CoreOps.s48DsvTag _,
+    "s49_dsv2_zorder" -> CoreOps.s49DsvZorder _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1542,6 +1545,43 @@ object SparkEntry {
         |         AS sum_price,
         |       TRUE AS all_linked, TRUE AS source_intact
         |FROM orders WHERE NOT (o_orderkey % 10 = 3)""".stripMargin,
+    // TYPE WIDENING: FLOAT→DOUBLE + DECIMAL(9,2)→DECIMAL(14,2) as
+    // pure metadata, then a DELETE across the widen boundary; the
+    // price column is dyadic quarters (k%16/4 — order-independent
+    // exact sums), amt casts agree at either precision (same scale,
+    // in-range), and the metadata-only/schema booleans pin TRUE
+    "s47_dsv2_widen" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       SUM(CAST(o_orderkey % 16 AS DOUBLE)/4) AS sum_price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |         AS sum_amt,
+        |       MIN(CAST(o_orderkey % 16 AS DOUBLE)/4) AS min_price,
+        |       CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |         AS max_amt,
+        |       TRUE AS widen_metadata_only, TRUE AS schema_widened
+        |FROM orders WHERE NOT (o_orderkey % 10 = 3)""".stripMargin,
+    // NAMED SNAPSHOT TAGS: the aggregate reads VERSION AS OF the
+    // pre-DELETE tag AFTER a keep_last=1 vacuum — the oracle
+    // recomputing the FULL table proves the retention floor held
+    "s48_dsv2_tag" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS tag_survived_vacuum, TRUE AS live_differs
+        |FROM orders""".stripMargin,
+    // Z-ORDER: Morton re-layout; each single-dimension aggregate
+    // recomputes relationally, the counter booleans pin that BOTH
+    // dimensions file-pruned on the z-laid table
+    "s49_dsv2_zorder" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 = 7) AS n1,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM orders WHERE o_orderkey % 97 = 7) AS sum1,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey % 89 BETWEEN 10 AND 12) AS n2,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM orders WHERE o_custkey % 89 BETWEEN 10 AND 12) AS sum2,
+        |  TRUE AS dim1_pruned, TRUE AS dim2_pruned""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj
@@ -2219,7 +2259,8 @@ object SparkEntry {
         |        AND c.ts >= v.ts
         |        AND c.ts <= v.ts + INTERVAL '2 hours'
         |        WHERE v.event_type = 'view' AND c.event_type = 'click'
-        |        AND v.user_id < 200) AS n_rows""".stripMargin,
+        |        AND v.user_id < 200) AS n_rows,
+        |       CAST(1 AS BOOLEAN) AS rocksdb_state""".stripMargin,
     // left-outer stream-stream join: watermark-finalized null rows;
     // parity boolean in-engine, n_rows anchored by the oracle's
     // left-join count (every view survives)
@@ -2230,14 +2271,16 @@ object SparkEntry {
         |        AND c.ts >= v.ts
         |        AND c.ts <= v.ts + INTERVAL '2 hours'
         |        WHERE v.event_type = 'view' AND v.user_id < 200)
-        |         AS n_rows""".stripMargin,
+        |         AS n_rows,
+        |       CAST(1 AS BOOLEAN) AS rocksdb_state""".stripMargin,
     // transformWithState running totals: parity boolean in-engine
     // (stream state totals == batch aggregate per user); n_users
     // anchors relationally
     "stream_tws_parity" ->
       """SELECT CAST(1 AS BOOLEAN) AS tws_parity,
         |       (SELECT COUNT(DISTINCT user_id) FROM events
-        |        WHERE user_id < 60) AS n_users""".stripMargin,
+        |        WHERE user_id < 60) AS n_users,
+        |       CAST(1 AS BOOLEAN) AS rocksdb_state""".stripMargin,
     // same processor, batch execution mode: parity frame pinned to
     // the identical slice-user count
     "tws_batch_unified" ->

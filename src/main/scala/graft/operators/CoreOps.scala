@@ -4038,6 +4038,134 @@ object CoreOps {
       .toDF("n_rows", "sum_price", "all_linked", "source_intact")
   }
 
+  /** TYPE WIDENING [S47]: ALTER COLUMN across the three safe
+    * families — INT→BIGINT (r15), FLOAT→DOUBLE and
+    * DECIMAL(p,s)→DECIMAL(p+k,s) (v6) — as PURE METADATA: no segment
+    * is rewritten at ALTER time (`widen_metadata_only` pins the
+    * manifest's file set unchanged across both ALTERs), old files'
+    * float/decimal(9,2) blocks promote at the decode seam, and a
+    * post-widen copy-on-write DELETE rewrites mixed-generation files
+    * under the CURRENT types. The price column carries dyadic
+    * quarters (k%16/4 — exact in float, double and every sum order),
+    * so the cross-type aggregate is bit-reproducible for the oracle,
+    * which recomputes the post-DELETE table relationally. */
+  def s47DsvWiden(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml47")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t " +
+      "(k BIGINT, price FLOAT, amt DECIMAL(9,2)) USING gseg")
+    val ord = Tables.orders(iso, d)
+    def quarters(c: Column): Column = (c % 16).cast(DoubleType) / lit(4.0)
+    // gen 1: FLOAT + DECIMAL(9,2) storage
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"),
+        quarters(col("o_orderkey")).cast("float").as("price"),
+        col("o_totalprice").cast("decimal(9,2)").as("amt"))
+      .repartition(4).writeTo("gseg_dml.dml.t").append()
+    val dir = s"$wh/dml/t"
+    val before = graft.sources.SegManifest.read(dir).get._2.toSet
+    iso.sql("ALTER TABLE gseg_dml.dml.t ALTER COLUMN price TYPE DOUBLE")
+    iso.sql(
+      "ALTER TABLE gseg_dml.dml.t ALTER COLUMN amt TYPE DECIMAL(14,2)")
+    val metadataOnly =
+      graft.sources.SegManifest.read(dir).get._2.toSet == before
+    val sch = iso.table("gseg_dml.dml.t").schema
+    val widened = sch("price").dataType == DoubleType &&
+      sch("amt").dataType ==
+        org.apache.spark.sql.types.DecimalType(14, 2)
+    // gen 2: DOUBLE + DECIMAL(14,2) storage (same values per formula;
+    // the 9,2→14,2 casts agree — same scale, in-range)
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"),
+        quarters(col("o_orderkey")).as("price"),
+        col("o_totalprice").cast("decimal(14,2)").as("amt"))
+      .repartition(4).writeTo("gseg_dml.dml.t").append()
+    // DML across the widen boundary: rewritten files re-encode the
+    // pre-widen floats/decimals under the current wider types
+    iso.sql("DELETE FROM gseg_dml.dml.t WHERE k % 10 = 3")
+    val r = iso.table("gseg_dml.dml.t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).as("sum_price"),
+        sum(col("amt")).cast(DoubleType).as("sum_amt"),
+        min(col("price")).as("min_price"),
+        max(col("amt")).cast(DoubleType).as("max_amt"))
+      .head()
+    Seq((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), metadataOnly, widened))
+      .toDF("n_rows", "sum_price", "sum_amt", "min_price", "max_amt",
+        "widen_metadata_only", "schema_widened")
+  }
+
+  /** NAMED SNAPSHOT TAGS [S48]: `CALL tag` pins the pre-DELETE
+    * generation by NAME — a retention floor vacuum honors (the
+    * keep_last=1 pass here would otherwise reclaim exactly those
+    * files) and a `VERSION AS OF '<tag>'` target. The aggregate runs
+    * over the TAGGED snapshot after the DELETE + vacuum, so the
+    * oracle recomputing the FULL table proves the pin held: without
+    * it the files would be gone and the read would fail loudly.
+    * `tag_survived_vacuum` pins the tagged file set on disk,
+    * `live_differs` that the live table really moved on. */
+  def s48DsvTag(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml48")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t (k BIGINT, price DOUBLE) " +
+      "USING gseg")
+    Tables.orders(iso, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .repartition(6).writeTo("gseg_dml.dml.t").append()
+    val dir = s"$wh/dml/t"
+    iso.sql("CALL gseg_dml.tag('dml.t', 'pre-delete')") // live gen
+    val tagged = graft.sources.SegManifest.read(dir).get._2
+    iso.sql("DELETE FROM gseg_dml.dml.t WHERE k % 10 = 3")
+    iso.sql("CALL gseg_dml.vacuum('dml.t', keep_last => 1)")
+    val survived = tagged.forall(n => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, n)))
+    val asOf =
+      iso.sql("SELECT * FROM gseg_dml.dml.t VERSION AS OF 'pre-delete'")
+    val liveDiffers = iso.table("gseg_dml.dml.t").count() < asOf.count()
+    val r = asOf
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("price"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((r.getLong(0), r.getDouble(1), survived, liveDiffers))
+      .toDF("n_rows", "sum_price", "tag_survived_vacuum", "live_differs")
+  }
+
+  /** Z-ORDER DECLARED CLUSTERING [S49]: `CALL compact(cluster_by =>
+    * 'zorder(k1,k2)')` re-lays the table along the Morton curve
+    * (one global range shuffle), so zone maps on BOTH raw columns
+    * come out tight and a predicate on EITHER dimension file-prunes —
+    * at 100 TB the layout lever for two-dimensional scans, where a
+    * single-column sort leaves the second dimension spread across
+    * every file. `dim1_pruned`/`dim2_pruned` counter-pin that each
+    * single-dimension aggregate actually skipped files; the oracle
+    * recomputes both aggregates relationally. */
+  def s49DsvZorder(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml49")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t (k1 BIGINT, k2 BIGINT, " +
+      "price DOUBLE) USING gseg")
+    Tables.orders(iso, d)
+      .select((col("o_orderkey") % 97).as("k1"),
+        (col("o_custkey") % 89).as("k2"),
+        col("o_totalprice").as("price"))
+      .repartition(8).writeTo("gseg_dml.dml.t").append()
+    iso.sql(
+      "CALL gseg_dml.compact('dml.t', 16, cluster_by => 'zorder(k1,k2)')")
+    def agg1(f: Column): (Long, Double, Long) = {
+      graft.Counters.drain()
+      val r = iso.table("gseg_dml.dml.t").filter(f)
+        .agg(count(lit(1)), sum(dec(col("price"))).cast(DoubleType))
+        .head()
+      (r.getLong(0), r.getDouble(1),
+        graft.Counters.drain().getOrElse("gseg_files_skipped", 0L))
+    }
+    val (n1, sum1, skip1) = agg1(col("k1") === 7)
+    val (n2, sum2, skip2) = agg1(col("k2") >= 10 && col("k2") <= 12)
+    Seq((n1, sum1, n2, sum2, skip1 > 0, skip2 > 0))
+      .toDF("n1", "sum1", "n2", "sum2", "dim1_pruned", "dim2_pruned")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -464,8 +464,10 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
       else r.get(i, table(i).dataType))
   // SUPPORTED-TYPES INVARIANT: bucketing by Seq[Any].hashCode and
   // pairing payloads with == is correct for every type gseg stores
-  // today — Long/Int/Double/Boolean and UTF8String (value-based
-  // hashCode/equals), timestamps/dates as their Long/Int internals.
+  // today — Long/Int/Double/Float/Boolean and UTF8String (value-based
+  // hashCode/equals), timestamps/dates as their Long/Int internals,
+  // and v6 Decimal (Spark's Decimal defines semantic equals/hashCode;
+  // one column = one (precision, scale), so equal values hash equal).
   // A future ARRAY-backed internal type (BinaryType → Array[Byte])
   // would silently break BOTH (array hashCode/equality are
   // identity-based); extend [[SegSource.tag]] only together with this

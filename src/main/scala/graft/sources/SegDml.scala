@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL DML for the gseg connector: a directory-backed [[TableCatalog]]
@@ -213,11 +213,17 @@ class SegCatalog extends TableCatalog
     * rename serves the schema pinned when the live generation
     * COMMITTED — the same answer Iceberg gives. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val gen = try version.trim.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"gseg: VERSION AS OF wants a generation number, got '$version'")
-    }
     val dir = tableDir(ident)
+    // a numeric operand is a generation; anything else resolves as a
+    // NAMED TAG (setTag rejects all-digit names, so the two spaces
+    // can never collide)
+    val gen = try version.trim.toLong catch {
+      case _: NumberFormatException =>
+        SegManifest.tags(dir.toString).getOrElse(version.trim,
+          throw new IllegalArgumentException(
+            s"gseg: VERSION AS OF wants a generation number or a tag " +
+              s"name, and '${version.trim}' is no tag of ${ident.name}"))
+    }
     val snap = SegManifest.readSnapshotManifest(dir.toString, gen).getOrElse(
       throw new IllegalArgumentException(
         s"gseg: no snapshot for generation $gen of ${ident.name} — " +
@@ -386,18 +392,32 @@ class SegCatalog extends TableCatalog
             (newName -> (oldName +: m.aliases.getOrElse(oldName, Nil))),
           // a renamed clustering column keeps clustering (the layout
           // recovery resolves the alias like every other read);
-          // bucket(n, col) specs rename their inner column
+          // bucket(n, col) specs rename their inner column, zorder
+          // specs both of theirs
           clusterCols = m.clusterCols.map(c =>
-            SegSource.ClusterKey.parse(c).renamed(oldName, newName).render))
-      // ALTER COLUMN TYPE — WIDENING only (INT -> BIGINT): pure
-      // metadata, no segment rewritten. Old segments keep their int
-      // blocks; the reader promotes stored-int to the current long at
-      // the single decode seam (SegPartitionReader), header aggs at
-      // theirs, and zone maps already compare cross-type through
-      // BigDecimal. VERSION AS OF a pre-widen generation serves INT
-      // (the v3 schema pins). Narrowing, cross-family casts, and
-      // widening a CLUSTERING column (mixed-type partition keys would
-      // poison the reported layout) are rejected loudly.
+            SegSource.parseZOrder(c) match {
+              case Some((a, b)) =>
+                def r(x: String) = if (x == oldName) newName else x
+                s"zorder(${r(a)},${r(b)})"
+              case None =>
+                SegSource.ClusterKey.parse(c).renamed(oldName, newName)
+                  .render
+            }))
+      // ALTER COLUMN TYPE — WIDENING only, the three safe families:
+      // INT -> BIGINT, FLOAT -> DOUBLE (every float is exactly a
+      // double), DECIMAL(p,s) -> DECIMAL(p+k,s) (same scale, wider
+      // precision, still long-backed at <= 18). Pure metadata, no
+      // segment rewritten. Old segments keep their stored blocks; the
+      // reader promotes at the single decode seam
+      // (SegPartitionReader), header aggs at theirs, and zone maps
+      // already compare cross-type through BigDecimal (float stats
+      // are stored as exact double bits, decimal stats as unscaled
+      // longs — both survive the widen verbatim). VERSION AS OF a
+      // pre-widen generation serves the OLD type (the v3 schema
+      // pins). Narrowing, cross-family casts, scale changes,
+      // precision past the long backing, and widening a CLUSTERING
+      // column (mixed-type partition keys would poison the reported
+      // layout) are rejected loudly.
       case (m, upd: TableChange.UpdateColumnType) =>
         val colName = singleName(upd.fieldNames, "ALTER COLUMN TYPE")
         val f = m.schema.fields.find(_.name == colName).getOrElse(
@@ -407,19 +427,38 @@ class SegCatalog extends TableCatalog
           SegSource.ClusterKey.parse(spec).col == colName),
           s"gseg: cannot change the type of clustering column " +
             s"'$colName' — recreate the table to re-key its layout")
+        def retyped(to: org.apache.spark.sql.types.DataType) =
+          m.copy(schema = StructType(m.schema.fields.map(x =>
+            if (x.name == colName) x.copy(dataType = to) else x)))
         (f.dataType, upd.newDataType()) match {
-          case (IntegerType, LongType) =>
-            m.copy(schema = StructType(m.schema.fields.map(x =>
-              if (x.name == colName) x.copy(dataType = LongType) else x)))
+          case (IntegerType, LongType) => retyped(LongType)
+          case (FloatType, DoubleType) => retyped(DoubleType)
+          case (from: DecimalType, to: DecimalType)
+              if to.scale == from.scale &&
+                 to.precision > from.precision && to.precision <= 18 =>
+            retyped(to)
+          case (from: DecimalType, to: DecimalType) =>
+            throw new UnsupportedOperationException(
+              s"gseg: DECIMAL widening must keep the scale and stay " +
+                s"within the long-backed precision (<= 18), got " +
+                s"${from.simpleString} -> ${to.simpleString}")
           case (from, to) => throw new UnsupportedOperationException(
-            s"gseg: ALTER COLUMN TYPE supports widening INT -> BIGINT " +
-              s"only, got ${from.simpleString} -> ${to.simpleString}")
+            s"gseg: ALTER COLUMN TYPE supports widening INT -> BIGINT, " +
+              s"FLOAT -> DOUBLE, DECIMAL(p,s) -> DECIMAL(p+k,s) only, " +
+              s"got ${from.simpleString} -> ${to.simpleString}")
         }
       // ALTER TABLE SET/UNSET TBLPROPERTIES — the gseg.* namespace
       // only, validated exactly like CREATE TABLE's (an unknown
       // engine property is a typo, not a request); Spark-reserved
       // bookkeeping keys are rejected rather than silently absorbed
       case (m, set: TableChange.SetProperty) =>
+        // gsegProps FILTERS non-gseg keys out before validating, so
+        // without this guard a typo'd key would validate to an empty
+        // map and the SET would silently no-op — mirror
+        // RemoveProperty's loud rejection instead
+        require(set.property.startsWith("gseg."),
+          s"gseg: unknown table property '${set.property}' " +
+            "(the gseg.* namespace is the configurable surface)")
         m.copy(props = m.props ++
           SegCatalog.gsegProps(java.util.Map.of(set.property, set.value)))
       case (m, rm: TableChange.RemoveProperty) =>
@@ -531,6 +570,8 @@ class SegCatalog extends TableCatalog
       case "rollback" => new SegRollbackProcedure(this)
       case "changes" => new SegChangesProcedure(this)
       case "clone" => new SegCloneProcedure(this)
+      case "tag" => new SegTagProcedure(this)
+      case "untag" => new SegUntagProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"gseg: no procedure '$other' " +
           "(have: vacuum, compact, history, rollback, changes, clone)")
@@ -542,7 +583,9 @@ class SegCatalog extends TableCatalog
         Identifier.of(namespace, "history"),
         Identifier.of(namespace, "rollback"),
         Identifier.of(namespace, "changes"),
-        Identifier.of(namespace, "clone"))
+        Identifier.of(namespace, "clone"),
+        Identifier.of(namespace, "tag"),
+        Identifier.of(namespace, "untag"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -872,7 +915,11 @@ class SegHistoryProcedure(cat: SegCatalog)
         StructField("n_deletion_vectors", org.apache.spark.sql.types.LongType,
           nullable = false),
         StructField("n_deleted_rows", org.apache.spark.sql.types.LongType,
-          nullable = false)))
+          nullable = false),
+        // named refs pinning this generation (tail-appended like the
+        // dv columns: pre-r16 positional consumers keep reading) —
+        // the operator's answer to "why didn't vacuum reclaim this?"
+        StructField("tags", StringType, nullable = false)))
 
       override def call(input: org.apache.spark.sql.catalyst.InternalRow)
           : java.util.Iterator[V2Scan] = {
@@ -883,6 +930,9 @@ class SegHistoryProcedure(cat: SegCatalog)
         val dir = cat.tableDir(
           Identifier.of(parts.init.toArray, parts.last))
         val current = SegManifest.read(dir.toString).map(_._1)
+        val tagsByGen = SegManifest.tags(dir.toString).toSeq
+          .groupMap(_._2)(_._1).view.mapValues(_.sorted.mkString(","))
+          .toMap
         val histRows = SegManifest.listSnapshots(dir.toString)
           .map { case (gen, ms) =>
             val m = SegManifest.readSnapshotManifest(dir.toString, gen)
@@ -893,7 +943,9 @@ class SegHistoryProcedure(cat: SegCatalog)
                 m.map(_.names.size.toLong).getOrElse(0L),
                 current.contains(gen),
                 m.map(_.dvs.size.toLong).getOrElse(0L),
-                deleted))
+                deleted,
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  tagsByGen.getOrElse(gen, ""))))
               : org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         java.util.List.of[V2Scan](new LocalScan {
@@ -1192,6 +1244,26 @@ class SegCompactProcedure(cat: SegCatalog)
         // the NEW clustering, validated like CREATE TABLE's
         val newCluster: Option[Seq[String]] = clusterBy.map { cb =>
           val specs = SegSource.splitClusterSpecs(cb)
+          // zorder(a,b): layout-only multi-dimensional clustering —
+          // must be the SOLE spec (it owns the write-side sort whole)
+          // over two integer columns
+          if (specs.exists(SegSource.parseZOrder(_).isDefined)) {
+            require(specs.size == 1,
+              s"gseg compact: zorder cannot combine with other " +
+                s"cluster_by specs (got $cb)")
+            val (a, b) = SegSource.parseZOrder(specs.head).get
+            require(a != b, s"gseg compact: zorder needs two distinct " +
+              s"columns, got $cb")
+            Seq(a, b).foreach { c =>
+              val f = schema.fields.find(_.name == c).getOrElse(
+                throw new IllegalArgumentException(
+                  s"gseg compact: zorder column '$c' is not in the schema"))
+              require(SegSource.zorderClusterType(f.dataType),
+                s"gseg compact: zorder('$c') needs a BIGINT/INT column, " +
+                  s"got ${f.dataType.simpleString}")
+            }
+            Seq(s"zorder($a,$b)")
+          } else {
           specs.foreach { sp =>
             val k = SegSource.ClusterKey.parse(sp)
             val f = schema.fields.find(_.name == k.col).getOrElse(
@@ -1225,6 +1297,7 @@ class SegCompactProcedure(cat: SegCatalog)
           require(names.distinct.size == names.size,
             s"gseg compact: duplicate cluster_by column in $cb")
           specs.map(SegSource.ClusterKey.parse(_).render)
+          }
         }
         // a PARTITIONED BY table compacts CLUSTERED by default — an
         // unqualified CALL compact must not quietly destroy the
@@ -1232,9 +1305,15 @@ class SegCompactProcedure(cat: SegCatalog)
         val sortByEff: Seq[String] = newCluster.getOrElse(
           sortBy.map(SegSource.splitClusterSpecs)
             .getOrElse(SegMeta.read(dir).map(_.clusterCols).getOrElse(Nil)))
-        sortByEff.foreach(c => require(schema.fieldNames.contains(
-          SegSource.ClusterKey.parse(c).col),
-          s"gseg compact: sort_by column '$c' is not in the schema"))
+        sortByEff.foreach(c => SegSource.parseZOrder(c) match {
+          case Some((a, b)) =>
+            require(schema.fieldNames.contains(a) &&
+              schema.fieldNames.contains(b),
+              s"gseg compact: zorder column of '$c' is not in the schema")
+          case None => require(schema.fieldNames.contains(
+            SegSource.ClusterKey.parse(c).col),
+            s"gseg compact: sort_by column '$c' is not in the schema")
+        })
         val liveGen = SegManifest.read(dir.toString).map(_._1)
         val liveDvs = SegManifest.readManifest(dir.toString)
           .map(_.dvs).getOrElse(Map.empty)
@@ -1289,6 +1368,26 @@ class SegCompactProcedure(cat: SegCatalog)
                   src.coalesce(target)
                     .write.format("gseg").mode("overwrite")
                     .save(tmp.toString)
+                case Seq(zs) if SegSource.parseZOrder(zs).isDefined =>
+                  // Z-ORDER re-layout: one global range shuffle on the
+                  // Morton code (graft.operators.ZOrder.morton2 — the
+                  // same interleave the task writer's flush sort
+                  // uses), so files hold DISJOINT contiguous z-ranges
+                  // and zone maps on BOTH raw columns come out tight.
+                  // Recovery is stats-only — scans ignore the spec.
+                  val (za, zb) = SegSource.parseZOrder(zs).get
+                  val zc = graft.operators.ZOrder.morton2(
+                    org.apache.spark.sql.functions.col(za),
+                    org.apache.spark.sql.functions.col(zb))
+                  src.withColumn("_z", zc)
+                    .repartitionByRange(target,
+                      org.apache.spark.sql.functions.col("_z"))
+                    .sortWithinPartitions(
+                      org.apache.spark.sql.functions.col("_z"))
+                    .drop("_z")
+                    .write.format("gseg")
+                    .option(SegSource.PartitionColOption, zs)
+                    .mode("overwrite").save(tmp.toString)
                 case cs if cs.exists { c =>
                     val k = SegSource.ClusterKey.parse(c)
                     k.buckets.isDefined || k.unit.isDefined ||
@@ -1576,18 +1675,23 @@ class SegReplaceDataWrite(path: String, schema: StructType,
     * alternative quietly degrades every DML'd table to unknown
     * partitioning until the next clustered compact). Unclustered
     * tables keep the unspecified distribution (no extra shuffle). */
+  // zorder specs ask Spark for nothing (layout-only — the task
+  // writer's flush-time Morton sort keeps replacement segments
+  // z-clustered; see SegDataWriter.zIdx)
+  private def distCols: Seq[String] =
+    clusterCols.filter(SegSource.parseZOrder(_).isEmpty)
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    if (clusterCols.isEmpty)
+    if (distCols.isEmpty)
       org.apache.spark.sql.connector.distributions
         .Distributions.unspecified()
     else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      clusterCols.map(c =>
+      distCols.map(c =>
         SegSource.ClusterKey.parse(c).toV2
           : org.apache.spark.sql.connector.expressions.Expression).toArray)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    clusterCols.map { c =>
+    distCols.map { c =>
       val k = SegSource.ClusterKey.parse(c)
       org.apache.spark.sql.connector.expressions.Expressions.sort(
         if (k.buckets.isEmpty)
@@ -2070,6 +2174,120 @@ private[sources] case class SegDvWriterFactory(fileOrd: Int, posOrd: Int,
   * names (invisible to path listings), the manifest swap PUBLISHES
   * them atomically, the sidecar lands after the commit point. A crash
   * strands only invisible links for the target's vacuum. */
+/** `CALL <catalog>.tag('ns.table', 'name' [, generation])` → pins a
+  * retained generation under a NAME: a retention floor vacuum honors
+  * until `CALL untag` releases it, and a `VERSION AS OF '<name>'` /
+  * `CALL clone(tag => ...)` target. `generation` defaults to the live
+  * one — "tag what I see now". See [[SegManifest.setTag]] for the
+  * validation contract (committed + retained only, no all-digit
+  * names, no silent re-pointing). */
+class SegTagProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a retained generation under a name (vacuum retention floor)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "tag"
+      override def description(): String = SegTagProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build(),
+        ProcedureParameter.in("generation", LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("tag", StringType, nullable = false),
+        StructField("generation", LongType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val tg = input.getUTF8String(1).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg tag: bad table identifier '$tbl'")
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        cat.loadTable(ident) // ensures manifest + sidecar (migration)
+        val dir = cat.tableDir(ident).toString
+        val gen =
+          if (input.numFields < 3 || input.isNullAt(2))
+            SegManifest.read(dir).map(_._1).getOrElse(
+              throw new IllegalStateException(
+                s"gseg tag: no generation manifest at $dir"))
+          else input.getLong(2)
+        SegManifest.setTag(dir, tg, gen)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(tg), gen))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg tag $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.untag('ns.table', 'name')` → releases a tag; the
+  * generation it pinned becomes reclaimable by the NEXT vacuum unless
+  * another retention floor still covers it. */
+class SegUntagProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "untag"
+  override def description(): String =
+    "release a named snapshot tag (the generation becomes reclaimable)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "untag"
+      override def description(): String =
+        SegUntagProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("tag", StringType, nullable = false),
+        StructField("released_generation", LongType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val tg = input.getUTF8String(1).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg untag: bad table identifier '$tbl'")
+        val dir = cat.tableDir(
+          Identifier.of(parts.init.toArray, parts.last)).toString
+        val g = SegManifest.removeTag(dir, tg)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(tg), g))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg untag $tbl"
+        }).iterator()
+      }
+    }
+}
+
 class SegCloneProcedure(cat: SegCatalog)
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
@@ -2088,7 +2306,9 @@ class SegCloneProcedure(cat: SegCatalog)
         ProcedureParameter.in("source", StringType).build(),
         ProcedureParameter.in("target", StringType).build(),
         ProcedureParameter.in("generation", LongType)
-          .defaultValue("CAST(NULL AS BIGINT)").build())
+          .defaultValue("CAST(NULL AS BIGINT)").build(),
+        ProcedureParameter.in("tag", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
       override def isDeterministic: Boolean = false
 
       private val outSchema = StructType(Seq(
@@ -2114,12 +2334,23 @@ class SegCloneProcedure(cat: SegCatalog)
         val srcDir = cat.tableDir(srcIdent).toString
         val dstDir = cat.newTableDir(dstIdent)
         cat.loadTable(srcIdent) // ensures manifest + sidecar (migration)
+        // generation selection: explicit number, a NAMED TAG, or (the
+        // default) the live generation — never both spellings at once
+        val byGen = input.numFields >= 3 && !input.isNullAt(2)
+        val byTag = input.numFields >= 4 && !input.isNullAt(3)
+        require(!(byGen && byTag),
+          "gseg clone: pass generation OR tag, not both")
         val gen =
-          if (input.numFields < 3 || input.isNullAt(2))
-            SegManifest.readManifest(srcDir).map(_.gen).getOrElse(
-              throw new IllegalStateException(
-                s"gseg clone: no generation manifest at $srcDir"))
-          else input.getLong(2)
+          if (byGen) input.getLong(2)
+          else if (byTag) {
+            val t = input.getUTF8String(3).toString
+            SegManifest.tags(srcDir).getOrElse(t,
+              throw new IllegalArgumentException(
+                s"gseg clone: no tag '$t' on $src"))
+          }
+          else SegManifest.readManifest(srcDir).map(_.gen).getOrElse(
+            throw new IllegalStateException(
+              s"gseg clone: no generation manifest at $srcDir"))
         val snap = SegManifest.readSnapshotManifest(srcDir, gen).getOrElse(
           throw new IllegalArgumentException(
             s"gseg clone: no snapshot for generation $gen of $src — " +

@@ -27,6 +27,15 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   * the segment. The whole file is length-checkable (8 + 4*count
   * bytes): a torn write is detected, never partially applied.
   *
+  * int32 ordinals cap a segment at 2^31-1 stored rows. That cap is
+  * not a free-standing assumption: the segment FORMAT itself carries
+  * `int nRows`, and every segment's rows pass through ONE in-memory
+  * buffer ([[SegDataWriter]]'s ArrayBuffer → `writeSegment`'s
+  * IndexedSeq, whose size IS an Int) — a segment with more rows than
+  * an ordinal can address is unrepresentable upstream of this file,
+  * independent of the byte-budget roll policy. If the format ever
+  * grows a 64-bit row count, these ordinals must widen with it.
+  *
   * Lifecycle invariants:
   *  - a generation holds AT MOST ONE vector per segment (successive
   *    DELETEs write a merged vector; the superseded one stays with

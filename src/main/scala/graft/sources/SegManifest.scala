@@ -58,8 +58,64 @@ import scala.jdk.CollectionConverters._
   * schema, the clock to file mtime — strictly the old guarantees for
   * old files, never a refusal to read them.
   */
+/** The two filesystem primitives the commit protocol's safety leans
+  * on, extracted so an OBJECT STORE can supply them differently:
+  *
+  *  - [[createExclusive]] — create-iff-absent, the lock acquisition.
+  *    POSIX: `CREATE_NEW` (O_EXCL). S3-class stores: a conditional
+  *    PUT (`If-None-Match: *`); stores without conditional writes
+  *    need an external lock service (the DynamoDB pattern Delta's
+  *    S3 LogStore documents).
+  *  - [[publish]] — all-or-nothing content swap at a path: readers
+  *    see the old bytes or the new bytes, NEVER a mixture or a
+  *    prefix. POSIX: fsync'd temp + atomic rename. Object stores:
+  *    a single PUT (per-object atomicity is the store's contract).
+  *
+  * Everything else in the protocol (CAS generation check, token'd
+  * release, expiry, retry loop) is pure logic over these two. The
+  * provider is injectable ([[SegManifest.commitProvider]]) so the
+  * fault-injection spec can prove the DETECTION story: on a
+  * filesystem whose publish is secretly non-atomic, a torn manifest
+  * is rejected loudly by the framing checks (header-declared count
+  * vs body) on every read and every subsequent commit — damage is
+  * bounded to loud errors, never a silently wrong file set. */
+private[sources] trait CommitProvider {
+  /** Create `path` with `body` iff absent; throw
+    * [[java.nio.file.FileAlreadyExistsException]] when present. */
+  def createExclusive(path: Path, body: Array[Byte]): Unit
+  /** Atomically replace (or create) `path` with `body`; `dir` is the
+    * parent, for implementations that stage temps or fsync it. */
+  def publish(dir: Path, path: Path, body: Array[Byte]): Unit
+}
+
+private[sources] object PosixCommitProvider extends CommitProvider {
+  override def createExclusive(path: Path, body: Array[Byte]): Unit =
+    Files.write(path, body,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+  override def publish(dir: Path, path: Path, body: Array[Byte]): Unit = {
+    val tmp = dir.resolve(
+      s".manifest.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(body))
+      ch.force(true)
+    } finally ch.close()
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
 object SegManifest {
   private[sources] val FileName = ".manifest"
+
+  /** The commit primitives in force — POSIX by default; tests inject
+    * fault providers, an object-store build would inject its
+    * conditional-PUT implementation. Volatile, not per-table: the
+    * provider models the FILESYSTEM, which is process-global. */
+  @volatile private[sources] var commitProvider: CommitProvider =
+    PosixCommitProvider
 
   /** A racing writer moved the live pointer between this committer's
     * read and its swap. Retryable: re-read the manifest, re-resolve
@@ -72,11 +128,16 @@ object SegManifest {
     * commit wears (appends and vector-deletes: their files are fresh
     * names no other committer references, so a lost race costs one
     * re-read, never correctness). The body must RE-READ the live
-    * manifest each attempt and re-validate its own preconditions —
-    * a body whose preconditions no longer hold throws its own
-    * conflict, which still retries until the budget runs out (the
-    * caller's DML-level retry takes over from there). Non-commutable
-    * commits (overwrite, REPLACE, compact) stay single-shot loud. */
+    * manifest each attempt and re-validate its own preconditions.
+    * Only [[CommitConflictException]] retries; a body whose own
+    * preconditions no longer hold (the `require` guards in the DML
+    * bodies) throws IllegalArgumentException and fails SINGLE-SHOT,
+    * loudly — deliberate: a precondition that a racing commit
+    * invalidated (a segment the body meant to mask no longer exists)
+    * is a semantic conflict the caller must re-plan, not a CAS loss
+    * this loop can paper over by re-running the same stale plan.
+    * Non-commutable commits (overwrite, REPLACE, compact) stay
+    * single-shot loud. */
   private[sources] def withConflictRetry[T](what: String,
       maxRetries: Int = 10)(body: => T): T = {
     var n = 0
@@ -155,8 +216,7 @@ object SegManifest {
     val deadline = System.nanoTime + lockWaitMs * 1000000L
     while (true) {
       try {
-        Files.write(lock, token.getBytes(UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        commitProvider.createExclusive(lock, token.getBytes(UTF_8))
         return token
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -356,21 +416,10 @@ object SegManifest {
         System.currentTimeMillis.toString +:
         sorted.length.toString +: meta64 +: segLines)
         .mkString("\n").getBytes(UTF_8)
-      def writeFsynced(target: Path): Unit = {
-        val tmp = Paths.get(dir).resolve(
-          s".manifest.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-        val ch = java.nio.channels.FileChannel.open(tmp,
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-          StandardOpenOption.TRUNCATE_EXISTING)
-        try {
-          ch.write(java.nio.ByteBuffer.wrap(body))
-          ch.force(true)
-        } finally ch.close()
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-      writeFsynced(snapshotPath(dir, gen))
-      writeFsynced(manifestPath(dir))
+      // the PUBLISH primitive (fsync'd temp + atomic rename on POSIX,
+      // one conditional PUT on an object store) — see CommitProvider
+      commitProvider.publish(Paths.get(dir), snapshotPath(dir, gen), body)
+      commitProvider.publish(Paths.get(dir), manifestPath(dir), body)
       // best-effort directory fsync so the rename itself is durable
       try {
         val dch = java.nio.channels.FileChannel.open(Paths.get(dir),
@@ -568,8 +617,15 @@ object SegManifest {
             clock > cut
           }.toSet
       }
+      // tagged generations are retention FLOORS exactly like the
+      // horizon: a named audit pin outranks keep_last until untagged
+      // (read INSIDE the same locks as everything else here)
+      val taggedKept: Set[Long] =
+        tags(dir).values.toSet.intersect(readable.keySet)
+          .filter(_ <= live.gen)
       val keptGens = ((committed :+ live.gen)
-        .distinct.sorted.takeRight(keepLast).toSet ++ horizonKept + live.gen)
+        .distinct.sorted.takeRight(keepLast).toSet ++ horizonKept ++
+        taggedKept + live.gen)
       // deletion vectors are generation data exactly like segments:
       // protected while any kept generation references them
       val protectedNames = live.names.toSet ++ live.dvs.values ++
@@ -600,7 +656,8 @@ object SegManifest {
               (n.endsWith(".gseg") || n.endsWith(".gdv")) &&
               !protectedNames.contains(n)) ||
             ((n.startsWith(".tmp-") || n.startsWith(".manifest.tmp-") ||
-              n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-")) &&
+              n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-") ||
+              n.startsWith(".tags.tmp-")) &&
               pastGrace(p))
         }.toList
         finally l.close()
@@ -621,4 +678,81 @@ object SegManifest {
       junkNames.toSeq.sorted
     }
   }
+
+  // ---------------- named snapshot refs (tags) ----------------
+
+  private def tagsPath(dir: String): Path = Paths.get(dir, ".tags")
+
+  /** Named snapshot refs: `tag name → generation`, stored in a
+    * `.tags` sidecar (one `name<TAB>gen` line each, sorted; tmp +
+    * ATOMIC_MOVE swap like every other metadata file here). A tagged
+    * generation is a RETENTION FLOOR: [[vacuum]] keeps its snapshot,
+    * segments and deletion vectors regardless of `keep_last` /
+    * `older_than_ms` until the tag is removed — the "hold this
+    * snapshot for the audit" workflow WITHOUT forking history the way
+    * clone does. `VERSION AS OF '<tag>'` and `CALL clone(tag => ...)`
+    * resolve through this map (Iceberg's tag refs, the
+    * non-advancing half of its branch/tag model). */
+  def tags(dir: String): Map[String, Long] = {
+    val p = tagsPath(dir)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      require(i > 0, s"gseg: unrecognized tags line in $p: '$l'")
+      l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+  }
+
+  private def writeTags(dir: String, m: Map[String, Long]): Unit = {
+    val p = tagsPath(dir)
+    if (m.isEmpty) { Files.deleteIfExists(p); return }
+    val body = m.toSeq.sorted
+      .map { case (n, g) => s"$n\t$g" }.mkString("", "\n", "\n")
+    commitProvider.publish(Paths.get(dir), p, body.getBytes(UTF_8))
+  }
+
+  /** Pin `name` to a COMMITTED, still-retained generation. Rejects
+    * all-digit names (a `VERSION AS OF` operand that parses as a
+    * number resolves as a generation, so such a tag would be
+    * unreachable) and re-pointing a live tag (untag first — a
+    * silently moved audit pin is worse than a loud one). */
+  def setTag(dir: String, name: String, gen: Long): Unit =
+    lockFor(dir).synchronized {
+      require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+        s"gseg tag: illegal tag name '$name' ([A-Za-z0-9._-] only)")
+      require(name.exists(!_.isDigit),
+        s"gseg tag: all-digit tag name '$name' would be read as a " +
+          "generation number by VERSION AS OF")
+      val token = acquireProcessLock(dir)
+      try {
+        val live = readManifest(dir).map(_.gen).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg tag: no generation manifest at $dir"))
+        require(gen <= live,
+          s"gseg tag: generation $gen is above the live pointer $live")
+        require(readSnapshotManifest(dir, gen).isDefined,
+          s"gseg tag: no snapshot for generation $gen — never " +
+            "committed, or retired by vacuum")
+        val cur = tags(dir)
+        cur.get(name).foreach(g => require(g == gen,
+          s"gseg tag: '$name' already pins generation $g (untag first)"))
+        writeTags(dir, cur + (name -> gen))
+      } finally releaseProcessLock(dir, token)
+    }
+
+  /** Remove `name`, returning the generation it pinned — which
+    * becomes reclaimable by the NEXT vacuum unless another floor
+    * (keep_last, horizon, live, another tag) still covers it. */
+  def removeTag(dir: String, name: String): Long =
+    lockFor(dir).synchronized {
+      val token = acquireProcessLock(dir)
+      try {
+        val cur = tags(dir)
+        val g = cur.getOrElse(name, throw new IllegalArgumentException(
+          s"gseg untag: no tag '$name' at $dir"))
+        writeTags(dir, cur - name)
+        g
+      } finally releaseProcessLock(dir, token)
+    }
 }

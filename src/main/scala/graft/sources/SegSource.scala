@@ -65,8 +65,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * through the Hadoop FileSystem API instead of java.io — the commit
   * choreography is the part that transfers. Supported types: long,
   * int, double, string, boolean, timestamp (micros-since-epoch
-  * longs), date (days-since-epoch ints) — time columns get the same
-  * exact zone-map stats as keys — with per-column null bitmaps.
+  * longs), date (days-since-epoch ints), float (v6), decimal with
+  * precision ≤ 18 (v6 — stored as unscaled longs at the column's
+  * fixed scale) — time columns get the same exact zone-map stats as
+  * keys — with per-column null bitmaps.
   *
   * Layout per file (v2):
   *   "GSEG" magic, version byte (2), int nRows, int nCols,
@@ -109,6 +111,28 @@ object SegSource {
     SegManifest.readManifest(dir).map(_.dvs.map {
       case (seg, dv) => s"$dir/$seg" -> s"$dir/$dv"
     }).getOrElse(Map.empty)
+
+  /** Segment names AND the deletion-vector map from ONE
+    * `readManifest` call — the consistent snapshot every batch scan
+    * must plan against. Resolving the two through separate manifest
+    * reads (as the scan once did) lets a merge-on-read DELETE commit
+    * BETWEEN them pair the new generation's file set with the stale
+    * (smaller) vector map — silently resurrecting just-deleted rows —
+    * or let an already-accepted header-aggregate push overcount rows
+    * a vector masks. [[SegScanBuilder]] takes this snapshot once and
+    * pins both halves into the [[SegScan]] it builds, so names, dv
+    * map, the pushAggregation accept decision, statistics and split
+    * planning all describe the SAME committed generation (a commit
+    * racing past the snapshot means the scan serves the older —
+    * still consistent — generation: ordinary snapshot isolation).
+    * None = no manifest (plain path dir: names come from the
+    * listing, which never carries vectors). */
+  private[sources] def manifestSnapshot(dir: String)
+      : Option[(Seq[String], Map[String, String])] =
+    SegManifest.readManifest(dir).map { m =>
+      (m.names.sorted.map(n => s"$dir/$n"),
+       m.dvs.map { case (seg, dv) => s"$dir/$seg" -> s"$dir/$dv" })
+    }
 
   /** Read option PINNING the scan to an explicit comma-separated list
     * of segment NAMES under the path, bypassing both the manifest and
@@ -225,6 +249,26 @@ object SegSource {
     * straight to the one filter a point predicate needs. */
   private[sources] val Version5: Byte = 5
 
+  /** v6 adds two column types (no layout change — old readers would
+    * only ever see the new tags in new files):
+    *  - FLOAT, tag 7: 4-byte IEEE-754 values; zone-map stats stored
+    *    as the value's EXACT double promotion (doubleToLongBits), so
+    *    an ALTER COLUMN FLOAT→DOUBLE widen keeps every old file's
+    *    stats valid verbatim — the same trick INT→BIGINT plays with
+    *    raw long bits. NDV hashes the double bits for the same
+    *    reason.
+    *  - DECIMAL(p ≤ 18, s), tag 8: unscaled 8-byte longs at the
+    *    column's FIXED scale; the header carries (precision, scale)
+    *    as two bytes after the tag. Unscaled order = value order at
+    *    one scale, so min/max stats are the unscaled longs, exact.
+    *    A DECIMAL(p,s)→DECIMAL(p+k,s) widen (same scale, wider
+    *    precision, still ≤ 18) re-reads the same unscaled longs —
+    *    stats, NDV hashes and encoded blocks all stay valid;
+    *    scale-changing or >18 widenings are rejected loudly at ALTER
+    *    time. Precision >18 never gets stored, so the long backing is
+    *    an invariant, not an assumption. */
+  private[sources] val Version6: Byte = 6
+
   // ---------------- clustering keys ----------------
 
   /** One declared clustering key: `identity(col)` (buckets = None) or
@@ -326,6 +370,49 @@ object SegSource {
             "bucket(n, col), years/months/days/hours, truncate(w, col))")
       }
     }
+  }
+
+  /** `zorder(a,b)` cluster spec → Some((a, b)). Z-order is a
+    * LAYOUT-ONLY clustering: it declares no key groups and no SPJ
+    * alignment — its whole value is the WRITE-SIDE Morton sort
+    * making every segment's zone maps tight on BOTH columns at once,
+    * so two-dimensional range/point predicates file-prune on either
+    * dimension (the Delta OPTIMIZE ZORDER BY contract). Recovery is
+    * therefore stats-only: scans ignore the spec, reads need no
+    * transform resolution, and a table that stops re-clustering
+    * simply decays to unsorted appends (loud nowhere, wrong
+    * nowhere). */
+  private[sources] val ZOrderRe =
+    """(?i)zorder\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)""".r
+  private[sources] def parseZOrder(spec: String): Option[(String, String)] =
+    spec.trim match {
+      case ZOrderRe(a, b) => Some((a, b))
+      case _ => None
+    }
+
+  /** Types a z-order column may have: integers (the interleave is
+    * bit arithmetic over the low `bits` of the value). */
+  private[sources] def zorderClusterType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType => true
+    case _ => false
+  }
+
+  /** Writer-side Morton interleave — bit i of x → bit 2i, bit i of y
+    * → bit 2i+1 over the masked low `bits`, the SAME mapping as
+    * [[graft.operators.ZOrder.morton2]] (the Column form the compact
+    * rewrite shuffles by); keep the two in lockstep. */
+  private[sources] def mortonOf(x: Long, y: Long, bits: Int = 16): Long = {
+    val mask = (1L << bits) - 1
+    val mx = x & mask
+    val my = y & mask
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out |= ((mx >> i) & 1L) << (2 * i)
+      out |= ((my >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
   }
 
   /** Split a comma-separated cluster-spec list, commas inside
@@ -495,6 +582,7 @@ object SegSource {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
     case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
     case (x, y) => throw new IllegalArgumentException(
       s"gseg: incomparable cells ${x.getClass.getName}/${y.getClass.getName}")
@@ -617,8 +705,9 @@ object SegSource {
   }
 
   /** Type registry note: every type here has a VALUE-BASED internal
-    * representation (Long/Int/Double/Boolean/UTF8String) — the CDF
-    * diff reader's key bucketing and payload pairing
+    * representation (Long/Int/Double/Float/Boolean/UTF8String, and
+    * Spark's Decimal — which defines semantic equals/hashCode) — the
+    * CDF diff reader's key bucketing and payload pairing
     * ([[SegCdfDiffReader]]) rely on that for hashCode/==. Adding an
     * array-backed type (e.g. BinaryType → Array[Byte], whose
     * hashCode/equality are identity-based) requires extending that
@@ -631,11 +720,18 @@ object SegSource {
     case BooleanType   => 4
     case TimestampType => 5 // stored as micros-since-epoch longs
     case DateType      => 6 // stored as days-since-epoch ints
+    case FloatType     => 7 // v6: 4-byte values, double-bits stats
+    case d: DecimalType if d.precision <= 18 => 8 // v6: unscaled longs
+    case d: DecimalType => throw new IllegalArgumentException(
+      s"gseg supports decimal precision <= 18 (long-backed unscaled " +
+        s"storage), got ${d.simpleString}")
     case other => throw new IllegalArgumentException(
-      s"gseg supports long/int/double/string/boolean/timestamp/date, " +
-        s"got $other")
+      s"gseg supports long/int/double/string/boolean/timestamp/date/" +
+        s"float/decimal(<=18), got $other")
   }
-  private[sources] def dtype(tag: Byte): DataType = tag match {
+  /** Column type from header metadata — decimal needs the (prec,
+    * scale) pair the tag byte alone can't carry. */
+  private[sources] def dtypeOf(cm: ColMeta): DataType = cm.tag match {
     case 0 => LongType
     case 1 => IntegerType
     case 2 => DoubleType
@@ -643,6 +739,8 @@ object SegSource {
     case 4 => BooleanType
     case 5 => TimestampType
     case 6 => DateType
+    case 7 => FloatType
+    case 8 => DecimalType(cm.prec, cm.scale)
   }
 
   /** Convenience writer: route `df` through the V2 write path
@@ -705,7 +803,8 @@ object SegSource {
       val bw: Array[Long] =
         if (bloomCols.contains(schema(c).name) &&
             (schema(c).dataType match {
-              case DoubleType | BooleanType => false
+              case DoubleType | FloatType | BooleanType |
+                   _: DecimalType => false
               case _ => true
             })) new Array[Long](bloomBitsFor(n.toLong) / 64)
         else null
@@ -746,6 +845,37 @@ object SegSource {
             if (d > mxD) mxD = d
             hllAdd(regs, fmix64(java.lang.Double.doubleToLongBits(d)))
             sketched = true
+          }
+          i += 1
+        }
+        // FLOAT (v6): 4-byte values; stats and NDV hashes via the
+        // EXACT double promotion, so FLOAT→DOUBLE widening keeps old
+        // files' stats and sketches valid verbatim
+        case FloatType => while (i < n) {
+          val v = rows(i)(c)
+          if (v != null) {
+            val f = v.asInstanceOf[java.lang.Float].floatValue()
+            o.writeFloat(f); seen = true
+            val d = f.toDouble
+            if (d < mnD) mnD = d
+            if (d > mxD) mxD = d
+            hllAdd(regs, fmix64(java.lang.Double.doubleToLongBits(d)))
+            sketched = true
+          }
+          i += 1
+        }
+        // DECIMAL (v6): unscaled longs at the column's fixed scale —
+        // unscaled order IS value order at one scale, so the long
+        // min/max machinery gives exact stats; NDV hashes the
+        // unscaled long (stable across a precision-only widen)
+        case _: DecimalType => while (i < n) {
+          val v = rows(i)(c)
+          if (v != null) {
+            val l = v.asInstanceOf[java.lang.Long].longValue()
+            o.writeLong(l); seen = true
+            if (l < mnL) mnL = l
+            if (l > mxL) mxL = l
+            hllAdd(regs, fmix64(l)); sketched = true
           }
           i += 1
         }
@@ -800,7 +930,9 @@ object SegSource {
       schema(c).dataType match {
         case LongType | IntegerType | TimestampType | DateType if seen =>
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
-        case DoubleType if seen =>
+        case _: DecimalType if seen => // unscaled longs, exact
+          hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
+        case DoubleType | FloatType if seen => // float: double-bits
           hasStats(c) = true
           minBits(c) = java.lang.Double.doubleToLongBits(mnD)
           maxBits(c) = java.lang.Double.doubleToLongBits(mxD)
@@ -811,7 +943,7 @@ object SegSource {
     val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file)))
     try {
-      out.write(Magic); out.writeByte(Version5)
+      out.write(Magic); out.writeByte(Version6)
       out.writeInt(n); out.writeInt(nCols)
       out.writeInt(props.size)
       props.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -824,6 +956,13 @@ object SegSource {
         val nm = schema(c).name.getBytes(UTF_8)
         out.writeInt(nm.length); out.write(nm)
         out.writeByte(tag(schema(c).dataType))
+        // decimal (tag 8) carries its fixed (precision, scale) pair —
+        // the tag byte alone can't reconstruct the type
+        schema(c).dataType match {
+          case d: DecimalType =>
+            out.writeByte(d.precision); out.writeByte(d.scale)
+          case _ => ()
+        }
         out.writeLong(blocks(c).length.toLong)
         out.writeLong(nNulls(c))
         if (hasStats(c)) {
@@ -861,7 +1000,8 @@ object SegSource {
       minBits: Long, maxBits: Long,
       minStr: Option[String] = None, maxStr: Option[String] = None,
       hll: Option[Array[Byte]] = None,
-      bloom: Option[(Int, Int)] = None) { // (byte length, k hashes)
+      bloom: Option[(Int, Int)] = None, // (byte length, k hashes)
+      prec: Int = 0, scale: Int = 0) {  // decimal (tag 8) only
     /** Exact typed stat values (None for string / all-null). */
     def minVal: Option[Any] = statVal(minBits)
     def maxVal: Option[Any] = statVal(maxBits)
@@ -874,13 +1014,20 @@ object SegSource {
         case 5 => Some(bits) // timestamp micros: Long, the agg partial
                              // and zone maps both speak micros
         case 6 => Some(bits.toInt) // date days: Int
+        case 7 => // float: stats stored as the exact double promotion
+          Some(java.lang.Float.valueOf(
+            java.lang.Double.longBitsToDouble(bits).toFloat))
+        case 8 => // decimal: unscaled long at the column's scale —
+                  // Spark's internal Decimal, so agg partials and the
+                  // bd() comparator both consume it directly
+          Some(org.apache.spark.sql.types.Decimal(bits, prec, scale))
         case _ => None
       }
   }
   private[sources] case class SegHeader(nRows: Int, cols: Array[ColMeta],
       props: Map[String, String] = Map.empty) {
     def schema: StructType =
-      StructType(cols.map(c => StructField(c.name, dtype(c.tag))))
+      StructType(cols.map(c => StructField(c.name, dtypeOf(c))))
   }
 
   private[sources] def readHeader(in: DataInputStream): SegHeader = {
@@ -888,7 +1035,7 @@ object SegSource {
     in.readFully(magic)
     require(magic.sameElements(Magic), "not a gseg file")
     val ver = in.readByte()
-    require(ver >= 2 && ver <= 5, s"unsupported gseg version $ver")
+    require(ver >= 2 && ver <= 6, s"unsupported gseg version $ver")
     val n = in.readInt()
     val nCols = in.readInt()
     val props: Map[String, String] =
@@ -903,21 +1050,26 @@ object SegSource {
       in.readFully(nm)
       val name = new String(nm, UTF_8)
       val t = in.readByte()
+      // decimal (tag 8, v6+ only) carries (precision, scale) bytes
+      val (pr, sc) =
+        if (t == 8) (in.readByte().toInt, in.readByte().toInt) else (0, 0)
       val bytes = in.readLong()
       val nulls = in.readLong()
       val base =
         if (ver == 2) {
           val has = in.readByte() == 1
-          ColMeta(name, t, bytes, nulls, has, in.readLong(), in.readLong())
+          ColMeta(name, t, bytes, nulls, has, in.readLong(), in.readLong(),
+            prec = pr, scale = sc)
         } else in.readByte() match {
           case 1 => ColMeta(name, t, bytes, nulls, hasStats = true,
-            in.readLong(), in.readLong())
+            in.readLong(), in.readLong(), prec = pr, scale = sc)
           case 2 =>
             val mn = new Array[Byte](in.readInt()); in.readFully(mn)
             val mx = new Array[Byte](in.readInt()); in.readFully(mx)
             ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L,
               Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
-          case _ => ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L)
+          case _ => ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L,
+            prec = pr, scale = sc)
         }
       val withNdv =
         if (ver < 4 || in.readByte() != 1) base
@@ -1013,6 +1165,10 @@ object SegSource {
       Some(java.math.BigDecimal.valueOf(f.toDouble))
     case d: java.math.BigDecimal => Some(d)
     case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    // decoded decimal cells / header stats carry Spark's internal
+    // Decimal; filter VALUES arrive as java.math.BigDecimal — both
+    // land on the same exact arithmetic here
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
     // timestamp FILTER VALUES (V1 filters carry external types) map
     // to the same micros the stored longs and header stats speak
     case t: java.sql.Timestamp => Some(java.math.BigDecimal.valueOf(
@@ -1539,7 +1695,8 @@ class SegTable(tschema: StructType, path: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
-    defaultCluster.map(c =>
+    // zorder specs are layout-only (no V2 transform, no key groups)
+    defaultCluster.filter(SegSource.parseZOrder(_).isEmpty).map(c =>
       SegSource.ClusterKey.parse(c).toV2: Transform).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(tschema, path,
@@ -1586,11 +1743,21 @@ class SegScanBuilder(full: StructType, path: String,
   private var emitFile: Boolean = false
   private var emitPos: Boolean = false
 
+  /** ONE manifest read per builder (lazy — forced only when a caller
+    * didn't already override both halves): segment names and the
+    * deletion-vector map from the same committed generation. See
+    * [[SegSource.manifestSnapshot]] for why the two must never come
+    * from separate reads. */
+  private lazy val snap: Option[(Seq[String], Map[String, String])] =
+    SegSource.manifestSnapshot(path)
+
   /** The deletion-vector map this read must honor: the time-travel
-    * override (that snapshot's own vectors) or the live manifest's.
+    * override (that snapshot's own vectors) or the builder snapshot's
+    * — the map the built scan is pinned to, so the pushAggregation
+    * accept decision below and the scan's masking can never disagree.
     * Resolved once at plan time on the driver. */
   private lazy val dvMap: Map[String, String] =
-    dvOverride.getOrElse(SegSource.dvPathsOf(path))
+    dvOverride.getOrElse(snap.map(_._2).getOrElse(Map.empty))
 
   /** Both limit and TopN are PARTIAL pushes by design: Spark keeps the
     * global Limit / TakeOrderedAndProject, so scan-side skipping is a
@@ -1670,13 +1837,19 @@ class SegScanBuilder(full: StructType, path: String,
     }
   }
 
+  /** Scan-relevant keys: zorder specs are write-side layout only
+    * (stats-only recovery — the zone maps they tighten do the
+    * pruning; there is no key grouping to advertise). */
+  private def scanKeys: Seq[String] =
+    partitionCols.filter(SegSource.parseZOrder(_).isEmpty)
+
   override def build(): Scan =
     SegScan(path, required, pushed, aggs, limit, topN,
       // ALL declared keys must qualify or the layout is dropped whole
       // (a partial key would advertise a different partitioning than
       // the files hold): identity keys need a stats-provable type,
       // bucket keys a hashable one
-      if (partitionCols.nonEmpty && partitionCols.forall { spec =>
+      if (scanKeys.nonEmpty && scanKeys.forall { spec =>
         val k = SegSource.ClusterKey.parse(spec)
         full.fields.exists(f => f.name == k.col &&
           (k match {
@@ -1688,9 +1861,20 @@ class SegScanBuilder(full: StructType, path: String,
               SegSource.truncClusterType(f.dataType)
             case _ => SegSource.identityClusterType(f.dataType)
           }))
-      }) partitionCols else Nil,
-      emitFile, pinned, skipChangeCommits, aliasOverride,
-      maxGensPerTrigger, emitPos, dvOverride)
+      }) scanKeys else Nil,
+      emitFile,
+      // pin BOTH halves of the builder's snapshot into the scan:
+      // callers that pinned their own files (compaction, runtime
+      // group filtering, changefeed) keep their pins; everyone else
+      // gets the snapshot's names, and the dv map is ALWAYS the one
+      // the accept decisions above were made against (for
+      // caller-pinned live reads that is the live map at build time —
+      // the generation their pins came from). Plain path dirs have
+      // no manifest: pins stay None (the scan lists) and the dv map
+      // pins empty, which is exact (listings never carry vectors).
+      pinned.orElse(snap.map(_._1)), skipChangeCommits, aliasOverride,
+      maxGensPerTrigger, emitPos,
+      Some(dvMap))
 }
 
 /** `dv` is the segment's deletion-vector path for THIS read's
@@ -1729,13 +1913,23 @@ case class SegScan(path: String, required: StructType,
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  /** Deletion-vector map (absolute paths) this scan masks by: the
-    * time-travel override or the live manifest's, resolved on the
-    * driver. Pinned reads (compaction, runtime group filtering)
-    * default to the LIVE map — the generation their pins came from. */
+  /** Deletion-vector map (absolute paths) this scan masks by. The
+    * builder ALWAYS pins it (time-travel override, or its single
+    * manifest snapshot — the same read the segment names and the
+    * pushAggregation accept came from; see
+    * [[SegSource.manifestSnapshot]]), so the live-read fallback here
+    * is defensive only. */
   @transient private lazy val dvs: Map[String, String] =
     dvOverride.getOrElse(SegSource.dvPathsOf(path))
   private def dvOf(f: String): Option[String] = dvs.get(f)
+
+  /** The ONE file set this scan plans against — the builder's pins
+    * (manifest tables always arrive pinned), else a single directory
+    * listing shared by keyGroups, estimateStatistics and
+    * planInputPartitions so no two planning steps can see different
+    * file sets. */
+  @transient private lazy val resolvedFiles: Seq[String] =
+    pinned.getOrElse(SegSource.resolveSegments(path))
   /** Header row count net of the file's deletion vector — the number
     * a masked scan will actually emit (pre-filter). */
   private def effRows(f: String, h: SegSource.SegHeader): Long =
@@ -1771,7 +1965,7 @@ case class SegScan(path: String, required: StructType,
     // no join-layout use
     (if (aggs.isDefined || emitFile || emitPos || partitionCols.isEmpty) None
      else Some(clusterKeys)).flatMap { pcs =>
-    val files = pinned.getOrElse(SegSource.resolveSegments(path))
+    val files = resolvedFiles
     val kv = files.map { f =>
       val h = SegSource.resolvedHeaderOf(f, aliasOverride)
       // EVERY declared key must be recoverable from the file:
@@ -1874,7 +2068,7 @@ case class SegScan(path: String, required: StructType,
     * anyway. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val files = pinned.getOrElse(SegSource.resolveSegments(path))
+    val files = resolvedFiles
     val surviving = files.map(f => (f, SegSource.resolvedHeaderOf(f, aliasOverride)))
       .filter { case (_, h) => pushed.forall(SegSource.mayMatch(h, _)) }
     val wanted = required.fieldNames.toSet
@@ -2056,7 +2250,7 @@ case class SegScan(path: String, required: StructType,
         return kept.toArray[InputPartition]
       case _ => ()
     }
-    val files = pinned.getOrElse(SegSource.resolveSegments(path))
+    val files = resolvedFiles
     val allFilters = pushed ++ runtime
     val kept =
       if (aggs.isDefined) files // aggregates only push with no filters
@@ -2468,10 +2662,16 @@ class SegAggReader(file: String, aggs: Seq[SegSource.HeaderAgg],
     // a column ABSENT from this segment (added by ALTER TABLE after
     // it was written) is all-null here: COUNT contributes 0, MIN/MAX
     // contribute a null partial (Spark's merge ignores it)
-    // stored-int stats under a widened (now BIGINT) column promote to
-    // long — the partial row must carry the CURRENT type
+    // stored stats under a widened column promote to the CURRENT type
+    // the partial row must carry: INT→BIGINT, FLOAT→DOUBLE (exact),
+    // DECIMAL(p,s)→DECIMAL(p+k,s) (same unscaled value, wider box)
     def widen(v: Any, t: DataType): Any = (v, t) match {
       case (i: Int, LongType) => i.toLong
+      case (f: Float, DoubleType) => f.toDouble
+      case (d: org.apache.spark.sql.types.Decimal, dt: DecimalType)
+          if d.precision != dt.precision || d.scale != dt.scale =>
+        org.apache.spark.sql.types.Decimal(
+          d.toJavaBigDecimal, dt.precision, dt.scale)
       case _ => v
     }
     val vals: Array[Any] = aggs.map {
@@ -2568,17 +2768,46 @@ class SegPartitionReader(file: String, required: StructType,
               case 6 => while (i < n) {
                 if (!isNull(i)) vals(i) = in.readInt(); i += 1
               }
+              case 7 => while (i < n) {
+                if (!isNull(i)) vals(i) = in.readFloat(); i += 1
+              }
+              case 8 =>
+                // decimal: unscaled longs → Spark internal Decimal at
+                // the EFFECTIVE precision — the table's current one
+                // when the column was precision-widened after this
+                // segment was written (scale is fixed by ALTER rules,
+                // so the same unscaled long is exact under both)
+                val (ep, es) = required.fields.find(_.name == cm.name)
+                  .map(_.dataType) match {
+                  case Some(d: DecimalType) => (d.precision, d.scale)
+                  case _ => (cm.prec, cm.scale)
+                }
+                while (i < n) {
+                  if (!isNull(i)) vals(i) =
+                    org.apache.spark.sql.types.Decimal(in.readLong(), ep, es)
+                  i += 1
+                }
             }
             // ALTER COLUMN TYPE widening: a segment written before
-            // the widen stores INT blocks under a now-BIGINT column —
-            // promote at the one decode seam (VERSION AS OF pre-widen
-            // pins the old schema and takes the no-op path)
+            // the widen stores INT (FLOAT) blocks under a now-BIGINT
+            // (DOUBLE) column — promote at the one decode seam
+            // (VERSION AS OF pre-widen pins the old schema and takes
+            // the no-op path; decimal promotes above, in-decode)
             if (cm.tag == 1 && required.fields.exists(f =>
                 f.name == cm.name && f.dataType == LongType)) {
               var j = 0
               while (j < n) {
                 if (vals(j) != null)
                   vals(j) = vals(j).asInstanceOf[Int].toLong
+                j += 1
+              }
+            }
+            if (cm.tag == 7 && required.fields.exists(f =>
+                f.name == cm.name && f.dataType == DoubleType)) {
+              var j = 0
+              while (j < n) {
+                if (vals(j) != null)
+                  vals(j) = vals(j).asInstanceOf[Float].toDouble
                 j += 1
               }
             }
@@ -2646,16 +2875,20 @@ class SegWriteBuilder(path: String, schema: StructType,
     clusterLocal: Boolean = false,
     bloomCols: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
+  // plan-time type validation: an unstorable type (decimal precision
+  // > 18, binary, nested) fails HERE, loudly, not per-task mid-write
+  schema.fields.foreach(f => SegSource.tag(f.dataType))
   bloomCols.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
         s"gseg: bloom_columns column '$c' is not in the schema"))
     require(f.dataType match {
-      case DoubleType | BooleanType => false
+      case DoubleType | FloatType | BooleanType | _: DecimalType => false
       case _ => true
     }, s"gseg: bloom_columns does not support ${f.dataType.simpleString} " +
-      s"('$c') — doubles have no stable value identity, booleans no " +
-      "selectivity")
+      s"('$c') — floating types have no stable value identity, booleans " +
+      "no selectivity, decimal filter values can't be hashed without " +
+      "scale context")
   }
   // `_file` is the synthesized metadata column and `__row_operation`
   // the rewrite op marker: a stored data column under either name
@@ -2688,19 +2921,26 @@ class SegWriteBuilder(path: String, schema: StructType,
       val k = SegSource.ClusterKey.parse(spec)
       if (k.buckets.isEmpty) Expressions.column(k.col) else k.toV2
     }
+    // zorder specs request NOTHING from Spark (no V2 expression can
+    // say "Morton of two columns" without a catalog function): the
+    // writer's flush-time Morton sort z-clusters each task's
+    // segments locally, and the compact rewrite adds the global
+    // range shuffle when re-laying the whole table
+    private def distCols: Seq[String] =
+      partitionCols.filter(SegSource.parseZOrder(_).isEmpty)
     override def requiredDistribution(): Distribution =
       // cluster_local: no Spark-side distribution at all — the
       // writer's flush-time buffer sort alone forms the runs (the
       // path a bucket transform takes when no FunctionCatalog can
       // resolve it; file count bounded by tasks x local keys)
-      if (partitionCols.isEmpty || clusterLocal)
+      if (distCols.isEmpty || clusterLocal)
         Distributions.unspecified()
-      else Distributions.clustered(partitionCols.map(c =>
+      else Distributions.clustered(distCols.map(c =>
         SegSource.ClusterKey.parse(c).toV2
           : org.apache.spark.sql.connector.expressions.Expression).toArray)
     override def requiredOrdering(): Array[V2SortOrder] =
       if (clusterLocal) Array.empty
-      else partitionCols.map(c =>
+      else distCols.map(c =>
         Expressions.sort(keyExpr(c), SortDirection.ASCENDING)
           : V2SortOrder).toArray
     override def toBatch: BatchWrite =
@@ -2921,7 +3161,13 @@ case class SegWriterFactory(path: String, schema: StructType,
   * Without it, one segment per task on commit — the shape the layout
   * tests pin. Abort (or a lost speculative attempt) deletes every
   * temp — a half-written segment can never be listed, because
-  * [[SegSource.listSegments]] ignores dot-files. */
+  * [[SegSource.listSegments]] ignores dot-files.
+  *
+  * Row-count invariant: every segment's rows live in `buf` (an
+  * ArrayBuffer — size is an Int) before encoding, so a segment can
+  * never hold ≥ 2^31 rows. The format's `int nRows` and [[SegDv]]'s
+  * int32 deletion ordinals both lean on this — see the SegDv
+  * scaladoc before changing how segments are staged. */
 class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, partitionCols: Seq[String] = Nil,
     skipEmpty: Boolean = false, maxRowsPerSegment: Option[Int] = None,
@@ -2930,8 +3176,22 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[AnyRef]]
   private val keySpecs: Seq[SegSource.ClusterKey] =
-    partitionCols.map(SegSource.ClusterKey.parse)
+    partitionCols.filter(SegSource.parseZOrder(_).isEmpty)
+      .map(SegSource.ClusterKey.parse)
   private val keyIdx: Seq[Int] = keySpecs.map(k => schema.fieldIndex(k.col))
+  /** `zorder(a,b)` layout: the (a, b) field ordinals to Morton-sort
+    * the buffer by at flush — each written segment is then a
+    * contiguous z-range, so zone maps on BOTH columns come out tight
+    * (the declared layout's whole point; there is no run splitting
+    * and no key to recover — stats-only). Validated sole upstream
+    * (compact/DDL): mixing z-order with key clustering would make
+    * two owners of the flush sort. */
+  private val zIdx: Option[(Int, Int)] =
+    partitionCols.flatMap(SegSource.parseZOrder(_)).headOption
+      .map { case (a, b) => (schema.fieldIndex(a), schema.fieldIndex(b)) }
+  require(zIdx.isEmpty || keySpecs.isEmpty,
+    s"gseg: zorder cannot combine with other clustering keys " +
+      s"(got $partitionCols)")
 
   /** The EFFECTIVE key of a buffered row for run splitting: the cell
     * itself for identity keys, its bucket id for bucket keys (the
@@ -2991,6 +3251,13 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
           java.lang.Integer.valueOf(r.getInt(c))
         case BooleanType => rowBytes += 1
           java.lang.Boolean.valueOf(r.getBoolean(c))
+        case FloatType => rowBytes += 4
+          java.lang.Float.valueOf(r.getFloat(c))
+        case d: DecimalType if d.precision <= 18 => rowBytes += 8
+          // unscaled long at the column's fixed scale (tag() already
+          // rejected precision > 18 at schema validation)
+          java.lang.Long.valueOf(
+            r.getDecimal(c, d.precision, d.scale).toUnscaledLong)
         case other => throw new IllegalArgumentException(
           s"gseg write: unsupported $other")
       }
@@ -3010,6 +3277,20 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
     * writes the buffer whole (possibly empty — the plain write's
     * one-segment-per-task shape). */
   private def flush(): Unit = {
+    // z-order layout: Morton-sort the buffer (nulls first) so the
+    // written segment(s) are contiguous z-ranges — one run, no split
+    zIdx.foreach { case (ai, bi) =>
+      def zOf(r: Array[AnyRef]): Long = {
+        def longOf(v: AnyRef): Long = v match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case _ => 0L
+        }
+        SegSource.mortonOf(longOf(r(ai)), longOf(r(bi)))
+      }
+      buf.sortInPlace()(Ordering.by[Array[AnyRef], (Int, Long)](r =>
+        (if (r(ai) == null || r(bi) == null) 0 else 1, zOf(r))))
+    }
     val runs: Seq[collection.IndexedSeq[Array[AnyRef]]] =
       if (keyIdx.isEmpty) Seq(buf)
       else {

@@ -127,6 +127,25 @@ object StreamGates {
   private def safeStop(q: StreamingQuery): Unit =
     if (q != null) try q.stop() catch { case _: Throwable => () }
 
+  /** TRUE iff the checkpoint's state directory holds RocksDB's
+    * on-disk shapes (`<v>.zip` full snapshots / `<v>.changelog`
+    * increments) and none of HDFSBackedStateStore's `<v>.delta` —
+    * EVIDENCE the pinned providerClass actually served the run, read
+    * back from disk rather than echoed from the conf (a typo'd
+    * provider class name would silently fall back; this doesn't). */
+  private def rocksdbStateAt(ckpt: String): Boolean = {
+    val st = java.nio.file.Paths.get(ckpt, "state")
+    if (!java.nio.file.Files.isDirectory(st)) return false
+    val w = java.nio.file.Files.walk(st)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = w.iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")) &&
+        !names.exists(_.endsWith(".delta"))
+    } finally w.close()
+  }
+
   /** Register a just-started stream's runId as owned by driver query
     * `gate` and return it. StreamExecution stamps micro-batch jobs
     * with the runId as job group, so without this [[graft.Bench]] can
@@ -883,6 +902,12 @@ object StreamGates {
   def streamJoinParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
+    // join state under the RocksDB provider — the backend whose
+    // disk-bounded (not heap-bounded) state is the 100 TB default;
+    // the gate VERIFIES it served the run from the checkpoint's
+    // on-disk shapes (rocksdbStateAt), not the conf echo
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val base = graft.Fs.fastTempDir("graft_sjp").toString
     try {
       val viewDir = s"$base/views"
@@ -892,7 +917,8 @@ object StreamGates {
       // same files, so stream and referee see byte-identical input
       val sl = joinSlicesOf(iso, d)
       if (sl.viewFiles.isEmpty)
-        return Seq((false, 0L)).toDF("join_parity", "n_rows")
+        return Seq((false, 0L, false))
+          .toDF("join_parity", "n_rows", "rocksdb_state")
       val cutMs = sl.cutMs
       dropChunks(sl.viewFiles, viewDir)
       dropChunks(sl.clickFiles, clickDir)
@@ -934,10 +960,12 @@ object StreamGates {
       val rows = gate.collect()
       if (rows.nonEmpty && !rows(0).isNullAt(2))
         graft.Counters.add("sjp_cross_batch_pairs", rows(0).getLong(2))
+      val rocks = rocksdbStateAt(s"$base/ckpt")
       val out = gate.select(col("join_parity"), col("n_rows"))
+        .withColumn("rocksdb_state", lit(rocks))
       s.createDataFrame(
         java.util.Arrays.asList(rows.map(r =>
-          org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+          org.apache.spark.sql.Row(r.get(0), r.get(1), rocks)): _*),
         out.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
@@ -963,6 +991,11 @@ object StreamGates {
   def streamOuterJoinParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val iso = isolated(s)
+    // RocksDB join state with LIVE eviction (30-min watermark): the
+    // provider's remove path runs here, not just put/get — verified
+    // from the checkpoint's on-disk shapes like the inner gate
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val base = graft.Fs.fastTempDir("graft_soj").toString
     try {
       val viewDir = s"$base/views"
@@ -972,7 +1005,8 @@ object StreamGates {
       // sentinel rows (user -1) this gate later drops into those dirs
       val sl = joinSlicesOf(iso, d)
       if (sl.viewFiles.isEmpty)
-        return Seq((false, 0L)).toDF("outer_join_parity", "n_rows")
+        return Seq((false, 0L, false))
+          .toDF("outer_join_parity", "n_rows", "rocksdb_state")
       dropChunks(sl.viewFiles, viewDir)
       dropChunks(sl.clickFiles, clickDir)
       val views = iso.read.parquet(viewDir).filter(col("user_id") >= 0)
@@ -1018,6 +1052,7 @@ object StreamGates {
             col("n_rows") > 0 && col("n_null") > 0)
             .as("outer_join_parity"),
           col("n_rows"))
+        .withColumn("rocksdb_state", lit(rocksdbStateAt(s"$base/ckpt")))
       val rows = gate.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
@@ -1054,7 +1089,8 @@ object StreamGates {
       // halves become the two micro-batches, and the batch mirror
       // reads the cached full file instead of re-scanning the corpus
       val slOpt = twsSliceOf(iso, d)
-      if (slOpt.isEmpty) return Seq((false, 0L)).toDF("tws_parity", "n_users")
+      if (slOpt.isEmpty) return Seq((false, 0L, false))
+        .toDF("tws_parity", "n_users", "rocksdb_state")
       val sl = slOpt.get
       dropChunks(Seq(sl.halfA, sl.halfB), inDir)
       val ev = iso.read.parquet(sl.full.toString)
@@ -1102,6 +1138,10 @@ object StreamGates {
             .otherwise(0L)).as("bad"))
         .select((col("bad") === 0 && col("n_users") > 0).as("tws_parity"),
           col("n_users"))
+        // the pinned provider, PROVEN from the checkpoint's on-disk
+        // shapes (RocksDB .zip/.changelog, no HDFSBacked .delta) —
+        // a typo'd providerClass would silently fall back; this won't
+        .withColumn("rocksdb_state", lit(rocksdbStateAt(s"$base/ckpt")))
       val rows = gate.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     } finally deleteRecursively(java.nio.file.Paths.get(base))
@@ -2091,13 +2131,18 @@ object StreamGates {
             .count() == nDel &&
           log.filter(col("_change_type")
             .isin("update_preimage", "update_postimage")).count() == 0
-      // replay: inserts, minus keys whose LATEST change is a delete
+      // replay: inserts, minus keys whose LATEST change is a delete.
+      // Within-generation tie-break prefers INSERT: a merge-on-read
+      // UPDATE emits a delete AND an insert for the same key in ONE
+      // generation, and ranking the delete first would drop updated
+      // keys — this recipe is therefore safe to reuse on mor-update
+      // tables, not just this gate's delete-only history
       val replayed = log
         .withColumn("__rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("event_id"))
             .orderBy(col("_commit_generation").desc,
-              col("_change_type")))) // delete < insert never ties: one class per key per gen
+              col("_change_type").desc)))
         .filter(col("__rank") === 1 && col("_change_type") === "insert")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))

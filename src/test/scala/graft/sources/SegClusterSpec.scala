@@ -475,4 +475,71 @@ class SegClusterSpec extends SparkSpec {
     // range predicates cannot bucket-prune (hash layout): conservative
     assert(t.filter(col("k") < 100L).count() == 100)
   }
+
+  test("zorder re-layout file-prunes on BOTH dimensions; appends stay " +
+      "z-clustered; DML preserves the declared layout") {
+    val (iso, wh) = dml("zorder")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (x BIGINT, y BIGINT, v DOUBLE) " +
+      "USING gseg")
+    // a 128x128 grid: after a SINGLE-column sort (the overwrite
+    // below arrives x-ordered), every file spans the full y domain —
+    // the second dimension cannot prune at all
+    iso.range(0, 128 * 128)
+      .select(($"id" / 128).cast("bigint").as("x"), ($"id" % 128).as("y"),
+        ($"id" * 0.5).as("v"))
+      .orderBy($"x").repartitionByRange(16, $"x")
+      .writeTo("tc.ns.t").append()
+    val dir = s"$wh/ns/t"
+    def skipped(f: => Long): Long = {
+      graft.Counters.drain()
+      f
+      graft.Counters.drain().getOrElse("gseg_files_skipped", 0L)
+    }
+    val t = () => iso.table("tc.ns.t")
+    // x-sorted layout: x prunes, y cannot (each file holds every y)
+    assert(skipped(t().filter($"x" === 7L).count()) > 0)
+    assert(skipped(t().filter($"y" === 7L).count()) == 0,
+      "x-sorted files should span the whole y domain")
+    // re-lay in z-order
+    iso.sql("CALL tc.compact('ns.t', 16, cluster_by => 'zorder(x,y)')")
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols ==
+      Seq("zorder(x,y)"), "the declared layout must persist")
+    assert(t().count() == 128L * 128L)
+    assert(t().agg(sum($"v")).head().getDouble(0) ==
+      (0 until 128 * 128).map(_ * 0.5).sum)
+    // the z-laid table prunes on EITHER dimension
+    val sx = skipped(t().filter($"x" === 7L).count())
+    val sy = skipped(t().filter($"y" === 7L).count())
+    assert(sx > 0, "first dimension must still prune under zorder")
+    assert(sy > 0, "SECOND dimension must prune under zorder — " +
+      "the whole point of the layout")
+    // point lookups on both dims keep very few files (z-locality)
+    val sxy = skipped(
+      t().filter($"x" === 7L && $"y" === 7L).count())
+    assert(sxy >= sx.max(sy), s"2-dim filter prunes at least as much " +
+      s"($sxy vs $sx/$sy)")
+    // appends ride the declared layout: the task writer Morton-sorts
+    // its buffer, so new segments are z-clustered too (locally)
+    iso.range(0, 256)
+      .select(lit(200L).as("x"), ($"id" % 128).as("y"),
+        lit(1.0).as("v"))
+      .repartition(1).writeTo("tc.ns.t").append()
+    assert(t().count() == 128L * 128L + 256L)
+    // DML under the zorder layout: rewrite succeeds, layout spec
+    // survives, answers stay right
+    iso.sql("DELETE FROM tc.ns.t WHERE x = 200")
+    assert(t().count() == 128L * 128L)
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols ==
+      Seq("zorder(x,y)"))
+    // guards: zorder is sole, two distinct int columns
+    intercept[Exception](iso.sql(
+      "CALL tc.compact('ns.t', 16, cluster_by => 'zorder(x,y),x')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.compact('ns.t', 16, cluster_by => 'zorder(x,x)')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.compact('ns.t', 16, cluster_by => 'zorder(x,v)')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.compact('ns.t', 16, cluster_by => 'zorder(x,nope)')"))
+  }
 }

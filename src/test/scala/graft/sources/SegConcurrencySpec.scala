@@ -159,4 +159,92 @@ class SegConcurrencySpec extends SparkSpec {
     iso.sql("DELETE FROM tc.ns.t WHERE id >= 110")
     assert(iso.table("tc.ns.t").count() == 100L)
   }
+
+  /** Run `body` under an injected [[CommitProvider]], always
+    * restoring POSIX — the provider models the filesystem and is
+    * process-global. */
+  private def withProvider[T](p: CommitProvider)(body: => T): T =
+    try { SegManifest.commitProvider = p; body }
+    finally SegManifest.commitProvider = PosixCommitProvider
+
+  test("CommitProvider seam: transient exclusive-create failures " +
+      "retry through; commits land unchanged") {
+    val (iso, wh) = cat("cpflaky")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT) USING gseg")
+    // the store's conditional PUT flakes (spurious precondition
+    // failure, the eventual-consistency shape) twice per acquisition
+    // — the lock loop's spin-and-recreate must ride over it
+    val flakes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p = new CommitProvider {
+      override def createExclusive(path: java.nio.file.Path,
+          body: Array[Byte]): Unit = {
+        if (flakes.getAndIncrement() % 3 != 2)
+          throw new java.nio.file.FileAlreadyExistsException(path.toString)
+        PosixCommitProvider.createExclusive(path, body)
+      }
+      override def publish(dir: java.nio.file.Path,
+          path: java.nio.file.Path, body: Array[Byte]): Unit =
+        PosixCommitProvider.publish(dir, path, body)
+    }
+    withProvider(p) {
+      iso.range(50).writeTo("tc.ns.t").append()
+      iso.range(50, 100).writeTo("tc.ns.t").append()
+    }
+    assert(iso.table("tc.ns.t").count() == 100L)
+    assert(SegManifest.read(s"$wh/ns/t").get._1 == 2L)
+  }
+
+  test("CommitProvider seam: a NON-ATOMIC publish (torn mid-write " +
+      "crash) is detected loudly, never served silently") {
+    val (iso, wh) = cat("cptorn")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT) USING gseg")
+    iso.range(100).repartition(4).writeTo("tc.ns.t").append()
+    val dir = s"$wh/ns/t"
+    assert(iso.table("tc.ns.t").count() == 100L)
+    // a fake FS whose second publish of the commit (the LIVE manifest
+    // pointer; the first is the snapshot copy) writes a PREFIX
+    // in place — no temp, no rename — then dies: the torn-rename
+    // shape POSIX forbids and a misconfigured store might not
+    var calls = 0
+    val p = new CommitProvider {
+      override def createExclusive(path: java.nio.file.Path,
+          body: Array[Byte]): Unit =
+        PosixCommitProvider.createExclusive(path, body)
+      override def publish(dir: java.nio.file.Path,
+          path: java.nio.file.Path, body: Array[Byte]): Unit = {
+        calls += 1
+        if (calls == 2) {
+          java.nio.file.Files.write(path,
+            java.util.Arrays.copyOf(body, (body.length * 3) / 4))
+          throw new java.io.IOException("fake store died mid-PUT")
+        }
+        PosixCommitProvider.publish(dir, path, body)
+      }
+    }
+    withProvider(p) {
+      intercept[Exception](
+        iso.range(100, 200).repartition(4).writeTo("tc.ns.t").append())
+    }
+    assert(calls == 2, s"expected the tear on publish #2, saw $calls")
+    // the damage is LOUD everywhere downstream: the framing checks
+    // (declared count vs body) reject the torn manifest on every
+    // read and every subsequent commit — never a silent subset
+    val read = intercept[Exception](SegManifest.read(dir))
+    assert(read.getMessage.contains("torn manifest"),
+      s"got: ${read.getMessage}")
+    val commit = intercept[Exception](
+      iso.range(200, 300).writeTo("tc.ns.t").append())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(commit).exists(_.contains("torn manifest")),
+      s"got: ${messages(commit)}")
+    // operator repair: the snapshot copy published ATOMICALLY before
+    // the pointer tore — restoring it recovers the committed history
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, ".manifest.v1"),
+      java.nio.file.Paths.get(dir, ".manifest"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(iso.table("tc.ns.t").count() == 100L)
+  }
 }

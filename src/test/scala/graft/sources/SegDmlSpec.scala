@@ -610,7 +610,8 @@ class SegDmlSpec extends SparkSpec {
     val procs = shown.select(col("procedure_name")).collect()
       .map(_.getString(0)).toSet
     assert(procs ==
-      Set("vacuum", "compact", "history", "rollback", "changes", "clone"),
+      Set("vacuum", "compact", "history", "rollback", "changes", "clone",
+        "tag", "untag"),
       s"procedures: $procs")
   }
 
@@ -1787,6 +1788,134 @@ class SegDmlSpec extends SparkSpec {
     val e = intercept[Exception](
       iso.sql("ALTER TABLE tc.ns.c ALTER COLUMN k TYPE BIGINT"))
     assert(e.getMessage.contains("clustering"))
+  }
+
+  test("tags pin generations (segments + DVs) against vacuum until untagged") {
+    val (iso, wh) = dml("tags")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, v DOUBLE) USING gseg " +
+      "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    iso.sql("INSERT INTO tc.ns.t SELECT id, id * 0.5 FROM range(0, 100)")
+    iso.sql("DELETE FROM tc.ns.t WHERE k < 10") // gen 2: vector commit
+    val dir = s"$wh/ns/t"
+    val gen2 = SegManifest.read(dir).get._1
+    val snap2 = SegManifest.readSnapshotManifest(dir, gen2).get
+    assert(snap2.dvs.nonEmpty, "mor DELETE must have written a vector")
+    iso.sql(s"CALL tc.tag('ns.t', 'audit-2026q3', $gen2)")
+    // CALL history reports the pin (tail-appended `tags` column)
+    assert(iso.sql("CALL tc.history('ns.t')")
+      .filter(col("generation") === gen2)
+      .head().getAs[String]("tags") == "audit-2026q3")
+    // two overwrites push the live pointer past the tagged generation
+    // and orphan its files from every keep_last=1 floor but the tag's
+    iso.sql("INSERT OVERWRITE tc.ns.t SELECT id, id * 1.0 FROM range(0, 50)")
+    iso.sql("INSERT OVERWRITE tc.ns.t SELECT id, id * 2.0 FROM range(0, 50)")
+    iso.sql("CALL tc.vacuum('ns.t', keep_last => 1)")
+    def onDisk(n: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))
+    assert((snap2.names ++ snap2.dvs.values).forall(onDisk),
+      "tagged generation's segments + DVs must survive keep_last=1")
+    // VERSION AS OF the tag: the pinned content, masked by ITS vectors
+    assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'audit-2026q3'")
+      .count() == 90)
+    assert(iso.sql("SELECT sum(v) FROM tc.ns.t VERSION AS OF 'audit-2026q3'")
+      .head().getDouble(0) == (10 until 100).map(_ * 0.5).sum)
+    // clone-from-tag: an independent fork of the pinned snapshot
+    iso.sql("CALL tc.clone('ns.t', 'ns.aud', tag => 'audit-2026q3')")
+    assert(iso.table("tc.ns.aud").count() == 90)
+    // guards: all-digit names collide with generation numbers;
+    // re-pointing a live tag is loud; unknown untag is loud
+    intercept[Exception](iso.sql(s"CALL tc.tag('ns.t', '123', $gen2)"))
+    intercept[Exception](
+      iso.sql(s"CALL tc.tag('ns.t', 'audit-2026q3', ${gen2 + 1})"))
+    intercept[Exception](iso.sql("CALL tc.untag('ns.t', 'nope')"))
+    // untag releases the floor: the NEXT vacuum reclaims everything
+    // of gen 2 the live generation doesn't share
+    iso.sql("CALL tc.untag('ns.t', 'audit-2026q3')")
+    iso.sql("CALL tc.vacuum('ns.t', keep_last => 1)")
+    val live = SegManifest.read(dir).get._2.toSet
+    assert((snap2.names.toSet -- live).forall(n => !onDisk(n)),
+      "untagged generation's segments must be reclaimed")
+    assert(snap2.dvs.values.forall(n => !onDisk(n)),
+      "untagged generation's vectors must be reclaimed")
+    intercept[Exception](
+      iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'audit-2026q3'")
+        .collect())
+    // the clone is UNAFFECTED: independent history, hard-linked bytes
+    assert(iso.table("tc.ns.aud").count() == 90)
+  }
+
+  test("ALTER COLUMN TYPE widens FLOAT to DOUBLE and DECIMAL precision") {
+    val (iso, wh) = dml("widen2")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, f FLOAT, d DECIMAL(7,2)) " +
+      "USING gseg")
+    // gen 1: FLOAT + DECIMAL(7,2) blocks (dyadic values: exact at
+    // every width, so cross-generation sums are bit-reproducible)
+    iso.sql("INSERT INTO tc.ns.t VALUES " +
+      "(1, CAST(1.25 AS FLOAT), CAST(10.50 AS DECIMAL(7,2))), " +
+      "(2, CAST(2.75 AS FLOAT), CAST(20.25 AS DECIMAL(7,2)))")
+    val dir = s"$wh/ns/t"
+    val before = SegManifest.read(dir).get._2.toSet
+    iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN f TYPE DOUBLE")
+    iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN d TYPE DECIMAL(12,2)")
+    // pure metadata: no segment rewritten by either ALTER
+    assert(SegManifest.read(dir).get._2.toSet == before)
+    assert(iso.table("tc.ns.t").schema("f").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(iso.table("tc.ns.t").schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    // gen 2: DOUBLE + DECIMAL(12,2) blocks; 9999999999.25 overflows
+    // DECIMAL(7,2)'s 5 integer digits
+    iso.sql("INSERT INTO tc.ns.t VALUES " +
+      "(3, CAST(4.5 AS DOUBLE), CAST(9999999999.25 AS DECIMAL(12,2)))")
+    // the aggregate SPANS generations: stored float/narrow-decimal
+    // blocks promote at the decode seam
+    assert(iso.table("tc.ns.t").agg(sum($"f")).head().getDouble(0) ==
+      1.25 + 2.75 + 4.5)
+    assert(iso.table("tc.ns.t").agg(sum($"d")).head()
+      .getDecimal(0).compareTo(new java.math.BigDecimal("10000000030.00"))
+      == 0)
+    // header-agg pushdown promotes stored stats to the current types
+    assert(iso.table("tc.ns.t").agg(min($"f"), max($"d")).head() ==
+      org.apache.spark.sql.Row(1.25d,
+        new java.math.BigDecimal("9999999999.25")))
+    // zone maps prune across the mixed-width files (float stats are
+    // exact double bits; decimal stats unscaled longs at one scale)
+    graft.Counters.drain()
+    assert(iso.table("tc.ns.t").filter($"f" > 3.0d).count() == 1)
+    val c1 = graft.Counters.drain()
+    assert(c1.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c1")
+    assert(iso.table("tc.ns.t")
+      .filter($"d" > new java.math.BigDecimal("100.00")).count() == 1)
+    val c2 = graft.Counters.drain()
+    assert(c2.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c2")
+    // VERSION AS OF the pre-widen generation serves the OLD types
+    val old = iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1")
+    assert(old.schema("f").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    assert(old.schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(7, 2))
+    assert(old.agg(sum($"f")).head().getDouble(0) == 1.25 + 2.75)
+    // DML across the widen boundary: the copy-on-write rewrite
+    // re-encodes pre-widen blocks under the CURRENT types
+    iso.sql("DELETE FROM tc.ns.t WHERE k = 2")
+    assert(iso.table("tc.ns.t").agg(sum($"f")).head().getDouble(0) ==
+      1.25 + 4.5)
+    // guards: narrowing, scale changes, and precision past the
+    // long-backed 18 stay loud
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN f TYPE FLOAT"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN d TYPE DECIMAL(14,4)"))
+    intercept[Exception](
+      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN d TYPE DECIMAL(22,2)"))
+    // unstorable type: decimal precision > 18 fails at CREATE already
+    // (the catalog validates every column through SegSource.tag)
+    val e = intercept[Exception](
+      iso.sql("CREATE TABLE tc.ns.wide (k BIGINT, v DECIMAL(22,2)) " +
+        "USING gseg"))
+    assert(e.getMessage.contains("precision"))
   }
 
   test("compact(target_bytes) rewrites only small segments, shares the rest") {

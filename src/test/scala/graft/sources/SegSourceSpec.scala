@@ -42,6 +42,56 @@ class SegSourceSpec extends SparkSpec {
       .filter(col("s").isNotNull).count() === 2)
   }
 
+  test("v6 FLOAT and DECIMAL columns roundtrip, filter, prune, and " +
+      "aggregate with exact stats") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegv6").toString
+    val src = Seq(
+      (1L, Some(1.25f), Some(BigDecimal("10.50"))),
+      (2L, Some(-2.75f), Some(BigDecimal("-0.01"))),
+      (3L, None, None),
+      (4L, Some(0.0f), Some(BigDecimal("99999999.99"))))
+      .toDF("k", "f", "d")
+      .select($"k", $"f", $"d".cast("decimal(10,2)").as("d"))
+    // two files with disjoint ranges so zone maps have something to do
+    SegSource.write(src.filter($"k" <= 2).coalesce(1), d)
+    src.filter($"k" > 2).coalesce(1).write.format("gseg")
+      .mode("append").save(d)
+    val t = spark.read.format("gseg").load(d)
+    assert(t.schema("f").dataType === org.apache.spark.sql.types.FloatType)
+    assert(t.schema("d").dataType ===
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(t.collect().map(_.toSeq).toSet ===
+      src.collect().map(_.toSeq).toSet)
+    // row-grain filters through the pushed path (exact decimal math)
+    assert(t.filter($"d" > BigDecimal("0")).count() === 2)
+    assert(t.filter($"f" < 0.0f).count() === 1)
+    assert(t.filter($"d".isNull).count() === 1)
+    // zone maps prune files: d <= -0.01 lives only in file 1
+    graft.Counters.drain()
+    assert(t.filter($"d" <= BigDecimal("-0.01")).count() === 1)
+    assert(graft.Counters.drain()
+      .getOrElse("gseg_files_skipped", 0L) >= 1L)
+    // header-agg pushdown: min/max answered from stats, exactly
+    val r = t.agg(min($"f"), max($"f"), min($"d"), max($"d")).head()
+    assert(r.getFloat(0) === -2.75f && r.getFloat(1) === 1.25f)
+    assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("-0.01")) == 0)
+    assert(r.getDecimal(3).compareTo(
+      new java.math.BigDecimal("99999999.99")) == 0)
+    // sums are exact through Spark's decimal aggregate
+    assert(t.agg(sum($"d")).head().getDecimal(0).compareTo(
+      new java.math.BigDecimal("100000010.48")) == 0)
+    // guards: precision > 18 is unstorable (loud at plan time), and
+    // floating/decimal columns refuse blooms
+    val wide = Seq((1L, BigDecimal("1.0"))).toDF("k", "v")
+      .select($"k", $"v".cast("decimal(22,2)").as("v"))
+    intercept[Exception](
+      wide.write.format("gseg").mode("overwrite").save(d + "_wide"))
+    intercept[Exception](
+      src.write.format("gseg").option(SegSource.BloomColumnsOption, "f")
+        .mode("overwrite").save(d + "_bloom"))
+  }
+
   test("timestamp and boolean columns roundtrip, filter, prune, and aggregate correctly") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("gsegtyped").toString

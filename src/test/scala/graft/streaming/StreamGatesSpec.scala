@@ -58,6 +58,9 @@ class StreamGatesSpec extends SparkSpec {
     // allowed to be vacuous (recorded synchronously by the gate)
     assert(graft.Counters.peek("sjp_cross_batch_pairs") >= 1L,
       "no matched pair straddled the batch cut")
+    assert(row(0).getBoolean(2),
+      "join state was not served by the pinned RocksDB provider " +
+        "(checkpoint on-disk shapes)")
   }
 
   test("transformWithState running totals equal the batch aggregate") {
@@ -66,6 +69,8 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getBoolean(0),
       "transformWithState per-user totals != batch aggregate")
     assert(row(0).getLong(1) > 0, "no users streamed")
+    assert(row(0).getBoolean(2),
+      "tws state was not served by the pinned RocksDB provider")
   }
 
   test("tws event-time timers flush exactly the dangling final sessions") {
@@ -125,6 +130,9 @@ class StreamGatesSpec extends SparkSpec {
     assert(row(0).getBoolean(0),
       "left-outer stream-stream join rows != batch left join")
     assert(row(0).getLong(1) > 0, "no rows emitted")
+    assert(row(0).getBoolean(2),
+      "outer-join state (incl. live eviction) was not served by the " +
+        "pinned RocksDB provider")
   }
 
   test("gates leave the caller session's shuffle partitions untouched") {
