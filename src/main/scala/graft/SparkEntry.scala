@@ -302,6 +302,7 @@ object SparkEntry {
     "s47_dsv2_widen" -> CoreOps.s47DsvWiden _,
     "s48_dsv2_tag" -> CoreOps.s48DsvTag _,
     "s49_dsv2_zorder" -> CoreOps.s49DsvZorder _,
+    "s50_dsv2_binary" -> CoreOps.s50DsvBinary _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1582,6 +1583,16 @@ object SparkEntry {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   FROM orders WHERE o_custkey % 89 BETWEEN 10 AND 12) AS sum2,
         |  TRUE AS dim1_pruned, TRUE AS dim2_pruned""".stripMargin,
+    // BINARY COLUMNS: opaque payloads in the table format; the
+    // post-DELETE byte volume and exact distinct-payload count are
+    // recomputed from the raw text (UTF-8 encode on both engines)
+    "s50_dsv2_binary" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT)
+        |         AS sum_bytes,
+        |       COUNT(DISTINCT text) AS n_distinct_payloads,
+        |       COUNT(DISTINCT lang) AS n_langs
+        |FROM documents WHERE NOT (doc_id % 7 = 3)""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

@@ -4166,6 +4166,30 @@ object CoreOps {
       .toDF("n1", "sum1", "n2", "sum2", "dim1_pruned", "dim2_pruned")
   }
 
+  /** BINARY COLUMNS [S50]: opaque payloads (tag 9, v6) as first-class
+    * gseg columns — the multimodal/LLM-pipeline shape where media
+    * bytes live IN the table format next to their metadata. No zone
+    * stats (byte order over opaque payloads prunes nothing), but NDV
+    * sketches and copy-on-write DML work unchanged: the DELETE here
+    * rewrites files whose binary blocks re-encode byte-identically,
+    * and the aggregate (payload byte volume + exact distinct payload
+    * count) is recomputed by the oracle from the raw text. */
+  def s50DsvBinary(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml50")
+    iso.sql("CREATE TABLE gseg_dml.dml.t " +
+      "(doc_id BIGINT, lang STRING, payload BINARY) USING gseg")
+    Tables.documents(iso, d)
+      .select(col("doc_id"), col("lang"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .repartition(4).writeTo("gseg_dml.dml.t").append()
+    iso.sql("DELETE FROM gseg_dml.dml.t WHERE doc_id % 7 = 3")
+    iso.table("gseg_dml.dml.t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("payload")).cast(LongType)).as("sum_bytes"),
+        countDistinct(col("payload")).as("n_distinct_payloads"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -459,25 +459,35 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
   private val nonKeyIdx =
     table.fieldNames.indices.filterNot(keyIdx.contains)
 
+  // SUPPORTED-TYPES INVARIANT: bucketing by Seq[Any].hashCode and
+  // pairing payloads with == is correct for every VALUE-based
+  // internal rep gseg stores — Long/Int/Double/Float/Boolean and
+  // UTF8String, timestamps/dates as their Long/Int internals, v6
+  // Decimal (semantic equals/hashCode; one column = one
+  // (precision, scale), so equal values hash equal). The ONE
+  // array-backed rep, v6 BinaryType → Array[Byte] (identity-based
+  // hashCode/==), is NORMALIZED through [[norm]] below before any
+  // hash or comparison — extend [[SegSource.tag]] only together with
+  // norm (the r14 VERDICT hygiene contract, now load-bearing).
+  /** Array[Byte] → immutable ArraySeq: value-based hashCode/equals
+    * over the bytes, for key bucketing, key-map lookups and payload
+    * pairing. Every other rep passes through. */
+  private def norm(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
   private def keyOf(r: InternalRow): Seq[Any] =
     keyIdx.map(i => if (r.isNullAt(i)) null
-      else r.get(i, table(i).dataType))
-  // SUPPORTED-TYPES INVARIANT: bucketing by Seq[Any].hashCode and
-  // pairing payloads with == is correct for every type gseg stores
-  // today — Long/Int/Double/Float/Boolean and UTF8String (value-based
-  // hashCode/equals), timestamps/dates as their Long/Int internals,
-  // and v6 Decimal (Spark's Decimal defines semantic equals/hashCode;
-  // one column = one (precision, scale), so equal values hash equal).
-  // A future ARRAY-backed internal type (BinaryType → Array[Byte])
-  // would silently break BOTH (array hashCode/equality are
-  // identity-based); extend [[SegSource.tag]] only together with this
-  // reader (r14 VERDICT hygiene item).
+      else norm(r.get(i, table(i).dataType)))
   private def inBucket(k: Seq[Any]): Boolean =
     java.lang.Math.floorMod(k.hashCode, p.nBuckets) == p.bucket
   private def copyOf(r: InternalRow): InternalRow = {
     val a = new Array[Any](table.length)
     var i = 0
     while (i < table.length) {
+      // raw reps here (rows are EMITTED from these copies — a
+      // GenericInternalRow must keep Array[Byte] for BinaryType);
+      // norm applies only at compare/hash seams
       a(i) = if (r.isNullAt(i)) null else r.get(i, table(i).dataType)
       i += 1
     }
@@ -485,8 +495,8 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
   }
   private def payloadEq(a: InternalRow, b: InternalRow): Boolean =
     nonKeyIdx.forall { i =>
-      val av = if (a.isNullAt(i)) null else a.get(i, table(i).dataType)
-      val bv = if (b.isNullAt(i)) null else b.get(i, table(i).dataType)
+      val av = if (a.isNullAt(i)) null else norm(a.get(i, table(i).dataType))
+      val bv = if (b.isNullAt(i)) null else norm(b.get(i, table(i).dataType))
       if (av == null) bv == null else av == bv
     }
 

@@ -67,8 +67,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * int, double, string, boolean, timestamp (micros-since-epoch
   * longs), date (days-since-epoch ints), float (v6), decimal with
   * precision ≤ 18 (v6 — stored as unscaled longs at the column's
-  * fixed scale) — time columns get the same exact zone-map stats as
-  * keys — with per-column null bitmaps.
+  * fixed scale), binary (v6 — opaque len-prefixed payloads: no zone
+  * stats, but NDV sketches and opted-in blooms ride the same bytes
+  * hash as strings) — time columns get the same exact zone-map stats
+  * as keys — with per-column null bitmaps.
   *
   * Layout per file (v2):
   *   "GSEG" magic, version byte (2), int nRows, int nCols,
@@ -652,6 +654,9 @@ object SegSource {
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
     case s: String => Some(s)
+    // binary filter values hash the same bytes the writer's NDV and
+    // blooms did — point lookups on opted-in payload columns prune
+    case b: Array[Byte] => Some(b)
     case d: java.sql.Date => Some(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
     case d: java.time.LocalDate => Some(
@@ -704,14 +709,14 @@ object SegSource {
     math.max(1L, math.round(corrected))
   }
 
-  /** Type registry note: every type here has a VALUE-BASED internal
-    * representation (Long/Int/Double/Float/Boolean/UTF8String, and
-    * Spark's Decimal — which defines semantic equals/hashCode) — the
-    * CDF diff reader's key bucketing and payload pairing
-    * ([[SegCdfDiffReader]]) rely on that for hashCode/==. Adding an
-    * array-backed type (e.g. BinaryType → Array[Byte], whose
-    * hashCode/equality are identity-based) requires extending that
-    * reader in the same change. */
+  /** Type registry note: the CDF diff reader's key bucketing and
+    * payload pairing ([[SegCdfDiffReader]]) rely on value-based
+    * hashCode/== per cell. Every scalar rep here satisfies that
+    * directly (Long/Int/Double/Float/Boolean/UTF8String, Spark's
+    * Decimal); the one ARRAY-backed rep — v6 BinaryType →
+    * Array[Byte], identity-based — is normalized at that reader's
+    * compare/hash seams (`SegCdfDiffReader.norm`). Any new
+    * array-backed type must extend norm in the SAME change. */
   private[sources] def tag(dt: DataType): Byte = dt match {
     case LongType      => 0
     case IntegerType   => 1
@@ -725,9 +730,10 @@ object SegSource {
     case d: DecimalType => throw new IllegalArgumentException(
       s"gseg supports decimal precision <= 18 (long-backed unscaled " +
         s"storage), got ${d.simpleString}")
+    case BinaryType    => 9 // v6: len-prefixed bytes, no zone stats
     case other => throw new IllegalArgumentException(
       s"gseg supports long/int/double/string/boolean/timestamp/date/" +
-        s"float/decimal(<=18), got $other")
+        s"float/decimal(<=18)/binary, got $other")
   }
   /** Column type from header metadata — decimal needs the (prec,
     * scale) pair the tag byte alone can't carry. */
@@ -741,6 +747,7 @@ object SegSource {
     case 6 => DateType
     case 7 => FloatType
     case 8 => DecimalType(cm.prec, cm.scale)
+    case 9 => BinaryType
   }
 
   /** Convenience writer: route `df` through the V2 write path
@@ -898,6 +905,23 @@ object SegSource {
           def ok(b: Array[Byte]): Boolean =
             b != null && b.length <= 48 && b.forall(x => (x & 0x80) == 0)
           if (ok(mnB) && ok(mxB)) { minStr(c) = mnB; maxStr(c) = mxB }
+        // BINARY (v6): len-prefixed bytes like strings, but NO zone
+        // stats of any kind (byte order over opaque payloads prunes
+        // nothing a predicate can express) — NDV and opted-in blooms
+        // still ride the same bytes hash as strings, so COUNT
+        // DISTINCT estimation and point-lookup pruning work on
+        // payload columns
+        case BinaryType =>
+          while (i < n) {
+            val v = rows(i)(c)
+            if (v != null) {
+              val b = v.asInstanceOf[Array[Byte]]
+              o.writeInt(b.length); o.write(b)
+              hllAdd(regs, bytesHash64(b)); sketched = true
+              if (bw != null) bloomSet(bw, bytesHash64(b))
+            }
+            i += 1
+          }
         // TIMESTAMP rides the long path (micros since epoch): same
         // encoding, same exact zone-map stats
         case TimestampType => while (i < n) {
@@ -1287,6 +1311,21 @@ object SegSource {
         // dropped row cannot be resurrected by Spark's re-check)
         case (b: java.lang.Boolean, vb: Boolean) =>
           Some(java.lang.Boolean.compare(b.booleanValue(), vb))
+        // binary columns: unsigned lexicographic byte order — exactly
+        // Spark's BinaryType ordering (TypeUtils.compareBinary), so a
+        // pushed =/range on a payload column kills rows the way the
+        // engine would; bd() falling through to None here would make
+        // an accepted EqualTo silently drop EVERY row
+        case (x: Array[Byte], vb: Array[Byte]) =>
+          var i = 0
+          val n = math.min(x.length, vb.length)
+          var out = Option.empty[Int]
+          while (out.isEmpty && i < n) {
+            val d = (x(i) & 0xff) - (vb(i) & 0xff)
+            if (d != 0) out = Some(d)
+            i += 1
+          }
+          Some(out.getOrElse(x.length - vb.length))
         case _ => for (l <- bd(x); r <- bd(v)) yield l.compareTo(r)
       }
     }
@@ -1479,18 +1518,20 @@ object SegSource {
           case Some(n) => AggCountCol(n)
           case None => return None
         }
-      // stat-less types (string, boolean) must DECLINE min/max: a
-      // header-answered null partial over real data would be a wrong
-      // answer, not a slow one
+      // stat-less types (string, boolean, binary) must DECLINE
+      // min/max: a header-answered null partial over real data would
+      // be a wrong answer, not a slow one
       case m: Min =>
         fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
-          case Some((n, dt)) if dt != StringType && dt != BooleanType =>
+          case Some((n, dt)) if dt != StringType && dt != BooleanType &&
+              dt != BinaryType =>
             AggMin(n, dt)
           case _ => return None
         }
       case m: Max =>
         fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
-          case Some((n, dt)) if dt != StringType && dt != BooleanType =>
+          case Some((n, dt)) if dt != StringType && dt != BooleanType &&
+              dt != BinaryType =>
             AggMax(n, dt)
           case _ => return None
         }
@@ -2771,6 +2812,14 @@ class SegPartitionReader(file: String, required: StructType,
               case 7 => while (i < n) {
                 if (!isNull(i)) vals(i) = in.readFloat(); i += 1
               }
+              case 9 => while (i < n) {
+                if (!isNull(i)) {
+                  val b = new Array[Byte](in.readInt())
+                  in.readFully(b)
+                  vals(i) = b // BinaryType internal rep IS Array[Byte]
+                }
+                i += 1
+              }
               case 8 =>
                 // decimal: unscaled longs → Spark internal Decimal at
                 // the EFFECTIVE precision — the table's current one
@@ -3253,6 +3302,10 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
           java.lang.Boolean.valueOf(r.getBoolean(c))
         case FloatType => rowBytes += 4
           java.lang.Float.valueOf(r.getFloat(c))
+        case BinaryType =>
+          val b = r.getBinary(c)
+          rowBytes += 4 + b.length
+          b
         case d: DecimalType if d.precision <= 18 => rowBytes += 8
           // unscaled long at the column's fixed scale (tag() already
           // rejected precision > 18 at schema validation)

@@ -164,7 +164,21 @@ object Sf1Probe {
         // track the UPDATED rows (10% of the table at either scale),
         // never the resident bytes; segments stay shared
         "s45_dsv2_mor_update" -> ((s, d) =>
-          graft.operators.CoreOps.s45DsvMorUpdate(s, d)))
+          graft.operators.CoreOps.s45DsvMorUpdate(s, d)),
+        // r16 additions: widening is METADATA-only (cost = the two
+        // appends + the DELETE's affected-file rewrite; jobs
+        // constant); tags are metadata-grain (the tagged-snapshot
+        // aggregate is table-proportional by design, the pin itself
+        // free); the zorder re-layout is a one-shot table rewrite by
+        // design, but the PRUNED single-dimension aggregates must
+        // keep their skip RATIO (gseg_files_skipped / files_total
+        // constant fraction) and job counts at any scale
+        "s47_dsv2_widen" -> ((s, d) =>
+          graft.operators.CoreOps.s47DsvWiden(s, d)),
+        "s48_dsv2_tag" -> ((s, d) =>
+          graft.operators.CoreOps.s48DsvTag(s, d)),
+        "s49_dsv2_zorder" -> ((s, d) =>
+          graft.operators.CoreOps.s49DsvZorder(s, d)))
     // optional arg: comma-separated names — probe only those
     val only = args.headOption.map(_.split(',').toSet)
     val picked = queries.filter(q => only.forall(_.contains(q._1)))

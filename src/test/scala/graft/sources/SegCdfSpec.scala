@@ -428,4 +428,36 @@ class SegCdfSpec extends SparkSpec {
     assert(post.collect().map(_.getLong(0)).toSet ==
       (30L until 40L).map(_ + 100).toSet)
   }
+
+  test("BINARY payloads classify correctly through the diff (the " +
+      "array-rep normalization seam)") {
+    val (iso, wh) = dml("bin")
+    import iso.implicits._
+    val dir = s"$wh/ns/t"
+    // payload is a BINARY column: without SegCdfDiffReader.norm the
+    // identity-based Array[Byte] equality would classify EVERY
+    // carried row as updated (payloadEq false) — and binary KEYS
+    // would never pair at all (key-map lookups by hashCode)
+    SegSource.write(
+      iso.range(0, 40).select($"id".as("k"),
+        encode(concat(lit("p"), $"id"), "UTF-8").as("payload"))
+        .repartitionByRange(2, $"k"), dir)
+    iso.table("tc.ns.t").count() // gen 0 (manifest migration)
+    // gen 1: rewrite that changes 5 payloads and CARRIES the rest of
+    // the touched file byte-identically
+    iso.sql("UPDATE tc.ns.t SET payload = encode('changed', 'UTF-8') " +
+      "WHERE k >= 35")
+    val f = feed(iso, dir, 1, 1).cache()
+    try {
+      assert(f.filter($"_change_type" === "update_preimage").count() == 5)
+      assert(f.filter($"_change_type" === "update_postimage").count() == 5)
+      // carried rows of the rewritten file emit NOTHING: binary
+      // payload equality is by VALUE
+      assert(f.filter($"_change_type".isin("insert", "delete")).count()
+        == 0)
+      assert(f.filter($"_change_type" === "update_postimage")
+        .select(decode($"payload", "UTF-8")).collect()
+        .forall(_.getString(0) == "changed"))
+    } finally { f.unpersist(); () }
+  }
 }
