@@ -303,6 +303,7 @@ object SparkEntry {
     "s48_dsv2_tag" -> CoreOps.s48DsvTag _,
     "s49_dsv2_zorder" -> CoreOps.s49DsvZorder _,
     "s50_dsv2_binary" -> CoreOps.s50DsvBinary _,
+    "s51_dsv2_media" -> CoreOps.s51DsvMedia _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1593,6 +1594,22 @@ object SparkEntry {
         |       COUNT(DISTINCT text) AS n_distinct_payloads,
         |       COUNT(DISTINCT lang) AS n_langs
         |FROM documents WHERE NOT (doc_id % 7 = 3)""".stripMargin,
+    // MEDIA THROUGH THE TABLE FORMAT: deterministic payloads stored
+    // as a gseg binary column, masked by a mor DELETE, format-sniffed
+    // from the masked read; the oracle rebuilds the per-format tally
+    // from the raw documents (byte-exact write/mask/read loop)
+    "s51_dsv2_media" ->
+      """SELECT CASE WHEN text IS NULL THEN 'unknown'
+        |         ELSE CASE ((try_cast(substring(source, 4) AS INT) % 3)
+        |                    + 3) % 3
+        |           WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |           ELSE 'riff' END END AS detected_fmt,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CASE WHEN text IS NULL THEN NULL
+        |                ELSE 4 + octet_length(encode(text)) END) AS BIGINT)
+        |         AS total_bytes
+        |FROM documents WHERE NOT (doc_id % 5 = 2)
+        |GROUP BY 1""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

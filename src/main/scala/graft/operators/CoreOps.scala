@@ -4190,6 +4190,43 @@ object CoreOps {
         countDistinct(col("lang")).as("n_langs"))
   }
 
+  /** MEDIA THROUGH THE TABLE FORMAT [S51]: the multimodal pipeline's
+    * storage story end-to-end — deterministic media payloads (magic
+    * prefix + UTF-8 body, the mm_format_detect generator) PERSISTED
+    * as a gseg BINARY column, masked by a merge-on-read DELETE
+    * (vectors hide binary rows without touching their bytes), then
+    * format-sniffed and byte-accounted from the masked read. The
+    * oracle recomputes the per-format tally from the raw documents —
+    * so payload bytes provably survive the write/mask/read loop
+    * byte-exactly (a single corrupted byte flips a format class or a
+    * byte total). */
+  def s51DsvMedia(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml51")
+    val idx = expr("try_cast(substring(source, 4) AS INT)")
+    val magicHex = when(pmod(idx, lit(3)) === 0, "FFD8FFE0") // JPEG
+      .when(pmod(idx, lit(3)) === 1, "89504E47")             // PNG
+      .otherwise("52494646")                                 // RIFF
+    iso.sql("CREATE TABLE gseg_dml.dml.media " +
+      "(doc_id BIGINT, source STRING, payload BINARY) USING gseg " +
+      "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    Tables.documents(iso, d)
+      .select(col("doc_id"), col("source"),
+        concat(unhex(magicHex), encode(col("text"), "UTF-8"))
+          .as("payload"))
+      .repartition(4).writeTo("gseg_dml.dml.media").append()
+    iso.sql("DELETE FROM gseg_dml.dml.media WHERE doc_id % 5 = 2")
+    val head = hex(substring(col("payload"), 1, 4))
+    iso.table("gseg_dml.dml.media")
+      .select(when(head === "FFD8FFE0", "jpeg")
+          .when(head === "89504E47", "png")
+          .when(head === "52494646", "riff")
+          .otherwise("unknown").as("detected_fmt"),
+        length(col("payload")).cast(LongType).as("n_bytes"))
+      .groupBy(col("detected_fmt"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"))
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

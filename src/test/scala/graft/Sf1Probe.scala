@@ -178,7 +178,12 @@ object Sf1Probe {
         "s48_dsv2_tag" -> ((s, d) =>
           graft.operators.CoreOps.s48DsvTag(s, d)),
         "s49_dsv2_zorder" -> ((s, d) =>
-          graft.operators.CoreOps.s49DsvZorder(s, d)))
+          graft.operators.CoreOps.s49DsvZorder(s, d)),
+        // binary payloads: byte volume is table-proportional BY
+        // DESIGN (it stores the corpus); jobs and the DML's
+        // affected-file counters must stay constant
+        "s50_dsv2_binary" -> ((s, d) =>
+          graft.operators.CoreOps.s50DsvBinary(s, d)))
     // optional arg: comma-separated names — probe only those
     val only = args.headOption.map(_.split(',').toSet)
     val picked = queries.filter(q => only.forall(_.contains(q._1)))
