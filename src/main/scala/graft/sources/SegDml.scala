@@ -355,9 +355,13 @@ class SegCatalog extends TableCatalog
         } else {
           require(m.schema.length > 1, "gseg: cannot drop the last column")
           require(!m.clusterCols.exists(spec =>
-            SegSource.ClusterKey.parse(spec).col == colName),
+            SegSource.parseZOrder(spec) match {
+              case Some((a, b)) => a == colName || b == colName
+              case None => SegSource.ClusterKey.parse(spec).col == colName
+            }),
             s"gseg: cannot drop the clustering column '$colName' " +
-              "(PARTITIONED BY) — the table's layout is keyed on it")
+              "(PARTITIONED BY / zorder) — the table's layout is keyed " +
+              "on it")
           m.copy(
             schema = StructType(
               m.schema.fields.filterNot(_.name == colName)),

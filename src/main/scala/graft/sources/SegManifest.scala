@@ -746,6 +746,10 @@ object SegManifest {
     * (keep_last, horizon, live, another tag) still covers it. */
   def removeTag(dir: String, name: String): Long =
     lockFor(dir).synchronized {
+      // a typo'd table must fail loudly, not mint an empty dir via
+      // the lock's createDirectories
+      require(Files.isDirectory(Paths.get(dir)),
+        s"gseg untag: no table directory at $dir")
       val token = acquireProcessLock(dir)
       try {
         val cur = tags(dir)

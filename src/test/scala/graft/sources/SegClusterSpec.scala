@@ -541,5 +541,9 @@ class SegClusterSpec extends SparkSpec {
       "CALL tc.compact('ns.t', 16, cluster_by => 'zorder(x,v)')"))
     intercept[Exception](iso.sql(
       "CALL tc.compact('ns.t', 16, cluster_by => 'zorder(x,nope)')"))
+    // dropping a z-component would orphan the declared layout
+    intercept[Exception](iso.sql("ALTER TABLE tc.ns.t DROP COLUMN y"))
+    // widening one is FINE (morton is over values, not types) —
+    // pinned in SegInterplaySpec's zorder+widen case
   }
 }
