@@ -304,6 +304,7 @@ object SparkEntry {
     "s49_dsv2_zorder" -> CoreOps.s49DsvZorder _,
     "s50_dsv2_binary" -> CoreOps.s50DsvBinary _,
     "s51_dsv2_media" -> CoreOps.s51DsvMedia _,
+    "s52_dsv2_embeddings" -> CoreOps.s52DsvEmbeddings _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1610,6 +1611,22 @@ object SparkEntry {
         |         AS total_bytes
         |FROM documents WHERE NOT (doc_id % 5 = 2)
         |GROUP BY 1""".stripMargin,
+    // EMBEDDINGS IN THE TABLE FORMAT: the sim_cosine_topk kernel and
+    // oracle over a gseg float-vector table after a merge-on-read
+    // DELETE — scores/neighbors/ranks must match the oracle's
+    // recomputation from the filtered parquet bit-exactly
+    "s52_dsv2_embeddings" ->
+      s"""WITH v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings WHERE NOT (vec_id % 10 = 7)),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, vec_id, $cosSql AS cos
+         |  FROM v CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, vec_id, round(cos, 6) AS cos, CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, vec_id) AS rn FROM scored)
+         |WHERE rn <= 5""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

@@ -60,10 +60,18 @@ object Similarity {
     * streams once through a primitive-array kernel keeping a per-query
     * top-k heap — one distributed pass, no shuffle until the final
     * k·|Q| merge. */
-  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 20, k: Int = 5): DataFrame =
+    cosineTopKOf(s, vectors(s, d), nQueries, k)
+
+  /** [[cosineTopK]] over an arbitrary (vec_id, v: array<double>)
+    * frame — the seam that lets the SAME kernel and oracle run over
+    * any storage (parquet via [[vectors]], a gseg vector table via
+    * s52's read). */
+  def cosineTopKOf(s: SparkSession, vecs: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
     import s.implicits._
-    val bc = broadcastVecs(s, vectors(s, d).filter(col("vec_id") < nQueries))
-    val scored = vectors(s, d)
+    val bc = broadcastVecs(s, vecs.filter(col("vec_id") < nQueries))
+    val scored = vecs
       .select(col("vec_id").as("_1"), col("v").as("_2"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>

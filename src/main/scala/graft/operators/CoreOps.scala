@@ -4227,6 +4227,32 @@ object CoreOps {
         sum(col("n_bytes")).as("total_bytes"))
   }
 
+  /** EMBEDDINGS IN THE TABLE FORMAT [S52]: float-vector columns
+    * (`array<float>`, tag 10) as first-class gseg data — the
+    * vector-lakehouse shape where embeddings live NEXT TO their ids
+    * and labels under the same snapshots, DML and time travel as
+    * everything else. A merge-on-read DELETE masks vector rows
+    * positionally (the embedding bytes are never rewritten), and the
+    * exact brute-force cosine top-k — the SAME primitive-array kernel
+    * and DuckDB oracle as `sim_cosine_topk` — runs over the masked
+    * gseg read: every score, neighbor set and rank must match the
+    * oracle's recomputation from the filtered parquet, so vector
+    * bytes provably survive the write/mask/read loop bit-exactly. */
+  def s52DsvEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml52")
+    iso.sql("CREATE TABLE gseg_dml.dml.vec " +
+      "(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT) USING gseg " +
+      "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    Tables.embeddings(iso, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(4).writeTo("gseg_dml.dml.vec").append()
+    iso.sql("DELETE FROM gseg_dml.dml.vec WHERE vec_id % 10 = 7")
+    val vecs = iso.table("gseg_dml.dml.vec")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    graft.functions.Similarity.cosineTopKOf(iso, vecs, 20, 5)
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

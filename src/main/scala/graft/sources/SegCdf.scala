@@ -464,16 +464,22 @@ class SegCdfDiffReader(p: SegCdfDiffPartition, table: StructType,
   // internal rep gseg stores — Long/Int/Double/Float/Boolean and
   // UTF8String, timestamps/dates as their Long/Int internals, v6
   // Decimal (semantic equals/hashCode; one column = one
-  // (precision, scale), so equal values hash equal). The ONE
-  // array-backed rep, v6 BinaryType → Array[Byte] (identity-based
-  // hashCode/==), is NORMALIZED through [[norm]] below before any
-  // hash or comparison — extend [[SegSource.tag]] only together with
-  // norm (the r14 VERDICT hygiene contract, now load-bearing).
-  /** Array[Byte] → immutable ArraySeq: value-based hashCode/equals
-    * over the bytes, for key bucketing, key-map lookups and payload
-    * pairing. Every other rep passes through. */
+  // (precision, scale), so equal values hash equal). The array-backed
+  // reps — v6 BinaryType → Array[Byte] and v6 ARRAY<FLOAT> →
+  // ArrayData, both identity-based for hashCode/== — are NORMALIZED
+  // through [[norm]] below before any hash or comparison — extend
+  // [[SegSource.tag]] only together with norm (the r14 VERDICT
+  // hygiene contract, now load-bearing).
+  /** Identity-based reps → value-based wrappers, for key bucketing,
+    * key-map lookups and payload pairing: Array[Byte] (BinaryType)
+    * and ArrayData (gseg's only array column is ARRAY<FLOAT>, so
+    * toFloatArray is total) become immutable ArraySeqs whose
+    * hashCode/equals run over the elements. Every scalar rep passes
+    * through. */
   private def norm(v: Any): Any = v match {
     case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a.toFloatArray())
     case x => x
   }
   private def keyOf(r: InternalRow): Seq[Any] =

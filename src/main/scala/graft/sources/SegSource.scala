@@ -69,8 +69,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * precision ≤ 18 (v6 — stored as unscaled longs at the column's
   * fixed scale), binary (v6 — opaque len-prefixed payloads: no zone
   * stats, but NDV sketches and opted-in blooms ride the same bytes
-  * hash as strings) — time columns get the same exact zone-map stats
-  * as keys — with per-column null bitmaps.
+  * hash as strings), float vectors `array<float>` (v6 — embedding
+  * columns as count-prefixed float runs; no stats, no sketches: a
+  * vector's pruning story is the ANN index layer, not zone maps) —
+  * time columns get the same exact zone-map stats as keys — with
+  * per-column null bitmaps.
   *
   * Layout per file (v2):
   *   "GSEG" magic, version byte (2), int nRows, int nCols,
@@ -713,10 +716,11 @@ object SegSource {
     * payload pairing ([[SegCdfDiffReader]]) rely on value-based
     * hashCode/== per cell. Every scalar rep here satisfies that
     * directly (Long/Int/Double/Float/Boolean/UTF8String, Spark's
-    * Decimal); the one ARRAY-backed rep — v6 BinaryType →
-    * Array[Byte], identity-based — is normalized at that reader's
-    * compare/hash seams (`SegCdfDiffReader.norm`). Any new
-    * array-backed type must extend norm in the SAME change. */
+    * Decimal); the ARRAY-backed reps — v6 BinaryType → Array[Byte]
+    * and v6 ARRAY<FLOAT> → ArrayData, both identity-based — are
+    * normalized at that reader's compare/hash seams
+    * (`SegCdfDiffReader.norm`). Any new array-backed type must extend
+    * norm in the SAME change. */
   private[sources] def tag(dt: DataType): Byte = dt match {
     case LongType      => 0
     case IntegerType   => 1
@@ -731,9 +735,15 @@ object SegSource {
       s"gseg supports decimal precision <= 18 (long-backed unscaled " +
         s"storage), got ${d.simpleString}")
     case BinaryType    => 9 // v6: len-prefixed bytes, no zone stats
+    // v6: FLOAT VECTORS — the embedding column type. Count-prefixed
+    // float runs; elements must be non-null (the writer rejects a
+    // null element loudly — an embedding with holes is a data bug,
+    // not a storable value). Either declared nullability is accepted
+    // at the schema gate for parquet-roundtrip ergonomics.
+    case ArrayType(FloatType, _) => 10
     case other => throw new IllegalArgumentException(
       s"gseg supports long/int/double/string/boolean/timestamp/date/" +
-        s"float/decimal(<=18)/binary, got $other")
+        s"float/decimal(<=18)/binary/array<float>, got $other")
   }
   /** Column type from header metadata — decimal needs the (prec,
     * scale) pair the tag byte alone can't carry. */
@@ -748,6 +758,7 @@ object SegSource {
     case 7 => FloatType
     case 8 => DecimalType(cm.prec, cm.scale)
     case 9 => BinaryType
+    case 10 => ArrayType(FloatType, containsNull = false)
   }
 
   /** Convenience writer: route `df` through the V2 write path
@@ -919,6 +930,20 @@ object SegSource {
               o.writeInt(b.length); o.write(b)
               hllAdd(regs, bytesHash64(b)); sketched = true
               if (bw != null) bloomSet(bw, bytesHash64(b))
+            }
+            i += 1
+          }
+        // FLOAT VECTORS (v6): count-prefixed float runs. No stats, no
+        // NDV, no blooms — an embedding column's pruning story is the
+        // ANN index layer (IVF/LSH), not zone maps
+        case ArrayType(FloatType, _) =>
+          while (i < n) {
+            val v = rows(i)(c)
+            if (v != null) {
+              val a = v.asInstanceOf[Array[Float]]
+              o.writeInt(a.length)
+              var j = 0
+              while (j < a.length) { o.writeFloat(a(j)); j += 1 }
             }
             i += 1
           }
@@ -1507,6 +1532,16 @@ object SegSource {
     * (Spark then falls back to a normal scan — never wrong, only
     * slower). Stats exist for numeric columns only, so MIN/MAX on a
     * string column declines the whole aggregation. */
+  /** Types whose segment headers carry exact min/max stats — the only
+    * ones header-answered MIN/MAX may accept (see the whitelist note
+    * at the Min/Max cases). */
+  private[sources] def statCapable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+         TimestampType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   private[sources] def translateAggs(agg: Aggregation,
       schema: StructType): Option[Seq[HeaderAgg]] = {
     if (agg.groupByExpressions().nonEmpty) return None
@@ -1518,21 +1553,19 @@ object SegSource {
           case Some(n) => AggCountCol(n)
           case None => return None
         }
-      // stat-less types (string, boolean, binary) must DECLINE
-      // min/max: a header-answered null partial over real data would
-      // be a wrong answer, not a slow one
+      // min/max accept ONLY types whose headers carry stats — a
+      // WHITELIST, deliberately: a blacklist of stat-less types
+      // (string, boolean, binary, vectors...) re-breaks every time a
+      // new type lands, and the failure mode is a header-answered
+      // NULL partial over real data — a wrong answer, not a slow one
       case m: Min =>
         fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
-          case Some((n, dt)) if dt != StringType && dt != BooleanType &&
-              dt != BinaryType =>
-            AggMin(n, dt)
+          case Some((n, dt)) if statCapable(dt) => AggMin(n, dt)
           case _ => return None
         }
       case m: Max =>
         fieldName(m.column()).flatMap(n => fields.get(n).map(n -> _)) match {
-          case Some((n, dt)) if dt != StringType && dt != BooleanType &&
-              dt != BinaryType =>
-            AggMax(n, dt)
+          case Some((n, dt)) if statCapable(dt) => AggMax(n, dt)
           case _ => return None
         }
       case _ => return None
@@ -1828,7 +1861,7 @@ class SegScanBuilder(full: StructType, path: String,
     val o = orders(0)
     SegSource.fieldName(o.expression()) match {
       case Some(n) if full.fields.exists(f =>
-          f.name == n && f.dataType != StringType) =>
+          f.name == n && SegSource.statCapable(f.dataType)) =>
         topN = Some(SegSource.TopNPush(n,
           o.direction() == SortDirection.DESCENDING,
           o.nullOrdering() == NullOrdering.NULLS_FIRST, l))
@@ -2820,6 +2853,17 @@ class SegPartitionReader(file: String, required: StructType,
                 }
                 i += 1
               }
+              case 10 => while (i < n) {
+                if (!isNull(i)) {
+                  val m = in.readInt()
+                  val a = new Array[Float](m)
+                  var j = 0
+                  while (j < m) { a(j) = in.readFloat(); j += 1 }
+                  vals(i) = new org.apache.spark.sql.catalyst.util
+                    .GenericArrayData(a)
+                }
+                i += 1
+              }
               case 8 =>
                 // decimal: unscaled longs → Spark internal Decimal at
                 // the EFFECTIVE precision — the table's current one
@@ -2932,12 +2976,13 @@ class SegWriteBuilder(path: String, schema: StructType,
       throw new IllegalArgumentException(
         s"gseg: bloom_columns column '$c' is not in the schema"))
     require(f.dataType match {
-      case DoubleType | FloatType | BooleanType | _: DecimalType => false
+      case DoubleType | FloatType | BooleanType | _: DecimalType |
+           _: ArrayType => false
       case _ => true
     }, s"gseg: bloom_columns does not support ${f.dataType.simpleString} " +
       s"('$c') — floating types have no stable value identity, booleans " +
       "no selectivity, decimal filter values can't be hashed without " +
-      "scale context")
+      "scale context, vectors take no point lookups")
   }
   // `_file` is the synthesized metadata column and `__row_operation`
   // the rewrite op marker: a stored data column under either name
@@ -3311,6 +3356,19 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
           // rejected precision > 18 at schema validation)
           java.lang.Long.valueOf(
             r.getDecimal(c, d.precision, d.scale).toUnscaledLong)
+        case ArrayType(FloatType, _) =>
+          val a = r.getArray(c)
+          val m = a.numElements()
+          var j = 0
+          while (j < m) {
+            require(!a.isNullAt(j),
+              s"gseg write: null element at position $j of a " +
+                s"float-vector cell ('${schema(c).name}') — embeddings " +
+                "with holes are a data bug, not a storable value")
+            j += 1
+          }
+          rowBytes += 4 + 4L * m
+          a.toFloatArray()
         case other => throw new IllegalArgumentException(
           s"gseg write: unsupported $other")
       }

@@ -134,6 +134,50 @@ class SegSourceSpec extends SparkSpec {
     assert(t.select(countDistinct($"b")).head().getLong(0) === 2L)
   }
 
+  test("v6 FLOAT-VECTOR columns roundtrip exactly; guards stay loud") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegvec").toString
+    val rows = Seq(
+      (1L, Some(Array(1.5f, -2.25f, 0.0f))),
+      (2L, Some(Array.empty[Float])),
+      (3L, None),
+      (4L, Some(Array(Float.MinPositiveValue, Float.MaxValue))))
+    val src = rows.toDF("k", "e")
+    SegSource.write(src, d)
+    val t = spark.read.format("gseg").load(d)
+    assert(t.schema("e").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    // bit-exact roundtrip, incl. the empty vector and the null cell
+    val back = t.collect().map(r => (r.getLong(0),
+      Option(r.getSeq[Float](1)).map(_.toList))).toMap
+    assert(back === rows.map { case (k, v) =>
+      k -> v.map(_.toList) }.toMap)
+    // vector math over the gseg read (HOF path)
+    assert(t.filter($"k" === 1L)
+      .select(aggregate(transform($"e", x => x * x), lit(0.0d),
+        (acc, x) => acc + x)).head().getDouble(0) ===
+      1.5 * 1.5 + 2.25 * 2.25)
+    // min/max over a vector column must NOT be header-answered (no
+    // stats) — the whitelist declines, Spark computes the real
+    // LEXICOGRAPHIC answer (first element decides: 1.5 > 1.4e-45)
+    assert(t.agg(max($"e")).head().getSeq[Float](0).toList ===
+      List(1.5f, -2.25f, 0.0f))
+    // guards: non-float element types are unstorable (loud at plan
+    // time), null ELEMENTS are a data bug (loud at write time)
+    intercept[Exception](
+      Seq((1L, Array(1.0d))).toDF("k", "e").write.format("gseg")
+        .mode("overwrite").save(d + "_dbl"))
+    val e = intercept[Exception](
+      Seq((1L, Seq(Some(1.0f), None))).toDF("k", "e")
+        .write.format("gseg").mode("overwrite").save(d + "_hole"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null element")),
+      s"got: ${messages(e)}")
+  }
+
   test("timestamp and boolean columns roundtrip, filter, prune, and aggregate correctly") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("gsegtyped").toString
