@@ -1,4 +1,10 @@
 import json
+import os
+
+# the committed metrics copies live NEXT TO this script — resolve
+# relative to it so the committed artifacts are what it analyzes
+# (run_ab.sh's working dir, .ab/out/, is not committed)
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 def load(p):
     d = json.load(open(p))
@@ -8,7 +14,7 @@ passes = {}
 for side in ("r14", "r15"):
     for p in (1, 2):
         try:
-            passes[(side, p)] = load(f"/root/repo/.ab/out/{side}_p{p}_metrics.json")
+            passes[(side, p)] = load(os.path.join(HERE, f"{side}_p{p}_metrics.json"))
         except FileNotFoundError:
             pass
 

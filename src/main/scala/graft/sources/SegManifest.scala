@@ -655,9 +655,12 @@ object SegManifest {
             (n.startsWith(".ctas-") &&
               (n.endsWith(".gseg") || n.endsWith(".gdv")) &&
               !protectedNames.contains(n)) ||
+            // every metadata sidecar (manifest, snapshots, .tags,
+            // .refs) publishes through commitProvider.publish, whose
+            // POSIX temps are all named '.manifest.tmp-*' — one temp
+            // prefix, one reclaim rule
             ((n.startsWith(".tmp-") || n.startsWith(".manifest.tmp-") ||
-              n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-") ||
-              n.startsWith(".tags.tmp-")) &&
+              n.startsWith(".compact-tmp-") || n.startsWith(".ctas-tmp-")) &&
               pastGrace(p))
         }.toList
         finally l.close()
@@ -696,11 +699,18 @@ object SegManifest {
   def tags(dir: String): Map[String, Long] = {
     val p = tagsPath(dir)
     if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty).map { l =>
-      val i = l.indexOf('\t')
-      require(i > 0, s"gseg: unrecognized tags line in $p: '$l'")
-      l.substring(0, i) -> l.substring(i + 1).toLong
-    }.toMap
+    else try
+      Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0, s"gseg: unrecognized tags line in $p: '$l'")
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+    catch {
+      // a concurrent untag that empties the map DELETES the sidecar
+      // (writeTags), so the exists→read window can see the file
+      // vanish — that race means "no tags", same as no file at all
+      case _: java.nio.file.NoSuchFileException => Map.empty
+    }
   }
 
   private def writeTags(dir: String, m: Map[String, Long]): Unit = {
@@ -721,9 +731,14 @@ object SegManifest {
       require(name.nonEmpty && name.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
         s"gseg tag: illegal tag name '$name' ([A-Za-z0-9._-] only)")
-      require(name.exists(!_.isDigit),
-        s"gseg tag: all-digit tag name '$name' would be read as a " +
-          "generation number by VERSION AS OF")
+      // reject by the RESOLVER'S OWN parse, not an all-digit
+      // heuristic: loadTable feeds a VERSION AS OF operand to
+      // `toLong`, which also accepts signed forms like '-5' that the
+      // charset admits but contain a non-digit — any name toLong
+      // accepts would be resolved as a generation, never as a tag
+      require(scala.util.Try(name.toLong).isFailure,
+        s"gseg tag: tag name '$name' parses as a number and would be " +
+          "read as a generation by VERSION AS OF")
       val token = acquireProcessLock(dir)
       try {
         val live = readManifest(dir).map(_.gen).getOrElse(

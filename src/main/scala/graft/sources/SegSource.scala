@@ -813,6 +813,12 @@ object SegSource {
       var mnL = Long.MaxValue; var mxL = Long.MinValue
       var mnD = Double.PositiveInfinity; var mxD = Double.NegativeInfinity
       var seen = false
+      // floating columns only: NaN fails every </> comparison, so the
+      // rolling min/max would silently SKIP it — yet Spark orders NaN
+      // GREATEST, so a NaN-blind max understates and a pushed MAX (or
+      // DESC TopN file pruning) would diverge from an unpushed scan.
+      // Track it and fold it into the stored stats below.
+      var sawNaN = false
       // NDV registers (v4): one 64-bit cell hash per non-null value;
       // booleans are skipped (a two-value domain needs no sketch)
       val regs = new Array[Byte](HllM)
@@ -859,8 +865,11 @@ object SegSource {
           if (v != null) {
             val d = v.asInstanceOf[java.lang.Double].doubleValue()
             o.writeDouble(d); seen = true
-            if (d < mnD) mnD = d
-            if (d > mxD) mxD = d
+            if (d.isNaN) sawNaN = true
+            else {
+              if (d < mnD) mnD = d
+              if (d > mxD) mxD = d
+            }
             hllAdd(regs, fmix64(java.lang.Double.doubleToLongBits(d)))
             sketched = true
           }
@@ -875,8 +884,11 @@ object SegSource {
             val f = v.asInstanceOf[java.lang.Float].floatValue()
             o.writeFloat(f); seen = true
             val d = f.toDouble
-            if (d < mnD) mnD = d
-            if (d > mxD) mxD = d
+            if (d.isNaN) sawNaN = true
+            else {
+              if (d < mnD) mnD = d
+              if (d > mxD) mxD = d
+            }
             hllAdd(regs, fmix64(java.lang.Double.doubleToLongBits(d)))
             sketched = true
           }
@@ -983,6 +995,17 @@ object SegSource {
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
         case DoubleType | FloatType if seen => // float: double-bits
           hasStats(c) = true
+          // NaN-exact stats under Spark's NaN-greatest ordering: a
+          // segment that saw NaN stores max = NaN (pushed MAX then
+          // returns NaN, exactly what an unpushed scan computes), and
+          // min = NaN only when EVERY value was NaN (min never picks
+          // NaN while a lesser real value exists). Zone maps and TopN
+          // pruning consume stats through bd(), where bd(NaN) = None
+          // → the file is conservatively KEPT, never mis-pruned.
+          if (sawNaN) {
+            mxD = Double.NaN
+            if (mnD == Double.PositiveInfinity) mnD = Double.NaN
+          }
           minBits(c) = java.lang.Double.doubleToLongBits(mnD)
           maxBits(c) = java.lang.Double.doubleToLongBits(mxD)
         case _ => ()

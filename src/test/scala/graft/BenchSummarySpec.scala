@@ -141,6 +141,25 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(node.get("sig_changed_names") == null)
   }
 
+  test("host-fault probe times self-label the artifact and fit the " +
+      "budget at full scale") {
+    val node = mapper.readTree(Bench.summaryLine(bigSuite(10), "sf0.1",
+      hostFaultMs = Seq(412L, 180543L)))
+    val hf = node.get("host_fault_ms")
+    assert(hf.size == 2 && hf.get(0).asLong == 412L &&
+      hf.get(1).asLong == 180543L)
+    // absent when not probed (fast mode), costs zero bytes
+    assert(mapper.readTree(Bench.summaryLine(bigSuite(10), "sf0.1"))
+      .get("host_fault_ms") == null)
+    // at 250 queries WITH drift names the line still fits and stays
+    // parseable — the probe field must never displace failure entries
+    val big = Bench.summaryLine(suite250, "sf0.1",
+      sigChanged = suite250.take(40).map(_._1),
+      hostFaultMs = Seq(99999L, 99999L))
+    assert(big.length <= 1700, s"line is ${big.length} chars")
+    assert(mapper.readTree(big).get("host_fault_ms").size == 2)
+  }
+
   test("familyOf strips trailing digits from the head token only") {
     assert(Bench.familyOf("q17_small_qty") == "q")
     assert(Bench.familyOf("a10_median") == "a")

@@ -1826,6 +1826,9 @@ class SegDmlSpec extends SparkSpec {
     // guards: all-digit names collide with generation numbers;
     // re-pointing a live tag is loud; unknown untag is loud
     intercept[Exception](iso.sql(s"CALL tc.tag('ns.t', '123', $gen2)"))
+    // signed numbers parse as generations too ('-' is in the allowed
+    // charset but toLong accepts it) — same unreachable-tag collision
+    intercept[Exception](iso.sql(s"CALL tc.tag('ns.t', '-5', $gen2)"))
     intercept[Exception](
       iso.sql(s"CALL tc.tag('ns.t', 'audit-2026q3', ${gen2 + 1})"))
     intercept[Exception](iso.sql("CALL tc.untag('ns.t', 'nope')"))

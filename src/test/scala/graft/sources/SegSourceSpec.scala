@@ -92,6 +92,39 @@ class SegSourceSpec extends SparkSpec {
         .mode("overwrite").save(d + "_bloom"))
   }
 
+  test("NaN-bearing float/double segments keep pushed MIN/MAX and " +
+      "pruning exact under Spark's NaN-greatest ordering") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegnan").toString
+    // file 1: real values + NaN (max must be NaN); file 2: NaN only
+    // (min AND max must be NaN); file 3: NaN-free (untouched stats)
+    Seq((1L, 5.0, 2.5f), (2L, Double.NaN, Float.NaN)).toDF("k", "x", "f")
+      .coalesce(1).write.format("gseg").mode("overwrite").save(d)
+    Seq((3L, Double.NaN, Float.NaN)).toDF("k", "x", "f")
+      .coalesce(1).write.format("gseg").mode("append").save(d)
+    Seq((4L, -7.0, 1.0f)).toDF("k", "x", "f")
+      .coalesce(1).write.format("gseg").mode("append").save(d)
+    val t = spark.read.format("gseg").load(d)
+    // pushed MAX must surface the NaN exactly as an unpushed scan
+    // does (NaN orders greatest); pushed MIN must skip it while any
+    // lesser real value exists anywhere
+    val r = t.agg(min($"x"), max($"x"), min($"f"), max($"f")).head()
+    assert(r.getDouble(0) === -7.0 && r.getDouble(1).isNaN)
+    assert(r.getFloat(2) === 1.0f && r.getFloat(3).isNaN)
+    // an all-NaN table min-reduces to NaN through the same headers
+    val nanOnly = spark.read.format("gseg").load(d).filter($"k" === 3L)
+    assert(nanOnly.agg(min($"x")).head().getDouble(0).isNaN)
+    // zone maps stay conservative, never wrong: every row with x > 0
+    // (NaN > 0 is FALSE in Spark, so only k=1 survives)
+    assert(t.filter($"x" > 0.0).select($"k").as[Long].collect().toSet
+      === Set(1L))
+    assert(t.filter($"x".isNaN).count() === 2)
+    // DESC TopN over the NaN-bearing column must not prune the
+    // NaN-bearing files (NaN is the top value)
+    val top = t.orderBy($"x".desc).limit(1).select($"x").head().getDouble(0)
+    assert(top.isNaN)
+  }
+
   test("v6 BINARY columns roundtrip, evaluate pushed filters row-grain, " +
       "and bloom-prune point lookups") {
     import spark.implicits._
