@@ -305,6 +305,7 @@ object SparkEntry {
     "s50_dsv2_binary" -> CoreOps.s50DsvBinary _,
     "s51_dsv2_media" -> CoreOps.s51DsvMedia _,
     "s52_dsv2_embeddings" -> CoreOps.s52DsvEmbeddings _,
+    "s53_dsv2_decimal38" -> CoreOps.s53DsvDecimal38 _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1627,6 +1628,29 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, vec_id) AS rn FROM scored)
          |WHERE rn <= 5""".stripMargin,
+    // DECIMAL(38) WEI ACCOUNTING: int128 decimal (tag 11) + the
+    // metadata-only widen across the 18-digit boundary + COW DELETE;
+    // SUM/MIN/MAX compared as exact STRINGS against DuckDB's
+    // HUGEINT-backed 128-bit arithmetic — one lost low digit
+    // anywhere in the long/int128 seam hash-mismatches
+    "s53_dsv2_decimal38" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, CAST(o_custkey AS HUGEINT) AS wei
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CAST(o_orderkey AS HUGEINT) * 1000000000000000000
+        |           + o_custkey
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |), live AS (SELECT * FROM t WHERE NOT (k % 10 = 3))
+        |SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(wei) AS VARCHAR) AS sum_wei,
+        |       CAST(MIN(wei) AS VARCHAR) AS min_wei,
+        |       CAST(MAX(wei) AS VARCHAR) AS max_wei,
+        |       (SELECT COUNT(*) FROM live
+        |        WHERE wei >= 1000000000000000000) AS n_wide,
+        |       TRUE AS widen_metadata_only, TRUE AS wide_pruned
+        |FROM live""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

@@ -4253,6 +4253,67 @@ object CoreOps {
     graft.functions.Similarity.cosineTopKOf(iso, vecs, 20, 5)
   }
 
+  /** DECIMAL(38) WEI ACCOUNTING [S53]: the reference's own domain —
+    * exact integer sums at 8.4e25 magnitude — through the table
+    * format's int128 decimal (tag 11, v7). Gen 1 stores DECIMAL(18,0)
+    * long blocks; `ALTER COLUMN ... TYPE DECIMAL(38,0)` crosses the
+    * long/int128 tag boundary as PURE METADATA
+    * (`widen_metadata_only` pins the manifest file set unchanged);
+    * gen 2 appends wei-scale values (key × 10^18 + custkey — needs
+    * ~24 digits, unrepresentable in double OR long); a copy-on-write
+    * DELETE then rewrites mixed-tag files under the current type.
+    * SUM/MIN/MAX are emitted as exact STRINGS — the oracle recomputes
+    * them in DuckDB's HUGEINT-backed DECIMAL(38,0), where a single
+    * lost low digit would hash-mismatch. `wide_pruned` pins that the
+    * int128 string-slot zone stats actually file-prune a predicate
+    * only gen-2 files can match. */
+  def s53DsvDecimal38(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml53")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t (k BIGINT, wei DECIMAL(18,0)) " +
+      "USING gseg")
+    val ord = Tables.orders(iso, d)
+    // gen 1: custkey-sized values, exact in the tag-8 long backing
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_custkey").cast("decimal(18,0)").as("wei"))
+      .repartition(4).writeTo("gseg_dml.dml.t").append()
+    val dir = s"$wh/dml/t"
+    val before = graft.sources.SegManifest.read(dir).get._2.toSet
+    iso.sql("ALTER TABLE gseg_dml.dml.t ALTER COLUMN wei TYPE DECIMAL(38,0)")
+    val metadataOnly =
+      graft.sources.SegManifest.read(dir).get._2.toSet == before &&
+        iso.table("gseg_dml.dml.t").schema("wei").dataType ==
+          org.apache.spark.sql.types.DecimalType(38, 0)
+    // gen 2: wei scale — k × 10^18 + custkey (int128 territory)
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"),
+        (col("o_orderkey").cast("decimal(38,0)") *
+          lit("1000000000000000000").cast("decimal(38,0)") +
+          col("o_custkey").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("wei"))
+      .repartition(4).writeTo("gseg_dml.dml.t").append()
+    // copy-on-write DML across the tag boundary
+    iso.sql("DELETE FROM gseg_dml.dml.t WHERE k % 10 = 3")
+    // int128 zone maps file-prune: only gen-2 files can hold 10^18+
+    graft.Counters.drain()
+    val nWide = iso.table("gseg_dml.dml.t")
+      .filter(col("wei") >= lit("1000000000000000000").cast("decimal(38,0)"))
+      .count()
+    val widePruned =
+      graft.Counters.drain().getOrElse("gseg_files_skipped", 0L) > 0
+    val r = iso.table("gseg_dml.dml.t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("wei")).cast(StringType).as("sum_wei"),
+        min(col("wei")).cast(StringType).as("min_wei"),
+        max(col("wei")).cast(StringType).as("max_wei"))
+      .head()
+    Seq((r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+      nWide, metadataOnly, widePruned))
+      .toDF("n_rows", "sum_wei", "min_wei", "max_wei", "n_wide",
+        "widen_metadata_only", "wide_pruned")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -410,18 +410,19 @@ class SegCatalog extends TableCatalog
       // ALTER COLUMN TYPE — WIDENING only, the three safe families:
       // INT -> BIGINT, FLOAT -> DOUBLE (every float is exactly a
       // double), DECIMAL(p,s) -> DECIMAL(p+k,s) (same scale, wider
-      // precision, still long-backed at <= 18). Pure metadata, no
-      // segment rewritten. Old segments keep their stored blocks; the
-      // reader promotes at the single decode seam
-      // (SegPartitionReader), header aggs at theirs, and zone maps
-      // already compare cross-type through BigDecimal (float stats
-      // are stored as exact double bits, decimal stats as unscaled
-      // longs — both survive the widen verbatim). VERSION AS OF a
-      // pre-widen generation serves the OLD type (the v3 schema
-      // pins). Narrowing, cross-family casts, scale changes,
-      // precision past the long backing, and widening a CLUSTERING
-      // column (mixed-type partition keys would poison the reported
-      // layout) are rejected loudly.
+      // precision, any p+k <= 38 — crossing the 18-digit long/int128
+      // tag boundary included). Pure metadata, no segment rewritten.
+      // Old segments keep their stored blocks; the reader promotes at
+      // the single decode seam (SegPartitionReader), header aggs at
+      // theirs, and zone maps already compare cross-type through
+      // BigDecimal (float stats are stored as exact double bits,
+      // decimal stats as unscaled longs below 19 digits and as exact
+      // unscaled-decimal strings above — all survive the widen
+      // verbatim). VERSION AS OF a pre-widen generation serves the
+      // OLD type (the v3 schema pins). Narrowing, cross-family casts,
+      // scale changes, and widening a CLUSTERING column (mixed-type
+      // partition keys would poison the reported layout) are rejected
+      // loudly.
       case (m, upd: TableChange.UpdateColumnType) =>
         val colName = singleName(upd.fieldNames, "ALTER COLUMN TYPE")
         val f = m.schema.fields.find(_.name == colName).getOrElse(
@@ -439,12 +440,17 @@ class SegCatalog extends TableCatalog
           case (FloatType, DoubleType) => retyped(DoubleType)
           case (from: DecimalType, to: DecimalType)
               if to.scale == from.scale &&
-                 to.precision > from.precision && to.precision <= 18 =>
+                 to.precision > from.precision && to.precision <= 38 =>
+            // metadata-only at ANY width, including ACROSS the 18-digit
+            // long/int128 boundary: old tag-8 long blocks promote at
+            // the decode seam (Decimal(long, 38, s) boxes the same
+            // unscaled long), new segments encode tag 11; NDV hashes
+            // agree for 64-bit-fitting values so sketches keep merging
             retyped(to)
           case (from: DecimalType, to: DecimalType) =>
             throw new UnsupportedOperationException(
-              s"gseg: DECIMAL widening must keep the scale and stay " +
-                s"within the long-backed precision (<= 18), got " +
+              s"gseg: DECIMAL widening must keep the scale and widen " +
+                s"the precision (<= 38), got " +
                 s"${from.simpleString} -> ${to.simpleString}")
           case (from, to) => throw new UnsupportedOperationException(
             s"gseg: ALTER COLUMN TYPE supports widening INT -> BIGINT, " +

@@ -274,6 +274,24 @@ object SegSource {
     *    an invariant, not an assumption. */
   private[sources] val Version6: Byte = 6
 
+  /** v7 adds ONE column type (again no layout change):
+    *  - DECIMAL(18 < p ≤ 38, s), tag 11: the int128 path — unscaled
+    *    values as TWO 8-byte longs (hi/lo of the 128-bit two's-
+    *    complement unscaled integer) at the column's FIXED scale.
+    *    38 digits < 2^127, so the pair is lossless for every legal
+    *    Spark decimal; the reference's own wei-scale sums (~8.4e25)
+    *    need exactly this. Zone-map min/max can't ride the 64-bit
+    *    stat slots, so tag 11 stores them through the v3 STRING-stat
+    *    slots as plain unscaled-decimal strings (≤ 40 ASCII bytes;
+    *    unscaled order = value order at one fixed scale, so they are
+    *    EXACT) — [[ColMeta.minVal]] parses them back by tag. NDV
+    *    hashes the unscaled value long-identically when it fits 64
+    *    bits, so a DECIMAL(p≤18)→DECIMAL(p>18) widen merges sketches
+    *    coherently across the tag-8/tag-11 file boundary; the widen
+    *    itself is metadata-only exactly like INT→BIGINT (old tag-8
+    *    long blocks promote at the decode seam). */
+  private[sources] val Version7: Byte = 7
+
   // ---------------- clustering keys ----------------
 
   /** One declared clustering key: `identity(col)` (buckets = None) or
@@ -589,6 +607,8 @@ object SegSource {
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
     case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x: org.apache.spark.sql.types.Decimal,
+          y: org.apache.spark.sql.types.Decimal) => x.compare(y)
     case (x, y) => throw new IllegalArgumentException(
       s"gseg: incomparable cells ${x.getClass.getName}/${y.getClass.getName}")
   }
@@ -731,9 +751,8 @@ object SegSource {
     case DateType      => 6 // stored as days-since-epoch ints
     case FloatType     => 7 // v6: 4-byte values, double-bits stats
     case d: DecimalType if d.precision <= 18 => 8 // v6: unscaled longs
-    case d: DecimalType => throw new IllegalArgumentException(
-      s"gseg supports decimal precision <= 18 (long-backed unscaled " +
-        s"storage), got ${d.simpleString}")
+    case _: DecimalType => 11 // v7: unscaled int128 as two longs
+                              // (Spark caps precision at 38 < 2^127)
     case BinaryType    => 9 // v6: len-prefixed bytes, no zone stats
     // v6: FLOAT VECTORS — the embedding column type. Count-prefixed
     // float runs; elements must be non-null (the writer rejects a
@@ -743,7 +762,7 @@ object SegSource {
     case ArrayType(FloatType, _) => 10
     case other => throw new IllegalArgumentException(
       s"gseg supports long/int/double/string/boolean/timestamp/date/" +
-        s"float/decimal(<=18)/binary/array<float>, got $other")
+        s"float/decimal(<=38)/binary/array<float>, got $other")
   }
   /** Column type from header metadata — decimal needs the (prec,
     * scale) pair the tag byte alone can't carry. */
@@ -759,6 +778,7 @@ object SegSource {
     case 8 => DecimalType(cm.prec, cm.scale)
     case 9 => BinaryType
     case 10 => ArrayType(FloatType, containsNull = false)
+    case 11 => DecimalType(cm.prec, cm.scale)
   }
 
   /** Convenience writer: route `df` through the V2 write path
@@ -894,11 +914,11 @@ object SegSource {
           }
           i += 1
         }
-        // DECIMAL (v6): unscaled longs at the column's fixed scale —
-        // unscaled order IS value order at one scale, so the long
-        // min/max machinery gives exact stats; NDV hashes the
+        // DECIMAL p≤18 (v6): unscaled longs at the column's fixed
+        // scale — unscaled order IS value order at one scale, so the
+        // long min/max machinery gives exact stats; NDV hashes the
         // unscaled long (stable across a precision-only widen)
-        case _: DecimalType => while (i < n) {
+        case d: DecimalType if d.precision <= 18 => while (i < n) {
           val v = rows(i)(c)
           if (v != null) {
             val l = v.asInstanceOf[java.lang.Long].longValue()
@@ -909,6 +929,35 @@ object SegSource {
           }
           i += 1
         }
+        // DECIMAL p>18 (v7, tag 11): unscaled int128 as hi/lo longs.
+        // Min/max tracked over the exact unscaled BigInteger and
+        // stored through the STRING-stat slots as plain decimal
+        // strings (value order at one fixed scale; ≤ 40 ASCII bytes).
+        // NDV hashes long-identically for 64-bit-fitting values so
+        // sketches merge coherently across a tag-8→tag-11 widen.
+        case _: DecimalType =>
+          var mnB: java.math.BigInteger = null
+          var mxB: java.math.BigInteger = null
+          while (i < n) {
+            val v = rows(i)(c)
+            if (v != null) {
+              val bi = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                .toJavaBigDecimal.unscaledValue()
+              o.writeLong(bi.shiftRight(64).longValue()) // hi (sign)
+              o.writeLong(bi.longValue())                // lo (raw)
+              if (mnB == null || bi.compareTo(mnB) < 0) mnB = bi
+              if (mxB == null || bi.compareTo(mxB) > 0) mxB = bi
+              hllAdd(regs,
+                if (bi.bitLength < 64) fmix64(bi.longValue())
+                else bytesHash64(bi.toByteArray))
+              sketched = true
+            }
+            i += 1
+          }
+          if (mnB != null) {
+            minStr(c) = mnB.toString.getBytes(UTF_8)
+            maxStr(c) = mxB.toString.getBytes(UTF_8)
+          }
         case StringType =>
           var mnB: Array[Byte] = null
           var mxB: Array[Byte] = null
@@ -991,7 +1040,8 @@ object SegSource {
       schema(c).dataType match {
         case LongType | IntegerType | TimestampType | DateType if seen =>
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
-        case _: DecimalType if seen => // unscaled longs, exact
+        case d: DecimalType if d.precision <= 18 && seen =>
+          // unscaled longs, exact (tag 11 published via minStr above)
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
         case DoubleType | FloatType if seen => // float: double-bits
           hasStats(c) = true
@@ -1015,7 +1065,7 @@ object SegSource {
     val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(file)))
     try {
-      out.write(Magic); out.writeByte(Version6)
+      out.write(Magic); out.writeByte(Version7)
       out.writeInt(n); out.writeInt(nCols)
       out.writeInt(props.size)
       props.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -1074,9 +1124,20 @@ object SegSource {
       hll: Option[Array[Byte]] = None,
       bloom: Option[(Int, Int)] = None, // (byte length, k hashes)
       prec: Int = 0, scale: Int = 0) {  // decimal (tag 8) only
-    /** Exact typed stat values (None for string / all-null). */
-    def minVal: Option[Any] = statVal(minBits)
-    def maxVal: Option[Any] = statVal(maxBits)
+    /** Exact typed stat values (None for string / all-null). Tag 11
+      * (decimal p>18) stores its unscaled min/max as decimal STRINGS
+      * in the string-stat slots (the 64-bit slots can't carry int128)
+      * — parse them back to Spark Decimals here so every consumer
+      * (zone maps, TopN pruning, header MIN/MAX) sees one typed
+      * surface. */
+    def minVal: Option[Any] =
+      if (tag == 11) minStr.map(decStat) else statVal(minBits)
+    def maxVal: Option[Any] =
+      if (tag == 11) maxStr.map(decStat) else statVal(maxBits)
+    private def decStat(s: String): Any =
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(s), scale),
+        prec, scale)
     private def statVal(bits: Long): Option[Any] =
       if (!hasStats) None
       else tag match {
@@ -1107,7 +1168,7 @@ object SegSource {
     in.readFully(magic)
     require(magic.sameElements(Magic), "not a gseg file")
     val ver = in.readByte()
-    require(ver >= 2 && ver <= 6, s"unsupported gseg version $ver")
+    require(ver >= 2 && ver <= 7, s"unsupported gseg version $ver")
     val n = in.readInt()
     val nCols = in.readInt()
     val props: Map[String, String] =
@@ -1122,9 +1183,10 @@ object SegSource {
       in.readFully(nm)
       val name = new String(nm, UTF_8)
       val t = in.readByte()
-      // decimal (tag 8, v6+ only) carries (precision, scale) bytes
+      // decimal (tags 8 and 11) carries (precision, scale) bytes
       val (pr, sc) =
-        if (t == 8) (in.readByte().toInt, in.readByte().toInt) else (0, 0)
+        if (t == 8 || t == 11) (in.readByte().toInt, in.readByte().toInt)
+        else (0, 0)
       val bytes = in.readLong()
       val nulls = in.readLong()
       val base =
@@ -1136,10 +1198,14 @@ object SegSource {
           case 1 => ColMeta(name, t, bytes, nulls, hasStats = true,
             in.readLong(), in.readLong(), prec = pr, scale = sc)
           case 2 =>
+            // string zone maps (tag 3) AND tag 11's unscaled-decimal
+            // strings ride this slot — prec/scale must survive for
+            // the latter's minVal parse
             val mn = new Array[Byte](in.readInt()); in.readFully(mn)
             val mx = new Array[Byte](in.readInt()); in.readFully(mx)
             ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L,
-              Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
+              Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)),
+              prec = pr, scale = sc)
           case _ => ColMeta(name, t, bytes, nulls, hasStats = false, 0L, 0L,
             prec = pr, scale = sc)
         }
@@ -1271,7 +1337,9 @@ object SegSource {
     // byte, UTF-16 and UTF8String orders provably agree under the
     // emission precondition, for ANY filter value)
     def sRange(attr: String): Option[(String, String)] =
-      byName.get(attr).flatMap(c =>
+      // tag 3 only: tag 11 reuses the string-stat SLOTS for unscaled
+      // decimal strings, which must never serve a STRING comparison
+      byName.get(attr).filter(_.tag == 3).flatMap(c =>
         for { mn <- c.minStr; mx <- c.maxStr } yield (mn, mx))
     f match {
       case EqualTo(a, v: String) => sRange(a).forall { case (mn, mx) =>
@@ -2111,7 +2179,9 @@ case class SegScan(path: String, required: StructType,
                   if (a == b) Some(a) else None
                 case _ => None
               } else (c.minStr, c.maxStr) match {
-                case (Some(mn), Some(mx)) =>
+                // tag 3 only: tag 11 stores unscaled-decimal strings
+                // in these slots — never a STRING truncate key
+                case (Some(mn), Some(mx)) if c.tag == 3 =>
                   val a = UTF8String.fromString(mn)
                   val b = UTF8String.fromString(mx)
                   val ta = SegSource.truncateOf(w, a)
@@ -2123,8 +2193,14 @@ case class SegScan(path: String, required: StructType,
           case _ => cm.flatMap { c =>
             if (c.nNulls != 0) None
             else if (c.hasStats && c.minBits == c.maxBits) c.minVal
+            // identity key via tag-11 decimal stats: exact strings,
+            // single-valued file → the Decimal key
+            else if (c.tag == 11) (c.minStr, c.maxStr) match {
+              case (Some(mn), Some(mx)) if mn == mx => c.minVal
+              case _ => None
+            }
             else (c.minStr, c.maxStr) match {
-              case (Some(mn), Some(mx)) if mn == mx =>
+              case (Some(mn), Some(mx)) if mn == mx && c.tag == 3 =>
                 Some(UTF8String.fromString(mn))
               case _ => None
             }
@@ -2892,7 +2968,10 @@ class SegPartitionReader(file: String, required: StructType,
                 // the EFFECTIVE precision — the table's current one
                 // when the column was precision-widened after this
                 // segment was written (scale is fixed by ALTER rules,
-                // so the same unscaled long is exact under both)
+                // so the same unscaled long is exact under both; a
+                // widen PAST 18 also lands here: Decimal(long, 38, s)
+                // boxes the same unscaled long, so tag-8 blocks need
+                // no rewrite when the column becomes int128-typed)
                 val (ep, es) = required.fields.find(_.name == cm.name)
                   .map(_.dataType) match {
                   case Some(d: DecimalType) => (d.precision, d.scale)
@@ -2901,6 +2980,31 @@ class SegPartitionReader(file: String, required: StructType,
                 while (i < n) {
                   if (!isNull(i)) vals(i) =
                     org.apache.spark.sql.types.Decimal(in.readLong(), ep, es)
+                  i += 1
+                }
+              case 11 =>
+                // decimal p>18: hi/lo longs → two's-complement int128
+                // unscaled → Spark Decimal at the effective precision
+                val (ep, es) = required.fields.find(_.name == cm.name)
+                  .map(_.dataType) match {
+                  case Some(d: DecimalType) => (d.precision, d.scale)
+                  case _ => (cm.prec, cm.scale)
+                }
+                val M64 = java.math.BigInteger.ONE.shiftLeft(64)
+                  .subtract(java.math.BigInteger.ONE)
+                while (i < n) {
+                  if (!isNull(i)) {
+                    val hi = in.readLong(); val lo = in.readLong()
+                    val bi =
+                      if (hi == 0L && lo >= 0L)
+                        java.math.BigInteger.valueOf(lo)
+                      else if (hi == -1L && lo < 0L)
+                        java.math.BigInteger.valueOf(lo)
+                      else java.math.BigInteger.valueOf(hi).shiftLeft(64)
+                        .or(java.math.BigInteger.valueOf(lo).and(M64))
+                    vals(i) = org.apache.spark.sql.types.Decimal(
+                      new java.math.BigDecimal(bi, es), ep, es)
+                  }
                   i += 1
                 }
             }
@@ -3375,10 +3479,14 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
           rowBytes += 4 + b.length
           b
         case d: DecimalType if d.precision <= 18 => rowBytes += 8
-          // unscaled long at the column's fixed scale (tag() already
-          // rejected precision > 18 at schema validation)
+          // unscaled long at the column's fixed scale
           java.lang.Long.valueOf(
             r.getDecimal(c, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType => rowBytes += 16
+          // p>18 (tag 11): the cell rides as Spark's Decimal — a
+          // value-class (equals/hashCode by value), so the CDF diff
+          // reader's bucketing contract holds without a norm seam
+          r.getDecimal(c, d.precision, d.scale)
         case ArrayType(FloatType, _) =>
           val a = r.getArray(c)
           val m = a.numElements()

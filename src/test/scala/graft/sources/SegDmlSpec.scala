@@ -1848,6 +1848,51 @@ class SegDmlSpec extends SparkSpec {
     assert(iso.table("tc.ns.aud").count() == 90)
   }
 
+  test("DECIMAL widens ACROSS the 18-digit long/int128 tag boundary " +
+      "metadata-only, exact at wei scale") {
+    val (iso, wh) = dml("widen38")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, wei DECIMAL(18,0)) " +
+      "USING gseg")
+    // gen 1: tag-8 long blocks near the top of the long range
+    iso.sql("INSERT INTO tc.ns.t VALUES " +
+      "(1, CAST(999999999999999999 AS DECIMAL(18,0))), " +
+      "(2, CAST(-1 AS DECIMAL(18,0)))")
+    val dir = s"$wh/ns/t"
+    val before = SegManifest.read(dir).get._2.toSet
+    iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN wei TYPE DECIMAL(38,0)")
+    // crossing 18 digits is STILL pure metadata — no file rewritten
+    assert(SegManifest.read(dir).get._2.toSet == before)
+    assert(iso.table("tc.ns.t").schema("wei").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    // gen 2: tag-11 int128 blocks at wei scale (8.4e25: the
+    // reference's own contract-balance magnitude)
+    iso.sql("INSERT INTO tc.ns.t VALUES " +
+      "(3, CAST('84000000000000000000000000' AS DECIMAL(38,0)))")
+    // the SUM spans tag-8 and tag-11 files: old longs promote at the
+    // decode seam, and the result is exact where double would lose
+    // low digits (84000001000000000000000000 minus the -1)
+    assert(iso.table("tc.ns.t").agg(sum($"wei")).head()
+      .getDecimal(0).compareTo(new java.math.BigDecimal(
+        "84000000999999999999999998")) == 0)
+    // header MIN/MAX merges tag-8 long stats with tag-11 string
+    // stats, each promoted to the current DECIMAL(38,0)
+    val mm = iso.table("tc.ns.t").agg(min($"wei"), max($"wei")).head()
+    assert(mm.getDecimal(0).compareTo(new java.math.BigDecimal("-1")) == 0)
+    assert(mm.getDecimal(1).compareTo(new java.math.BigDecimal(
+      "84000000000000000000000000")) == 0)
+    // DML across the boundary: the copy-on-write rewrite re-encodes
+    // the touched pre-widen file as tag 11 under the current type
+    iso.sql("DELETE FROM tc.ns.t WHERE k = 2")
+    assert(iso.table("tc.ns.t").agg(sum($"wei")).head()
+      .getDecimal(0).compareTo(new java.math.BigDecimal(
+        "84000000999999999999999999")) == 0)
+    // VERSION AS OF pre-widen serves the OLD 18-digit type
+    assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 1")
+      .schema("wei").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 0))
+  }
+
   test("ALTER COLUMN TYPE widens FLOAT to DOUBLE and DECIMAL precision") {
     val (iso, wh) = dml("widen2")
     import iso.implicits._
@@ -1905,20 +1950,15 @@ class SegDmlSpec extends SparkSpec {
     iso.sql("DELETE FROM tc.ns.t WHERE k = 2")
     assert(iso.table("tc.ns.t").agg(sum($"f")).head().getDouble(0) ==
       1.25 + 4.5)
-    // guards: narrowing, scale changes, and precision past the
-    // long-backed 18 stay loud
+    // guards: narrowing and scale changes stay loud (precision past
+    // 18 is legal since tag 11 — SegDmlSpec's decimal38 test covers
+    // the boundary crossing)
     intercept[Exception](
       iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN f TYPE FLOAT"))
     intercept[Exception](
       iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN d TYPE DECIMAL(14,4)"))
     intercept[Exception](
-      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN d TYPE DECIMAL(22,2)"))
-    // unstorable type: decimal precision > 18 fails at CREATE already
-    // (the catalog validates every column through SegSource.tag)
-    val e = intercept[Exception](
-      iso.sql("CREATE TABLE tc.ns.wide (k BIGINT, v DECIMAL(22,2)) " +
-        "USING gseg"))
-    assert(e.getMessage.contains("precision"))
+      iso.sql("ALTER TABLE tc.ns.t ALTER COLUMN d TYPE DECIMAL(22,4)"))
   }
 
   test("compact(target_bytes) rewrites only small segments, shares the rest") {

@@ -81,15 +81,68 @@ class SegSourceSpec extends SparkSpec {
     // sums are exact through Spark's decimal aggregate
     assert(t.agg(sum($"d")).head().getDecimal(0).compareTo(
       new java.math.BigDecimal("100000010.48")) == 0)
-    // guards: precision > 18 is unstorable (loud at plan time), and
-    // floating/decimal columns refuse blooms
-    val wide = Seq((1L, BigDecimal("1.0"))).toDF("k", "v")
-      .select($"k", $"v".cast("decimal(22,2)").as("v"))
-    intercept[Exception](
-      wide.write.format("gseg").mode("overwrite").save(d + "_wide"))
+    // guards: floating/decimal columns refuse blooms (precision > 18
+    // became storable with tag 11 — the v7 test covers it)
     intercept[Exception](
       src.write.format("gseg").option(SegSource.BloomColumnsOption, "f")
         .mode("overwrite").save(d + "_bloom"))
+  }
+
+  test("v7 DECIMAL(p>18) columns (tag 11, int128) roundtrip, filter, " +
+      "prune, and aggregate exactly at wei scale") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegv7").toString
+    // wei-scale values: 8.4e25 and friends — far past long range,
+    // signs on both sides, a 38-digit extreme, and nulls
+    val big = Seq(
+      (1L, Some("84000000000000000000000000.50")),
+      (2L, Some("-0.25")),
+      (3L, None),
+      (4L, Some("99999999999999999999999999999999999.75")),
+      (5L, Some("-99999999999999999999999999999999999.75")))
+    val src = big.toDF("k", "v")
+      .select($"k", $"v".cast("decimal(38,2)").as("v"))
+    SegSource.write(src.filter($"k" <= 2).coalesce(1), d)
+    src.filter($"k" > 2).coalesce(1).write.format("gseg")
+      .mode("append").save(d)
+    val t = spark.read.format("gseg").load(d)
+    assert(t.schema("v").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    // bit-exact roundtrip at every magnitude, nulls included
+    assert(t.select($"k", $"v".cast("string")).collect().map(_.toSeq).toSet
+      === src.select($"k", $"v".cast("string")).collect().map(_.toSeq).toSet)
+    // exact SUM through Spark's decimal aggregate — the wei-sum case
+    // (the whole point: double would lose this to 52-bit mantissa)
+    assert(t.agg(sum($"v")).head().getDecimal(0).compareTo(
+      new java.math.BigDecimal("84000000000000000000000000.25")) == 0)
+    // row-grain pushed filters compare through exact BigDecimal
+    assert(t.filter($"v" > new java.math.BigDecimal(
+      "84000000000000000000000000")).count() === 2)
+    assert(t.filter($"v".isNull).count() === 1)
+    // zone maps prune on the string-slot int128 stats: file 1 holds
+    // [-0.25, 8.4e25+.5], file 2 [-1e35, 1e35] — a predicate above
+    // 8.4e25+0.5 can only live in file 2
+    graft.Counters.drain()
+    assert(t.filter($"v" > new java.math.BigDecimal(
+      "84000000000000000000000001")).count() === 1)
+    assert(graft.Counters.drain()
+      .getOrElse("gseg_files_skipped", 0L) >= 1L)
+    // header-answered MIN/MAX from the exact stats
+    val r = t.agg(min($"v"), max($"v")).head()
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal(
+      "-99999999999999999999999999999999999.75")) == 0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal(
+      "99999999999999999999999999999999999.75")) == 0)
+    // tag-11 decimal-string stats must NEVER serve string predicates
+    // or string-keyed layout recovery (they live in the same header
+    // slots): a string column alongside stays correctly served
+    val mixed = Seq(("a", "10000000000000000000.00"),
+      ("b", "20000000000000000000.00")).toDF("s", "v")
+      .select($"s", $"v".cast("decimal(38,2)").as("v"))
+    SegSource.write(mixed.coalesce(1), d + "_mixed")
+    val tm = spark.read.format("gseg").load(d + "_mixed")
+    assert(tm.filter($"s" === "a").count() === 1)
+    assert(tm.filter($"s" > "a").count() === 1)
   }
 
   test("NaN-bearing float/double segments keep pushed MIN/MAX and " +
