@@ -306,6 +306,7 @@ object SparkEntry {
     "s51_dsv2_media" -> CoreOps.s51DsvMedia _,
     "s52_dsv2_embeddings" -> CoreOps.s52DsvEmbeddings _,
     "s53_dsv2_decimal38" -> CoreOps.s53DsvDecimal38 _,
+    "s54_dsv2_branch_wap" -> CoreOps.s54DsvBranchWap _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1651,6 +1652,17 @@ object SparkEntry {
         |        WHERE wei >= 1000000000000000000) AS n_wide,
         |       TRUE AS widen_metadata_only, TRUE AS wide_pruned
         |FROM live""".stripMargin,
+    // WRITABLE BRANCHES (WAP): fork, stage the odd half on the
+    // branch (main byte-identical), audit, fast-forward publish; the
+    // aggregate over the PUBLISHED table is the full relational
+    // result — the oracle proves the cycle lost/duplicated nothing
+    "s54_dsv2_branch_wap" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       TRUE AS main_untouched_during_wap, TRUE AS audit_saw_all,
+        |       TRUE AS published_one_swap, TRUE AS history_labels_branch
+        |FROM orders""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

@@ -4314,6 +4314,59 @@ object CoreOps {
         "widen_metadata_only", "wide_pruned")
   }
 
+  /** WRITABLE BRANCHES / WAP [S54]: `CALL branch` forks a writable
+    * ref at the live generation (one sidecar line — zero data
+    * movement at any table size); with `spark.gseg.wap.branch` set,
+    * writes land on the branch while MAIN stays BYTE-identical
+    * (`main_untouched_during_wap` pins the manifest bytes); the
+    * staged data audits through `VERSION AS OF 'wap'`
+    * (`audit_saw_all`); `CALL fast_forward` publishes with ONE
+    * pointer swap (`published_one_swap`); `CALL history` labels the
+    * branch head (`history_labels_branch`). The final aggregate runs
+    * over the PUBLISHED table, so the oracle recomputing the full
+    * relational result proves the fork/stage/publish cycle lost and
+    * duplicated nothing. */
+  def s54DsvBranchWap(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml54")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t (k BIGINT, price DOUBLE) " +
+      "USING gseg")
+    val ord = Tables.orders(iso, d)
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .repartition(4).writeTo("gseg_dml.dml.t").append()
+    val mainRows = iso.table("gseg_dml.dml.t").count()
+    iso.sql("CALL gseg_dml.branch('dml.t', 'wap')")
+    val manifest = java.nio.file.Paths.get(s"$wh/dml/t", ".manifest")
+    val mainBytes = java.nio.file.Files.readAllBytes(manifest)
+    // WAP staging: the odd half lands on the branch, main untouched
+    iso.conf.set(graft.sources.SegManifest.WapBranchConf, "wap")
+    val untouched = try {
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        .repartition(4).writeTo("gseg_dml.dml.t").append()
+      java.nio.file.Files.readAllBytes(manifest).sameElements(mainBytes) &&
+        iso.table("gseg_dml.dml.t").count() == mainRows
+    } finally iso.conf.unset(graft.sources.SegManifest.WapBranchConf)
+    // audit the staged snapshot, then publish
+    val auditRows =
+      iso.sql("SELECT * FROM gseg_dml.dml.t VERSION AS OF 'wap'").count()
+    val ff = iso.sql("CALL gseg_dml.fast_forward('dml.t', 'wap')").head()
+    val published = ff.getLong(2) < ff.getLong(3) &&
+      graft.sources.SegManifest.read(s"$wh/dml/t").get._1 == ff.getLong(3)
+    val histOk = iso.sql("CALL gseg_dml.history('dml.t')").collect()
+      .exists(r => r.getLong(0) == ff.getLong(3) &&
+        r.getString(6).contains("wap(branch)"))
+    val r = iso.table("gseg_dml.dml.t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("price"))).cast(DoubleType).as("sum_price"))
+      .head()
+    Seq((r.getLong(0), r.getDouble(1), untouched,
+      auditRows == r.getLong(0), published, histOk))
+      .toDF("n_rows", "sum_price", "main_untouched_during_wap",
+        "audit_saw_all", "published_one_swap", "history_labels_branch")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -215,14 +215,18 @@ class SegCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     // a numeric operand is a generation; anything else resolves as a
-    // NAMED TAG (setTag rejects all-digit names, so the two spaces
-    // can never collide)
+    // NAMED REF — tag or branch head, one namespace (setTag and
+    // createBranch share the numeric-parse and cross-collision gates,
+    // so the three spaces can never collide). Reading a branch =
+    // VERSION AS OF its name: the WAP audit surface.
     val gen = try version.trim.toLong catch {
       case _: NumberFormatException =>
-        SegManifest.tags(dir.toString).getOrElse(version.trim,
-          throw new IllegalArgumentException(
-            s"gseg: VERSION AS OF wants a generation number or a tag " +
-              s"name, and '${version.trim}' is no tag of ${ident.name}"))
+        val name = version.trim
+        SegManifest.tags(dir.toString).get(name)
+          .orElse(SegManifest.refs(dir.toString).get(name).map(_._1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"gseg: VERSION AS OF wants a generation number, a tag or " +
+              s"a branch name, and '$name' is none of ${ident.name}"))
     }
     val snap = SegManifest.readSnapshotManifest(dir.toString, gen).getOrElse(
       throw new IllegalArgumentException(
@@ -582,9 +586,13 @@ class SegCatalog extends TableCatalog
       case "clone" => new SegCloneProcedure(this)
       case "tag" => new SegTagProcedure(this)
       case "untag" => new SegUntagProcedure(this)
+      case "branch" => new SegBranchProcedure(this)
+      case "drop_branch" => new SegDropBranchProcedure(this)
+      case "fast_forward" => new SegFastForwardProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"gseg: no procedure '$other' " +
-          "(have: vacuum, compact, history, rollback, changes, clone)")
+          "(have: vacuum, compact, history, rollback, changes, clone, " +
+          "tag, untag, branch, drop_branch, fast_forward)")
     }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
@@ -595,7 +603,10 @@ class SegCatalog extends TableCatalog
         Identifier.of(namespace, "changes"),
         Identifier.of(namespace, "clone"),
         Identifier.of(namespace, "tag"),
-        Identifier.of(namespace, "untag"))
+        Identifier.of(namespace, "untag"),
+        Identifier.of(namespace, "branch"),
+        Identifier.of(namespace, "drop_branch"),
+        Identifier.of(namespace, "fast_forward"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -940,7 +951,12 @@ class SegHistoryProcedure(cat: SegCatalog)
         val dir = cat.tableDir(
           Identifier.of(parts.init.toArray, parts.last))
         val current = SegManifest.read(dir.toString).map(_._1)
-        val tagsByGen = SegManifest.tags(dir.toString).toSeq
+        // named refs on each generation: tags verbatim, branch HEADS
+        // as 'name(branch)' — one column answers "why is this
+        // generation retained, and which ref reads it"
+        val tagsByGen = (SegManifest.tags(dir.toString).toSeq ++
+          SegManifest.refs(dir.toString).toSeq.map { case (n, (h, _)) =>
+            s"$n(branch)" -> h })
           .groupMap(_._2)(_._1).view.mapValues(_.sorted.mkString(","))
           .toMap
         val histRows = SegManifest.listSnapshots(dir.toString)
@@ -2419,6 +2435,171 @@ class SegCloneProcedure(cat: SegCatalog)
             Array(row)
           override def readSchema(): StructType = outSchema
           override def description(): String = s"gseg clone $src -> $dst"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.branch('ns.table', 'name')` → fork a WRITABLE
+  * branch at the live generation (one `.refs` sidecar line — zero
+  * data movement at any table size). With the session conf
+  * `spark.gseg.wap.branch = 'name'` set, every subsequent write lands
+  * on the branch and main-pointer commits are refused loudly; audit
+  * the staged data via `VERSION AS OF 'name'`, then publish with
+  * `CALL fast_forward` — the write-audit-publish workflow (the
+  * ADVANCING half of the Iceberg branch/tag ref model; [[SegManifest
+  * .setTag]] is the non-advancing half). */
+class SegBranchProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "branch"
+  override def description(): String =
+    "fork a writable branch at the live generation (WAP staging)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "branch"
+      override def description(): String =
+        SegBranchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("branch", StringType, nullable = false),
+        StructField("forked_at", LongType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val br = input.getUTF8String(1).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg branch: bad table identifier '$tbl'")
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        cat.loadTable(ident) // ensures manifest + sidecar (migration)
+        val dir = cat.tableDir(ident).toString
+        val at = SegManifest.createBranch(dir, br)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(br), at))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg branch $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.drop_branch('ns.table', 'name')` → abandon a
+  * branch; its staged generations lose their retention floor and the
+  * NEXT vacuum reclaims them (the audit-failed path of WAP). */
+class SegDropBranchProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "abandon a branch (its staged generations become reclaimable)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String =
+        SegDropBranchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("branch", StringType, nullable = false),
+        StructField("head_was", LongType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val br = input.getUTF8String(1).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg drop_branch: bad table identifier '$tbl'")
+        val dir = cat.tableDir(
+          Identifier.of(parts.init.toArray, parts.last)).toString
+        val h = SegManifest.dropBranch(dir, br)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(br), h))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg drop_branch $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.fast_forward('ns.table', 'name')` → publish a
+  * branch: move MAIN to the branch head, one pointer swap. Legal only
+  * while main still sits at the fork base — if main advanced since,
+  * the merge is no fast-forward and fails loudly (recreate the branch
+  * from the new live generation to rebase). The branch survives,
+  * re-based at its own head, ready for the next WAP cycle. */
+class SegFastForwardProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch: fast-forward main to the branch head"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String =
+        SegFastForwardProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("branch", StringType, nullable = false),
+        StructField("from_generation", LongType, nullable = false),
+        StructField("to_generation", LongType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val br = input.getUTF8String(1).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg fast_forward: bad table identifier '$tbl'")
+        val dir = cat.tableDir(
+          Identifier.of(parts.init.toArray, parts.last)).toString
+        val (from, to) = SegManifest.fastForward(dir, br)
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(br),
+            from, to))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg fast_forward $tbl"
         }).iterator()
       }
     }

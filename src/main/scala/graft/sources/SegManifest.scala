@@ -366,6 +366,20 @@ object SegManifest {
       require(names.contains(seg),
         s"gseg: dv entry for '$seg' which is not in the new generation")
     })
+    // WAP mode: while the session names a write branch, moving the
+    // MAIN pointer would leak unaudited rows past the audit gate —
+    // every main-pointer commit (DML rewrites, compact, rollback,
+    // CTAS...) is refused loudly until the conf is unset. Appends and
+    // overwrites don't reach here in WAP mode (the V2 write path
+    // routes them through [[branchSwap]]).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get(WapBranchConf, "")).filter(_.nonEmpty)
+      .foreach { b =>
+        throw new UnsupportedOperationException(
+          s"gseg: $WapBranchConf='$b' is set — this operation commits " +
+            "to MAIN and is not branch-scoped; unset the conf (publish " +
+            "via CALL fast_forward first) or drop the branch")
+      }
     lockFor(dir).synchronized {
       val token = acquireProcessLock(dir)
       try swapLocked(dir, names, expectGen, metaOverride, dvs)
@@ -387,35 +401,12 @@ object SegManifest {
             s"generation is now ${live.getOrElse("<none>")}; " +
             "re-read the table and retry the commit")
       }
-      val gen = live.map(_ + 1).getOrElse(0L)
-      val sorted = names.sorted
-      // deletion-vector map for the new generation: explicit, or the
-      // live map carried forward for surviving names (see [[swap]])
-      val dvMap: Map[String, String] = dvs.getOrElse(
-        liveM.map(_.dvs.filter { case (seg, _) => names.contains(seg) })
-          .getOrElse(Map.empty))
-      // pin the table metadata AS OF this commit into the snapshot
-      // (v3 line 5): `VERSION AS OF` then serves THIS generation's
-      // column names and types, Iceberg-style — callers that commit
-      // before their sidecar lands (CTAS) pass the bytes explicitly
-      val meta64 = metaOverride
-        .orElse {
-          val sc = SegMeta.path(Paths.get(dir))
-          if (Files.exists(sc)) Some(Files.readAllBytes(sc)) else None
-        }
-        .map(java.util.Base64.getEncoder.encodeToString)
-        .getOrElse("-")
-      // v3 when no segment carries a vector (byte-identical to the
-      // pre-DV format — every existing snapshot/spec shape holds);
-      // v4 binds `segment dv-file` on the vectored lines only
-      val segLines =
-        if (dvMap.isEmpty) sorted
-        else sorted.map(n => dvMap.get(n).map(dv => s"$n $dv").getOrElse(n))
-      val header = if (dvMap.isEmpty) "gseg-manifest-v3" else "gseg-manifest-v4"
-      val body = (header +: gen.toString +:
-        System.currentTimeMillis.toString +:
-        sorted.length.toString +: meta64 +: segLines)
-        .mkString("\n").getBytes(UTF_8)
+      // next generation: one past the live pointer AND past every
+      // branch head — generation numbers are globally monotone across
+      // refs, so a main commit can never overwrite a branch snapshot
+      val gen = math.max(live.map(_ + 1).getOrElse(0L),
+        refs(dir).values.map(_._1 + 1).maxOption.getOrElse(0L))
+      val body = snapshotBody(dir, gen, names, liveM, metaOverride, dvs)
       // the PUBLISH primitive (fsync'd temp + atomic rename on POSIX,
       // one conditional PUT on an object store) — see CommitProvider
       commitProvider.publish(Paths.get(dir), snapshotPath(dir, gen), body)
@@ -428,6 +419,40 @@ object SegManifest {
       } catch { case _: Exception => () }
       gen
     }
+  }
+
+  /** One snapshot body, shared by main commits ([[swapLocked]]) and
+    * branch commits ([[branchSwap]]). `baseM` is the generation whose
+    * deletion vectors carry forward for surviving names when `dvs` is
+    * not explicit — the live manifest for main commits, the branch
+    * head for branch commits. The table metadata current at commit
+    * time is pinned into line 5 (v3 — as-of-schema time travel);
+    * callers that commit before their sidecar lands (CTAS) pass the
+    * bytes explicitly. v3 header when no segment carries a vector
+    * (byte-identical to the pre-DV format), v4 binds `segment
+    * dv-file` on the vectored lines only. */
+  private def snapshotBody(dir: String, gen: Long, names: Seq[String],
+      baseM: Option[Manifest], metaOverride: Option[Array[Byte]],
+      dvs: Option[Map[String, String]]): Array[Byte] = {
+    val sorted = names.sorted
+    val dvMap: Map[String, String] = dvs.getOrElse(
+      baseM.map(_.dvs.filter { case (seg, _) => names.contains(seg) })
+        .getOrElse(Map.empty))
+    val meta64 = metaOverride
+      .orElse {
+        val sc = SegMeta.path(Paths.get(dir))
+        if (Files.exists(sc)) Some(Files.readAllBytes(sc)) else None
+      }
+      .map(java.util.Base64.getEncoder.encodeToString)
+      .getOrElse("-")
+    val segLines =
+      if (dvMap.isEmpty) sorted
+      else sorted.map(n => dvMap.get(n).map(dv => s"$n $dv").getOrElse(n))
+    val header = if (dvMap.isEmpty) "gseg-manifest-v3" else "gseg-manifest-v4"
+    (header +: gen.toString +:
+      System.currentTimeMillis.toString +:
+      sorted.length.toString +: meta64 +: segLines)
+      .mkString("\n").getBytes(UTF_8)
   }
 
   // ---------------- snapshots (time travel) ----------------
@@ -452,12 +477,20 @@ object SegManifest {
     * names AND deletion-vector map (time travel, rollback and the
     * changefeed need both; [[readSnapshot]] keeps the names-only
     * shape its callers pin). Same phantom/retention gates. */
+  /** A generation is RESOLVABLE when its snapshot exists and it
+    * committed: at-or-below the live pointer, or published through a
+    * branch ref's CAS (heads/bases sit ABOVE live until
+    * fast_forward). Anything else above live is a crash-staged
+    * orphan and stays invisible. */
+  private def genCommitted(dir: String, gen: Long): Boolean =
+    readManifest(dir).exists(_.gen >= gen) ||
+      refs(dir).values.exists { case (h, b) => h == gen || b == gen }
+
   private[sources] def readSnapshotManifest(dir: String,
       gen: Long): Option[Manifest] = {
     val p = snapshotPath(dir, gen)
     if (!Files.exists(p)) return None
-    val liveM = readManifest(dir).getOrElse(return None)
-    if (liveM.gen < gen) return None
+    if (!genCommitted(dir, gen)) return None
     Some(parseFile(p))
   }
 
@@ -471,7 +504,7 @@ object SegManifest {
   def readSnapshotMeta(dir: String, gen: Long): Option[SegMeta.TableMeta] = {
     val p = snapshotPath(dir, gen)
     if (!Files.exists(p)) return None
-    if (!readManifest(dir).exists(_.gen >= gen)) return None
+    if (!genCommitted(dir, gen)) return None
     parseFile(p).meta64.flatMap { b64 =>
       scala.util.Try(SegMeta.parseJson(new String(
         java.util.Base64.getDecoder.decode(b64), UTF_8))).toOption
@@ -502,11 +535,16 @@ object SegManifest {
     * the live pointer) and unreadable snapshots are excluded. */
   def listSnapshots(dir: String): Seq[(Long, Long)] = {
     val live = readManifest(dir).map(_.gen).getOrElse(return Nil)
-    rawSnapshotGens(dir).filter(_ <= live).flatMap { g =>
-      val p = snapshotPath(dir, g)
-      scala.util.Try(parseFile(p)).toOption.map(m =>
-        (g, m.commitMs.getOrElse(Files.getLastModifiedTime(p).toMillis)))
-    }.sortBy(_._1)
+    // committed = at-or-below the live pointer, OR a branch head/base
+    // (those committed through the refs CAS — only crash-staged
+    // orphans stay invisible)
+    val refGens = refs(dir).values.flatMap { case (h, b) => Seq(h, b) }.toSet
+    rawSnapshotGens(dir).filter(g => g <= live || refGens.contains(g))
+      .flatMap { g =>
+        val p = snapshotPath(dir, g)
+        scala.util.Try(parseFile(p)).toOption.map(m =>
+          (g, m.commitMs.getOrElse(Files.getLastModifiedTime(p).toMillis)))
+      }.sortBy(_._1)
   }
 
   /** EVERY `.manifest.v<gen>` on disk, committed or not, readable or
@@ -623,9 +661,15 @@ object SegManifest {
       val taggedKept: Set[Long] =
         tags(dir).values.toSet.intersect(readable.keySet)
           .filter(_ <= live.gen)
+      // branch refs are retention floors on BOTH ends: the head (the
+      // branch's own latest data — possibly ABOVE the live pointer)
+      // and the base (fast_forward's ancestry witness)
+      val refKept: Set[Long] = refs(dir).values
+        .flatMap { case (h, b) => Seq(h, b) }.toSet
+        .intersect(readable.keySet)
       val keptGens = ((committed :+ live.gen)
         .distinct.sorted.takeRight(keepLast).toSet ++ horizonKept ++
-        taggedKept + live.gen)
+        taggedKept ++ refKept + live.gen)
       // deletion vectors are generation data exactly like segments:
       // protected while any kept generation references them
       val protectedNames = live.names.toSet ++ live.dvs.values ++
@@ -668,10 +712,14 @@ object SegManifest {
       if (dryRun) return junkNames.toSeq.sorted
       // retire doomed snapshots BEFORE any file goes
       raw.foreach { g =>
-        val doomed = g > live.gen || !readable.contains(g) ||
+        // above-live snapshots are crash-staged orphans UNLESS a
+        // branch ref committed them (kept: they are that branch's
+        // history)
+        val doomed = (g > live.gen && !refKept.contains(g)) ||
+          !readable.contains(g) ||
           readable(g).names.exists(junkNames.contains) ||
           readable(g).dvs.values.exists(junkNames.contains)
-        if (doomed && g != live.gen)
+        if (doomed && g != live.gen && !refKept.contains(g))
           Files.deleteIfExists(snapshotPath(dir, g))
       }
       junk.foreach { p =>
@@ -728,19 +776,15 @@ object SegManifest {
     * silently moved audit pin is worse than a loud one). */
   def setTag(dir: String, name: String, gen: Long): Unit =
     lockFor(dir).synchronized {
-      require(name.nonEmpty && name.forall(c =>
-        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
-        s"gseg tag: illegal tag name '$name' ([A-Za-z0-9._-] only)")
-      // reject by the RESOLVER'S OWN parse, not an all-digit
-      // heuristic: loadTable feeds a VERSION AS OF operand to
-      // `toLong`, which also accepts signed forms like '-5' that the
-      // charset admits but contain a non-digit — any name toLong
-      // accepts would be resolved as a generation, never as a tag
-      require(scala.util.Try(name.toLong).isFailure,
-        s"gseg tag: tag name '$name' parses as a number and would be " +
-          "read as a generation by VERSION AS OF")
       val token = acquireProcessLock(dir)
       try {
+        // charset, numeric-parse (the resolver's own toLong — '-5'
+        // included) and tag/branch cross-collision gates, shared with
+        // createBranch: one VERSION AS OF namespace, one rule.
+        // Re-pointing an existing tag is checked separately below so
+        // the same-gen idempotent case stays allowed.
+        if (!tags(dir).contains(name))
+          validateRefName(dir, name, "tag")
         val live = readManifest(dir).map(_.gen).getOrElse(
           throw new IllegalArgumentException(
             s"gseg tag: no generation manifest at $dir"))
@@ -772,6 +816,167 @@ object SegManifest {
           s"gseg untag: no tag '$name' at $dir"))
         writeTags(dir, cur - name)
         g
+      } finally releaseProcessLock(dir, token)
+    }
+
+  // ---------------- writable branch refs (WAP) ----------------
+
+  /** While this session conf names a branch, EVERY gseg write lands
+    * on that branch and main-pointer commits are refused loudly —
+    * the write-audit-publish workflow: write to the branch, audit
+    * `VERSION AS OF '<branch>'`, then `CALL fast_forward` publishes
+    * (Iceberg's `spark.wap.branch` contract). */
+  val WapBranchConf = "spark.gseg.wap.branch"
+
+  private def refsPath(dir: String): Path = Paths.get(dir, ".refs")
+
+  /** Writable branch refs: `branch name → (head, base)`, in a `.refs`
+    * sidecar (one `name<TAB>head<TAB>base` line each, sorted; temp +
+    * atomic publish like every metadata file here). `head` is the
+    * branch's OWN latest generation — it ADVANCES with each branch
+    * commit, the half of the Iceberg branch/tag model tags left out —
+    * and `base` is the MAIN generation the branch forked from, the
+    * ancestry witness [[fastForward]] checks so a publish can never
+    * silently drop main commits that landed since the fork. Branch
+    * snapshots share the table's single generation number line
+    * ([[swapLocked]] allocates past every head), so branching moves
+    * ZERO data: a branch is one sidecar line, its commits are
+    * ordinary snapshots, and the publish is one pointer swap —
+    * constant-cost at any table size. Both refs of a branch are
+    * vacuum retention floors until the branch is dropped. */
+  def refs(dir: String): Map[String, (Long, Long)] = {
+    val p = refsPath(dir)
+    if (!Files.exists(p)) Map.empty
+    else try
+      Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 3,
+          s"gseg: unrecognized refs line in $p: '$l'")
+        parts(0) -> ((parts(1).toLong, parts(2).toLong))
+      }.toMap
+    catch { // dropped-last-branch race: delete means no refs
+      case _: java.nio.file.NoSuchFileException => Map.empty
+    }
+  }
+
+  private def writeRefs(dir: String, m: Map[String, (Long, Long)]): Unit = {
+    val p = refsPath(dir)
+    if (m.isEmpty) { Files.deleteIfExists(p); return }
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (n, (h, b)) => s"$n\t$h\t$b" }.mkString("", "\n", "\n")
+    commitProvider.publish(Paths.get(dir), p, body.getBytes(UTF_8))
+  }
+
+  /** Shared ref-name gate: tags and branches resolve through the one
+    * `VERSION AS OF` namespace, so names must be non-numeric (the
+    * resolver parses numbers as generations) and unique ACROSS both
+    * kinds. */
+  private def validateRefName(dir: String, name: String, kind: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"gseg $kind: illegal name '$name' ([A-Za-z0-9._-] only)")
+    require(scala.util.Try(name.toLong).isFailure,
+      s"gseg $kind: name '$name' parses as a number and would be " +
+        "read as a generation by VERSION AS OF")
+    require(!tags(dir).contains(name),
+      s"gseg $kind: '$name' is already a tag of this table")
+    require(!refs(dir).contains(name),
+      s"gseg $kind: '$name' is already a branch of this table")
+  }
+
+  /** Fork a branch at the live generation. One sidecar line — no
+    * snapshot written, no file copied. */
+  def createBranch(dir: String, name: String): Long =
+    lockFor(dir).synchronized {
+      val token = acquireProcessLock(dir)
+      try {
+        validateRefName(dir, name, "branch")
+        val live = readManifest(dir).map(_.gen).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg branch: no generation manifest at $dir"))
+        writeRefs(dir, refs(dir) + (name -> ((live, live))))
+        live
+      } finally releaseProcessLock(dir, token)
+    }
+
+  /** Drop a branch, returning its head. The head's snapshot and files
+    * lose their retention floor — the NEXT vacuum may reclaim them
+    * (the abandon-the-audit path of WAP). */
+  def dropBranch(dir: String, name: String): Long =
+    lockFor(dir).synchronized {
+      require(Files.isDirectory(Paths.get(dir)),
+        s"gseg drop_branch: no table directory at $dir")
+      val token = acquireProcessLock(dir)
+      try {
+        val cur = refs(dir)
+        val (h, _) = cur.getOrElse(name, throw new IllegalArgumentException(
+          s"gseg drop_branch: no branch '$name' at $dir"))
+        writeRefs(dir, cur - name)
+        h
+      } finally releaseProcessLock(dir, token)
+    }
+
+  /** THE branch commit point: publish `names` as the branch's next
+    * generation and advance its head — the MAIN pointer does not
+    * move (main readers are byte-unaffected). Same optimistic-CAS
+    * discipline as [[swap]]: `expectHead` is the head this committer
+    * read; a mismatch throws [[CommitConflictException]] for
+    * [[withConflictRetry]]. Deletion vectors carry forward from the
+    * branch head for surviving names. */
+  def branchSwap(dir: String, branch: String, names: Seq[String],
+      expectHead: Option[Long] = None,
+      dvs: Option[Map[String, String]] = None): Long =
+    lockFor(dir).synchronized {
+      val token = acquireProcessLock(dir)
+      try {
+        val cur = refs(dir)
+        val (head, base) = cur.getOrElse(branch,
+          throw new IllegalArgumentException(
+            s"gseg: no branch '$branch' at $dir — CALL branch first"))
+        expectHead.foreach { e =>
+          if (e != head) throw new CommitConflictException(
+            s"gseg: concurrent branch commit on $dir@$branch — read " +
+              s"head $e, now $head; re-read and retry")
+        }
+        val headM = readSnapshotManifest(dir, head)
+        val live = readManifest(dir).map(_.gen)
+        val gen = math.max(live.map(_ + 1).getOrElse(0L),
+          cur.values.map(_._1 + 1).max)
+        val body = snapshotBody(dir, gen, names, headM, None, dvs)
+        commitProvider.publish(Paths.get(dir), snapshotPath(dir, gen), body)
+        writeRefs(dir, cur + (branch -> ((gen, base))))
+        gen
+      } finally releaseProcessLock(dir, token)
+    }
+
+  /** Publish a branch: fast-forward MAIN to the branch head. Legal
+    * only while main still sits at the branch's fork base — if main
+    * advanced since, the merge is not a fast-forward and the publish
+    * fails loudly (recreate the branch from the new live to rebase).
+    * Returns (previous live, new live). The branch stays, re-based at
+    * its own head, ready for the next WAP cycle. */
+  def fastForward(dir: String, branch: String): (Long, Long) =
+    lockFor(dir).synchronized {
+      val token = acquireProcessLock(dir)
+      try {
+        val cur = refs(dir)
+        val (head, base) = cur.getOrElse(branch,
+          throw new IllegalArgumentException(
+            s"gseg fast_forward: no branch '$branch' at $dir"))
+        val live = readManifest(dir).map(_.gen).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg fast_forward: no generation manifest at $dir"))
+        require(live == base,
+          s"gseg fast_forward: main advanced from $base to $live since " +
+            s"'$branch' forked — not a fast-forward; recreate the " +
+            "branch from the live generation to rebase")
+        if (head != live) {
+          // the branch head's snapshot IS the next manifest, verbatim
+          val body = Files.readAllBytes(snapshotPath(dir, head))
+          commitProvider.publish(Paths.get(dir), manifestPath(dir), body)
+        }
+        writeRefs(dir, cur + (branch -> ((head, head))))
+        (live, head)
       } finally releaseProcessLock(dir, token)
     }
 }

@@ -3303,7 +3303,43 @@ case class SegBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: SegCommitMessage => m }
-    if (SegManifest.exists(path)) {
+    // WAP: a session-named write branch routes this commit through
+    // the branch head — MAIN's pointer (and every main reader) is
+    // untouched until CALL fast_forward publishes. Manifest tables
+    // only: a path-based dir has no refs to advance.
+    val wapBranch = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get(SegManifest.WapBranchConf, "")).filter(_.nonEmpty)
+    if (wapBranch.isDefined) {
+      val b = wapBranch.get
+      require(SegManifest.exists(path),
+        s"gseg: ${SegManifest.WapBranchConf}='$b' needs a catalog " +
+          "(manifest) table — path-based dirs have no branch refs")
+      val gen = java.util.UUID.randomUUID.toString.take(8)
+      val newNames = msgs.flatMap { m =>
+        m.tmpFiles.zipWithIndex.map { case (tmp, i) =>
+          val name = f"part-$gen-${m.partitionId}%05d-$i%03d.gseg"
+          Files.move(Paths.get(tmp), Paths.get(s"$path/$name"),
+            StandardCopyOption.REPLACE_EXISTING)
+          name
+        }
+      }.toSeq
+      if (truncateFirst) {
+        // branch overwrite: replace the BRANCH content, single-shot
+        val head = SegManifest.refs(path).getOrElse(b,
+          throw new IllegalArgumentException(
+            s"gseg: no branch '$b' — CALL branch first"))._1
+        SegManifest.branchSwap(path, b, newNames, expectHead = Some(head))
+      } else SegManifest.withConflictRetry("branch-append") {
+        // branch append commutes exactly like a main append
+        val head = SegManifest.refs(path).getOrElse(b,
+          throw new IllegalArgumentException(
+            s"gseg: no branch '$b' — CALL branch first"))._1
+        val old = SegManifest.readSnapshotManifest(path, head)
+          .map(_.names).getOrElse(Seq.empty)
+        SegManifest.branchSwap(path, b, old ++ newNames,
+          expectHead = Some(head))
+      }
+    } else if (SegManifest.exists(path)) {
       // manifest table (catalog): crash-atomic protocol. Final names
       // are generation-stamped so they can never collide with (and
       // REPLACE) a live segment; renamed files stay invisible to

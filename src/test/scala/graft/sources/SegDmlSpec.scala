@@ -1848,6 +1848,89 @@ class SegDmlSpec extends SparkSpec {
     assert(iso.table("tc.ns.aud").count() == 90)
   }
 
+  test("writable branches: WAP write-audit-publish with main " +
+      "byte-untouched until fast_forward") {
+    val (iso, wh) = dml("wap")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k BIGINT, v DOUBLE) USING gseg")
+    iso.sql("INSERT INTO tc.ns.t SELECT id, id * 1.0 FROM range(0, 50)")
+    val dir = s"$wh/ns/t"
+    val manifest = java.nio.file.Paths.get(dir, ".manifest")
+    // fork: one sidecar line, zero data movement
+    val fk = iso.sql("CALL tc.branch('ns.t', 'wap')").head()
+    assert(fk.getString(1) == "wap" && fk.getLong(2) == 1L)
+    val mainBytes = java.nio.file.Files.readAllBytes(manifest)
+    // WAP mode on: writes land on the branch, main commits refuse
+    iso.conf.set(SegManifest.WapBranchConf, "wap")
+    iso.sql("INSERT INTO tc.ns.t SELECT id, id * 2.0 FROM range(50, 80)")
+    // main is BYTE-identical (the WAP promise) and reads 50 rows
+    assert(java.nio.file.Files.readAllBytes(manifest)
+      .sameElements(mainBytes))
+    assert(iso.table("tc.ns.t").count() == 50)
+    // the branch reads both generations through VERSION AS OF
+    assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'wap'")
+      .count() == 80)
+    // main-pointer commits are refused loudly while WAP is on
+    val e = intercept[Exception](iso.sql("DELETE FROM tc.ns.t WHERE k = 1"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("wap")), msgs(e).mkString("; "))
+    // a second branch append in the same cycle advances the head
+    iso.sql("INSERT INTO tc.ns.t SELECT id, id * 3.0 FROM range(80, 90)")
+    assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'wap'")
+      .count() == 90)
+    assert(iso.table("tc.ns.t").count() == 50)
+    iso.conf.unset(SegManifest.WapBranchConf)
+    // audit passed: publish = ONE pointer swap
+    val ff = iso.sql("CALL tc.fast_forward('ns.t', 'wap')").head()
+    assert(ff.getLong(2) == 1L && ff.getLong(3) == 3L)
+    assert(iso.table("tc.ns.t").count() == 90)
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getDouble(0) ==
+      (0 until 50).map(_ * 1.0).sum + (50 until 80).map(_ * 2.0).sum +
+        (80 until 90).map(_ * 3.0).sum)
+    // history records the published generations and labels the branch
+    val hist = iso.sql("CALL tc.history('ns.t')").collect()
+    assert(hist.map(_.getLong(0)).toSet.contains(3L))
+    assert(hist.filter(_.getLong(0) == 3L)
+      .exists(_.getString(6).contains("wap(branch)")))
+    // ---- staged-but-unpublished branches survive vacuum ----
+    iso.sql("CALL tc.branch('ns.t', 'audit2')")
+    iso.conf.set(SegManifest.WapBranchConf, "audit2")
+    iso.sql("INSERT INTO tc.ns.t SELECT id, 0.5 FROM range(90, 95)")
+    iso.conf.unset(SegManifest.WapBranchConf)
+    val staged = SegManifest.refs(dir)("audit2")._1
+    val stagedNames =
+      SegManifest.readSnapshotManifest(dir, staged).get.names.toSet
+    iso.sql("CALL tc.vacuum('ns.t', keep_last => 1)")
+    assert(stagedNames.forall(n => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, n))),
+      "branch-staged segments must survive vacuum")
+    assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'audit2'")
+      .count() == 95)
+    // ---- audit failed: drop the branch, vacuum reclaims ----
+    iso.sql("CALL tc.drop_branch('ns.t', 'audit2')")
+    iso.sql("CALL tc.vacuum('ns.t', keep_last => 1)")
+    val liveNames = SegManifest.read(dir).get._2.toSet
+    assert((stagedNames -- liveNames).forall(n =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))),
+      "dropped branch's staged segments must be reclaimed")
+    assert(iso.table("tc.ns.t").count() == 90) // main never saw them
+    // ---- non-fast-forward publish is loud ----
+    iso.sql("CALL tc.branch('ns.t', 'slow')")
+    iso.conf.set(SegManifest.WapBranchConf, "slow")
+    iso.sql("INSERT INTO tc.ns.t SELECT id, 1.0 FROM range(100, 105)")
+    iso.conf.unset(SegManifest.WapBranchConf)
+    iso.sql("INSERT INTO tc.ns.t SELECT id, 1.0 FROM range(200, 205)")
+    val e2 = intercept[Exception](
+      iso.sql("CALL tc.fast_forward('ns.t', 'slow')"))
+    assert(msgs(e2).exists(_.contains("fast-forward")),
+      msgs(e2).mkString("; "))
+    // ---- ref-name guards share the tag rules ----
+    intercept[Exception](iso.sql("CALL tc.branch('ns.t', '123')"))
+    intercept[Exception](iso.sql("CALL tc.branch('ns.t', 'slow')"))
+    intercept[Exception](iso.sql("CALL tc.tag('ns.t', 'slow')"))
+  }
+
   test("DECIMAL widens ACROSS the 18-digit long/int128 tag boundary " +
       "metadata-only, exact at wei scale") {
     val (iso, wh) = dml("widen38")
