@@ -307,6 +307,7 @@ object SparkEntry {
     "s52_dsv2_embeddings" -> CoreOps.s52DsvEmbeddings _,
     "s53_dsv2_decimal38" -> CoreOps.s53DsvDecimal38 _,
     "s54_dsv2_branch_wap" -> CoreOps.s54DsvBranchWap _,
+    "s55_dsv2_spec_evolution" -> CoreOps.s55DsvSpecEvolution _,
     "stream_gseg_cdf_parity" ->
       graft.streaming.StreamGates.streamSegCdfParity _,
     "stream_dv_cdf_parity" ->
@@ -1663,6 +1664,20 @@ object SparkEntry {
         |       TRUE AS main_untouched_during_wap, TRUE AS audit_saw_all,
         |       TRUE AS published_one_swap, TRUE AS history_labels_branch
         |FROM orders""".stripMargin,
+    // PARTITION-SPEC EVOLUTION: set_clustering is metadata-only (new
+    // segments only); each file prunes under its own layout on the
+    // mixed table; compact migrates to the declared spec. Both
+    // single-key aggregates recompute relationally.
+    "s55_dsv2_spec_evolution" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 5) AS n1,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM orders WHERE o_orderkey % 13 = 5) AS sum1,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey % 11 = 7) AS n2,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM orders WHERE o_custkey % 11 = 7) AS sum2,
+        |  TRUE AS spec_change_metadata_only, TRUE AS old_layout_pruned,
+        |  TRUE AS new_layout_pruned, TRUE AS compact_migrates""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

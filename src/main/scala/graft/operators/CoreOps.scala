@@ -4367,6 +4367,56 @@ object CoreOps {
         "audit_saw_all", "published_one_swap", "history_labels_branch")
   }
 
+  /** PARTITION-SPEC EVOLUTION [S55]: `CALL set_clustering` changes
+    * the declared clustering as PURE METADATA (`spec_change_metadata
+    * _only` pins the manifest file set unchanged) — new segments lay
+    * out under the new spec, old segments are untouched and each file
+    * PRUNES UNDER THE LAYOUT IT WAS WRITTEN WITH (per-file zone
+    * evidence, never a table-level assumption): `old_layout_pruned` /
+    * `new_layout_pruned` counter-pin that a predicate on the OLD key
+    * and one on the NEW key both file-prune the mixed table. `CALL
+    * compact` then migrates every file to the current spec —
+    * `compact_migrates` pins that the post-compact scan recovers the
+    * new identity layout WHOLE (KeyGroupedPartitioning — the
+    * SPJ-ready state a mixed spec can't reach). At 100 TB: re-keying
+    * a table costs one sidecar write, not a table rewrite. */
+  def s55DsvSpecEvolution(s: SparkSession, d: String): DataFrame = {
+    val (iso, wh) = dmlSession(s, d, "dml55")
+    import iso.implicits._
+    iso.sql("CREATE TABLE gseg_dml.dml.t (k1 BIGINT, k2 BIGINT, " +
+      "price DOUBLE) USING gseg PARTITIONED BY (k1)")
+    val ord = Tables.orders(iso, d)
+    def half(even: Boolean) = ord
+      .filter(col("o_orderkey") % 2 === (if (even) 0 else 1))
+      .select((col("o_orderkey") % 13).as("k1"),
+        (col("o_custkey") % 11).as("k2"),
+        col("o_totalprice").as("price"))
+    half(even = true).writeTo("gseg_dml.dml.t").append()
+    val dir = s"$wh/dml/t"
+    val before = graft.sources.SegManifest.read(dir).get._2.toSet
+    iso.sql("CALL gseg_dml.set_clustering('dml.t', 'k2')")
+    val metadataOnly =
+      graft.sources.SegManifest.read(dir).get._2.toSet == before
+    half(even = false).writeTo("gseg_dml.dml.t").append()
+    def agg1(f: Column): (Long, Double, Map[String, Long]) = {
+      graft.Counters.drain()
+      val r = iso.table("gseg_dml.dml.t").filter(f)
+        .agg(count(lit(1)), sum(dec(col("price"))).cast(DoubleType))
+        .head()
+      (r.getLong(0), r.getDouble(1), graft.Counters.drain())
+    }
+    val (n1, sum1, c1) = agg1(col("k1") === 5)
+    val (n2, sum2, c2) = agg1(col("k2") === 7)
+    iso.sql("CALL gseg_dml.compact('dml.t', 8)")
+    val (n3, _, c3) = agg1(col("k2") === 7)
+    Seq((n1, sum1, n2, sum2, metadataOnly,
+      c1.getOrElse("gseg_files_skipped", 0L) > 0,
+      c2.getOrElse("gseg_files_skipped", 0L) > 0,
+      n3 == n2 && c3.getOrElse("gseg_key_groups", 0L) > 0))
+      .toDF("n1", "sum1", "n2", "sum2", "spec_change_metadata_only",
+        "old_layout_pruned", "new_layout_pruned", "compact_migrates")
+  }
+
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {
     val (iso, wh) = dmlSession(s, d, "dml33")
     val ord = Tables.orders(iso, d)

@@ -586,6 +586,7 @@ class SegCatalog extends TableCatalog
       case "clone" => new SegCloneProcedure(this)
       case "tag" => new SegTagProcedure(this)
       case "untag" => new SegUntagProcedure(this)
+      case "set_clustering" => new SegSetClusteringProcedure(this)
       case "branch" => new SegBranchProcedure(this)
       case "drop_branch" => new SegDropBranchProcedure(this)
       case "fast_forward" => new SegFastForwardProcedure(this)
@@ -606,7 +607,8 @@ class SegCatalog extends TableCatalog
         Identifier.of(namespace, "untag"),
         Identifier.of(namespace, "branch"),
         Identifier.of(namespace, "drop_branch"),
-        Identifier.of(namespace, "fast_forward"))
+        Identifier.of(namespace, "fast_forward"),
+        Identifier.of(namespace, "set_clustering"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -2600,6 +2602,103 @@ class SegFastForwardProcedure(cat: SegCatalog)
             Array(row)
           override def readSchema(): StructType = outSchema
           override def description(): String = s"gseg fast_forward $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.set_clustering('ns.table', 'spec1,spec2' | '')` →
+  * PARTITION-SPEC EVOLUTION, Iceberg-style: change the DECLARED
+  * clustering as pure metadata. NEW segments lay out under the new
+  * spec (the write-side distribution reads the sidecar at plan
+  * time); EXISTING segments are untouched — not one byte rewritten —
+  * and keep pruning under the layout they were written with, because
+  * gseg's pruning is per-FILE evidence (zone maps, bucket stamps,
+  * run stats travel in each segment's own header), never a
+  * table-level assumption. At 100 TB this is THE re-layout lever:
+  * changing a table's clustering costs one sidecar write, old data
+  * keeps its old locality, and `CALL compact` migrates files to the
+  * current spec opportunistically (its default sort is the DECLARED
+  * clustering). Mixed-layout tables degrade only where a single
+  * layout is required: storage-partitioned joins report
+  * UnknownPartitioning until compaction unifies the spec. The empty
+  * string drops the clustering. Accepts the same spec grammar as
+  * CREATE's PARTITIONED BY and compact's cluster_by (identity,
+  * bucket(n,col), years/months/days/hours(col), truncate(w,col),
+  * zorder(a,b)). */
+class SegSetClusteringProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "set_clustering"
+  override def description(): String =
+    "evolve the declared clustering (new segments only; pure metadata)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "set_clustering"
+      override def description(): String =
+        SegSetClusteringProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("cluster_by", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("old_clustering", StringType, nullable = false),
+        StructField("new_clustering", StringType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val cb = input.getUTF8String(1).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg set_clustering: bad table identifier '$tbl'")
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        cat.loadTable(ident) // ensures manifest + sidecar (migration)
+        val dir = cat.tableDir(ident)
+        val meta = SegMeta.read(dir).getOrElse(
+          throw new IllegalStateException(
+            s"gseg set_clustering: no sidecar at $dir"))
+        // same spec grammar and validation as compact's cluster_by
+        val specs: Seq[String] =
+          if (cb.trim.isEmpty) Nil
+          else SegSource.splitClusterSpecs(cb).map { c =>
+            SegSource.parseZOrder(c) match {
+              case Some((a, b)) =>
+                require(meta.schema.fieldNames.contains(a) &&
+                  meta.schema.fieldNames.contains(b),
+                  s"gseg set_clustering: zorder column of '$c' is not " +
+                    "in the schema")
+                c
+              case None =>
+                val k = SegSource.ClusterKey.parse(c)
+                require(meta.schema.fieldNames.contains(k.col),
+                  s"gseg set_clustering: column '${k.col}' is not in " +
+                    "the schema")
+                k.render
+            }
+          }
+        val names = specs.map(c => SegSource.parseZOrder(c)
+          .map(_.toString).getOrElse(SegSource.ClusterKey.parse(c).col))
+        require(names.distinct.size == names.size,
+          s"gseg set_clustering: duplicate cluster column in '$cb'")
+        SegMeta.write(dir, meta.copy(clusterCols = specs)) // ONE commit
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              meta.clusterCols.mkString(",")),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              specs.mkString(","))))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg set_clustering $tbl"
         }).iterator()
       }
     }

@@ -2210,13 +2210,14 @@ case class SegScan(path: String, required: StructType,
       (f, if (keys.forall(_.isDefined)) Some(keys.map(_.get)) else None)
     }
     if (files.isEmpty || kv.exists(_._2.isEmpty)) None
-    else
+    else {
       // deterministic group order via a stable rendering (key
       // components are single-typed per position; SPJ matches groups
       // by key equality, not order)
       Some(kv.groupBy(_._2.get).toSeq
         .sortBy(_._1.map(String.valueOf).mkString(""))
         .map { case (k, fs) => (k, fs.map(_._1)) })
+    }
   }
 
   override def outputPartitioning()

@@ -611,7 +611,8 @@ class SegDmlSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(procs ==
       Set("vacuum", "compact", "history", "rollback", "changes", "clone",
-        "tag", "untag"),
+        "tag", "untag", "branch", "drop_branch", "fast_forward",
+        "set_clustering"),
       s"procedures: $procs")
   }
 
@@ -1846,6 +1847,66 @@ class SegDmlSpec extends SparkSpec {
         .collect())
     // the clone is UNAFFECTED: independent history, hard-linked bytes
     assert(iso.table("tc.ns.aud").count() == 90)
+  }
+
+  test("set_clustering evolves the spec for NEW segments only; each " +
+      "file prunes under its own layout") {
+    val (iso, wh) = dml("specevolve")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k1 BIGINT, k2 BIGINT, v DOUBLE) " +
+      "USING gseg PARTITIONED BY (k1)")
+    // half A under identity(k1): single-k1 files, tight k1 zone maps
+    iso.range(0, 2000)
+      .select(($"id" % 13).as("k1"), ($"id" % 11).as("k2"),
+        ($"id" * 1.0).as("v"))
+      .writeTo("tc.ns.t").append()
+    val dir = s"$wh/ns/t"
+    val before = SegManifest.read(dir).get._2.toSet
+    val r0 = iso.sql("CALL tc.set_clustering('ns.t', 'k2')").head()
+    assert(r0.getString(1) == "k1" && r0.getString(2) == "k2")
+    // pure metadata: not one file rewritten
+    assert(SegManifest.read(dir).get._2.toSet == before)
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols
+      == Seq("k2"))
+    // half B lays out under identity(k2)
+    iso.range(2000, 4000)
+      .select(($"id" % 13).as("k1"), ($"id" % 11).as("k2"),
+        ($"id" * 1.0).as("v"))
+      .writeTo("tc.ns.t").append()
+    assert(iso.table("tc.ns.t").count() == 4000)
+    // a k1 predicate prunes the OLD files under THEIR layout...
+    graft.Counters.drain()
+    assert(iso.table("tc.ns.t").filter($"k1" === 5L).count() ==
+      (0 until 4000).count(_ % 13 == 5))
+    val c1 = graft.Counters.drain()
+    assert(c1.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c1")
+    // ...and a k2 predicate prunes the NEW files under theirs
+    graft.Counters.drain()
+    assert(iso.table("tc.ns.t").filter($"k2" === 7L).count() ==
+      (0 until 4000).count(_ % 11 == 7))
+    val c2 = graft.Counters.drain()
+    assert(c2.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c2")
+    // compaction MIGRATES to the current spec (its default sort is
+    // the declared clustering): afterwards EVERY file is k2-keyed, so
+    // the scan recovers the identity(k2) layout whole and reports
+    // KeyGroupedPartitioning — pruning moves from the per-file zone
+    // grain (mixed table) to the key-GROUP grain (gseg_key_groups
+    // fires, the SPJ-ready state a mixed spec can't reach)
+    iso.sql("CALL tc.compact('ns.t', 4)")
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols
+      == Seq("k2"))
+    graft.Counters.drain()
+    assert(iso.table("tc.ns.t").filter($"k2" === 7L).count() ==
+      (0 until 4000).count(_ % 11 == 7))
+    val c3 = graft.Counters.drain()
+    assert(c3.getOrElse("gseg_key_groups", 0L) > 0,
+      s"post-compact scan must recover the NEW layout whole: $c3")
+    // guards: unknown column is loud; '' drops the clustering
+    intercept[Exception](
+      iso.sql("CALL tc.set_clustering('ns.t', 'nope')"))
+    iso.sql("CALL tc.set_clustering('ns.t', '')")
+    assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols
+      .isEmpty)
   }
 
   test("writable branches: WAP write-audit-publish with main " +
