@@ -86,6 +86,7 @@ object SparkEntry {
     "sim_quantize_int8"  -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "sim_lsh_topk"       -> ((s, d) => Gates.lshRecallGate(s, d)),
     "sim_ivf_topk"       -> ((s, d) => Gates.ivfRecallGate(s, d)),
+    "sim_ivf_indexed"    -> graft.streaming.StreamGates.simIvfIndexed _,
     "mm_decode"          -> Multimodal.decodeMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
     "mm_resize"          -> Multimodal.resize _,
@@ -660,6 +661,20 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS rows_ok""".stripMargin,
     "sim_ivf_topk" ->
       """SELECT CAST(1 AS BOOLEAN) AS full_probe_exact,
+        |       CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
+    // DECLARATIVE ANN INDEX LIFECYCLE: CALL create_index persists
+    // centroid/assignment gseg tables; a changefeed stream maintains
+    // the assignment through INSERT/UPDATE/DELETE + a checkpoint
+    // restart; search runs THROUGH the stored assignments. The final
+    // live count is relational (held-out slice re-inserted, %7=3
+    // deleted); the parity/recall booleans are in-engine claims.
+    "sim_ivf_indexed" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings
+        |        WHERE NOT (vec_id % 7 = 3)) AS n_vectors,
+        |       16 AS n_cells,
+        |       CAST(1 AS BOOLEAN) AS index_matches_rebuild,
+        |       CAST(1 AS BOOLEAN) AS incremental_applied,
+        |       CAST(1 AS BOOLEAN) AS full_probe_exact,
         |       CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
     // PQ gate: ADC identity + re-ranked recall are in-engine booleans
     // (no SQL engine re-derives k-means cells); the corpus count is

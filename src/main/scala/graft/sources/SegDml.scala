@@ -587,6 +587,7 @@ class SegCatalog extends TableCatalog
       case "tag" => new SegTagProcedure(this)
       case "untag" => new SegUntagProcedure(this)
       case "set_clustering" => new SegSetClusteringProcedure(this)
+      case "create_index" => new SegCreateIndexProcedure(this)
       case "branch" => new SegBranchProcedure(this)
       case "drop_branch" => new SegDropBranchProcedure(this)
       case "fast_forward" => new SegFastForwardProcedure(this)
@@ -608,7 +609,8 @@ class SegCatalog extends TableCatalog
         Identifier.of(namespace, "branch"),
         Identifier.of(namespace, "drop_branch"),
         Identifier.of(namespace, "fast_forward"),
-        Identifier.of(namespace, "set_clustering"))
+        Identifier.of(namespace, "set_clustering"),
+        Identifier.of(namespace, "create_index"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -2699,6 +2701,144 @@ class SegSetClusteringProcedure(cat: SegCatalog)
             Array(row)
           override def readSchema(): StructType = outSchema
           override def description(): String = s"gseg set_clustering $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.create_index('ns.t', '<vector col>', '<key col>',
+  * method => 'ivf'|'lsh', cells => n)` → DECLARATIVE ANN INDEX over a
+  * gseg vector table, persisted AS gseg tables under the same commit
+  * protocol as the data they index:
+  *  - ivf: k-means cells — `<t>__idx_<col>_cent` (cid, centroid
+  *    ARRAY<FLOAT>) and `<t>__idx_<col>_assign` (key, cid). Training
+  *    is deterministic (smallest-key init + Lloyd); assignment is one
+  *    broadcast map-only pass.
+  *  - lsh: sign-random-projection buckets — `<t>__idx_<col>_assign`
+  *    (key, bucket), `cells` = signature bits. Hyperplanes derive
+  *    deterministically from (plane, dim), so no plane table exists
+  *    to drift: any maintainer recomputes identical buckets.
+  * MAINTENANCE is incremental from the table's row-level changefeed:
+  * tail `read_changefeed`, MERGE-delete touched keys from the assign
+  * table, re-insert assignments for rows live after the batch —
+  * exactly the [[graft.streaming.StreamGates]] cdf-index recipe, cost
+  * = commit churn, never corpus (the sim_ivf_indexed gate drives
+  * INSERT/UPDATE/DELETE + a checkpoint restart through it and pins
+  * set-parity with a from-scratch rebuild). At 100 TB: search probes
+  * `nprobe/nlist` of the corpus through the assign join instead of
+  * scanning everything, and a maintenance tick costs the commit, not
+  * the table. */
+class SegCreateIndexProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "create_index"
+  override def description(): String =
+    "build a persisted ANN index (ivf cells or lsh buckets) over a " +
+      "vector column"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "create_index"
+      override def description(): String =
+        SegCreateIndexProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("key", StringType).build(),
+        ProcedureParameter.in("method", StringType)
+          .defaultValue("'ivf'").build(),
+        ProcedureParameter.in("cells", org.apache.spark.sql.types.IntegerType)
+          .defaultValue("16").build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("method", StringType, nullable = false),
+        StructField("index_table", StringType, nullable = false),
+        StructField("cells", org.apache.spark.sql.types.IntegerType,
+          nullable = false),
+        StructField("n_indexed", LongType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val colN = input.getUTF8String(1).toString
+        val keyN = input.getUTF8String(2).toString
+        val method =
+          if (input.isNullAt(3)) "ivf" else input.getUTF8String(3).toString
+        val cells = if (input.isNullAt(4)) 16 else input.getInt(4)
+        require(cells > 0 && cells <= 64,
+          s"gseg create_index: cells must be in 1..64, got $cells")
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg create_index: bad table identifier '$tbl'")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val fqn = s"${cat.name()}.$tbl"
+        val df = spark.table(fqn)
+        val vf = df.schema.fields.find(_.name == colN).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg create_index: no column '$colN' in $tbl"))
+        require(vf.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) => true
+          case _ => false
+        }, s"gseg create_index: '$colN' must be ARRAY<FLOAT>, got " +
+          vf.dataType.simpleString)
+        val kf = df.schema.fields.find(_.name == keyN).getOrElse(
+          throw new IllegalArgumentException(
+            s"gseg create_index: no key column '$keyN' in $tbl"))
+        require(kf.dataType == LongType ||
+          kf.dataType == org.apache.spark.sql.types.IntegerType,
+          s"gseg create_index: key '$keyN' must be integral, got " +
+            kf.dataType.simpleString)
+        val vecs = df.select(
+            org.apache.spark.sql.functions.col(keyN).cast("bigint")
+              .as("_1"),
+            org.apache.spark.sql.functions.transform(
+              org.apache.spark.sql.functions.col(colN),
+              x => x.cast("double")).as("_2"))
+          .as[(Long, Array[Double])]
+        def fq(sfx: String) =
+          (parts.init :+ s"${parts.last}__idx_${colN}_$sfx").mkString(".")
+        val assignFqn = s"${cat.name()}.${fq("assign")}"
+        val n: Long = method match {
+          case "ivf" =>
+            val cents = graft.functions.Ivf.trainCentroidsAnyIds(vecs, cells)
+            spark.sql(s"CREATE TABLE ${cat.name()}.${fq("cent")} " +
+              "(cid INT, centroid ARRAY<FLOAT>) USING gseg")
+            cents.zipWithIndex
+              .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+              .toDF("cid", "centroid")
+              .writeTo(s"${cat.name()}.${fq("cent")}").append()
+            spark.sql(s"CREATE TABLE $assignFqn " +
+              s"(key BIGINT, cid INT) USING gseg")
+            graft.functions.Ivf.assignOn(vecs, cents)
+              .writeTo(assignFqn).append()
+            spark.table(assignFqn).count()
+          case "lsh" =>
+            spark.sql(s"CREATE TABLE $assignFqn " +
+              s"(key BIGINT, bucket BIGINT) USING gseg")
+            graft.functions.Ivf.lshAssignOn(vecs, cells)
+              .writeTo(assignFqn).append()
+            spark.table(assignFqn).count()
+          case other => throw new UnsupportedOperationException(
+            s"gseg create_index: unknown method '$other' " +
+              "(methods: ivf, lsh)")
+        }
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(method),
+            org.apache.spark.unsafe.types.UTF8String.fromString(fq("assign")),
+            cells, n))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg create_index $tbl"
         }).iterator()
       }
     }

@@ -2676,4 +2676,158 @@ object StreamGates {
       } finally { feed.unpersist(); () }
     } finally deleteRecursively(java.nio.file.Paths.get(base))
   }
+
+  /** Gate query [sim_ivf_indexed]: the DECLARATIVE ANN-INDEX
+    * LIFECYCLE — `CALL create_index(method => 'ivf')` persists
+    * centroid + assignment gseg tables under the table's own commit
+    * protocol; a `read_changefeed` stream then maintains the
+    * assignment table INCREMENTALLY through a mixed DML history
+    * (late INSERT of a held-out slice → stream STOPPED → mor DELETE +
+    * label UPDATE → RESTART from checkpoint), per-batch cost = commit
+    * churn, never corpus. Claims:
+    *  - index_matches_rebuild: the maintained assignment table is
+    *    SET-IDENTICAL to a from-scratch assignment of the live table
+    *    under the SAME persisted centroids — inserts, update
+    *    pre/post pairs and deletes landed exactly once across the
+    *    restart;
+    *  - incremental_applied: >= 2 separate batch applications
+    *    (counter evidence the parity came from maintenance);
+    *  - full_probe_exact / recall_ok: searching THROUGH the index
+    *    (stored cids prune candidates — [[graft.functions.Ivf
+    *    .ivfTopKFromIndex]] recomputes nothing) is exact at
+    *    nprobe = nlist and >= 60% recall at nprobe = 4 against the
+    *    brute-force top-k over the live table;
+    *  - n_vectors / n_cells anchor the final state relationally.
+    * At 100 TB: the search probes nprobe/nlist of the corpus through
+    * the assignment join, and the index follows every DML commit for
+    * the cost of that commit's churn. */
+  def simIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    val iso = isolated(s)
+    import iso.implicits._
+    val base = graft.Fs.fastTempDir("graft_ann_idx").toString
+    try {
+      val wh = s"$base/wh"
+      iso.conf.set("spark.sql.catalog.gseg_ann", "graft.sources.SegCatalog")
+      iso.conf.set("spark.sql.catalog.gseg_ann.warehouse", wh)
+      iso.sql("CREATE TABLE gseg_ann.ns.vec " +
+        "(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT) USING gseg " +
+        "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+      val emb = Tables.embeddings(iso, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      emb.filter(col("vec_id") % 10 =!= 9)
+        .repartition(4).writeTo("gseg_ann.ns.vec").append()
+      val idxRow = iso.sql("CALL gseg_ann.create_index('ns.vec', " +
+        "'embedding', 'vec_id', method => 'ivf', cells => 16)").head()
+      val nCells = idxRow.getInt(3)
+      // centroids as persisted — the index table, not a driver copy
+      val cents = iso.table("gseg_ann.ns.vec__idx_embedding_cent")
+        .collect().sortBy(_.getInt(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val dir = s"$wh/ns/vec"
+      val ckpt = s"$base/ckpt"
+      def applyBatch(batch: DataFrame, id: Long): Unit = {
+        if (batch.isEmpty) return
+        val ss = batch.sparkSession // foreachBatch runs in a clone
+        val b = batch.persist()
+        try {
+          graft.Counters.add("gseg_ann_batches_applied", 1L)
+          // 1. clear every touched key's assignment (idempotent under
+          //    replay; covers delete, update and re-insert alike)
+          b.select(col("vec_id").as("key")).distinct()
+            .createOrReplaceTempView("graft_ann_touched")
+          ss.sql("MERGE INTO gseg_ann.ns.vec__idx_embedding_assign t " +
+            "USING graft_ann_touched s ON t.key = s.key " +
+            "WHEN MATCHED THEN DELETE")
+          // 2. re-assign rows LIVE after the batch (latest generation
+          //    per key wins; postimage outranks preimage)
+          import ss.implicits._
+          val latest = b.withColumn("__rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("vec_id"))
+              .orderBy(col("_commit_generation").desc,
+                when(col("_change_type") === "update_postimage", 1)
+                  .otherwise(0).desc)))
+            .filter(col("__rk") === 1)
+            .filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(col("vec_id").cast("bigint").as("_1"),
+              transform(col("embedding"), x => x.cast(DoubleType)).as("_2"))
+            .as[(Long, Array[Double])]
+          graft.functions.Ivf.assignOn(latest, cents)
+            .createOrReplaceTempView("graft_ann_new")
+          ss.sql("INSERT INTO gseg_ann.ns.vec__idx_embedding_assign " +
+            "SELECT key, cid FROM graft_ann_new")
+        } finally { b.unpersist(); () }
+      }
+      def start(): StreamingQuery =
+        owned(iso.readStream.format("gseg")
+          .schema(iso.table("gseg_ann.ns.vec").schema)
+          .option(graft.sources.SegCdf.ReadChangefeedOption, "true")
+          .option(graft.sources.SegCdf.KeysOption, "vec_id")
+          .load(dir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch(applyBatch _).start(), "sim_ivf_indexed")
+      graft.Counters.drain()
+      var q: StreamingQuery = null
+      try {
+        q = start()
+        q.processAllAvailable() // snapshot bootstrap (MERGE converges)
+        emb.filter(col("vec_id") % 10 === 9)
+          .createOrReplaceTempView("graft_ann_late")
+        iso.sql("INSERT INTO gseg_ann.ns.vec SELECT * FROM graft_ann_late")
+        q.processAllAvailable() // the held-out slice, incrementally
+      } finally safeStop(q)
+      // mutate while the stream is DOWN; the restart catches up from
+      // the checkpoint and applies both commits exactly once
+      iso.sql("DELETE FROM gseg_ann.ns.vec WHERE vec_id % 7 = 3")
+      iso.sql("UPDATE gseg_ann.ns.vec SET label = label + 100 " +
+        "WHERE vec_id % 5 = 0")
+      try {
+        q = start()
+        q.processAllAvailable()
+      } finally safeStop(q)
+      val applied =
+        graft.Counters.drain().getOrElse("gseg_ann_batches_applied", 0L)
+      val live = iso.table("gseg_ann.ns.vec")
+        .select(col("vec_id").cast("bigint").as("_1"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("_2"))
+        .as[(Long, Array[Double])]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assign = iso.table("gseg_ann.ns.vec__idx_embedding_assign")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rebuilt = graft.functions.Ivf.assignOn(live, cents)
+      val sym = symDiffEmpty(assign.toDF(), rebuilt,
+        Seq("key", "cid")).head()
+      val parity = sym.getLong(0) == 0 && sym.getLong(1) == 0
+      // search THROUGH the index: stored cids prune the candidates
+      val withCid = live.toDF("vec_id", "v")
+        .join(assign, col("vec_id") === col("key"))
+        .select(col("vec_id").as("_1"), col("v").as("_2"),
+          col("cid").as("_3"))
+        .as[(Long, Array[Double], Int)]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = graft.functions.Similarity
+        .cosineTopKOf(iso, live.toDF("vec_id", "v"), 20, 5)
+        .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val full = graft.functions.Ivf
+        .ivfTopKFromIndex(withCid, cents, 20, 5, nprobe = nCells)
+        .select(col("query_id"), col("vec_id"))
+      val fullSym = symDiffEmpty(full, brute.toDF(),
+        Seq("query_id", "vec_id")).head()
+      val fullExact = fullSym.getLong(0) == 0 && fullSym.getLong(1) == 0
+      val part = graft.functions.Ivf
+        .ivfTopKFromIndex(withCid, cents, 20, 5, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val hits = part.join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .count()
+      val total = brute.count()
+      val nVectors = live.count()
+      live.unpersist(); assign.unpersist(); withCid.unpersist()
+      brute.unpersist()
+      Seq((nVectors, nCells, parity, applied >= 2L, fullExact,
+        hits >= total * 0.6))
+        .toDF("n_vectors", "n_cells", "index_matches_rebuild",
+          "incremental_applied", "full_probe_exact", "recall_ok")
+    } finally deleteRecursively(java.nio.file.Paths.get(base))
+  }
 }

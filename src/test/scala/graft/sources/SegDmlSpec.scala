@@ -612,7 +612,7 @@ class SegDmlSpec extends SparkSpec {
     assert(procs ==
       Set("vacuum", "compact", "history", "rollback", "changes", "clone",
         "tag", "untag", "branch", "drop_branch", "fast_forward",
-        "set_clustering"),
+        "set_clustering", "create_index"),
       s"procedures: $procs")
   }
 
@@ -1847,6 +1847,64 @@ class SegDmlSpec extends SparkSpec {
         .collect())
     // the clone is UNAFFECTED: independent history, hard-linked bytes
     assert(iso.table("tc.ns.aud").count() == 90)
+  }
+
+  test("create_index: ivf and lsh persist gseg index tables; guards " +
+      "stay loud") {
+    val (iso, wh) = dml("annidx")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.vec " +
+      "(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT) USING gseg")
+    val vecs = (0L until 64L).map(i => (i,
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 13).toFloat - 6f),
+      (i % 3).toInt))
+    vecs.toDF("vec_id", "embedding", "label")
+      .repartition(2).writeTo("tc.ns.vec").append()
+    // ivf: centroid + assignment tables, exactly one row per vector
+    val r = iso.sql("CALL tc.create_index('ns.vec', 'embedding', " +
+      "'vec_id', method => 'ivf', cells => 4)").head()
+    assert(r.getString(2) == "ns.vec__idx_embedding_assign")
+    assert(r.getInt(3) == 4 && r.getLong(4) == 64L)
+    assert(iso.table("tc.ns.vec__idx_embedding_cent").count() == 4)
+    val assign = iso.table("tc.ns.vec__idx_embedding_assign")
+    assert(assign.count() == 64)
+    assert(assign.select($"cid").distinct().count() <= 4)
+    // assignments are the nearest-centroid verdicts of the PERSISTED
+    // centroids (recompute and compare sets)
+    val cents = iso.table("tc.ns.vec__idx_embedding_cent")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val fresh = graft.functions.Ivf.assignOn(
+      iso.table("tc.ns.vec").select($"vec_id".as("_1"),
+        transform($"embedding", x => x.cast("double")).as("_2"))
+        .as[(Long, Array[Double])], cents)
+    assert(assign.collect().map(_.toSeq).toSet ==
+      fresh.collect().map(_.toSeq).toSet)
+    // lsh over a second table: deterministic buckets, no plane table
+    iso.sql("CREATE TABLE tc.ns.vec2 " +
+      "(vec_id BIGINT, embedding ARRAY<FLOAT>) USING gseg")
+    vecs.map(v => (v._1, v._2)).toDF("vec_id", "embedding")
+      .writeTo("tc.ns.vec2").append()
+    val r2 = iso.sql("CALL tc.create_index('ns.vec2', 'embedding', " +
+      "'vec_id', method => 'lsh', cells => 12)").head()
+    assert(r2.getLong(4) == 64L)
+    val buckets = iso.table("tc.ns.vec2__idx_embedding_assign")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    vecs.foreach { case (id, v, _) =>
+      assert(buckets(id) ==
+        graft.functions.Ivf.lshBucketOf(v.map(_.toDouble), 12)) }
+    // guards: non-vector column, missing key, unknown method, silly
+    // cell counts — all loud
+    intercept[Exception](iso.sql(
+      "CALL tc.create_index('ns.vec', 'label', 'vec_id')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.create_index('ns.vec', 'embedding', 'nope')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.create_index('ns.vec', 'embedding', 'vec_id', " +
+        "method => 'hnsw')"))
+    intercept[Exception](iso.sql(
+      "CALL tc.create_index('ns.vec', 'embedding', 'vec_id', " +
+        "cells => 0)"))
   }
 
   test("set_clustering evolves the spec for NEW segments only; each " +
