@@ -183,7 +183,30 @@ object Sf1Probe {
         // DESIGN (it stores the corpus); jobs and the DML's
         // affected-file counters must stay constant
         "s50_dsv2_binary" -> ((s, d) =>
-          graft.operators.CoreOps.s50DsvBinary(s, d)))
+          graft.operators.CoreOps.s50DsvBinary(s, d)),
+        // r17 additions (+ the two r16 rows VERDICT flagged unprobed):
+        // media/embedding payload volume is table-proportional BY
+        // DESIGN; jobs and the mor DELETE's vector-only commit shape
+        // must stay constant. decimal38's widen stays metadata-only
+        // at any scale (jobs constant; the DELETE's affected files
+        // track the layout, not the row count). branch/WAP costs are
+        // metadata-grain: fork and publish are pointer swaps at any
+        // table size (the staged append is table-proportional by
+        // design). spec evolution is one sidecar write; both layout
+        // prunes must keep their skip ratios. The ANN index lifecycle
+        // cost = churn of its DML commits + the nprobe/nlist search.
+        "s51_dsv2_media" -> ((s, d) =>
+          graft.operators.CoreOps.s51DsvMedia(s, d)),
+        "s52_dsv2_embeddings" -> ((s, d) =>
+          graft.operators.CoreOps.s52DsvEmbeddings(s, d)),
+        "s53_dsv2_decimal38" -> ((s, d) =>
+          graft.operators.CoreOps.s53DsvDecimal38(s, d)),
+        "s54_dsv2_branch_wap" -> ((s, d) =>
+          graft.operators.CoreOps.s54DsvBranchWap(s, d)),
+        "s55_dsv2_spec_evolution" -> ((s, d) =>
+          graft.operators.CoreOps.s55DsvSpecEvolution(s, d)),
+        "sim_ivf_indexed" -> ((s, d) =>
+          graft.streaming.StreamGates.simIvfIndexed(s, d)))
     // optional arg: comma-separated names — probe only those
     val only = args.headOption.map(_.split(',').toSet)
     val picked = queries.filter(q => only.forall(_.contains(q._1)))
