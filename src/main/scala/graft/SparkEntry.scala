@@ -1668,17 +1668,19 @@ object SparkEntry {
         |        WHERE wei >= 1000000000000000000) AS n_wide,
         |       TRUE AS widen_metadata_only, TRUE AS wide_pruned
         |FROM live""".stripMargin,
-    // WRITABLE BRANCHES (WAP): fork, stage the odd half on the
-    // branch (main byte-identical), audit, fast-forward publish; the
-    // aggregate over the PUBLISHED table is the full relational
-    // result — the oracle proves the cycle lost/duplicated nothing
+    // WRITABLE BRANCHES (WAP): fork, stage the odd half AND a
+    // branch-scoped row-level DELETE (main byte-identical through
+    // both), audit via plain in-session reads, fast-forward publish;
+    // the aggregate over the PUBLISHED table is the full relational
+    // result minus the branch-deleted class — the oracle proves the
+    // whole staged cycle lost/duplicated nothing
     "s54_dsv2_branch_wap" ->
       """SELECT COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS sum_price,
         |       TRUE AS main_untouched_during_wap, TRUE AS audit_saw_all,
         |       TRUE AS published_one_swap, TRUE AS history_labels_branch
-        |FROM orders""".stripMargin,
+        |FROM orders WHERE NOT (o_orderkey % 10 = 3)""".stripMargin,
     // PARTITION-SPEC EVOLUTION: set_clustering is metadata-only (new
     // segments only); each file prunes under its own layout on the
     // mixed table; compact migrates to the declared spec. Both

@@ -4335,22 +4335,23 @@ object CoreOps {
     ord.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
       .repartition(4).writeTo("gseg_dml.dml.t").append()
-    val mainRows = iso.table("gseg_dml.dml.t").count()
     iso.sql("CALL gseg_dml.branch('dml.t', 'wap')")
     val manifest = java.nio.file.Paths.get(s"$wh/dml/t", ".manifest")
     val mainBytes = java.nio.file.Files.readAllBytes(manifest)
-    // WAP staging: the odd half lands on the branch, main untouched
+    // WAP staging: the odd half lands on the branch AND a row-level
+    // DELETE runs branch-scoped (its rewrite scan reads the branch
+    // head; its commit advances the ref) — main bytes untouched
+    // through BOTH; plain in-session reads follow the branch (the
+    // audit surface)
     iso.conf.set(graft.sources.SegManifest.WapBranchConf, "wap")
-    val untouched = try {
+    val (untouched, auditRows) = try {
       ord.filter(col("o_orderkey") % 2 === 1)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
         .repartition(4).writeTo("gseg_dml.dml.t").append()
-      java.nio.file.Files.readAllBytes(manifest).sameElements(mainBytes) &&
-        iso.table("gseg_dml.dml.t").count() == mainRows
+      iso.sql("DELETE FROM gseg_dml.dml.t WHERE k % 10 = 3")
+      (java.nio.file.Files.readAllBytes(manifest).sameElements(mainBytes),
+        iso.table("gseg_dml.dml.t").count())
     } finally iso.conf.unset(graft.sources.SegManifest.WapBranchConf)
-    // audit the staged snapshot, then publish
-    val auditRows =
-      iso.sql("SELECT * FROM gseg_dml.dml.t VERSION AS OF 'wap'").count()
     val ff = iso.sql("CALL gseg_dml.fast_forward('dml.t', 'wap')").head()
     val published = ff.getLong(2) < ff.getLong(3) &&
       graft.sources.SegManifest.read(s"$wh/dml/t").get._1 == ff.getLong(3)

@@ -1576,7 +1576,7 @@ class SegGroupScanBuilder(full: StructType, path: String,
   }
 
   override def build(): Scan = {
-    val files = SegSource.resolveSegments(path)
+    val files = SegSource.resolveSegmentsForSession(path)
     val cands = files.filter(f =>
       pushed.forall(SegSource.mayMatch(SegSource.resolvedHeaderOf(f), _)))
     op.candidates = cands
@@ -1769,7 +1769,7 @@ class SegReplaceDataWrite(path: String, schema: StructType,
       }
     }.toSeq
     if (candNames.nonEmpty || newNames.nonEmpty) {
-      // THE commit point: one atomic pointer swap, CAS'd on the live
+      // THE commit point: one atomic pointer swap, CAS'd on the base
       // generation — with the COMMUTABILITY check in front: the
       // rewrite was computed from the candidate files' planned state,
       // so every candidate must still be live with the SAME deletion
@@ -1779,27 +1779,54 @@ class SegReplaceDataWrite(path: String, schema: StructType,
       // the DML. Anything else (appends, vector-deletes on OTHER
       // files, rewrites of disjoint groups) commutes: a lost CAS
       // re-reads and re-swaps.
-      SegManifest.withConflictRetry("rlo") {
-        val liveM = SegManifest.readManifest(path).getOrElse(
-          throw new IllegalStateException(
-            s"gseg rlo commit: no generation manifest at $path — " +
-              "row-level DML runs through the catalog, whose loadTable " +
-              "synthesizes one"))
+      //
+      // Under spark.gseg.wap.branch (and this table carrying the
+      // ref), the WHOLE cycle is branch-scoped: the rewrite scan read
+      // the branch head (resolveSegmentsForSession), so validation
+      // and the commit run against that head and the swap advances
+      // the REF — main's pointer and readers stay byte-untouched
+      // until CALL fast_forward.
+      def validate(m: SegManifest.Manifest): Unit =
         candNames.foreach { n =>
-          require(liveM.names.contains(n),
+          require(m.names.contains(n),
             s"gseg rlo commit: candidate '$n' was replaced by a " +
               "concurrent commit — retry the DML")
-          require(liveM.dvs.get(n) == op.plannedDvs.get(n),
+          require(m.dvs.get(n) == op.plannedDvs.get(n),
             s"gseg rlo commit: candidate '$n' gained a deletion vector " +
               "mid-DML (a concurrent DELETE) — retry the DML")
         }
-        SegDml.commitHook("staged")
-        // The superseded candidate files are NOT deleted here — they
-        // remain the data of earlier generations' snapshots (time
-        // travel) until `CALL vacuum` retires them.
-        SegManifest.swap(path,
-          liveM.names.filterNot(candNames.contains) ++ newNames,
-          expectGen = Some(Some(liveM.gen)))
+      SegManifest.wapBranch()
+        .filter(b => SegManifest.refs(path).contains(b)) match {
+        case Some(b) =>
+          SegManifest.withConflictRetry("rlo-branch") {
+            val (head, _) = SegManifest.refs(path).getOrElse(b,
+              throw new IllegalStateException(
+                s"gseg rlo commit: branch '$b' vanished mid-DML"))
+            val headM = SegManifest.readSnapshotManifest(path, head)
+              .getOrElse(throw new IllegalStateException(
+                s"gseg rlo commit: no snapshot for branch head $head"))
+            validate(headM)
+            SegDml.commitHook("staged")
+            SegManifest.branchSwap(path, b,
+              headM.names.filterNot(candNames.contains) ++ newNames,
+              expectHead = Some(head))
+          }
+        case None =>
+          SegManifest.withConflictRetry("rlo") {
+            val liveM = SegManifest.readManifest(path).getOrElse(
+              throw new IllegalStateException(
+                s"gseg rlo commit: no generation manifest at $path — " +
+                  "row-level DML runs through the catalog, whose " +
+                  "loadTable synthesizes one"))
+            validate(liveM)
+            SegDml.commitHook("staged")
+            // The superseded candidate files are NOT deleted here —
+            // they remain the data of earlier generations' snapshots
+            // (time travel) until `CALL vacuum` retires them.
+            SegManifest.swap(path,
+              liveM.names.filterNot(candNames.contains) ++ newNames,
+              expectGen = Some(Some(liveM.gen)))
+          }
       }
       SegDml.commitHook("swapped")
     }
@@ -2067,25 +2094,28 @@ class SegDvDeltaWrite(path: String, tschema: StructType,
     // a foreign commit that REPLACED or DROPPED a touched segment is
     // a real conflict — the positions address a file that is no
     // longer the table — and that fails loudly (retry the DELETE).
-    SegManifest.withConflictRetry("dv-delete") {
-      val live = SegManifest.readManifest(path).getOrElse(
-        throw new IllegalStateException(
-          s"gseg dv delete: no generation manifest at $path — row-level " +
-            "DML runs through the catalog, whose loadTable synthesizes one"))
-      var names = live.names
-      val dvs = scala.collection.mutable.Map.empty[String, String] ++ live.dvs
+    // Under spark.gseg.wap.branch (table carrying the ref), the
+    // vector merge reads the BRANCH head's manifest — the state the
+    // delta scan planned against (resolveSegmentsForSession) — and
+    // the commit advances the ref, leaving main byte-untouched.
+    val wapB = SegManifest.wapBranch()
+      .filter(b => SegManifest.refs(path).contains(b))
+    def mergeAndCommit(base: SegManifest.Manifest,
+        commit: (Seq[String], Map[String, String]) => Long): Unit = {
+      var names = base.names
+      val dvs = scala.collection.mutable.Map.empty[String, String] ++ base.dvs
       dropped = 0L; written = 0L; rows = 0L
       byFile.foreach { case (filePath, buf) =>
         val name = Paths.get(filePath).getFileName.toString
         require(names.contains(name),
-          s"gseg dv delete: '$name' is not in the live generation — a " +
+          s"gseg dv delete: '$name' is not in the base generation — a " +
             "concurrent commit replaced it; retry the DELETE")
         val fresh = buf.distinct.sorted.toArray
         val nRows = SegSource.resolvedHeaderOf(filePath).nRows
         require(fresh.head >= 0 && fresh.last < nRows,
           s"gseg dv delete: ordinal out of range for '$name' " +
             s"(${fresh.last} >= $nRows)")
-        val existing = live.dvs.get(name)
+        val existing = base.dvs.get(name)
           .map(d => SegDv.read(s"$path/$d")).getOrElse(Array.emptyIntArray)
         val merged = SegDv.union(existing, fresh)
         rows += fresh.length.toLong
@@ -2102,9 +2132,34 @@ class SegDvDeltaWrite(path: String, tschema: StructType,
         }
       }
       SegDml.commitHook("staged")
-      SegManifest.swap(path, names ++ newNames,
-        expectGen = Some(Some(live.gen)),
-        dvs = Some(dvs.toMap.filter { case (seg, _) => names.contains(seg) }))
+      commit(names ++ newNames,
+        dvs.toMap.filter { case (seg, _) => names.contains(seg) })
+      ()
+    }
+    wapB match {
+      case Some(b) =>
+        SegManifest.withConflictRetry("dv-delete-branch") {
+          val (head, _) = SegManifest.refs(path).getOrElse(b,
+            throw new IllegalStateException(
+              s"gseg dv delete: branch '$b' vanished mid-DML"))
+          val headM = SegManifest.readSnapshotManifest(path, head)
+            .getOrElse(throw new IllegalStateException(
+              s"gseg dv delete: no snapshot for branch head $head"))
+          mergeAndCommit(headM, (ns, dm) =>
+            SegManifest.branchSwap(path, b, ns,
+              expectHead = Some(head), dvs = Some(dm)))
+        }
+      case None =>
+        SegManifest.withConflictRetry("dv-delete") {
+          val live = SegManifest.readManifest(path).getOrElse(
+            throw new IllegalStateException(
+              s"gseg dv delete: no generation manifest at $path — " +
+                "row-level DML runs through the catalog, whose " +
+                "loadTable synthesizes one"))
+          mergeAndCommit(live, (ns, dm) =>
+            SegManifest.swap(path, ns,
+              expectGen = Some(Some(live.gen)), dvs = Some(dm)))
+        }
     }
     SegDml.commitHook("swapped")
     graft.Counters.add("gseg_dv_deleted_rows", rows)

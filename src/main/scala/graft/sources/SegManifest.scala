@@ -368,10 +368,12 @@ object SegManifest {
     })
     // WAP mode: while the session names a write branch, moving the
     // MAIN pointer would leak unaudited rows past the audit gate —
-    // every main-pointer commit (DML rewrites, compact, rollback,
-    // CTAS...) is refused loudly until the conf is unset. Appends and
-    // overwrites don't reach here in WAP mode (the V2 write path
-    // routes them through [[branchSwap]]).
+    // every remaining main-pointer commit (compact, rollback, CTAS,
+    // clone, streaming epochs...) is refused loudly until the conf is
+    // unset. Appends/overwrites and row-level DML don't reach here in
+    // WAP mode: their commit paths route through [[branchSwap]] when
+    // the table carries the ref (and a WAP write to a table WITHOUT
+    // the ref lands here — loud, by design).
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.conf.get(WapBranchConf, "")).filter(_.nonEmpty)
       .foreach { b =>
@@ -827,6 +829,25 @@ object SegManifest {
     * `VERSION AS OF '<branch>'`, then `CALL fast_forward` publishes
     * (Iceberg's `spark.wap.branch` contract). */
   val WapBranchConf = "spark.gseg.wap.branch"
+
+  /** The branch the active session stages writes to, if any. */
+  private[sources] def wapBranch(): Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get(WapBranchConf, "")).filter(_.nonEmpty)
+
+  /** The manifest a TABLE READ under this session resolves: the WAP
+    * branch's HEAD when the session names one and this table carries
+    * that ref — Iceberg's `spark.wap.branch` read semantics, so the
+    * staged data audits through PLAIN reads of the table (and
+    * row-level DML's rewrite scan sees the branch state it will
+    * commit against). Tables WITHOUT the ref — join and MERGE
+    * sources, the index tables a gate consults — resolve the live
+    * manifest, unaffected. */
+  private[sources] def readManifestForSession(dir: String): Option[Manifest] =
+    wapBranch().flatMap(b => refs(dir).get(b)) match {
+      case Some((head, _)) => readSnapshotManifest(dir, head)
+      case None => readManifest(dir)
+    }
 
   private def refsPath(dir: String): Path = Paths.get(dir, ".refs")
 

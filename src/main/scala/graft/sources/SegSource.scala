@@ -113,7 +113,7 @@ object SegSource {
     * dirs and vector-free generations. Time-travel reads override
     * this with their snapshot's own map. */
   private[sources] def dvPathsOf(dir: String): Map[String, String] =
-    SegManifest.readManifest(dir).map(_.dvs.map {
+    SegManifest.readManifestForSession(dir).map(_.dvs.map {
       case (seg, dv) => s"$dir/$seg" -> s"$dir/$dv"
     }).getOrElse(Map.empty)
 
@@ -134,7 +134,9 @@ object SegSource {
     * listing, which never carries vectors). */
   private[sources] def manifestSnapshot(dir: String)
       : Option[(Seq[String], Map[String, String])] =
-    SegManifest.readManifest(dir).map { m =>
+    // session-aware: under spark.gseg.wap.branch, tables carrying the
+    // ref serve their BRANCH head (names + dvs from ONE read, as ever)
+    SegManifest.readManifestForSession(dir).map { m =>
       (m.names.sorted.map(n => s"$dir/$n"),
        m.dvs.map { case (seg, dv) => s"$dir/$seg" -> s"$dir/$dv" })
     }
@@ -1286,6 +1288,15 @@ object SegSource {
     * protocol). */
   private[sources] def resolveSegments(dir: String): Seq[String] =
     SegManifest.segments(dir).getOrElse(listSegments(dir))
+
+  /** [[resolveSegments]], session-aware: under `spark.gseg.wap.branch`
+    * a table carrying the ref resolves its BRANCH head — the file set
+    * row-level DML's rewrite scan must read, because that is the
+    * state its commit will branch-swap against. */
+  private[sources] def resolveSegmentsForSession(dir: String): Seq[String] =
+    SegManifest.readManifestForSession(dir)
+      .map(_.names.sorted.map(n => s"$dir/$n"))
+      .getOrElse(listSegments(dir))
 
   // ---------------- filter support ----------------
 

@@ -1979,38 +1979,47 @@ class SegDmlSpec extends SparkSpec {
     val fk = iso.sql("CALL tc.branch('ns.t', 'wap')").head()
     assert(fk.getString(1) == "wap" && fk.getLong(2) == 1L)
     val mainBytes = java.nio.file.Files.readAllBytes(manifest)
-    // WAP mode on: writes land on the branch, main commits refuse
+    // WAP mode on: writes land on the branch, READS follow it too
+    // (Iceberg's spark.wap.branch read semantics — the staged data
+    // audits through plain reads of the table)
     iso.conf.set(SegManifest.WapBranchConf, "wap")
     iso.sql("INSERT INTO tc.ns.t SELECT id, id * 2.0 FROM range(50, 80)")
-    // main is BYTE-identical (the WAP promise) and reads 50 rows
+    // main is BYTE-identical (the WAP promise); the in-session read
+    // is the branch view
     assert(java.nio.file.Files.readAllBytes(manifest)
       .sameElements(mainBytes))
-    assert(iso.table("tc.ns.t").count() == 50)
-    // the branch reads both generations through VERSION AS OF
+    assert(iso.table("tc.ns.t").count() == 80)
     assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'wap'")
       .count() == 80)
-    // main-pointer commits are refused loudly while WAP is on
-    val e = intercept[Exception](iso.sql("DELETE FROM tc.ns.t WHERE k = 1"))
+    // row-level DML is BRANCH-scoped while WAP is on: the rewrite
+    // scan reads the branch head and the commit advances the ref
+    iso.sql("DELETE FROM tc.ns.t WHERE k >= 75")
+    assert(iso.table("tc.ns.t").count() == 75)
+    assert(java.nio.file.Files.readAllBytes(manifest)
+      .sameElements(mainBytes), "branch DELETE must not move main")
+    // operations that can only commit to MAIN stay refused loudly
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](iso.sql("CALL tc.compact('ns.t', 2)"))
     assert(msgs(e).exists(_.contains("wap")), msgs(e).mkString("; "))
     // a second branch append in the same cycle advances the head
     iso.sql("INSERT INTO tc.ns.t SELECT id, id * 3.0 FROM range(80, 90)")
     assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'wap'")
-      .count() == 90)
-    assert(iso.table("tc.ns.t").count() == 50)
+      .count() == 85)
     iso.conf.unset(SegManifest.WapBranchConf)
+    // out of WAP mode, the table reads MAIN again — still pre-branch
+    assert(iso.table("tc.ns.t").count() == 50)
     // audit passed: publish = ONE pointer swap
     val ff = iso.sql("CALL tc.fast_forward('ns.t', 'wap')").head()
-    assert(ff.getLong(2) == 1L && ff.getLong(3) == 3L)
-    assert(iso.table("tc.ns.t").count() == 90)
+    assert(ff.getLong(2) == 1L && ff.getLong(3) == 4L)
+    assert(iso.table("tc.ns.t").count() == 85)
     assert(iso.table("tc.ns.t").agg(sum($"v")).head().getDouble(0) ==
-      (0 until 50).map(_ * 1.0).sum + (50 until 80).map(_ * 2.0).sum +
+      (0 until 50).map(_ * 1.0).sum + (50 until 75).map(_ * 2.0).sum +
         (80 until 90).map(_ * 3.0).sum)
     // history records the published generations and labels the branch
     val hist = iso.sql("CALL tc.history('ns.t')").collect()
-    assert(hist.map(_.getLong(0)).toSet.contains(3L))
-    assert(hist.filter(_.getLong(0) == 3L)
+    assert(hist.map(_.getLong(0)).toSet.contains(4L))
+    assert(hist.filter(_.getLong(0) == 4L)
       .exists(_.getString(6).contains("wap(branch)")))
     // ---- staged-but-unpublished branches survive vacuum ----
     iso.sql("CALL tc.branch('ns.t', 'audit2')")
@@ -2025,7 +2034,7 @@ class SegDmlSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, n))),
       "branch-staged segments must survive vacuum")
     assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'audit2'")
-      .count() == 95)
+      .count() == 90)
     // ---- audit failed: drop the branch, vacuum reclaims ----
     iso.sql("CALL tc.drop_branch('ns.t', 'audit2')")
     iso.sql("CALL tc.vacuum('ns.t', keep_last => 1)")
@@ -2033,7 +2042,7 @@ class SegDmlSpec extends SparkSpec {
     assert((stagedNames -- liveNames).forall(n =>
       !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))),
       "dropped branch's staged segments must be reclaimed")
-    assert(iso.table("tc.ns.t").count() == 90) // main never saw them
+    assert(iso.table("tc.ns.t").count() == 85) // main never saw them
     // ---- non-fast-forward publish is loud ----
     iso.sql("CALL tc.branch('ns.t', 'slow')")
     iso.conf.set(SegManifest.WapBranchConf, "slow")
