@@ -588,6 +588,7 @@ class SegCatalog extends TableCatalog
       case "untag" => new SegUntagProcedure(this)
       case "set_clustering" => new SegSetClusteringProcedure(this)
       case "create_index" => new SegCreateIndexProcedure(this)
+      case "drop_index" => new SegDropIndexProcedure(this)
       case "branch" => new SegBranchProcedure(this)
       case "drop_branch" => new SegDropBranchProcedure(this)
       case "fast_forward" => new SegFastForwardProcedure(this)
@@ -610,7 +611,8 @@ class SegCatalog extends TableCatalog
         Identifier.of(namespace, "drop_branch"),
         Identifier.of(namespace, "fast_forward"),
         Identifier.of(namespace, "set_clustering"),
-        Identifier.of(namespace, "create_index"))
+        Identifier.of(namespace, "create_index"),
+        Identifier.of(namespace, "drop_index"))
     else Array.empty
 
   /** Identifier → validated table dir, for the procedures. */
@@ -659,9 +661,18 @@ object SegCatalog {
           s"gseg: $k must be '$DeleteModeCow' or " +
             s"'$DeleteModeMor', got '$v'")
         k -> v
+      // ANN-index registration: `gseg.index.<column>` = '<method>:<cells>'
+      // — written by CALL create_index, removed by CALL drop_index, so
+      // SHOW TBLPROPERTIES tells an operator (and a planner) which
+      // columns carry a persisted index without probing table names
+      case (k, v) if k.startsWith("gseg.index.") =>
+        require(v.matches("(ivf|lsh):[0-9]+"),
+          s"gseg: $k must be '<ivf|lsh>:<cells>', got '$v'")
+        k -> v
       case (k, _) => throw new IllegalArgumentException(
         s"gseg: unknown table property '$k' " +
-          s"(have: $DeleteModeProp, $UpdateModeProp, $MergeModeProp)")
+          s"(have: $DeleteModeProp, $UpdateModeProp, $MergeModeProp, " +
+          "gseg.index.<column>)")
     }.toMap
   }
 }
@@ -2832,6 +2843,16 @@ class SegCreateIndexProcedure(cat: SegCatalog)
         val spark = org.apache.spark.sql.SparkSession.active
         import spark.implicits._
         val fqn = s"${cat.name()}.$tbl"
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        cat.loadTable(ident) // ensures manifest + sidecar (migration)
+        val tblDir = cat.tableDir(ident)
+        val meta0 = SegMeta.read(tblDir).getOrElse(
+          throw new IllegalStateException(
+            s"gseg create_index: no sidecar at $tblDir"))
+        require(!meta0.props.contains(s"gseg.index.$colN"),
+          s"gseg create_index: '$colN' already carries index " +
+            s"'${meta0.props(s"gseg.index.$colN")}' — CALL drop_index " +
+            "first")
         val df = spark.table(fqn)
         val vf = df.schema.fields.find(_.name == colN).getOrElse(
           throw new IllegalArgumentException(
@@ -2883,6 +2904,10 @@ class SegCreateIndexProcedure(cat: SegCatalog)
             s"gseg create_index: unknown method '$other' " +
               "(methods: ivf, lsh)")
         }
+        // register the index on the TABLE (gseg.index.<col>) so SHOW
+        // TBLPROPERTIES reveals it and drop_index can resolve it
+        SegMeta.write(tblDir, meta0.copy(props = meta0.props +
+          (s"gseg.index.$colN" -> s"$method:$cells")))
         val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
@@ -2894,6 +2919,72 @@ class SegCreateIndexProcedure(cat: SegCatalog)
             Array(row)
           override def readSchema(): StructType = outSchema
           override def description(): String = s"gseg create_index $tbl"
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.drop_index('ns.t', '<vector col>')` → remove the
+  * ANN index over a column: drops the persisted `__idx_<col>_*`
+  * tables and clears the `gseg.index.<col>` registration — the
+  * inverse of [[SegCreateIndexProcedure]]. Loud on a column that
+  * carries no index. */
+class SegDropIndexProcedure(cat: SegCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+
+  override def name(): String = "drop_index"
+  override def description(): String =
+    "drop a persisted ANN index (tables + registration)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_index"
+      override def description(): String =
+        SegDropIndexProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      private val outSchema = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("method_was", StringType, nullable = false)))
+
+      override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.util.Iterator[V2Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val colN = input.getUTF8String(1).toString
+        val parts = tbl.split('.')
+        require(parts.nonEmpty && parts.forall(_.nonEmpty),
+          s"gseg drop_index: bad table identifier '$tbl'")
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        val tblDir = cat.tableDir(ident)
+        val meta = SegMeta.read(tblDir).getOrElse(
+          throw new IllegalStateException(
+            s"gseg drop_index: no sidecar at $tblDir"))
+        val key = s"gseg.index.$colN"
+        val reg = meta.props.getOrElse(key,
+          throw new IllegalArgumentException(
+            s"gseg drop_index: '$colN' carries no index on $tbl"))
+        Seq("cent", "assign").foreach { sfx =>
+          // dropTable is false-on-absent — right for lsh's no-cent case
+          cat.dropTable(Identifier.of(parts.init.toArray,
+            s"${parts.last}__idx_${colN}_$sfx"))
+        }
+        SegMeta.write(tblDir, meta.copy(props = meta.props - key))
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tbl),
+            org.apache.spark.unsafe.types.UTF8String.fromString(colN),
+            org.apache.spark.unsafe.types.UTF8String.fromString(reg)))
+        java.util.List.of[V2Scan](new LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(row)
+          override def readSchema(): StructType = outSchema
+          override def description(): String = s"gseg drop_index $tbl"
         }).iterator()
       }
     }

@@ -612,7 +612,7 @@ class SegDmlSpec extends SparkSpec {
     assert(procs ==
       Set("vacuum", "compact", "history", "rollback", "changes", "clone",
         "tag", "untag", "branch", "drop_branch", "fast_forward",
-        "set_clustering", "create_index"),
+        "set_clustering", "create_index", "drop_index"),
       s"procedures: $procs")
   }
 
@@ -1893,6 +1893,24 @@ class SegDmlSpec extends SparkSpec {
     vecs.foreach { case (id, v, _) =>
       assert(buckets(id) ==
         graft.functions.Ivf.lshBucketOf(v.map(_.toDouble), 12)) }
+    // the index REGISTERS on the table: SHOW TBLPROPERTIES reveals it
+    assert(iso.sql("SHOW TBLPROPERTIES tc.ns.vec").collect()
+      .exists(r => r.getString(0) == "gseg.index.embedding" &&
+        r.getString(1) == "ivf:4"))
+    // a second index on the same column is loud until drop_index
+    intercept[Exception](iso.sql(
+      "CALL tc.create_index('ns.vec', 'embedding', 'vec_id')"))
+    // drop_index removes tables + registration; droppable, rebuildable
+    val dr = iso.sql("CALL tc.drop_index('ns.vec', 'embedding')").head()
+    assert(dr.getString(2) == "ivf:4")
+    intercept[Exception](iso.table("tc.ns.vec__idx_embedding_assign"))
+    assert(!iso.sql("SHOW TBLPROPERTIES tc.ns.vec").collect()
+      .exists(_.getString(0).startsWith("gseg.index.")))
+    intercept[Exception](
+      iso.sql("CALL tc.drop_index('ns.vec', 'embedding')"))
+    iso.sql("CALL tc.create_index('ns.vec', 'embedding', 'vec_id', " +
+      "method => 'ivf', cells => 4)")
+    assert(iso.table("tc.ns.vec__idx_embedding_assign").count() == 64)
     // guards: non-vector column, missing key, unknown method, silly
     // cell counts — all loud
     intercept[Exception](iso.sql(
