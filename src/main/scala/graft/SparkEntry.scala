@@ -1694,7 +1694,8 @@ object SparkEntry {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   FROM orders WHERE o_custkey % 11 = 7) AS sum2,
         |  TRUE AS spec_change_metadata_only, TRUE AS old_layout_pruned,
-        |  TRUE AS new_layout_pruned, TRUE AS compact_migrates""".stripMargin,
+        |  TRUE AS new_layout_pruned, TRUE AS migration_incremental,
+        |  TRUE AS compact_migrates""".stripMargin,
     // MULTI-COLUMN PARTITIONED BY: composite (k1,k2) clustering with
     // k1 = key%6, k2 = key%5 coprime — the DELETEd composite class is
     // key ≡ 27 (mod 30) by CRT, stated as the conjunction; the spj

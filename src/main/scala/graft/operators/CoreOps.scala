@@ -4408,14 +4408,27 @@ object CoreOps {
     }
     val (n1, sum1, c1) = agg1(col("k1") === 5)
     val (n2, sum2, c2) = agg1(col("k2") === 7)
-    iso.sql("CALL gseg_dml.compact('dml.t', 8)")
+    // INCREMENTAL migration: only the old-layout files rewrite;
+    // conforming files stay byte-shared by name — at 100 TB the
+    // difference between a maintenance pass over the stragglers and
+    // a rolling whole-table rewrite
+    val pre = graft.sources.SegManifest.read(dir).get._2.toSet
+    val conforming = pre.filter(n => graft.sources.SegSource
+      .fileConformsTo(Seq("k2"), s"$dir/$n"))
+    iso.sql("CALL gseg_dml.compact('dml.t', 8, only_mismatched => true)")
+    val post = graft.sources.SegManifest.read(dir).get._2.toSet
+    val incremental = conforming.nonEmpty &&
+      conforming.subsetOf(post) &&
+      (pre -- conforming).forall(n => !post.contains(n))
     val (n3, _, c3) = agg1(col("k2") === 7)
     Seq((n1, sum1, n2, sum2, metadataOnly,
       c1.getOrElse("gseg_files_skipped", 0L) > 0,
       c2.getOrElse("gseg_files_skipped", 0L) > 0,
+      incremental,
       n3 == n2 && c3.getOrElse("gseg_key_groups", 0L) > 0))
       .toDF("n1", "sum1", "n2", "sum2", "spec_change_metadata_only",
-        "old_layout_pruned", "new_layout_pruned", "compact_migrates")
+        "old_layout_pruned", "new_layout_pruned",
+        "migration_incremental", "compact_migrates")
   }
 
   def s33DsvRenameColumn(s: SparkSession, d: String): DataFrame = {

@@ -1239,7 +1239,14 @@ class SegCompactProcedure(cat: SegCatalog)
         // folds them in once they cost readers real skip work
         ProcedureParameter.in("min_deleted_ratio",
           org.apache.spark.sql.types.DoubleType)
-          .defaultValue("CAST(NULL AS DOUBLE)").build())
+          .defaultValue("CAST(NULL AS DOUBLE)").build(),
+        // incremental SPEC MIGRATION: rewrite ONLY segments that fail
+        // the per-file conformance witness for the declared clustering
+        // (after CALL set_clustering) — conforming files stay shared,
+        // and a second pass is a no-op
+        ProcedureParameter.in("only_mismatched",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build())
       override def isDeterministic: Boolean = false
 
       private val outSchema = StructType(Seq(
@@ -1270,12 +1277,15 @@ class SegCompactProcedure(cat: SegCatalog)
           else Some(input.getDouble(5))
         minRatio.foreach(r => require(r > 0.0 && r <= 1.0,
           s"gseg compact: min_deleted_ratio $r outside (0, 1]"))
+        val onlyMismatched =
+          input.numFields >= 7 && !input.isNullAt(6) && input.getBoolean(6)
         // re-layout of a SUBSET is incoherent (shared files would
         // keep the old layout): cluster_by always rewrites whole
         require(clusterBy.isEmpty ||
-          (targetBytes.isEmpty && minRatio.isEmpty),
+          (targetBytes.isEmpty && minRatio.isEmpty && !onlyMismatched),
           "gseg compact: cluster_by re-lays the WHOLE table and " +
-            "cannot combine with target_bytes/min_deleted_ratio")
+            "cannot combine with target_bytes/min_deleted_ratio/" +
+            "only_mismatched")
         val parts = tbl.split('.')
         require(parts.nonEmpty && parts.forall(_.nonEmpty),
           s"gseg compact: bad table identifier '$tbl'")
@@ -1367,24 +1377,42 @@ class SegCompactProcedure(cat: SegCatalog)
               math.max(1, SegSource.resolvedHeaderOf(f).nRows)
           }
         }
+        // incremental spec migration needs a witnessable spec: a
+        // declared (or sort_by) clustering, never zorder (no per-file
+        // conformance evidence exists for a morton sort)
+        if (onlyMismatched) {
+          require(sortByEff.nonEmpty,
+            "gseg compact: only_mismatched needs a declared clustering " +
+              "(or sort_by) to check conformance against")
+          require(!sortByEff.exists(SegSource.parseZOrder(_).isDefined),
+            "gseg compact: zorder has no per-file conformance witness " +
+              "— migrate a zorder layout with a whole-table cluster_by")
+        }
         // selective policies compose as a UNION: a segment rewrites
         // when it is small (target_bytes) OR heavily vectored
-        // (min_deleted_ratio); everything else stays SHARED (names
+        // (min_deleted_ratio) OR laid out under a superseded spec
+        // (only_mismatched); everything else stays SHARED (names
         // survive the swap — at 100 TB the difference between a
         // bounded maintenance pass and a weekly table copy)
-        val selective = targetBytes.isDefined || minRatio.isDefined
+        val selective = targetBytes.isDefined || minRatio.isDefined ||
+          onlyMismatched
         val (toRewrite, shared) =
           if (!selective) (live, Nil)
           else live.partition(f =>
             targetBytes.exists(tb => Files.size(Paths.get(f)) < tb) ||
-              minRatio.exists(r => dvRatio(f) >= r))
+              minRatio.exists(r => dvRatio(f) >= r) ||
+              (onlyMismatched &&
+                !SegSource.fileConformsTo(sortByEff, f)))
         graft.Counters.add("gseg_compact_rewritten", toRewrite.size.toLong)
         graft.Counters.add("gseg_compact_shared", shared.size.toLong)
         // a selective pass is a no-op when nothing selected, or when
         // the single selected file has no vector to purge (nothing to
-        // merge either); full compaction keeps the original condition
+        // merge either — EXCEPT a mismatched file, whose rewrite IS
+        // the point); full compaction keeps the original condition
         def selectiveNoop: Boolean = toRewrite.isEmpty ||
-          (toRewrite.size == 1 && dvRatio(toRewrite.head) == 0.0)
+          (toRewrite.size == 1 && dvRatio(toRewrite.head) == 0.0 &&
+            !(onlyMismatched &&
+              !SegSource.fileConformsTo(sortByEff, toRewrite.head)))
         val after =
           if (newCluster.isEmpty &&
               ((selective && selectiveNoop) ||

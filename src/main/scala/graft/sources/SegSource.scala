@@ -1289,6 +1289,54 @@ object SegSource {
   private[sources] def resolveSegments(dir: String): Seq[String] =
     SegManifest.segments(dir).getOrElse(listSegments(dir))
 
+  /** Per-file LAYOUT CONFORMANCE witness for incremental spec
+    * migration (`CALL compact(only_mismatched => true)`): does this
+    * segment provably satisfy every declared clustering key — the
+    * same evidence the scan's layout recovery trusts (identity:
+    * single-valued stats incl. the tag-11 decimal and ASCII-string
+    * forms; bucket: a matching-count writer stamp; temporal/truncate:
+    * single-unit stats under the monotone transform)? Conservative in
+    * the REWRITE direction: an unprovable file (null key cells,
+    * stat-less values) re-selects for rewrite — never wrongly shared.
+    * zorder is the caller's problem (no per-file witness exists). */
+  private[graft] def fileConformsTo(specs: Seq[String],
+      f: String): Boolean = {
+    if (specs.isEmpty) return true
+    val h = resolvedHeaderOf(f)
+    specs.forall { sp =>
+      val k = ClusterKey.parse(sp)
+      h.cols.find(_.name == k.col).exists { c =>
+        if (c.nNulls != 0) false
+        else k match {
+          case ClusterKey(_, Some(n), _, _) =>
+            h.props.get(s"bucket.${k.col}").exists(_.split(':') match {
+              case Array(bn, _) =>
+                scala.util.Try(bn.toInt).toOption.contains(n)
+              case _ => false
+            })
+          case ClusterKey(_, None, Some(u), _) =>
+            c.hasStats && (for { mn <- c.minVal; mx <- c.maxVal }
+              yield temporalOf(u, mn) == temporalOf(u, mx))
+              .getOrElse(false)
+          case ClusterKey(_, None, None, Some(w)) =>
+            if (c.hasStats)
+              (for { mn <- c.minVal; mx <- c.maxVal }
+                yield truncateOf(w, mn) == truncateOf(w, mx))
+                .getOrElse(false)
+            else c.tag == 3 &&
+              (for { mn <- c.minStr; mx <- c.maxStr }
+                yield truncateOf(w, UTF8String.fromString(mn)) ==
+                  truncateOf(w, UTF8String.fromString(mx)))
+                .getOrElse(false)
+          case _ => // identity: single-valued by exact stats
+            (c.hasStats && c.minBits == c.maxBits) ||
+              ((c.tag == 3 || c.tag == 11) &&
+                c.minStr.isDefined && c.minStr == c.maxStr)
+        }
+      }
+    }
+  }
+
   /** [[resolveSegments]], session-aware: under `spark.gseg.wap.branch`
     * a table carrying the ref resolves its BRANCH head — the file set
     * row-level DML's rewrite scan must read, because that is the

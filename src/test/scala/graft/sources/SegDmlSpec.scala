@@ -1962,13 +1962,23 @@ class SegDmlSpec extends SparkSpec {
       (0 until 4000).count(_ % 11 == 7))
     val c2 = graft.Counters.drain()
     assert(c2.getOrElse("gseg_files_skipped", 0L) > 0, s"counters: $c2")
-    // compaction MIGRATES to the current spec (its default sort is
-    // the declared clustering): afterwards EVERY file is k2-keyed, so
-    // the scan recovers the identity(k2) layout whole and reports
-    // KeyGroupedPartitioning — pruning moves from the per-file zone
-    // grain (mixed table) to the key-GROUP grain (gseg_key_groups
-    // fires, the SPJ-ready state a mixed spec can't reach)
-    iso.sql("CALL tc.compact('ns.t', 4)")
+    // INCREMENTAL migration (only_mismatched): only the old-layout
+    // files rewrite; files already conforming to the declared spec
+    // stay byte-SHARED (their names survive the swap)
+    val preNames = SegManifest.read(dir).get._2.toSet
+    val conforming = preNames.filter(n =>
+      SegSource.fileConformsTo(Seq("k2"), s"$dir/$n"))
+    assert(conforming.nonEmpty && conforming != preNames,
+      "fixture must be genuinely mixed")
+    iso.sql("CALL tc.compact('ns.t', 4, only_mismatched => true)")
+    val postNames = SegManifest.read(dir).get._2.toSet
+    assert(conforming.subsetOf(postNames),
+      "conforming files must stay shared by name")
+    assert((preNames -- conforming).forall(n => !postNames.contains(n)),
+      "every mismatched file must be replaced")
+    // post-migration the scan recovers the identity(k2) layout WHOLE
+    // and reports KeyGroupedPartitioning — pruning moves from the
+    // per-file zone grain (mixed table) to the key-GROUP grain
     assert(SegMeta.read(java.nio.file.Paths.get(dir)).get.clusterCols
       == Seq("k2"))
     graft.Counters.drain()
@@ -1976,7 +1986,13 @@ class SegDmlSpec extends SparkSpec {
       (0 until 4000).count(_ % 11 == 7))
     val c3 = graft.Counters.drain()
     assert(c3.getOrElse("gseg_key_groups", 0L) > 0,
-      s"post-compact scan must recover the NEW layout whole: $c3")
+      s"post-migration scan must recover the NEW layout whole: $c3")
+    // a second migration pass is a NO-OP: everything conforms, no
+    // commit happens (idempotent maintenance, never a rolling rewrite)
+    val genAfter = SegManifest.read(dir).get._1
+    iso.sql("CALL tc.compact('ns.t', 4, only_mismatched => true)")
+    assert(SegManifest.read(dir).get._1 == genAfter,
+      "an all-conforming pass must not commit")
     // guards: unknown column is loud; '' drops the clustering
     intercept[Exception](
       iso.sql("CALL tc.set_clustering('ns.t', 'nope')"))
