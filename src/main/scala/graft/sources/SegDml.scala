@@ -145,8 +145,8 @@ class SegCatalog extends TableCatalog
         case _ =>
           require(SegSource.identityClusterType(f.dataType),
             s"gseg: PARTITIONED BY column '$c' must be " +
-              "BIGINT/INT/STRING/DATE/TIMESTAMP (identity clustering), " +
-              s"got ${f.dataType.simpleString}")
+              "BIGINT/INT/STRING/DATE/TIMESTAMP/DECIMAL (identity " +
+              s"clustering), got ${f.dataType.simpleString}")
       }
       spec.render
     }

@@ -458,9 +458,12 @@ object SegSource {
 
   /** Types an IDENTITY clustering key may have: the scan must be able
     * to PROVE single-valuedness from header stats (exact numeric
-    * min==max, or v3 ASCII string stats min==max). */
+    * min==max, v3 ASCII string stats min==max, or tag-11 decimal's
+    * exact unscaled-string stats — so wei-scale DECIMAL(38) account
+    * keys cluster like any integer). */
   private[sources] def identityClusterType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | DateType | TimestampType => true
+    case _: DecimalType => true
     case _ => false
   }
   /** Types `bucket(n, col)` accepts: hashable with a stable identity

@@ -2138,6 +2138,43 @@ class SegDmlSpec extends SparkSpec {
       org.apache.spark.sql.types.DecimalType(18, 0))
   }
 
+  test("identity clustering on a DECIMAL(38) key: tag-11 string stats " +
+      "recover the layout, SPJ stays zero-exchange") {
+    val (iso, wh) = dml("dec38spj")
+    import iso.implicits._
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // two tables identity-clustered on the same wei-scale key domain
+    Seq("a", "b").foreach { t =>
+      iso.sql(s"CREATE TABLE tc.ns.$t (wei DECIMAL(38,0), v DOUBLE) " +
+        "USING gseg PARTITIONED BY (wei)")
+      iso.range(0, 300)
+        .select((concat(lit("1000000000000000000000000"),
+            lpad(($"id" % 7).cast("string"), 1, "0"))
+          .cast("decimal(38,0)")).as("wei"),
+          ($"id" * 1.0).as("v"))
+        .writeTo(s"tc.ns.$t").append()
+    }
+    // the keyed writer split runs per wei value; recovery reads the
+    // tag-11 unscaled-decimal string stats (min == max per file)
+    graft.Counters.drain()
+    val j = iso.table("tc.ns.a").join(iso.table("tc.ns.b"), "wei")
+    val perKey = (0 until 300).groupBy(_ % 7).view.mapValues(_.size)
+    assert(j.count() == perKey.values.map(n => n.toLong * n).sum)
+    val c = graft.Counters.drain()
+    assert(c.getOrElse("gseg_key_groups", 0L) > 0,
+      s"decimal38 identity layout must recover: $c")
+    // zero-exchange: no SHUFFLE in the joined plan (SPJ aligned)
+    j.count() // settle AQE
+    val shuffles = j.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"decimal38 SPJ must be shuffle-free:\n${
+        j.queryExecution.executedPlan}")
+  }
+
   test("ALTER COLUMN TYPE widens FLOAT to DOUBLE and DECIMAL precision") {
     val (iso, wh) = dml("widen2")
     import iso.implicits._
