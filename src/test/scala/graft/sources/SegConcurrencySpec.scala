@@ -247,4 +247,74 @@ class SegConcurrencySpec extends SparkSpec {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     assert(iso.table("tc.ns.t").count() == 100L)
   }
+
+  test("branch commit crash seams: a death on either publish strands " +
+      "only invisible orphans; vacuum reclaims, a retry lands") {
+    val (iso, wh) = cat("brcrash")
+    iso.sql("CREATE TABLE tc.ns.t (id BIGINT) USING gseg")
+    iso.range(50).writeTo("tc.ns.t").append() // gen 1
+    iso.sql("CALL tc.branch('ns.t', 'wap')")
+    val dir = s"$wh/ns/t"
+    val mainBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, ".manifest"))
+    def dieOn(prefix: String): CommitProvider = new CommitProvider {
+      override def createExclusive(path: java.nio.file.Path,
+          body: Array[Byte]): Unit =
+        PosixCommitProvider.createExclusive(path, body)
+      override def publish(d: java.nio.file.Path,
+          path: java.nio.file.Path, body: Array[Byte]): Unit = {
+        if (path.getFileName.toString.startsWith(prefix))
+          throw new java.io.IOException(s"fake store died on $prefix")
+        PosixCommitProvider.publish(d, path, body)
+      }
+    }
+    iso.conf.set(SegManifest.WapBranchConf, "wap")
+    try {
+      // seam 1: die on the SNAPSHOT publish — no snapshot, no ref
+      // move; only unreferenced final-named segments strand
+      withProvider(dieOn(".manifest.v")) {
+        intercept[Exception](
+          iso.range(50, 80).writeTo("tc.ns.t").append())
+      }
+      assert(SegManifest.refs(dir)("wap") == ((1L, 1L)),
+        "a failed snapshot publish must not move the ref")
+      assert(iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 'wap'")
+        .count() == 50)
+      // seam 2: die on the REF CAS (.refs) — the snapshot exists but
+      // is ref-less: above live, not a head ⇒ invisible everywhere
+      withProvider(dieOn(".refs")) {
+        intercept[Exception](
+          iso.range(50, 80).writeTo("tc.ns.t").append())
+      }
+      assert(SegManifest.refs(dir)("wap") == ((1L, 1L)))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, ".manifest.v2")),
+        "seam-2 fixture: the orphan snapshot must exist")
+      intercept[Exception](
+        iso.sql("SELECT * FROM tc.ns.t VERSION AS OF 2").collect())
+      assert(iso.sql("CALL tc.history('ns.t')").collect()
+        .forall(_.getLong(0) != 2L),
+        "a ref-less above-live snapshot is not history")
+      // main never moved a byte through either crash
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, ".manifest"))
+        .sameElements(mainBytes))
+      // vacuum reclaims both strand kinds (orphan segments + the
+      // doomed snapshot), keeping gen 1 and the branch intact
+      iso.conf.unset(SegManifest.WapBranchConf)
+      iso.sql("CALL tc.vacuum('ns.t', keep_last => 1)")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, ".manifest.v2")),
+        "vacuum must reclaim the ref-less snapshot")
+      assert(iso.table("tc.ns.t").count() == 50)
+      // the RETRIED branch commit lands cleanly after the crashes
+      iso.conf.set(SegManifest.WapBranchConf, "wap")
+      iso.range(50, 80).writeTo("tc.ns.t").append()
+      assert(iso.table("tc.ns.t").count() == 80) // branch view
+      assert(SegManifest.refs(dir)("wap")._2 == 1L &&
+        SegManifest.refs(dir)("wap")._1 > 1L)
+    } finally iso.conf.unset(SegManifest.WapBranchConf)
+    iso.sql("CALL tc.fast_forward('ns.t', 'wap')")
+    assert(iso.table("tc.ns.t").count() == 80)
+  }
 }

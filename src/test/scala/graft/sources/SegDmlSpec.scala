@@ -2001,6 +2001,55 @@ class SegDmlSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("only_mismatched respects deletion vectors: rewritten files " +
+      "shed masks by re-encoding, shared files keep theirs") {
+    val (iso, wh) = dml("mismatchdv")
+    import iso.implicits._
+    iso.sql("CREATE TABLE tc.ns.t (k1 BIGINT, k2 BIGINT, v DOUBLE) " +
+      "USING gseg PARTITIONED BY (k1) " +
+      "TBLPROPERTIES('gseg.delete.mode'='merge_on_read')")
+    val dir = s"$wh/ns/t"
+    // half A under k1, then a mor DELETE vectors the A files
+    iso.range(0, 1000)
+      .select(($"id" % 5).as("k1"), ($"id" % 7).as("k2"),
+        ($"id" * 1.0).as("v"))
+      .writeTo("tc.ns.t").append()
+    iso.sql("DELETE FROM tc.ns.t WHERE v < 50.0")
+    // spec evolves to k2; half B lands k2-keyed, then a mor DELETE
+    // vectors SOME B files too
+    iso.sql("CALL tc.set_clustering('ns.t', 'k2')")
+    iso.range(1000, 2000)
+      .select(($"id" % 5).as("k1"), ($"id" % 7).as("k2"),
+        ($"id" * 1.0).as("v"))
+      .writeTo("tc.ns.t").append()
+    iso.sql("DELETE FROM tc.ns.t WHERE v >= 1950.0")
+    val expect = (0 until 2000).map(_ * 1.0)
+      .count(x => x >= 50.0 && x < 1950.0)
+    assert(iso.table("tc.ns.t").count() == expect)
+    val m0 = SegManifest.readManifest(dir).get
+    val conforming = m0.names.filter(n =>
+      SegSource.fileConformsTo(Seq("k2"), s"$dir/$n")).toSet
+    val sharedDvs = m0.dvs.filter { case (seg, _) =>
+      conforming.contains(seg) }
+    assert(sharedDvs.nonEmpty, "fixture: a conforming file must carry " +
+      s"a vector (dvs=${m0.dvs}, conforming=$conforming)")
+    iso.sql("CALL tc.compact('ns.t', 4, only_mismatched => true)")
+    val m1 = SegManifest.readManifest(dir).get
+    // shared files keep their masks — same segment, same vector
+    sharedDvs.foreach { case (seg, dv) =>
+      assert(m1.names.contains(seg) && m1.dvs.get(seg).contains(dv),
+        s"shared vectored file $seg must keep $dv (got ${m1.dvs.get(seg)})")
+    }
+    // rewritten files shed theirs by re-encoding the masked read: no
+    // replacement segment carries a vector, and not one masked row
+    // resurrected
+    val rewritten = m1.names.toSet -- m0.names.toSet
+    assert(rewritten.nonEmpty && rewritten.forall(n => !m1.dvs.contains(n)))
+    assert(iso.table("tc.ns.t").count() == expect)
+    assert(iso.table("tc.ns.t").agg(sum($"v")).head().getDouble(0) ==
+      (0 until 2000).map(_ * 1.0).filter(x => x >= 50.0 && x < 1950.0).sum)
+  }
+
   test("writable branches: WAP write-audit-publish with main " +
       "byte-untouched until fast_forward") {
     val (iso, wh) = dml("wap")
