@@ -462,7 +462,8 @@ object SegSource {
     * exact unscaled-string stats — so wei-scale DECIMAL(38) account
     * keys cluster like any integer). */
   private[sources] def identityClusterType(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | StringType | DateType | TimestampType => true
+    case LongType | IntegerType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
   }
@@ -470,7 +471,8 @@ object SegSource {
     * (doubles excluded — -0.0/0.0 and NaN bit-patterns make value
     * identity ambiguous; booleans are pointless to bucket). */
   private[sources] def bucketClusterType(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | StringType | DateType | TimestampType => true
+    case LongType | IntegerType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
     case _ => false
   }
   /** Types a TEMPORAL transform accepts: TIMESTAMP for all four
@@ -765,6 +767,11 @@ object SegSource {
     // not a storable value). Either declared nullability is accepted
     // at the schema gate for parquet-roundtrip ergonomics.
     case ArrayType(FloatType, _) => 10
+    // v7: TIMESTAMP_NTZ — wall-clock micros, zone-less (Spark 4 reads
+    // modern parquet event data as NTZ natively). Rides the exact
+    // long machinery timestamps use; only the TYPE differs, so the
+    // tag must too (a reader must reconstruct NTZ, not instant).
+    case TimestampNTZType => 12
     case other => throw new IllegalArgumentException(
       s"gseg supports long/int/double/string/boolean/timestamp/date/" +
         s"float/decimal(<=38)/binary/array<float>, got $other")
@@ -784,6 +791,7 @@ object SegSource {
     case 9 => BinaryType
     case 10 => ArrayType(FloatType, containsNull = false)
     case 11 => DecimalType(cm.prec, cm.scale)
+    case 12 => TimestampNTZType
   }
 
   /** Convenience writer: route `df` through the V2 write path
@@ -1013,9 +1021,9 @@ object SegSource {
             }
             i += 1
           }
-        // TIMESTAMP rides the long path (micros since epoch): same
-        // encoding, same exact zone-map stats
-        case TimestampType => while (i < n) {
+        // TIMESTAMP (and NTZ wall-clock micros) ride the long path:
+        // same encoding, same exact zone-map stats
+        case TimestampType | TimestampNTZType => while (i < n) {
           val v = rows(i)(c)
           if (v != null) {
             val l = v.asInstanceOf[java.lang.Long].longValue()
@@ -1043,7 +1051,8 @@ object SegSource {
       if (sketched) hll(c) = regs
       if (bw != null && sketched) blooms(c) = bw
       schema(c).dataType match {
-        case LongType | IntegerType | TimestampType | DateType if seen =>
+        case LongType | IntegerType | TimestampType | TimestampNTZType |
+             DateType if seen =>
           hasStats(c) = true; minBits(c) = mnL; maxBits(c) = mxL
         case d: DecimalType if d.precision <= 18 && seen =>
           // unscaled longs, exact (tag 11 published via minStr above)
@@ -1151,6 +1160,7 @@ object SegSource {
         case 2 => Some(java.lang.Double.longBitsToDouble(bits))
         case 5 => Some(bits) // timestamp micros: Long, the agg partial
                              // and zone maps both speak micros
+        case 12 => Some(bits) // ntz micros: same Long internals
         case 6 => Some(bits.toInt) // date days: Int
         case 7 => // float: stats stored as the exact double promotion
           Some(java.lang.Float.valueOf(
@@ -1375,6 +1385,11 @@ object SegSource {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
     case i: java.time.Instant => Some(java.math.BigDecimal.valueOf(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+    // TIMESTAMP_NTZ filter values (V1 filters carry external types)
+    // map to the stored wall-clock micros
+    case l: java.time.LocalDateTime => Some(java.math.BigDecimal.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(l)))
     // date FILTER VALUES map to the stored days-since-epoch ints
     case d: java.sql.Date => Some(java.math.BigDecimal.valueOf(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
@@ -1690,7 +1705,7 @@ object SegSource {
     * at the Min/Max cases). */
   private[sources] def statCapable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType |
-         TimestampType | DateType => true
+         TimestampType | TimestampNTZType | DateType => true
     case _: DecimalType => true
     case _ => false
   }
@@ -3007,6 +3022,9 @@ class SegPartitionReader(file: String, required: StructType,
               case 7 => while (i < n) {
                 if (!isNull(i)) vals(i) = in.readFloat(); i += 1
               }
+              case 12 => while (i < n) { // ntz micros: long path
+                if (!isNull(i)) vals(i) = in.readLong(); i += 1
+              }
               case 9 => while (i < n) {
                 if (!isNull(i)) {
                   val b = new Array[Byte](in.readInt())
@@ -3565,7 +3583,8 @@ class SegDataWriter(path: String, schema: StructType, partitionId: Int,
           val b = r.getUTF8String(c).getBytes
           rowBytes += 4 + b.length
           b
-        case TimestampType => rowBytes += 8 // internal repr IS micros
+        case TimestampType | TimestampNTZType =>
+          rowBytes += 8 // internal repr IS micros
           java.lang.Long.valueOf(r.getLong(c))
         case DateType => rowBytes += 4 // internal repr IS days
           java.lang.Integer.valueOf(r.getInt(c))

@@ -145,6 +145,57 @@ class SegSourceSpec extends SparkSpec {
     assert(tm.filter($"s" > "a").count() === 1)
   }
 
+  test("v7 TIMESTAMP_NTZ columns (tag 12) roundtrip, filter, prune " +
+      "and aggregate on wall-clock micros") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gsegntz").toString
+    def ldt(s0: String) = java.time.LocalDateTime.parse(s0)
+    val src = Seq(
+      (1L, Some(ldt("2026-01-05T08:30:00"))),
+      (2L, Some(ldt("2026-01-06T23:59:59.123456"))),
+      (3L, None),
+      (4L, Some(ldt("2026-03-01T00:00:00"))))
+      .toDF("k", "ts")
+    assert(src.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    // two files with disjoint ranges so zone maps can prune
+    SegSource.write(src.filter($"k" <= 2).coalesce(1), d)
+    src.filter($"k" > 2).coalesce(1).write.format("gseg")
+      .mode("append").save(d)
+    val t = spark.read.format("gseg").load(d)
+    assert(t.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(t.collect().map(_.toSeq).toSet ===
+      src.collect().map(_.toSeq).toSet)
+    // row-grain pushed filters on wall-clock values (no TZ shifts:
+    // an NTZ literal compares against the stored micros verbatim)
+    assert(t.filter($"ts" > lit(ldt("2026-01-06T00:00:00"))).count() === 2)
+    assert(t.filter($"ts".isNull).count() === 1)
+    // zone maps prune the January file for a March point-lookup
+    graft.Counters.drain()
+    assert(t.filter($"ts" === lit(ldt("2026-03-01T00:00:00")))
+      .count() === 1)
+    assert(graft.Counters.drain()
+      .getOrElse("gseg_files_skipped", 0L) >= 1L)
+    // header MIN/MAX exact, micro-precision preserved
+    val r = t.agg(min($"ts"), max($"ts")).head()
+    assert(r.getAs[java.time.LocalDateTime](0) ==
+      ldt("2026-01-05T08:30:00"))
+    assert(r.getAs[java.time.LocalDateTime](1) ==
+      ldt("2026-03-01T00:00:00"))
+    // and the SESSION TIMEZONE provably does not bend the values: the
+    // same reads under a far-offset zone return identical wall clocks
+    val tzWas = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      assert(spark.read.format("gseg").load(d)
+        .filter($"ts" > lit(ldt("2026-01-06T00:00:00"))).count() === 2)
+      assert(spark.read.format("gseg").load(d)
+        .agg(max($"ts")).head().getAs[java.time.LocalDateTime](0) ==
+        ldt("2026-03-01T00:00:00"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzWas)
+  }
+
   test("NaN-bearing float/double segments keep pushed MIN/MAX and " +
       "pruning exact under Spark's NaN-greatest ordering") {
     import spark.implicits._
